@@ -1,0 +1,663 @@
+"""Core relational operator queries (SURVEY.md §2.A-§2.F, §2.H).
+
+Every query exercises one operator row from the survey against the
+driver's TPC-H-ish testdata, with a DuckDB oracle producing the same
+result. Computed columns are aliased identically on both sides (the
+driver's hash compares by sorted column name). Determinism rules:
+no ``now()`` (literals instead), explicit tiebreaks under every
+window/limit, decimal casts before aggregation so sums are exact and
+order-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..functions import (
+    comma_decimal,
+    excel_serial_to_date,
+    filename_business_date,
+    hours_between,
+    normalize_card_num,
+    trim_key,
+)
+from ..schemas import align_positional
+from ._base import events_table, make_registry, table
+
+QUERIES, ORACLES, register = make_registry()
+
+AUDIT_TS = "2026-01-01 00:00:00"
+
+
+# --------------------------------------------------------------------------
+# §2.A scans / sources
+# --------------------------------------------------------------------------
+
+@register(
+    "parquet_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_returnflag = 'R'
+    """,
+)
+def parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: columnar scan with predicate pushdown + column pruning —
+    the filter and the 4-column ReadSchema reach the parquet reader
+    (verified via explain in tests)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@register(
+    "csv_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || '.5' AS DECIMAL(18,5)) AS amt,
+           l_returnflag
+    FROM lineitem
+    """,
+)
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + D11: semicolon-separated CSV with comma-decimal amounts
+    (the reference's transactions_*.txt format, main.py:116), written
+    then re-read through the engine's CSV path. The comma-decimal
+    parse is a codegen'd regexp_replace+cast, not a UDF."""
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        f"csv_scan_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.col("l_quantity").cast("int").cast("string"), F.lit(",5")
+        ).alias("amt"),
+        "l_returnflag",
+    )
+    src.write.mode("overwrite").option("sep", ";").option("header", True).csv(scratch)
+    raw = spark.read.csv(
+        scratch,
+        sep=";",
+        header=True,
+        schema="l_orderkey bigint, l_linenumber int, amt string, l_returnflag string",
+    )
+    return raw.select(
+        "l_orderkey", "l_linenumber", comma_decimal("amt").alias("amt"), "l_returnflag"
+    )
+
+
+@register(
+    "excel_serial_dates",
+    oracle="""
+    SELECT event_id,
+           date_diff('day', DATE '1899-12-30', CAST(ts AS DATE)) AS excel_serial,
+           DATE '1899-12-30' + CAST(date_diff('day', DATE '1899-12-30', CAST(ts AS DATE)) AS INTEGER) AS decoded_date
+    FROM events
+    """,
+)
+def excel_serial_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + D12: Excel serial-day round trip (epoch 1899-12-30;
+    serial 44256 = 2021-03-01 verified against the reference's real
+    blacklist files)."""
+    ev = events_table(spark, sf_dir)
+    serial = F.datediff(F.col("ts").cast("date"), F.lit("1899-12-30").cast("date"))
+    return ev.select(
+        "event_id",
+        serial.alias("excel_serial"),
+        excel_serial_to_date(serial).alias("decoded_date"),
+    )
+
+
+@register("full_table_extract", oracle="SELECT * FROM customer")
+def full_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: full-table extract (the reference's nightly
+    ``SELECT * FROM info.clients``, main.py:76-85; JDBC partitioned
+    variant in sources.read_jdbc_table)."""
+    return table(spark, sf_dir, "customer")
+
+
+@register(
+    "filename_date_extract",
+    oracle="""
+    SELECT event_id,
+           'transactions_' || strftime(ts, '%d%m%Y') || '.txt' AS file_name,
+           CAST(strptime(strftime(ts, '%d%m%Y'), '%d%m%Y') AS DATE) AS business_date
+    FROM events
+    """,
+)
+def filename_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 + D10: ddMMyyyy business-date parse from drop-dir file
+    names (main.py:110-111); at scan time this pairs with
+    ``input_file_name()``."""
+    ev = events_table(spark, sf_dir)
+    fname = F.concat(
+        F.lit("transactions_"), F.date_format("ts", "ddMMyyyy"), F.lit(".txt")
+    )
+    return ev.select(
+        "event_id",
+        fname.alias("file_name"),
+        filename_business_date(fname).alias("business_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.B projections / filters
+# --------------------------------------------------------------------------
+
+@register(
+    "project_rename",
+    oracle="""
+    SELECT r_regionkey AS region_id, r_name AS region_name FROM region
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: positional rename-and-reorder (the reference's
+    ``df.columns = catalog_cols``, main.py:61-62) via align_positional."""
+    return align_positional(
+        table(spark, sf_dir, "region"), ["region_id", "region_name"]
+    )
+
+
+@register(
+    "add_audit_columns",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate AS create_dt,
+           CAST(NULL AS TIMESTAMP) AS update_dt,
+           TIMESTAMP '{AUDIT_TS}' AS processed_dt
+    FROM orders
+    """,
+)
+def add_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: audit-column stamping (main.py:88-90,121-125) with a
+    run-literal processed_dt — deterministic now() per SURVEY §4.3."""
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("create_dt"),
+        F.lit(None).cast("timestamp").alias("update_dt"),
+        F.lit(AUDIT_TS).cast("timestamp").alias("processed_dt"),
+    )
+
+
+@register(
+    "project_drop",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+    """,
+)
+def project_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: drop technical/unneeded columns (main.py:140-144); Catalyst
+    prunes the dropped columns out of the scan."""
+    return table(spark, sf_dir, "orders").drop("o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "nullsafe_diff",
+    oracle="""
+    WITH stg AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT d.c_custkey,
+           (s.c_acctbal IS DISTINCT FROM d.c_acctbal) AS acctbal_differs,
+           (s.c_mktsegment IS DISTINCT FROM d.c_mktsegment) AS segment_differs
+    FROM customer d JOIN stg s USING (c_custkey)
+    WHERE s.c_acctbal IS DISTINCT FROM d.c_acctbal
+       OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+    """,
+)
+def nullsafe_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: null-safe change predicate. The reference hand-expands
+    ``a <> b OR (a IS NULL AND b IS NOT NULL) OR ...`` per column
+    (main.py:201-209); here each clause is ``~eqNullSafe`` — including
+    the value→NULL transition a naive ``!=`` silently drops."""
+    cust = table(spark, sf_dir, "customer")
+    stg = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    d, s = cust.alias("d"), stg.alias("s")
+    acct = ~F.col("s.c_acctbal").eqNullSafe(F.col("d.c_acctbal"))
+    seg = ~F.col("s.c_mktsegment").eqNullSafe(F.col("d.c_mktsegment"))
+    return (
+        d.join(s, "c_custkey")
+        .withColumn("acctbal_differs", acct)
+        .withColumn("segment_differs", seg)
+        .filter(acct | seg)
+        .select("c_custkey", "acctbal_differs", "segment_differs")
+    )
+
+
+@register(
+    "theta_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount, l_tax
+    FROM lineitem WHERE l_discount < l_tax
+    """,
+)
+def theta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: column-vs-column theta predicate (the reference's
+    ``valid_to < trans_date``, main.py:413,433)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") < F.col("l_tax"))
+        .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+    )
+
+
+@register(
+    "semi_join_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+    )
+    """,
+)
+def semi_join_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6/C8: IN-subquery as left-semi join (main.py:414,463-466).
+    The subquery side is aggregated to keys then broadcast — the big
+    side never shuffles."""
+    cust = table(spark, sf_dir, "customer")
+    keys = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(F.broadcast(keys), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
+    )
+    """,
+)
+def anti_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: NOT EXISTS as left-anti join (main.py:354-357)."""
+    cust = table(spark, sf_dir, "customer")
+    keys = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(F.broadcast(keys), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "like_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE 'small%' OR p_type LIKE 'SMALL%'
+    """,
+)
+def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: LIKE pattern filter (the reference's staging-table
+    discovery ``LIKE 'lapp_stg_%'``, main.py:36). Prefix patterns
+    push down to the scan as StringStartsWith."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("small%") | F.col("p_type").like("SMALL%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+# --------------------------------------------------------------------------
+# §2.C joins
+# --------------------------------------------------------------------------
+
+@register(
+    "star_join_chain",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_name, n.n_name, r.r_name
+    FROM lineitem l
+    LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE l.l_shipdate >= TIMESTAMP '2001-01-01'
+    """,
+)
+def star_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: multi-way left-join denormalization (the fraud queries'
+    fact→cards→accounts→clients chain, main.py:405-411). Dims are
+    broadcast: the fact is joined with zero shuffles."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left")
+        .join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .join(n, c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(r, n["n_regionkey"] == r["r_regionkey"], "left")
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "expr_key_join_trim",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM (SELECT o_orderkey, rpad(CAST(o_custkey AS VARCHAR), 12, ' ') AS cust_key_padded
+          FROM orders) o
+    JOIN customer c ON trim(o.cust_key_padded) = CAST(c.c_custkey AS VARCHAR)
+    """,
+)
+def expr_key_join_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/D4: join on trimmed keys — BPCHAR blank-pad normalization
+    (``ON trim(ft.card_num) = trim(dca.card_num)``, main.py:407)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.rpad(F.col("o_custkey").cast("string"), 12, " ").alias("cust_key_padded"),
+    )
+    c = table(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c), trim_key(o["cust_key_padded"]) == c["c_custkey"].cast("string")
+    ).select("o_orderkey", "c_name")
+
+
+@register(
+    "expr_key_join_replace",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) || ' x' AS spaced_key
+          FROM orders) o
+    JOIN customer c
+      ON replace(o.spaced_key, ' ', '') = CAST(c.c_custkey AS VARCHAR) || 'x'
+    """,
+)
+def expr_key_join_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/D5: join on space-stripped keys (card numbers with internal
+    spaces: ``replace(card_num,' ','')``, main.py:458). translate()
+    avoids the regex engine on the hot path."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(F.col("o_custkey").cast("string"), F.lit(" x")).alias("spaced_key"),
+    )
+    c = table(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c),
+        normalize_card_num(o["spaced_key"])
+        == F.concat(c["c_custkey"].cast("string"), F.lit("x")),
+    ).select("o_orderkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# §2.E windows
+# --------------------------------------------------------------------------
+
+@register(
+    "window_lag_prev",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+)
+def window_lag_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: lag() — the reference's single window primitive
+    (``lag(terminal_city) OVER (PARTITION BY card ORDER BY
+    trans_date)``, main.py:440-441). event_id tiebreak keeps the
+    frame deterministic under equal timestamps."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events_table(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value", F.lag("value").over(w).alias("prev_value")
+    )
+
+
+@register(
+    "velocity_fraud_rule",
+    oracle="""
+    WITH pre AS (
+      SELECT event_id, user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             lag(ts)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts, event_type, prev_type
+    FROM pre
+    WHERE prev_type IS NOT NULL
+      AND event_type <> prev_type
+      AND (epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts))) / 3600.0 < 1.0
+    """,
+)
+def velocity_fraud_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/H3 analog on the events stream: state change (city proxy =
+    event_type) within one hour per user (main.py:437-467; verified 6
+    events on the reference's own data). One shuffle — the window
+    partition by user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pre = events_table(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return pre.filter(
+        F.col("prev_type").isNotNull()
+        & (F.col("event_type") != F.col("prev_type"))
+        & (hours_between("ts", "prev_ts") < F.lit(1.0))
+    ).select("event_id", "user_id", "ts", "event_type", "prev_type")
+
+
+# --------------------------------------------------------------------------
+# §2.F aggregations + general relational surface
+# --------------------------------------------------------------------------
+
+@register(
+    "watermark_max",
+    oracle="""
+    SELECT coalesce(
+             max(CASE WHEN o_orderstatus = 'F' THEN o_orderdate END),
+             max(o_orderdate)
+           ) AS max_update_dt
+    FROM orders
+    """,
+)
+def watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/D1: the reference's only aggregate —
+    ``coalesce(max(update_dt), max(create_dt))`` high-watermark
+    (main.py:362-364). Partial aggregation makes this one tiny
+    shuffle of per-partition maxima at any scale."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.coalesce(
+            F.max(F.when(F.col("o_orderstatus") == "F", F.col("o_orderdate"))),
+            F.max("o_orderdate"),
+        ).alias("max_update_dt")
+    )
+
+
+@register(
+    "groupby_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F general surface: grouped aggregation (TPC-H Q1 shape).
+    Decimal casts BEFORE summing make the result exact and
+    aggregation-order-independent — required for a distributed sum to
+    hash-match a single-threaded oracle, and the right call at scale
+    anyway (no float drift across 10⁶ partial aggregates)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    d182 = DecimalType(18, 2)
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(d182)).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(d182)).alias("sum_base_price"),
+        F.sum(
+            F.col("l_extendedprice").cast(d182)
+            * (F.lit(1) - F.col("l_discount").cast(DecimalType(3, 2)))
+        ).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F general surface: global top-k. Spark plans this as
+    TakeOrderedAndProject — per-partition heaps, no full sort, no
+    full shuffle; the o_orderkey tiebreak makes the cut deterministic."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    WITH urgent AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    negbal AS (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    )
+    SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM urgent INTERSECT SELECT custkey FROM negbal)
+    UNION ALL
+    SELECT 'only_urgent' AS tag, custkey FROM (SELECT custkey FROM urgent EXCEPT SELECT custkey FROM negbal)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F general surface: INTERSECT / EXCEPT / UNION ALL."""
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    negbal = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    both = urgent.intersect(negbal).select(F.lit("both").alias("tag"), "custkey")
+    only = urgent.exceptAll(negbal.intersect(urgent)).select(
+        F.lit("only_urgent").alias("tag"), "custkey"
+    )
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# §2.H fraud-rule analogs on the testdata star schema
+# --------------------------------------------------------------------------
+
+@register(
+    "fraud_blacklist_semi",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate AS event_dt,
+           c.c_name || ' ' || c.c_mktsegment AS fio,
+           '1' AS event_type,
+           CAST(CAST(l.l_shipdate AS DATE) AS TIMESTAMP) AS report_dt
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def fraud_blacklist_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 analog: star join + blacklist semi-join membership (the
+    *intended* rule-1 predicate — not the reference's ``1=1`` bug at
+    main.py:412). Blacklist = negative-balance customers; projection
+    mirrors the report shape (event_dt, fio via NULL-propagating
+    concat D3, day-truncated report_dt D6)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    blacklist = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    star = l.join(o, l["l_orderkey"] == o["o_orderkey"]).join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    return star.join(F.broadcast(blacklist), "c_custkey", "left_semi").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("event_dt"),
+        F.concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment")).alias("fio"),
+        F.lit("1").alias("event_type"),
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("report_dt"),
+    )
+
+
+@register(
+    "fraud_expiry_theta",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate AS event_dt,
+           c.c_name AS fio, '2' AS event_type
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    """,
+)
+def fraud_expiry_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 analog: star join + expiry theta predicate
+    (``da.valid_to < trans_date``, main.py:433) — here 'shipped more
+    than 90 days after the order' plays the expired-contract role."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").alias("event_dt"),
+            F.col("c_name").alias("fio"),
+            F.lit("2").alias("event_type"),
+        )
+    )

@@ -1,0 +1,206 @@
+"""SCD1 / fact-load operator queries (SURVEY.md §2.C C1-C4, §2.G).
+
+The staging snapshot is derived deterministically from ``customer``:
+keys ≡ 0 (mod 10) are absent (deletes), keys ≡ 0 (mod 7) carry a
+changed balance and keys ≡ 0 (mod 11) a NULLed segment (updates —
+including the value→NULL transition), and keys ≡ 0 (mod 13) reappear
+shifted by 1,000,000 (inserts). Both the Spark query and the DuckDB
+oracle rebuild the same snapshot, so the merge legs are exactly
+checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import append_dedup, scd1_merge
+from ._base import make_registry, table
+from .core import AUDIT_TS
+
+QUERIES, ORACLES, register = make_registry()
+
+DIM_CREATE_TS = "2020-01-01 00:00:00"
+
+_STG_SQL = """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'Customer#new' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0, 'NEW'
+      FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def _staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    existing = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    new = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return existing.unionByName(new)
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select(
+        "*",
+        F.lit(DIM_CREATE_TS).cast("timestamp").alias("create_dt"),
+        F.lit(None).cast("timestamp").alias("update_dt"),
+        F.lit(DIM_CREATE_TS).cast("timestamp").alias("processed_dt"),
+    )
+
+
+_COMPARE = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _merge(spark: SparkSession, sf_dir: str):
+    return scd1_merge(
+        _dim(spark, sf_dir),
+        _staging(spark, sf_dir),
+        key="c_custkey",
+        compare_cols=_COMPARE,
+        processed_dt=F.lit(AUDIT_TS).cast("timestamp"),
+    )
+
+
+@register(
+    "scd1_insert_new",
+    oracle=f"""
+    WITH stg AS ({_STG_SQL})
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+           CAST(NULL AS TIMESTAMP) AS create_dt,
+           CAST(NULL AS TIMESTAMP) AS update_dt,
+           TIMESTAMP '{AUDIT_TS}' AS processed_dt
+    FROM stg s LEFT JOIN customer d ON s.c_custkey = d.c_custkey
+    WHERE d.c_custkey IS NULL
+    """,
+)
+def scd1_insert_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/G1: new-key detection — staging anti-join dim
+    (main.py:146-161). create_dt := coalesce(stg.update_dt,
+    stg.create_dt) = NULL here because file-style staging carries no
+    technical columns (the reference's terminals behave identically)."""
+    return _merge(spark, sf_dir).inserted
+
+
+@register(
+    "scd1_update_detect",
+    oracle=f"""
+    WITH stg AS ({_STG_SQL})
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+           TIMESTAMP '{DIM_CREATE_TS}' AS create_dt,
+           CAST(NULL AS TIMESTAMP) AS update_dt,
+           TIMESTAMP '{AUDIT_TS}' AS processed_dt
+    FROM stg s JOIN customer d ON s.c_custkey = d.c_custkey
+    WHERE s.c_name        IS DISTINCT FROM d.c_name
+       OR s.c_nationkey   IS DISTINCT FROM d.c_nationkey
+       OR s.c_acctbal     IS DISTINCT FROM d.c_acctbal
+       OR s.c_mktsegment  IS DISTINCT FROM d.c_mktsegment
+    """,
+)
+def scd1_update_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/G2: inner join + null-safe any-column diff
+    (main.py:183-324, the reference's largest SQL block, 142 lines
+    for 4 dims — here one parametrized operator). Overwrite
+    semantics: staged values win, create_dt preserved."""
+    return _merge(spark, sf_dir).updated
+
+
+@register(
+    "scd1_delete_missing",
+    oracle=f"""
+    WITH stg AS ({_STG_SQL})
+    SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+           TIMESTAMP '{DIM_CREATE_TS}' AS create_dt,
+           CAST(NULL AS TIMESTAMP) AS update_dt,
+           TIMESTAMP '{DIM_CREATE_TS}' AS processed_dt
+    FROM customer d LEFT JOIN stg s ON d.c_custkey = s.c_custkey
+    WHERE s.c_custkey IS NULL
+    """,
+)
+def scd1_delete_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/G3: snapshot-diff delete — dim keys absent from the day's
+    full snapshot (main.py:329-343; the reference stages a key-only
+    ``*_del`` copy first, unnecessary here — the anti join runs on
+    the staging frame directly, SURVEY §4)."""
+    return _merge(spark, sf_dir).deleted
+
+
+@register(
+    "scd1_merge_full",
+    oracle=f"""
+    WITH stg AS ({_STG_SQL})
+    SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+           TIMESTAMP '{DIM_CREATE_TS}' AS create_dt,
+           CAST(NULL AS TIMESTAMP) AS update_dt,
+           TIMESTAMP '{DIM_CREATE_TS}' AS processed_dt
+    FROM customer d JOIN stg s ON d.c_custkey = s.c_custkey
+    WHERE NOT (s.c_name       IS DISTINCT FROM d.c_name
+            OR s.c_nationkey  IS DISTINCT FROM d.c_nationkey
+            OR s.c_acctbal    IS DISTINCT FROM d.c_acctbal
+            OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment)
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+           TIMESTAMP '{DIM_CREATE_TS}', CAST(NULL AS TIMESTAMP), TIMESTAMP '{AUDIT_TS}'
+    FROM stg s JOIN customer d ON s.c_custkey = d.c_custkey
+    WHERE s.c_name       IS DISTINCT FROM d.c_name
+       OR s.c_nationkey  IS DISTINCT FROM d.c_nationkey
+       OR s.c_acctbal    IS DISTINCT FROM d.c_acctbal
+       OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), TIMESTAMP '{AUDIT_TS}'
+    FROM stg s LEFT JOIN customer d ON s.c_custkey = d.c_custkey
+    WHERE d.c_custkey IS NULL
+    """,
+)
+def scd1_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G3 composed: the full SCD1 transition kept ∪ changed ∪ new
+    as ONE recompute with a single key shuffle (SURVEY §2.G). This is
+    the engine's replacement for the reference's three-statement
+    in-place mutation."""
+    return _merge(spark, sf_dir).merged
+
+
+@register(
+    "fact_append_dedup",
+    oracle="""
+    SELECT s.*
+    FROM (SELECT * FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+            AND o_orderdate <  TIMESTAMP '1998-06-01') s
+    LEFT JOIN (SELECT o_orderkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01') f
+      ON s.o_orderkey = f.o_orderkey
+    WHERE f.o_orderkey IS NULL
+    """,
+)
+def fact_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/G4: idempotent fact append — only staged ids not yet in the
+    fact survive (main.py:376-391; verified blacklist trajectory
+    7→15→24 on the reference data). The incoming batch is the small
+    side; at 100 TB the fact side is additionally partition-pruned via
+    ``fact_filter`` before the anti join (see operators.facts)."""
+    orders = table(spark, sf_dir, "orders")
+    fact = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    stg = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    )
+    return append_dedup(fact, stg, id_col="o_orderkey")

@@ -1,0 +1,241 @@
+"""Source readers (SURVEY.md §2.A).
+
+Distributed-first: CSV and Parquet scans are native Spark readers
+(splittable, predicate-pushdown capable, scale to any file count).
+XLSX has no core-Spark reader; the engine parses it driver-side with
+a stdlib zip/XML parser (xlsx files in the reference are ≤151 rows —
+dimension-snapshot sized, never fact-sized), then promotes to a
+DataFrame. A fact-scale xlsx would be converted on ingest instead.
+
+File discovery mirrors the reference's drop-dir protocol
+(main.py:100-133): scan, route by name pattern, parse the business
+date from the filename, archive after load. Routing here is by
+explicit prefix pattern — the *intended* semantics — rather than the
+reference's truthiness-bugged substring checks (SURVEY §3 EP-2).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+import shutil
+import zipfile
+from dataclasses import dataclass
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import comma_decimal, excel_serial_to_date
+from .. import schemas
+
+
+def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Semicolon-separated, comma-decimal transactions CSV (A1, D11).
+
+    Reference: ``pd.read_csv(path, sep=';', decimal=',')`` at
+    main.py:116. The amount arrives as a string column and is
+    normalized to DECIMAL(18,5) in the same projection, so the scan
+    stays a single codegen stage. Splittable and parallel — unlike
+    the reference's single-threaded pandas parse + executemany insert.
+    """
+    raw = spark.read.csv(
+        path,
+        sep=";",
+        header=True,
+        schema=schemas.TRANSACTIONS_CSV_RAW,
+        encoding="UTF-8",
+        timestampFormat="yyyy-MM-dd HH:mm:ss",
+    )
+    return raw.select(
+        F.col("transaction_id").alias("trans_id"),
+        F.col("transaction_date").alias("trans_date"),
+        comma_decimal("amount").alias("amt"),
+        "card_num",
+        "oper_type",
+        "oper_result",
+        "terminal",
+    )
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (A2 analog for the driver testdata)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC full-table extract (A4, main.py:76-85).
+
+    The reference re-extracts entire source tables nightly through a
+    single cursor. Here the extract is partitioned on a numeric key
+    so N executors read ranges concurrently; callers that track
+    watermarks (operators.meta) should push ``update_dt > wm`` into
+    the query to make the extract incremental — the reference records
+    watermarks but never uses them (SURVEY §4).
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1_000_000))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# Driver-side XLSX (stdlib zip + XML — no third-party Spark package).
+# ---------------------------------------------------------------------------
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_rows(path: str) -> list[list[object]]:
+    """Minimal xlsx cell extraction: shared strings + sheet1 rows.
+
+    Returns python values: str for inline/shared strings, float/int
+    for numbers, None for empty cells. Trailing fully-empty rows are
+    preserved (the caller drops them — the reference's real blacklist
+    files contain such dirty rows [SURVEY §1.3 verified]).
+    """
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        sheet_name = next(
+            n for n in zf.namelist() if re.match(r"xl/worksheets/sheet1\.xml$", n)
+        )
+        root = ElementTree.fromstring(zf.read(sheet_name))
+        rows: list[list[object]] = []
+        for row in root.iter(f"{_NS}row"):
+            values: dict[int, object] = {}
+            for cell in row.findall(f"{_NS}c"):
+                ref = cell.get("r", "A1")
+                col_idx = 0
+                for ch in ref:
+                    if ch.isalpha():
+                        col_idx = col_idx * 26 + (ord(ch.upper()) - 64)
+                    else:
+                        break
+                v = cell.find(f"{_NS}v")
+                if v is None or v.text is None:
+                    continue
+                if cell.get("t") == "s":
+                    values[col_idx - 1] = shared[int(v.text)]
+                elif cell.get("t") == "str":
+                    values[col_idx - 1] = v.text
+                else:
+                    num = float(v.text)
+                    values[col_idx - 1] = int(num) if num.is_integer() else num
+            width = max(values, default=-1) + 1
+            rows.append([values.get(i) for i in range(width)])
+        width = max((len(r) for r in rows), default=0)
+        return [r + [None] * (width - len(r)) for r in rows]
+
+
+def read_xlsx(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """XLSX → DataFrame via driver-side stdlib parse (A2/A3).
+
+    First row is the header unless ``columns`` overrides it. All
+    values are surfaced as strings (numbers via repr) — downstream
+    casts are explicit, mirroring the positional-alignment-then-coerce
+    flow of the reference (main.py:61-62).
+    """
+    rows = _xlsx_rows(path)
+    if not rows:
+        raise ValueError(f"empty xlsx: {path}")
+    header = [str(c) for c in rows[0]] if columns is None else columns
+    body = rows[1:] if columns is None else rows
+    data = [
+        [None if v is None else str(v) for v in r] + [None] * (len(header) - len(r))
+        for r in body
+    ]
+    return spark.createDataFrame(data, schema=", ".join(f"`{c}` string" for c in header))
+
+
+def read_blacklist_excel(spark: SparkSession, path: str) -> DataFrame:
+    """Passport-blacklist XLSX: Excel-serial dates + empty-row noise
+    (A3, D12; main.py:128-130).
+
+    Drops fully-empty rows [verified dirty-data behavior] and converts
+    the serial day number to a date, then to TIMESTAMP(0) ``entry_dt``.
+    """
+    raw = read_xlsx(spark, path)
+    date_col, passport_col = raw.columns[0], raw.columns[1]
+    return (
+        raw.filter(F.col(date_col).isNotNull() | F.col(passport_col).isNotNull())
+        .select(
+            excel_serial_to_date(F.col(date_col))
+            .cast("timestamp")
+            .alias("entry_dt"),
+            F.col(passport_col).alias("passport_num"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drop-directory protocol (A8, A9).
+# ---------------------------------------------------------------------------
+
+FILE_ROUTES: dict[str, re.Pattern[str]] = {
+    # Intended routing (task pdf p.5): type prefix + ddMMyyyy date.
+    "transactions": re.compile(r"^transactions_(\d{8})\.(txt|csv)$"),
+    "terminals": re.compile(r"^terminals_(\d{8})\.xlsx$"),
+    "blacklist": re.compile(r"^passport_blacklist_(\d{8})\.xlsx$"),
+}
+
+
+@dataclass(frozen=True)
+class DiscoveredFile:
+    kind: str
+    path: str
+    business_date: dt.date
+
+
+def scan_drop_dir(drop_dir: str) -> list[DiscoveredFile]:
+    """Discover and route input files (A8, main.py:101-133).
+
+    Returns files sorted by (business_date, kind) so a multi-day
+    backlog replays in order. Routing is explicit-prefix (intended
+    semantics), not the reference's ``'transactions' and '.txt' in f``
+    truthiness bug.
+    """
+    found: list[DiscoveredFile] = []
+    if not os.path.isdir(drop_dir):
+        return found
+    for name in sorted(os.listdir(drop_dir)):
+        for kind, pattern in FILE_ROUTES.items():
+            m = pattern.match(name)
+            if m:
+                date = dt.datetime.strptime(m.group(1), "%d%m%Y").date()
+                found.append(DiscoveredFile(kind, os.path.join(drop_dir, name), date))
+                break
+    found.sort(key=lambda f: (f.business_date, f.kind))
+    return found
+
+
+def archive_file(path: str, archive_dir: str) -> str:
+    """Post-ingest archival: move to archive/ with a ``.backup``
+    suffix (A9, main.py:68-70; pdf p.5). The streaming module's
+    ``cleanSource='archive'`` is the always-on equivalent."""
+    os.makedirs(archive_dir, exist_ok=True)
+    dest = os.path.join(archive_dir, os.path.basename(path) + ".backup")
+    shutil.move(path, dest)
+    return dest

@@ -1,0 +1,133 @@
+"""Local correctness harness: run each registered query on Spark and
+its oracle on DuckDB over the same parquet, compare row count, sorted
+column names, and an order-insensitive canonical value hash —
+approximating the driver's CORRECTNESS gate for fast iteration.
+
+Usage: python tools/check.py [query ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import decimal
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v) -> str:
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, dt.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_digest(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8", "surrogatepass"))
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from etl_processing_scd1_spark.registry import ORACLES, QUERIES
+    from etl_processing_scd1_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    names = args.names or list(QUERIES)
+    failures = 0
+    for name in names:
+        if name not in QUERIES:
+            print(f"  {name}: UNKNOWN QUERY")
+            failures += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = QUERIES[name](spark, args.sf)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
+        except Exception as e:
+            print(f"  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:500]}")
+            failures += 1
+            continue
+        if name not in ORACLES:
+            print(f"  {name}: rows={len(s_rows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(ORACLES[name])
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:
+            print(f"  {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:500]}")
+            failures += 1
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if not problems:
+            hs, hd = frame_digest(s_cols, s_rows), frame_digest(d_cols, d_rows)
+            if hs != hd:
+                problems.append(f"hash spark={hs} duck={hd}")
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                ls = sorted("\x1f".join(canon(r[i]) for i in order_s) for r in s_rows)
+                ld = sorted("\x1f".join(canon(r[i]) for i in order_d) for r in d_rows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        problems.append(f"  first diff:\n   spark: {a[:300]}\n   duck : {b[:300]}")
+                        break
+        status = "OK" if not problems else "FAIL " + "; ".join(problems)
+        print(f"  {name}: {status} rows={len(s_rows)} [{time.time()-t0:.1f}s]")
+        if problems:
+            failures += 1
+
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
