@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes to completion through the noop sink — full
+computation on the executors, zero driver-side collect, which is how
+these plans would run on a real cluster (driver collect would be the
+anti-pattern SURVEY §2 calls out in the reference's fetchall loop).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "groupby_agg",          # TPC-H Q1 shape: scan + partial agg
+    "star_join_chain",      # broadcast star join, zero fact shuffles
+    "velocity_fraud_rule",  # window lag + filter (the flagship H3)
+    "scd1_merge_full",      # full-outer-join SCD1 recompute
+    "fact_append_dedup",    # anti-join idempotent append
+    "fraud_blacklist_semi", # star join + semi join
+    "orderby_limit",        # TakeOrderedAndProject top-k
+    "exact_dedup",          # hash-key dedup window
+    "text_stats",           # string-function scan
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from etl_processing_scd1_spark.registry import QUERIES
+    from etl_processing_scd1_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not first-touch costs.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

