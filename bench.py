@@ -28,6 +28,10 @@ HEADLINE = [
     "orderby_limit",        # TakeOrderedAndProject top-k
     "exact_dedup",          # hash-key dedup window
     "text_stats",           # string-function scan
+    "near_dedup_minhash",   # shingle → MinHash → LSH → Jaccard verify
+    "similarity_topk",      # brute-force cosine top-k (scaled-int dot)
+    "simhash_fingerprint",  # per-doc 32-bit SimHash
+    "multimodal_features",  # Arrow mapInPandas binary-payload extract
 ]
 
 

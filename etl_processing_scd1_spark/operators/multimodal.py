@@ -1,0 +1,84 @@
+"""Multimodal column plumbing (SURVEY.md §2.K): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched Pandas functions over ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is
+STUBBED: ``decode_image`` raises NotImplementedError and
+``fake_feature_extract`` is the deterministic stand-in the tests and
+registry use. Everything AROUND the stub is real and load-bearing —
+the binary schema, the Arrow batch shape, the mapInPandas iterator
+contract, the partition sizing — which is exactly the part that has
+to be right at 100 TB (the codec swap is one function).
+
+Scale design: mapInPandas streams Arrow record batches through the
+Python worker — memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
+partition size. Binary payloads ride the same columnar batches;
+never collect them, never put them in a shuffle key. Feature
+extraction is a narrow map — zero shuffles; repartition upstream only
+to balance payload bytes (not row counts) across workers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, byte_len int, width int, height int, channels int, "
+    "content_hash string"
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode would go through PIL/libvips here. The container
+    ships no codecs — callers use fake_feature_extract in tests."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "wire PIL/libvips here in deployment"
+    )
+
+
+def fake_feature_extract(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decoded (width, height, channels):
+    derived from payload bytes only, so every engine agrees."""
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, 1 + n % 3)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Testdata has no binary media; synthesize an opaque payload from
+    the text bytes (utf-8). In production this column comes straight
+    from parquet BINARY — same schema, same plan shape."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    One Python worker pass, Arrow in/out, bounded batches; the
+    content hash doubles as the exact-dedup key for media files.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            feats = [fake_feature_extract(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": [len(p) for p in payloads],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "content_hash": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (SURVEY.md §2.K K3).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+variant as the scale path. All arithmetic is JVM-side array
+expressions (``zip_with`` + ``aggregate``) — no Python in the loop.
+
+Determinism: per-element products are scaled to integers
+(``round(x*y*1e8)``) and summed as BIGINT. IEEE multiply of
+identical inputs is bit-identical everywhere and integer addition is
+order-independent, so a 1000-executor run hash-matches a
+single-threaded oracle — float accumulation order can never skew a
+result. The scale factor gives ~8 significant digits, ample for
+ranking unit-normalized embeddings.
+
+Scale design: brute force is a broadcast of the (small) query set
+against a partitioned corpus — embarrassingly parallel, no shuffle
+of the corpus. When the query set is large, the LSH variant buckets
+both sides by random-hyperplane signs so the join is per-bucket.
+For billion-vector corpora, the same skeleton takes an IVF
+assignment (precomputed centroid per row, groupBy centroid) — the
+bucketing column is pluggable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = int(1e8)
+
+
+def _dot_scaled(a: Column, b: Column) -> Column:
+    """Σ round(a_i * b_i * SCALE) as BIGINT — exact, order-free."""
+    prods = F.zip_with(
+        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * SCALE).cast("long")
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _norm_scaled(a: Column) -> Column:
+    sq = F.transform(
+        a, lambda x: F.round(x.cast("double") * x.cast("double") * SCALE).cast("long")
+    )
+    return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Output: (query_id, neighbor_id, rank, dot_scaled) — integer
+    evidence columns, rank tie-broken by neighbor id. The query side
+    is broadcast; the corpus streams through map-side; the only
+    shuffle is the per-query top-k window over k·|Q| survivors.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        _dot_scaled(F.col("__qv__"), F.col("__cv__")).alias("dot_scaled"),
+        (
+            _dot_scaled(F.col("__qv__"), F.col("__cv__"))
+            / F.sqrt(
+                _norm_scaled(F.col("__qv__")).cast("double")
+                * _norm_scaled(F.col("__cv__")).cast("double")
+            )
+        ).alias("__cos__"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos__").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_scaled")
+    )
+
+
+def md5_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5(i:j) — no RNG
+    state, reproducible across engines and runs."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{i}:{j}".encode()).digest()[0] % 2 else -1.0
+            for j in range(dim)
+        ]
+        for i in range(num_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: the sign bits of vec·plane
+    for each plane, as a bit string — the SimHash-for-vectors scheme.
+    The dot uses the same scaled-integer sum as _dot_scaled, so the
+    bucket assignment is exact: a float-accumulation sign flip near
+    zero can never put the same vector in two buckets on two runs."""
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(
+            F.zip_with(
+                vec, arr, lambda x, y: F.round(x.cast("double") * y * SCALE).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: join only within matching hyperplane
+    buckets. Same output shape as brute force; recall depends on
+    plane count (probe multiple tables at higher recall — the bucket
+    column is cheap to replicate)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
+    )
+    scored = c.join(F.broadcast(q), "__bucket__").select(
+        "query_id",
+        "neighbor_id",
+        _dot_scaled(F.col("__qv__"), F.col("__cv__")).alias("dot_scaled"),
+        (
+            _dot_scaled(F.col("__qv__"), F.col("__cv__"))
+            / F.sqrt(
+                _norm_scaled(F.col("__qv__")).cast("double")
+                * _norm_scaled(F.col("__cv__")).cast("double")
+            )
+        ).alias("__cos__"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos__").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_scaled")
+    )

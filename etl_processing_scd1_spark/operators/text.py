@@ -1,0 +1,113 @@
+"""Text-analysis operators (SURVEY.md §2.K K4): language-ID heuristic,
+quality scoring, token counting, document fingerprinting. Pure
+built-in string/array expressions — whole-stage codegen, no UDFs,
+trivially linear-scalable scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword markers per language for the n-gram/stopword-ratio
+# language heuristic. Deliberately small fixed lists: the operator
+# demonstrates the argmax-over-marker-hits shape; production swaps in
+# real frequency tables via the same columns.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "and", "is", "of", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def marker_scores(text: Column) -> dict[str, Column]:
+    toks = _tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over marker-hit counts, ties broken alphabetically
+    (deterministic); 'und' (undetermined) when nothing matches."""
+    scores = marker_scores(text)
+    langs = sorted(scores)  # alphabetical tiebreak order
+    best = None
+    for lang in langs:
+        cond = (scores[lang] > 0) & F.lit(True)
+        for other in langs:
+            if other < lang:
+                cond = cond & (scores[lang] > scores[other])
+            elif other > lang:
+                cond = cond & (scores[lang] >= scores[other])
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single
+    punctuation — the standard pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality signals as exact integers/ratios in
+    integer basis points (×10000) so thresholds are portable."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_spaces = n_chars - F.length(F.regexp_replace(text, " ", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[w for ws in LANG_MARKERS.values() for w in ws]))
+    )
+    # floor (not cast) so truncation semantics are portable: Spark's
+    # double→long cast truncates while other engines round.
+    mean_tok_len_bp = F.when(
+        n_tokens > 0, F.floor((n_chars - n_spaces) * 10000 / n_tokens)
+    ).otherwise(F.lit(0)).cast("long")
+    punct_ratio_bp = F.when(n_chars > 0, F.floor(n_punct * 10000 / n_chars)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    stop_ratio_bp = F.when(n_tokens > 0, F.floor(stop_hits * 10000 / n_tokens)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    quality = (
+        F.when((n_tokens >= 10) & (stop_ratio_bp > 0) & (punct_ratio_bp < 2000), F.lit("good"))
+        .when(n_tokens >= 3, F.lit("fair"))
+        .otherwise(F.lit("junk"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        mean_tok_len_bp.alias("mean_tok_len_bp"),
+        punct_ratio_bp.alias("punct_ratio_bp"),
+        stop_ratio_bp.alias("stop_ratio_bp"),
+        quality.alias("quality"),
+    )
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Document fingerprint: minimum hash over the char k-gram set
+    (winnowing's keep-the-min rule with window = whole doc) plus the
+    distinct-shingle cardinality. Used for fast near-identity checks
+    before full Jaccard."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substr({text_col}, i, {k}))"
+    )
+    exploded = df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("g"))
+    return exploded.groupBy(id_col).agg(
+        F.min(F.md5("g")).alias("fingerprint"),
+        F.count("*").alias("n_shingles"),
+    )

@@ -1,16 +1,42 @@
 """Extension operator queries (SURVEY.md §2.K): the LLM-training-data
-pipeline surface over ``documents`` / ``embeddings``. First slice —
-widened in operators/ modules as they land."""
+pipeline surface over ``documents`` / ``embeddings``. Each query binds
+an operator from operators/{dedup,similarity,text,multimodal} to the
+testdata; oracles reproduce the identical pipeline in DuckDB SQL
+(several are generated programmatically from the same constants so
+the two sides cannot drift).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import (
+    exact_dedup as exact_dedup_op,
+    near_dedup_minhash,
+    simhash_fingerprint,
+)
+from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    md5_planes,
+)
+from ..operators.text import (
+    LANG_MARKERS,
+    TOKEN_PATTERN,
+    lang_id,
+    quality_metrics,
+    rolling_fingerprint,
+    token_count,
+)
 from ._base import make_registry, table
 
 QUERIES, ORACLES, register = make_registry()
 
+# --------------------------------------------------------------------------
+# K1: exact dedup
+# --------------------------------------------------------------------------
 
 @register(
     "exact_dedup",
@@ -27,21 +53,367 @@ QUERIES, ORACLES, register = make_registry()
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1: exact deduplication with a keep-policy — hash the dedup
-    key, keep the lowest doc_id per key via row_number. At scale this
-    is one shuffle on the key hash; md5 keeps the shuffle key small
-    and uniformly distributed regardless of text skew."""
-    docs = table(spark, sf_dir, "documents")
-    key = F.md5(
-        F.concat(F.col("lang"), F.lit("|"), (F.col("n_chars") / 100).cast("long").cast("string"))
+    """K1: hash-key dedup with explicit keep-policy (lowest doc_id).
+    One shuffle on the md5 key — uniform regardless of content skew."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "dedup_key",
+        F.md5(
+            F.concat(
+                F.col("lang"), F.lit("|"), (F.col("n_chars") / 100).cast("long").cast("string")
+            )
+        ),
     )
-    w = Window.partitionBy("dedup_key").orderBy("doc_id")
+    return exact_dedup_op(docs, ["dedup_key"], "doc_id").select(
+        "doc_id", "dedup_key", "lang", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# K2: near dedup — MinHash + LSH, SimHash, n-gram Jaccard
+# --------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+      SELECT doc_id,
+             unnest(list_distinct(
+               [substr(text, i, 8) for i in range(1, greatest(length(text) - 7, 1) + 1)]
+             )) AS shingle
+      FROM documents
+"""
+
+_MINHASH_SQL = "SELECT doc_id, " + ", ".join(
+    f"min(substr(md5('{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh{i}"
+    for i in range(8)
+) + " FROM sh GROUP BY doc_id"
+
+_BANDED_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, mh{2 * b} || '|' || mh{2 * b + 1} AS band_sig FROM mh"
+    for b in range(4)
+)
+
+NEAR_DEDUP_ORACLE = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    mh AS ({_MINHASH_SQL}),
+    banded AS ({_BANDED_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh_set FROM sh GROUP BY doc_id)
+    SELECT p.id_a, p.id_b,
+           len(list_intersect(sa.sh_set, sb.sh_set)) AS isect,
+           len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)) AS uni
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.id_a
+    JOIN sets sb ON sb.doc_id = p.id_b
+    WHERE 100 * len(list_intersect(sa.sh_set, sb.sh_set))
+          >= 50 * (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)))
+"""
+
+
+@register("near_dedup_minhash", oracle=NEAR_DEDUP_ORACLE)
+def near_dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: shingle → MinHash(8) → LSH(4 bands × 2 rows) → candidate
+    pairs → exact-Jaccard verify (integer |∩|/|∪|), threshold J≥0.5.
+    The oracle reproduces the identical pipeline in SQL."""
+    return near_dedup_minhash(
+        table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_k=8,
+        bands=4,
+        rows_per_band=2,
+        min_jaccard_pct=50,
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = []
+    i = 0
+    for j in range(8):  # hex chars 1..8
+        digit = f"(strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1)"
+        for k in (3, 2, 1, 0):
+            bit = f"(CAST(floor({digit} / {2 ** k}) AS BIGINT) % 2)"
+            votes.append(f"sum({bit} * 2 - 1) AS v{i}")
+            i += 1
+    fp = " || ".join(f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(32))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    votes AS (SELECT doc_id, {', '.join(votes)} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+@register("simhash_fingerprint", oracle=_simhash_oracle())
+def simhash_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: 32-bit SimHash per document — token md5 → ±1 votes per bit
+    → sign. Bit extraction is hex-digit arithmetic (portable, no bit
+    ops); one explode + one partial-aggregatable groupBy."""
+    return simhash_fingerprint(
+        table(spark, sf_dir, "documents"), "doc_id", "text", num_bits=32
+    )
+
+
+@register(
+    "ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    isect AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b, i.isect, na.n + nb.n - i.isect AS uni
+    FROM isect i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: exact token-set Jaccard for a sampled pair set (same-lang
+    pairs of every 20th doc), as integers. The all-pairs shape LSH
+    avoids — kept for verification and small candidate sets."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+                )
+            ).alias("tok"),
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("isect"))
+    )
     return (
-        docs.withColumn("dedup_key", key)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "dedup_key", "lang", "n_chars")
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select("id_a", "id_b", "isect", (F.col("n_a") + F.col("n_b") - F.col("isect")).alias("uni"))
     )
+
+
+# --------------------------------------------------------------------------
+# K3: similarity search
+# --------------------------------------------------------------------------
+
+SIM_ORACLE = """
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n
+      FROM expanded GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(round(q.v * c.v * 1e8) AS BIGINT)) AS dot_scaled
+      FROM expanded q JOIN expanded c ON q.idx = c.idx
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT d.query_id, d.neighbor_id, d.dot_scaled,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot_scaled / sqrt(CAST(nq.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                        d.neighbor_id
+             ) AS rank
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, dot_scaled FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_topk", oracle=SIM_ORACLE)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: exact brute-force cosine top-5 for 5 query vectors —
+    scaled-integer dot products (order-independent, engine-exact),
+    broadcast queries, corpus never shuffles."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+@register("similarity_lsh")
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 scale path: hyperplane-LSH-bucketed cosine top-k (join only
+    within sign-pattern buckets). Approximate by construction → no
+    SQL oracle; determinism guaranteed by scaled-integer bucket sums,
+    and recall vs brute force is asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    planes = md5_planes(num_planes=6, dim=64)
+    return cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), planes, id_col="vec_id", k=5
+    )
+
+
+@register(
+    "embedding_passthrough",
+    oracle="""
+    SELECT e.vec_id, e.label, d.lang,
+           len(e.embedding) AS emb_dim,
+           CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS first_scaled
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    WHERE e.label = 0
+    """,
+)
+def embedding_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: array<float> columns carried through relational ops (join +
+    filter + projection) — multimodal columns are first-class."""
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents")
+    return (
+        e.join(d, e["vec_id"] == d["doc_id"])
+        .filter(F.col("label") == 0)
+        .select(
+            "vec_id",
+            "label",
+            "lang",
+            F.size("embedding").alias("emb_dim"),
+            F.round(F.element_at("embedding", 1).cast("double") * 1e6)
+            .cast("long")
+            .alias("first_scaled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K4: text analysis
+# --------------------------------------------------------------------------
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),"
+            " x -> x <> ''), t -> t IN ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    whens = []
+    for lang in langs:
+        conds = [f"{score[lang]} > 0"]
+        for other in langs:
+            if other < lang:
+                conds.append(f"{score[lang]} > {score[other]}")
+            elif other > lang:
+                conds.append(f"{score[lang]} >= {score[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"SELECT doc_id, lang, {case} AS lang_pred FROM documents"
+
+
+@register("lang_id_heuristic", oracle=_lang_id_oracle())
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: stopword-marker language ID — argmax of per-language marker
+    hits with alphabetical tiebreak. Oracle generated from the same
+    marker table so both engines share constants."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                 t -> t IN ('der','die','und','ist','nicht','the','and','is','of','to',
+                            'el','la','de','que','los','le','et','les','des'))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens,
+           CAST(CASE WHEN n_tokens > 0 THEN floor((n_chars_m - n_spaces) * 10000 / n_tokens) ELSE 0 END AS BIGINT) AS mean_tok_len_bp,
+           CAST(CASE WHEN n_chars_m > 0 THEN floor(n_punct * 10000 / n_chars_m) ELSE 0 END AS BIGINT) AS punct_ratio_bp,
+           CAST(CASE WHEN n_tokens > 0 THEN floor(stop_hits * 10000 / n_tokens) ELSE 0 END AS BIGINT) AS stop_ratio_bp,
+           CASE WHEN n_tokens >= 10
+                 AND (CASE WHEN n_tokens > 0 THEN floor(stop_hits * 10000 / n_tokens) ELSE 0 END) > 0
+                 AND (CASE WHEN n_chars_m > 0 THEN floor(n_punct * 10000 / n_chars_m) ELSE 0 END) < 2000
+                THEN 'good'
+                WHEN n_tokens >= 3 THEN 'fair'
+                ELSE 'junk' END AS quality
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: quality scoring — length/punctuation/stopword ratios in
+    integer basis points (portable thresholds, no float drift)."""
+    return quality_metrics(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: BPE-ish pre-tokenizer count (letter runs / digit runs /
+    punctuation singletons) via regexp_extract_all — JVM regex, one
+    scan."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_bpe_tokens"), "n_chars"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [substr(text, i, 8) for i in range(1, greatest(length(text) - 7, 1) + 1)]
+             )) AS g
+      FROM documents
+    )
+    SELECT doc_id, min(md5(g)) AS fingerprint, count(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: rolling-hash document fingerprint — min md5 over the char
+    8-gram set + shingle cardinality (winnowing with whole-doc
+    window)."""
+    return rolling_fingerprint(table(spark, sf_dir, "documents"), "doc_id", "text", k=8)
 
 
 @register(
@@ -65,3 +437,29 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("token_count"),
         (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias("space_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-multimodal: binary payload plumbing via mapInPandas
+# --------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CAST(1 + octet_length(encode(text)) % 3 AS INTEGER) AS channels,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal: opaque binary payloads processed by an
+    Arrow-batched mapInPandas extractor (operators.multimodal). The
+    decode itself is a deterministic stub — the schema, batch shape
+    and partitioning are the real, tested Spark plumbing; the oracle
+    recomputes the stub's arithmetic from the payload bytes."""
+    docs = attach_binary_payload(table(spark, sf_dir, "documents"), "text")
+    return extract_features(docs, id_col="doc_id")
