@@ -1,0 +1,13 @@
+from .pipeline import (
+    stream_transactions_source,
+    streaming_append_dedup,
+    streaming_scd1_sink,
+    streaming_velocity_rule,
+)
+
+__all__ = [
+    "stream_transactions_source",
+    "streaming_append_dedup",
+    "streaming_scd1_sink",
+    "streaming_velocity_rule",
+]

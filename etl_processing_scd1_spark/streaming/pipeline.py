@@ -1,0 +1,141 @@
+"""Structured Streaming equivalents of the reference's hand-rolled
+incremental pipeline (SURVEY.md §2.I).
+
+| reference mechanism (batch, cron)          | here (streaming)                  |
+|--------------------------------------------|-----------------------------------|
+| cron-scan of a drop dir (main.py:104)      | file source + availableNow        |
+| rename-to-.backup after ingest (:68-70)    | cleanSource='archive'             |
+| anti-join re-delivery dedup (:376-391)     | dropDuplicates + event watermark  |
+| lapp_meta watermark table (:348-371)       | checkpointed source offsets       |
+| velocity rule over full history (:437-467) | windowed/sessionized stateful agg |
+
+Scale notes: the file source lists incrementally (maxFilesPerTrigger
+bounds batch size); dropDuplicates state is bounded by the watermark
+horizon; the SCD1 foreachBatch sink reuses the batch merge operator
+so batch and streaming share one code path (and one test surface) —
+the Kappa-style design Spark's availableNow trigger exists for.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import schemas
+from ..functions import comma_decimal
+from ..operators import scd1_merge
+
+
+def stream_transactions_source(
+    spark: SparkSession,
+    drop_dir: str,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming CSV source for transactions files (A1/A8/A9 as a
+    stream): semicolon separator, comma-decimal normalization in the
+    same projection, post-ingest archival via cleanSource."""
+    reader = (
+        spark.readStream.format("csv")
+        .schema(schemas.TRANSACTIONS_CSV_RAW)
+        .option("sep", ";")
+        .option("header", True)
+        .option("pathGlobFilter", "transactions_*")
+    )
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(drop_dir)
+    return raw.select(
+        F.col("transaction_id").alias("trans_id"),
+        F.col("transaction_date").alias("trans_date"),
+        comma_decimal("amount").alias("amt"),
+        "card_num",
+        "oper_type",
+        "oper_result",
+        "terminal",
+    )
+
+
+def streaming_append_dedup(
+    stream: DataFrame,
+    id_col: str,
+    event_time_col: str,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """G4 as a stream: exactly-once-per-id admission with bounded
+    state. The reference admits any not-yet-seen id forever (full
+    fact anti join); the streaming analog bounds the dedup state to
+    the watermark horizon — re-deliveries later than ``watermark``
+    are not filtered, which is the documented semantic difference
+    (SURVEY §2.I 'late data')."""
+    return stream.withWatermark(event_time_col, watermark).dropDuplicates([id_col])
+
+
+def streaming_scd1_sink(
+    stream: DataFrame,
+    read_dim: Callable[[], DataFrame],
+    write_dim: Callable[[DataFrame], None],
+    key: str,
+    compare_cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """SCD1 merge as a foreachBatch sink: each micro-batch is a
+    staging increment merged with the batch operator (delete_missing
+    off — a micro-batch is never a full snapshot). One code path for
+    batch and streaming."""
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        res = scd1_merge(
+            read_dim(), batch, key=key, compare_cols=compare_cols,
+            delete_missing=False,
+        )
+        write_dim(res.merged)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_velocity_rule(
+    stream: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    state_col: str,
+    watermark: str = "1 hour",
+    gap: str = "1 hour",
+) -> DataFrame:
+    """H3's city-velocity rule as a streaming aggregate: a session
+    window (``gap`` inactivity) per key; sessions spanning >1 distinct
+    state value within the gap are the streaming flag. The batch
+    lag() formulation (plans.fraud.fraud_type3) remains the exact
+    per-transaction attribution; this is the bounded-state stream
+    variant (E2 → session_window, SURVEY §2.I)."""
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.session_window(F.col(event_time_col), gap), F.col(key_col))
+        .agg(
+            F.approx_count_distinct(state_col).alias("n_states"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_states") > 1)
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_states",
+            "n_events",
+        )
+    )

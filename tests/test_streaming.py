@@ -1,0 +1,146 @@
+"""Structured Streaming tests (SURVEY.md §2.I): file-source ingest
+with archival, watermark dedup, foreachBatch SCD1, sessionized
+velocity rule — all under trigger(availableNow) on tmp dirs."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from etl_processing_scd1_spark.streaming import (
+    stream_transactions_source,
+    streaming_append_dedup,
+    streaming_scd1_sink,
+    streaming_velocity_rule,
+)
+
+HEADER = "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal\n"
+
+
+def _tx_file(path: str, rows: list[tuple[str, str, str]]) -> None:
+    with open(path, "w") as fh:
+        fh.write(HEADER)
+        for tid, ts, amt in rows:
+            fh.write(f"{tid};{ts};{amt};1111 2222 3333 4444;PAYMENT;SUCCESS;A1\n")
+
+
+def _run_to_memory(stream_df, name: str, checkpoint: str, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_file_source_ingest_and_archive(spark, tmp_path):
+    drop = tmp_path / "drop"
+    archive = tmp_path / "arch"
+    drop.mkdir()
+    _tx_file(str(drop / "transactions_01032021.txt"),
+             [("T1", "2021-03-01 10:00:00", "100,50"), ("T2", "2021-03-01 11:00:00", "7,25")])
+    _tx_file(str(drop / "transactions_02032021.txt"),
+             [("T3", "2021-03-02 10:00:00", "9,99")])
+
+    stream = stream_transactions_source(
+        spark, str(drop), archive_dir=str(archive), max_files_per_trigger=1
+    )
+    _run_to_memory(stream, "tx_ingest", str(tmp_path / "ck1"))
+    rows = {r["trans_id"]: r for r in spark.sql("SELECT * FROM tx_ingest").collect()}
+    assert set(rows) == {"T1", "T2", "T3"}
+    assert str(rows["T1"]["amt"]) == "100.50000"  # comma-decimal through the stream
+    # cleanSource archival replaces the reference's .backup rename
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        archived = [p for p, _, fs in os.walk(archive) for _ in fs]
+        if len(archived) >= 2:
+            break
+        time.sleep(1)
+    assert archived  # at least the earlier batches' files moved
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+    _tx_file(str(drop / "transactions_a.txt"),
+             [("T1", "2021-03-01 10:00:00", "1,00"), ("T2", "2021-03-01 11:00:00", "2,00")])
+    _tx_file(str(drop / "transactions_b.txt"),
+             [("T2", "2021-03-01 11:00:00", "2,00"),   # re-delivered
+              ("T3", "2021-03-01 12:00:00", "3,00")])
+    stream = stream_transactions_source(spark, str(drop))
+    deduped = streaming_append_dedup(stream, "trans_id", "trans_date", watermark="2 days")
+    _run_to_memory(deduped, "tx_dedup", str(tmp_path / "ck2"))
+    ids = [r["trans_id"] for r in spark.sql("SELECT trans_id FROM tx_dedup").collect()]
+    assert sorted(ids) == ["T1", "T2", "T3"]  # G4 semantics, bounded state
+
+
+def test_streaming_scd1_foreachbatch(spark, tmp_path):
+    drop = tmp_path / "drop3"
+    drop.mkdir()
+    _tx_file(str(drop / "transactions_a.txt"), [("T1", "2021-03-01 10:00:00", "1,00")])
+    dim_path = str(tmp_path / "dim")
+
+    # dim state: card_num -> last oper_type/terminal, merged per micro-batch
+    spark.createDataFrame(
+        [], "trans_id string, card_num string, terminal string, "
+            "create_dt timestamp, update_dt timestamp, processed_dt timestamp"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    def read_dim():
+        return spark.read.parquet(dim_path)
+
+    def write_dim(df):
+        df.write.mode("overwrite").parquet(dim_path + ".next")
+        spark.read.parquet(dim_path + ".next").write.mode("overwrite").parquet(dim_path)
+
+    stream = stream_transactions_source(spark, str(drop)).select(
+        "trans_id", "card_num", "terminal"
+    )
+    q = streaming_scd1_sink(
+        stream, read_dim, write_dim, key="trans_id",
+        compare_cols=["card_num", "terminal"],
+        checkpoint_dir=str(tmp_path / "ck3"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dim_path).collect()
+    assert [r["trans_id"] for r in out] == ["T1"]
+    assert out[0]["update_dt"] is None
+
+
+def test_streaming_velocity_sessionization(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    # user 1: two cities 10 min apart (flag); user 2: one city (no flag);
+    # sentinel far-future event flushes the watermark so sessions emit.
+    rows = [
+        (1, "2021-03-01 10:00:00", "Moscow"),
+        (1, "2021-03-01 10:10:00", "Kazan"),
+        (2, "2021-03-01 10:00:00", "Omsk"),
+        (2, "2021-03-01 10:20:00", "Omsk"),
+        (9, "2021-03-05 00:00:00", "Flush"),
+    ]
+    with open(src / "e.csv", "w") as fh:
+        fh.write("user_id;ts;city\n")
+        for u, ts, c in rows:
+            fh.write(f"{u};{ts};{c}\n")
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id long, ts timestamp, city string")
+        .option("sep", ";")
+        .option("header", True)
+        .load(str(src))
+    )
+    flagged = streaming_velocity_rule(
+        stream, key_col="user_id", event_time_col="ts", state_col="city",
+        watermark="1 hour", gap="1 hour",
+    )
+    _run_to_memory(flagged, "velocity", str(tmp_path / "ck4"))
+    out = {r["user_id"]: r for r in spark.sql("SELECT * FROM velocity").collect()}
+    assert 1 in out and out[1]["n_states"] == 2   # city hop within session
+    assert 2 not in out                            # single-city session
