@@ -52,6 +52,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # isolate queries from each other: no cross-query cache or
+        # shuffle-reuse effects in the measured numbers
+        spark.catalog.clearCache()
         df = QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -8,13 +8,13 @@ Determinism: hashes are md5 hex strings compared lexicographically
 (min over hex == min over the underlying 128-bit int), so results are
 engine-portable — the DuckDB oracles compute the identical pipeline.
 
-Scale design (100 TB): the expensive object is the exploded
-(doc, shingle) relation. Every aggregate here is a partial-agg-
-friendly groupBy on doc_id (combiner collapses shingles map-side);
-the LSH band join groups by (band_id, signature) — short uniform
-hash keys, immune to document-length skew. Candidate verification
-joins only the LSH-surviving pairs back to shingle sets, never the
-full cross product.
+Scale design (100 TB): shingle sets and MinHash signatures are
+NARROW per-row array expressions (``array_min(transform(...))``) —
+zero shuffles until the LSH band join, whose keys are short uniform
+hashes immune to document-length skew. Candidate verification joins
+only LSH-surviving pairs against per-doc shingle arrays
+(``array_intersect`` in codegen), never a pair × shingle fanout and
+never the full cross product.
 """
 
 from __future__ import annotations
@@ -39,35 +39,51 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 def char_shingles(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
     """Explode a text column into its distinct character k-grams
-    (``doc shingle`` relation). sequence+transform keeps generation
-    JVM-side; ``explode`` parallelizes by row so long documents spread
-    across tasks after the (doc, shingle) shuffle."""
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substr({text_col}, i, {k}))"
+    (``doc shingle`` relation). Used where a row-per-shingle relation
+    is genuinely needed; the dedup pipeline itself keeps shingles as
+    per-row ARRAYS (shingle_sets) to avoid the explode shuffle."""
+    return df.select(
+        "*", F.explode(shingle_set_col(text_col, k)).alias("shingle")
     )
-    return df.select("*", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def shingle_set_col(text_col: str, k: int = 8):
+    """array<string> of distinct char k-grams — a narrow expression,
+    no explode, no shuffle; the whole MinHash pipeline runs on it."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+            f" i -> substr({text_col}, i, {k}))"
+        )
+    )
 
 
 def minhash_signatures(
-    shingled: DataFrame,
+    with_sets: DataFrame,
     id_col: str,
     num_hashes: int = 8,
+    set_col: str = "sh_set",
 ) -> DataFrame:
     """MinHash: for permutation i, h_i(doc) = min over shingles of
-    md5(i || shingle). One groupBy(doc) computes every permutation —
-    the seeded-salt trick replaces true permutations (standard LSH
-    practice; salt text keeps engines portable).
+    a salted hash — the seeded-salt trick replaces true permutations
+    (standard LSH practice; salt text keeps engines portable).
+
+    Computed as ``array_min(transform(sh_set, ...))`` — a NARROW
+    per-row expression: no explode, no groupBy, no shuffle. md5
+    economy: one digest yields four independent 32-bit lanes
+    (8-hex-char slices), so 8 permutations cost 2 digests/shingle.
     """
-    # md5 economy: one digest yields four independent 32-bit lanes
-    # (8-hex-char slices); num_hashes lanes need ceil(n/4) digests,
-    # not n — md5 is the dominant cost of the whole signature stage.
-    aggs = []
+    def lane_fn(i: int):
+        # closure factory: a 2-arg lambda would be read by transform()
+        # as (element, index)
+        salt, start = f"{i // 4}:", 8 * (i % 4) + 1
+        return lambda s: F.substring(F.md5(F.concat(F.lit(salt), s)), start, 8)
+
+    cols = [F.col(id_col)]
     for i in range(num_hashes):
-        digest = F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle")))
-        lane = F.substring(digest, 8 * (i % 4) + 1, 8)
-        aggs.append(F.min(lane).alias(f"mh{i}"))
-    return shingled.groupBy(id_col).agg(*aggs)
+        lane = F.array_min(F.transform(F.col(set_col), lane_fn(i)))
+        cols.append(lane.alias(f"mh{i}"))
+    return with_sets.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -112,33 +128,39 @@ def lsh_candidate_pairs(
 
 def jaccard_verify(
     pairs: DataFrame,
-    shingled: DataFrame,
+    with_sets: DataFrame,
     id_col: str,
+    set_col: str = "sh_set",
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs, as integers (|∩|, |∪|) —
     exact arithmetic, so distributed results hash-match any oracle.
 
-    Scale-critical shape: shingle sets are aggregated per candidate
-    document ONCE (``collect_set``), then each pair row computes
-    ``size(array_intersect(...))`` in codegen. This keeps the work
-    output-bounded — pairs × O(set size) per row — with no
-    pair × shingle explode-join (which fans out to |pairs|·|shingles|
-    rows and dominates at corpus scale). The set relation is
-    semi-restricted to ids in some candidate pair first, so the
-    groupBy touches LSH survivors only."""
+    Scale-critical shape: each pair row computes
+    ``size(array_intersect(...))`` over the per-doc shingle arrays in
+    codegen. Work is output-bounded — pairs × O(set size) per row —
+    with no pair × shingle explode-join (which fans out to
+    |pairs|·|shingles| rows and dominates at corpus scale). The set
+    relation is semi-restricted to ids appearing in some candidate
+    pair before the joins."""
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets = (
-        shingled.select(F.col(id_col), "shingle")
-        .join(F.broadcast(cand_ids), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sh_set"))
+    sets = with_sets.select(F.col(id_col), set_col).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
     )
-    a_sets = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("__sa__"))
-    b_sets = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("__sb__"))
+    # Broadcasting the candidate-set relation keeps the heavy array
+    # payloads out of the shuffle: each executor joins pair ids
+    # against a local map. (If candidates outgrow broadcast size at
+    # extreme scale, drop the hint — the join degrades gracefully to
+    # a shuffle on id.)
+    a_sets = F.broadcast(
+        sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("__sa__"))
+    )
+    b_sets = F.broadcast(
+        sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("__sb__"))
+    )
     isect = F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__")))
     return (
         pairs.join(a_sets, "id_a")
@@ -165,18 +187,22 @@ def near_dedup_minhash(
     → exact-Jaccard verify → near-duplicate pairs with
     ``100*isect >= min_jaccard_pct*uni`` (integer comparison — no
     float thresholds)."""
-    # Spread documents across the cluster BEFORE the explode: a
-    # single parquet file otherwise pins the whole shingle+md5 stage
-    # to one task. Keyed repartition keeps the downstream groupBy on
-    # id co-partitioned.
+    # Spread documents across tasks first: a single parquet file
+    # otherwise pins the (narrow but CPU-heavy) shingle+md5 map stage
+    # to one task. Keyed repartition also co-partitions the later
+    # set joins on id.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    df = df.select(id_col, text_col).repartition(n_parts, id_col)
-    # The exploded (doc, shingle) relation feeds both the signature
-    # aggregation and the verify step — persist so it is built once.
-    shingled = char_shingles(df, text_col, k=shingle_k).persist()
-    sigs = minhash_signatures(shingled, id_col, num_hashes=bands * rows_per_band)
+    base = df.select(id_col, text_col).repartition(n_parts, id_col)
+    # Per-doc shingle ARRAYS: the signature computation is a pure
+    # narrow map (array_min over transform) — zero shuffles before
+    # the LSH band join. Persisted because both the band join input
+    # and the verify step consume it.
+    with_sets = base.select(
+        F.col(id_col), shingle_set_col(text_col, k=shingle_k).alias("sh_set")
+    ).persist()
+    sigs = minhash_signatures(with_sets, id_col, num_hashes=bands * rows_per_band)
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
-    verified = jaccard_verify(pairs, shingled, id_col)
+    verified = jaccard_verify(pairs, with_sets, id_col)
     return verified.filter(100 * F.col("isect") >= min_jaccard_pct * F.col("uni"))
 
 

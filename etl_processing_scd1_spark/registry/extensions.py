@@ -72,18 +72,18 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K2: near dedup — MinHash + LSH, SimHash, n-gram Jaccard
 # --------------------------------------------------------------------------
 
-_SHINGLE_SQL = """
+_SETS_SQL = """
       SELECT doc_id,
-             unnest(list_distinct(
+             list_distinct(
                [substr(text, i, 8) for i in range(1, greatest(length(text) - 7, 1) + 1)]
-             )) AS shingle
+             ) AS sh_set
       FROM documents
 """
 
 _MINHASH_SQL = "SELECT doc_id, " + ", ".join(
-    f"min(substr(md5('{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh{i}"
+    f"list_min(list_transform(sh_set, s -> substr(md5('{i // 4}:' || s), {8 * (i % 4) + 1}, 8))) AS mh{i}"
     for i in range(8)
-) + " FROM sh GROUP BY doc_id"
+) + " FROM sets"
 
 _BANDED_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, mh{2 * b} || '|' || mh{2 * b + 1} AS band_sig FROM mh"
@@ -91,15 +91,14 @@ _BANDED_SQL = " UNION ALL ".join(
 )
 
 NEAR_DEDUP_ORACLE = f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sets AS ({_SETS_SQL}),
     mh AS ({_MINHASH_SQL}),
     banded AS ({_BANDED_SQL}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ),
-    sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh_set FROM sh GROUP BY doc_id)
+    )
     SELECT p.id_a, p.id_b,
            len(list_intersect(sa.sh_set, sb.sh_set)) AS isect,
            len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)) AS uni
