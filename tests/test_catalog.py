@@ -1,0 +1,40 @@
+"""Catalog introspection tests (A5): discovery by pattern + column
+lists driving positional alignment, mirroring the reference's
+information_schema flow."""
+
+from __future__ import annotations
+
+from etl_processing_scd1_spark.catalog import (
+    list_catalog_tables,
+    list_columns,
+    list_warehouse_tables,
+)
+from etl_processing_scd1_spark.schemas import align_positional
+from etl_processing_scd1_spark.storage import Warehouse
+
+
+def test_catalog_discovery_and_alignment(spark):
+    spark.createDataFrame([(1, "a")], "id int, v string").createOrReplaceTempView(
+        "stg_alpha"
+    )
+    spark.createDataFrame([(2, "b")], "id int, v string").createOrReplaceTempView(
+        "stg_beta"
+    )
+    spark.createDataFrame([(3,)], "id int").createOrReplaceTempView("dim_gamma")
+
+    assert list_catalog_tables(spark, "stg_*") == ["stg_alpha", "stg_beta"]
+    cols = list_columns(spark, "stg_alpha")
+    assert cols == [("id", "int"), ("v", "string")]
+
+    # discovered column list drives positional alignment (B1)
+    aligned = align_positional(spark.table("stg_alpha"), [c for c, _ in cols])
+    assert aligned.columns == ["id", "v"]
+
+
+def test_warehouse_discovery(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.stage("stg_x", spark.createDataFrame([(1,)], "id int"))
+    wh.stage("fact_y", spark.createDataFrame([(2,)], "id int"))
+    wh.publish()
+    assert list_warehouse_tables(wh) == ["fact_y", "stg_x"]
+    assert list_warehouse_tables(wh, "stg_*") == ["stg_x"]

@@ -1,0 +1,70 @@
+"""Physical-plan quality gates (SURVEY.md §4): the scale properties
+the engine promises must be visible in the optimized plans — filters
+reaching the parquet scan, pruned read schemas, broadcast star joins
+(no fact shuffle), map-side partial aggregation, top-k without a
+global sort. A regression that silently de-optimizes a plan fails
+here even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_processing_scd1_spark.registry import QUERIES
+from tests.conftest import SF0001
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF0001)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_scan_pushes_filters_and_prunes(spark):
+    plan = plan_of(spark, "parquet_scan")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # pruned read schema: exactly the projected + filtered columns
+    assert "l_extendedprice" not in plan  # untouched column never read
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "star_join_chain")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan           # fact side never shuffles
+
+
+def test_semi_and_anti_joins_are_joins_not_subqueries(spark):
+    assert "LeftSemi" in plan_of(spark, "semi_join_in")
+    assert "LeftAnti" in plan_of(spark, "anti_exists")
+
+
+def test_groupby_has_partial_aggregation(spark):
+    plan = plan_of(spark, "groupby_agg")
+    assert "partial_sum" in plan     # map-side combine before the exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_orderby_limit_avoids_global_sort(spark):
+    plan = plan_of(spark, "orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_scd1_merge_is_single_join_pass(spark):
+    plan = plan_of(spark, "scd1_merge_full")
+    # one full-outer join classifies all four legs; the union must not
+    # re-join per leg (the reference runs three separate statements)
+    assert plan.count("FullOuter") <= 3  # one per union branch, same cached join
+
+
+def test_velocity_rule_single_window_shuffle(spark):
+    plan = plan_of(spark, "velocity_fraud_rule")
+    # both lag() columns share one Window over one Exchange
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fraud_star_fact_never_shuffles(spark):
+    plan = plan_of(spark, "fraud_blacklist_semi")
+    assert "BroadcastHashJoin" in plan
+    sort_merge = plan.count("SortMergeJoin")
+    assert sort_merge <= 1  # only the l⋈o join may merge; dims broadcast
