@@ -587,6 +587,120 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT c_nationkey,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General surface: exact COUNT(DISTINCT) — Spark expands to a
+    two-phase aggregate (distinct keys first, then count) that stays
+    fully distributed."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 15
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General surface: HAVING — a post-aggregation filter, pushed
+    nowhere (correctly) but evaluated on the reduced aggregate."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General surface: ROLLUP grouping sets (subtotals + grand
+    total, NULL-marked) — one pass, Catalyst expands the sets."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(DecimalType(18, 2))).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+    WITH state AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           s.o_orderkey AS last_orderkey, s.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN state s
+      ON e.user_id = s.o_custkey AND s.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — enrich each event with the latest
+    order state at or before the event time. Implemented as the
+    union-and-window formulation (operators.asof): ONE shuffle + sort
+    over the combined stream, linear in history length — never the
+    quadratic range-join expansion. Oracle: DuckDB's native ASOF JOIN.
+    State pre-deduped per (key, ts) with an explicit max-orderkey
+    policy so both engines agree on ties."""
+    from ..operators.asof import asof_join
+
+    ev = events_table(spark, sf_dir).select("event_id", "user_id", "ts")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    state = (
+        table(spark, sf_dir, "orders")
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+    )
+    return asof_join(
+        ev,
+        state,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_orderkey", "last_totalprice"],
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.H fraud-rule analogs on the testdata star schema
 # --------------------------------------------------------------------------

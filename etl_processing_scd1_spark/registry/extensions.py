@@ -19,6 +19,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import attach_binary_payload, extract_features
 from ..operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     md5_planes,
 )
@@ -259,6 +260,79 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(
         emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+IVF_ORACLE = """
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n
+      FROM expanded GROUP BY vec_id
+    ),
+    cdots AS (
+      SELECT e.vec_id, c.vec_id AS cid,
+             SUM(CAST(round(e.v * c.v * 1e8) AS BIGINT)) AS dot
+      FROM expanded e JOIN expanded c ON e.idx = c.idx
+      WHERE c.vec_id < 8
+      GROUP BY e.vec_id, c.vec_id
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY d.dot / sqrt(CAST(nv.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                          d.cid
+               ) AS rn
+        FROM cdots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN norms nc ON nc.vec_id = d.cid
+      ) WHERE rn = 1
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(round(q.v * c.v * 1e8) AS BIGINT)) AS dot_scaled
+      FROM expanded q JOIN expanded c ON q.idx = c.idx
+      WHERE q.vec_id >= 100 AND q.vec_id < 105
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT d.query_id, d.neighbor_id, d.dot_scaled,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot_scaled / sqrt(CAST(nq.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                        d.neighbor_id
+             ) AS rank
+      FROM dots d
+      JOIN assigned aq ON aq.vec_id = d.query_id
+      JOIN assigned ac ON ac.vec_id = d.neighbor_id AND ac.bucket = aq.bucket
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, dot_scaled FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf", oracle=IVF_ORACLE)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 scale path #2 — IVF: corpus and queries assigned to their
+    nearest centroid (centroids = vectors 0-7 here; k-means in
+    production), search joins only within cells. Assignment uses the
+    same scaled-integer cosine as ranking, so the oracle reproduces
+    cell membership exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb,
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)),
+        centroids=emb.filter(F.col("vec_id") < 8),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
     )
 
 
