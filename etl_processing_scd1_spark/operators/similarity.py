@@ -58,23 +58,27 @@ def cosine_topk_bruteforce(
     is broadcast; the corpus streams through map-side; the only
     shuffle is the per-query top-k window over k·|Q| survivors.
     """
+    # Norms computed ONCE per vector before the join (not per pair),
+    # and the dot product once per pair — the per-pair work is a
+    # single zip_with/aggregate pass.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        _norm_scaled(F.col(vec_col)).alias("__qn__"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        _norm_scaled(F.col(vec_col)).alias("__cn__"),
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        _dot_scaled(F.col("__qv__"), F.col("__cv__")).alias("dot_scaled"),
-        (
-            _dot_scaled(F.col("__qv__"), F.col("__cv__"))
-            / F.sqrt(
-                _norm_scaled(F.col("__qv__")).cast("double")
-                * _norm_scaled(F.col("__cv__")).cast("double")
-            )
-        ).alias("__cos__"),
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("dot_scaled", _dot_scaled(F.col("__qv__"), F.col("__cv__")))
+        .withColumn(
+            "__cos__",
+            F.col("dot_scaled")
+            / F.sqrt(F.col("__qn__").cast("double") * F.col("__cn__").cast("double")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos__").desc(), F.col("neighbor_id")
@@ -142,24 +146,23 @@ def cosine_topk_ivf(
     q = qa.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
+        _norm_scaled(F.col(vec_col)).alias("__qn__"),
         F.col("bucket"),
     )
     c = ca.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
+        _norm_scaled(F.col(vec_col)).alias("__cn__"),
         F.col("bucket"),
     )
-    scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id",
-        "neighbor_id",
-        _dot_scaled(F.col("__qv__"), F.col("__cv__")).alias("dot_scaled"),
-        (
-            _dot_scaled(F.col("__qv__"), F.col("__cv__"))
-            / F.sqrt(
-                _norm_scaled(F.col("__qv__")).cast("double")
-                * _norm_scaled(F.col("__cv__")).cast("double")
-            )
-        ).alias("__cos__"),
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("dot_scaled", _dot_scaled(F.col("__qv__"), F.col("__cv__")))
+        .withColumn(
+            "__cos__",
+            F.col("dot_scaled")
+            / F.sqrt(F.col("__qn__").cast("double") * F.col("__cn__").cast("double")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos__").desc(), F.col("neighbor_id")
@@ -220,24 +223,23 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
+        _norm_scaled(F.col(vec_col)).alias("__qn__"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
+        _norm_scaled(F.col(vec_col)).alias("__cn__"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
     )
-    scored = c.join(F.broadcast(q), "__bucket__").select(
-        "query_id",
-        "neighbor_id",
-        _dot_scaled(F.col("__qv__"), F.col("__cv__")).alias("dot_scaled"),
-        (
-            _dot_scaled(F.col("__qv__"), F.col("__cv__"))
-            / F.sqrt(
-                _norm_scaled(F.col("__qv__")).cast("double")
-                * _norm_scaled(F.col("__cv__")).cast("double")
-            )
-        ).alias("__cos__"),
+    scored = (
+        c.join(F.broadcast(q), "__bucket__")
+        .withColumn("dot_scaled", _dot_scaled(F.col("__qv__"), F.col("__cv__")))
+        .withColumn(
+            "__cos__",
+            F.col("dot_scaled")
+            / F.sqrt(F.col("__qn__").cast("double") * F.col("__cn__").cast("double")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos__").desc(), F.col("neighbor_id")
