@@ -8,11 +8,11 @@ re-exports these as ``queries()`` / ``oracle_sql()``.
 
 from __future__ import annotations
 
-from . import core, scd1q, extensions, streamingq
+from . import core, scd1q, extensions, streamingq, curationq
 
 QUERIES: dict = {}
 ORACLES: dict = {}
-for _m in (core, scd1q, extensions, streamingq):
+for _m in (core, scd1q, extensions, streamingq, curationq):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 

@@ -1,0 +1,155 @@
+"""Curation operator queries (dataset split, packing, vocab stats,
+composed pipeline). DuckDB lacks ``conv(hex,16,10)``, so the oracles
+decode the md5 prefix with an 8-term strpos polynomial — generated
+here from the same constants the Spark side uses."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    curate,
+    hash_split,
+    sequence_packing,
+    term_doc_freq,
+)
+from ._base import make_registry, table
+
+QUERIES, ORACLES, register = make_registry()
+
+
+def hex_to_int_sql(hex_expr: str) -> str:
+    """SQL decoding the first 8 hex chars of ``hex_expr`` to BIGINT —
+    the oracle twin of Spark's conv(substr(x,1,8),16,10)."""
+    terms = [
+        f"CAST((strpos('0123456789abcdef', substr({hex_expr}, {j + 1}, 1)) - 1) AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SPLIT_BUCKET = hex_to_int_sql("md5('split:' || CAST(doc_id AS VARCHAR))") + " % 100"
+
+DATASET_SPLIT_ORACLE = f"""
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN {_SPLIT_BUCKET} < 98 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+@register("dataset_split", oracle=DATASET_SPLIT_ORACLE)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (98/1/1) — the
+    same id lands in the same split on any engine, any partitioning;
+    the property random splits lack."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return hash_split(docs, "doc_id", {"train": 98, "val": 1, "test": 1})
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(floor((run_total - n_chars) / 4096.0) AS BIGINT) AS chunk_id,
+           CAST(run_total - n_chars AS BIGINT) AS chunk_offset
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS run_total
+      FROM documents
+    )
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-in-order packing of documents into ~4096-unit chunks
+    per language via a running-total window — fully parallel,
+    deterministic chunk assignment for sequence building."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sequence_packing(
+        docs, id_col="doc_id", token_col="n_chars", budget=4096, partition_col="lang"
+    )
+
+
+@register(
+    "term_doc_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                              x -> x <> ''))) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, token, count(*) AS doc_freq FROM toks GROUP BY lang, token
+    )
+    SELECT lang, token, doc_freq, rank FROM (
+      SELECT lang, token, doc_freq,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, token) AS rank
+      FROM freq
+    ) WHERE rank <= 20
+    """,
+)
+def term_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: top-20 tokens per language by document
+    frequency (deterministic lexicographic tiebreak)."""
+    return term_doc_freq(
+        table(spark, sf_dir, "documents"), "doc_id", "text", "lang", top_n=20
+    )
+
+
+_CURATE_SPLIT = hex_to_int_sql("md5('split:' || CAST(doc_id AS VARCHAR))") + " % 100"
+
+CURATION_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             length(text) AS n_chars_m,
+             len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                 t -> t IN ('der','die','und','ist','nicht','the','and','is','of','to',
+                            'el','la','de','que','los','le','et','les','des'))) AS stop_hits
+      FROM documents
+    ),
+    keep AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens >= 10
+                   AND (CASE WHEN n_tokens > 0 THEN floor(stop_hits * 10000 / n_tokens) ELSE 0 END) > 0
+                   AND (CASE WHEN n_chars_m > 0 THEN floor(n_punct * 10000 / n_chars_m) ELSE 0 END) < 2000
+                  THEN 'good'
+                  WHEN n_tokens >= 3 THEN 'fair'
+                  ELSE 'junk' END AS quality
+      FROM m
+      WHERE n_tokens >= 10
+        AND (CASE WHEN n_tokens >= 10
+                   AND (CASE WHEN n_tokens > 0 THEN floor(stop_hits * 10000 / n_tokens) ELSE 0 END) > 0
+                   AND (CASE WHEN n_chars_m > 0 THEN floor(n_punct * 10000 / n_chars_m) ELSE 0 END) < 2000
+                  THEN 'good'
+                  WHEN n_tokens >= 3 THEN 'fair'
+                  ELSE 'junk' END) <> 'junk'
+    ),
+    enriched AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, k.n_tokens, k.quality
+      FROM documents d JOIN keep k USING (doc_id)
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT e.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM enriched e
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, text, lang, source, n_chars, n_tokens, quality,
+           CASE WHEN {_CURATE_SPLIT} < 98 THEN 'train'
+                WHEN {_CURATE_SPLIT} < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM deduped
+"""
+
+
+@register("curation_pipeline", oracle=CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation: quality filter → exact-dup removal →
+    deterministic split — the end-to-end shape of a training-data
+    prep job, as ONE declarative plan."""
+    return curate(table(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=10)

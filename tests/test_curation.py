@@ -1,0 +1,48 @@
+"""Curation operator tests: split stability and proportions, packing
+budget respect, curation filtering/dedup semantics."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from etl_processing_scd1_spark.operators.curation import (
+    curate,
+    hash_split,
+    sequence_packing,
+)
+
+
+def test_hash_split_stable_and_proportional(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out1 = {r["doc_id"]: r["split"] for r in
+            hash_split(df, "doc_id", {"train": 98, "val": 1, "test": 1}).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in
+            hash_split(df.repartition(7), "doc_id", {"train": 98, "val": 1, "test": 1}).collect()}
+    assert out1 == out2  # partitioning-independent
+    counts = Counter(out1.values())
+    assert counts["train"] > 1900 and counts["val"] > 0 and counts["test"] > 0
+
+
+def test_sequence_packing_budget(spark):
+    df = spark.createDataFrame(
+        [(i, "g", 100) for i in range(100)], "doc_id long, grp string, toks long"
+    )
+    out = sequence_packing(df, "doc_id", "toks", budget=1000, partition_col="grp").collect()
+    per_chunk = Counter(r["chunk_id"] for r in out)
+    assert all(v == 10 for v in per_chunk.values())  # 1000/100 docs per chunk
+    offs = {r["doc_id"]: r["chunk_offset"] for r in out}
+    assert offs[0] == 0 and offs[1] == 100  # running offsets
+
+
+def test_curate_filters_junk_and_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again."),
+        (2, "the quick brown fox jumps over the lazy dog again and again."),  # dup of 1
+        (3, "tiny"),                                                           # junk
+        (4, "a completely different long document with the required number of tokens here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate(df, "doc_id", "text", min_tokens=5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4]  # dup 2 dropped (keep lowest id), junk 3 dropped
+    assert set(out.columns) >= {"doc_id", "text", "split", "quality", "n_tokens"}
