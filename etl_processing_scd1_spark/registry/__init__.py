@@ -8,11 +8,11 @@ re-exports these as ``queries()`` / ``oracle_sql()``.
 
 from __future__ import annotations
 
-from . import core, scd1q, extensions, streamingq, curationq
+from . import core, scd1q, extensions, streamingq, curationq, advancedq
 
 QUERIES: dict = {}
 ORACLES: dict = {}
-for _m in (core, scd1q, extensions, streamingq, curationq):
+for _m in (core, scd1q, extensions, streamingq, curationq, advancedq):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 

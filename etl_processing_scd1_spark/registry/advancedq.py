@@ -1,0 +1,112 @@
+"""Advanced relational surface: interval join, skew-salted
+aggregation, exact medians, JSON extraction — capabilities a
+general-purpose engine needs beyond the reference's fixed DAG
+(SURVEY.md §2.F note / §2.C 'not present in reference' list)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rangejoin import interval_join
+from ._base import events_table, make_registry, table
+
+QUERIES, ORACLES, register = make_registry()
+
+
+@register(
+    "interval_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    i AS (
+      SELECT event_id AS signup_id, user_id AS usr,
+             CAST(ts AS TIMESTAMP) AS start_ts,
+             CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts, i.signup_id, i.start_ts
+    FROM p JOIN i
+      ON p.user_id = i.usr AND p.ts >= i.start_ts AND p.ts < i.end_ts
+    """,
+)
+def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join ('events within 2h after a signup') via
+    grain-bucketed equi-join + exact filter (operators.rangejoin) —
+    never the cartesian/nested-loop plan a bare BETWEEN produces.
+    Oracle: the naive BETWEEN join, correct at oracle scale."""
+    ev = events_table(spark, sf_dir)
+    points = ev.select("event_id", "user_id", "ts")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("usr"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    return interval_join(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        grain_seconds=3600,
+        extra_key=("user_id", "usr"),
+    ).select("event_id", "user_id", "ts", "signup_id", "start_ts")
+
+
+@register(
+    "skew_salted_agg",
+    oracle="SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: pre-aggregate on (key, salt) so a
+    pathologically hot key spreads over 16 reducers, then combine.
+    Result is exactly the plain groupBy (the oracle); the shape is
+    the manual fallback when AQE skew handling isn't available —
+    e.g. for skewed window/collect operations."""
+    ev = events_table(spark, sf_dir)
+    salted = ev.withColumn("__salt__", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt__").agg(F.count("*").alias("__c__"))
+    return partial.groupBy("event_type").agg(F.sum("__c__").alias("n_events"))
+
+
+@register(
+    "median_agg",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS median_cents,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via percentile over integer cents — linear
+    interpolation on ints is exact in double, so Spark's percentile
+    and DuckDB's quantile_cont agree bit-for-bit (raw-double medians
+    would not)."""
+    ev = events_table(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(CAST(round(value * 100) AS LONG), 0.5)").alias("median_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: JSON path extraction from the events
+    props column, with the extracted value usable in predicates
+    (pushed as far as the JSON parse allows)."""
+    ev = events_table(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", "event_type", k.alias("k_val")).filter(
+        F.col("k_val") > 50
+    )
