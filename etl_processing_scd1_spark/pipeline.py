@@ -120,15 +120,17 @@ def run_day(
         )
 
     # ---- facts: append-dedup (G4) ---------------------------------------
+    # Only NEW rows are written (stage_append): the daily fact write
+    # is O(batch) — the full-history union+overwrite a naive port
+    # would do is the one thing that cannot survive a 100 TB fact.
     fact_specs = {"transactions": "trans_id", "blacklist": "passport_num"}
     for fact_name, id_col in fact_specs.items():
         if fact_name not in staged:
             continue
         fact = warehouse.read(fact_name, schemas.WAREHOUSE[fact_name])
         new_rows = append_dedup(fact, staged[fact_name], id_col=id_col)
-        appended = fact.unionByName(new_rows)
         report.fact_appended[fact_name] = new_rows.count()
-        warehouse.stage(fact_name, appended)
+        warehouse.stage_append(fact_name, new_rows)
 
     warehouse.stage("meta", meta)
 
@@ -136,10 +138,19 @@ def run_day(
     # The reference queries the freshly-merged warehouse inside the
     # same transaction; here the staged frames play that role.
     def current(name: str) -> DataFrame:
+        base = None
         staging_path = warehouse._staged.get(name)
         if staging_path:
-            return spark.read.parquet(staging_path)
-        return warehouse.read(name, schemas.WAREHOUSE[name])
+            base = spark.read.parquet(staging_path)
+        else:
+            base = warehouse.read(name, schemas.WAREHOUSE[name])
+        append_path = warehouse._staged.get(f"{name}@append")
+        if append_path:
+            try:
+                base = base.unionByName(spark.read.parquet(append_path))
+            except Exception:
+                pass  # empty append batch wrote no readable parts
+        return base
 
     tx, cards, accounts, clients, terminals, blacklist = (
         current("transactions"),
@@ -156,8 +167,8 @@ def run_day(
     )
     for row in new_events.groupBy("event_type").count().collect():
         report.fraud_events[row["event_type"]] = row["count"]
-    rep = warehouse.read("rep_fraud", schemas.REP_FRAUD)
-    warehouse.stage("rep_fraud", rep.unionByName(new_events))
+    # accumulating report: append-only, O(new events) per run (A10)
+    warehouse.stage_append("rep_fraud", new_events)
 
     # ---- commit (G6) -----------------------------------------------------
     warehouse.publish(run_id=run_ts.strftime("%Y%m%d%H%M%S"))

@@ -48,7 +48,13 @@ class Warehouse:
         """Live table; empty frame with ``schema`` when absent (first
         run bootstraps every table from empty)."""
         if self.exists(name):
-            return self.spark.read.parquet(self._live(name))
+            try:
+                return self.spark.read.parquet(self._live(name))
+            except Exception:
+                # append-created directory whose first batch had zero
+                # rows (no readable parts) — treat as empty
+                if schema is None:
+                    raise
         if schema is None:
             raise FileNotFoundError(f"table {name} absent and no schema given")
         return self.spark.createDataFrame([], schema=schema)
@@ -58,10 +64,23 @@ class Warehouse:
     def stage(self, name: str, df: DataFrame) -> None:
         """Materialize ``df`` into the staging area (executor-parallel
         Parquet write — the bulk replacement for the reference's
-        row-at-a-time executemany, main.py:64-66)."""
+        row-at-a-time executemany, main.py:64-66). Published as a
+        full-table swap."""
         path = os.path.join(self.root, ".staging", name)
         df.write.mode("overwrite").parquet(path)
         self._staged[name] = path
+
+    def stage_append(self, name: str, df: DataFrame) -> None:
+        """Materialize ONLY NEW ROWS for an append-style table (facts,
+        accumulating report). Publish moves the new files into the
+        live directory instead of rewriting the table — the daily
+        fact write stays O(batch), not O(history). This is the 100 TB
+        -critical difference from the reference's INSERT-SELECT into a
+        table it rescans nightly (and from a naive union+overwrite).
+        """
+        path = os.path.join(self.root, ".staging", f"{name}@append")
+        df.write.mode("overwrite").parquet(path)
+        self._staged[f"{name}@append"] = path
 
     def publish(self, run_id: str | None = None) -> dict:
         """Swap all staged tables live, then write the manifest.
@@ -73,6 +92,20 @@ class Warehouse:
         """
         run_id = run_id or time.strftime("%Y%m%d%H%M%S")
         for name, staged in self._staged.items():
+            if name.endswith("@append"):
+                live = self._live(name[: -len("@append")])
+                os.makedirs(live, exist_ok=True)
+                moved = 0
+                for fn in sorted(os.listdir(staged)):
+                    if not fn.endswith(".parquet"):
+                        continue  # skip _SUCCESS/_committed markers
+                    os.rename(
+                        os.path.join(staged, fn),
+                        os.path.join(live, f"{run_id}-{moved:05d}.parquet"),
+                    )
+                    moved += 1
+                shutil.rmtree(staged, ignore_errors=True)
+                continue
             live = self._live(name)
             old = live + ".old"
             if os.path.isdir(old):
@@ -84,7 +117,7 @@ class Warehouse:
                 shutil.rmtree(old)
         manifest = {
             "run_id": run_id,
-            "tables": sorted(self._staged),
+            "tables": sorted({n.split("@")[0] for n in self._staged}),
             "committed_at": time.time(),
         }
         tmp = os.path.join(self.root, "._manifest.tmp")
