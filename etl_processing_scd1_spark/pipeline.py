@@ -130,7 +130,16 @@ def run_day(
         fact = warehouse.read(fact_name, schemas.WAREHOUSE[fact_name])
         new_rows = append_dedup(fact, staged[fact_name], id_col=id_col)
         report.fact_appended[fact_name] = new_rows.count()
-        warehouse.stage_append(fact_name, new_rows)
+        if fact_name == "transactions":
+            # day-partitioned fact: scans filtered on p_day prune at
+            # the directory level (rule windows, incremental dedup)
+            warehouse.stage_append(
+                fact_name,
+                new_rows.withColumn("p_day", F.to_date("trans_date")),
+                partition_cols=["p_day"],
+            )
+        else:
+            warehouse.stage_append(fact_name, new_rows)
 
     warehouse.stage("meta", meta)
 
@@ -147,7 +156,9 @@ def run_day(
         append_path = warehouse._staged.get(f"{name}@append")
         if append_path:
             try:
-                base = base.unionByName(spark.read.parquet(append_path))
+                base = base.unionByName(
+                    spark.read.parquet(append_path), allowMissingColumns=True
+                )
             except Exception:
                 pass  # empty append batch wrote no readable parts
         return base

@@ -70,16 +70,27 @@ class Warehouse:
         df.write.mode("overwrite").parquet(path)
         self._staged[name] = path
 
-    def stage_append(self, name: str, df: DataFrame) -> None:
+    def stage_append(
+        self, name: str, df: DataFrame, partition_cols: list[str] | None = None
+    ) -> None:
         """Materialize ONLY NEW ROWS for an append-style table (facts,
         accumulating report). Publish moves the new files into the
         live directory instead of rewriting the table — the daily
         fact write stays O(batch), not O(history). This is the 100 TB
         -critical difference from the reference's INSERT-SELECT into a
         table it rescans nightly (and from a naive union+overwrite).
+
+        ``partition_cols`` hive-partitions the new files (e.g. by event
+        day): readers filtering on the partition column then prune at
+        the directory level — the fact-side restriction of the
+        append-dedup anti join and time-bounded report scans become
+        O(touched days).
         """
         path = os.path.join(self.root, ".staging", f"{name}@append")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
         self._staged[f"{name}@append"] = path
 
     def publish(self, run_id: str | None = None) -> dict:
@@ -96,14 +107,20 @@ class Warehouse:
                 live = self._live(name[: -len("@append")])
                 os.makedirs(live, exist_ok=True)
                 moved = 0
-                for fn in sorted(os.listdir(staged)):
-                    if not fn.endswith(".parquet"):
-                        continue  # skip _SUCCESS/_committed markers
-                    os.rename(
-                        os.path.join(staged, fn),
-                        os.path.join(live, f"{run_id}-{moved:05d}.parquet"),
-                    )
-                    moved += 1
+                # walk preserves hive partition subdirectories
+                # (day=2021-03-01/part-...) so pruning works live
+                for dirpath, _dirs, files in os.walk(staged):
+                    rel = os.path.relpath(dirpath, staged)
+                    dest_dir = live if rel == "." else os.path.join(live, rel)
+                    for fn in sorted(files):
+                        if not fn.endswith(".parquet"):
+                            continue  # skip _SUCCESS/_committed markers
+                        os.makedirs(dest_dir, exist_ok=True)
+                        os.rename(
+                            os.path.join(dirpath, fn),
+                            os.path.join(dest_dir, f"{run_id}-{moved:05d}.parquet"),
+                        )
+                        moved += 1
                 shutil.rmtree(staged, ignore_errors=True)
                 continue
             live = self._live(name)

@@ -33,6 +33,25 @@ def test_swap_and_append_publish(spark, tmp_path):
     assert manifest["tables"] == ["dim", "fact"]
 
 
+def test_partitioned_append_prunes(spark, tmp_path):
+    import datetime as dt
+
+    wh = Warehouse(spark, str(tmp_path / "wh3"))
+    df = spark.createDataFrame(
+        [(i, dt.date(2021, 3, 1 + i % 3)) for i in range(30)], "x int, p_day date"
+    )
+    wh.stage_append("fact", df, partition_cols=["p_day"])
+    wh.publish(run_id="r1")
+    # hive layout survived the publish move
+    days = [d for d in os.listdir(str(tmp_path / "wh3" / "fact")) if d.startswith("p_day=")]
+    assert sorted(days) == ["p_day=2021-03-01", "p_day=2021-03-02", "p_day=2021-03-03"]
+    # a day filter reaches the scan as a partition filter (pruning)
+    q = wh.read("fact").filter("p_day = DATE '2021-03-02'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p_day" in plan
+    assert q.count() == 10
+
+
 def test_empty_append_batch_is_safe(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh2"))
     empty = spark.createDataFrame([], "x int")
