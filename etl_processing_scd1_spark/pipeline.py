@@ -128,7 +128,22 @@ def run_day(
         if fact_name not in staged:
             continue
         fact = warehouse.read(fact_name, schemas.WAREHOUSE[fact_name])
-        new_rows = append_dedup(fact, staged[fact_name], id_col=id_col)
+        # Incremental dedup: the anti join's fact side is pruned to
+        # the staged batch's day range (directory-level partition
+        # pruning on p_day). Exact under the source protocol —
+        # re-deliveries carry the same business dates (pdf p.5); a
+        # same-id-different-date corruption would bypass this prune.
+        fact_filter = None
+        if fact_name == "transactions" and "p_day" in fact.columns:
+            rng = staged[fact_name].agg(
+                F.min(F.to_date("trans_date")).alias("lo"),
+                F.max(F.to_date("trans_date")).alias("hi"),
+            ).first()
+            if rng["lo"] is not None:
+                fact_filter = F.col("p_day").between(rng["lo"], rng["hi"])
+        new_rows = append_dedup(
+            fact, staged[fact_name], id_col=id_col, fact_filter=fact_filter
+        )
         report.fact_appended[fact_name] = new_rows.count()
         if fact_name == "transactions":
             # day-partitioned fact: scans filtered on p_day prune at
