@@ -82,3 +82,38 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_hash string"
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling: each payload fans out to N frame rows — the
+    flatMap shape of video/audio chunking, still one Arrow pass.
+
+    The decoder stub derives N and per-frame offsets from payload
+    bytes deterministically (real codecs slot into the same iterator:
+    one input batch → many output rows, memory bounded per batch).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload) % 5 + 1  # stub frame count
+                for i in range(n):
+                    off = (i * len(payload)) // n
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    # hash over the hex of the slice (not raw bytes):
+                    # keeps the stub computable by VARCHAR-only hash
+                    # implementations in oracle engines
+                    out["frame_hash"].append(
+                        hashlib.md5(payload[off : off + 16].hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -93,6 +93,42 @@ def median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_custom_agg",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def grouped_custom_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.J surface: custom per-group logic via applyInPandas (Arrow
+    grouped-map). The aggregation itself is deliberately expressible
+    in SQL so the oracle can verify the UDF path end-to-end — the
+    point is the plumbing (group shuffle → Arrow batch per group →
+    pandas function → typed result), which is what a genuinely
+    non-SQL per-group algorithm (fitting, resampling) would ride."""
+    import pandas as pd
+
+    ev = events_table(spark, sf_dir)
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "sum_cents": [int((pdf["value"] * 100).round().astype("int64").sum())],
+                "n_types": [pdf["event_type"].nunique()],
+            }
+        )
+
+    return ev.select("user_id", "value", "event_type").groupBy("user_id").applyInPandas(
+        per_user, schema="user_id long, n_events long, sum_cents long, n_types long"
+    )
+
+
+@register(
     "json_extract_props",
     oracle="""
     SELECT event_id, event_type,

@@ -16,7 +16,11 @@ from ..operators.dedup import (
     near_dedup_minhash,
     simhash_fingerprint,
 )
-from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    sample_frames,
+)
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -536,3 +540,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the stub's arithmetic from the payload bytes."""
     docs = attach_binary_payload(table(spark, sf_dir, "documents"), "text")
     return extract_features(docs, id_col="doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, encode(text) AS payload,
+             CAST(octet_length(encode(text)) AS INTEGER) AS blen,
+             CAST(octet_length(encode(text)) % 5 + 1 AS INTEGER) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST((i * blen) // n AS INTEGER) AS frame_offset,
+           md5(lower(substr(hex(payload), ((i * blen) // n) * 2 + 1, 32))) AS frame_hash
+    FROM base, unnest(range(0, n)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal flatMap shape: each binary payload fans out to N
+    deterministic frame rows through one Arrow mapInPandas pass —
+    video frame-sampling / audio chunking plumbing with the codec
+    stubbed. The oracle recomputes offsets and frame hashes from the
+    same bytes in SQL."""
+    docs = attach_binary_payload(table(spark, sf_dir, "documents"), "text")
+    return sample_frames(docs, id_col="doc_id")

@@ -34,6 +34,23 @@ def test_transactions_csv_comma_decimal(spark, tmp_path):
     assert rows["10000000001"]["card_num"] == "4513 5880 2369 1799"  # spaces kept
 
 
+def test_transactions_csv_malformed_rows_become_null(spark, tmp_path):
+    """Permissive-mode semantics (engine matches the reference's
+    tolerant pandas parsing): a garbage amount or timestamp yields
+    NULL in that column, never a job failure."""
+    p = tmp_path / "transactions_02032021.txt"
+    p.write_text(
+        "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal\n"
+        "T1;2021-03-01 07:10:15;12,50;c;PAYMENT;SUCCESS;A1\n"
+        "T2;not-a-date;garbage;c;PAYMENT;SUCCESS;A1\n",
+        encoding="utf8",
+    )
+    rows = {r["trans_id"]: r for r in read_transactions_csv(spark, str(p)).collect()}
+    assert rows["T1"]["amt"] is not None
+    assert rows["T2"]["trans_date"] is None and rows["T2"]["amt"] is None
+    assert rows["T2"]["oper_type"] == "PAYMENT"  # rest of the row survives
+
+
 def test_xlsx_reader_and_cyrillic(spark, tmp_path):
     p = tmp_path / "terminals_01032021.xlsx"
     write_xlsx(
