@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator (SURVEY.md §2.I): the exact
+per-event velocity rule as an ``applyInPandasWithState`` transform.
+
+The session-window variant (streaming/pipeline.py) aggregates; this
+operator reproduces the batch ``lag()`` semantics event-for-event —
+flag the LATER transaction whenever the key's location changes within
+``max_gap_hours`` — while carrying (last_ts, last_state) per key
+across micro-batches in managed state. This is the pattern for any
+custom per-key streaming algorithm Spark lacks natively.
+
+Scale: state is two scalars per key — bounded by key cardinality,
+not history; batches arrive Arrow-encoded per key group. Use a
+timeout (ProcessingTimeTimeout + state TTL) in production to expire
+idle keys; kept NoTimeout here for determinism in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "key string, event_id string, ts timestamp, state_val string, "
+    "prev_state string, gap_seconds long"
+)
+STATE_SCHEMA = "last_ts long, last_state string"
+
+
+def velocity_flagger(max_gap_hours: float = 1.0):
+    """Build the per-group state function: emits one row per flagged
+    event (state change within the gap), updating (last_ts, state)."""
+    max_gap_seconds = int(max_gap_hours * 3600)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, last_state = state.get if state.exists else (None, None)
+        out = {k: [] for k in ("key", "event_id", "ts", "state_val", "prev_state", "gap_seconds")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                ts_epoch = int(row.ts.timestamp())
+                if (
+                    last_state is not None
+                    and row.state_val != last_state
+                    and ts_epoch - last_ts < max_gap_seconds
+                ):
+                    out["key"].append(key[0])
+                    out["event_id"].append(row.event_id)
+                    out["ts"].append(row.ts)
+                    out["state_val"].append(row.state_val)
+                    out["prev_state"].append(last_state)
+                    out["gap_seconds"].append(ts_epoch - last_ts)
+                last_ts, last_state = ts_epoch, row.state_val
+        state.update((last_ts, last_state))
+        if out["key"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_velocity_stateful(
+    stream: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    state_col: str,
+    id_col: str,
+    max_gap_hours: float = 1.0,
+) -> DataFrame:
+    """Wire the flagger: groupBy(key) → applyInPandasWithState.
+
+    Input stream must carry (key, id, ts, state) columns; output is
+    one row per flagged event with the previous state and gap —
+    byte-identical semantics to plans.fraud.fraud_type3's lag()
+    formulation, but incremental with O(keys) state.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("string").alias("event_id"),
+        F.col(event_time_col).alias("ts"),
+        F.col(state_col).cast("string").alias("state_val"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        velocity_flagger(max_gap_hours),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -144,3 +144,48 @@ def test_streaming_velocity_sessionization(spark, tmp_path):
     out = {r["user_id"]: r for r in spark.sql("SELECT * FROM velocity").collect()}
     assert 1 in out and out[1]["n_states"] == 2   # city hop within session
     assert 2 not in out                            # single-city session
+
+
+def test_stateful_velocity_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState velocity rule: the hop pair SPANS two
+    micro-batches (maxFilesPerTrigger=1), so the flag depends on
+    state carried between batches — the thing the lag() batch form
+    cannot do incrementally."""
+    from etl_processing_scd1_spark.streaming.stateful import (
+        streaming_velocity_stateful,
+    )
+
+    src = tmp_path / "sv"
+    src.mkdir()
+    # batch 1: user 1 in Moscow; batch 2: user 1 in Kazan 30 min later
+    (src / "a_batch1.csv").write_text(
+        "user_id;event_id;ts;city\n1;E1;2021-03-01 10:00:00;Moscow\n2;E2;2021-03-01 10:00:00;Omsk\n"
+    )
+    (src / "b_batch2.csv").write_text(
+        "user_id;event_id;ts;city\n1;E3;2021-03-01 10:30:00;Kazan\n2;E4;2021-03-01 10:40:00;Omsk\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id long, event_id string, ts timestamp, city string")
+        .option("sep", ";")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    flagged = streaming_velocity_stateful(
+        stream, key_col="user_id", event_time_col="ts", state_col="city",
+        id_col="event_id", max_gap_hours=1.0,
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("sv_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sv_out").collect()
+    assert [(r["key"], r["event_id"], r["prev_state"], r["gap_seconds"]) for r in rows] == [
+        ("1", "E3", "Moscow", 1800)
+    ]
