@@ -602,6 +602,108 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytic_top_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def analytic_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → star join → grouped
+    revenue → top-10. Broadcast customer filter reaches the orders
+    join; revenue aggregated as exact 10⁻⁴-unit integers then
+    converted (order-independent, oracle-exact)."""
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+    rev_c4 = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_c4.alias("__rev_c4__"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.col("__rev_c4__").cast(DecimalType(38, 4)) / F.lit(10000))
+            .cast(DecimalType(20, 4))
+            .alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "analytic_regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def analytic_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: region-local supplier revenue — five-way join
+    with a same-nation equi-constraint, all dims broadcast, exact
+    integer revenue units."""
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+    joined = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]))
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias("__rev__"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "n_name",
+            (F.col("__rev__").cast(DecimalType(38, 4)) / F.lit(10000))
+            .cast(DecimalType(20, 4))
+            .alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+@register(
     "distinct_agg",
     oracle="""
     SELECT c_nationkey,

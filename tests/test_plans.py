@@ -68,3 +68,29 @@ def test_fraud_star_fact_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     sort_merge = plan.count("SortMergeJoin")
     assert sort_merge <= 1  # only the l⋈o join may merge; dims broadcast
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketed storage co-locates join keys at WRITE time: a join of
+    two tables bucketed on the same key plans with NO Exchange — the
+    pre-shuffled layout every repeated big-big join should use at
+    scale (SURVEY §4 / ARCHITECTURE rule 1)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 10000).withColumn("v", F.col("id") % 7)
+    b = spark.range(0, 10000).withColumn("w", F.col("id") % 11)
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    a.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bkt_a")
+    b.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bkt_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
