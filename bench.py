@@ -32,6 +32,9 @@ HEADLINE = [
     "similarity_topk",      # brute-force cosine top-k (scaled-int dot)
     "simhash_fingerprint",  # per-doc 32-bit SimHash
     "multimodal_features",  # Arrow mapInPandas binary-payload extract
+    "analytic_top_orders",  # TPC-H Q3 shape: filter→join→agg→top-k
+    "analytic_regional_revenue",  # TPC-H Q5 shape: 5-way join
+    "embedding_near_dup",   # hyperplane-LSH cosine near-dup pairs
 ]
 
 

@@ -174,6 +174,48 @@ def cosine_topk_ivf(
     )
 
 
+def embedding_near_dup(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos_pct: int = 95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a
+    hyperplane-LSH bucket (cosine-similar vectors collide with high
+    probability), then the exact scaled-integer cosine filters at
+    ``min_cos_pct/100``. The candidate join is per-bucket — never the
+    all-pairs cross product; at corpus scale the bucket column is a
+    stored partition key and each cell joins independently."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v__"),
+        _norm_scaled(F.col(vec_col)).alias("__n__"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
+    )
+    a = c.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v__").alias("__va__"),
+        F.col("__n__").alias("__na__"),
+        "__bucket__",
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v__").alias("__vb__"),
+        F.col("__n__").alias("__nb__"),
+        "__bucket__",
+    )
+    pairs = a.join(b, "__bucket__").filter(F.col("id_a") < F.col("id_b"))
+    dot = _dot_scaled(F.col("__va__"), F.col("__vb__"))
+    cos = dot / F.sqrt(F.col("__na__").cast("double") * F.col("__nb__").cast("double"))
+    return (
+        pairs.withColumn("dot_scaled", dot)
+        .withColumn("__cos__", cos)
+        .filter(F.col("__cos__") * 100 >= F.lit(float(min_cos_pct)))
+        .select("id_a", "id_b", "dot_scaled")
+    )
+
+
 def md5_planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes derived from md5(i:j) — no RNG
     state, reproducible across engines and runs."""

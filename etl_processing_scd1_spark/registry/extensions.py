@@ -25,6 +25,7 @@ from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    embedding_near_dup as _embedding_near_dup_op,  # noqa: F401 (used via module)
     md5_planes,
 )
 from ..operators.text import (
@@ -338,6 +339,78 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=5,
     )
+
+
+def _near_dup_oracle(num_planes: int = 4, threshold_pct: int = 95) -> str:
+    # hyperplane sign s_ij = parity of md5(i:j) first digest byte —
+    # the SQL twin of operators.similarity.md5_planes
+    def sign(i: int) -> str:
+        return (
+            "CASE WHEN (strpos('0123456789abcdef', "
+            f"substr(md5(CAST({i} AS VARCHAR) || ':' || CAST(idx - 1 AS VARCHAR)), 2, 1)) - 1) % 2 = 1 "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+
+    plane_sums = ", ".join(
+        f"SUM(CAST(round(v * ({sign(i)}) * 1e8) AS BIGINT)) AS p{i}"
+        for i in range(num_planes)
+    )
+    bucket = " || ".join(
+        f"(CASE WHEN p{i} >= 0 THEN '1' ELSE '0' END)" for i in range(num_planes)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM corpus
+    ),
+    per_vec AS (
+      SELECT vec_id,
+             SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n,
+             {plane_sums}
+      FROM expanded GROUP BY vec_id
+    ),
+    bucketed AS (SELECT vec_id, n, {bucket} AS bucket FROM per_vec),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n AS na, b.n AS nb
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b, c.na, c.nb,
+             SUM(CAST(round(ea.v * eb.v * 1e8) AS BIGINT)) AS dot_scaled
+      FROM cand c
+      JOIN expanded ea ON ea.vec_id = c.id_a
+      JOIN expanded eb ON eb.vec_id = c.id_b AND eb.idx = ea.idx
+      GROUP BY c.id_a, c.id_b, c.na, c.nb
+    )
+    SELECT id_a, id_b, dot_scaled
+    FROM dots
+    WHERE (dot_scaled / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 100
+          >= {float(threshold_pct)}
+    """
+
+
+@register("embedding_near_dup", oracle=_near_dup_oracle())
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3: embedding-cosine near-duplicate pairs — hyperplane-LSH
+    candidate buckets, exact scaled-integer cosine ≥ 0.95. The corpus
+    is embeddings plus planted exact copies (shifted ids), so the
+    expected pairs are known; the oracle reconstructs the planes from
+    the same md5 parity rule."""
+    emb = table(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(dups)
+    planes = md5_planes(num_planes=4, dim=64)
+    return _embedding_near_dup_op(corpus, planes, min_cos_pct=95)
 
 
 @register("similarity_lsh")
