@@ -1,0 +1,35 @@
+"""ANSI-mode compatibility gate: the driver runs queries()/entry() in
+ITS OWN SparkSession, where Spark 4 defaults ANSI on — every query
+must execute without ANSI cast/arithmetic errors. This test flips the
+shared session to ANSI and runs the queries whose expressions do the
+riskiest casting (string→decimal/timestamp, double→long, JSON parse,
+hex decode, array indexing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_processing_scd1_spark.registry import QUERIES
+from tests.conftest import SF0001
+
+RISKY = [
+    "csv_scan",              # string → decimal via regexp_replace
+    "excel_serial_dates",    # int arithmetic on dates
+    "filename_date_extract", # to_date with format
+    "groupby_agg",           # round()*100 → long casts
+    "dataset_split",         # conv(hex,16,10) → long % n
+    "json_extract_props",    # JSON parse + cast
+    "embedding_passthrough", # array element_at + round casts
+    "median_agg",            # percentile over casted longs
+    "text_quality",          # guarded divisions
+]
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_query_runs_under_ansi(spark, name):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        assert QUERIES[name](spark, SF0001).count() >= 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
