@@ -81,7 +81,12 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, "payload")
+        .repartition(n_parts, id_col)  # spread single-file inputs across workers
+        .mapInPandas(batches, schema=FEATURE_SCHEMA)
+    )
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_hash string"
@@ -116,4 +121,9 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    return df.select(id_col, "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, "payload")
+        .repartition(n_parts, id_col)
+        .mapInPandas(batches, schema=FRAME_SCHEMA)
+    )

@@ -93,6 +93,35 @@ def median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_agg",
+    oracle="""
+    SELECT user_id % 10 AS decile,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General surface: PIVOT — long-to-wide aggregation with an
+    explicit value list (never the implicit distinct-scan variant,
+    which adds a full extra pass at scale)."""
+    ev = events_table(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.withColumn("decile", F.col("user_id") % 10)
+        .groupBy("decile")
+        .pivot("event_type", types)
+        .count()
+    )
+    return wide.select(
+        "decile", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
     "grouped_custom_agg",
     oracle="""
     SELECT user_id,

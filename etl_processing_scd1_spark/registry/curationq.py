@@ -99,6 +99,36 @@ def term_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_BUCKET = hex_to_int_sql("md5('sample:' || CAST(doc_id AS VARCHAR))") + " % 100"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_SAMPLE_BUCKET} < 20
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample by content hash — reproducible across
+    engines/partitionings/runs, unlike ``df.sample()`` whose output
+    depends on partitioning. Stratification is inherent: the hash is
+    uniform within every stratum."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.filter(bucket < 20)
+
+
 _CURATE_SPLIT = hex_to_int_sql("md5('split:' || CAST(doc_id AS VARCHAR))") + " % 100"
 
 CURATION_ORACLE = f"""
