@@ -76,19 +76,33 @@ def run_day(
     meta = warehouse.read("meta", schemas.META) if warehouse.exists("meta") else empty_meta(spark)
 
     # ---- extract: drop-dir files (EP-2) ---------------------------------
+    # Backlog semantics (day=None, several days of files pending):
+    # increment-style files (transactions, accumulating blacklist)
+    # UNION across days; full-snapshot dims keep only the LATEST
+    # business date — merging an older snapshot after a newer one
+    # would resurrect deleted rows. scan_drop_dir sorts by date, so
+    # "last wins" is the latest for snapshots.
     staged: dict[str, DataFrame] = {}
     processed_files = []
     for f in scan_drop_dir(drop_dir) if drop_dir else []:
         if day is not None and f.business_date != day:
             continue
         if f.kind == "transactions":
-            staged["transactions"] = read_transactions_csv(spark, f.path)
+            df = read_transactions_csv(spark, f.path)
+            staged["transactions"] = (
+                staged["transactions"].unionByName(df)
+                if "transactions" in staged
+                else df
+            )
         elif f.kind == "terminals":
             staged["terminals"] = _with_audit(
                 _load_terminals_file(spark, f.path), f.business_date, processed
             )
         elif f.kind == "blacklist":
-            staged["blacklist"] = read_blacklist_excel(spark, f.path)
+            df = read_blacklist_excel(spark, f.path)
+            staged["blacklist"] = (
+                staged["blacklist"].unionByName(df) if "blacklist" in staged else df
+            )
         processed_files.append(f)
 
     # ---- extract: bank tables (A4) --------------------------------------

@@ -171,3 +171,23 @@ def test_rerun_same_day_is_idempotent(spark, tmp_path, bank):
     assert r2.fact_appended["transactions"] == 0   # G4 idempotence
     assert r2.dim_counts["terminals"]["updated"] == 0
     assert wh.read("transactions").count() == 10
+
+
+def test_backlog_single_run_processes_all_days(spark, tmp_path, bank):
+    """day=None with a 3-day backlog: transaction/blacklist increments
+    union across days; the terminals snapshot merge uses only the
+    LATEST day (an older snapshot must not resurrect deleted rows)."""
+    wh = Warehouse(spark, str(tmp_path / "wh3"))
+    drop = str(tmp_path / "drop3")
+    os.makedirs(drop)
+    for i in range(3):
+        _write_day_files(drop, i)
+    rep = run_day(spark, wh, drop_dir=drop, bank_sources=bank,
+                  run_ts=dt.datetime(2021, 3, 3, 23, 55), day=None)
+    assert rep.fact_appended["transactions"] == 30   # all 3 days unioned
+    assert wh.read("blacklist").count() == 6          # accumulating dedup
+    terms = {r["terminal_id"]: r for r in wh.read("terminals").collect()}
+    assert len(terms) == 5 and "P9" not in terms      # day-3 snapshot wins
+    assert terms["P3"]["terminal_address"] == "addr3-NEWER"
+    # velocity rule sees the full 3-day history in one pass
+    assert rep.fraud_events.get("3", 0) == 3
