@@ -93,6 +93,54 @@ def median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cardinality_sketch",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                              x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    buckets AS (
+      SELECT DISTINCT lang,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) AS BIGINT) AS bucket
+      FROM toks
+    )
+    SELECT lang, count(*) AS occupied_buckets, 4096 AS sketch_size
+    FROM buckets GROUP BY lang
+    """,
+)
+def cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting cardinality sketch per language: tokens hash
+    into 4096 buckets; the OCCUPIED-BUCKET COUNT is the sketch state
+    (estimate = -m·ln(empty/m), computed by the consumer). Unlike
+    approx_count_distinct, the state here is integer-exact and
+    engine-portable — and like any sketch it merges by OR, so
+    per-partition states combine without re-scanning (the 100 TB
+    cardinality pattern when exact distinct is too expensive)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+            )
+        ).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    digit = lambda j: F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1  # noqa: E731
+    bucket = (digit(1) * 256 + digit(2) * 16 + digit(3)).cast("long")
+    return (
+        toks.select("lang", bucket.alias("bucket"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("occupied_buckets"), F.lit(4096).alias("sketch_size"))
+    )
+
+
+@register(
     "pivot_agg",
     oracle="""
     SELECT user_id % 10 AS decile,
