@@ -475,6 +475,33 @@ def velocity_fraud_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
+    "window_rank_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General window surface beyond the reference's lone lag() (E1):
+    rank, dense_rank, lead, ntile — all sharing ONE window
+    partitioning, so the whole set costs a single shuffle+sort."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "watermark_max",
     oracle="""
     SELECT coalesce(
