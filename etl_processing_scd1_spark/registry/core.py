@@ -731,6 +731,45 @@ def analytic_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_join",
+    oracle="""
+    WITH fast AS (
+      SELECT o_custkey AS custkey, count(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ),
+    slow AS (
+      SELECT o_custkey AS custkey, count(*) AS n_low
+      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey
+    )
+    SELECT coalesce(f.custkey, s.custkey) AS custkey, f.n_urgent, s.n_low
+    FROM fast f FULL OUTER JOIN slow s ON f.custkey = s.custkey
+    """,
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General join surface: FULL OUTER — the primitive the SCD1
+    merge rides internally (one full-outer pass classifies all four
+    legs, operators/scd1.py); exposed here as a standalone query."""
+    o = table(spark, sf_dir, "orders")
+    fast = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_urgent"))
+        .alias("f")
+    )
+    slow = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_low"))
+        .alias("s")
+    )
+    return fast.join(slow, F.col("f.custkey") == F.col("s.custkey"), "full_outer").select(
+        F.coalesce(F.col("f.custkey"), F.col("s.custkey")).alias("custkey"),
+        "n_urgent",
+        "n_low",
+    )
+
+
+@register(
     "distinct_agg",
     oracle="""
     SELECT c_nationkey,
