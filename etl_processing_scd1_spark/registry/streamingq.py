@@ -50,6 +50,47 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_agg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    hits AS (
+      -- each event belongs to the 2 sliding windows (1d length, 12h
+      -- slide) whose start s satisfies s <= ts < s + 1 day
+      SELECT event_type, ts,
+             CAST(to_timestamp(
+               (CAST(floor(epoch(ts) / 43200) AS BIGINT) - k) * 43200
+             ) AS TIMESTAMP) AS window_start
+      FROM e, unnest([0, 1]) AS t(k)
+      WHERE epoch(ts) - (CAST(floor(epoch(ts) / 43200) AS BIGINT) - k) * 43200 < 86400
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 DAY AS window_end,
+           event_type,
+           count(*) AS n_events
+    FROM hits GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.I: sliding event-time window (1-day length, 12-hour slide) —
+    each event contributes to two overlapping windows; completes the
+    window triad (tumbling/sliding/session). The oracle derives the
+    member windows arithmetically from the epoch."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
     "session_window_agg",
     oracle="""
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
