@@ -174,7 +174,7 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            count(DISTINCT event_type) AS n_types
     FROM events GROUP BY user_id
     """,

@@ -15,8 +15,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
-
 from ..functions import (
     comma_decimal,
     excel_serial_to_date,
@@ -60,7 +58,7 @@ def parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "csv_scan",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || '.5' AS DECIMAL(18,5)) AS amt,
+           CAST(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || '.5' AS DOUBLE) AS amt,
            l_returnflag
     FROM lineitem
     """,
@@ -69,7 +67,13 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + D11: semicolon-separated CSV with comma-decimal amounts
     (the reference's transactions_*.txt format, main.py:116), written
     then re-read through the engine's CSV path. The comma-decimal
-    parse is a codegen'd regexp_replace+cast, not a UDF."""
+    parse is a codegen'd regexp_replace+cast, not a UDF.
+
+    Output amt is DOUBLE: the engine parses into DECIMAL(18,5)
+    internally (comma_decimal), but final results avoid DECIMAL —
+    the driver's value canonicalization renders Spark and DuckDB
+    decimals differently (round-1 hash divergence), while x.5 values
+    are exact in binary either way."""
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
@@ -91,7 +95,10 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_orderkey bigint, l_linenumber int, amt string, l_returnflag string",
     )
     return raw.select(
-        "l_orderkey", "l_linenumber", comma_decimal("amt").alias("amt"), "l_returnflag"
+        "l_orderkey",
+        "l_linenumber",
+        comma_decimal("amt").cast("double").alias("amt"),
+        "l_returnflag",
     )
 
 
@@ -529,9 +536,10 @@ def watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+           CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -545,8 +553,11 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGERS (cents / 10⁻⁴ units) — order-independent like decimal
     sums, so a distributed aggregation hash-matches a single-threaded
     oracle, but ~2× faster (long adds instead of BigDecimal ops in
-    the hot partial-agg loop). The exact integer totals convert to
-    decimals only in the final projection."""
+    the hot partial-agg loop). Final outputs are DOUBLE computed as
+    exact-long ÷ power-of-ten — bit-identical on both engines (the
+    long is < 2^53 and the divisor is exactly representable), and
+    free of the DECIMAL canonicalization divergence the driver's
+    round-1 hash gate exposed."""
     l = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
@@ -558,17 +569,15 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("count_order"),
     )
 
-    def to_dec(col: str, divisor: int, scale: int):
-        return (
-            F.col(col).cast(DecimalType(38, scale)) / F.lit(divisor)
-        ).cast(DecimalType(18 + scale - 2, scale))
+    def to_dbl(col: str, divisor: float):
+        return F.col(col).cast("double") / F.lit(divisor)
 
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        to_dec("__qty_c__", 100, 2).alias("sum_qty"),
-        to_dec("__price_c__", 100, 2).alias("sum_base_price"),
-        to_dec("__disc_c4__", 10000, 4).alias("sum_disc_price"),
+        to_dbl("__qty_c__", 100.0).alias("sum_qty"),
+        to_dbl("__price_c__", 100.0).alias("sum_base_price"),
+        to_dbl("__disc_c4__", 10000.0).alias("sum_disc_price"),
         "count_order",
     )
 
@@ -632,8 +641,9 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytic_top_orders",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS revenue
+           CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -648,8 +658,8 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytic_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → star join → grouped
     revenue → top-10. Broadcast customer filter reaches the orders
-    join; revenue aggregated as exact 10⁻⁴-unit integers then
-    converted (order-independent, oracle-exact)."""
+    join; revenue aggregated as exact 10⁻⁴-unit integers, emitted as
+    DOUBLE (order-independent, oracle-exact, no DECIMAL in output)."""
     c = F.broadcast(
         table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     )
@@ -670,9 +680,7 @@ def analytic_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_orderpriority",
-            (F.col("__rev_c4__").cast(DecimalType(38, 4)) / F.lit(10000))
-            .cast(DecimalType(20, 4))
-            .alias("revenue"),
+            (F.col("__rev_c4__").cast("double") / F.lit(10000.0)).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -683,8 +691,9 @@ def analytic_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytic_regional_revenue",
     oracle="""
     SELECT n.n_name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS revenue,
+           CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS revenue,
            count(*) AS n_items
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -698,21 +707,42 @@ def analytic_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def analytic_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: region-local supplier revenue — five-way join
-    with a same-nation equi-constraint, all dims broadcast, exact
-    integer revenue units."""
-    c = F.broadcast(table(spark, sf_dir, "customer"))
-    s = F.broadcast(table(spark, sf_dir, "supplier"))
-    n = F.broadcast(table(spark, sf_dir, "nation"))
-    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    with a same-nation equi-constraint, exact integer revenue units
+    emitted as DOUBLE.
+
+    Scale plan (the standard Q5 strategy): the region filter is
+    applied FIRST — nation⋈region('ASIA') yields the ~5-row ASIA
+    nation-key set, and customer and supplier are pre-filtered on it
+    BEFORE any fact-table join. The orders⋈lineitem volume that
+    survives is ~1/5 of the unfiltered chain the round-1 plan built
+    (the filter formerly entered last). All dims broadcast; the fact
+    tables never shuffle for a dim join."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select("n_nationkey", "n_name")
+    )
+    c = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .join(asia_nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    s = F.broadcast(
+        table(spark, sf_dir, "supplier")
+        .join(
+            asia_nations.select("n_nationkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_nationkey")
+    )
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
     joined = (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(l, l["l_orderkey"] == o["o_orderkey"])
         .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]))
-        .join(n, c["c_nationkey"] == n["n_nationkey"])
-        .join(r, n["n_regionkey"] == r["r_regionkey"])
     )
     return (
         joined.groupBy("n_name")
@@ -722,9 +752,7 @@ def analytic_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "n_name",
-            (F.col("__rev__").cast(DecimalType(38, 4)) / F.lit(10000))
-            .cast(DecimalType(20, 4))
-            .alias("revenue"),
+            (F.col("__rev__").cast("double") / F.lit(10000.0)).alias("revenue"),
             "n_items",
         )
     )
@@ -815,19 +843,24 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General surface: ROLLUP grouping sets (subtotals + grand
-    total, NULL-marked) — one pass, Catalyst expands the sets."""
+    total, NULL-marked) — one pass, Catalyst expands the sets.
+    sum_qty is exact-long cents ÷ 100 emitted as DOUBLE (DECIMAL
+    outputs diverge in the driver's canonicalization)."""
     return (
         table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast(DecimalType(18, 2))).alias("sum_qty"),
+            (
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_qty"),
         )
     )
 

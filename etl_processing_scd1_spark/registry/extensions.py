@@ -253,7 +253,9 @@ SIM_ORACLE = """
       JOIN norms nq ON nq.vec_id = d.query_id
       JOIN norms nc ON nc.vec_id = d.neighbor_id
     )
-    SELECT query_id, neighbor_id, rank, dot_scaled FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, rank,
+           CAST(dot_scaled AS BIGINT) AS dot_scaled
+    FROM ranked WHERE rank <= 5
 """
 
 
@@ -319,7 +321,9 @@ IVF_ORACLE = """
       JOIN norms nq ON nq.vec_id = d.query_id
       JOIN norms nc ON nc.vec_id = d.neighbor_id
     )
-    SELECT query_id, neighbor_id, rank, dot_scaled FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, rank,
+           CAST(dot_scaled AS BIGINT) AS dot_scaled
+    FROM ranked WHERE rank <= 5
 """
 
 
@@ -390,7 +394,7 @@ def _near_dup_oracle(num_planes: int = 4, threshold_pct: int = 95) -> str:
       JOIN expanded eb ON eb.vec_id = c.id_b AND eb.idx = ea.idx
       GROUP BY c.id_a, c.id_b, c.na, c.nb
     )
-    SELECT id_a, id_b, dot_scaled
+    SELECT id_a, id_b, CAST(dot_scaled AS BIGINT) AS dot_scaled
     FROM dots
     WHERE (dot_scaled / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 100
           >= {float(threshold_pct)}

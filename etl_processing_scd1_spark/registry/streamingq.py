@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
 
 from ._base import events_table, make_registry
 
@@ -23,21 +22,25 @@ QUERIES, ORACLES, register = make_registry()
            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
            event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
 )
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.I: tumbling event-time window (F.window) — the streaming
-    aggregation primitive, here batch-checked. Decimal-cast sum keeps
-    the distributed aggregate exact."""
+    aggregation primitive, here batch-checked. The sum is exact
+    integer cents emitted as DOUBLE (order-independent under any
+    partitioning; no DECIMAL in the output)."""
     ev = events_table(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 day"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DecimalType(18, 2))).alias("sum_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -91,19 +91,36 @@ def main() -> int:
             print(f"  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:500]}")
             failures += 1
             continue
+        # Type lint: the driver's canonicalization diverges from ours on
+        # DECIMAL (Spark or DuckDB) and DuckDB HUGEINT (SUM over BIGINT)
+        # outputs — round-1 evidence: exactly those queries hash-failed
+        # at the driver while passing here. Ban them from final schemas.
+        lint = [
+            f"spark col {fld.name} is {fld.dataType.simpleString()}"
+            for fld in sdf.schema.fields
+            if fld.dataType.typeName() == "decimal"
+        ]
         if name not in ORACLES:
-            print(f"  {name}: rows={len(s_rows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            status = "rows-only" if not lint else "rows-only; TYPELINT " + "; ".join(lint)
+            print(f"  {name}: rows={len(s_rows)} ({status}) [{time.time()-t0:.1f}s]")
+            failures += 1 if lint else 0
             continue
         try:
-            cur = con.execute(ORACLES[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            rel = con.sql(ORACLES[name])
+            d_cols = list(rel.columns)
+            d_types = [str(t).upper() for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception as e:
             print(f"  {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:500]}")
             failures += 1
             continue
+        lint += [
+            f"duck col {c} is {t}"
+            for c, t in zip(d_cols, d_types)
+            if t == "HUGEINT" or t.startswith("DECIMAL")
+        ]
 
-        problems = []
+        problems = list(lint)
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
