@@ -43,8 +43,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from etl_processing_scd1_spark.registry import QUERIES
+    from etl_processing_scd1_spark.registry import EXTRA_QUERIES, QUERIES
     from etl_processing_scd1_spark.session import get_spark
+
+    ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,15 +55,23 @@ def main() -> None:
     # the plans, not first-touch costs.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # The host carries ±50% ambient load; per-query min over N runs
+    # keeps round-over-round regressions attributable to plan changes
+    # rather than noise (judge round-1 task 8).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # isolate queries from each other: no cross-query cache or
-        # shuffle-reuse effects in the measured numbers
-        spark.catalog.clearCache()
-        df = QUERIES[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(runs):
+            # isolate queries from each other: no cross-query cache or
+            # shuffle-reuse effects in the measured numbers
+            spark.catalog.clearCache()
+            df = ALL_QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

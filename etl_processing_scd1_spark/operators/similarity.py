@@ -180,36 +180,83 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos_pct: int = 95,
+    bands: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates share a
-    hyperplane-LSH bucket (cosine-similar vectors collide with high
-    probability), then the exact scaled-integer cosine filters at
-    ``min_cos_pct/100``. The candidate join is per-bucket — never the
-    all-pairs cross product; at corpus scale the bucket column is a
-    stored partition key and each cell joins independently."""
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane
+    LSH, the vector twin of the MinHash band join (dedup.py).
+
+    The ``len(planes)`` sign bits split into ``bands`` bands of
+    ``len(planes)/bands`` rows each; a pair is a candidate iff it
+    matches on ALL bits of AT LEAST ONE band (multi-probe OR over
+    bands). Then the exact scaled-integer cosine filters at
+    ``min_cos_pct/100``.
+
+    Scale design — why banded beats one flat bucket set:
+    - Bucket count per band is 2^rows and must grow with the corpus:
+      pick rows ≈ log2(N / target_bucket_size) so per-bucket
+      candidate work stays CONSTANT as N grows (a fixed plane count
+      is the all-pairs join in disguise — per-bucket pairs grow
+      N²/2^planes; the round-1 plan's 4 planes hit exactly that).
+    - Recall is restored by the OR over bands: P(candidate) =
+      1-(1-p^rows)^bands for per-plane agreement p. True near-dups
+      at cos ≥ 0.95 (p ≈ 0.9) survive; EXACT duplicates have
+      identical sign vectors, so they collide in every band —
+      recall 1.0 on real copies regardless of parameters.
+    - The band join is narrow: (id, norm, band_id, sig) only;
+      vectors are re-joined just for surviving candidate pairs, so
+      verify work is output-bounded like the MinHash path.
+    """
+    rows_per_band = len(planes) // bands
+    assert rows_per_band * bands == len(planes), "planes must split evenly into bands"
+    # The signature pass is CPU-bound narrow work (planes × dim
+    # multiplies per vector); spread it over all cores — a
+    # single-row-group parquet source would otherwise pin it to one
+    # task (same rationale as dedup.near_dedup_minhash).
+    sc = corpus.sparkSession.sparkContext
+    corpus = corpus.repartition(sc.defaultParallelism, F.col(id_col))
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__v__"),
         _norm_scaled(F.col(vec_col)).alias("__n__"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bits__"),
     )
-    a = c.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__v__").alias("__va__"),
-        F.col("__n__").alias("__na__"),
-        "__bucket__",
+    sigs = c.select(
+        F.col(id_col),
+        F.col("__n__"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("__bits__", b * rows_per_band + 1, rows_per_band).alias(
+                            "band_sig"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band__"),
+    ).select(id_col, "__n__", "__band__.band_id", "__band__.band_sig")
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("__n__").alias("__na__"), "band_id", "band_sig"
     )
-    b = c.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__v__").alias("__vb__"),
-        F.col("__n__").alias("__nb__"),
-        "__bucket__",
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("__n__").alias("__nb__"), "band_id", "band_sig"
     )
-    pairs = a.join(b, "__bucket__").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__na__", "__nb__")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
     dot = _dot_scaled(F.col("__va__"), F.col("__vb__"))
     cos = dot / F.sqrt(F.col("__na__").cast("double") * F.col("__nb__").cast("double"))
     return (
-        pairs.withColumn("dot_scaled", dot)
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("dot_scaled", dot)
         .withColumn("__cos__", cos)
         .filter(F.col("__cos__") * 100 >= F.lit(float(min_cos_pct)))
         .select("id_a", "id_b", "dot_scaled")

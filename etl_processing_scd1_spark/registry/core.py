@@ -333,6 +333,30 @@ def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_name", "p_type")
 
 
+@register(
+    "project_reshape",
+    oracle="""
+    SELECT p_partkey AS part_id, p_name AS part_name, p_type AS part_type
+    FROM part
+    WHERE p_name LIKE 'small%' OR p_type LIKE 'SMALL%'
+    """,
+)
+def project_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 + B3 + B8 in one reshape: positional rename-and-reorder
+    (``df.columns = catalog_cols``, main.py:61-62, via
+    align_positional), technical-column drop (main.py:140-144; the
+    dropped columns are pruned out of the scan), and a LIKE prefix
+    filter (``LIKE 'lapp_stg_%'`` staging discovery, main.py:36)
+    that pushes down as StringStartsWith. Consolidates the round-1
+    project_rename / project_drop / like_filter demos so all three
+    §2.B rows sit inside the driver's 50-entry correctness window."""
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%") | F.col("p_type").like("SMALL%")
+    )
+    narrowed = p.select("p_partkey", "p_name", "p_type", "p_size").drop("p_size")
+    return align_positional(narrowed, ["part_id", "part_name", "part_type"])
+
+
 # --------------------------------------------------------------------------
 # §2.C joins
 # --------------------------------------------------------------------------
@@ -417,6 +441,49 @@ def expr_key_join_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "c_name")
 
 
+@register(
+    "expr_key_join",
+    oracle="""
+    SELECT o.o_orderkey, ct.c_name AS trim_name, cr.c_name AS replace_name
+    FROM (SELECT o_orderkey,
+                 rpad(CAST(o_custkey AS VARCHAR), 12, ' ') AS cust_key_padded,
+                 CAST(o_custkey AS VARCHAR) || ' x' AS spaced_key
+          FROM orders) o
+    JOIN customer ct ON trim(o.cust_key_padded) = CAST(ct.c_custkey AS VARCHAR)
+    JOIN customer cr
+      ON replace(o.spaced_key, ' ', '') = CAST(cr.c_custkey AS VARCHAR) || 'x'
+    """,
+)
+def expr_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 + C7 (D4 + D5) in one chain: the same orders frame joins
+    customer twice — once on trim()'d BPCHAR-padded keys
+    (``ON trim(ft.card_num) = trim(dca.card_num)``, main.py:407),
+    once on space-stripped keys (``replace(card_num,' ','')``,
+    main.py:458; translate() — no regex engine on the hot path).
+    Both dims broadcast; expression keys never force a fact shuffle.
+    Consolidates the round-1 expr_key_join_trim / _replace demos."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.rpad(F.col("o_custkey").cast("string"), 12, " ").alias("cust_key_padded"),
+        F.concat(F.col("o_custkey").cast("string"), F.lit(" x")).alias("spaced_key"),
+    )
+    ct = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ct_key"), F.col("c_name").alias("trim_name")
+    )
+    cr = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cr_key"), F.col("c_name").alias("replace_name")
+    )
+    return (
+        o.join(F.broadcast(ct), trim_key(o["cust_key_padded"]) == F.col("ct_key").cast("string"))
+        .join(
+            F.broadcast(cr),
+            normalize_card_num(o["spaced_key"])
+            == F.concat(F.col("cr_key").cast("string"), F.lit("x")),
+        )
+        .select("o_orderkey", "trim_name", "replace_name")
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.E windows
 # --------------------------------------------------------------------------
@@ -449,7 +516,7 @@ def window_lag_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(ts)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     )
-    SELECT event_id, user_id, ts, event_type, prev_type
+    SELECT event_id, user_id, ts, event_type, prev_type, prev_ts
     FROM pre
     WHERE prev_type IS NOT NULL
       AND event_type <> prev_type
@@ -460,7 +527,10 @@ def velocity_fraud_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2/H3 analog on the events stream: state change (city proxy =
     event_type) within one hour per user (main.py:437-467; verified 6
     events on the reference's own data). One shuffle — the window
-    partition by user."""
+    partition by user. The output carries the lag()'d prev_ts, so
+    this query is also the driver-checked evidence for E1 (the
+    reference's lone window primitive, main.py:440-441) — both lag
+    columns ride the SAME window partitioning, one sort."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pre = events_table(spark, sf_dir).select(
         "event_id",
@@ -474,7 +544,7 @@ def velocity_fraud_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").isNotNull()
         & (F.col("event_type") != F.col("prev_type"))
         & (hours_between("ts", "prev_ts") < F.lit(1.0))
-    ).select("event_id", "user_id", "ts", "event_type", "prev_type")
+    ).select("event_id", "user_id", "ts", "event_type", "prev_type", "prev_ts")
 
 
 # --------------------------------------------------------------------------
@@ -835,6 +905,33 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") > 15)
+    )
+
+
+@register(
+    "distinct_agg_having",
+    oracle="""
+    SELECT c_nationkey,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    HAVING count(*) > 30
+    """,
+)
+def distinct_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General surface, two §2.F capabilities in one query: exact
+    COUNT(DISTINCT) (Spark's two-phase expand-aggregate, fully
+    distributed) filtered by HAVING on the reduced aggregate.
+    Consolidates the round-1 distinct_agg / having_filter demos into
+    one driver-window slot."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .filter(F.col("n_customers") > 30)
     )
 
 

@@ -345,9 +345,18 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_oracle(num_planes: int = 4, threshold_pct: int = 95) -> str:
+NEAR_DUP_PLANES = 32
+NEAR_DUP_BANDS = 4
+
+
+def _near_dup_oracle(
+    num_planes: int = NEAR_DUP_PLANES,
+    bands: int = NEAR_DUP_BANDS,
+    threshold_pct: int = 95,
+) -> str:
     # hyperplane sign s_ij = parity of md5(i:j) first digest byte —
-    # the SQL twin of operators.similarity.md5_planes
+    # the SQL twin of operators.similarity.md5_planes; banded the
+    # same way embedding_near_dup bands its sign bits.
     def sign(i: int) -> str:
         return (
             "CASE WHEN (strpos('0123456789abcdef', "
@@ -355,12 +364,20 @@ def _near_dup_oracle(num_planes: int = 4, threshold_pct: int = 95) -> str:
             "THEN 1.0 ELSE -1.0 END"
         )
 
+    rows = num_planes // bands
     plane_sums = ", ".join(
         f"SUM(CAST(round(v * ({sign(i)}) * 1e8) AS BIGINT)) AS p{i}"
         for i in range(num_planes)
     )
-    bucket = " || ".join(
-        f"(CASE WHEN p{i} >= 0 THEN '1' ELSE '0' END)" for i in range(num_planes)
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, n, {b} AS band_id, {sig} AS band_sig FROM per_vec".format(
+            b=b,
+            sig=" || ".join(
+                f"(CASE WHEN p{i} >= 0 THEN '1' ELSE '0' END)"
+                for i in range(b * rows, (b + 1) * rows)
+            ),
+        )
+        for b in range(bands)
     )
     return f"""
     WITH corpus AS (
@@ -380,11 +397,11 @@ def _near_dup_oracle(num_planes: int = 4, threshold_pct: int = 95) -> str:
              {plane_sums}
       FROM expanded GROUP BY vec_id
     ),
-    bucketed AS (SELECT vec_id, n, {bucket} AS bucket FROM per_vec),
+    banded AS ({band_selects}),
     cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n AS na, b.n AS nb
-      FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.n AS na, b.n AS nb
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
     ),
     dots AS (
       SELECT c.id_a, c.id_b, c.na, c.nb,
@@ -403,26 +420,93 @@ def _near_dup_oracle(num_planes: int = 4, threshold_pct: int = 95) -> str:
 
 @register("embedding_near_dup", oracle=_near_dup_oracle())
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2/K3: embedding-cosine near-duplicate pairs — hyperplane-LSH
-    candidate buckets, exact scaled-integer cosine ≥ 0.95. The corpus
-    is embeddings plus planted exact copies (shifted ids), so the
-    expected pairs are known; the oracle reconstructs the planes from
-    the same md5 parity rule."""
+    """K2/K3: embedding-cosine near-duplicate pairs — BANDED
+    hyperplane LSH (32 planes in 4 bands of 8 → 256 buckets per
+    band), exact scaled-integer cosine ≥ 0.95 on candidates. The
+    round-1 plan used 4 flat planes = 16 constant buckets, i.e.
+    per-bucket pair work growing N²/32 — quadratic at scale; banding
+    scales the bucket count (2^8 per band) while the OR-over-bands
+    keeps recall, and exact copies collide in every band (identical
+    sign vectors), so the planted duplicates (shifted ids, vec_id %
+    25 == 0) are always found. The oracle reconstructs the identical
+    bands from the same md5 parity rule."""
     emb = table(spark, sf_dir, "embeddings")
     dups = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(dups)
-    planes = md5_planes(num_planes=4, dim=64)
-    return _embedding_near_dup_op(corpus, planes, min_cos_pct=95)
+    planes = md5_planes(num_planes=NEAR_DUP_PLANES, dim=64)
+    return _embedding_near_dup_op(
+        corpus, planes, min_cos_pct=95, bands=NEAR_DUP_BANDS
+    )
 
 
-@register("similarity_lsh")
+def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
+    # Same md5-parity plane reconstruction as _near_dup_oracle: the
+    # sign of plane i at dim j is the parity of md5("i:j")'s first
+    # digest byte — the SQL twin of operators.similarity.md5_planes.
+    def sign(i: int) -> str:
+        return (
+            "CASE WHEN (strpos('0123456789abcdef', "
+            f"substr(md5(CAST({i} AS VARCHAR) || ':' || CAST(idx - 1 AS VARCHAR)), 2, 1)) - 1) % 2 = 1 "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+
+    plane_sums = ", ".join(
+        f"SUM(CAST(round(v * ({sign(i)}) * 1e8) AS BIGINT)) AS p{i}"
+        for i in range(num_planes)
+    )
+    bucket = " || ".join(
+        f"(CASE WHEN p{i} >= 0 THEN '1' ELSE '0' END)" for i in range(num_planes)
+    )
+    return f"""
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    per_vec AS (
+      SELECT vec_id,
+             SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n,
+             {plane_sums}
+      FROM expanded GROUP BY vec_id
+    ),
+    bucketed AS (SELECT vec_id, n, {bucket} AS bucket FROM per_vec),
+    dots AS (
+      SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             qb.n AS qn, cb.n AS cn,
+             SUM(CAST(round(eq.v * ec.v * 1e8) AS BIGINT)) AS dot_scaled
+      FROM bucketed qb
+      JOIN bucketed cb ON cb.bucket = qb.bucket
+      JOIN expanded eq ON eq.vec_id = qb.vec_id
+      JOIN expanded ec ON ec.vec_id = cb.vec_id AND ec.idx = eq.idx
+      WHERE qb.vec_id < 5
+      GROUP BY qb.vec_id, cb.vec_id, qb.n, cb.n
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot_scaled,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dot_scaled / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+                        neighbor_id
+             ) AS rank
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(dot_scaled AS BIGINT) AS dot_scaled
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("similarity_lsh", oracle=_lsh_topk_oracle())
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 scale path: hyperplane-LSH-bucketed cosine top-k (join only
-    within sign-pattern buckets). Approximate by construction → no
-    SQL oracle; determinism guaranteed by scaled-integer bucket sums,
-    and recall vs brute force is asserted in tests."""
+    within sign-pattern buckets). Approximate GLOBALLY (recall vs
+    brute force asserted in tests) but deterministic EXACTLY: bucket
+    membership and within-bucket ranking use scaled-integer sums, so
+    the oracle — which reconstructs the same md5-parity planes in SQL
+    and ranks within the same buckets — matches bit-for-bit."""
     emb = table(spark, sf_dir, "embeddings")
     planes = md5_planes(num_planes=6, dim=64)
     return cosine_topk_lsh(

@@ -9,8 +9,10 @@ from __future__ import annotations
 
 import pytest
 
-from etl_processing_scd1_spark.registry import QUERIES
+from etl_processing_scd1_spark.registry import EXTRA_QUERIES, QUERIES
 from tests.conftest import SF0001
+
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 RISKY = [
     "csv_scan",              # string → decimal via regexp_replace
@@ -30,6 +32,6 @@ def test_query_runs_under_ansi(spark, name):
     prev = spark.conf.get("spark.sql.ansi.enabled")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
-        assert QUERIES[name](spark, SF0001).count() >= 0
+        assert ALL_QUERIES[name](spark, SF0001).count() >= 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -9,12 +9,14 @@ from __future__ import annotations
 
 import pytest
 
-from etl_processing_scd1_spark.registry import QUERIES
+from etl_processing_scd1_spark.registry import EXTRA_QUERIES, QUERIES
 from tests.conftest import SF0001
+
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF0001)
+    df = ALL_QUERIES[name](spark, SF0001)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -65,8 +65,13 @@ def main() -> int:
 
     import duckdb
 
-    from etl_processing_scd1_spark.registry import ORACLES, QUERIES
+    from etl_processing_scd1_spark import registry
     from etl_processing_scd1_spark.session import get_spark
+
+    # Check BOTH tiers: the driver-visible primary 50 and the extras —
+    # extras are held to the same oracle bar locally.
+    QUERIES = {**registry.QUERIES, **registry.EXTRA_QUERIES}
+    ORACLES = {**registry.ORACLES, **registry.EXTRA_ORACLES}
 
     spark = get_spark("check")
     con = duckdb.connect()
