@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -49,18 +50,29 @@ def asof_join(
     # at equal ts (same-instant state visible); strict → probe first.
     probe_side, state_side = (1, 0) if not strict else (0, 1)
     lcols = left.columns
+    # All value columns ride ONE struct per state row, carried with a
+    # single last(ignorenulls). Carrying each column independently
+    # would (a) treat a genuine NULL inside a state row as "no state"
+    # and resurrect an older value, and (b) let different columns come
+    # from DIFFERENT state rows — both diverging from ASOF JOIN
+    # semantics (and from the DuckDB oracle) the moment state rows
+    # contain NULLs. The struct is atomic: every output column comes
+    # from the single latest state row, including its NULLs.
+    state_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts__"),
         F.lit(probe_side).alias("__side__"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(state_type).alias("__state__"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
         F.col(key),
         F.col(right_ts).alias("__ts__"),
         F.lit(state_side).alias("__side__"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__state__"),
     ).select(*l.columns)  # align column order
 
     unioned = l.unionByName(r)
@@ -72,12 +84,9 @@ def asof_join(
 
     carried = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w_carry).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("__state__"), ignorenulls=True).over(w_carry).alias("__asof__"),
     )
     out = carried.filter(F.col("__side__") == probe_side).select(
-        *lcols, *[F.col(f"__asof_{c}").alias(c) for c in value_cols]
+        *lcols, *[F.col("__asof__").getField(c).alias(c) for c in value_cols]
     )
     return out

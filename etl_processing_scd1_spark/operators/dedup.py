@@ -23,6 +23,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def attach_cache(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Record persisted intermediates on a result frame so consumers
+    can release them after materializing (see :func:`release_cached`).
+    A lazily-returned DataFrame cannot unpersist its own inputs — the
+    cache must outlive the plan until an action runs."""
+    result._spark_graft_cached = frames  # type: ignore[attr-defined]
+    return result
+
+
+def release_cached(result: DataFrame) -> None:
+    """Unpersist intermediates attached by :func:`attach_cache`
+    (idempotent, no-op for frames without attachments). Call after
+    the action that consumes ``result`` — long-lived sessions
+    (streaming sinks, notebook loops) leak one cache per call chain
+    otherwise."""
+    for f in getattr(result, "_spark_graft_cached", ()):  # type: ignore[attr-defined]
+        f.unpersist()
+    result._spark_graft_cached = ()  # type: ignore[attr-defined]
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """K1: keep exactly one row per key — lowest ``order_col`` wins.
 
@@ -203,7 +223,9 @@ def near_dedup_minhash(
     sigs = minhash_signatures(with_sets, id_col, num_hashes=bands * rows_per_band)
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
     verified = jaccard_verify(pairs, with_sets, id_col)
-    return verified.filter(100 * F.col("isect") >= min_jaccard_pct * F.col("uni"))
+    out = verified.filter(100 * F.col("isect") >= min_jaccard_pct * F.col("uni"))
+    # callers release with release_cached(out) after their action
+    return attach_cache(out, with_sets)
 
 
 def simhash_bits(token_hash_hex: Column, num_bits: int = 32) -> list[Column]:

@@ -57,12 +57,20 @@ def _dedup_staging(stg: DataFrame, key: str, order_col: Column) -> DataFrame:
 
 @dataclass
 class Scd1Result:
-    """Merged dimension plus per-leg row classification."""
+    """Merged dimension plus per-leg row classification.
+
+    ``cached`` is the persisted classification frame all four legs
+    share; callers MUST call :meth:`unpersist` once the legs are
+    materialized (counts read, merged frame written) — otherwise each
+    merge leaks one dim-sized cache for the session lifetime, which
+    under a streaming foreachBatch sink accumulates per micro-batch.
+    """
 
     merged: DataFrame
     inserted: DataFrame
     updated: DataFrame
     deleted: DataFrame
+    cached: DataFrame | None = None
 
     def counts(self) -> dict[str, int]:
         return {
@@ -71,6 +79,12 @@ class Scd1Result:
             "deleted": self.deleted.count(),
             "rows": self.merged.count(),
         }
+
+    def unpersist(self) -> None:
+        """Release the shared classification cache (idempotent)."""
+        if self.cached is not None:
+            self.cached.unpersist()
+            self.cached = None
 
 
 def scd1_changes(
@@ -189,4 +203,10 @@ def scd1_merge(
     )
     if not delete_missing:
         merged = merged.unionByName(deleted.select(out_cols))
-    return Scd1Result(merged=merged, inserted=inserted, updated=updated, deleted=deleted)
+    return Scd1Result(
+        merged=merged,
+        inserted=inserted,
+        updated=updated,
+        deleted=deleted,
+        cached=changes,
+    )

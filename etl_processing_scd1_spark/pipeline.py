@@ -127,6 +127,10 @@ def run_day(
         )
         report.dim_counts[dim_name] = res.counts()
         warehouse.stage(dim_name, res.merged)
+        # counts + stage materialized every leg — release the shared
+        # classification cache (leaks one dim-sized cache per merge
+        # otherwise)
+        res.unpersist()
         # watermark per staging table (G5) — and unlike the reference,
         # consumed next run to bound the extract.
         meta = upsert_watermark(
@@ -176,20 +180,12 @@ def run_day(
     # The reference queries the freshly-merged warehouse inside the
     # same transaction; here the staged frames play that role.
     def current(name: str) -> DataFrame:
-        base = None
-        staging_path = warehouse._staged.get(name)
-        if staging_path:
-            base = spark.read.parquet(staging_path)
-        else:
+        base = warehouse.staged_view(name)
+        if base is None:
             base = warehouse.read(name, schemas.WAREHOUSE[name])
-        append_path = warehouse._staged.get(f"{name}@append")
-        if append_path:
-            try:
-                base = base.unionByName(
-                    spark.read.parquet(append_path), allowMissingColumns=True
-                )
-            except Exception:
-                pass  # empty append batch wrote no readable parts
+        appended = warehouse.staged_view(f"{name}@append")
+        if appended is not None:
+            base = base.unionByName(appended, allowMissingColumns=True)
         return base
 
     tx, cards, accounts, clients, terminals, blacklist = (

@@ -38,26 +38,70 @@ class Warehouse:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._staged: dict[str, str] = {}
+        self._recover_interrupted_publish()
+
+    def _recover_interrupted_publish(self) -> None:
+        """Heal the swap's crash window. publish() renames live →
+        ``<table>.old`` then staged → live; a crash in between leaves
+        the table absent with its data intact in ``.old`` — without
+        recovery the next run would silently bootstrap the dimension
+        from empty (create_dt history destroyed). On open: restore an
+        orphaned ``.old`` when live is missing; drop it when live
+        exists (swap completed, only the cleanup was lost)."""
+        for entry in sorted(os.listdir(self.root)):
+            if not entry.endswith(".old"):
+                continue
+            old = os.path.join(self.root, entry)
+            if not os.path.isdir(old):
+                continue
+            live = os.path.join(self.root, entry[: -len(".old")])
+            if os.path.isdir(live):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, live)
 
     # -- reads -------------------------------------------------------------
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._live(name))
 
+    @staticmethod
+    def _has_parquet_parts(path: str) -> bool:
+        for dirpath, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read(self, name: str, schema: StructType | None = None) -> DataFrame:
         """Live table; empty frame with ``schema`` when absent (first
-        run bootstraps every table from empty)."""
+        run bootstraps every table from empty).
+
+        The only silently-tolerated degenerate state is a directory
+        holding NO parquet parts (an append-created table whose first
+        batch had zero rows) — detected explicitly, never by catching
+        read errors: a transient or corruption failure on a POPULATED
+        table must propagate, or scd1_merge would classify the whole
+        snapshot as inserts and append_dedup would re-admit the full
+        batch."""
         if self.exists(name):
-            try:
-                return self.spark.read.parquet(self._live(name))
-            except Exception:
-                # append-created directory whose first batch had zero
-                # rows (no readable parts) — treat as empty
-                if schema is None:
-                    raise
+            live = self._live(name)
+            if self._has_parquet_parts(live):
+                return self.spark.read.parquet(live)
         if schema is None:
             raise FileNotFoundError(f"table {name} absent and no schema given")
         return self.spark.createDataFrame([], schema=schema)
+
+    def staged_view(self, name: str) -> DataFrame | None:
+        """Read-back of a table staged in THIS run (full-table stage
+        or ``@append`` increment), or None when nothing is staged
+        under ``name`` — the typed accessor for pre-publish consumers
+        (fraud rules read the post-merge state the way the reference
+        reads its uncommitted transaction). A staged zero-row append
+        (no parquet parts) reads as None."""
+        path = self._staged.get(name)
+        if path is None or not self._has_parquet_parts(path):
+            return None
+        return self.spark.read.parquet(path)
 
     # -- staged writes + atomic publish ------------------------------------
 
@@ -116,10 +160,18 @@ class Warehouse:
                         if not fn.endswith(".parquet"):
                             continue  # skip _SUCCESS/_committed markers
                         os.makedirs(dest_dir, exist_ok=True)
-                        os.rename(
-                            os.path.join(dirpath, fn),
-                            os.path.join(dest_dir, f"{run_id}-{moved:05d}.parquet"),
-                        )
+                        # never overwrite a live fact file: two
+                        # publishes sharing a second-granularity
+                        # run_id (or an explicitly replayed run_ts)
+                        # must coexist, so probe forward to the first
+                        # free index instead of clobbering
+                        dest = os.path.join(dest_dir, f"{run_id}-{moved:05d}.parquet")
+                        while os.path.exists(dest):
+                            moved += 1
+                            dest = os.path.join(
+                                dest_dir, f"{run_id}-{moved:05d}.parquet"
+                            )
+                        os.rename(os.path.join(dirpath, fn), dest)
                         moved += 1
                 shutil.rmtree(staged, ignore_errors=True)
                 continue

@@ -97,7 +97,12 @@ def streaming_scd1_sink(
             read_dim(), batch, key=key, compare_cols=compare_cols,
             delete_missing=False,
         )
-        write_dim(res.merged)
+        try:
+            write_dim(res.merged)
+        finally:
+            # without this every micro-batch leaks one cached
+            # classification frame for the life of the stream
+            res.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)
