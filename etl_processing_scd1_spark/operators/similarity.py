@@ -263,6 +263,79 @@ def embedding_near_dup(
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k with the scoring loop in an Arrow-batched
+    ``mapInPandas`` (numpy matrix math) instead of JVM array
+    expressions — the §2.J escape hatch for scoring functions the
+    expression language can't state (learned metrics, quantized dots).
+
+    Bit-compatible with :func:`cosine_topk_bruteforce` and the same
+    DuckDB oracle: per-element products are rounded half-away-from-
+    zero to scaled BIGINTs BEFORE summation (``np.rint`` would round
+    half-to-even and diverge from Spark/DuckDB ``round``). The query
+    matrix rides the closure (small side); the corpus streams through
+    executors in Arrow batches; only k·|Q| survivors shuffle for the
+    final ranking window."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [int(r[id_col]) for r in qrows]
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+
+    def _half_away(x: "np.ndarray") -> "np.ndarray":
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    qnorms = _half_away(qm * qm * SCALE).sum(axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv__"]])
+            cn = _half_away(cm * cm * SCALE).sum(axis=1)
+            out = []
+            for j, qid in enumerate(qids):
+                dots = _half_away(cm * qm[j] * SCALE).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": pdf["__cid__"].to_numpy(),
+                            "dot_scaled": dots,
+                            "__qn__": qnorms[j],
+                            "__cn__": cn,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = corpus.select(
+        F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cv__")
+    ).mapInPandas(
+        score,
+        schema="query_id long, neighbor_id long, dot_scaled long, __qn__ long, __cn__ long",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        (
+            F.col("dot_scaled")
+            / F.sqrt(F.col("__qn__").cast("double") * F.col("__cn__").cast("double"))
+        ).desc(),
+        F.col("neighbor_id"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_scaled")
+    )
+
+
 def md5_planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes derived from md5(i:j) — no RNG
     state, reproducible across engines and runs."""

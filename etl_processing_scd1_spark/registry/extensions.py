@@ -25,6 +25,7 @@ from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_pandas,
     embedding_near_dup as _embedding_near_dup_op,  # noqa: F401 (used via module)
     md5_planes,
 )
@@ -347,6 +348,163 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
+
+
+@register("similarity_topk_pandas", oracle=SIM_ORACLE)
+def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.J × K3: the brute-force cosine top-k with the scoring loop
+    in an Arrow mapInPandas (numpy) instead of JVM array expressions
+    — same oracle as similarity_topk, proving the Pandas-UDF escape
+    hatch is bit-compatible with the expression path (half-away
+    rounding to scaled ints before summation)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_pandas(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+def _kmeans_ivf_oracle(k: int = 8, iters: int = 2, q_lo: int = 100, q_hi: int = 105,
+                       topk: int = 5) -> str:
+    """SQL twin of kmeans_fit(iters) + cosine_topk_ivf: Lloyd
+    iterations unrolled as CTE blocks. Every arithmetic step mirrors
+    the Spark side exactly — scaled-BIGINT dots for assignment
+    (ties → lowest cid), per-(cluster, dim) BIGINT sums divided once
+    (CAST(sum AS DOUBLE) / (1e8 * n)), empty clusters carrying the
+    previous centroid — so the trained centroids, the cell
+    membership, and the final ranking are all bit-identical."""
+    blocks = [
+        f"""
+    expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n
+      FROM expanded GROUP BY vec_id
+    ),
+    seeds AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM expanded ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS (
+      SELECT s.cid, e.idx, e.v AS c
+      FROM seeds s JOIN expanded e ON e.vec_id = s.vec_id
+    )"""
+    ]
+    for t in range(iters):
+        blocks.append(f"""
+    cnorm{t} AS (
+      SELECT cid, SUM(CAST(round(c * c * 1e8) AS BIGINT)) AS n
+      FROM c{t} GROUP BY cid
+    ),
+    cdots{t} AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(round(e.v * c.c * 1e8) AS BIGINT)) AS dot
+      FROM expanded e JOIN c{t} c ON e.idx = c.idx
+      GROUP BY e.vec_id, c.cid
+    ),
+    assign{t} AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY d.dot / sqrt(CAST(nv.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) DESC,
+                          d.cid
+               ) AS rn
+        FROM cdots{t} d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN cnorm{t} cn ON cn.cid = d.cid
+      ) WHERE rn = 1
+    ),
+    upd{t} AS (
+      SELECT a.bucket AS cid, e.idx,
+             CAST(CAST(SUM(CAST(round(e.v * 1e8) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (1e8 * COUNT(*)) AS c
+      FROM assign{t} a JOIN expanded e ON e.vec_id = a.vec_id
+      GROUP BY a.bucket, e.idx
+    ),
+    c{t + 1} AS (
+      SELECT cid, idx, c FROM upd{t}
+      UNION ALL
+      SELECT p.cid, p.idx, p.c FROM c{t} p
+      WHERE p.cid NOT IN (SELECT DISTINCT cid FROM upd{t})
+    )""")
+    final = f"""
+    cnormF AS (
+      SELECT cid, SUM(CAST(round(c * c * 1e8) AS BIGINT)) AS n
+      FROM c{iters} GROUP BY cid
+    ),
+    cdotsF AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(round(e.v * c.c * 1e8) AS BIGINT)) AS dot
+      FROM expanded e JOIN c{iters} c ON e.idx = c.idx
+      GROUP BY e.vec_id, c.cid
+    ),
+    assignF AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY d.dot / sqrt(CAST(nv.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) DESC,
+                          d.cid
+               ) AS rn
+        FROM cdotsF d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN cnormF cn ON cn.cid = d.cid
+      ) WHERE rn = 1
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(round(q.v * c.v * 1e8) AS BIGINT)) AS dot_scaled
+      FROM expanded q JOIN expanded c ON q.idx = c.idx
+      WHERE q.vec_id >= {q_lo} AND q.vec_id < {q_hi}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT d.query_id, d.neighbor_id, d.dot_scaled,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot_scaled / sqrt(CAST(nq.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                        d.neighbor_id
+             ) AS rank
+      FROM dots d
+      JOIN assignF aq ON aq.vec_id = d.query_id
+      JOIN assignF ac ON ac.vec_id = d.neighbor_id AND ac.bucket = aq.bucket
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(dot_scaled AS BIGINT) AS dot_scaled
+    FROM ranked WHERE rank <= {topk}
+    """
+    return "WITH " + ",".join(blocks) + "," + final
+
+
+@register("similarity_ivf_kmeans", oracle=_kmeans_ivf_oracle())
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 with TRAINED cells: two exact Lloyd iterations
+    (operators.kmeans) fit 8 cosine centroids, then the IVF search
+    runs within the trained cells. The oracle unrolls the identical
+    iterations in SQL — an oracle-checked ITERATIVE algorithm, the
+    class where float-order nondeterminism usually makes distributed
+    engines diverge."""
+    from ..operators.kmeans import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, iters=2)
+    cf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "vec_id int, embedding array<double>"
+    )
+    return cosine_topk_ivf(
+        emb,
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)),
+        centroids=cf,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
 
 
 def _near_dup_oracle(

@@ -1,0 +1,48 @@
+"""Exact k-means (IVF centroid training) gates: determinism across
+partitionings, Lloyd convergence, and bit-compatibility of the
+Pandas-UDF cosine path with the expression path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_processing_scd1_spark.operators.kmeans import assignment_changes, kmeans_fit
+from etl_processing_scd1_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_pandas,
+)
+from tests.conftest import SF0001
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF0001}/embeddings.parquet")
+
+
+def test_kmeans_deterministic_under_partitioning(spark):
+    emb = _emb(spark)
+    a = kmeans_fit(emb, k=4, iters=2)
+    b = kmeans_fit(emb.repartition(7, "vec_id"), k=4, iters=2)
+    assert a == b  # bit-identical centroids regardless of layout
+
+
+def test_kmeans_lloyd_converges(spark):
+    emb = _emb(spark)
+    c1 = kmeans_fit(emb, k=4, iters=1)
+    c2 = kmeans_fit(emb, k=4, iters=2)
+    c3 = kmeans_fit(emb, k=4, iters=3)
+    # assignment churn between successive iterates is non-increasing
+    d12 = assignment_changes(emb, c1, c2)
+    d23 = assignment_changes(emb, c2, c3)
+    assert d23 <= d12
+    # and the fit moves off the raw seeds
+    seeds = kmeans_fit(emb, k=4, iters=0)
+    assert assignment_changes(emb, seeds, c2) >= 0
+    assert c1 != seeds
+
+
+def test_pandas_cosine_matches_expression_path(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    expr = cosine_topk_bruteforce(emb, q, k=4).orderBy("query_id", "rank").collect()
+    arrow = cosine_topk_pandas(emb, q, k=4).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in expr] == [tuple(r) for r in arrow]
