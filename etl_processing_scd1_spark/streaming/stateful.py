@@ -12,6 +12,15 @@ Scale: state is two scalars per key — bounded by key cardinality,
 not history; batches arrive Arrow-encoded per key group. Use a
 timeout (ProcessingTimeTimeout + state TTL) in production to expire
 idle keys; kept NoTimeout here for determinism in tests.
+
+API note: Spark 4's successor API (``transformWithStateInPandas`` /
+``StatefulProcessor``) was probed and is environment-blocked here —
+its TWS driver worker imports ``google.protobuf``, which this
+container lacks (worker crashes with ImportError; no package
+installs permitted). ``applyInPandasWithState`` carries identical
+semantics for this operator and is fully exercised in tests; on an
+environment with protobuf the processor port is mechanical (value
+state (last_ts, last_state) per key, same per-row loop).
 """
 
 from __future__ import annotations

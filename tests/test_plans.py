@@ -72,6 +72,43 @@ def test_fraud_star_fact_never_shuffles(spark):
     assert sort_merge <= 1  # only the l⋈o join may merge; dims broadcast
 
 
+def test_project_reshape_pushes_like_prefix(spark):
+    plan = plan_of(spark, "project_reshape")
+    # LIKE 'small%' reaches the parquet scan as StringStartsWith
+    assert "StringStartsWith(p_name,small)" in plan
+    # dropped/untouched columns are pruned from the read schema
+    assert "p_retailprice" not in plan
+
+
+def test_expr_key_join_broadcasts_both_dims(spark):
+    plan = plan_of(spark, "expr_key_join")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan  # expression keys never shuffle the fact
+
+
+def test_regional_revenue_filters_dims_before_fact_join(spark):
+    plan = plan_of(spark, "analytic_regional_revenue")
+    # the ASIA restriction is applied at the region scan (pushed), so
+    # customer/supplier are pre-filtered before any fact-table join
+    assert "EqualTo(r_name,ASIA)" in plan
+    # every dim side broadcasts; at most the orders⋈lineitem pair may merge
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_embedding_near_dup_band_join_not_nested_loop(spark):
+    plan = plan_of(spark, "embedding_near_dup")
+    # the banded LSH candidate join is a hash join on (band, signature)
+    # — never a cartesian/nested-loop pair enumeration
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pandas_cosine_runs_in_arrow_stage(spark):
+    plan = plan_of(spark, "similarity_topk_pandas")
+    assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time Python
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Bucketed storage co-locates join keys at WRITE time: a join of
     two tables bucketed on the same key plans with NO Exchange — the
