@@ -91,19 +91,37 @@ def minhash_signatures(
     Computed as ``array_min(transform(sh_set, ...))`` — a NARROW
     per-row expression: no explode, no groupBy, no shuffle. md5
     economy: one digest yields four independent 32-bit lanes
-    (8-hex-char slices), so 8 permutations cost 2 digests/shingle.
+    (8-hex-char slices), so 8 permutations cost 2 digests/shingle —
+    the digest arrays are materialized ONCE in a first projection
+    because Catalyst does not CSE the md5 across separate lane
+    expressions (inlined per lane it recomputes every digest 4×;
+    at sf0.1 the signature stage is ~1.2s of a ~4.5s pipeline whose
+    cost is dominated by the output-bound Jaccard verify, so this is
+    a constant-factor economy, not the bottleneck fix).
     """
-    def lane_fn(i: int):
+    def digest_fn(salt: str):
         # closure factory: a 2-arg lambda would be read by transform()
         # as (element, index)
-        salt, start = f"{i // 4}:", 8 * (i % 4) + 1
-        return lambda s: F.substring(F.md5(F.concat(F.lit(salt), s)), start, 8)
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
 
+    def slice_fn(start: int):
+        return lambda h: F.substring(h, start, 8)
+
+    n_digests = (num_hashes + 3) // 4
+    digests = with_sets.select(
+        F.col(id_col),
+        *[
+            F.transform(F.col(set_col), digest_fn(f"{d}:")).alias(f"__dig{d}__")
+            for d in range(n_digests)
+        ],
+    )
     cols = [F.col(id_col)]
     for i in range(num_hashes):
-        lane = F.array_min(F.transform(F.col(set_col), lane_fn(i)))
+        lane = F.array_min(
+            F.transform(F.col(f"__dig{i // 4}__"), slice_fn(8 * (i % 4) + 1))
+        )
         cols.append(lane.alias(f"mh{i}"))
-    return with_sets.select(*cols)
+    return digests.select(*cols)
 
 
 def lsh_candidate_pairs(
