@@ -89,6 +89,51 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, byte_len int, out_len int, resized_hash string"
+)
+
+
+def resize_payload(
+    df: DataFrame, id_col: str = "doc_id", target: int = 256
+) -> DataFrame:
+    """Resize plumbing: each payload is downsampled to ``target``
+    bytes by nearest-neighbor index mapping (src = j·len // target) —
+    the deterministic stand-in for an image resize, producing a NEW
+    derived payload per row inside the same Arrow pass (the
+    byte-transform shape; a real thumbnailer slots into the loop).
+
+    Output carries the derived payload's length and hash (over the
+    hex rendering, so VARCHAR-only oracle engines can recompute it);
+    the resized bytes themselves stay in the Python worker — at scale
+    they'd be written straight to a binary sink column, never
+    collected."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out = {"doc_id": [], "byte_len": [], "out_len": [], "resized_hash": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                blen = len(payload)
+                n = min(target, blen)
+                resized = bytes(payload[(j * blen) // n] for j in range(n))
+                out["doc_id"].append(doc_id)
+                out["byte_len"].append(blen)
+                out["out_len"].append(n)
+                out["resized_hash"].append(
+                    hashlib.md5(resized.hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, "payload")
+        .repartition(n_parts, id_col)
+        .mapInPandas(batches, schema=RESIZE_SCHEMA)
+    )
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_hash string"
 
 

@@ -19,6 +19,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import (
     attach_binary_payload,
     extract_features,
+    resize_payload,
     sample_frames,
 )
 from ..operators.similarity import (
@@ -885,3 +886,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bytes in SQL."""
     docs = attach_binary_payload(table(spark, sf_dir, "documents"), "text")
     return sample_frames(docs, id_col="doc_id")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS INTEGER) AS blen
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, h, blen,
+             CAST(least(256, blen) AS INTEGER) AS n
+      FROM base
+    )
+    SELECT doc_id, blen AS byte_len, n AS out_len,
+           md5(lower(list_aggregate(
+             [substr(h, ((j * blen) // n) * 2 + 1, 2) for j in range(n)],
+             'string_agg', ''
+           ))) AS resized_hash
+    FROM sized
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal byte-transform shape: nearest-neighbor downsample
+    of every payload to 256 bytes inside one Arrow mapInPandas pass —
+    the resize/thumbnailing plumbing with the codec stubbed. The
+    oracle rebuilds the same subsampled byte string from the
+    payload's hex rendering and hashes it identically."""
+    docs = attach_binary_payload(table(spark, sf_dir, "documents"), "text")
+    return resize_payload(docs, id_col="doc_id", target=256)

@@ -99,3 +99,22 @@ def test_multimodal_stub_contract(spark):
     assert out[0]["byte_len"] == 11
     assert out[0]["width"] == 11 % 640 + 1
     assert out[0]["content_hash"] == __import__("hashlib").md5(b"hello world").hexdigest()
+
+
+def test_multimodal_resize_contract(spark):
+    import hashlib
+
+    from etl_processing_scd1_spark.operators.multimodal import resize_payload
+
+    text = "x" * 100  # 100 bytes -> downsample to 16
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = resize_payload(attach_binary_payload(docs, "text"), target=16).collect()
+    payload = text.encode()
+    expected = bytes(payload[(j * 100) // 16] for j in range(16))
+    assert out[0]["out_len"] == 16
+    assert out[0]["resized_hash"] == hashlib.md5(expected.hex().encode()).hexdigest()
+    # shorter-than-target payloads pass through at their own length
+    short = spark.createDataFrame([(2, "abc")], "doc_id long, text string")
+    srow = resize_payload(attach_binary_payload(short, "text"), target=16).collect()[0]
+    assert srow["out_len"] == 3
+    assert srow["resized_hash"] == hashlib.md5(b"abc".hex().encode()).hexdigest()
