@@ -40,6 +40,27 @@ def test_kmeans_lloyd_converges(spark):
     assert c1 != seeds
 
 
+def test_ivf_cells_partition_prune(spark, tmp_path):
+    """The IVF scale path: corpus stored partitioned by its trained
+    cell id makes a cell-restricted query a directory-pruned scan —
+    the plan must show a PartitionFilters entry on bucket, i.e. at
+    billion-vector scale a probe reads only its probed cells."""
+    from etl_processing_scd1_spark.operators.similarity import assign_centroid
+
+    emb = _emb(spark)
+    centroids = kmeans_fit(emb, k=4, iters=1)
+    cf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "vec_id int, embedding array<double>"
+    )
+    assigned = assign_centroid(emb, cf, bucket_col="bucket")
+    path = str(tmp_path / "ivf_cells")
+    assigned.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("bucket") == 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    assert probe.count() > 0
+
+
 def test_pandas_cosine_matches_expression_path(spark):
     emb = _emb(spark)
     q = emb.filter(F.col("vec_id") < 3)
