@@ -97,6 +97,86 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: token counts,
+    type-token ratio, top-token mass, duplicate-trigram fraction —
+    the standard filters for boilerplate/spam in LLM pretraining
+    corpora (Rae et al. 2021 §A1.1). Ratios in integer basis points
+    (floor semantics) so results are engine-portable.
+
+    Scale shape: the array-native stats (type-token ratio, trigram
+    dup) are a narrow single scan; the top-token count is two partial
+    aggregations on the same ``id`` key — the second groupBy and the
+    final join reuse the first shuffle's hash partitioning, so the
+    whole operator costs one real shuffle of (id, token) pairs.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # trigram positions 0..n-3; sequence() descends for n<3, so guard
+    # with a typed empty array (slice of the tokens themselves)
+    tri = F.when(
+        n >= 3,
+        F.expr(
+            "transform(sequence(0, size(_toks) - 3),"
+            " i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
+        ),
+    ).otherwise(F.expr("slice(_toks, 1, 0)"))
+    stats = base.select(
+        "_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("distinct_tokens"),
+        F.size(tri).alias("_n_tri"),
+        (F.size(tri) - F.size(F.array_distinct(tri))).alias("_dup_tri"),
+    )
+    top = (
+        base.select("_id", F.explode("_toks").alias("tok"))
+        .groupBy("_id", "tok")
+        .count()
+        .groupBy("_id")
+        .agg(F.max("count").alias("top_token_cnt"))
+    )
+    joined = stats.join(top, "_id")
+    bp = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num * 10000 / den)
+    ).otherwise(F.lit(0)).cast("long")
+    return joined.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "distinct_tokens",
+        bp(F.col("distinct_tokens"), F.col("n_tokens")).alias("ttr_bp"),
+        F.col("top_token_cnt").cast("long").alias("top_token_cnt"),
+        bp(F.col("top_token_cnt"), F.col("n_tokens")).alias("top_token_bp"),
+        bp(F.col("_dup_tri"), F.col("_n_tri")).alias("dup_trigram_bp"),
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): plain character classes, no backreferences.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9][0-9-]{6,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mask email addresses and international phone numbers in a text
+    column — the redaction pass every shared training corpus runs
+    before release. Pure JVM regexp (codegen, no UDF): per-doc match
+    counts plus the scrubbed text.
+    """
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """Document fingerprint: minimum hash over the char k-gram set
     (winnowing's keep-the-min rule with window = whole doc) plus the

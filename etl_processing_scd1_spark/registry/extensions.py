@@ -34,7 +34,9 @@ from ..operators.text import (
     LANG_MARKERS,
     TOKEN_PATTERN,
     lang_id,
+    pii_scrub,
     quality_metrics,
+    repetition_metrics,
     rolling_fingerprint,
     token_count,
 )
@@ -834,6 +836,89 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("token_count"),
         (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias("space_count"),
     )
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS distinct_tokens,
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in range(1, greatest(len(toks) - 1, 1))] AS tri
+      FROM t
+    ), top AS (
+      SELECT doc_id, max(c) AS top_token_cnt
+      FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+      )
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.distinct_tokens,
+           CAST(CASE WHEN s.n_tokens > 0
+                     THEN floor(s.distinct_tokens * 10000 / s.n_tokens) ELSE 0 END AS BIGINT) AS ttr_bp,
+           top.top_token_cnt,
+           CAST(CASE WHEN s.n_tokens > 0
+                     THEN floor(top.top_token_cnt * 10000 / s.n_tokens) ELSE 0 END AS BIGINT) AS top_token_bp,
+           CAST(CASE WHEN len(s.tri) > 0
+                     THEN floor((len(s.tri) - len(list_distinct(s.tri))) * 10000 / len(s.tri))
+                     ELSE 0 END AS BIGINT) AS dup_trigram_bp
+    FROM s JOIN top ON s.doc_id = top.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: Gopher-style repetition filters — type-token ratio, top
+    token mass, duplicate-trigram fraction (operators.text
+    .repetition_metrics). One (doc, token) shuffle; everything else
+    is array-native in the scan."""
+    return repetition_metrics(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "pii_scrub",
+    oracle=r"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\+[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM inj
+    """,
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: PII redaction pass (operators.text.pii_scrub). The corpus
+    itself is synthetic word soup with no PII, so the query first
+    injects a deterministic contact line per document (same
+    construction in the oracle) — the scrub then provably finds and
+    masks every occurrence."""
+    docs = table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return pii_scrub(injected, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------

@@ -118,3 +118,38 @@ def test_multimodal_resize_contract(spark):
     srow = resize_payload(attach_binary_payload(short, "text"), target=16).collect()[0]
     assert srow["out_len"] == 3
     assert srow["resized_hash"] == hashlib.md5(b"abc".hex().encode()).hexdigest()
+
+
+def test_repetition_metrics_known_values(spark):
+    from etl_processing_scd1_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # 5 toks, 2 distinct, trigrams [aba, bab, aba] -> 1 dup of 3
+            (2, "x y"),             # <3 tokens: no trigrams
+            (3, "w w w w"),         # all same: ttr 1/4, trigrams [www, www] -> 1 dup of 2
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 5 and rows[1]["distinct_tokens"] == 2
+    assert rows[1]["top_token_cnt"] == 3  # 'a' appears 3 times
+    assert rows[1]["dup_trigram_bp"] == 3333  # floor(1/3 * 10000)
+    assert rows[2]["dup_trigram_bp"] == 0 and rows[2]["ttr_bp"] == 10000
+    assert rows[3]["ttr_bp"] == 2500 and rows[3]["dup_trigram_bp"] == 5000
+
+
+def test_pii_scrub_masks_all_occurrences(spark):
+    from etl_processing_scd1_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org, call +1-555-0100 or +44-20-7946-0958 now"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 2
+    assert rows[1]["scrubbed"] == "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE> now"
+    assert rows[2]["n_emails"] == 0 and rows[2]["scrubbed"] == "no pii here at all"
