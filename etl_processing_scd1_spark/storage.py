@@ -47,18 +47,21 @@ class Warehouse:
         recovery the next run would silently bootstrap the dimension
         from empty (create_dt history destroyed). On open: restore an
         orphaned ``.old`` when live is missing; drop it when live
-        exists (swap completed, only the cleanup was lost)."""
-        for entry in sorted(os.listdir(self.root)):
-            if not entry.endswith(".old"):
-                continue
-            old = os.path.join(self.root, entry)
-            if not os.path.isdir(old):
-                continue
-            live = os.path.join(self.root, entry[: -len(".old")])
-            if os.path.isdir(live):
-                shutil.rmtree(old, ignore_errors=True)
-            else:
-                os.rename(old, live)
+        exists (swap completed, only the cleanup was lost). The walk
+        is recursive because compact() applies the same protocol to
+        nested partition directories (``facts/day=.../``)."""
+        for dirpath, dirs, _files in os.walk(self.root):
+            if ".staging" in dirs:
+                dirs.remove(".staging")
+            for entry in sorted(dirs):
+                if not entry.endswith(".old"):
+                    continue
+                old = os.path.join(dirpath, entry)
+                live = os.path.join(dirpath, entry[: -len(".old")])
+                if os.path.isdir(live):
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(old, live)
 
     # -- reads -------------------------------------------------------------
 
@@ -198,6 +201,65 @@ class Warehouse:
         if os.path.isdir(staging_root):
             shutil.rmtree(staging_root, ignore_errors=True)
         return manifest
+
+    def compact(self, name: str, max_files: int = 4, target_files: int = 1) -> dict:
+        """Bound the file count of an append table's partitions.
+
+        stage_append keeps the nightly write O(batch), but after R
+        runs every partition directory holds up to R small files — at
+        100 TB that is the classic small-file problem: scan task
+        count, file-listing latency and parquet footer overhead all
+        grow with run count, not data size. compact() rewrites each
+        leaf directory holding more than ``max_files`` parquet parts
+        into ``target_files`` files, preserving the hive layout (so
+        directory-level pruning is untouched) and the crash-safety
+        protocol: the rewrite lands in staging, then swaps in via the
+        same rename → ``.old`` → cleanup dance as publish, recovered
+        on open by ``_recover_interrupted_publish``.
+
+        Run it out-of-band (the reference has no analog — Postgres
+        autovacuums; immutable-file warehouses schedule compaction).
+        """
+        live = self._live(name)
+        stats = {"partitions_seen": 0, "partitions_compacted": 0, "files_before": 0, "files_after": 0}
+        if not os.path.isdir(live):
+            return stats
+        leaves = []
+        for dirpath, _dirs, files in os.walk(live):
+            parts = [f for f in files if f.endswith(".parquet")]
+            if parts:
+                stats["partitions_seen"] += 1
+                stats["files_before"] += len(parts)
+                if len(parts) > max_files:
+                    leaves.append((dirpath, len(parts)))
+                else:
+                    stats["files_after"] += len(parts)
+        for dirpath, n_parts in leaves:
+            rel = os.path.relpath(dirpath, live)
+            staged = os.path.join(self.root, ".staging", f"{name}@compact", rel)
+            # the leaf's files carry no partition columns (partitionBy
+            # excludes them), so a direct read+rewrite round-trips
+            # exactly; coalesce avoids a shuffle — each output file is
+            # a concatenation of input parts
+            df = self.spark.read.parquet(dirpath)
+            df.coalesce(target_files).write.mode("overwrite").parquet(staged)
+            for f in list(os.listdir(staged)):
+                if not f.endswith(".parquet"):
+                    os.remove(os.path.join(staged, f))
+            old = dirpath + ".old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(dirpath, old)
+            os.rename(staged, dirpath)
+            shutil.rmtree(old)
+            stats["partitions_compacted"] += 1
+            stats["files_after"] += sum(
+                1 for f in os.listdir(dirpath) if f.endswith(".parquet")
+            )
+        staging = os.path.join(self.root, ".staging", f"{name}@compact")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+        return stats
 
     def _live(self, name: str) -> str:
         return os.path.join(self.root, name)

@@ -62,3 +62,57 @@ def test_empty_append_batch_is_safe(spark, tmp_path):
     wh.stage_append("fact", spark.createDataFrame([(1,)], "x int"))
     wh.publish(run_id="r2")
     assert wh.read("fact").count() == 1
+
+
+def _parquet_files(path):
+    out = []
+    for dirpath, _dirs, files in os.walk(path):
+        out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_bounds_partition_files(spark, tmp_path):
+    """Five appended runs leave ≥5 files per day partition; compact
+    rewrites each day to one file with identical contents and the
+    hive layout (pruning) intact."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for run in range(5):
+        df = spark.createDataFrame(
+            [(run * 10 + i, f"2021-03-0{1 + i % 2}") for i in range(4)],
+            "x int, p_day string",
+        )
+        wh.stage_append("fact", df, partition_cols=["p_day"])
+        wh.publish(run_id=f"r{run}")
+    live = str(tmp_path / "wh" / "fact")
+    before = spark.read.parquet(live)
+    before_rows = sorted(r["x"] for r in before.collect())
+    before_d1 = before.filter(before["p_day"] == "2021-03-01").count()
+    assert len(_parquet_files(os.path.join(live, "p_day=2021-03-01"))) >= 5
+
+    stats = wh.compact("fact", max_files=1)
+    assert stats["partitions_compacted"] == 2
+    assert len(_parquet_files(os.path.join(live, "p_day=2021-03-01"))) == 1
+    after = spark.read.parquet(live)
+    assert sorted(r["x"] for r in after.collect()) == before_rows
+    # partition pruning still works on the compacted layout
+    pruned = after.filter(after["p_day"] == "2021-03-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p_day" in plan
+    assert pruned.count() == before_d1
+    # idempotent: nothing left above the bound
+    assert wh.compact("fact", max_files=1)["partitions_compacted"] == 0
+
+
+def test_compact_crash_window_recovers_on_open(spark, tmp_path):
+    """A compact interrupted between the two renames leaves only
+    ``<leaf>.old``; reopening the warehouse restores the leaf."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "d1"), (2, "d2")], "x int, p_day string")
+    wh.stage_append("fact", df, partition_cols=["p_day"])
+    wh.publish()
+    leaf = str(tmp_path / "wh" / "fact" / "p_day=d1")
+    os.rename(leaf, leaf + ".old")  # simulate the crash window
+    Warehouse(spark, str(tmp_path / "wh"))  # reopen triggers recovery
+    assert os.path.isdir(leaf) and not os.path.isdir(leaf + ".old")
+    got = spark.read.parquet(str(tmp_path / "wh" / "fact"))
+    assert sorted(r["x"] for r in got.collect()) == [1, 2]
