@@ -1,6 +1,7 @@
 from .pipeline import (
     stream_transactions_source,
     streaming_append_dedup,
+    streaming_enrich,
     streaming_scd1_sink,
     streaming_velocity_rule,
 )
@@ -8,6 +9,7 @@ from .pipeline import (
 __all__ = [
     "stream_transactions_source",
     "streaming_append_dedup",
+    "streaming_enrich",
     "streaming_scd1_sink",
     "streaming_velocity_rule",
 ]

@@ -114,6 +114,27 @@ def streaming_scd1_sink(
     return writer.start()
 
 
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the fraud rules' star join
+    (H1/H2, plans.fraud) applied per micro-batch. The static plan is
+    re-executed each micro-batch; note the file listing is resolved
+    when the static frame is built, so a stream outliving a Warehouse
+    swap-publish should rebuild the dim frame per batch (foreachBatch)
+    rather than capture one here.
+
+    Scale shape: the static side is explicitly broadcast — the join is
+    stateless and shuffle-free on the stream side, exactly the batch
+    star-join discipline. Inner/left only: stream-static right/full
+    joins are unsupported by Spark (the static side can't wait for
+    late stream rows)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def streaming_velocity_rule(
     stream: DataFrame,
     key_col: str,

@@ -189,3 +189,31 @@ def test_stateful_velocity_across_microbatches(spark, tmp_path):
     assert [(r["key"], r["event_id"], r["prev_state"], r["gap_seconds"]) for r in rows] == [
         ("1", "E3", "Moscow", 1800)
     ]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: each transactions micro-batch is
+    enriched with a terminal dimension; unknown terminals survive the
+    left join with NULL attributes (H1's blacklist shape as a
+    stream)."""
+    from etl_processing_scd1_spark.streaming import streaming_enrich
+
+    drop = tmp_path / "drop"
+    os.makedirs(drop)
+    _tx_file(
+        str(drop / "transactions_1.csv"),
+        [("t1", "2021-03-01 10:00:00", "10,50"), ("t2", "2021-03-01 11:00:00", "20,00")],
+    )
+    stream = stream_transactions_source(spark, str(drop))
+    # dim covers terminal A1 only; t-rows all carry terminal A1, so
+    # also inject an unmatched key via a second dim row that must NOT
+    # appear (left semantics, not inner explosion)
+    dim = spark.createDataFrame(
+        [("A1", "Berlin"), ("Z9", "Nowhere")], "terminal string, city string"
+    )
+    enriched = streaming_enrich(stream, dim, on="terminal")
+    _run_to_memory(enriched, "tx_enriched", str(tmp_path / "ck_enrich"))
+    rows = {r["trans_id"]: r for r in spark.sql("SELECT * FROM tx_enriched").collect()}
+    assert set(rows) == {"t1", "t2"}
+    assert rows["t1"]["city"] == "Berlin" and rows["t2"]["city"] == "Berlin"
+    assert float(rows["t1"]["amt"]) == 10.5
