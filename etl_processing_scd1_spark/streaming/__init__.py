@@ -2,6 +2,7 @@ from .pipeline import (
     stream_transactions_source,
     streaming_append_dedup,
     streaming_enrich,
+    streaming_interval_join,
     streaming_scd1_sink,
     streaming_velocity_rule,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "stream_transactions_source",
     "streaming_append_dedup",
     "streaming_enrich",
+    "streaming_interval_join",
     "streaming_scd1_sink",
     "streaming_velocity_rule",
 ]

@@ -135,6 +135,40 @@ def streaming_enrich(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    right events within ``[left_time - lower, left_time + upper]`` of
+    a same-key left event (the streaming analog of the batch interval
+    join, operators.rangejoin). The reference correlates transactions
+    to subsequent same-card transactions by rescanning history
+    (main.py:437-467); here both sides are unbounded streams.
+
+    Scale/state shape: BOTH sides carry a watermark and the join
+    condition bounds event-time distance — that pair is exactly what
+    lets Spark expire buffered rows (state is O(keys × horizon), not
+    O(stream)). Without the time bound the state would grow forever;
+    Spark would reject the query in update mode and silently hoard
+    state in append mode."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    lt, rt = lw[left_time], rw[right_time]
+    cond = (
+        (lw[key] == rw[key])
+        & (rt >= lt - F.expr(f"INTERVAL {lower}"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def streaming_velocity_rule(
     stream: DataFrame,
     key_col: str,

@@ -217,3 +217,43 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert set(rows) == {"t1", "t2"}
     assert rows["t1"]["city"] == "Berlin" and rows["t2"]["city"] == "Berlin"
     assert float(rows["t1"]["amt"]) == 10.5
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: payments matched to same-card
+    disputes within 1 hour of event time. The 3h-later dispute falls
+    outside the interval and must not match; the unmatched-card
+    dispute joins nothing; state stays bounded by the watermark +
+    time-range pair."""
+    from etl_processing_scd1_spark.streaming import streaming_interval_join
+
+    ldir, rdir = tmp_path / "pays", tmp_path / "disputes"
+    os.makedirs(ldir), os.makedirs(rdir)
+    with open(ldir / "l.csv", "w") as fh:
+        fh.write("card;pay_ts\nC1;2021-03-01 10:00:00\nC2;2021-03-01 10:00:00\n")
+    with open(rdir / "r.csv", "w") as fh:
+        fh.write(
+            "card;disp_ts\nC1;2021-03-01 10:30:00\nC1;2021-03-01 13:00:00\nC3;2021-03-01 10:10:00\n"
+        )
+    left = (
+        spark.readStream.format("csv")
+        .schema("card string, pay_ts timestamp")
+        .option("sep", ";")
+        .option("header", True)
+        .load(str(ldir))
+    )
+    right = (
+        spark.readStream.format("csv")
+        .schema("card string, disp_ts timestamp")
+        .option("sep", ";")
+        .option("header", True)
+        .load(str(rdir))
+    )
+    joined = streaming_interval_join(
+        left, right, key="card", left_time="pay_ts", right_time="disp_ts", upper="1 hour"
+    )
+    _run_to_memory(
+        joined.select(left["card"], "pay_ts", "disp_ts"), "ssj", str(tmp_path / "ck_ssj")
+    )
+    got = {(r["card"], str(r["disp_ts"])) for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert got == {("C1", "2021-03-01 10:30:00")}
