@@ -411,3 +411,47 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot_scaled")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    4× compression step before a billion-vector ANN index (scale =
+    max|x|/127, q_i = round(x_i/scale)). Array-native expressions
+    only; each row is independent, so the op is a narrow linear scan
+    at any corpus size.
+
+    Determinism: the scale is one float→double widening plus one IEEE
+    division; q and the reconstruction error are elementwise double
+    ops — bit-identical on any engine (single operations are
+    correctly rounded; only accumulation ORDER is nondeterministic,
+    and the one sum here, the L1 mass, is over exact integers).
+    """
+    vec = F.col(vec_col)
+    scale = (
+        F.array_max(F.transform(vec, lambda x: F.abs(x))).cast("double") / 127.0
+    )
+    base = df.select(
+        F.col(id_col), vec.alias("_v"), F.nullif(scale, F.lit(0.0)).alias("_scale")
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.round(x.cast("double") / F.col("_scale")).cast("int"),
+    )
+    with_q = base.withColumn("_q", q)
+    err = F.array_max(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_q"),
+            lambda x, qi: F.abs(x.cast("double") - qi * F.col("_scale")),
+        )
+    )
+    l1 = F.aggregate(
+        F.col("_q"), F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+    )
+    return with_q.select(
+        F.col(id_col),
+        F.col("_scale").alias("scale"),
+        F.col("_q").alias("q"),
+        l1.alias("q_l1"),
+        err.alias("max_abs_err"),
+    )

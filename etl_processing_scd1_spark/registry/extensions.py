@@ -29,6 +29,7 @@ from ..operators.similarity import (
     cosine_topk_pandas,
     embedding_near_dup as _embedding_near_dup_op,  # noqa: F401 (used via module)
     md5_planes,
+    quantize_int8,
 )
 from ..operators.text import (
     LANG_MARKERS,
@@ -919,6 +920,33 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scrub(injected, "doc_id", "text")
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             nullif(CAST(list_max([abs(x) for x in embedding]) AS DOUBLE) / 127.0, 0.0) AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, embedding, scale,
+             [CAST(round(CAST(x AS DOUBLE) / scale) AS INT) for x in embedding] AS q
+      FROM s
+    )
+    SELECT vec_id, scale, q,
+           CAST(list_sum([abs(v) for v in q]) AS BIGINT) AS q_l1,
+           list_max([abs(CAST(embedding[i] AS DOUBLE) - q[i] * scale)
+                     for i in range(1, len(embedding) + 1)]) AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 adjunct: int8 scalar quantization of the embedding corpus
+    (operators.similarity.quantize_int8) — the compression pass in
+    front of a billion-vector ANN index, verified bit-exact against
+    the SQL oracle including the reconstruction-error bound."""
+    return quantize_int8(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 
 
 # --------------------------------------------------------------------------

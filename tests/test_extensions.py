@@ -153,3 +153,20 @@ def test_pii_scrub_masks_all_occurrences(spark):
     assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 2
     assert rows[1]["scrubbed"] == "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE> now"
     assert rows[2]["n_emails"] == 0 and rows[2]["scrubbed"] == "no pii here at all"
+
+
+def test_quantize_int8_known_values(spark):
+    from etl_processing_scd1_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    # scale = 1/127; q = round(x*127) = [127, -64 (round half away), 32]
+    assert rows[1]["q"] == [127, -64, 32]
+    assert abs(rows[1]["scale"] - 1.0 / 127.0) < 1e-15
+    assert rows[1]["q_l1"] == 127 + 64 + 32
+    assert rows[1]["max_abs_err"] <= 0.5 / 127.0 + 1e-12
+    # zero vector: scale NULL, q all-NULL — never a division error
+    assert rows[2]["scale"] is None and rows[2]["q"] == [None, None, None]
