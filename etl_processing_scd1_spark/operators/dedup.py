@@ -169,6 +169,7 @@ def jaccard_verify(
     with_sets: DataFrame,
     id_col: str,
     set_col: str = "sh_set",
+    min_jaccard_pct: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs, as integers (|∩|, |∪|) —
     exact arithmetic, so distributed results hash-match any oracle.
@@ -179,7 +180,14 @@ def jaccard_verify(
     with no pair × shingle explode-join (which fans out to
     |pairs|·|shingles| rows and dominates at corpus scale). The set
     relation is semi-restricted to ids appearing in some candidate
-    pair before the joins."""
+    pair before the joins.
+
+    ``min_jaccard_pct`` enables the LOSSLESS size prefilter:
+    J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose size
+    ratio is already under the threshold is pruned with two ``size()``
+    calls before the O(set) intersect ever runs. Only pairs that the
+    caller's final threshold filter would drop are pruned — callers
+    that want ALL candidate Jaccards leave it None."""
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -199,16 +207,18 @@ def jaccard_verify(
     b_sets = F.broadcast(
         sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("__sb__"))
     )
-    isect = F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__")))
-    return (
-        pairs.join(a_sets, "id_a")
-        .join(b_sets, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            isect.alias("isect"),
-            (F.size("__sa__") + F.size("__sb__") - isect).alias("uni"),
+    joined = pairs.join(a_sets, "id_a").join(b_sets, "id_b")
+    if min_jaccard_pct is not None:
+        na, nb = F.size("__sa__"), F.size("__sb__")
+        joined = joined.filter(
+            100 * F.least(na, nb) >= min_jaccard_pct * F.greatest(na, nb)
         )
+    isect = F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__")))
+    return joined.select(
+        "id_a",
+        "id_b",
+        isect.alias("isect"),
+        (F.size("__sa__") + F.size("__sb__") - isect).alias("uni"),
     )
 
 
@@ -240,7 +250,7 @@ def near_dedup_minhash(
     ).persist()
     sigs = minhash_signatures(with_sets, id_col, num_hashes=bands * rows_per_band)
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
-    verified = jaccard_verify(pairs, with_sets, id_col)
+    verified = jaccard_verify(pairs, with_sets, id_col, min_jaccard_pct=min_jaccard_pct)
     out = verified.filter(100 * F.col("isect") >= min_jaccard_pct * F.col("uni"))
     # callers release with release_cached(out) after their action
     return attach_cache(out, with_sets)
