@@ -296,3 +296,69 @@ def simhash_fingerprint(
         *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(num_bits)]
     )
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    gets a ``cluster_id`` (the minimum doc id reachable through dup
+    edges — the canonical representative to keep) plus the cluster
+    size. This is the step that turns pairwise near-dup evidence into
+    an actionable keep/drop decision for corpus curation.
+
+    Algorithm: iterated min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels;
+    converges to the component minimum in O(component diameter)
+    rounds. Each round is one shuffle-join + partial-aggregatable
+    min; labels are ``localCheckpoint``-ed per round so the plan
+    stays O(1) deep instead of O(rounds) (production clusters would
+    set a reliable checkpoint dir; the driver-side work per round is
+    one scalar convergence count). Near-dup components are small and
+    dense (near-cliques), so the diameter bound is tiny; a corpus
+    with pathological chain-shaped components would want the
+    large-star/small-star contraction variant, which halves rounds —
+    same join primitives.
+    """
+    edges = pairs.select("id_a", "id_b").localCheckpoint()
+    release_cached(pairs)
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("cand"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds"
+        )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count("*").over(w))

@@ -922,6 +922,55 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(injected, "doc_id", "text")
 
 
+DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE sets AS ({_SETS_SQL}),
+    mh AS ({_MINHASH_SQL}),
+    banded AS ({_BANDED_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    dup AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN sets sa ON sa.doc_id = p.id_a
+      JOIN sets sb ON sb.doc_id = p.id_b
+      WHERE 100 * len(list_intersect(sa.sh_set, sb.sh_set))
+            >= 50 * (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)))
+    ),
+    edges(a, b) AS (
+      SELECT id_a, id_b FROM dup UNION SELECT id_b, id_a FROM dup
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cl
+"""
+
+
+@register("dedup_clusters", oracle=DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 end-game: near-dup pairs → connected components → canonical
+    representative per document (operators.dedup.dedup_clusters,
+    iterated min-label propagation). Genuinely iterative — the oracle
+    still verifies it exactly via a recursive transitive-closure CTE
+    over the same MinHash pipeline."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dedup_minhash(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=8, bands=4, rows_per_band=2, min_jaccard_pct=50,
+    )
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
 @register(
     "embedding_quantize",
     oracle="""

@@ -170,3 +170,24 @@ def test_quantize_int8_known_values(spark):
     assert rows[1]["max_abs_err"] <= 0.5 / 127.0 + 1e-12
     # zero vector: scale NULL, q all-NULL — never a division error
     assert rows[2]["scale"] is None and rows[2]["q"] == [None, None, None]
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    """A chain a-b, b-c, plus pair e-f, plus isolated d: components
+    {a,b,c}, {e,f}, {d} with min-id canonical labels — the chain
+    proves multi-round propagation, not just direct neighbors."""
+    from etl_processing_scd1_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id int")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a int, id_b int"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(docs, pairs, id_col="doc_id").collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 1),
+        5: (5, 2), 6: (5, 2),
+    }
