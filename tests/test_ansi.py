@@ -24,6 +24,10 @@ RISKY = [
     "embedding_passthrough", # array element_at + round casts
     "median_agg",            # percentile over casted longs
     "text_quality",          # guarded divisions
+    "embedding_quantize",    # round(x/scale) → int with nullif(scale,0) guard
+    "repetition_stats",      # basis-point floor divisions, array indexing
+    "pii_scrub",             # regexp_count/replace over injected text
+    "dedup_clusters",        # iterative joins + localCheckpoint under ANSI
 ]
 
 
