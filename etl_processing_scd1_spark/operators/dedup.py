@@ -124,16 +124,17 @@ def minhash_signatures(
     return digests.select(*cols)
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame,
     id_col: str,
     bands: int = 4,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """Band the signature (b bands × r rows) and emit candidate pairs
-    sharing any band. Self-join is per-(band, signature) bucket —
-    uniform short keys, no quadratic blowup outside buckets."""
-    banded = signatures.select(
+    """(id, band_id, band_sig) relation: the signature cut into b
+    bands of r rows each — the join key set for every LSH variant
+    (batch self-join, incremental increment×corpus join). This is
+    also the layout to PERSIST as the nightly signature table."""
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -147,6 +148,18 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_sig"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature (b bands × r rows) and emit candidate pairs
+    sharing any band. Self-join is per-(band, signature) bucket —
+    uniform short keys, no quadratic blowup outside buckets."""
+    banded = banded_signatures(signatures, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -362,3 +375,81 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     ).withColumn("cluster_size", F.count("*").over(w))
+
+
+def near_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_sigs: DataFrame | None = None,
+    shingle_k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    min_jaccard_pct: int = 50,
+) -> DataFrame:
+    """The nightly-admission shape of MinHash dedup: test an INCREMENT
+    of new documents against an already-signed corpus without
+    recomputing anything corpus-sized. Returns near-dup pairs
+    ``(new_id, other_id, isect, uni)`` where ``new_id`` is always from
+    the increment and ``other_id`` is either a corpus doc or an
+    earlier increment doc (``new_id < other_id`` for increment-internal
+    pairs).
+
+    Scale contract — the whole point of this operator:
+    - corpus work is O(|increment| candidates), never O(|corpus|):
+      pass ``corpus_sigs`` (the persisted ``banded_signatures`` layout
+      or raw signature table from the last run) and only the corpus
+      docs that LSH-collide with the increment get their shingle sets
+      recomputed for the exact-Jaccard verify (semi-join restricted);
+    - the increment side is the usual narrow signature map;
+    - when ``corpus_sigs`` is None it is derived from ``corpus_docs``
+      (convenience for tests / first run).
+    """
+    spark_parallelism = new_docs.sparkSession.sparkContext.defaultParallelism
+    new_base = new_docs.select(id_col, text_col).repartition(spark_parallelism, id_col)
+    new_sets = new_base.select(
+        F.col(id_col), shingle_set_col(text_col, k=shingle_k).alias("sh_set")
+    ).persist()
+    new_sigs = minhash_signatures(new_sets, id_col, num_hashes=bands * rows_per_band)
+    if corpus_sigs is None:
+        corpus_sets_narrow = corpus_docs.select(id_col, text_col).repartition(
+            spark_parallelism, id_col
+        ).select(F.col(id_col), shingle_set_col(text_col, k=shingle_k).alias("sh_set"))
+        corpus_sigs = minhash_signatures(
+            corpus_sets_narrow, id_col, num_hashes=bands * rows_per_band
+        )
+    bn = banded_signatures(new_sigs, id_col, bands, rows_per_band)
+    bc = banded_signatures(corpus_sigs, id_col, bands, rows_per_band)
+    nc = (
+        bn.alias("a")
+        .join(
+            bc.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    nn = lsh_candidate_pairs(new_sigs, id_col, bands, rows_per_band)
+    pairs = nc.unionByName(nn).distinct()
+    corpus_cand_ids = nc.select(F.col("id_b").alias(id_col)).distinct()
+    corpus_cand_sets = (
+        corpus_docs.select(id_col, text_col)
+        .join(F.broadcast(corpus_cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), shingle_set_col(text_col, k=shingle_k).alias("sh_set"))
+    )
+    all_sets = new_sets.unionByName(corpus_cand_sets)
+    verified = jaccard_verify(pairs, all_sets, id_col, min_jaccard_pct=min_jaccard_pct)
+    out = verified.filter(
+        100 * F.col("isect") >= min_jaccard_pct * F.col("uni")
+    ).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("other_id"),
+        "isect",
+        "uni",
+    )
+    return attach_cache(out, new_sets)

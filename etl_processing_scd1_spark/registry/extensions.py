@@ -922,6 +922,45 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(injected, "doc_id", "text")
 
 
+INCREMENTAL_DEDUP_ORACLE = f"""
+    WITH sets AS ({_SETS_SQL}),
+    mh AS ({_MINHASH_SQL}),
+    banded AS ({_BANDED_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS other_id
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id % 2 = 1
+       AND (b.doc_id % 2 = 0 OR (b.doc_id % 2 = 1 AND a.doc_id < b.doc_id))
+    )
+    SELECT p.new_id, p.other_id,
+           len(list_intersect(sa.sh_set, sb.sh_set)) AS isect,
+           len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)) AS uni
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.new_id
+    JOIN sets sb ON sb.doc_id = p.other_id
+    WHERE 100 * len(list_intersect(sa.sh_set, sb.sh_set))
+          >= 50 * (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)))
+"""
+
+
+@register("near_dedup_incremental", oracle=INCREMENTAL_DEDUP_ORACLE)
+def near_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 nightly shape: odd-id documents are the increment, even-id
+    the signed corpus — the increment is deduped against corpus AND
+    itself with corpus work restricted to LSH candidates
+    (operators.dedup.near_dedup_incremental)."""
+    from ..operators.dedup import near_dedup_incremental
+
+    docs = table(spark, sf_dir, "documents")
+    return near_dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
 DEDUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sets AS ({_SETS_SQL}),
     mh AS ({_MINHASH_SQL}),

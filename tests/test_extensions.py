@@ -191,3 +191,29 @@ def test_dedup_clusters_chain_and_singletons(spark):
         4: (4, 1),
         5: (5, 2), 6: (5, 2),
     }
+
+
+def test_incremental_dedup_scopes_to_increment(spark):
+    """A near-dup of a corpus doc inside the increment is reported;
+    a near-dup pair entirely WITHIN the corpus is not (corpus-corpus
+    work is out of scope for the nightly admission filter)."""
+    from etl_processing_scd1_spark.operators.dedup import (
+        near_dedup_incremental,
+        release_cached,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, BASE), (12, BASE + " tail"), (14, "completely different text about spark engines and parquet files")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(21, BASE + " extra"), (23, "nothing like anything else in this corpus at all honestly")],
+        "doc_id int, text string",
+    )
+    out = near_dedup_incremental(new, corpus, id_col="doc_id", text_col="text")
+    rows = out.collect()
+    release_cached(out)
+    got = {(r["new_id"], r["other_id"]) for r in rows}
+    assert (21, 10) in got and (21, 12) in got  # increment vs corpus dups found
+    assert all(nid in (21, 23) for nid, _ in got)  # every pair anchored in the increment
+    assert (10, 12) not in got and (12, 10) not in got  # corpus-corpus not reported
