@@ -98,11 +98,17 @@ def assign_centroid(
     centroid_id_col: str = "vec_id",
     centroid_vec_col: str = "embedding",
     bucket_col: str = "bucket",
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF assignment: nearest centroid by cosine (scaled-int exact;
     ties → lowest centroid id). Centroids broadcast — assignment is a
     narrow map over the corpus followed by a per-row argmax window on
-    the corpus id (tiny: |C| rows per vector)."""
+    the corpus id (tiny: |C| rows per vector).
+
+    ``n_probe > 1`` keeps the n nearest centroids (one output row per
+    probed cell) — the standard multi-probe recall knob for the QUERY
+    side of an IVF search; corpus rows are always stored under their
+    single nearest cell."""
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("__cid__"),
@@ -121,7 +127,7 @@ def assign_centroid(
         df.crossJoin(c)
         .withColumn("__cos__", cos)
         .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
+        .filter(F.col("__rn__") <= n_probe)
         .select(*df.columns, F.col("__cid__").alias(bucket_col))
     )
 
@@ -133,16 +139,22 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    n_probe: int = 1,
 ) -> DataFrame:
     """K3 scale path #2 — IVF: both sides are assigned to their
-    nearest centroid, and search joins only within matching cells.
+    nearest centroid, and search joins only within matching cells;
+    ``n_probe`` probes the query's n nearest cells (recall knob —
+    each extra probe reads one more cell, cost stays
+    O(n_probe · cell), never the full corpus).
 
     At billion-vector scale the corpus assignment is precomputed and
     stored as a partition column, making a query a partition-pruned
     scan of its probed cells; here both assignments run inline. Same
-    output shape as brute force; exact within the probed cell."""
+    output shape as brute force; exact within the probed cells. A
+    corpus vector lives in exactly one cell, so multi-probe never
+    duplicates a (query, neighbor) pair."""
     ca = assign_centroid(corpus, centroids, id_col, vec_col)
-    qa = assign_centroid(queries, centroids, id_col, vec_col)
+    qa = assign_centroid(queries, centroids, id_col, vec_col, n_probe=n_probe)
     q = qa.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),

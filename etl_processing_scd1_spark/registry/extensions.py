@@ -350,6 +350,81 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_MULTIPROBE_ORACLE = """
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n
+      FROM expanded GROUP BY vec_id
+    ),
+    cdots AS (
+      SELECT e.vec_id, c.vec_id AS cid,
+             SUM(CAST(round(e.v * c.v * 1e8) AS BIGINT)) AS dot
+      FROM expanded e JOIN expanded c ON e.idx = c.idx
+      WHERE c.vec_id < 8
+      GROUP BY e.vec_id, c.vec_id
+    ),
+    cranked AS (
+      SELECT d.vec_id, d.cid,
+             row_number() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY d.dot / sqrt(CAST(nv.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                        d.cid
+             ) AS rn
+      FROM cdots d
+      JOIN norms nv ON nv.vec_id = d.vec_id
+      JOIN norms nc ON nc.vec_id = d.cid
+    ),
+    assigned AS (SELECT vec_id, cid AS bucket FROM cranked WHERE rn = 1),
+    probed AS (SELECT vec_id, cid AS bucket FROM cranked WHERE rn <= 2),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(round(q.v * c.v * 1e8) AS BIGINT)) AS dot_scaled
+      FROM expanded q JOIN expanded c ON q.idx = c.idx
+      WHERE q.vec_id >= 100 AND q.vec_id < 105
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT d.query_id, d.neighbor_id, d.dot_scaled,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot_scaled / sqrt(CAST(nq.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                        d.neighbor_id
+             ) AS rank
+      FROM dots d
+      JOIN probed aq ON aq.vec_id = d.query_id
+      JOIN assigned ac ON ac.vec_id = d.neighbor_id AND ac.bucket = aq.bucket
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(dot_scaled AS BIGINT) AS dot_scaled
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_multiprobe", oracle=IVF_MULTIPROBE_ORACLE)
+def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: IVF with n_probe=2 — each query searches its two nearest
+    cells (the standard recall knob; cost O(n_probe · cell)). The
+    oracle reproduces the probed-cell membership exactly, so this is
+    hash-checked, not recall-sampled."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb,
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)),
+        centroids=emb.filter(F.col("vec_id") < 8),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_probe=2,
+    )
+
+
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
 

@@ -67,3 +67,32 @@ def test_pandas_cosine_matches_expression_path(spark):
     expr = cosine_topk_bruteforce(emb, q, k=4).orderBy("query_id", "rank").collect()
     arrow = cosine_topk_pandas(emb, q, k=4).orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in expr] == [tuple(r) for r in arrow]
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """n_probe=2 must recover at least as many true (brute-force)
+    top-k neighbors as n_probe=1 for every query — more cells
+    searched can only add candidates."""
+    from etl_processing_scd1_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 25))
+    cents = emb.filter(F.col("vec_id") < 6)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    hits = []
+    for n_probe in (1, 2):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivf(
+                emb, queries, centroids=cents, k=5, n_probe=n_probe
+            ).collect()
+        }
+        hits.append(len(got & truth))
+    assert hits[1] >= hits[0]
+    assert hits[1] > 0
