@@ -123,3 +123,39 @@ def curate(
     return hash_split(
         deduped, id_col, split_weights or {"train": 98, "val": 1, "test": 1}
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, int],
+    default_rate: int = 0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: keep each row with a
+    per-group percentage (``rates[group]`` in 0–100, ``default_rate``
+    for unlisted groups) — the corpus-mixing step that reweights
+    sources (web/code/reference/...) to a target recipe before
+    pretraining. Hash-threshold admission (md5(salt:id) % 100 <
+    rate) is content-stable: the same document makes the same cut on
+    every engine, every run, any partitioning, and the kept set for a
+    LOWER rate is a subset of the kept set for a higher one (nested
+    samples — rate sweeps reuse ancestors). Narrow filter, no
+    shuffle, no RNG state."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(group_col) == name
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    return df.filter(bucket < rate)

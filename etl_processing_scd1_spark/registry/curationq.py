@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..operators.curation import (
     curate,
     hash_split,
+    mixture_sample,
     sequence_packing,
     term_doc_freq,
 )
@@ -127,6 +128,32 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     return docs.filter(bucket < 20)
+
+
+_MIX_BUCKET = hex_to_int_sql("md5('mix:' || CAST(doc_id AS VARCHAR))") + " % 100"
+MIX_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+MIX_DEFAULT = 10
+
+
+@register(
+    "corpus_mixture",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {_MIX_BUCKET} <
+          CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())}
+               ELSE {MIX_DEFAULT} END
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting (operators.curation.mixture_sample):
+    each source kept at its recipe rate (src0 100%, src1 75%, src2
+    50%, src3 25%, others 10%) via deterministic hash-threshold
+    admission — nested across rates, stable across engines."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return mixture_sample(
+        docs, "doc_id", "source", rates=MIX_RATES, default_rate=MIX_DEFAULT
+    )
 
 
 _CURATE_SPLIT = hex_to_int_sql("md5('split:' || CAST(doc_id AS VARCHAR))") + " % 100"

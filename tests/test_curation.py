@@ -46,3 +46,21 @@ def test_curate_filters_junk_and_dups(spark):
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1, 4]  # dup 2 dropped (keep lowest id), junk 3 dropped
     assert set(out.columns) >= {"doc_id", "text", "split", "quality", "n_tokens"}
+
+
+def test_mixture_sample_nested_and_rated(spark):
+    """Lower rates keep a SUBSET of higher rates (nested samples), and
+    a rate of 0/100 keeps none/all."""
+    from etl_processing_scd1_spark.operators.curation import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)], "doc_id int, src string"
+    )
+    full = {r["doc_id"] for r in mixture_sample(df, "doc_id", "src", {"a": 100, "b": 100}).collect()}
+    assert len(full) == 200
+    half = {r["doc_id"] for r in mixture_sample(df, "doc_id", "src", {"a": 50, "b": 100}).collect()}
+    quarter = {r["doc_id"] for r in mixture_sample(df, "doc_id", "src", {"a": 25, "b": 100}).collect()}
+    assert quarter <= half <= full
+    assert all(i in half for i in range(1, 200, 2))  # src b untouched
+    none_a = {r["doc_id"] for r in mixture_sample(df, "doc_id", "src", {"b": 100}).collect()}
+    assert all(i % 2 == 1 for i in none_a)  # default_rate=0 drops all of src a
