@@ -104,14 +104,21 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpora (Rae et al. 2021 §A1.1). Ratios in integer basis points
     (floor semantics) so results are engine-portable.
 
-    Scale shape: the array-native stats (type-token ratio, trigram
-    dup) are a narrow single scan; the top-token count is two partial
-    aggregations on the same ``id`` key — the second groupBy and the
-    final join reuse the first shuffle's hash partitioning, so the
-    whole operator costs one real shuffle of (id, token) pairs.
+    Scale shape: one logical hash-partitioning by id, applied to
+    doc-level rows BEFORE the token explode (the exchange moves
+    narrow data, not the token fanout). hash(id) satisfies the
+    (id, token) clustering of the token count, the per-id max, and
+    the join key, so NO aggregation adds its own exchange (verified
+    in the plan: both HashAggregate pairs run partial→final with no
+    Exchange between, and the per-doc top counts broadcast into the
+    join). The array-native stats (type-token ratio, trigram dup)
+    ride the same scan.
     """
     toks = _tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).repartition(
+        n_parts, "_id"
+    )
     n = F.size(F.col("_toks"))
     # trigram positions 0..n-3; sequence() descends for n<3, so guard
     # with a typed empty array (slice of the tokens themselves)
