@@ -467,3 +467,68 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         l1.alias("q_l1"),
         err.alias("max_abs_err"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    codebook_id_col: str = "vec_id",
+    codebook_vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` contiguous
+    blocks and code every block as its nearest codeword (scaled-int
+    L2; ties → lowest codeword id). With k codewords and m blocks a
+    d-dim float vector compresses to m small ints — the memory trick
+    behind billion-vector IVF-PQ indexes. Emits ``codes``
+    (array<int>, block order) and ``dist_scaled`` (total scaled-int
+    distortion, exact and order-free).
+
+    The codebook is k rows BY DEFINITION (k ≤ 256 in practice), so it
+    is collected to the driver and inlined as literals — encoding
+    becomes a pure narrow expression over the corpus: no join, no
+    shuffle, embarrassingly parallel at any corpus size. Distances
+    are Σ round((x_i−c_i)²·1e8) per block as BIGINT: elementwise IEEE
+    ops are bit-identical everywhere and integer sums order-free, so
+    codes hash-match any engine's oracle.
+    """
+    rows = codebook.select(codebook_id_col, codebook_vec_col).collect()
+    codewords = sorted((r[0], list(r[1])) for r in rows)
+    dim = len(codewords[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    vec = F.col(vec_col)
+
+    def block_dist(b: int, cvec: list[float]) -> Column:
+        sub = F.slice(vec, b * w + 1, w)
+        lit = F.array(*[F.lit(float(x)) for x in cvec[b * w : (b + 1) * w]])
+        prods = F.zip_with(
+            sub,
+            lit,
+            lambda x, y: F.round(
+                (x.cast("double") - y) * (x.cast("double") - y) * SCALE
+            ).cast("long"),
+        )
+        return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    code_cols, dist_cols = [], []
+    for b in range(m):
+        dists = [(cid, block_dist(b, cvec)) for cid, cvec in codewords]
+        code, best = None, None
+        for cid, d in dists:
+            is_better = F.lit(True) if best is None else d < best
+            code = F.when(is_better, F.lit(cid)) if code is None else F.when(is_better, F.lit(cid)).otherwise(code)
+            best = d if best is None else F.least(best, d)
+        code_cols.append(code.cast("int"))
+        dist_cols.append(best)
+    total = dist_cols[0]
+    for d in dist_cols[1:]:
+        total = total + d
+    return df.select(
+        F.col(id_col),
+        F.array(*code_cols).alias("codes"),
+        total.alias("dist_scaled"),
+    )

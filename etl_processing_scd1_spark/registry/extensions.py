@@ -425,6 +425,49 @@ def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_ORACLE = """
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    bdists AS (
+      SELECT e.vec_id, CAST((e.idx - 1) // 16 AS INT) AS block, c.vec_id AS cid,
+             SUM(CAST(round((e.v - c.v) * (e.v - c.v) * 1e8) AS BIGINT)) AS dist
+      FROM expanded e JOIN expanded c ON e.idx = c.idx
+      WHERE c.vec_id < 8
+      GROUP BY e.vec_id, block, c.vec_id
+    ),
+    best AS (
+      SELECT vec_id, block, cid, dist,
+             row_number() OVER (PARTITION BY vec_id, block ORDER BY dist, cid) AS rn
+      FROM bdists
+    )
+    SELECT vec_id,
+           list(CAST(cid AS INT) ORDER BY block) AS codes,
+           CAST(SUM(dist) AS BIGINT) AS dist_scaled
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+"""
+
+
+@register("pq_encode", oracle=PQ_ORACLE)
+def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 compression: product quantization — 4 blocks × 16 dims, 8
+    codewords (sub-vectors of vecs 0–7; k-means codebooks in
+    production), scaled-int L2 argmin per block
+    (operators.similarity.pq_encode). Codes + total distortion are
+    exact integers, hash-checked."""
+    from ..operators.similarity import pq_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_encode(
+        emb, codebook=emb.filter(F.col("vec_id") < 8), id_col="vec_id",
+        vec_col="embedding", m=4,
+    )
+
+
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
 

@@ -96,3 +96,16 @@ def test_multiprobe_recall_dominates_single_probe(spark):
         hits.append(len(got & truth))
     assert hits[1] >= hits[0]
     assert hits[1] > 0
+
+
+def test_pq_encode_codeword_is_its_own_code(spark):
+    """Encoding a codebook vector must pick itself in every block with
+    zero distortion; a perturbed copy picks the same codes with small
+    positive distortion."""
+    from etl_processing_scd1_spark.operators.similarity import pq_encode
+
+    cb = _emb(spark).filter(F.col("vec_id") < 8)
+    enc = {r["vec_id"]: r for r in pq_encode(_emb(spark).filter(F.col("vec_id") < 8), cb, m=4).collect()}
+    for cid in range(8):
+        assert enc[cid]["codes"] == [cid] * 4
+        assert enc[cid]["dist_scaled"] == 0
