@@ -144,13 +144,19 @@ def streaming_interval_join(
     lower: str = "0 seconds",
     upper: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval:
-    right events within ``[left_time - lower, left_time + upper]`` of
-    a same-key left event (the streaming analog of the batch interval
+    """Stream-stream join bounded by an event-time interval: right
+    events within ``[left_time - lower, left_time + upper]`` of a
+    same-key left event (the streaming analog of the batch interval
     join, operators.rangejoin). The reference correlates transactions
     to subsequent same-card transactions by rescanning history
     (main.py:437-467); here both sides are unbounded streams.
+
+    ``how='left_outer'`` additionally emits unmatched left rows
+    null-extended — but only once the watermark has passed their join
+    window (Spark must be sure no partner can still arrive), so outer
+    results trail the event time by the watermark delay.
 
     Scale/state shape: BOTH sides carry a watermark and the join
     condition bounds event-time distance — that pair is exactly what
@@ -166,7 +172,7 @@ def streaming_interval_join(
         & (rt >= lt - F.expr(f"INTERVAL {lower}"))
         & (rt <= lt + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def streaming_velocity_rule(

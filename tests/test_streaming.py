@@ -257,3 +257,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     got = {(r["card"], str(r["disp_ts"])) for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == {("C1", "2021-03-01 10:30:00")}
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """left_outer emits unmatched payments null-extended once the
+    watermark passes their window: C2 (no dispute) appears with NULL
+    disp_ts; the late C9 payment, whose window the watermark has not
+    yet closed, is withheld — exactly the bounded-state contract."""
+    from etl_processing_scd1_spark.streaming import streaming_interval_join
+
+    ldir, rdir = tmp_path / "p2", tmp_path / "d2"
+    os.makedirs(ldir), os.makedirs(rdir)
+    with open(ldir / "l.csv", "w") as fh:
+        fh.write(
+            "card;pay_ts\nC1;2021-03-01 10:00:00\nC2;2021-03-01 10:00:00\nC9;2021-03-01 20:00:00\n"
+        )
+    with open(rdir / "r.csv", "w") as fh:
+        fh.write("card;disp_ts\nC1;2021-03-01 10:30:00\nC8;2021-03-01 20:00:00\n")
+    left = (
+        spark.readStream.format("csv")
+        .schema("card string, pay_ts timestamp")
+        .option("sep", ";")
+        .option("header", True)
+        .load(str(ldir))
+    )
+    right = (
+        spark.readStream.format("csv")
+        .schema("card string, disp_ts timestamp")
+        .option("sep", ";")
+        .option("header", True)
+        .load(str(rdir))
+    )
+    joined = streaming_interval_join(
+        left, right, key="card", left_time="pay_ts", right_time="disp_ts",
+        upper="1 hour", how="left_outer",
+    )
+    _run_to_memory(
+        joined.select(left["card"], "pay_ts", "disp_ts"), "ssj_lo", str(tmp_path / "ck_lo")
+    )
+    got = {
+        (r["card"], None if r["disp_ts"] is None else str(r["disp_ts"]))
+        for r in spark.sql("SELECT * FROM ssj_lo").collect()
+    }
+    assert got == {("C1", "2021-03-01 10:30:00"), ("C2", None)}
