@@ -75,9 +75,20 @@ class Warehouse:
                 return True
         return False
 
-    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
+    def read(self, name: str, schema: StructType | str | None = None) -> DataFrame:
         """Live table; empty frame with ``schema`` when absent (first
         run bootstraps every table from empty).
+
+        When ``schema`` is given and the table exists, the stored
+        frame is ALIGNED to it — schema evolution support: columns
+        added to a dimension since the last publish read as typed
+        NULLs from the old snapshot (so the next scd1_merge classifies
+        them as ordinary updates instead of crashing on resolution),
+        stored-but-no-longer-requested columns are dropped, and column
+        order follows the schema. Physical types are left untouched —
+        a true type CHANGE (e.g. int→string) is a migration, not
+        evolution, and should fail loudly at the consumer rather than
+        be silently cast here.
 
         The only silently-tolerated degenerate state is a directory
         holding NO parquet parts (an append-created table whose first
@@ -86,10 +97,25 @@ class Warehouse:
         table must propagate, or scd1_merge would classify the whole
         snapshot as inserts and append_dedup would re-admit the full
         batch."""
+        from pyspark.sql import functions as F
+
+        if isinstance(schema, str):  # DDL strings accepted everywhere
+            schema = StructType.fromDDL(schema)
         if self.exists(name):
             live = self._live(name)
             if self._has_parquet_parts(live):
-                return self.spark.read.parquet(live)
+                df = self.spark.read.parquet(live)
+                if schema is not None and df.columns != [f.name for f in schema.fields]:
+                    stored = set(df.columns)
+                    df = df.select(
+                        *[
+                            F.col(f.name)
+                            if f.name in stored
+                            else F.lit(None).cast(f.dataType).alias(f.name)
+                            for f in schema.fields
+                        ]
+                    )
+                return df
         if schema is None:
             raise FileNotFoundError(f"table {name} absent and no schema given")
         return self.spark.createDataFrame([], schema=schema)

@@ -116,3 +116,35 @@ def test_compact_crash_window_recovers_on_open(spark, tmp_path):
     assert os.path.isdir(leaf) and not os.path.isdir(leaf + ".old")
     got = spark.read.parquet(str(tmp_path / "wh" / "fact"))
     assert sorted(r["x"] for r in got.collect()) == [1, 2]
+
+
+def test_read_aligns_evolved_schema(spark, tmp_path):
+    """A dimension gains a column between runs: reading the old
+    snapshot against the new schema yields typed NULLs for the new
+    column (ordinary updates for the next merge), drops retired
+    columns, and follows the schema's column order."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.stage("dim", spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"))
+    wh.publish()
+    evolved = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("segment", StringType()),  # new column
+            StructField("name", StringType()),
+        ]
+    )
+    got = wh.read("dim", schema=evolved)
+    assert got.columns == ["id", "segment", "name"]
+    assert got.schema["segment"].dataType == StringType()
+    rows = {r["id"]: (r["segment"], r["name"]) for r in got.collect()}
+    assert rows == {1: (None, "a"), 2: (None, "b")}
+    # unchanged-layout reads stay byte-identical (no extra projection)
+    same = wh.read("dim", schema=StructType([StructField("id", IntegerType()), StructField("name", StringType())]))
+    assert same.columns == ["id", "name"]
