@@ -101,9 +101,15 @@ PRIMARY = [
     "grouped_custom_agg",
 ]
 
-assert len(PRIMARY) == 50, f"primary window must be exactly 50, got {len(PRIMARY)}"
+# Driver-critical invariants: raise explicitly, NOT via assert —
+# asserts are stripped under ``python -O``, which would let a
+# miscounted or renamed entry silently shift the driver's 50-entry
+# correctness window.
+if len(PRIMARY) != 50:
+    raise RuntimeError(f"primary window must be exactly 50, got {len(PRIMARY)}")
 _missing = [n for n in PRIMARY if n not in _ALL_QUERIES]
-assert not _missing, f"primary names not registered: {_missing}"
+if _missing:
+    raise RuntimeError(f"primary names not registered: {_missing}")
 
 QUERIES: dict = {n: _ALL_QUERIES[n] for n in PRIMARY}
 ORACLES: dict = {n: _ALL_ORACLES[n] for n in PRIMARY if n in _ALL_ORACLES}

@@ -38,6 +38,7 @@ class Warehouse:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._staged: dict[str, str] = {}
+        self._staged_schema: dict[str, StructType] = {}
         self._recover_interrupted_publish()
 
     def _recover_interrupted_publish(self) -> None:
@@ -62,6 +63,13 @@ class Warehouse:
                     shutil.rmtree(old, ignore_errors=True)
                 else:
                     os.rename(old, live)
+                    # descend into the restored directory: an
+                    # interrupted compact inside an interrupted
+                    # publish leaves NESTED ``.old`` leaves that the
+                    # walk would otherwise skip (it only visits names
+                    # listed before the rename) — one open must heal
+                    # the whole tree
+                    dirs.append(entry[: -len(".old")])
 
     # -- reads -------------------------------------------------------------
 
@@ -125,11 +133,22 @@ class Warehouse:
         or ``@append`` increment), or None when nothing is staged
         under ``name`` — the typed accessor for pre-publish consumers
         (fraud rules read the post-merge state the way the reference
-        reads its uncommitted transaction). A staged zero-row append
-        (no parquet parts) reads as None."""
+        reads its uncommitted transaction).
+
+        "Nothing staged" and "staged but empty" are distinct: a
+        FULL-table stage whose snapshot wrote no parquet parts (e.g.
+        a merged dimension that emptied out) reads back as an empty
+        frame with the staged schema — falling back to None here
+        would silently hand same-run consumers the stale pre-merge
+        live table. A zero-row ``@append`` increment still reads as
+        None (there is genuinely nothing to union onto the base)."""
         path = self._staged.get(name)
-        if path is None or not self._has_parquet_parts(path):
+        if path is None:
             return None
+        if not self._has_parquet_parts(path):
+            if name.endswith("@append"):
+                return None
+            return self.spark.createDataFrame([], schema=self._staged_schema[name])
         return self.spark.read.parquet(path)
 
     # -- staged writes + atomic publish ------------------------------------
@@ -142,6 +161,7 @@ class Warehouse:
         path = os.path.join(self.root, ".staging", name)
         df.write.mode("overwrite").parquet(path)
         self._staged[name] = path
+        self._staged_schema[name] = df.schema
 
     def stage_append(
         self, name: str, df: DataFrame, partition_cols: list[str] | None = None
@@ -223,6 +243,7 @@ class Warehouse:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.root, "_manifest.json"))
         self._staged.clear()
+        self._staged_schema.clear()
         staging_root = os.path.join(self.root, ".staging")
         if os.path.isdir(staging_root):
             shutil.rmtree(staging_root, ignore_errors=True)
@@ -262,7 +283,12 @@ class Warehouse:
                     stats["files_after"] += len(parts)
         for dirpath, n_parts in leaves:
             rel = os.path.relpath(dirpath, live)
-            staged = os.path.join(self.root, ".staging", f"{name}@compact", rel)
+            base = os.path.join(self.root, ".staging", f"{name}@compact")
+            # unpartitioned table: the leaf IS the live root, rel == "."
+            # — joining "." would leave a trailing "/." that the final
+            # swap rename rejects (EBUSY/EINVAL) AFTER live was already
+            # moved aside, stranding the table until recovery
+            staged = base if rel == "." else os.path.join(base, rel)
             # the leaf's files carry no partition columns (partitionBy
             # excludes them), so a direct read+rewrite round-trips
             # exactly; coalesce avoids a shuffle — each output file is

@@ -148,3 +148,65 @@ def test_read_aligns_evolved_schema(spark, tmp_path):
     # unchanged-layout reads stay byte-identical (no extra projection)
     same = wh.read("dim", schema=StructType([StructField("id", IntegerType()), StructField("name", StringType())]))
     assert same.columns == ["id", "name"]
+
+
+def test_compact_unpartitioned_append_table(spark, tmp_path):
+    """compact() on an UNPARTITIONED append table: the leaf dir IS
+    the live root (rel == '.'), which must not produce a trailing
+    '/.' staged path — the swap would fail mid-protocol and strand
+    the table (ADVICE r2, medium)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for run in range(5):
+        wh.stage_append("rep", spark.createDataFrame([(run,)], "x int"))
+        wh.publish(run_id=f"r{run}")
+    live = str(tmp_path / "wh" / "rep")
+    assert len(_parquet_files(live)) >= 5
+    stats = wh.compact("rep", max_files=1)
+    assert stats["partitions_compacted"] == 1
+    assert len(_parquet_files(live)) == 1
+    assert sorted(r["x"] for r in wh.read("rep").collect()) == [0, 1, 2, 3, 4]
+    # and the table is still append-able afterwards
+    wh.stage_append("rep", spark.createDataFrame([(9,)], "x int"))
+    wh.publish(run_id="r9")
+    assert sorted(r["x"] for r in wh.read("rep").collect()) == [0, 1, 2, 3, 4, 9]
+
+
+def test_recovery_heals_nested_old_in_one_open(spark, tmp_path):
+    """An interrupted compact INSIDE an interrupted publish leaves a
+    ``.old`` leaf nested under a ``.old`` table dir. One Warehouse
+    open must heal both levels — the walk descends into directories
+    it just restored (ADVICE r2)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "d1"), (2, "d2")], "x int, p_day string")
+    wh.stage_append("fact", df, partition_cols=["p_day"])
+    wh.publish()
+    table = str(tmp_path / "wh" / "fact")
+    leaf = os.path.join(table, "p_day=d1")
+    os.rename(leaf, leaf + ".old")  # inner crash window (compact)
+    os.rename(table, table + ".old")  # outer crash window (publish)
+    Warehouse(spark, str(tmp_path / "wh"))  # single reopen
+    assert os.path.isdir(table) and not os.path.isdir(table + ".old")
+    assert os.path.isdir(leaf) and not os.path.isdir(leaf + ".old")
+    got = spark.read.parquet(table)
+    assert sorted(r["x"] for r in got.collect()) == [1, 2]
+
+
+def test_staged_empty_full_table_not_stale(spark, tmp_path):
+    """A staged FULL-table snapshot with zero rows must read back as
+    an EMPTY typed frame, not fall through to the stale pre-stage
+    live table (ADVICE r2): same-run consumers (fraud rules) would
+    otherwise see rows a merge just deleted."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.stage("dim", spark.createDataFrame([(1, "a")], "id int, v string"))
+    wh.publish(run_id="r1")
+    # next run merges the dimension down to zero rows
+    wh.stage("dim", spark.createDataFrame([], "id int, v string"))
+    view = wh.staged_view("dim")
+    assert view is not None, "staged-but-empty must not read as 'nothing staged'"
+    assert view.count() == 0
+    assert view.columns == ["id", "v"]
+    # a zero-row APPEND increment is a no-op for consumers: either
+    # None (no parts written) or an empty frame (empty part written)
+    wh.stage_append("fact", spark.createDataFrame([], "x int"))
+    inc = wh.staged_view("fact@append")
+    assert inc is None or inc.count() == 0
