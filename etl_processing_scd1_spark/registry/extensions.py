@@ -1128,6 +1128,60 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, id_col="doc_id")
 
 
+SUBSTRING_DEDUP_ORACLE = """
+    WITH wins AS (
+      SELECT doc_id, p AS pos, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
+      FROM documents,
+           unnest(range(1, length(text) - 38)) AS t(p)
+      WHERE length(text) >= 40
+    ),
+    shared AS (
+      SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dpos AS (SELECT w.doc_id, w.pos FROM wins w JOIN shared s USING (h)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dpos
+    ),
+    numbered AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM marked
+    ),
+    per_span AS (
+      SELECT doc_id, span_id, max(pos) - min(pos) + 40 AS span_len
+      FROM numbered GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_chars,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM per_span GROUP BY doc_id
+    )
+    SELECT d.doc_id, length(d.text) AS n_chars,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / length(d.text) AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("substring_dedup", oracle=SUBSTRING_DEDUP_ORACLE)
+def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 exact substring dedup (suffix-array-style): per-document
+    coverage by character spans shared verbatim (≥40 chars) with
+    another document — stride-1 windowed hashing, merged to maximal
+    spans (operators.substring.duplicated_spans). The oracle replays
+    the identical window/merge pipeline in SQL."""
+    from ..operators.substring import duplicated_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, text_col="text", id_col="doc_id", window=40)
+
+
 @register(
     "embedding_quantize",
     oracle="""

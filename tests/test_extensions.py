@@ -217,3 +217,32 @@ def test_incremental_dedup_scopes_to_increment(spark):
     assert (21, 10) in got and (21, 12) in got  # increment vs corpus dups found
     assert all(nid in (21, 23) for nid, _ in got)  # every pair anchored in the increment
     assert (10, 12) not in got and (12, 10) not in got  # corpus-corpus not reported
+
+
+def test_substring_dedup_planted_spans(spark):
+    """Two docs share one verbatim 60-char passage at different
+    offsets; a third is unique. Coverage must be exactly the shared
+    span (merged, not per-window), zero for the unique doc, and
+    zero for a doc shorter than the window."""
+    from etl_processing_scd1_spark.operators.substring import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog, again and again" # 60 chars
+    assert len(shared) == 60
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " tail one unique suffix here padding"),
+            (2, "a completely different long preamble text ::" + shared),
+            (3, "no duplication at all in this document whatsoever, none truly"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_spans(docs, window=40).collect()}
+    assert len(out) == 4
+    # both sharers: exactly one merged span covering the 60 shared chars
+    for d in (1, 2):
+        assert out[d]["n_spans"] == 1, out[d]
+        assert out[d]["dup_chars"] == 60, out[d]
+    assert out[3]["dup_chars"] == 0 and out[3]["n_spans"] == 0
+    assert out[4]["dup_chars"] == 0 and out[4]["n_chars"] == 5
+    assert abs(out[1]["dup_fraction"] - 60 / out[1]["n_chars"]) < 1e-12
