@@ -532,3 +532,82 @@ def pq_encode(
         F.array(*code_cols).alias("codes"),
         total.alias("dist_scaled"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.38,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space,
+    then mark within-cluster semantic duplicates — items whose cosine
+    to another item in the SAME cluster reaches ``tau``. Misses
+    cross-cluster pairs by design; that locality is what removes the
+    all-pairs join at corpus scale.
+
+    Keep policy is deterministic keep-lowest-id: a row is a duplicate
+    iff a LOWER-id cluster-mate is within ``tau`` (reported as
+    ``dup_of`` = the smallest such id). This is the order-free variant
+    of the paper's greedy sweep — independent per-pair marking, no
+    sequential dependence, so a 1000-executor run reproduces the
+    single-threaded result exactly.
+
+    Scale audit: assignment is a broadcast argmax (corpus never
+    shuffles); the within-cluster self-join is the only quadratic
+    term and is bounded by cluster size, so pick k ∝ N/target so
+    clusters stay ~constant-sized as the corpus grows (same knob as
+    IVF cells); a runaway cluster wants the salting/cap fallback of
+    the MinHash band join. Output is one row per input vector.
+    """
+    base = corpus.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
+    assigned = assign_centroid(
+        base,
+        centroids,
+        id_col="__id__",
+        vec_col="__v__",
+        centroid_id_col="__cid__",
+        centroid_vec_col="__cvec__",
+        bucket_col="__bucket__",
+    ).withColumn("__n__", _norm_scaled(F.col("__v__")))
+    a = assigned.select(
+        F.col("__bucket__"),
+        F.col("__id__").alias("id_a"),
+        F.col("__v__").alias("__va__"),
+        F.col("__n__").alias("__na__"),
+    )
+    b = assigned.select(
+        F.col("__bucket__"),
+        F.col("__id__").alias("id_b"),
+        F.col("__v__").alias("__vb__"),
+        F.col("__n__").alias("__nb__"),
+    )
+    sims = (
+        a.join(b, "__bucket__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__dot__", _dot_scaled(F.col("__va__"), F.col("__vb__")))
+        .withColumn(
+            "__cos__",
+            F.col("__dot__")
+            / F.sqrt(F.col("__na__").cast("double") * F.col("__nb__").cast("double")),
+        )
+    )
+    dups = (
+        sims.filter(F.col("__cos__") >= F.lit(float(tau)))
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.select(
+            F.col("__id__").alias(id_col),
+            F.col("__bucket__").cast("long").alias("bucket"),
+        )
+        .join(dups, F.col(id_col) == F.col("id_b"), "left")
+        .select(
+            id_col,
+            "bucket",
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -485,15 +485,14 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ivf_oracle(k: int = 8, iters: int = 2, q_lo: int = 100, q_hi: int = 105,
-                       topk: int = 5) -> str:
-    """SQL twin of kmeans_fit(iters) + cosine_topk_ivf: Lloyd
-    iterations unrolled as CTE blocks. Every arithmetic step mirrors
-    the Spark side exactly — scaled-BIGINT dots for assignment
-    (ties → lowest cid), per-(cluster, dim) BIGINT sums divided once
-    (CAST(sum AS DOUBLE) / (1e8 * n)), empty clusters carrying the
-    previous centroid — so the trained centroids, the cell
-    membership, and the final ranking are all bit-identical."""
+def _lloyd_assign_sql(k: int, iters: int) -> str:
+    """Shared WITH-prefix: Lloyd iterations unrolled as CTE blocks,
+    ending in ``assignF`` (vec_id → trained bucket). Every arithmetic
+    step mirrors the Spark side exactly — scaled-BIGINT dots for
+    assignment (ties → lowest cid), per-(cluster, dim) BIGINT sums
+    divided once (CAST(sum AS DOUBLE) / (1e8 * n)), empty clusters
+    carrying the previous centroid — so trained centroids and cell
+    membership are bit-identical. Consumers append their own CTEs."""
     blocks = [
         f"""
     expanded AS (
@@ -553,7 +552,7 @@ def _kmeans_ivf_oracle(k: int = 8, iters: int = 2, q_lo: int = 100, q_hi: int = 
       SELECT p.cid, p.idx, p.c FROM c{t} p
       WHERE p.cid NOT IN (SELECT DISTINCT cid FROM upd{t})
     )""")
-    final = f"""
+    assign_final = f"""
     cnormF AS (
       SELECT cid, SUM(CAST(round(c * c * 1e8) AS BIGINT)) AS n
       FROM c{iters} GROUP BY cid
@@ -576,7 +575,16 @@ def _kmeans_ivf_oracle(k: int = 8, iters: int = 2, q_lo: int = 100, q_hi: int = 
         JOIN norms nv ON nv.vec_id = d.vec_id
         JOIN cnormF cn ON cn.cid = d.cid
       ) WHERE rn = 1
-    ),
+    )"""
+    return "WITH " + ",".join(blocks) + "," + assign_final
+
+
+def _kmeans_ivf_oracle(k: int = 8, iters: int = 2, q_lo: int = 100, q_hi: int = 105,
+                       topk: int = 5) -> str:
+    """SQL twin of kmeans_fit(iters) + cosine_topk_ivf: the shared
+    Lloyd/assign prefix plus the within-cell exact search, so the
+    final ranking is bit-identical to the Spark plan."""
+    search = f"""
     dots AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              SUM(CAST(round(q.v * c.v * 1e8) AS BIGINT)) AS dot_scaled
@@ -601,7 +609,62 @@ def _kmeans_ivf_oracle(k: int = 8, iters: int = 2, q_lo: int = 100, q_hi: int = 
            CAST(dot_scaled AS BIGINT) AS dot_scaled
     FROM ranked WHERE rank <= {topk}
     """
-    return "WITH " + ",".join(blocks) + "," + final
+    return _lloyd_assign_sql(k, iters) + "," + search
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 2, tau: float = 0.38) -> str:
+    """SQL twin of kmeans_fit + operators.similarity.semantic_dedup:
+    shared Lloyd/assign prefix, then within-cluster pairwise exact
+    cosine and the keep-lowest-id duplicate marking."""
+    pairwise = f"""
+    pairs AS (
+      SELECT aa.vec_id AS id_a, bb.vec_id AS id_b
+      FROM assignF aa JOIN assignF bb
+        ON aa.bucket = bb.bucket AND aa.vec_id < bb.vec_id
+    ),
+    pdots AS (
+      SELECT p.id_a, p.id_b,
+             SUM(CAST(round(ea.v * eb.v * 1e8) AS BIGINT)) AS dot
+      FROM pairs p
+      JOIN expanded ea ON ea.vec_id = p.id_a
+      JOIN expanded eb ON eb.vec_id = p.id_b AND eb.idx = ea.idx
+      GROUP BY p.id_a, p.id_b
+    ),
+    sims AS (
+      SELECT d.id_a, d.id_b,
+             d.dot / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS cos
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.id_a
+      JOIN norms nb ON nb.vec_id = d.id_b
+    ),
+    dup AS (
+      SELECT id_b AS vec_id, CAST(min(id_a) AS BIGINT) AS dup_of
+      FROM sims WHERE cos >= CAST({tau} AS DOUBLE) GROUP BY id_b
+    )
+    SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket, d.dup_of,
+           d.dup_of IS NOT NULL AS is_dup
+    FROM assignF a LEFT JOIN dup d USING (vec_id)
+    """
+    return _lloyd_assign_sql(k, iters) + "," + pairwise
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3 crossover — SemDeDup: 8 trained k-means clusters (two
+    exact Lloyd iterations, same fit as similarity_ivf_kmeans), then
+    within-cluster cosine ≥ 0.38 marks semantic duplicates with the
+    deterministic keep-lowest-id policy. The oracle replays the fit
+    AND the pairwise sweep in SQL."""
+    from ..operators.kmeans import kmeans_fit
+    from ..operators.similarity import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, iters=2)
+    cf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "`__cid__` int, `__cvec__` array<double>",
+    )
+    return semantic_dedup(emb, cf, tau=0.38)
 
 
 @register("similarity_ivf_kmeans", oracle=_kmeans_ivf_oracle())
@@ -954,6 +1017,122 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("char_count"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("token_count"),
         (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias("space_count"),
+    )
+
+
+# BM25 over a literal query-term list. The per-term score expression
+# is ONE template rendered into both engines so the parse trees are
+# identical: every op except ln() is IEEE-exact on identical
+# operands, and ln() is quantized to 1e-9 on both sides before any
+# further arithmetic, removing the only libm-dependent bits.
+_BM25_TERMS = ("join", "window", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_contrib(i: int) -> str:
+    k1, b = _BM25_K1, _BM25_B
+    idf = (
+        f"(round(ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / "
+        f"(CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * 1000000000.0) / 1000000000.0)"
+    )
+    return (
+        f"{idf} * ((CAST(tf{i} AS DOUBLE) * {k1 + 1.0}) / "
+        f"(CAST(tf{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b} * "
+        f"(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+    )
+
+
+def _bm25_oracle() -> str:
+    tfs = ",\n             ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i + 1}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf{i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i + 1}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(_bm25_contrib(i + 1) for i in range(len(_BM25_TERMS)))
+    matched = " + ".join(
+        f"CASE WHEN tf{i + 1} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"tf{i + 1}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+             {tfs}
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {dfs}
+      FROM counts
+    )
+    SELECT doc_id, dl, CAST({matched} AS BIGINT) AS n_matched,
+           {score} AS bm25
+    FROM counts, stats
+    WHERE {any_tf} > 0
+    """
+
+
+@register("bm25_score", oracle=_bm25_oracle())
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: BM25 relevance of every document against a literal term
+    set (k1=1.2, b=0.75) — the standard lexical ranking for corpus
+    curation and retrieval-style filtering.
+
+    Plan: one explode over tokens with partial-aggregated per-doc
+    counts (single shuffle on doc_id), a 1-row corpus-stats frame
+    broadcast into the scoring projection, score itself a fixed-order
+    JVM expression — no UDFs, no double aggregation (per-term
+    contributions are summed in literal order, not via SUM(), so
+    float addition order is deterministic at any parallelism)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i + 1}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = counts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i + 1}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = " + ".join(_bm25_contrib(i + 1) for i in range(len(_BM25_TERMS)))
+    matched = " + ".join(
+        f"CASE WHEN tf{i + 1} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"tf{i + 1}" for i in range(len(_BM25_TERMS)))
+    return (
+        counts.join(F.broadcast(stats))
+        .filter(F.expr(f"{any_tf} > 0"))
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(f"CAST({matched} AS BIGINT)").alias("n_matched"),
+            F.expr(score).alias("bm25"),
+        )
     )
 
 

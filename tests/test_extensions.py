@@ -246,3 +246,30 @@ def test_substring_dedup_planted_spans(spark):
     assert out[3]["dup_chars"] == 0 and out[3]["n_spans"] == 0
     assert out[4]["dup_chars"] == 0 and out[4]["n_chars"] == 5
     assert abs(out[1]["dup_fraction"] - 60 / out[1]["n_chars"]) < 1e-12
+
+
+def test_semantic_dedup_marks_within_cluster_copies(spark):
+    """An exact copy is marked dup_of its lower-id twin; items below
+    tau (or in other clusters) stay kept."""
+    from etl_processing_scd1_spark.operators.similarity import semantic_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),  # exact copy of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.6, 0.8, 0.0, 0.0]),  # cluster 1 mate of 3, cos=0.8 < tau
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cf = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "`__cid__` int, `__cvec__` array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(corpus, cf, tau=0.95).collect()}
+    assert len(out) == 4
+    assert not out[1]["is_dup"] and out[1]["dup_of"] is None
+    assert out[2]["is_dup"] and out[2]["dup_of"] == 1
+    assert not out[3]["is_dup"]
+    assert not out[4]["is_dup"]
+    assert out[3]["bucket"] == out[4]["bucket"] == 1
