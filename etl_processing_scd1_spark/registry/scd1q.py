@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import append_dedup, scd1_merge
+from ..operators.scd2 import END_OF_TIME
 from ._base import make_registry, table
 from .core import AUDIT_TS
 
@@ -176,6 +177,86 @@ def scd1_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's replacement for the reference's three-statement
     in-place mutation."""
     return _merge(spark, sf_dir).merged
+
+
+SCD2_HIST_FROM = "2019-01-01 00:00:00"
+SCD2_SEED_FROM = "2020-01-01 00:00:00"
+SCD2_EFFECTIVE = "2021-03-01 00:00:00"
+
+_SCD2_DIFF = """(s.c_name       IS DISTINCT FROM d.c_name
+            OR s.c_nationkey  IS DISTINCT FROM d.c_nationkey
+            OR s.c_acctbal    IS DISTINCT FROM d.c_acctbal
+            OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment)"""
+
+
+@register(
+    "scd2_merge_full",
+    oracle=f"""
+    WITH stg AS ({_STG_SQL})
+    -- pre-existing history: passes through untouched
+    SELECT c_custkey, 'Customer#old' || CAST(c_custkey AS VARCHAR) AS c_name,
+           c_nationkey, c_acctbal - 50 AS c_acctbal, c_mktsegment,
+           TIMESTAMP '{SCD2_HIST_FROM}' AS valid_from,
+           TIMESTAMP '{SCD2_SEED_FROM}' AS valid_to,
+           false AS is_current
+    FROM customer WHERE c_custkey % 17 = 0
+    UNION ALL
+    -- kept: unchanged current versions
+    SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+           TIMESTAMP '{SCD2_SEED_FROM}', TIMESTAMP '{END_OF_TIME}', true
+    FROM customer d JOIN stg s ON d.c_custkey = s.c_custkey
+    WHERE NOT {_SCD2_DIFF}
+    UNION ALL
+    -- closed: changed keys and keys absent from the snapshot
+    SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+           TIMESTAMP '{SCD2_SEED_FROM}', TIMESTAMP '{SCD2_EFFECTIVE}', false
+    FROM customer d LEFT JOIN stg s ON d.c_custkey = s.c_custkey
+    WHERE s.c_custkey IS NULL OR {_SCD2_DIFF}
+    UNION ALL
+    -- opened: new versions for changed keys and brand-new keys
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+           TIMESTAMP '{SCD2_EFFECTIVE}', TIMESTAMP '{END_OF_TIME}', true
+    FROM stg s LEFT JOIN customer d ON s.c_custkey = d.c_custkey
+    WHERE d.c_custkey IS NULL OR {_SCD2_DIFF}
+    """,
+)
+def scd2_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference §2.G: SCD TYPE 2 over the same snapshot
+    derivation as scd1_merge_full — changed keys close their current
+    version at the effective timestamp and open a new one, absent
+    keys soft-delete (close, history kept), pre-existing closed
+    versions pass through untouched (operators.scd2.scd2_merge;
+    classification reuses the single scd1_changes full-outer join)."""
+    from ..operators.scd2 import scd2_merge
+
+    cust = table(spark, sf_dir, "customer")
+    business = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    current = cust.select(
+        *business,
+        F.lit(SCD2_SEED_FROM).cast("timestamp").alias("valid_from"),
+        F.lit(END_OF_TIME).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    history = cust.filter(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("Customer#old"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        "c_nationkey",
+        (F.col("c_acctbal") - 50).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(SCD2_HIST_FROM).cast("timestamp").alias("valid_from"),
+        F.lit(SCD2_SEED_FROM).cast("timestamp").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    res = scd2_merge(
+        current.unionByName(history),
+        _staging(spark, sf_dir),
+        key="c_custkey",
+        compare_cols=_COMPARE,
+        effective_ts=F.lit(SCD2_EFFECTIVE).cast("timestamp"),
+    )
+    return res.merged
 
 
 @register(
