@@ -223,3 +223,193 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "event_type", k.alias("k_val")).filter(
         F.col("k_val") > 50
     )
+
+
+@register(
+    "gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey % 97 AS grp, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (SELECT grp, min(day) AS lo, max(day) AS hi FROM daily GROUP BY grp),
+    spine AS (
+      SELECT grp, CAST(d AS DATE) AS day
+      FROM bounds,
+           unnest(range(CAST(lo AS TIMESTAMP),
+                        CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY,
+                        INTERVAL 1 DAY)) AS t(d)
+    ),
+    joined AS (
+      SELECT s.grp, s.day, d.rev_cents
+      FROM spine s LEFT JOIN daily d ON s.grp = d.grp AND s.day = d.day
+    ),
+    ctx AS (
+      SELECT grp, day, rev_cents,
+             last_value(rev_cents IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rev,
+             last_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             first_value(rev_cents IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rev,
+             first_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM joined
+    )
+    SELECT grp, day, prev_rev AS rev_locf_cents, rev_cents IS NULL AS is_gap,
+           CASE
+             WHEN rev_cents IS NOT NULL THEN CAST(rev_cents AS DOUBLE)
+             WHEN next_rev IS NULL THEN CAST(prev_rev AS DOUBLE)
+             ELSE CAST(prev_rev AS DOUBLE)
+                  + (CAST(next_rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))
+                    * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                       / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+           END AS rev_interp
+    FROM ctx
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-group daily spine (sequence +
+    explode between each group's min/max day), left join of observed
+    daily revenue, then last-observation-carried-forward AND linear
+    interpolation across gaps in one window pass (last/first with
+    ignorenulls over unbounded frames — no self-joins, no UDFs).
+
+    Scale: the spine explode is O(groups × days) rows, generated
+    map-side from a tiny bounds aggregate; the fill is one window
+    shuffle on grp. Interpolation arithmetic is derived from exact
+    cent/day integers, so both engines produce bit-identical doubles.
+    """
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        (F.col("o_custkey") % 97).alias("grp"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    bounds = daily.groupBy("grp").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select("grp", F.explode(F.sequence("lo", "hi")).alias("day"))
+    joined = spine.join(daily, ["grp", "day"], "left")
+
+    back = Window.partitionBy("grp").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.partitionBy("grp").orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("rev_cents").isNotNull(), F.col("day"))
+    ctx = (
+        joined.withColumn("prev_rev", F.last("rev_cents", ignorenulls=True).over(back))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("next_rev", F.first("rev_cents", ignorenulls=True).over(fwd))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast("double") / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    ).cast("double")
+    interp = (
+        F.when(F.col("rev_cents").isNotNull(), F.col("rev_cents").cast("double"))
+        .when(F.col("next_rev").isNull(), F.col("prev_rev").cast("double"))
+        .otherwise(
+            F.col("prev_rev").cast("double")
+            + (F.col("next_rev").cast("double") - F.col("prev_rev").cast("double")) * frac
+        )
+    )
+    return ctx.select(
+        "grp",
+        "day",
+        F.col("prev_rev").alias("rev_locf_cents"),
+        F.col("rev_cents").isNull().alias("is_gap"),
+        interp.alias("rev_interp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog cardinality sketch (register-based, mergeable)
+# --------------------------------------------------------------------------
+# One SQL template rendered into both engines. All arithmetic is
+# engine-exact: register maxima are integer aggregates; the harmonic
+# sum adds exact powers of two (1/2^M, M <= 40 — every partial sum
+# fits the 52-bit mantissa, so addition order cannot matter); ln()
+# appears only in the small-range correction and is quantized to
+# 1e-9. Dialect differences are confined to hex->int (Spark conv vs
+# DuckDB strpos polynomial), shiftleft syntax, and regexp group arg.
+
+_HLL_M = 256
+_HLL_ALPHA_M2 = repr((0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0)
+
+
+def _hll_sql(dialect: str) -> str:
+    if dialect == "spark":
+        bucket = "CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)"
+        shift = "shiftleft(CAST(1 AS BIGINT), M)"
+        zeros = "length(regexp_extract(substr(h, 3, 16), '^0*', 0))"
+        strtype = "STRING"
+    else:
+        d1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+        d2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+        bucket = f"CAST({d1} * 16 + {d2} AS BIGINT)"
+        shift = "(CAST(1 AS BIGINT) << M)"
+        zeros = "length(regexp_extract(substr(h, 3, 16), '^0*'))"
+        strtype = "VARCHAR"
+    raw = f"CAST({_HLL_ALPHA_M2} AS DOUBLE) / (CAST(256 - present AS DOUBLE) + s_present)"
+    corrected = (
+        f"CASE WHEN {raw} <= 640.0 AND present < 256 "
+        "THEN 256.0 * (round(ln(256.0 / CAST(256 - present AS DOUBLE)) * 1000000000.0) "
+        "/ 1000000000.0) "
+        f"ELSE {raw} END"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT md5(CAST(o_custkey AS {strtype})) AS h FROM {{tbl}}
+    ),
+    parts AS (
+      SELECT {bucket} AS bucket, {zeros} AS z,
+             substr(h, 3 + {zeros}, 1) AS d
+      FROM hashed
+    ),
+    rho AS (
+      SELECT bucket,
+             least(4 * z + CASE WHEN d = '1' THEN 3
+                                WHEN d IN ('2', '3') THEN 2
+                                WHEN d IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END + 1, 40) AS r
+      FROM parts
+    ),
+    regs AS (SELECT bucket, max(r) AS M FROM rho GROUP BY bucket),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS present,
+             SUM(1.0 / CAST({shift} AS DOUBLE)) AS s_present
+      FROM regs
+    ),
+    exact AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM {{tbl}})
+    SELECT CAST(256 AS BIGINT) AS m,
+           CAST(256 - present AS BIGINT) AS v_zero,
+           n_exact,
+           CAST(256 - present AS DOUBLE) + s_present AS harmonic_sum,
+           {corrected} AS hll_estimate
+    FROM folded, exact
+    """
+
+
+@register("hll_cardinality", oracle=_hll_sql("duck").format(tbl="orders"))
+def hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-based HyperLogLog (m=64) over orders.o_custkey — the
+    MERGEABLE cardinality sketch (register merge = per-bucket max,
+    which is exactly the map-side partial aggregate Spark plans for
+    the groupBy), unlike the linear-counting bitmap of
+    cardinality_sketch. Output carries the exact distinct count next
+    to the estimate so accuracy is part of the checked contract.
+
+    Scale: the corpus never shuffles — only 64 (bucket, max) cells
+    reach the final stage from each partition; union of sketches
+    across tables/days is the same max, making this the incremental
+    distinct-count path at 100 TB."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__hll_orders__")
+    return spark.sql(_hll_sql("spark").format(tbl="__hll_orders__"))
