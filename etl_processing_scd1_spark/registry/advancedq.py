@@ -413,3 +413,300 @@ def hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__hll_orders__")
     return spark.sql(_hll_sql("spark").format(tbl="__hll_orders__"))
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+           count(*) AS n_rows,
+           CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General surface: CUBE grouping sets — all 2^k subtotal
+    combinations in one pass (Catalyst expands the sets; partial
+    aggregation applies per set). gid = GROUPING() bitmask
+    disambiguates genuine NULL group values from subtotal markers,
+    the standard trap ROLLUP/CUBE consumers hit."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
+            ).cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+    )
+
+
+@register(
+    "moving_window_agg",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, day_num, price_cents,
+           CAST(CAST(sum(price_cents) OVER w3 AS BIGINT) AS DOUBLE)
+             / CAST(count(*) OVER w3 AS DOUBLE) AS ma3,
+           CAST(sum(price_cents) OVER cum AS BIGINT) AS cum_cents,
+           CAST(sum(price_cents) OVER d30 AS BIGINT) AS sum30_cents
+    FROM base
+    WINDOW
+      w3 AS (PARTITION BY o_custkey ORDER BY day_num, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      cum AS (PARTITION BY o_custkey ORDER BY day_num, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      d30 AS (PARTITION BY o_custkey ORDER BY day_num
+              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window aggregates: 3-row moving average, running
+    total, and a 30-day RANGE frame sum per customer — the sliding
+    analytics surface beyond offset (lag) and ranking windows. ROWS
+    frames are tie-broken by orderkey (deterministic under any
+    partitioning); the RANGE frame orders by the bare numeric day so
+    peer rows aggregate together, which is the frame's defined
+    semantics. The moving average divides two exact BIGINTs. One
+    shuffle on o_custkey serves all three frames."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    w3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d30 = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-29, 0)
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        "price_cents",
+        (
+            F.sum("price_cents").over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3).cast("double")
+        ).alias("ma3"),
+        F.sum("price_cents").over(cum).cast("long").alias("cum_cents"),
+        F.sum("price_cents").over(d30).cast("long").alias("sum30_cents"),
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-iteration SQL twin of the pagerank query. All rank
+    arithmetic is BIGINT in nano-rank units (floor divisions), so
+    each iteration is exactly reproducible on any engine."""
+    blocks = ["""
+    pairs AS (
+      SELECT DISTINCT l.l_suppkey + 1000000 AS s_node, o.o_custkey AS c_node
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS r FROM nodes, nn)"""]
+    for t in range(iters):
+        blocks.append(f"""
+    s{t} AS (
+      SELECT e.dst AS node, CAST(SUM(r.r // dg.d) AS BIGINT) AS m
+      FROM edges e
+      JOIN r{t} r ON r.node = e.src
+      JOIN deg dg ON dg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{t + 1} AS (
+      SELECT n0.node,
+             (CAST(15 AS BIGINT) * 1000000000) // (100 * nn.n)
+             + (CAST(85 AS BIGINT) * COALESCE(s.m, CAST(0 AS BIGINT))) // 100 AS r
+      FROM nodes n0 CROSS JOIN nn LEFT JOIN s{t} s ON s.node = n0.node
+    )""")
+    return (
+        "WITH " + ",".join(blocks)
+        + f" SELECT node AS node_id, r AS rank_nanos FROM r{iters}"
+    )
+
+
+@register("pagerank", oracle=_pagerank_oracle())
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the bipartite
+    supplier↔customer trade graph (edges = distinct supplied-to
+    pairs, both directions, so no node dangles). The second
+    oracle-checked ITERATIVE algorithm after k-means: rank lives in
+    BIGINT nano-units with floor-division shares, so distributed
+    float-accumulation order cannot perturb it and the unrolled SQL
+    twin matches bit-for-bit.
+
+    Scale: one distinct + one groupBy(dst) shuffle per iteration over
+    the edge list; ranks and degrees co-partition with edges on src.
+    In production the edge frame is persisted across iterations and
+    partitioned by src; the iteration count is a fixed parameter."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") + 1000000).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("CAST(1000000000 AS BIGINT) DIV n").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(r, edges["src"] == r["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r DIV d")).cast("long").alias("m"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    "(CAST(15 AS BIGINT) * 1000000000) DIV (100 * n)"
+                    " + (CAST(85 AS BIGINT) * COALESCE(m, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("node").alias("node_id"), F.col("r").alias("rank_nanos"))
+
+
+def _cms_bucket_duck(i: int) -> str:
+    """hex pair i of md5 -> 0..255 (DuckDB lacks conv())."""
+    d1 = f"(strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1)"
+    d2 = f"(strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1)"
+    return f"CAST({d1} * 16 + {d2} AS BIGINT)"
+
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT t AS term FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    hashed AS (SELECT term, md5(term) AS h FROM toks),
+    occ AS (
+      {" UNION ALL ".join(f"SELECT {i} AS row_i, {_cms_bucket_duck(i)} AS b FROM hashed" for i in range(4))}
+    ),
+    cells AS (
+      SELECT row_i, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM occ GROUP BY row_i, b
+    ),
+    vocab AS (
+      SELECT term, md5(term) AS h, CAST(count(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY term
+    ),
+    cand AS (
+      {" UNION ALL ".join(f"SELECT term, true_count, {i} AS row_i, {_cms_bucket_duck(i)} AS b FROM vocab" for i in range(4))}
+    ),
+    est AS (
+      SELECT c.term, c.true_count, min(cl.cnt) AS est_count
+      FROM cand c JOIN cells cl ON cl.row_i = c.row_i AND cl.b = c.b
+      GROUP BY c.term, c.true_count
+    )
+    SELECT term, est_count, true_count, est_count - true_count AS over_count
+    FROM est ORDER BY est_count DESC, term LIMIT 20
+"""
+
+
+@register("cms_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 256, hash rows = md5 hex
+    pairs) over document tokens, reporting the top-20 heavy hitters
+    by sketch estimate with the exact count alongside (CMS guarantees
+    est ≥ true; over_count shows the collision inflation).
+
+    Scale: the sketch is 1024 integer cells built by one partially-
+    aggregated groupBy over the token stream (mergeable: cell-wise
+    add), and the point-query join touches cells only for the
+    candidate vocabulary — the raw corpus is never re-scanned per
+    query. Top-k is a total order (est desc, term) so the LIMIT is
+    deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+
+    def buckets(h):
+        return F.array(
+            *[
+                F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("long")
+                for i in range(4)
+            ]
+        )
+
+    hashed = toks.withColumn("h", F.md5("term"))
+    cells = (
+        hashed.select(F.posexplode(buckets(F.col("h"))).alias("row_i", "b"))
+        .groupBy("row_i", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .withColumn("h", F.md5("term"))
+    )
+    cand = vocab.select(
+        "term",
+        "true_count",
+        F.posexplode(buckets(F.col("h"))).alias("row_i", "b"),
+    )
+    est = (
+        cand.join(cells, ["row_i", "b"])
+        .groupBy("term", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.select(
+            "term",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("over_count"),
+        )
+        .orderBy(F.col("est_count").desc(), "term")
+        .limit(20)
+    )
