@@ -84,9 +84,14 @@ def test_scd2_delete_missing_false_keeps_open(spark):
 def test_scd2_no_cached_rdd_leak(spark):
     import datetime as dt
 
+    def n_persistent(s):
+        return s.sparkContext._jsc.sc().getPersistentRDDs().size()
+
     dim = _dim(spark, [(1, "a", dt.datetime(2021, 1, 1), dt.datetime(9999, 12, 31), True)])
+    before = n_persistent(spark)
     res = scd2_merge(dim, _stg(spark, [(1, "b")]), key="k", compare_cols=["v"],
                      effective_ts=F.lit(T1).cast("timestamp"))
     res.merged.count()
     res.unpersist()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    res.unpersist()  # idempotent
+    assert n_persistent(spark) == before
