@@ -12,7 +12,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_processing_scd1_spark.registry import ORACLES, QUERIES
+from etl_processing_scd1_spark.registry import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -27,10 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 — the
+    50-entry PRIMARY tier first (insertion order is the driver's
+    correctness window), then the extras tier (also oracle-paired)."""
+    return {**QUERIES, **EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column aliases)."""
-    return dict(ORACLES)
+    return {**ORACLES, **EXTRA_ORACLES}

@@ -710,3 +710,145 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), "term")
         .limit(20)
     )
+
+
+@register(
+    "order_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority AS grp,
+             CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+      FROM orders
+    ),
+    anchored AS (
+      SELECT grp, day_num,
+             day_num - row_number() OVER (PARTITION BY grp ORDER BY day_num) AS anchor
+      FROM d
+    )
+    SELECT grp, min(day_num) AS start_day, max(day_num) AS end_day,
+           CAST(count(*) AS BIGINT) AS streak_days
+    FROM anchored GROUP BY grp, anchor
+    """,
+)
+def order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE days with at
+    least one order per priority class — the classic streak pattern
+    via the day_num − row_number() anchor (consecutive days share an
+    anchor), one window + one groupBy, no self-joins."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("day_num")
+    return (
+        d.withColumn("anchor", F.col("day_num") - F.row_number().over(w))
+        .groupBy("grp", "anchor")
+        .agg(
+            F.min("day_num").alias("start_day"),
+            F.max("day_num").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+        )
+        .drop("anchor")
+    )
+
+
+@register(
+    "pandas_scalar_udf",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                - length(replace(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ', ''))
+                + 1 AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.J Arrow SCALAR pandas_udf (the third UDF shape next to
+    applyInPandas and mapInPandas): vectorized text normalization —
+    lowercase, collapse runs of spaces, strip — executed on Arrow
+    record batches, never row-at-a-time. The oracle reproduces it
+    with SQL string functions; parity of the two is itself the test
+    that the UDF stays a pure column function."""
+    from ..operators.udfs import normalize_text as normalize
+
+    docs = table(spark, sf_dir, "documents")
+    # spread the single-file scan before the Python stage
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    out = docs.select("doc_id", normalize(F.col("text")).alias("norm_text"))
+    n_tokens = (
+        F.length("norm_text")
+        - F.length(F.regexp_replace("norm_text", " ", ""))
+        + 1
+    ).cast("long")
+    return out.select("doc_id", "norm_text", n_tokens.alias("n_tokens"))
+
+
+def _roundtrip_dir(fmt: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{fmt}_roundtrip")
+
+
+@register(
+    "jsonl_scan",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name,
+           CAST(length(n.n_name) AS BIGINT) AS name_len
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A source-format breadth: JSON-lines. nation round-trips
+    through newline-delimited JSON (write → read with an EXPLICIT
+    schema — schema inference is a nondeterminism source and a full
+    extra pass at scale), then joins region. Proves the engine's
+    text-source path end-to-end, not just parquet."""
+    path = _roundtrip_dir("jsonl")
+    nation = table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").json(path)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    n = spark.read.schema(schema).json(path)
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "n_nationkey",
+            "n_name",
+            "r_name",
+            F.length("n_name").cast("long").alias("name_len"),
+        )
+    )
+
+
+@register(
+    "orc_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A source-format breadth: ORC. supplier round-trips through
+    ORC (columnar like parquet — predicate pushdown and column
+    pruning apply the same way) and aggregates per nation. DuckDB has
+    no ORC reader, so the oracle runs on the parquet twin — the check
+    therefore proves the ORC round-trip is lossless."""
+    path = _roundtrip_dir("orc")
+    supplier = table(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(path)
+    s = spark.read.orc(path)
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
