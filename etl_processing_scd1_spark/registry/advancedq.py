@@ -852,3 +852,284 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acctbal_cents"),
     )
+
+
+@register(
+    "histogram_quantiles",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    bins AS (
+      SELECT cents // 1048576 AS bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+      FROM bins
+    ),
+    qs AS (SELECT * FROM (VALUES (25), (50), (90), (99)) AS q(q_pct)),
+    targets AS (
+      SELECT q_pct, CAST((q_pct * n + 99) // 100 AS BIGINT) AS target_rank, n
+      FROM qs, nn
+    ),
+    hit AS (
+      SELECT t.q_pct, t.target_rank, min(c.bin) AS bin
+      FROM targets t JOIN cum c ON c.cum_cnt >= t.target_rank
+      GROUP BY t.q_pct, t.target_rank
+    ),
+    est AS (
+      SELECT h.q_pct, h.target_rank,
+             h.bin * 1048576 AS bin_lo_cents,
+             CAST(h.bin * 1048576 AS DOUBLE)
+             + 1048576.0 * (CAST(h.target_rank - (c.cum_cnt - c.cnt) AS DOUBLE)
+                            / CAST(c.cnt AS DOUBLE)) AS est_cents
+      FROM hit h JOIN cum c ON c.bin = h.bin
+    ),
+    ordered AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM base
+    )
+    SELECT e.q_pct, e.target_rank, e.bin_lo_cents, e.est_cents,
+           o.cents AS exact_cents
+    FROM est e JOIN ordered o ON o.rn = e.target_rank
+    """,
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch: fixed-width histogram bins
+    (2^20 cents) with within-bin linear interpolation at the target
+    rank — the third sketch family next to HLL and count-min (bins
+    merge by cell-wise add, so per-partition/per-day histograms
+    compose). The exact order statistic rides alongside, making the
+    approximation error part of the checked contract.
+
+    Scale: the sketch is one partially-aggregated groupBy to ~60
+    cells; only the exact-verification column needs a sort, and at
+    production scale that column is dropped, leaving a shuffle-light
+    plan. All ranks/bins are exact integers; the interpolation is a
+    single double division."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    nn = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bins = base.groupBy(F.expr("cents DIV 1048576").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = bins.withColumn(
+        "cum_cnt",
+        F.sum("cnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    qs = spark.createDataFrame([(25,), (50,), (90,), (99,)], "q_pct int")
+    targets = qs.crossJoin(F.broadcast(nn)).select(
+        "q_pct", F.expr("CAST((q_pct * n + 99) DIV 100 AS BIGINT)").alias("target_rank")
+    )
+    hit = (
+        targets.join(F.broadcast(cum), F.col("cum_cnt") >= F.col("target_rank"))
+        .groupBy("q_pct", "target_rank")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = hit.join(F.broadcast(cum), "bin").select(
+        "q_pct",
+        "target_rank",
+        (F.col("bin") * 1048576).alias("bin_lo_cents"),
+        (
+            (F.col("bin") * 1048576).cast("double")
+            + F.lit(1048576.0)
+            * (
+                (F.col("target_rank") - (F.col("cum_cnt") - F.col("cnt"))).cast("double")
+                / F.col("cnt").cast("double")
+            )
+        ).alias("est_cents"),
+    )
+    ordered = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cents", "o_orderkey"))
+    )
+    return est.join(ordered, est["target_rank"] == ordered["rn"]).select(
+        "q_pct", "target_rank", "bin_lo_cents", "est_cents",
+        F.col("cents").alias("exact_cents"),
+    )
+
+
+def _bloom_pos_duck(i: int) -> str:
+    d1 = f"(strpos('0123456789abcdef', substr(h, {3 * i + 1}, 1)) - 1)"
+    d2 = f"(strpos('0123456789abcdef', substr(h, {3 * i + 2}, 1)) - 1)"
+    d3 = f"(strpos('0123456789abcdef', substr(h, {3 * i + 3}, 1)) - 1)"
+    return f"CAST({d1} * 256 + {d2} * 16 + {d3} AS BIGINT) % 4096"
+
+
+_BLOOM_ORACLE = f"""
+    WITH member AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    mh AS (SELECT k, md5(CAST(k AS VARCHAR)) AS h FROM member),
+    bits AS (
+      {" UNION ".join(f"SELECT DISTINCT {_bloom_pos_duck(i)} AS pos FROM mh" for i in range(3))}
+    ),
+    probe AS (SELECT c_custkey AS k FROM customer),
+    ph AS (SELECT k, md5(CAST(k AS VARCHAR)) AS h FROM probe),
+    probed AS (
+      SELECT k,
+             {" AND ".join(f"({_bloom_pos_duck(i)}) IN (SELECT pos FROM bits)" for i in range(3))}
+             AS bloom_hit
+      FROM ph
+    ),
+    truth AS (
+      SELECT p.k, p.bloom_hit, m.k IS NOT NULL AS is_member
+      FROM probed p LEFT JOIN member m ON m.k = p.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+           CAST(sum(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+    FROM truth
+"""
+
+
+@register("bloom_membership", oracle=_BLOOM_ORACLE)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter membership sketch (4096 bits, 3 md5-derived hash
+    positions) — the fourth sketch family (HLL, count-min, histogram,
+    Bloom). Builds the bit set from orders' customer keys, probes
+    every customer, and reports hits vs exact membership: the checked
+    contract asserts ZERO false negatives (the Bloom guarantee) while
+    surfacing the false-positive count.
+
+    Scale: the filter is a distinct over ≤ 3·4096 positions (bit-wise
+    OR merge = set union, partially aggregated); probing broadcasts
+    those positions — this is exactly the semi-join pre-filter that
+    cuts shuffle volume on selective joins at 100 TB."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    def positions(key_col):
+        h = F.md5(key_col.cast("string"))
+        return [
+            F.conv(F.substring(h, 3 * i + 1, 3), 16, 10).cast("long") % 4096
+            for i in range(3)
+        ]
+
+    member = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bits = None
+    for i, pos in enumerate(positions(F.col("k"))):
+        sel = member.select(pos.alias("pos")).distinct()
+        bits = sel if bits is None else bits.unionByName(sel).distinct()
+    probed = customer.select(F.col("c_custkey").alias("k"))
+    for i, pos in enumerate(positions(F.col("k"))):
+        hit_i = bits.select(F.col("pos").alias(f"p{i}"))
+        probed = probed.withColumn(f"b{i}", pos).join(
+            F.broadcast(hit_i), F.col(f"b{i}") == F.col(f"p{i}"), "left"
+        ).withColumn(f"hit{i}", F.col(f"p{i}").isNotNull()).drop(f"p{i}")
+    probed = probed.withColumn(
+        "bloom_hit", F.col("hit0") & F.col("hit1") & F.col("hit2")
+    )
+    truth = probed.join(
+        member.select(F.col("k").alias("mk")), probed["k"] == F.col("mk"), "left"
+    ).withColumn("is_member", F.col("mk").isNotNull())
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("false_positives"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("false_negatives"),
+    )
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL) AS violations,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS checked
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+             (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) g
+            WHERE c > 1),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 'orders_price_positive',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice <= 0),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 1),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit as a first-class operator: referential
+    integrity (anti joins), primary-key uniqueness (surplus rows per
+    key), domain constraints (positivity, NULLs), and cross-column
+    ordering — one violations row per named check, the shape a
+    pipeline gates its publish on (the reference trusts Postgres
+    constraints; immutable-file warehouses must recheck on write).
+
+    Scale: each check is an independent aggregate/anti-join over one
+    table — no check forces a wider shuffle than the rule itself, FK
+    probes broadcast the dimension side, and the final result is five
+    rows regardless of data size."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+
+    def one(name: str, violations, checked) -> DataFrame:
+        return violations.crossJoin(checked).select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+            F.col("checked").cast("long").alias("checked"),
+        )
+
+    cnt = lambda df: df.agg(F.count(F.lit(1)).alias("checked"))  # noqa: E731
+
+    fk1 = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    fk2 = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("violations"))
+    )
+    dom = orders.filter(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    disc = lineitem.filter(
+        F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    return (
+        one("orders_custkey_fk", fk1, cnt(orders))
+        .unionByName(one("lineitem_orderkey_fk", fk2, cnt(lineitem)))
+        .unionByName(one("orders_pk_unique", pk, cnt(orders)))
+        .unionByName(one("orders_price_positive", dom, cnt(orders)))
+        .unionByName(one("lineitem_discount_range", disc, cnt(lineitem)))
+    )
