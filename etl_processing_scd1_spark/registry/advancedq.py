@@ -1133,3 +1133,52 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("orders_price_positive", dom, cnt(orders)))
         .unionByName(one("lineitem_discount_range", disc, cnt(lineitem)))
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,
+           CAST(CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS BIGINT) AS econ_cents,
+           CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS BIGINT) AS total_cents,
+           CAST(CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) AS econ_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: category revenue share per ship month —
+    fact ⋈ broadcast(part), discounted revenue as exact cents
+    (the double product is computed identically on both engines, then
+    rounded once to BIGINT before any aggregation), conditional and
+    total sums in one pass, share as a single exact-long division."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    out = joined.groupBy(
+        F.trunc(F.to_date("l_shipdate"), "month").alias("ship_month")
+    ).agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", cents).otherwise(0))
+        .cast("long")
+        .alias("econ_cents"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+    return out.select(
+        "ship_month",
+        "econ_cents",
+        "total_cents",
+        (
+            F.col("econ_cents").cast("double") / F.col("total_cents").cast("double")
+        ).alias("econ_share"),
+    )
