@@ -344,19 +344,27 @@ _HLL_M = 256
 _HLL_ALPHA_M2 = repr((0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0)
 
 
-def _hll_sql(dialect: str) -> str:
+def _hll_dialect(dialect: str) -> tuple[str, str, str, str]:
+    """(bucket, shift, zeros, strtype) fragments per engine."""
     if dialect == "spark":
-        bucket = "CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)"
-        shift = "shiftleft(CAST(1 AS BIGINT), M)"
-        zeros = "length(regexp_extract(substr(h, 3, 16), '^0*', 0))"
-        strtype = "STRING"
-    else:
-        d1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
-        d2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
-        bucket = f"CAST({d1} * 16 + {d2} AS BIGINT)"
-        shift = "(CAST(1 AS BIGINT) << M)"
-        zeros = "length(regexp_extract(substr(h, 3, 16), '^0*'))"
-        strtype = "VARCHAR"
+        return (
+            "CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)",
+            "shiftleft(CAST(1 AS BIGINT), M)",
+            "length(regexp_extract(substr(h, 3, 16), '^0*', 0))",
+            "STRING",
+        )
+    d1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+    d2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+    return (
+        f"CAST({d1} * 16 + {d2} AS BIGINT)",
+        "(CAST(1 AS BIGINT) << M)",
+        "length(regexp_extract(substr(h, 3, 16), '^0*'))",
+        "VARCHAR",
+    )
+
+
+def _hll_sql(dialect: str) -> str:
+    bucket, shift, zeros, strtype = _hll_dialect(dialect)
     raw = f"CAST({_HLL_ALPHA_M2} AS DOUBLE) / (CAST(256 - present AS DOUBLE) + s_present)"
     corrected = (
         f"CASE WHEN {raw} <= 640.0 AND present < 256 "
@@ -1182,3 +1190,104 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("econ_cents").cast("double") / F.col("total_cents").cast("double")
         ).alias("econ_share"),
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS BIGINT) AS rev_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: the
+    stored partial state (orders before 1997-06-01, aggregated) is
+    MERGED with the new-batch partial (orders from 1997-06-01 on) by
+    summing state cells — never rescanning history. The oracle is the
+    full recompute over all orders, so the check IS the proof that
+    merge(partial_old, partial_new) == full for count/sum state.
+
+    Scale: the nightly cost is O(batch) + O(|groups|) state merge —
+    the same property stage_append gives row storage, lifted to
+    aggregate tables. (Non-distributive aggs need sketch state:
+    see hll_cardinality / histogram_quantiles.)"""
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+
+    stored = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        stored.unionByName(delta)
+        .groupBy("grp")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+        )
+    )
+
+
+def _hll_merge_sql(dialect: str) -> str:
+    """Mergeability proof: per-priority-group HLL registers, merged
+    by per-bucket max, must equal the registers of a direct sketch
+    over the whole table — compared cell-by-cell, not just on the
+    final estimate."""
+    bucket, shift, zeros, strtype = _hll_dialect(dialect)
+    return f"""
+    WITH hashed AS (
+      SELECT o_orderpriority AS grp, md5(CAST(o_custkey AS {strtype})) AS h
+      FROM {{tbl}}
+    ),
+    parts AS (
+      SELECT grp, {bucket} AS bucket, {zeros} AS z,
+             substr(h, 3 + {zeros}, 1) AS d
+      FROM hashed
+    ),
+    rho AS (
+      SELECT grp, bucket,
+             least(4 * z + CASE WHEN d = '1' THEN 3
+                                WHEN d IN ('2', '3') THEN 2
+                                WHEN d IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END + 1, 40) AS r
+      FROM parts
+    ),
+    group_regs AS (
+      SELECT grp, bucket, max(r) AS M FROM rho GROUP BY grp, bucket
+    ),
+    merged AS (SELECT bucket, max(M) AS M FROM group_regs GROUP BY bucket),
+    direct AS (SELECT bucket, max(r) AS M FROM rho GROUP BY bucket),
+    cmp AS (
+      SELECT coalesce(m.bucket, d.bucket) AS bucket,
+             m.M AS merged_m, d.M AS direct_m
+      FROM merged m FULL OUTER JOIN direct d ON m.bucket = d.bucket
+    )
+    SELECT CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(sum(CASE WHEN merged_m IS NOT DISTINCT FROM direct_m
+                         THEN 1 ELSE 0 END) AS BIGINT) AS buckets_equal,
+           CAST((SELECT count(*) FROM (SELECT DISTINCT grp FROM hashed)) AS BIGINT)
+             AS n_groups
+    FROM cmp
+    """
+
+
+@register("hll_merge_proof", oracle=_hll_merge_sql("duck").format(tbl="orders"))
+def hll_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability, checked cell-by-cell: HLL registers built
+    per order-priority group and merged with a per-bucket max must
+    equal the registers of one direct sketch over the whole table
+    (buckets_equal == buckets_used). This is the property that lets
+    per-partition / per-day sketches answer global distinct-count
+    questions at 100 TB without rescans — here it is part of the
+    oracle-checked contract rather than an assumed identity."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__hll_merge_orders__")
+    return spark.sql(_hll_merge_sql("spark").format(tbl="__hll_merge_orders__"))
