@@ -133,3 +133,47 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    plan = plan_of(spark, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan  # part never shuffles the fact
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_no_pair_explosion(spark):
+    """The shared-hash join must stay an equi-join (1 build row per
+    hash) — never a nested-loop/cartesian — and the CPU-heavy
+    stride-1 hashing must be spread by the explicit repartition."""
+    plan = plan_of(spark, "substring_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_pagerank_contribution_joins_are_equi(spark):
+    """Edge/rank joins must be equi-joins (hash or sort-merge). The
+    only nested-loop allowed is the deliberate 1-row broadcast cross
+    join carrying the scalar node count into the projection."""
+    plan = plan_of(spark, "pagerank")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line  # scalar-count cross join only
+
+
+def test_hll_sketch_is_partial_aggregated(spark):
+    """The register build must partial-aggregate map-side (merge =
+    per-bucket max): two HashAggregate levels around one Exchange."""
+    plan = plan_of(spark, "hll_cardinality")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_moving_window_single_shuffle(spark):
+    """All three frames share the o_custkey partitioning: exactly one
+    hash Exchange on the window key."""
+    plan = plan_of(spark, "moving_window_agg")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(exchanges) == 1 and "o_custkey" in exchanges[0]
