@@ -205,3 +205,33 @@ def streaming_velocity_rule(
             "n_events",
         )
     )
+
+
+def streaming_sketch_sink(
+    stream: DataFrame,
+    key_col: str,
+    read_registers: Callable[[], DataFrame],
+    write_registers: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental distinct-count maintenance: each micro-batch's HLL
+    registers (operators.sketches.hll_registers, ≤256 rows) merge
+    into the stored register table by per-bucket max — O(batch) work
+    per trigger, never a rescan of history, and the merge is
+    idempotent so at-least-once redelivery cannot inflate the count
+    (contrast a stored exact distinct, which must either rescan or
+    keep the full key set in state)."""
+    from ..operators.sketches import hll_merge, hll_registers
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        write_registers(hll_merge(read_registers(), hll_registers(batch, key_col)))
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
