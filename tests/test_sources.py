@@ -110,3 +110,33 @@ def test_drop_dir_routing_and_archive(tmp_path):
     archived = archive_file(found[0].path, str(tmp_path / "archive"))
     assert archived.endswith("terminals_01032021.xlsx.backup")
     assert not os.path.exists(found[0].path)
+
+
+def test_csv_corrupt_records_are_audited_not_dropped(spark, tmp_path):
+    """PERMISSIVE CSV reads must surface malformed rows in a
+    _corrupt_record column so ingestion can audit-and-quarantine
+    instead of silently losing data (the reference's pandas reader
+    would raise and abort the whole file)."""
+    p = tmp_path / "tx.csv"
+    p.write_text(
+        "id;amount;day\n"
+        "1;10,50;2021-03-01\n"
+        "garbage-line-with-no-delimiters\n"
+        "2;not-a-number;2021-03-02\n"
+        "3;7,25;2021-03-03\n"
+    )
+    df = (
+        spark.read.option("sep", ";")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id int, amount string, day date, _corrupt_record string")
+        .csv(str(p))
+        .cache()  # corrupt-record column requires the same pass
+    )
+    good = df.filter(df["_corrupt_record"].isNull())
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    assert good.count() == 3  # 'not-a-number' stays: amount is string-typed here
+    assert bad.count() == 1
+    assert "garbage" in bad.collect()[0]["_corrupt_record"]
+    df.unpersist()
