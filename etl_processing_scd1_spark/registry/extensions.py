@@ -1469,3 +1469,84 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload's hex rendering and hashes it identically."""
     docs = attach_binary_payload(table(spark, sf_dir, "documents"), "text")
     return resize_payload(docs, id_col="doc_id", target=256)
+
+
+@register(
+    "decontaminate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in range(1, greatest(len(toks) - 1, 1))])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g
+      WHERE doc_id % 20 <> 0 GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM g JOIN ev USING (gram)
+      WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id
+    )
+    SELECT c.doc_id, c.n_grams,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           COALESCE(s.n_shared, 0) >= 3 AS contaminated
+    FROM counts c LEFT JOIN shared s ON s.doc_id = c.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K4 crossover — training-data DECONTAMINATION: flag training
+    documents sharing ≥3 distinct token trigrams with any document of
+    a held-out evaluation set (here the doc_id % 20 == 0 slice stands
+    in for the benchmark corpus). The cross-set n-gram overlap is the
+    standard leakage check run before pretraining (GPT-3 appendix C
+    methodology), distinct from WITHIN-set dedup.
+
+    Scale: the eval n-gram set is benchmark-sized (small) — built
+    once, distinct, and broadcast into the train-side explode-join,
+    so the train corpus is touched in one linear pass and nothing
+    quadratic exists anywhere. Per-doc output, bounded by the train
+    set size."""
+    docs = table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    base = docs.select("doc_id", "text").repartition(n_parts, "doc_id")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    grams = (
+        base.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(_toks) - 3),"
+                        " i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    ev = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 20 != 0)
+    counts = train.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    shared = (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        counts.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )
