@@ -28,6 +28,28 @@ RISKY = [
     "repetition_stats",      # basis-point floor divisions, array indexing
     "pii_scrub",             # regexp_count/replace over injected text
     "dedup_clusters",        # iterative joins + localCheckpoint under ANSI
+    # round-3 additions with ANSI-sensitive expressions
+    "substring_dedup",       # sequence + substring with computed positions
+    "bm25_score",            # ln + chained divisions
+    "hll_cardinality",       # conv(hex) → BIGINT, shiftleft, computed substr pos
+    "hll_merge_proof",       # same derivation, grouped
+    "cms_heavy_hitters",     # conv(hex) buckets, min over joined cells
+    "bloom_membership",      # conv(hex) % bits, boolean algebra
+    "histogram_quantiles",   # integer DIV, rank arithmetic, interpolation
+    "pagerank",              # BIGINT DIV chains per iteration
+    "gap_fill_interpolate",  # datediff ratios, ignorenulls windows
+    "moving_window_agg",     # RANGE frame over casted day numbers
+    "order_streaks",         # row_number anchor arithmetic
+    "cube_agg",              # GROUPING() bitmask casts
+    "scd2_merge_full",       # timestamp literals + null-safe diffs
+    "decontaminate",         # 0-based array subscripts in transform()
+    "pandas_scalar_udf",     # Arrow scalar UDF round-trip
+    "jsonl_scan",            # explicit-schema JSON parse
+    "orc_scan",              # ORC round-trip + cents casts
+    "incremental_agg_merge", # partial-state sums
+    "dq_checks",             # anti-join counts, guarded domains
+    "promo_revenue_share",   # conditional cent sums, share division
+    "semantic_dedup",        # kmeans fit + within-cluster cosine under ANSI
 ]
 
 
