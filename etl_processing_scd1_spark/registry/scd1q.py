@@ -183,6 +183,9 @@ SCD2_HIST_FROM = "2019-01-01 00:00:00"
 SCD2_SEED_FROM = "2020-01-01 00:00:00"
 SCD2_EFFECTIVE = "2021-03-01 00:00:00"
 
+PIT_SEED = "1992-01-01 00:00:00"
+PIT_EFFECTIVE = "1996-01-01 00:00:00"
+
 _SCD2_DIFF = """(s.c_name       IS DISTINCT FROM d.c_name
             OR s.c_nationkey  IS DISTINCT FROM d.c_nationkey
             OR s.c_acctbal    IS DISTINCT FROM d.c_acctbal
@@ -285,3 +288,83 @@ def fact_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
     )
     return append_dedup(fact, stg, id_col="o_orderkey")
+
+
+@register(
+    "scd2_point_in_time",
+    oracle=f"""
+    WITH stg AS ({_STG_SQL}),
+    dim AS (
+      SELECT d.c_custkey, d.c_name, d.c_mktsegment,
+             TIMESTAMP '{PIT_SEED}' AS valid_from,
+             TIMESTAMP '{PIT_EFFECTIVE}' AS valid_to
+      FROM customer d LEFT JOIN stg s ON d.c_custkey = s.c_custkey
+      WHERE s.c_custkey IS NULL OR {_SCD2_DIFF}
+      UNION ALL
+      SELECT d.c_custkey, d.c_name, d.c_mktsegment,
+             TIMESTAMP '{PIT_SEED}', TIMESTAMP '{END_OF_TIME}'
+      FROM customer d JOIN stg s ON d.c_custkey = s.c_custkey
+      WHERE NOT {_SCD2_DIFF}
+      UNION ALL
+      SELECT s.c_custkey, s.c_name, s.c_mktsegment,
+             TIMESTAMP '{PIT_EFFECTIVE}', TIMESTAMP '{END_OF_TIME}'
+      FROM stg s LEFT JOIN customer d ON s.c_custkey = d.c_custkey
+      WHERE d.c_custkey IS NULL OR {_SCD2_DIFF}
+    )
+    SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           v.c_name AS name_as_of_order, v.c_mktsegment AS segment_as_of_order
+    FROM orders o JOIN dim v
+      ON o.o_custkey = v.c_custkey
+     AND CAST(o.o_orderdate AS TIMESTAMP) >= v.valid_from
+     AND CAST(o.o_orderdate AS TIMESTAMP) <  v.valid_to
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption side of SCD2 — AS-WAS enrichment: each order
+    joins the dimension VERSION that was valid on its order date.
+    The version timeline here brackets the order-date domain (seed
+    1992, change effective 1996): pre-1996 orders see the original
+    attributes, later orders see the changed ones, and orders of
+    soft-deleted keys after their close date drop out — exactly the
+    as-was semantics an SCD1 warehouse cannot answer.
+
+    Plan shape: the interval predicate rides the custkey equi-join —
+    per key the version list is short, so this is an equi-join plus a
+    bounded filter, never a range-join blowup; the slowly-versioned
+    dim side is broadcast (or co-bucketed on the key at scale)."""
+    from ..operators.scd2 import scd2_merge
+
+    cust = table(spark, sf_dir, "customer")
+    business = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    current = cust.select(
+        *business,
+        F.lit(PIT_SEED).cast("timestamp").alias("valid_from"),
+        F.lit(END_OF_TIME).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    res = scd2_merge(
+        current,
+        _staging(spark, sf_dir),
+        key="c_custkey",
+        compare_cols=_COMPARE,
+        effective_ts=F.lit(PIT_EFFECTIVE).cast("timestamp"),
+    )
+    dim = res.merged.select(
+        "c_custkey", "c_name", "c_mktsegment", "valid_from", "valid_to"
+    )
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(dim),
+            (orders["o_custkey"] == dim["c_custkey"])
+            & (orders["o_orderdate"] >= dim["valid_from"])
+            & (orders["o_orderdate"] < dim["valid_to"]),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("c_name").alias("name_as_of_order"),
+            F.col("c_mktsegment").alias("segment_as_of_order"),
+        )
+    )
