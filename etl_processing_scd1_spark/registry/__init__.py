@@ -25,11 +25,11 @@ is split in two tiers:
 
 from __future__ import annotations
 
-from . import advancedq, core, curationq, extensions, scd1q, streamingq
+from . import advancedq, analyticsq, core, curationq, extensions, scd1q, streamingq
 
 _ALL_QUERIES: dict = {}
 _ALL_ORACLES: dict = {}
-for _m in (core, scd1q, extensions, streamingq, curationq, advancedq):
+for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq):
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 

@@ -1,0 +1,680 @@
+"""Behavioral analytics + corpus-indexing surface: funnel, cohort
+retention, Markov transitions, document chunking, TF-IDF, token
+entropy, fuzzy matching, exact group quantiles, EWMA smoothing,
+integer-exact outlier flags, and a bounded inverted index.
+
+These extend the engine past the reference's fixed DAG the same way
+the §2.K rows do: each is a pattern a training-data / product
+analytics pipeline runs at 100 TB, expressed as declarative DataFrame
+plans (one- or two-shuffle shapes, no driver-side loops), with DuckDB
+oracle twins built from the determinism playbook (integer cents,
+quantized ln(), DIV floor-division on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._base import events_table, make_registry, table
+
+QUERIES, ORACLES, register = make_registry()
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: signup -> view -> purchase, min-timestamp progression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_analysis",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'signup' AS stage_name, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'view_after_signup', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase_after_view', (SELECT count(*) FROM s3)
+    """,
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: users who signed up, then viewed strictly after
+    their first signup, then purchased strictly after that first view.
+
+    Shape: three per-stage aggregations, each a single groupBy on
+    ``user_id``; the stage-N+1 join keys on the same ``user_id`` the
+    previous groupBy just partitioned on, so the shuffles reuse one
+    partitioning. The type filters push into the scan. No windows, no
+    per-user state — the pattern scales as three hash aggregations
+    regardless of corpus size.
+    """
+    ev = events_table(spark, sf_dir)
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(n: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage(1, "signup", s1)
+        .unionAll(stage(2, "view_after_signup", s2))
+        .unionAll(stage(3, "purchase_after_view", s3))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           date_diff('day', CAST(f.cohort_week AS DATE),
+                     CAST(a.active_week AS DATE)) // 7 AS offset_weeks,
+           count(*) AS n_users
+    FROM firsts f JOIN active a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first
+    event; for each (cohort week, week offset) the count of users
+    still active. The week offset is computed as floor(day-diff / 7)
+    with integer division on BOTH engines — never a 'week' datediff,
+    whose boundary semantics differ across engines.
+
+    Shape: one groupBy(user) for first-touch, one distinct over
+    (user, week), one user-keyed join (partitioning reused), one
+    final aggregation on the small (cohort, offset) grid.
+    """
+    ev = events_table(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .select(
+            "cohort_week",
+            F.expr(
+                "datediff(CAST(active_week AS DATE), CAST(cohort_week AS DATE)) DIV 7"
+            ).alias("offset_weeks"),
+        )
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition counts over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS curr_type, count(*) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, curr_type, n_trans,
+           CAST((n_trans * 1000000) // sum(n_trans) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS prob_ppm
+    FROM pairs
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    observed (prev, curr) pair, the transition count and probability
+    in parts-per-million. The probability is integer floor-division
+    (``DIV`` / ``//``) of exact counts — no float ratios to drift.
+
+    Shape: one window shuffle on user_id for the lag, one groupBy on
+    the tiny (prev, curr) grid, one window over that grid for the
+    row-normalising totals. The event ordering ties break on
+    event_id, so the lag sequence is total-ordered and deterministic.
+    """
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n_trans"))
+    )
+    return pairs.select(
+        "prev_type",
+        "curr_type",
+        "n_trans",
+        F.expr("n_trans * 1000000 DIV sum(n_trans) OVER (PARTITION BY prev_type)")
+        .alias("prob_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap (context-window preparation).
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           k AS chunk_idx,
+           k * {_CHUNK_STRIDE} AS chunk_start,
+           substr(text, k * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}) AS chunk_text,
+           length(substr(text, k * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})) AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, ((length(text) - 1) // {_CHUNK_STRIDE}) + 1)) AS k
+      FROM documents
+    )
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking — the standard context-window
+    preparation pass for LLM training/retrieval corpora: 200-char
+    windows every 150 chars (50-char overlap), last chunk ragged.
+
+    Shape: a pure narrow map — ``sequence`` + ``explode`` generates
+    chunk offsets per row with no shuffle at all; output size is
+    len/stride per document. At 100 TB this is the ideal operator:
+    embarrassingly parallel, no state, pushdown-transparent.
+    """
+    docs = table(spark, sf_dir, "documents")
+    k = F.explode(
+        F.sequence(F.lit(0), F.expr(f"(length(text) - 1) DIV {_CHUNK_STRIDE}"))
+    ).alias("k")
+    chunk = F.expr(f"substring(text, k * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})")
+    return (
+        docs.select("doc_id", "text", k)
+        .select(
+            "doc_id",
+            F.col("k").alias("chunk_idx"),
+            (F.col("k") * _CHUNK_STRIDE).alias("chunk_start"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (quantized-ln determinism).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+                                * 1000000000.0) AS BIGINT) AS score_q
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score_q FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_q DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most distinctive terms per document, scored as
+    tf * ln(N/df). The ln() is quantized to 1e-9 then held as a
+    BIGINT multiple, so the score is an exact integer on both engines
+    (the [[bm25_score]] determinism technique); ties rank by term.
+
+    Shape: explode → (doc,term) partial-aggregatable count → term-
+    keyed df aggregate (small) joined back — at scale the df side is
+    vocabulary-sized, so that join broadcasts; the top-3 filter is a
+    row_number window on the doc-keyed frame, same key as the tf
+    groupBy, reusing the partitioning.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.count()
+    score_q = (
+        F.col("tf")
+        * F.expr(
+            f"CAST(round(ln(CAST({n} AS DOUBLE) / CAST(df AS DOUBLE))"
+            " * 1000000000.0) AS BIGINT)"
+        )
+    ).alias("score_q")
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id", "term", "tf", "df", score_q
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram token entropy per document (integer-exact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000.0)
+                               AS BIGINT)) AS BIGINT) AS sum_clnc_q
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST((CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000000.0) AS BIGINT)
+                 * n_tokens - sum_clnc_q) // (n_tokens * 1000) AS BIGINT)
+             AS entropy_micronats
+    FROM per_doc
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy per document in micro-nats — the repetition /
+    diversity signal quality filters threshold on. H = ln(n) −
+    (1/n)·Σ c·ln(c), computed entirely in quantized-ln integer
+    arithmetic: each ln() is rounded to 1e-9 and held as BIGINT, so
+    the sums are order-free and the floor-division is exact on both
+    engines.
+
+    Shape: explode → one (doc,term) count → one doc-keyed aggregate.
+    Both groupBys partial-aggregate map-side; no joins, no windows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    ln_q = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000.0) AS BIGINT)"
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.expr(f"c * {ln_q.format(x='c')}")).alias("sum_clnc_q"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.expr(
+            f"CAST(({ln_q.format(x='n_tokens')} * n_tokens - sum_clnc_q)"
+            " DIV (n_tokens * 1000) AS BIGINT)"
+        ).alias("entropy_micronats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded inverted index (term -> df + capped postings list).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    grouped AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+      FROM pairs GROUP BY term
+    )
+    SELECT term, df, postings FROM grouped WHERE df >= 50
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: for every term appearing in at
+    least 50 documents, the document frequency and the first 20
+    posting doc_ids (ascending). Postings are CAPPED inside the plan
+    — a row_number window keyed the same as the aggregation bounds
+    per-term state to 20 rows BEFORE the collect, so a stop-word with
+    a billion postings costs 20 rows of memory, not a billion (the
+    collect_list-then-slice shape would not survive 100 TB).
+
+    Shape: explode → distinct (doc,term) → one term-keyed window
+    (row_number + count) → one term-keyed groupBy reusing the same
+    partitioning.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("term")
+    wo = w.orderBy("doc_id")
+    capped = (
+        pairs.withColumn("df", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") <= 20)
+    )
+    return (
+        capped.groupBy("term")
+        .agg(
+            F.max("df").alias("df"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+        )
+        .filter(F.col("df") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy self-join: edit-distance matching with key blocking.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_nationkey AS nationkey,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) record matching — the entity-resolution
+    primitive. Candidate pairs are generated by BLOCKING on
+    c_nationkey (equi-join), and only blocked pairs pay the
+    levenshtein evaluation: never an all-pairs cross join. At 100 TB
+    the blocking key is the knob — a tighter key (nation × name
+    prefix) bounds per-block candidates the same way the MinHash
+    bands bound [[near_dedup_minhash]].
+
+    Both engines implement classic Levenshtein, so the distance is
+    integer-identical.
+    """
+    cust = table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return (
+        a.join(b, "nationkey")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("custkey_a", "custkey_b", "nationkey", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quartiles on integer cents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS q25,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.50) AS q50,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS q75,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles of extended price. Works on integer
+    cents so the linear interpolation between adjacent order
+    statistics is exact in double — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit (the [[median_agg]] rule,
+    extended to a full quartile profile).
+
+    Exact percentile is a sort-based aggregate: fine per group here;
+    at 100 TB the mergeable-sketch variant is [[histogram_quantiles]].
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = "CAST(round(l_extendedprice * 100) AS LONG)"
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile({cents}, 0.25)").alias("q25"),
+        F.expr(f"percentile({cents}, 0.50)").alias("q50"),
+        F.expr(f"percentile({cents}, 0.75)").alias("q75"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing with power-of-two weights (integer-exact).
+# ---------------------------------------------------------------------------
+
+_EWMA_TERMS = 16
+
+
+def _ewma_exprs(lag_fn) -> tuple[str, str]:
+    """Numerator / weight-sum expressions: weight 2^(15-k) for lag k.
+
+    With alpha = 1/2 the EWMA weights are exact powers of two, so the
+    whole smoothing is BIGINT arithmetic — order-free and engine-
+    identical. ``lag_fn(k)`` renders the lag-k expression.
+    """
+    num = " + ".join(
+        f"COALESCE({lag_fn(k)}, 0) * {1 << (_EWMA_TERMS - 1 - k)}"
+        for k in range(_EWMA_TERMS)
+    )
+    wsum = " + ".join(
+        f"(CASE WHEN {lag_fn(k)} IS NOT NULL THEN {1 << (_EWMA_TERMS - 1 - k)} ELSE 0 END)"
+        for k in range(_EWMA_TERMS)
+    )
+    return num, wsum
+
+
+@register(
+    "ewma_smooth",
+    oracle=(
+        lambda num, wsum: f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS daily_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day, daily_cents,
+           CAST(({num}) // ({wsum}) AS BIGINT) AS ewma_cents
+    FROM daily
+    """
+    )(*_ewma_exprs(lambda k: f"lag(daily_cents, {k}) OVER (ORDER BY day)")),
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    alpha = 1/2 over the last 16 observed days. Powers-of-two weights
+    make every term exact BIGINT; the final division is floor on both
+    engines. Warm-up rows renormalize over the weights actually
+    present (the CASE weight-sum) rather than emitting biased values.
+
+    Shape: one day-keyed aggregation, then ONE window pass computing
+    all 16 lags (Spark evaluates them in a single sort). A global
+    ORDER BY window is single-partition by nature — at 100 TB this
+    runs per series key (add PARTITION BY), which is how any
+    time-series smoother distributes.
+    """
+    num, wsum = _ewma_exprs(lambda k: f"lag(daily_cents, {k}) OVER (ORDER BY day)")
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS LONG)")).alias("daily_cents")
+    )
+    return daily.select(
+        "day",
+        "daily_cents",
+        F.expr(f"CAST(({num}) DIV ({wsum}) AS BIGINT)").alias("ewma_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier flags via exact wide-integer comparison.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderkey, c.o_orderpriority, c.cents
+    FROM c JOIN stats USING (o_orderpriority)
+    WHERE 4 * (stats.n * c.cents - stats.s) * (stats.n * c.cents - stats.s)
+          > 9 * (stats.n * stats.q - stats.s * stats.s)
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flags: orders whose total price is more
+    than 1.5 population standard deviations from their priority-group
+    mean (the order-total distribution is near-uniform, so |z| tops
+    out at √3 ≈ 1.73 — a 2σ gate would be vacuous). The test
+    |x−μ| > 1.5σ is algebraically cleared of divisions and square
+    roots into the integer inequality 4·(n·x − S)² > 9·(n·Q − S²),
+    evaluated in DECIMAL(38,0) on Spark and HUGEINT on DuckDB —
+    exact on both, no float boundary drift.
+
+    Shape: one groupBy for the 5-row stats frame, broadcast back over
+    the fact — a linear scan with an exact predicate; the flagging
+    pass adds zero shuffles beyond the stats aggregate.
+    """
+    orders = table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS LONG)").alias("cents"),
+    )
+    stats = c.groupBy("o_orderpriority").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("q"),
+    )
+    joined = c.join(F.broadcast(stats), "o_orderpriority")
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    return joined.filter(
+        F.lit(4) * dev * dev
+        > F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    ).select("o_orderkey", "o_orderpriority", "cents")
+
+
+__all__ = ["QUERIES", "ORACLES"]
