@@ -27,8 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
     The H3-analog velocity rule (SURVEY §2.E E2): per-user lag window
     over the events stream flags state changes within one hour.
+    Resolved from the MERGED catalog — the per-round rotation of the
+    driver-checked PRIMARY window moves queries between tiers, and the
+    flagship must stay reachable regardless of which tier holds it.
     """
-    return QUERIES["velocity_fraud_rule"](spark, SF0001)
+    return {**QUERIES, **EXTRA_QUERIES}["velocity_fraud_rule"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -150,19 +150,67 @@ def banded_signatures(
     )
 
 
+def cap_bucket_side(
+    rel: DataFrame,
+    bucket_cols: list[str],
+    order_col: str,
+    max_bucket_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Degenerate-bucket guard shared by every bucketed self-join
+    (MinHash bands, hyperplane-LSH bands, k-means cells): return
+    ``rel`` restricted to the ``max_bucket_size`` lowest-``order_col``
+    members of each bucket, plus a stats frame
+    ``(*bucket_cols, bucket_size)`` of the buckets that overflowed.
+
+    Used to cap only the LEFT side of a bucket self-join: cost drops
+    from |bucket|² to |bucket|·cap while every member still appears on
+    the uncapped right side — so each overflow-bucket member is still
+    compared against the bucket's ``cap`` canonical (lowest-id)
+    members, and exact copies keep colliding with the bucket minimum.
+    Recall loss is confined to pairs BOTH of whose ends rank beyond
+    the cap, and is surfaced, never silent: callers attach the stats
+    frame to the result (``_spark_graft_truncated``). The ranking is
+    one extra shuffle-sort on the bucket key, O(bucket·log bucket) —
+    the price of turning a quadratic worst case into a linear one.
+    """
+    w = Window.partitionBy(*bucket_cols).orderBy(order_col)
+    ranked = rel.withColumn("__bpos__", F.row_number().over(w))
+    capped = ranked.filter(F.col("__bpos__") <= max_bucket_size).drop("__bpos__")
+    truncated = (
+        ranked.groupBy(*bucket_cols)
+        .agg(F.max("__bpos__").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+    return capped, truncated
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (b bands × r rows) and emit candidate pairs
     sharing any band. Self-join is per-(band, signature) bucket —
-    uniform short keys, no quadratic blowup outside buckets."""
+    uniform short keys, no quadratic blowup outside buckets.
+
+    ``max_bucket_size`` guards the degenerate case (a boilerplate
+    signature shared by millions of docs makes one bucket quadratic):
+    the pair-source side of the self-join is capped to the bucket's
+    lowest ids via :func:`cap_bucket_side`; overflowing buckets are
+    reported on the result as ``result._spark_graft_truncated``
+    (``band_id, band_sig, bucket_size``). None = uncapped (exact)."""
     banded = banded_signatures(signatures, id_col, bands, rows_per_band)
-    a = banded.alias("a")
+    truncated = None
+    a_rel = banded
+    if max_bucket_size is not None:
+        a_rel, truncated = cap_bucket_side(
+            banded, ["band_id", "band_sig"], id_col, max_bucket_size
+        )
+    a = a_rel.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -175,6 +223,9 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    if truncated is not None:
+        out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
+    return out
 
 
 def jaccard_verify(
@@ -183,6 +234,8 @@ def jaccard_verify(
     id_col: str,
     set_col: str = "sh_set",
     min_jaccard_pct: int | None = None,
+    broadcast_sets: bool | None = None,
+    broadcast_max_candidates: int = 100_000,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs, as integers (|∩|, |∪|) —
     exact arithmetic, so distributed results hash-match any oracle.
@@ -200,24 +253,40 @@ def jaccard_verify(
     ratio is already under the threshold is pruned with two ``size()``
     calls before the O(set) intersect ever runs. Only pairs that the
     caller's final threshold filter would drop are pruned — callers
-    that want ALL candidate Jaccards leave it None."""
+    that want ALL candidate Jaccards leave it None.
+
+    ``broadcast_sets`` picks the join strategy for the candidate-set
+    relation. True: broadcast — the heavy array payloads stay out of
+    the shuffle, each executor joins pair ids against a local map
+    (right whenever candidates fit in executor memory). False: plain
+    shuffle joins on id — the safe mode when a pathological candidate
+    set would blow the broadcast ceiling; byte-identical results.
+    None (default): decide from data — ``pairs`` is persisted (the
+    count then costs one cheap aggregation and the main join reuses
+    the materialization; released via the attached-cache contract)
+    and broadcast is kept iff 2·|pairs|, an upper bound on candidate
+    ids, stays within ``broadcast_max_candidates``."""
+    cached: tuple[DataFrame, ...] = ()
+    if broadcast_sets is None:
+        pairs = pairs.persist()
+        cached = (pairs,)
+        broadcast_sets = 2 * pairs.count() <= broadcast_max_candidates
+
+    def _side(rel: DataFrame) -> DataFrame:
+        return F.broadcast(rel) if broadcast_sets else rel
+
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     sets = with_sets.select(F.col(id_col), set_col).join(
-        F.broadcast(cand_ids), id_col, "left_semi"
+        _side(cand_ids), id_col, "left_semi"
     )
-    # Broadcasting the candidate-set relation keeps the heavy array
-    # payloads out of the shuffle: each executor joins pair ids
-    # against a local map. (If candidates outgrow broadcast size at
-    # extreme scale, drop the hint — the join degrades gracefully to
-    # a shuffle on id.)
-    a_sets = F.broadcast(
+    a_sets = _side(
         sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("__sa__"))
     )
-    b_sets = F.broadcast(
+    b_sets = _side(
         sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("__sb__"))
     )
     joined = pairs.join(a_sets, "id_a").join(b_sets, "id_b")
@@ -227,11 +296,14 @@ def jaccard_verify(
             100 * F.least(na, nb) >= min_jaccard_pct * F.greatest(na, nb)
         )
     isect = F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__")))
-    return joined.select(
-        "id_a",
-        "id_b",
-        isect.alias("isect"),
-        (F.size("__sa__") + F.size("__sb__") - isect).alias("uni"),
+    return attach_cache(
+        joined.select(
+            "id_a",
+            "id_b",
+            isect.alias("isect"),
+            (F.size("__sa__") + F.size("__sb__") - isect).alias("uni"),
+        ),
+        *cached,
     )
 
 
@@ -243,11 +315,23 @@ def near_dedup_minhash(
     bands: int = 4,
     rows_per_band: int = 2,
     min_jaccard_pct: int = 50,
+    max_bucket_size: int | None = None,
+    broadcast_sets: bool | None = True,
 ) -> DataFrame:
     """K2 end-to-end: shingle → MinHash → LSH bands → candidate pairs
     → exact-Jaccard verify → near-duplicate pairs with
     ``100*isect >= min_jaccard_pct*uni`` (integer comparison — no
-    float thresholds)."""
+    float thresholds).
+
+    ``max_bucket_size`` / ``broadcast_sets`` are the two 100 TB skew
+    guards, passed through to :func:`lsh_candidate_pairs` and
+    :func:`jaccard_verify`. ``broadcast_sets`` defaults True here (not
+    the None auto-probe) because the verify sets are semi-restricted
+    to LSH survivors — small by construction unless the band buckets
+    themselves degenerate, which is what ``max_bucket_size`` bounds;
+    pass None to size-probe on corpora with unknown dup structure.
+    When buckets were capped, the overflow stats frame rides the
+    result as ``_spark_graft_truncated``."""
     # Spread documents across tasks first: a single parquet file
     # otherwise pins the (narrow but CPU-heavy) shingle+md5 map stage
     # to one task. Keyed repartition also co-partitions the later
@@ -262,11 +346,28 @@ def near_dedup_minhash(
         F.col(id_col), shingle_set_col(text_col, k=shingle_k).alias("sh_set")
     ).persist()
     sigs = minhash_signatures(with_sets, id_col, num_hashes=bands * rows_per_band)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
-    verified = jaccard_verify(pairs, with_sets, id_col, min_jaccard_pct=min_jaccard_pct)
+    pairs = lsh_candidate_pairs(
+        sigs,
+        id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    verified = jaccard_verify(
+        pairs,
+        with_sets,
+        id_col,
+        min_jaccard_pct=min_jaccard_pct,
+        broadcast_sets=broadcast_sets,
+    )
     out = verified.filter(100 * F.col("isect") >= min_jaccard_pct * F.col("uni"))
+    truncated = getattr(pairs, "_spark_graft_truncated", None)
+    if truncated is not None:
+        out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
     # callers release with release_cached(out) after their action
-    return attach_cache(out, with_sets)
+    return attach_cache(
+        out, with_sets, *getattr(verified, "_spark_graft_cached", ())
+    )
 
 
 def simhash_bits(token_hash_hex: Column, num_bits: int = 32) -> list[Column]:
@@ -387,6 +488,7 @@ def near_dedup_incremental(
     bands: int = 4,
     rows_per_band: int = 2,
     min_jaccard_pct: int = 50,
+    broadcast_sets: bool | None = True,
 ) -> DataFrame:
     """The nightly-admission shape of MinHash dedup: test an INCREMENT
     of new documents against an already-signed corpus without
@@ -443,7 +545,13 @@ def near_dedup_incremental(
         .select(F.col(id_col), shingle_set_col(text_col, k=shingle_k).alias("sh_set"))
     )
     all_sets = new_sets.unionByName(corpus_cand_sets)
-    verified = jaccard_verify(pairs, all_sets, id_col, min_jaccard_pct=min_jaccard_pct)
+    verified = jaccard_verify(
+        pairs,
+        all_sets,
+        id_col,
+        min_jaccard_pct=min_jaccard_pct,
+        broadcast_sets=broadcast_sets,
+    )
     out = verified.filter(
         100 * F.col("isect") >= min_jaccard_pct * F.col("uni")
     ).select(

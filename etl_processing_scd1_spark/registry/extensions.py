@@ -445,7 +445,7 @@ PQ_ORACLE = """
       FROM bdists
     )
     SELECT vec_id,
-           list(CAST(cid AS INT) ORDER BY block) AS codes,
+           array_to_string(list(CAST(cid AS INT) ORDER BY block), ',') AS codes,
            CAST(SUM(dist) AS BIGINT) AS dist_scaled
     FROM best WHERE rn = 1
     GROUP BY vec_id
@@ -458,14 +458,18 @@ def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codewords (sub-vectors of vecs 0–7; k-means codebooks in
     production), scaled-int L2 argmin per block
     (operators.similarity.pq_encode). Codes + total distortion are
-    exact integers, hash-checked."""
+    exact integers, hash-checked. The engine operator emits ``codes``
+    as array<int>; the evidence query serializes it to a CSV string
+    because the driver harness canonicalizes through pandas, where
+    list-typed columns are unsortable/unhashable (CORRECTNESS_r04
+    err)."""
     from ..operators.similarity import pq_encode
 
     emb = table(spark, sf_dir, "embeddings")
     return pq_encode(
         emb, codebook=emb.filter(F.col("vec_id") < 8), id_col="vec_id",
         vec_col="embedding", m=4,
-    )
+    ).withColumn("codes", F.concat_ws(",", F.col("codes").cast("array<string>")))
 
 
 NEAR_DUP_PLANES = 32
@@ -1373,7 +1377,7 @@ def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              [CAST(round(CAST(x AS DOUBLE) / scale) AS INT) for x in embedding] AS q
       FROM s
     )
-    SELECT vec_id, scale, q,
+    SELECT vec_id, scale, array_to_string(q, ',') AS q,
            CAST(list_sum([abs(v) for v in q]) AS BIGINT) AS q_l1,
            list_max([abs(CAST(embedding[i] AS DOUBLE) - q[i] * scale)
                      for i in range(1, len(embedding) + 1)]) AS max_abs_err
@@ -1384,8 +1388,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 adjunct: int8 scalar quantization of the embedding corpus
     (operators.similarity.quantize_int8) — the compression pass in
     front of a billion-vector ANN index, verified bit-exact against
-    the SQL oracle including the reconstruction-error bound."""
-    return quantize_int8(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    the SQL oracle including the reconstruction-error bound. The
+    engine operator keeps ``q`` as array<int>; the evidence query
+    serializes it to a CSV string for the driver's pandas-based
+    canonicalization (CORRECTNESS_r04 err: lists are unsortable)."""
+    return quantize_int8(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    ).withColumn("q", F.concat_ws(",", F.col("q").cast("array<string>")))
 
 
 # --------------------------------------------------------------------------

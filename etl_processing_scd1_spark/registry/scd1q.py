@@ -196,29 +196,32 @@ _SCD2_DIFF = """(s.c_name       IS DISTINCT FROM d.c_name
     "scd2_merge_full",
     oracle=f"""
     WITH stg AS ({_STG_SQL})
+    -- Interval columns emitted as ISO strings: the driver harness
+    -- canonicalizes through pandas datetime64[ns], which cannot hold
+    -- the 9999-12-31 open-end sentinel (round-4 err evidence).
     -- pre-existing history: passes through untouched
     SELECT c_custkey, 'Customer#old' || CAST(c_custkey AS VARCHAR) AS c_name,
            c_nationkey, c_acctbal - 50 AS c_acctbal, c_mktsegment,
-           TIMESTAMP '{SCD2_HIST_FROM}' AS valid_from,
-           TIMESTAMP '{SCD2_SEED_FROM}' AS valid_to,
+           '{SCD2_HIST_FROM}' AS valid_from,
+           '{SCD2_SEED_FROM}' AS valid_to,
            false AS is_current
     FROM customer WHERE c_custkey % 17 = 0
     UNION ALL
     -- kept: unchanged current versions
     SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
-           TIMESTAMP '{SCD2_SEED_FROM}', TIMESTAMP '{END_OF_TIME}', true
+           '{SCD2_SEED_FROM}', '{END_OF_TIME}', true
     FROM customer d JOIN stg s ON d.c_custkey = s.c_custkey
     WHERE NOT {_SCD2_DIFF}
     UNION ALL
     -- closed: changed keys and keys absent from the snapshot
     SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
-           TIMESTAMP '{SCD2_SEED_FROM}', TIMESTAMP '{SCD2_EFFECTIVE}', false
+           '{SCD2_SEED_FROM}', '{SCD2_EFFECTIVE}', false
     FROM customer d LEFT JOIN stg s ON d.c_custkey = s.c_custkey
     WHERE s.c_custkey IS NULL OR {_SCD2_DIFF}
     UNION ALL
     -- opened: new versions for changed keys and brand-new keys
     SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
-           TIMESTAMP '{SCD2_EFFECTIVE}', TIMESTAMP '{END_OF_TIME}', true
+           '{SCD2_EFFECTIVE}', '{END_OF_TIME}', true
     FROM stg s LEFT JOIN customer d ON s.c_custkey = d.c_custkey
     WHERE d.c_custkey IS NULL OR {_SCD2_DIFF}
     """,
@@ -259,7 +262,17 @@ def scd2_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         compare_cols=_COMPARE,
         effective_ts=F.lit(SCD2_EFFECTIVE).cast("timestamp"),
     )
-    return res.merged
+    # Driver-harness-safe projection: the engine-side interval columns
+    # stay TIMESTAMP (operators.scd2), but the evidence query emits
+    # them as ISO strings because the END_OF_TIME open-end sentinel
+    # (9999-12-31) overflows pandas datetime64[ns] in the driver's
+    # canonicalization (CORRECTNESS_r04 err).
+    return res.merged.withColumns(
+        {
+            "valid_from": F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss"),
+            "valid_to": F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+        }
+    )
 
 
 @register(

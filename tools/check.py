@@ -99,12 +99,32 @@ def main() -> int:
         # Type lint: the driver's canonicalization diverges from ours on
         # DECIMAL (Spark or DuckDB) and DuckDB HUGEINT (SUM over BIGINT)
         # outputs — round-1 evidence: exactly those queries hash-failed
-        # at the driver while passing here. Ban them from final schemas.
+        # at the driver while passing here. Round-4 evidence extended the
+        # family: the driver canonicalizes through pandas, so list-typed
+        # columns (array/map/struct) break sort_values (unhashable) and
+        # timestamps outside datetime64[ns] range (1677-09-21..2262-04-11,
+        # e.g. a 9999-12-31 open-end sentinel) raise OutOfBoundsDatetime.
+        # Ban all of them from final schemas.
         lint = [
             f"spark col {fld.name} is {fld.dataType.simpleString()}"
             for fld in sdf.schema.fields
-            if fld.dataType.typeName() == "decimal"
+            if fld.dataType.typeName() in ("decimal", "array", "map", "struct")
         ]
+        _ns_lo, _ns_hi = dt.datetime(1678, 1, 1), dt.datetime(2262, 4, 11)
+        for i, col in enumerate(s_cols):
+            bad = next(
+                (
+                    v
+                    for r in s_rows
+                    for v in (r[i],)
+                    if isinstance(v, dt.datetime) and not (_ns_lo <= v <= _ns_hi)
+                ),
+                None,
+            )
+            if bad is not None:
+                lint.append(
+                    f"spark col {col} has out-of-datetime64[ns]-range value {bad}"
+                )
         if name not in ORACLES:
             status = "rows-only" if not lint else "rows-only; TYPELINT " + "; ".join(lint)
             print(f"  {name}: rows={len(s_rows)} ({status}) [{time.time()-t0:.1f}s]")
@@ -122,7 +142,10 @@ def main() -> int:
         lint += [
             f"duck col {c} is {t}"
             for c, t in zip(d_cols, d_types)
-            if t == "HUGEINT" or t.startswith("DECIMAL")
+            if t == "HUGEINT"
+            or t.startswith("DECIMAL")
+            or "[]" in t
+            or t.startswith(("STRUCT", "MAP", "LIST"))
         ]
 
         problems = list(lint)
