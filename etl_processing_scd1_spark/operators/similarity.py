@@ -193,6 +193,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     min_cos_pct: int = 95,
     bands: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via BANDED hyperplane
     LSH, the vector twin of the MinHash band join (dedup.py).
@@ -217,6 +218,12 @@ def embedding_near_dup(
     - The band join is narrow: (id, norm, band_id, sig) only;
       vectors are re-joined just for surviving candidate pairs, so
       verify work is output-bounded like the MinHash path.
+    - ``max_bucket_size`` is the degenerate-bucket guard (a spam
+      corpus can put millions of vectors behind one sign pattern):
+      the pair-source side of the band self-join is capped to each
+      bucket's lowest ids (dedup.cap_bucket_side), bounding work at
+      |bucket|·cap; overflowing buckets ride the result as
+      ``_spark_graft_truncated``. None = uncapped (exact).
     """
     rows_per_band = len(planes) // bands
     assert rows_per_band * bands == len(planes), "planes must split evenly into bands"
@@ -249,7 +256,15 @@ def embedding_near_dup(
             )
         ).alias("__band__"),
     ).select(id_col, "__n__", "__band__.band_id", "__band__.band_sig")
-    a = sigs.select(
+    truncated = None
+    a_rel = sigs
+    if max_bucket_size is not None:
+        from .dedup import cap_bucket_side
+
+        a_rel, truncated = cap_bucket_side(
+            sigs, ["band_id", "band_sig"], id_col, max_bucket_size
+        )
+    a = a_rel.select(
         F.col(id_col).alias("id_a"), F.col("__n__").alias("__na__"), "band_id", "band_sig"
     )
     b = sigs.select(
@@ -265,7 +280,7 @@ def embedding_near_dup(
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
     dot = _dot_scaled(F.col("__va__"), F.col("__vb__"))
     cos = dot / F.sqrt(F.col("__na__").cast("double") * F.col("__nb__").cast("double"))
-    return (
+    out = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("dot_scaled", dot)
@@ -273,6 +288,9 @@ def embedding_near_dup(
         .filter(F.col("__cos__") * 100 >= F.lit(float(min_cos_pct)))
         .select("id_a", "id_b", "dot_scaled")
     )
+    if truncated is not None:
+        out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
+    return out
 
 
 def cosine_topk_pandas(
@@ -540,6 +558,7 @@ def semantic_dedup(
     tau: float = 0.38,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_candidates: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space,
     then mark within-cluster semantic duplicates — items whose cosine
@@ -558,8 +577,15 @@ def semantic_dedup(
     shuffles); the within-cluster self-join is the only quadratic
     term and is bounded by cluster size, so pick k ∝ N/target so
     clusters stay ~constant-sized as the corpus grows (same knob as
-    IVF cells); a runaway cluster wants the salting/cap fallback of
-    the MinHash band join. Output is one row per input vector.
+    IVF cells). ``max_cluster_candidates`` is the runaway-cluster
+    guard: the dup-SOURCE side of the self-join is capped to each
+    cluster's lowest ids (dedup.cap_bucket_side), bounding work at
+    |cluster|·cap; every member is still tested AGAINST those
+    canonical low ids — and since ``dup_of`` reports the SMALLEST
+    in-reach id, which concentrates in the retained prefix, the cap
+    only loses marks whose sole τ-mates rank beyond it. Overflowing
+    clusters ride the result as ``_spark_graft_truncated``
+    (``__bucket__, bucket_size``). Output is one row per input vector.
     """
     base = corpus.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
     assigned = assign_centroid(
@@ -571,7 +597,15 @@ def semantic_dedup(
         centroid_vec_col="__cvec__",
         bucket_col="__bucket__",
     ).withColumn("__n__", _norm_scaled(F.col("__v__")))
-    a = assigned.select(
+    a_rel = assigned
+    truncated = None
+    if max_cluster_candidates is not None:
+        from .dedup import cap_bucket_side
+
+        a_rel, truncated = cap_bucket_side(
+            assigned, ["__bucket__"], "__id__", max_cluster_candidates
+        )
+    a = a_rel.select(
         F.col("__bucket__"),
         F.col("__id__").alias("id_a"),
         F.col("__v__").alias("__va__"),
@@ -598,7 +632,7 @@ def semantic_dedup(
         .groupBy("id_b")
         .agg(F.min("id_a").alias("dup_of"))
     )
-    return (
+    out = (
         assigned.select(
             F.col("__id__").alias(id_col),
             F.col("__bucket__").cast("long").alias("bucket"),
@@ -611,3 +645,6 @@ def semantic_dedup(
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+    if truncated is not None:
+        out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
+    return out

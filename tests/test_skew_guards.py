@@ -1,0 +1,167 @@
+"""Degenerate-skew guards for the bucketed self-joins (VERDICT r3/r4
+carried items): a planted pathological corpus — thousands of IDENTICAL
+documents / vectors collapsing into one LSH band bucket or k-means
+cluster — must complete with BOUNDED pair output when the cap is on,
+keep exact-duplicate recall against the bucket's canonical (lowest-id)
+members, and surface the overflow instead of silently truncating.
+Also pins the jaccard_verify join-strategy switch: shuffle mode and
+the size-probe auto mode must reproduce the broadcast-mode result
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_processing_scd1_spark.operators.dedup import (
+    near_dedup_minhash,
+    release_cached,
+)
+from etl_processing_scd1_spark.operators.similarity import (
+    embedding_near_dup,
+    semantic_dedup,
+)
+
+from .conftest import SF0001
+
+N_IDENTICAL = 10_000
+CAP = 20
+
+
+def _planted_docs(spark):
+    """10k byte-identical docs + 5 distinct ones: every band bucket of
+    the identical block holds all 10k ids — quadratic without a cap."""
+    same = spark.range(N_IDENTICAL).select(
+        F.col("id").alias("doc_id"),
+        F.lit("spam spam spam wonderful spam baked beans and spam").alias("text"),
+    )
+    distinct = spark.range(N_IDENTICAL, N_IDENTICAL + 5).select(
+        F.col("id").alias("doc_id"),
+        # md5 chains → pairwise-dissimilar shingle sets (no accidental
+        # near-dups among the non-spam docs)
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5((F.col("id") * 7).cast("string")),
+            F.md5((F.col("id") * 13).cast("string")),
+        ).alias("text"),
+    )
+    return same.unionByName(distinct)
+
+
+class TestLshBucketCap:
+    def test_planted_identical_docs_bounded(self, spark):
+        docs = _planted_docs(spark)
+        out = near_dedup_minhash(
+            docs, "doc_id", "text", max_bucket_size=CAP, broadcast_sets=False
+        )
+        pairs = out.select("id_a", "id_b").collect()
+        release_cached(out)
+        # Bounded: every pair's source end ranks within the cap, so the
+        # output is ≤ cap·N, never the uncapped N²/2 (~50M pairs here).
+        assert 0 < len(pairs) <= CAP * (N_IDENTICAL + 5)
+        assert all(r.id_a < CAP for r in pairs)
+        # Exact-duplicate recall survives the cap: every identical doc
+        # beyond the retained prefix still pairs with a canonical low id.
+        matched_b = {r.id_b for r in pairs}
+        assert matched_b.issuperset(set(range(CAP, N_IDENTICAL)))
+        # The 5 distinct docs are not near-dups of the spam block.
+        assert all(r.id_b < N_IDENTICAL for r in pairs)
+
+    def test_truncation_surfaced(self, spark):
+        docs = _planted_docs(spark)
+        out = near_dedup_minhash(
+            docs, "doc_id", "text", max_bucket_size=CAP, broadcast_sets=False
+        )
+        trunc = out._spark_graft_truncated.collect()
+        release_cached(out)
+        # 4 bands × 1 signature bucket each for the identical block.
+        assert len(trunc) == 4
+        assert all(r.bucket_size == N_IDENTICAL for r in trunc)
+
+    def test_no_cap_no_truncation_attribute(self, spark):
+        docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+        out = near_dedup_minhash(docs, "doc_id", "text")
+        assert not hasattr(out, "_spark_graft_truncated")
+        release_cached(out)
+
+
+class TestVerifyJoinStrategy:
+    def _run(self, spark, **kw):
+        docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+        out = near_dedup_minhash(docs, "doc_id", "text", **kw)
+        rows = sorted(map(tuple, out.select("id_a", "id_b", "isect", "uni").collect()))
+        release_cached(out)
+        return rows
+
+    def test_shuffle_mode_matches_broadcast(self, spark):
+        assert self._run(spark, broadcast_sets=False) == self._run(
+            spark, broadcast_sets=True
+        )
+
+    def test_auto_probe_matches_broadcast(self, spark):
+        assert self._run(spark, broadcast_sets=None) == self._run(
+            spark, broadcast_sets=True
+        )
+
+
+class TestEmbeddingBandCap:
+    def test_planted_identical_vectors_bounded(self, spark):
+        emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        one = emb.orderBy("vec_id").limit(1).select("embedding")
+        planted = (
+            spark.range(200)
+            .crossJoin(one)
+            .select(F.col("id").alias("vec_id"), "embedding")
+        )
+        planes_src = emb.orderBy("vec_id").limit(8).collect()
+        planes = [list(r.embedding) for r in planes_src]
+        out = embedding_near_dup(
+            planted, planes, min_cos_pct=99, bands=2, max_bucket_size=5
+        )
+        pairs = out.select("id_a", "id_b").collect()
+        # identical vectors share every band signature; capped side a
+        assert all(r.id_a < 5 for r in pairs)
+        # every vector beyond the prefix still pairs with a canonical id
+        assert {r.id_b for r in pairs} == set(range(1, 200))
+        trunc = out._spark_graft_truncated.collect()
+        assert trunc and all(r.bucket_size == 200 for r in trunc)
+
+
+def _centroids(emb):
+    return emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("__cid__"),
+        F.col("embedding").alias("__cvec__"),
+    )
+
+
+class TestSemanticClusterCap:
+    def test_cap_bounds_and_surfaces(self, spark):
+        emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        centroids = _centroids(emb)
+        uncapped = semantic_dedup(emb, centroids, tau=0.2)
+        capped = semantic_dedup(emb, centroids, tau=0.2, max_cluster_candidates=10)
+        unc = {r.vec_id: r.dup_of for r in uncapped.collect()}
+        cap = {r.vec_id: r.dup_of for r in capped.collect()}
+        # same row-per-vector contract; capped marks are a subset and
+        # any mark both modes make agrees on the canonical dup_of iff
+        # that dup_of rank falls inside the retained prefix
+        assert set(unc) == set(cap)
+        assert sum(v is not None for v in cap.values()) <= sum(
+            v is not None for v in unc.values()
+        )
+        trunc = capped._spark_graft_truncated.collect()
+        assert all(r.bucket_size > 10 for r in trunc)
+
+    def test_generous_cap_is_exact(self, spark):
+        emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        centroids = _centroids(emb)
+        exact = sorted(map(tuple, semantic_dedup(emb, centroids, tau=0.2).collect()))
+        roomy = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    emb, centroids, tau=0.2, max_cluster_candidates=10**9
+                ).collect(),
+            )
+        )
+        assert exact == roomy
