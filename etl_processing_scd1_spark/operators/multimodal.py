@@ -2,13 +2,24 @@
 opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched Pandas functions over ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is
-STUBBED: ``decode_image`` raises NotImplementedError and
-``fake_feature_extract`` is the deterministic stand-in the tests and
-registry use. Everything AROUND the stub is real and load-bearing —
+The container has no third-party image/audio codecs, so the decode
+surface splits in two:
+
+- ``decode_image`` is a REAL pure-Python decoder for the two
+  uncompressed formats decodable without codecs — binary PPM (P6)
+  and 24-bit uncompressed BMP — returning true header dimensions and
+  packed RGB pixel bytes (BMP row padding stripped, bottom-up order
+  normalized, BGR swapped to RGB). ``decode_features`` runs it over
+  binary payload columns in the same Arrow ``mapInPandas`` shape as
+  every other extractor here.
+- compressed formats (JPEG/PNG/video) still raise — wire PIL/libvips
+  into the same function in deployment; ``fake_feature_extract``
+  remains the deterministic stand-in where tests need a payload-
+  agnostic feature tuple.
+
+Everything around the decoders is the load-bearing part at 100 TB —
 the binary schema, the Arrow batch shape, the mapInPandas iterator
-contract, the partition sizing — which is exactly the part that has
-to be right at 100 TB (the codec swap is one function).
+contract, the partition sizing.
 
 Scale design: mapInPandas streams Arrow record batches through the
 Python worker — memory is bounded by
@@ -34,12 +45,113 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode would go through PIL/libvips here. The container
-    ships no codecs — callers use fake_feature_extract in tests."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "wire PIL/libvips here in deployment"
+_WS = b" \t\r\n\x0b\x0c"
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from packed RGB bytes."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be 3*width*height packed RGB bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER) from packed RGB
+    bytes: rows flipped to the format's bottom-up order, channels
+    swapped to BGR, each row padded to a 4-byte boundary."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be 3*width*height packed RGB bytes")
+    stride = (3 * width + 3) // 4 * 4
+    pad = b"\x00" * (stride - 3 * width)
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = pixels[3 * width * y : 3 * width * (y + 1)]
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+        rows.append(bytes(bgr) + pad)
+    data = b"".join(rows)
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def _ppm_header_ints(buf: bytes, count: int) -> tuple[list[int], int]:
+    """Parse ``count`` whitespace/comment-separated integers after the
+    P6 magic; returns the values and the offset of the pixel data
+    (one whitespace byte after the last header value, per spec)."""
+    i, vals = 2, []
+    while len(vals) < count:
+        while i < len(buf) and buf[i] in _WS:
+            i += 1
+        if i < len(buf) and buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] not in b"\r\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and buf[j] not in _WS:
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(buf[i:j]))
+        i = j
+    return vals, i + 1
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Decode an uncompressed image payload without third-party codecs.
+
+    Returns ``(format, width, height, channels, pixels)`` with
+    ``pixels`` as packed top-down RGB bytes regardless of the on-disk
+    layout (BMP's bottom-up BGR rows and 4-byte row padding are
+    normalized away). Supports binary PPM (P6, maxval ≤ 255) and
+    24-bit uncompressed BMP; compressed formats need PIL/libvips in
+    deployment and raise ValueError here."""
+    if payload[:2] == b"P6":
+        (width, height, maxval), off = _ppm_header_ints(payload, 3)
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        need = 3 * width * height
+        pixels = payload[off : off + need]
+        if len(pixels) != need:
+            raise ValueError("truncated PPM pixel data")
+        return ("ppm", width, height, 3, pixels)
+    if payload[:2] == b"BM":
+        data_off = int.from_bytes(payload[10:14], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise ValueError("only 24-bit uncompressed BMP supported")
+        top_down = height < 0
+        height = abs(height)
+        stride = (3 * width + 3) // 4 * 4
+        out = bytearray()
+        ys = range(height) if top_down else range(height - 1, -1, -1)
+        for y in ys:
+            row = payload[data_off + y * stride :][: 3 * width]
+            if len(row) != 3 * width:
+                raise ValueError("truncated BMP pixel data")
+            rgb = bytearray(row)
+            rgb[0::3], rgb[2::3] = row[2::3], row[0::3]
+            out += rgb
+        return ("bmp", width, height, 3, bytes(out))
+    raise ValueError(
+        "unsupported image format (PPM P6 and 24-bit BMP decode here; "
+        "wire PIL/libvips for compressed formats in deployment)"
     )
 
 
@@ -86,6 +198,45 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         df.select(id_col, "payload")
         .repartition(n_parts, id_col)  # spread single-file inputs across workers
         .mapInPandas(batches, schema=FEATURE_SCHEMA)
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, channels int, "
+    "byte_len int, pixel_sum bigint"
+)
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode over binary payload columns: one Arrow
+    ``mapInPandas`` pass runs :func:`decode_image` per payload and
+    emits the true header dimensions plus an exact integer pixel sum
+    over the decoded (padding-stripped, RGB-normalized) bytes — the
+    structural proof the decoder read actual pixel data, and the
+    shape a real feature extractor (thumbnailer, embedder) slots
+    into. Narrow map, zero shuffles, memory bounded per Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height", "channels",
+                    "byte_len", "pixel_sum")}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                fmt, w, h, ch, pixels = decode_image(payload)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["byte_len"].append(len(payload))
+                out["pixel_sum"].append(sum(pixels))
+            yield pd.DataFrame(out)
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, "payload")
+        .repartition(n_parts, id_col)
+        .mapInPandas(batches, schema=DECODE_SCHEMA)
     )
 
 

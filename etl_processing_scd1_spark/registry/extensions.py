@@ -1424,6 +1424,69 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+    ), d AS (
+      SELECT doc_id,
+             blen % 31 + 1 AS w,
+             blen % 17 + 1 AS h,
+             blen % 256 AS fill,
+             doc_id % 2 = 0 AS is_ppm
+      FROM p
+    )
+    SELECT doc_id,
+           CASE WHEN is_ppm THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           3 AS channels,
+           CAST(CASE WHEN is_ppm
+                THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                     + 3 * w * h
+                ELSE 54 + ((3 * w + 3) // 4) * 4 * h
+                END AS INT) AS byte_len,
+           CAST(3 * w * h * fill AS BIGINT) AS pixel_sum
+    FROM d
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal REAL decode: synthesize valid binary image files
+    (PPM P6 for even doc ids, 24-bit BMP for odd — dimensions and
+    fill byte derived from each document's byte length), then run the
+    pure-Python decoder (operators.multimodal.decode_image) over them
+    in the Arrow mapInPandas pass. The emitted width/height round-trip
+    through real format headers and pixel_sum through real pixel data
+    (BMP row padding stripped, BGR normalized), so the oracle's
+    closed-form predictions only match if the decoder actually parses
+    the bytes."""
+    from ..operators.multimodal import decode_features, encode_bmp, encode_ppm
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("__blen__")
+    )
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id, blen in zip(pdf["doc_id"], pdf["__blen__"]):
+                blen = int(blen)
+                w, h, fill = blen % 31 + 1, blen % 17 + 1, blen % 256
+                pixels = bytes([fill]) * (3 * w * h)
+                payloads.append(
+                    encode_ppm(w, h, pixels)
+                    if doc_id % 2 == 0
+                    else encode_bmp(w, h, pixels)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return decode_features(with_payload)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH base AS (

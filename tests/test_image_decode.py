@@ -1,0 +1,80 @@
+"""Pure-Python image decode (operators.multimodal.decode_image):
+round-trips through both real formats, format-structure edge cases
+(PPM header comments, BMP bottom-up vs top-down rows, row padding,
+BGR order), and the rejection paths. No SparkSession needed — the
+decoder is plain Python; the Spark plumbing is covered by the
+``multimodal_decode`` oracle query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_processing_scd1_spark.operators.multimodal import (
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+)
+
+
+def _pixels(width: int, height: int, seed: int = 7) -> bytes:
+    return bytes((seed + 31 * i) % 256 for i in range(3 * width * height))
+
+
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_both_formats(width, height, seed):
+    px = _pixels(width, height, seed)
+    for enc, name in ((encode_ppm, "ppm"), (encode_bmp, "bmp")):
+        fmt, w, h, ch, out = decode_image(enc(width, height, px))
+        assert (fmt, w, h, ch) == (name, width, height, 3)
+        assert out == px  # exact pixel recovery, padding/BGR normalized
+
+
+def test_ppm_header_comments_and_whitespace():
+    px = _pixels(3, 2)
+    payload = b"P6\n# a comment\n  3\t2 # trailing\n255\n" + px
+    fmt, w, h, ch, out = decode_image(payload)
+    assert (fmt, w, h, out) == ("ppm", 3, 2, px)
+
+
+def test_bmp_padding_not_counted():
+    # width 3 → row stride 12 with 3 padding bytes of zeros per row;
+    # a decoder that forgets to strip padding inflates the pixel sum
+    px = bytes([255]) * (3 * 3 * 2)
+    fmt, w, h, ch, out = decode_image(encode_bmp(3, 2, px))
+    assert sum(out) == 255 * 3 * 3 * 2
+    assert len(out) == 3 * 3 * 2
+
+
+def test_bmp_top_down_negative_height():
+    px = _pixels(2, 3)
+    payload = bytearray(encode_bmp(2, 3, px))
+    # flip to top-down encoding: negate height and reorder data rows
+    stride = (3 * 2 + 3) // 4 * 4
+    data = payload[54:]
+    rows = [bytes(data[i * stride : (i + 1) * stride]) for i in range(3)]
+    payload[22:26] = (-3).to_bytes(4, "little", signed=True)
+    payload[54:] = b"".join(reversed(rows))
+    fmt, w, h, ch, out = decode_image(bytes(payload))
+    assert (w, h) == (2, 3)
+    assert out == px
+
+
+def test_rejections():
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        decode_image(b"P6\n4 4\n255\n" + b"\x00" * 5)
+    bad_bpp = bytearray(encode_bmp(2, 2, _pixels(2, 2)))
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="24-bit uncompressed"):
+        decode_image(bytes(bad_bpp))
