@@ -38,27 +38,16 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
+def run_bench(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    """Per-query best-of-``runs`` wall seconds for the headline set at
+    ``sf_dir``. Shared by the CLI entry below and tools/bench_scaling."""
     from etl_processing_scd1_spark.registry import EXTRA_QUERIES, QUERIES
-    from etl_processing_scd1_spark.session import get_spark
 
-    ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
-
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    all_queries = {**QUERIES, **EXTRA_QUERIES}
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not first-touch costs.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-
-    # The host carries ±50% ambient load; per-query min over N runs
-    # keeps round-over-round regressions attributable to plan changes
-    # rather than noise (judge round-1 task 8).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -67,12 +56,32 @@ def main() -> None:
             # isolate queries from each other: no cross-query cache or
             # shuffle-reuse effects in the measured numbers
             spark.catalog.clearCache()
-            df = ALL_QUERIES[name](spark, sf_dir)
+            df = all_queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+    return timings
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from etl_processing_scd1_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # The host carries ±50% ambient load; per-query min over N runs
+    # keeps round-over-round regressions attributable to plan changes
+    # rather than noise. Default raised 3→5: round 4 proved min-of-3
+    # does NOT suppress the ambient noise (a no-code-change round
+    # moved four queries +80..150%).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    timings = run_bench(spark, sf_dir, runs)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

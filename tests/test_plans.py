@@ -177,3 +177,60 @@ def test_moving_window_single_shuffle(spark):
 
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert len(exchanges) == 1 and "o_custkey" in exchanges[0]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session enables AQE skew-join splitting (session.py
+    ENGINE_CONF); this gate proves it actually fires: a join where one
+    key holds most of one side must show ``skew=true`` in the final
+    adaptive plan instead of one straggler task. Thresholds are
+    lowered for test-sized data — at 100 TB the defaults (256 MB
+    partitions) do the same splitting."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # pad must be pseudo-random (constant bytes compress away in
+        # the shuffle map output, hiding the skew from AQE's size
+        # stats) and referenced downstream (else column pruning drops
+        # it before the exchange)
+        pad = F.repeat(F.md5(F.col("id").cast("string")), 8)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 120_000, F.lit(0))
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(2_000).select(
+            (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+        )
+        # aggregate on a key OTHER than the join key: reusing the
+        # join's hash partitioning downstream would make AQE back off
+        # (splitting a skewed partition breaks that partitioning);
+        # collect() on the same frame so queryExecution is the
+        # executed adaptive plan, not the pre-execution clone a
+        # write action would leave behind.
+        joined = (
+            left.join(right, "k")
+            .groupBy("v")
+            .agg(F.count("*").alias("n"), F.max("pad").alias("p"))
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
