@@ -6,8 +6,9 @@ event_type, report_dt)`` (main.ddl:196-203). Deviations from the
 as-written reference, per SURVEY §7:
 
 - H1 implements the *intended* predicate (expired OR blacklisted
-  passport), not the ``WHERE 1=1 OR ...`` vacuous-truth bug at
-  main.py:412-413.
+  passport) by default; ``fraud_type1(as_written=True)`` reproduces
+  the ``WHERE 1=1 OR ...`` vacuous-truth bug at main.py:412-413
+  exactly (every transaction flagged) for migration validation.
 - ``report_dt`` = the transaction's day (as written, main.py:404) —
   the pdf specifies run date; as-written wins, documented here.
 - ``fio`` uses NULL-propagating concat (D3 semantics).
@@ -77,14 +78,25 @@ def fraud_type1(
     accounts: DataFrame,
     clients: DataFrame,
     blacklist: DataFrame,
+    as_written: bool = False,
 ) -> DataFrame:
     """Rule 1 — transaction while passport expired or blacklisted
     (H1, main.py:397-415, intended predicate).
 
     Blacklist membership is a left-semi join (B6's IN-subquery
     decorrelated); the blacklist is dimension-sized → broadcast semi.
+
+    ``as_written=True`` is the bug-compat mode reproducing the
+    reference's ``WHERE 1=1 OR expired OR listed`` (main.py:412-413):
+    AND binds tighter than OR, so the predicate is vacuously true and
+    EVERY transaction lands in the report — including rows whose left
+    joins found no card/account/client (NULL passport/fio/phone),
+    exactly what the reference emits. Migration validation runs both
+    modes side by side; production uses the default.
     """
     star = star_denormalize(transactions, cards, accounts, clients)
+    if as_written:
+        return star.select(_report_projection(EVENT_EXPIRED_OR_BLACKLISTED))
     expired = (
         F.col("dcl.passport_valid_to").isNotNull()
         & (F.col("dcl.passport_valid_to") < F.col("ft.trans_date"))

@@ -1058,6 +1058,46 @@ def fraud_blacklist_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fraud_report_as_written",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate AS event_dt,
+           c.c_name || ' ' || c.c_mktsegment AS fio,
+           '1' AS event_type,
+           CAST(CAST(l.l_shipdate AS DATE) AS TIMESTAMP) AS report_dt
+    FROM lineitem l
+    LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+                        AND o.o_orderdate < TIMESTAMP '1995-01-01'
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def fraud_report_as_written(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 bug-compat analog: the reference's ``WHERE 1=1 OR ...``
+    (main.py:412-413) makes rule 1 vacuously true, so EVERY fact row
+    reaches the report — including rows whose left joins matched no
+    dimension (NULL fio here, via the D3 NULL-propagating concat).
+    The order join is date-restricted so a real share of rows exercise
+    the NULL-attribute path the bug exposes. Production uses the
+    intended predicate (fraud_blacklist_semi); this query exists so a
+    migrating user can replay the as-written behavior bit-exactly."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")
+    )
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    star = l.join(o, l["l_orderkey"] == o["o_orderkey"], "left").join(
+        c, o["o_custkey"] == c["c_custkey"], "left"
+    )
+    return star.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("event_dt"),
+        F.concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment")).alias("fio"),
+        F.lit("1").alias("event_type"),
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("report_dt"),
+    )
+
+
+@register(
     "fraud_expiry_theta",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate AS event_dt,

@@ -209,23 +209,53 @@ class DiscoveredFile:
     business_date: dt.date
 
 
-def scan_drop_dir(drop_dir: str) -> list[DiscoveredFile]:
+def scan_drop_dir(drop_dir: str, as_written: bool = False) -> list[DiscoveredFile]:
     """Discover and route input files (A8, main.py:101-133).
 
     Returns files sorted by (business_date, kind) so a multi-day
-    backlog replays in order. Routing is explicit-prefix (intended
-    semantics), not the reference's ``'transactions' and '.txt' in f``
-    truthiness bug.
+    backlog replays in order. Default routing is explicit-prefix
+    (intended semantics). ``as_written=True`` is the bug-compat mode
+    reproducing the reference's dispatch truthiness EXACTLY
+    (main.py:106-133) for byte-for-byte migration validation:
+
+    - extension gate reads ``name.split('.')[1]`` — the FIRST dot —
+      so ``daily.v2.txt`` has "format" ``v2`` and is skipped;
+    - branch 1 is ``if 'transactions' and ('.txt' or '.csv') in file``
+      which evaluates as ``'.txt' in file``: ANY filename containing
+      ``.txt`` routes to transactions regardless of prefix, and a
+      ``transactions_*.csv`` file NEVER takes this branch;
+    - branch 3 is ``'passport_blacklist' and '.xlsx' in file`` ≡
+      ``'.xlsx' in file``: every xlsx not named ``terminals`` routes
+      to the blacklist;
+    - the business date still parses ``split('_')[-1].split('.')[0]``
+      as ddMMyyyy and raises on mismatch, exactly like the reference.
     """
     found: list[DiscoveredFile] = []
     if not os.path.isdir(drop_dir):
         return found
     for name in sorted(os.listdir(drop_dir)):
+        full = os.path.join(drop_dir, name)
+        if as_written:
+            parts = name.split(".")
+            if len(parts) < 2 or parts[1] not in ("csv", "txt", "xlsx"):
+                continue
+            if ".txt" in name:
+                kind = "transactions"
+            elif "terminals" in name and ".xlsx" in name:
+                kind = "terminals"
+            elif ".xlsx" in name:
+                kind = "blacklist"
+            else:
+                continue  # the reference's csv branch is unreachable
+            stamp = name.split("_")[-1].split(".")[0]
+            date = dt.datetime.strptime(stamp, "%d%m%Y").date()  # raises, as written
+            found.append(DiscoveredFile(kind, full, date))
+            continue
         for kind, pattern in FILE_ROUTES.items():
             m = pattern.match(name)
             if m:
                 date = dt.datetime.strptime(m.group(1), "%d%m%Y").date()
-                found.append(DiscoveredFile(kind, os.path.join(drop_dir, name), date))
+                found.append(DiscoveredFile(kind, full, date))
                 break
     found.sort(key=lambda f: (f.business_date, f.kind))
     return found
