@@ -93,7 +93,9 @@ def test_lsh_recall_against_bruteforce(spark):
 
 def test_multimodal_stub_contract(spark):
     docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
-    with pytest.raises(NotImplementedError):
+    # compressed formats still refuse loudly (PPM/BMP decode for real
+    # now — see test_image_decode.py)
+    with pytest.raises(ValueError, match="unsupported image format"):
         decode_image(b"\x89PNG")
     out = extract_features(attach_binary_payload(docs, "text")).collect()
     assert out[0]["byte_len"] == 11
