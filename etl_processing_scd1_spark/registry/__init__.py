@@ -41,15 +41,18 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   green in CORRECTNESS_r04, 3 err on driver-harness canonicalization
 #   (scd2_merge_full out-of-ns-range timestamp sentinel; pq_encode /
 #   embedding_quantize array-typed output columns);
-#   round 5 window (below) — closes cumulative coverage at 115/115:
+#   round 5 window (below) — closes cumulative coverage at 117/117:
 #   the 3 repaired err queries (outputs now scalar-only /
 #   pandas-datetime-safe), the 15 extras never yet driver-checked
 #   (redundant single-operator demos whose semantics already had
-#   consolidated-query evidence), and 32 re-confirmation slots chosen
-#   so every §2 / §2.K family keeps a representative in-window
-#   (sources A1-A4/A8, projections+filters B, joins C, SCD1 merge G,
-#   fraud H, agg surface F, streaming windows I5, pandas UDF J,
-#   dedup/similarity/text/curation K).
+#   consolidated-query evidence), the 2 round-5 additions
+#   (multimodal_decode, fraud_report_as_written), and 30
+#   re-confirmation slots chosen so every §2 / §2.K family keeps a
+#   representative in-window (sources A1-A4/A8, projections+filters
+#   B, joins C, SCD1 merge G, fraud H, agg surface F, streaming
+#   windows I5, pandas UDF J, dedup/similarity/text/curation K).
+#   rollup_agg and set_ops rotated out to make room — both carry
+#   r2/r3 driver-green evidence and stay oracle-checked locally.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -71,6 +74,9 @@ PRIMARY = [
     "text_stats",
     "similarity_topk_pandas",
     "embedding_passthrough",
+    # round-5 additions (real image decode; as-written bug-compat)
+    "multimodal_decode",
+    "fraud_report_as_written",
     # §2.A sources / scans
     "csv_scan",
     "parquet_scan",
@@ -94,9 +100,7 @@ PRIMARY = [
     # §2.F aggregation surface
     "watermark_max",
     "groupby_agg",
-    "rollup_agg",
     "distinct_agg_having",
-    "set_ops",
     "skew_salted_agg",
     # §2.I streaming-equivalent windows
     "tumbling_window_agg",
