@@ -232,8 +232,12 @@ def embedding_near_dup(
     # single-row-group parquet source would otherwise pin it to one
     # task (same rationale as dedup.near_dedup_minhash).
     sc = corpus.sparkSession.sparkContext
-    corpus = corpus.repartition(sc.defaultParallelism, F.col(id_col))
-    c = corpus.select(
+    # Repartition feeds ONLY the signature map; the verify-side vector
+    # lookups (va/vb below) read the original input directly — routing
+    # them through the repartition would re-run its shuffle per
+    # consumer for no balance benefit.
+    spread = corpus.repartition(sc.defaultParallelism, F.col(id_col))
+    c = spread.select(
         F.col(id_col),
         F.col(vec_col).alias("__v__"),
         _norm_scaled(F.col(vec_col)).alias("__n__"),
@@ -256,6 +260,12 @@ def embedding_near_dup(
             )
         ).alias("__band__"),
     ).select(id_col, "__n__", "__band__.band_id", "__band__.band_sig")
+    # Both self-join sides (and the optional cap ranking) consume the
+    # signature relation; without a persist the CPU-heavy plane
+    # projection runs once PER consumer (same multi-consumption issue
+    # as the dedup verify path). The persisted relation is narrow —
+    # (id, norm, band_id, band_sig), no vectors.
+    sigs = sigs.persist()
     truncated = None
     a_rel = sigs
     if max_bucket_size is not None:
@@ -290,7 +300,10 @@ def embedding_near_dup(
     )
     if truncated is not None:
         out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
-    return out
+    from .dedup import attach_cache
+
+    # callers release with dedup.release_cached(out) after their action
+    return attach_cache(out, sigs)
 
 
 def cosine_topk_pandas(
