@@ -234,3 +234,24 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_multimodal_decode_is_narrow_arrow_pipeline(spark):
+    """Synthesis and decode are two mapInPandas passes over the same
+    id-partitioning: one balance repartition, Arrow eval stages, and
+    no join/aggregate shuffles anywhere."""
+    plan = plan_of(spark, "multimodal_decode")
+    assert plan.count("MapInPandas") == 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # balance repartitions only
+
+
+def test_fraud_as_written_broadcasts_dims_and_keeps_left_joins(spark):
+    """The bug-compat replay is still a proper broadcast star: the
+    vacuous predicate must not degrade the join strategy, and the
+    LEFT joins must survive (they produce the NULL-attribute rows the
+    as-written report contains)."""
+    plan = plan_of(spark, "fraud_report_as_written")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
