@@ -555,6 +555,9 @@ def near_dedup_incremental(
         )
     bn = banded_signatures(new_sigs, id_col, bands, rows_per_band)
     bc = banded_signatures(corpus_sigs, id_col, bands, rows_per_band)
+    # Persisted: consumed twice (the pair union below AND the corpus
+    # candidate-id derivation) — without it the increment×corpus band
+    # join re-executes per consumer. O(increment-candidates) rows.
     nc = (
         bn.alias("a")
         .join(
@@ -567,6 +570,7 @@ def near_dedup_incremental(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+        .persist()
     )
     nn = lsh_candidate_pairs(new_sigs, id_col, bands, rows_per_band)
     pairs = nc.unionByName(nn).distinct()
@@ -592,4 +596,6 @@ def near_dedup_incremental(
         "isect",
         "uni",
     )
-    return attach_cache(out, new_sets)
+    return attach_cache(
+        out, new_sets, nc, *getattr(verified, "_spark_graft_cached", ())
+    )

@@ -92,6 +92,11 @@ def main() -> int:
             sdf = QUERIES[name](spark, args.sf)
             s_rows = [tuple(r) for r in sdf.collect()]
             s_cols = sdf.columns
+            # release operator-attached persists (dedup/similarity
+            # pipelines) so a 117-query session doesn't accumulate them
+            from etl_processing_scd1_spark.operators.dedup import release_cached
+
+            release_cached(sdf)
         except Exception as e:
             print(f"  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:500]}")
             failures += 1
