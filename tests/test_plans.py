@@ -255,3 +255,18 @@ def test_fraud_as_written_broadcasts_dims_and_keeps_left_joins(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_centroid_assignment_has_no_fanout_window(spark):
+    """assign_centroid's argmax must stay a partial-aggregated min —
+    never a row_number window over the corpus×k fanout (that window
+    shuffles AND sorts k copies of every corpus column; at 10⁹ vectors
+    × 1024 cells it is a trillion-row sorted exchange). The fanout
+    itself is the broadcast nested-loop over the k-row centroid side;
+    partial HashAggregate collapses it before the exchange."""
+    plan = plan_of(spark, "similarity_ivf")
+    # exactly one Window node: the final per-query top-k rank — the
+    # two assignments (corpus + queries) must not contribute any
+    assert plan.count("Window [") == 1
+    # both assignments argmax via map-side partial min over the struct
+    assert plan.count("partial_min(__scored__") == 2
