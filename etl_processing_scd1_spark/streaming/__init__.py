@@ -3,6 +3,7 @@ from .pipeline import (
     streaming_append_dedup,
     streaming_enrich,
     streaming_interval_join,
+    streaming_near_dedup_sink,
     streaming_scd1_sink,
     streaming_velocity_rule,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "streaming_append_dedup",
     "streaming_enrich",
     "streaming_interval_join",
+    "streaming_near_dedup_sink",
     "streaming_scd1_sink",
     "streaming_velocity_rule",
 ]

@@ -235,3 +235,69 @@ def streaming_sketch_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_near_dedup_sink(
+    stream: DataFrame,
+    read_corpus: Callable[[], DataFrame],
+    admit: Callable[[DataFrame, DataFrame], None],
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    min_jaccard_pct: int = 50,
+) -> StreamingQuery:
+    """Continuous corpus admission with near-duplicate screening: the
+    streaming form of ``operators.dedup.near_dedup_incremental``. Each
+    micro-batch of candidate documents is LSH-tested against the
+    already-admitted corpus (plus itself); ``admit`` receives the
+    clean survivors and the rejected near-dup pairs and owns the
+    writes — same inversion of control as :func:`streaming_scd1_sink`,
+    so batch and streaming admission share one dedup code path.
+
+    Scale contract inherited from the batch operator: per micro-batch
+    work is O(batch + LSH collisions), never O(corpus) — the corpus
+    side is signature-banded and only colliding docs get their shingle
+    sets recomputed for the exact-Jaccard verify. At production scale
+    pass a ``read_corpus`` that returns the PERSISTED signature table
+    layout (``banded_signatures``) instead of raw text.
+    """
+    from ..operators.dedup import near_dedup_incremental, release_cached
+
+    def screen_batch(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.select(id_col, text_col)
+        if batch.isEmpty():
+            return
+        dups = near_dedup_incremental(
+            batch,
+            read_corpus(),
+            id_col=id_col,
+            text_col=text_col,
+            min_jaccard_pct=min_jaccard_pct,
+        )
+        try:
+            # keep-lowest-id policy across both pair orientations:
+            # corpus collision → (new, corpus) drops the NEW doc;
+            # intra-batch pair → (new < other), both in-batch, drops
+            # the HIGHER id so the batch's canonical copy survives
+            batch_ids = batch.select(F.col(id_col).alias("other_id"))
+            intra = dups.join(F.broadcast(batch_ids), "other_id", "left_semi")
+            vs_corpus = dups.join(F.broadcast(batch_ids), "other_id", "left_anti")
+            dup_ids = (
+                intra.select(F.col("other_id").alias(id_col))
+                .unionByName(vs_corpus.select(F.col("new_id").alias(id_col)))
+                .distinct()
+            )
+            clean = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+            admit(clean, dups)
+        finally:
+            release_cached(dups)
+
+    writer = (
+        stream.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

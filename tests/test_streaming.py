@@ -352,3 +352,68 @@ def test_streaming_hll_sketch_maintenance(spark, tmp_path):
     # and the estimate is in the expected error band (~6.5% for m=256)
     est = hll_estimate(read_regs())
     assert abs(est - 1000) / 1000 < 0.2
+
+
+def test_streaming_near_dedup_admission(spark, tmp_path):
+    """Continuous corpus admission: a micro-batch of candidate docs is
+    LSH-screened against the admitted corpus; near-dups are rejected
+    with their match evidence, clean docs are admitted. Batch and
+    streaming admission share operators.dedup.near_dedup_incremental."""
+    from etl_processing_scd1_spark.streaming import streaming_near_dedup_sink
+
+    corpus_dir = tmp_path / "corpus"
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different admitted document about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus.write.parquet(str(corpus_dir))
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    # 10: near-copy of admitted doc 1 → must be rejected;
+    # 11: fresh content → admitted;
+    # 12: exact copy of 11 in the SAME batch → rejected against increment
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog again and again!"),
+        (11, "entirely novel text that matches nothing in the corpus at all"),
+        (12, "entirely novel text that matches nothing in the corpus at all"),
+    ]
+    with open(drop / "docs.csv", "w") as fh:
+        fh.write("doc_id|text\n")
+        for i, t in rows:
+            fh.write(f"{i}|{t}\n")
+
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", True)
+        .option("sep", "|")
+        .schema("doc_id long, text string")
+        .load(str(drop))
+    )
+
+    admitted: list[tuple] = []
+    rejected: list[tuple] = []
+
+    def admit(clean, dups):
+        admitted.extend(sorted((r.doc_id, r.text) for r in clean.collect()))
+        rejected.extend(
+            sorted((r.new_id, r.other_id) for r in dups.collect())
+        )
+
+    q = streaming_near_dedup_sink(
+        stream,
+        read_corpus=lambda: spark.read.parquet(str(corpus_dir)),
+        admit=admit,
+        id_col="doc_id",
+        text_col="text",
+        checkpoint_dir=str(tmp_path / "ck_admit"),
+    )
+    q.awaitTermination(120)
+
+    assert [i for i, _ in admitted] == [11]
+    assert (10, 1) in rejected       # near-copy of corpus doc 1
+    assert (11, 12) in rejected or (12, 11) in rejected  # intra-batch pair
+    assert all(i != 11 or j == 12 for i, j in rejected)
