@@ -236,6 +236,7 @@ def jaccard_verify(
     min_jaccard_pct: int | None = None,
     broadcast_sets: bool | None = None,
     broadcast_max_candidates: int = 100_000,
+    emit_sizes: bool = False,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs, as integers (|∩|, |∪|) —
     exact arithmetic, so distributed results hash-match any oracle.
@@ -296,15 +297,18 @@ def jaccard_verify(
             100 * F.least(na, nb) >= min_jaccard_pct * F.greatest(na, nb)
         )
     isect = F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__")))
-    return attach_cache(
-        joined.select(
-            "id_a",
-            "id_b",
-            isect.alias("isect"),
-            (F.size("__sa__") + F.size("__sb__") - isect).alias("uni"),
-        ),
-        *cached,
-    )
+    out_cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        isect.alias("isect"),
+        (F.size("__sa__") + F.size("__sb__") - isect).alias("uni"),
+    ]
+    if emit_sizes:
+        # per-side sizes enable ASYMMETRIC measures downstream —
+        # containment |∩|/min(|A|,|B|) catches a small document quoted
+        # verbatim inside a large one, where symmetric Jaccard is tiny
+        out_cols += [F.size("__sa__").alias("size_a"), F.size("__sb__").alias("size_b")]
+    return attach_cache(joined.select(*out_cols), *cached)
 
 
 def near_dedup_minhash(

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    attach_cache,
     exact_dedup as exact_dedup_op,
     near_dedup_minhash,
     simhash_fingerprint,
@@ -134,6 +135,76 @@ def near_dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         rows_per_band=2,
         min_jaccard_pct=50,
+    )
+
+
+CONTAINMENT_ORACLE = f"""
+    WITH sets AS ({_SETS_SQL}),
+    mh AS ({_MINHASH_SQL}),
+    banded AS ({_BANDED_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           len(list_intersect(sa.sh_set, sb.sh_set)) AS isect,
+           len(sa.sh_set) AS size_a,
+           len(sb.sh_set) AS size_b,
+           CAST(100 * len(list_intersect(sa.sh_set, sb.sh_set))
+                // least(len(sa.sh_set), len(sb.sh_set)) AS BIGINT) AS containment_pct
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.id_a
+    JOIN sets sb ON sb.doc_id = p.id_b
+    WHERE 100 * len(list_intersect(sa.sh_set, sb.sh_set))
+          >= 80 * least(len(sa.sh_set), len(sb.sh_set))
+"""
+
+
+@register("containment_dedup", oracle=CONTAINMENT_ORACLE)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 asymmetric near-dup: CONTAINMENT |∩|/min(|A|,|B|) ≥ 0.8 over
+    the LSH candidate set — the measure that catches a short document
+    quoted verbatim inside a long one, where symmetric Jaccard
+    |∩|/|∪| stays tiny and the J≥0.5 pipeline never fires. (Candidate
+    generation is still symmetric MinHash LSH: a standard, documented
+    recall limitation — full containment recall needs an inverted
+    shingle index like operators.substring; this query is the cheap
+    screen over the pairs LSH already surfaces.) Exact-integer
+    containment_pct floor-division, hash-checked."""
+    from ..operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_set_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    base = docs.select("doc_id", "text").repartition(n_parts, "doc_id")
+    with_sets = base.select(
+        F.col("doc_id"), shingle_set_col("text", k=8).alias("sh_set")
+    ).persist()
+    sigs = minhash_signatures(with_sets, "doc_id", num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
+    verified = jaccard_verify(pairs, with_sets, "doc_id", emit_sizes=True)
+    out = (
+        verified.filter(
+            100 * F.col("isect") >= 80 * F.least("size_a", "size_b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "isect",
+            "size_a",
+            "size_b",
+            F.floor(
+                (100 * F.col("isect")) / F.least("size_a", "size_b")
+            ).cast("long").alias("containment_pct"),
+        )
+    )
+    return attach_cache(
+        out, with_sets, *getattr(verified, "_spark_graft_cached", ())
     )
 
 
