@@ -1095,6 +1095,76 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIGRAM_QUALITY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+    ),
+    total AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM vocab
+    ),
+    scored AS (
+      SELECT toks.doc_id,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t_total AS DOUBLE))
+                        * 1000000000.0) AS BIGINT) AS nano
+      FROM toks JOIN vocab USING (term) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(nano) AS BIGINT) AS sum_nano,
+           (CAST(sum(nano) AS DOUBLE) / 1000000000.0) / CAST(count(*) AS DOUBLE)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register("unigram_logprob_quality", oracle=UNIGRAM_QUALITY_ORACLE)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 quality scoring: mean unigram log-probability under the
+    corpus's own unigram distribution — the classic cheap perplexity
+    proxy for training-data filtering (documents full of rare/garbled
+    tokens score low; boilerplate scores suspiciously high; both
+    tails get filtered). Determinism under 1000-way parallelism: each
+    token's ln(p) is quantized to integer NANO-units first, so the
+    per-document sum is an order-free BIGINT sum and the final mean
+    is one identical double division on both engines (same recipe as
+    bm25_score). Plan shape: one explode, one vocab aggregation
+    (partial-agg'd), one term-keyed join (the vocab side would be
+    bucketed/broadcast-tiered at 100 TB), one per-doc aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t_total"))
+    nano = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("t_total").cast("double"))
+        * 1000000000.0
+    ).cast("long")
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nano.alias("nano"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("nano").alias("sum_nano"),
+        (
+            (F.sum("nano").cast("double") / 1000000000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_logprob"),
+    )
+
+
 # BM25 over a literal query-term list. The per-term score expression
 # is ONE template rendered into both engines so the parse trees are
 # identical: every op except ln() is IEEE-exact on identical
