@@ -1452,6 +1452,50 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, id_col="doc_id")
 
 
+DEDUP_APPLY_ORACLE = (
+    DEDUP_CLUSTERS_ORACLE.replace(
+        """    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cl
+""",
+        """    , sized AS (
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cl
+    )
+    SELECT s.doc_id, s.cluster_size, d.lang, d.n_chars
+    FROM sized s JOIN documents d USING (doc_id)
+    WHERE s.doc_id = s.cluster_id
+""",
+    )
+)
+
+
+@register("dedup_apply", oracle=DEDUP_APPLY_ORACLE)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 final step — the dedup DECISION applied: keep exactly the
+    canonical representative (lowest id) of every near-dup cluster,
+    carrying its original columns plus the cluster size it speaks
+    for (singleton docs keep themselves with size 1). This is the
+    frame a curation pipeline actually writes out; pairs and
+    clusters are its evidence. One extra semi-join over the cluster
+    relation — the corpus never reshuffles."""
+    from ..operators.dedup import dedup_clusters, release_cached
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dedup_minhash(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=8, bands=4, rows_per_band=2, min_jaccard_pct=50,
+    )
+    clusters = dedup_clusters(docs, pairs, id_col="doc_id")
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", "cluster_size"
+    )
+    return keep.join(docs, "doc_id").select(
+        "doc_id", "cluster_size", "lang", "n_chars"
+    )
+
+
 SUBSTRING_DEDUP_ORACLE = """
     WITH wins AS (
       SELECT doc_id, p AS pos, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
