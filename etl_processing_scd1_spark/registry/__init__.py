@@ -53,9 +53,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   windows I5, pandas UDF J, dedup/similarity/text/curation K).
 #   rollup_agg and set_ops rotated out to make room — both carry
 #   r2/r3 driver-green evidence and stay oracle-checked locally.
-#   (containment_dedup, unigram_logprob_quality and dedup_apply landed
-#   after this window was frozen; they are extras-tier this round and
-#   rotate in next round.)
+#   (containment_dedup, unigram_logprob_quality, dedup_apply and
+#   kl_domain_shift landed after this window was frozen; they are
+#   extras-tier this round and rotate in next round.)
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",

@@ -1165,6 +1165,86 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KL_DOMAIN_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang, t AS term FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    lt AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS c_l
+      FROM toks GROUP BY lang, term
+    ),
+    gt AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c_g FROM toks GROUP BY term
+    ),
+    ltot AS (
+      SELECT lang, CAST(sum(c_l) AS BIGINT) AS t_l FROM lt GROUP BY lang
+    ),
+    gtot AS (SELECT CAST(sum(c_g) AS BIGINT) AS t_g FROM gt),
+    contrib AS (
+      SELECT lt.lang,
+             CAST(round(
+               (CAST(c_l AS DOUBLE) / CAST(t_l AS DOUBLE))
+               * (round(ln((CAST(c_l AS DOUBLE) / CAST(t_l AS DOUBLE))
+                           / (CAST(c_g AS DOUBLE) / CAST(t_g AS DOUBLE)))
+                        * 1000000000.0) / 1000000000.0)
+               * 1000000000.0) AS BIGINT) AS nano
+      FROM lt JOIN gt USING (term)
+      JOIN ltot ON ltot.lang = lt.lang CROSS JOIN gtot
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(nano) AS BIGINT) AS kl_nano,
+           CAST(sum(nano) AS DOUBLE) / 1000000000.0 AS kl_divergence
+    FROM contrib GROUP BY lang
+"""
+
+
+@register("kl_domain_shift", oracle=KL_DOMAIN_ORACLE)
+def kl_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corpus diagnostics: KL(p_lang ‖ p_corpus) over unigram
+    distributions — how far each language slice's token distribution
+    drifts from the corpus mixture. The monitoring signal behind
+    data-mixture rebalancing: a slice whose KL jumps between corpus
+    versions changed character (scraped drift, contamination, a new
+    source). Per-term contributions p·ln(p/q) are nano-quantized
+    BIGINTs (ln quantized first, the product rounded once), so the
+    per-language sum is order-free and bit-identical at any
+    parallelism. Two aggregations and one term-keyed join — all
+    partial-agg'd, nothing corpus-sized reaches the driver."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    lt = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c_l"))
+    gt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_g"))
+    ltot = lt.groupBy("lang").agg(F.sum("c_l").alias("t_l"))
+    gtot = gt.agg(F.sum("c_g").alias("t_g"))
+    p = F.col("c_l").cast("double") / F.col("t_l").cast("double")
+    q = F.col("c_g").cast("double") / F.col("t_g").cast("double")
+    ln_q = F.round(F.log(p / q) * 1000000000.0) / 1000000000.0
+    nano = F.round(p * ln_q * 1000000000.0).cast("long")
+    contrib = (
+        lt.join(gt, "term")
+        .join(F.broadcast(ltot), "lang")
+        .crossJoin(F.broadcast(gtot))
+        .select("lang", nano.alias("nano"))
+    )
+    return contrib.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("nano").alias("kl_nano"),
+        (F.sum("nano").cast("double") / 1000000000.0).alias("kl_divergence"),
+    )
+
+
 # BM25 over a literal query-term list. The per-term score expression
 # is ONE template rendered into both engines so the parse trees are
 # identical: every op except ln() is IEEE-exact on identical
