@@ -19,16 +19,65 @@ never the full cross product.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def attach_cache(result: DataFrame, *frames: DataFrame) -> DataFrame:
+class _CheckpointHandle:
+    """Releasable wrapper around a (local)checkpointed DataFrame's
+    backing RDD. ``DataFrame.unpersist`` only clears CacheManager
+    entries — checkpoint RDDs are persisted at the RDD layer and
+    normally wait for the async ContextCleaner, which leaks them for
+    the lifetime of a long session. Duck-types ``unpersist`` so it can
+    ride the :func:`attach_cache` contract next to plain persisted
+    frames."""
+
+    def __init__(self, jrdd) -> None:
+        self._jrdd = jrdd
+
+    def unpersist(self) -> None:
+        try:
+            self._jrdd.unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def checkpoint_handle(checkpointed: DataFrame) -> _CheckpointHandle | None:
+    """Handle for the RDD backing an (eagerly) checkpointed DataFrame,
+    or None when the plan shape is not the expected ``LogicalRDD``
+    (then the ContextCleaner remains the only release path)."""
+    try:
+        plan = checkpointed._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return None
+        return _CheckpointHandle(plan.rdd())
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def consuming(result: DataFrame):
+    """Structural enforcement of the cache contract: materialize a
+    cache-attached result inside ``with consuming(out) as df:`` and the
+    attached intermediates are released on exit, exceptions included —
+    ``release_cached`` stops being a call sites may forget."""
+    try:
+        yield result
+    finally:
+        release_cached(result)
+
+
+def attach_cache(result: DataFrame, *frames) -> DataFrame:
     """Record persisted intermediates on a result frame so consumers
     can release them after materializing (see :func:`release_cached`).
     A lazily-returned DataFrame cannot unpersist its own inputs — the
     cache must outlive the plan until an action runs."""
-    result._spark_graft_cached = frames  # type: ignore[attr-defined]
+    result._spark_graft_cached = (
+        *getattr(result, "_spark_graft_cached", ()),
+        *frames,
+    )  # type: ignore[attr-defined]
     return result
 
 
@@ -440,31 +489,51 @@ def dedup_clusters(
     increase, so the unique fixpoint is the component minimum.
 
     Fault tolerance: labels are re-materialized per round to keep the
-    plan O(1) deep instead of O(rounds). By default that uses
-    ``localCheckpoint`` (executor-local — fast, but recomputation is
-    impossible after executor loss); pass ``checkpoint_dir`` on a real
-    cluster to write reliable checkpoints to shared storage instead —
-    the standard durability/latency trade for iterative Spark jobs.
+    plan O(1) deep instead of O(rounds). The mode defaults from the
+    session: when the SparkContext already has a checkpoint dir
+    (``sc.setCheckpointDir`` — the cluster profile), RELIABLE
+    checkpoints to that shared storage are the default, so on a real
+    cluster executor loss mid-iteration recovers from storage instead
+    of failing the job. Without one, ``localCheckpoint`` (executor-
+    local, fast, non-recoverable) is the local fast path. Pass
+    ``checkpoint_dir`` explicitly to force reliable mode at a specific
+    location — the session's checkpoint dir is set to it ONLY when it
+    differs from the current value, and the change is a documented,
+    surfaced side effect on the shared SparkContext (it persists for
+    later jobs; Spark has no per-job checkpoint dir).
 
     Driver-side cost per round is ONE cheap scalar: the changed flag
     is computed inside the round's join and counted off the already-
     materialized checkpoint (no second join recompute), short-circuited
     with ``limit(1)`` since only emptiness matters. The round count is
     surfaced on the result as ``_spark_graft_rounds``.
+
+    Cache hygiene: every round's checkpoint RDD would otherwise sit in
+    the session's persistent-RDD map until the async ContextCleaner
+    notices — each superseded round is released eagerly here, and the
+    two frames that must outlive this call (edges + final labels) are
+    attached to the result for :func:`release_cached` / ``consuming``.
     """
     spark = docs.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = spark.sparkContext
+    if checkpoint_dir is not None and sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    reliable = checkpoint_dir is not None or sc.getCheckpointDir() is not None
 
-    def _materialize(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+    def _materialize(df: DataFrame) -> tuple[DataFrame, _CheckpointHandle | None]:
+        ck = df.checkpoint() if reliable else df.localCheckpoint()
+        return ck, checkpoint_handle(ck)
 
-    edges = _materialize(pairs.select("id_a", "id_b"))
+    def _release(handle: _CheckpointHandle | None) -> None:
+        if handle is not None:
+            handle.unpersist()
+
+    edges, edges_h = _materialize(pairs.select("id_a", "id_b"))
     release_cached(pairs)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    labels = _materialize(
+    labels, labels_h = _materialize(
         docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     )
     rounds = 0
@@ -486,7 +555,7 @@ def dedup_clusters(
         mapping = labels.select(
             F.col("node").alias("__ln__"), F.col("label").alias("__ll__")
         )
-        new = _materialize(
+        new, new_h = _materialize(
             stepped.join(mapping, stepped["label"] == mapping["__ln__"], "left")
             .select(
                 "node",
@@ -499,7 +568,8 @@ def dedup_clusters(
             )
         )
         changed = new.filter(F.col("__changed__")).limit(1).count()
-        labels = new.drop("__changed__")
+        _release(labels_h)  # superseded round — eager, not ContextCleaner
+        labels, labels_h = new.drop("__changed__"), new_h
         if changed == 0:
             break
     else:
@@ -511,7 +581,9 @@ def dedup_clusters(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     ).withColumn("cluster_size", F.count("*").over(w))
     out._spark_graft_rounds = rounds  # type: ignore[attr-defined]
-    return out
+    # edges + final labels back the (lazy) result plan — released by
+    # the consumer via release_cached/consuming after its action
+    return attach_cache(out, *[h for h in (edges_h, labels_h) if h is not None])
 
 
 def near_dedup_incremental(
@@ -525,6 +597,7 @@ def near_dedup_incremental(
     rows_per_band: int = 2,
     min_jaccard_pct: int = 50,
     broadcast_sets: bool | None = None,
+    corpus_broadcast_max_candidates: int = 100_000,
 ) -> DataFrame:
     """The nightly-admission shape of MinHash dedup: test an INCREMENT
     of new documents against an already-signed corpus without
@@ -579,9 +652,22 @@ def near_dedup_incremental(
     nn = lsh_candidate_pairs(new_sigs, id_col, bands, rows_per_band)
     pairs = nc.unionByName(nn).distinct()
     corpus_cand_ids = nc.select(F.col("id_b").alias(id_col)).distinct()
+    # Auto-sized broadcast, mirroring jaccard_verify's probe: nc is
+    # already persisted, so |nc| — an upper bound on the distinct
+    # corpus candidate ids — costs one cheap aggregation. The normal
+    # nightly case (candidates ≈ O(increment)) broadcasts; an
+    # adversarial all-duplicate increment makes the candidate set
+    # corpus-sized, where a forced broadcast would blow the driver /
+    # executor broadcast ceiling — fall back to a shuffle semi-join
+    # with byte-identical results.
+    cand_small = nc.count() <= corpus_broadcast_max_candidates
     corpus_cand_sets = (
         corpus_docs.select(id_col, text_col)
-        .join(F.broadcast(corpus_cand_ids), id_col, "left_semi")
+        .join(
+            F.broadcast(corpus_cand_ids) if cand_small else corpus_cand_ids,
+            id_col,
+            "left_semi",
+        )
         .select(F.col(id_col), shingle_set_col(text_col, k=shingle_k).alias("sh_set"))
     )
     all_sets = new_sets.unionByName(corpus_cand_sets)

@@ -5,17 +5,19 @@ Arrow-batched Pandas functions over ``mapInPandas``.
 The container has no third-party image/audio codecs, so the decode
 surface splits in two:
 
-- ``decode_image`` is a REAL pure-Python decoder for the two
-  uncompressed formats decodable without codecs — binary PPM (P6)
-  and 24-bit uncompressed BMP — returning true header dimensions and
-  packed RGB pixel bytes (BMP row padding stripped, bottom-up order
-  normalized, BGR swapped to RGB). ``decode_features`` runs it over
-  binary payload columns in the same Arrow ``mapInPandas`` shape as
-  every other extractor here.
-- compressed formats (JPEG/PNG/video) still raise — wire PIL/libvips
-  into the same function in deployment; ``fake_feature_extract``
-  remains the deterministic stand-in where tests need a payload-
-  agnostic feature tuple.
+- ``decode_image`` is a REAL pure-Python decoder for the formats
+  decodable without third-party codecs — binary PPM (P6), 24-bit
+  uncompressed BMP, and (stdlib ``zlib``) non-interlaced 8-bit
+  gray/RGB/RGBA PNG with full sub/up/average/paeth filter
+  reconstruction — returning true header dimensions and packed
+  top-down pixel bytes (BMP row padding stripped, bottom-up order
+  normalized, BGR swapped to RGB; PNG scanline filters undone).
+  ``decode_features`` runs it over binary payload columns in the same
+  Arrow ``mapInPandas`` shape as every other extractor here.
+- formats needing real codecs (JPEG/video) still raise — wire
+  PIL/libvips into the same function in deployment;
+  ``fake_feature_extract`` remains the deterministic stand-in where
+  tests need a payload-agnostic feature tuple.
 
 Everything around the decoders is the load-bearing part at 100 TB —
 the binary schema, the Arrow batch shape, the mapInPandas iterator
@@ -88,6 +90,164 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type ↔ channel count for the 8-bit truecolor/gray cases
+_PNG_COLOR_TO_CH = {0: 1, 2: 3, 6: 4}
+_PNG_CH_TO_COLOR = {1: 0, 3: 2, 4: 6}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): the neighbor — left a, above b,
+    upper-left c — closest to the linear estimate a + b - c, ties
+    broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(row: bytes, prev: bytes, bpp: int, ft: int) -> bytes:
+    """Apply filter ``ft`` to one scanline (encode direction)."""
+    out = bytearray(len(row))
+    for i in range(len(row)):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        x = row[i]
+        if ft == 0:
+            out[i] = x
+        elif ft == 1:
+            out[i] = (x - a) & 0xFF
+        elif ft == 2:
+            out[i] = (x - b) & 0xFF
+        elif ft == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        else:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(line: bytes, prev: bytes, bpp: int, ft: int) -> bytes:
+    """Reconstruct one scanline from its filtered form (decode
+    direction). Inherently sequential within the row — each byte
+    depends on the already-reconstructed left neighbor — which is why
+    this runs per-row in Python rather than vectorized."""
+    if ft == 0:
+        return bytes(line)
+    out = bytearray(line)
+    for i in range(len(out)):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 1:
+            out[i] = (out[i] + a) & 0xFF
+        elif ft == 2:
+            out[i] = (out[i] + b) & 0xFF
+        elif ft == 3:
+            out[i] = (out[i] + (a + b) // 2) & 0xFF
+        elif ft == 4:
+            out[i] = (out[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_cycle: bool = True,
+) -> bytes:
+    """Non-interlaced 8-bit PNG (gray/RGB/RGBA by ``channels``) from
+    packed top-down pixel bytes. ``filter_cycle`` rotates the scanline
+    filter none→sub→up→average→paeth per row so a round-trip exercises
+    every reconstruction path; False writes filter 0 everywhere."""
+    import zlib
+
+    if channels not in _PNG_CH_TO_COLOR:
+        raise ValueError("channels must be 1 (gray), 3 (RGB) or 4 (RGBA)")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixels must be channels*width*height packed bytes")
+    prev = bytes(stride)
+    raws = []
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ft = y % 5 if filter_cycle else 0
+        raws.append(bytes([ft]) + _png_filter_row(row, prev, channels, ft))
+        prev = row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, _PNG_CH_TO_COLOR[channels], 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    import zlib
+
+    pos, hdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            hdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or len(hdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    width = int.from_bytes(hdr[0:4], "big")
+    height = int.from_bytes(hdr[4:8], "big")
+    bit, color, comp, filt, interlace = hdr[8:13]
+    if (
+        bit != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or color not in _PNG_COLOR_TO_CH
+    ):
+        raise ValueError(
+            "only non-interlaced 8-bit gray/RGB/RGBA PNG supported "
+            "(palette/16-bit/Adam7 need PIL/libvips in deployment)"
+        )
+    channels = _PNG_COLOR_TO_CH[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        prev = _png_unfilter_row(line, prev, channels, ft)
+        out += prev
+    return ("png", width, height, channels, bytes(out))
+
+
 def _ppm_header_ints(buf: bytes, count: int) -> tuple[list[int], int]:
     """Parse ``count`` whitespace/comment-separated integers after the
     P6 magic; returns the values and the offset of the pixel data
@@ -114,11 +274,16 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Decode an uncompressed image payload without third-party codecs.
 
     Returns ``(format, width, height, channels, pixels)`` with
-    ``pixels`` as packed top-down RGB bytes regardless of the on-disk
+    ``pixels`` as packed top-down bytes regardless of the on-disk
     layout (BMP's bottom-up BGR rows and 4-byte row padding are
-    normalized away). Supports binary PPM (P6, maxval ≤ 255) and
-    24-bit uncompressed BMP; compressed formats need PIL/libvips in
-    deployment and raise ValueError here."""
+    normalized away; PNG scanline filters are reconstructed). Supports
+    binary PPM (P6, maxval ≤ 255), 24-bit uncompressed BMP, and
+    non-interlaced 8-bit gray/RGB/RGBA PNG (stdlib zlib inflate +
+    sub/up/average/paeth unfiltering); formats needing real codecs
+    (JPEG, palette/16-bit/Adam7 PNG, video) raise ValueError —
+    PIL/libvips slot in here in deployment."""
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] == b"P6":
         (width, height, maxval), off = _ppm_header_ints(payload, 3)
         if maxval > 255:
@@ -150,8 +315,8 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
             out += rgb
         return ("bmp", width, height, 3, bytes(out))
     raise ValueError(
-        "unsupported image format (PPM P6 and 24-bit BMP decode here; "
-        "wire PIL/libvips for compressed formats in deployment)"
+        "unsupported image format (PPM P6, 24-bit BMP and 8-bit PNG "
+        "decode here; wire PIL/libvips for other formats in deployment)"
     )
 
 

@@ -103,6 +103,13 @@ def assign_centroid(
     """IVF assignment: nearest centroid by cosine (scaled-int exact;
     ties → lowest centroid id).
 
+    CONTRACT: ``id_col`` must be row-unique in ``df`` — the argmax is
+    a ``groupBy(id_col)``, so duplicate ids would collapse to one
+    output row with carried columns mixed nondeterministically by
+    ``F.first`` (every caller here — semantic_dedup, IVF build/search —
+    feeds a unique vector id; pass ``monotonically_increasing_id`` as
+    the id when the input can carry duplicates).
+
     A PURE NARROW MAP: the centroid relation is k rows BY DEFINITION
     (k ≤ a few hundred for IVF cells — same argument as the PQ
     codebook), so it is collected and inlined as literals, and the

@@ -52,10 +52,21 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   B, joins C, SCD1 merge G, fraud H, agg surface F, streaming
 #   windows I5, pandas UDF J, dedup/similarity/text/curation K).
 #   rollup_agg and set_ops rotated out to make room — both carry
-#   r2/r3 driver-green evidence and stay oracle-checked locally.
-#   (containment_dedup, unigram_logprob_quality, dedup_apply and
-#   kl_domain_shift landed after this window was frozen; they are
-#   extras-tier this round and rotate in next round.)
+#   r2/r3 driver-green evidence and stay oracle-checked locally;
+#   round 6 window (below) — the 4 quality/dedup queries that landed
+#   after the r5 freeze (containment_dedup, unigram_logprob_quality,
+#   dedup_apply, kl_domain_shift) rotate IN for their first driver
+#   check → cumulative driver-green 121/121. Displaced: 4
+#   double-confirmed re-confirmation rows whose families keep other
+#   in-window representatives — excel_serial_dates + full_table_extract
+#   (§2.A keeps csv_scan/parquet_scan/filename_date_extract),
+#   anti_exists (§2.B keeps semi_join_in; anti-join semantics also
+#   covered by the scd1_merge_full insert/delete legs), and
+#   distinct_agg_having (§2.F keeps groupby_agg/skew_salted_agg plus
+#   the r5-green distinct_agg/having_filter singles), and
+#   expr_key_join (C6 keeps expr_key_join_trim + expr_key_join_replace)
+#   displaced by the round-6 addition multimodal_decode_png (new
+#   queries enter the window the round they land).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -83,19 +94,15 @@ PRIMARY = [
     # §2.A sources / scans
     "csv_scan",
     "parquet_scan",
-    "excel_serial_dates",
-    "full_table_extract",
     "filename_date_extract",
     # §2.B projections / predicates
     "project_reshape",
     "nullsafe_diff",
     "semi_join_in",
-    "anti_exists",
     # §2.C / §2.G joins + merges
     "scd1_merge_full",
     "fact_append_dedup",
     "star_join_chain",
-    "expr_key_join",
     # §2.E / §2.H fraud rules + windows
     "velocity_fraud_rule",
     "fraud_blacklist_semi",
@@ -103,7 +110,6 @@ PRIMARY = [
     # §2.F aggregation surface
     "watermark_max",
     "groupby_agg",
-    "distinct_agg_having",
     "skew_salted_agg",
     # §2.I streaming-equivalent windows
     "tumbling_window_agg",
@@ -118,6 +124,13 @@ PRIMARY = [
     "embedding_near_dup",
     "text_quality",
     "asof_join",
+    # round-6 rotation: first driver check of the post-r5-freeze
+    # quality/dedup additions + the round-6 PNG decode
+    "containment_dedup",
+    "unigram_logprob_quality",
+    "dedup_apply",
+    "kl_domain_shift",
+    "multimodal_decode_png",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —

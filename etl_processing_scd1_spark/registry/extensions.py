@@ -1559,8 +1559,11 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     for (singleton docs keep themselves with size 1). This is the
     frame a curation pipeline actually writes out; pairs and
     clusters are its evidence. One extra semi-join over the cluster
-    relation — the corpus never reshuffles."""
-    from ..operators.dedup import dedup_clusters, release_cached
+    relation — the corpus never reshuffles. The cluster checkpoints
+    back the lazy plan, so their release handles are re-attached to
+    THIS result — consumers materialize under
+    ``dedup.consuming(...)`` and nothing outlives the action."""
+    from ..operators.dedup import dedup_clusters
 
     docs = table(spark, sf_dir, "documents")
     pairs = near_dedup_minhash(
@@ -1571,9 +1574,10 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id", "cluster_size"
     )
-    return keep.join(docs, "doc_id").select(
+    out = keep.join(docs, "doc_id").select(
         "doc_id", "cluster_size", "lang", "n_chars"
     )
+    return attach_cache(out, *getattr(clusters, "_spark_graft_cached", ()))
 
 
 SUBSTRING_DEDUP_ORACLE = """
@@ -1749,6 +1753,80 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_payload = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return decode_features(with_payload)
+
+
+@register(
+    "multimodal_decode_png",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+    ), d AS (
+      SELECT doc_id,
+             blen % 13 + 1 AS w,
+             blen % 7 + 1 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch,
+             blen % 256 AS fill
+      FROM p
+    ), s AS (
+      SELECT doc_id, w, h, ch, fill, w * h * ch AS n FROM d
+    )
+    SELECT doc_id, 'png' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS channels,
+           CAST(((fill + n) // 256) * 32640
+                + ((fill + n) % 256) * ((fill + n) % 256 - 1) // 2
+                - fill * (fill - 1) // 2 AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal PNG decode (the one compressed format decodable
+    with the stdlib alone): synthesize real zlib-deflated PNGs — RGB
+    for even doc ids, RGBA for odd, dimensions and a rolling
+    ``(fill+i) % 256`` pixel ramp derived from each document's byte
+    length, scanline filters cycling none→sub→up→average→paeth — then
+    run operators.multimodal.decode_image over them in one Arrow
+    ``mapInPandas`` pass. pixel_sum only matches the oracle's
+    closed-form ramp sum (full 256-cycles × 32640 + triangular
+    remainders) if inflate AND all four filter reconstructions are
+    exact; the ramp (unlike a constant fill) makes sub/avg/paeth
+    deltas nontrivial."""
+    from ..operators.multimodal import decode_image, encode_png
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("__blen__")
+    )
+
+    def synth_decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height", "channels", "pixel_sum")}
+            for doc_id, blen in zip(pdf["doc_id"], pdf["__blen__"]):
+                blen = int(blen)
+                w, h = blen % 13 + 1, blen % 7 + 1
+                ch = 3 if doc_id % 2 == 0 else 4
+                fill = blen % 256
+                px = bytes((fill + i) % 256 for i in range(w * h * ch))
+                fmt, dw, dh, dch, pixels = decode_image(
+                    encode_png(w, h, px, channels=ch)
+                )
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["channels"].append(dch)
+                out["pixel_sum"].append(sum(pixels))
+            yield pd.DataFrame(out)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        synth_decode,
+        schema="doc_id bigint, fmt string, width int, height int, "
+               "channels int, pixel_sum bigint",
+    )
 
 
 @register(

@@ -15,11 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import append_dedup, scd1_merge
+from ..operators.dedup import attach_cache
 from ..operators.scd2 import END_OF_TIME
 from ._base import make_registry, table
 from .core import AUDIT_TS
 
 QUERIES, ORACLES, register = make_registry()
+
+
+def _leg(frame: DataFrame, res) -> DataFrame:
+    """Ride the merge's persisted classification frame on the returned
+    leg via the attach/release contract — evidence queries hand out one
+    leg of an Scd1Result/Scd2Result, and without the attachment the
+    persist outlives the consumer's action until the ContextCleaner
+    happens to GC it."""
+    if res.cached is not None:
+        return attach_cache(frame, res.cached)
+    return frame
 
 DIM_CREATE_TS = "2020-01-01 00:00:00"
 
@@ -97,7 +109,8 @@ def scd1_insert_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     (main.py:146-161). create_dt := coalesce(stg.update_dt,
     stg.create_dt) = NULL here because file-style staging carries no
     technical columns (the reference's terminals behave identically)."""
-    return _merge(spark, sf_dir).inserted
+    res = _merge(spark, sf_dir)
+    return _leg(res.inserted, res)
 
 
 @register(
@@ -120,7 +133,8 @@ def scd1_update_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     (main.py:183-324, the reference's largest SQL block, 142 lines
     for 4 dims — here one parametrized operator). Overwrite
     semantics: staged values win, create_dt preserved."""
-    return _merge(spark, sf_dir).updated
+    res = _merge(spark, sf_dir)
+    return _leg(res.updated, res)
 
 
 @register(
@@ -140,7 +154,8 @@ def scd1_delete_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     full snapshot (main.py:329-343; the reference stages a key-only
     ``*_del`` copy first, unnecessary here — the anti join runs on
     the staging frame directly, SURVEY §4)."""
-    return _merge(spark, sf_dir).deleted
+    res = _merge(spark, sf_dir)
+    return _leg(res.deleted, res)
 
 
 @register(
@@ -176,7 +191,8 @@ def scd1_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ONE recompute with a single key shuffle (SURVEY §2.G). This is
     the engine's replacement for the reference's three-statement
     in-place mutation."""
-    return _merge(spark, sf_dir).merged
+    res = _merge(spark, sf_dir)
+    return _leg(res.merged, res)
 
 
 SCD2_HIST_FROM = "2019-01-01 00:00:00"
@@ -267,12 +283,15 @@ def scd2_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them as ISO strings because the END_OF_TIME open-end sentinel
     # (9999-12-31) overflows pandas datetime64[ns] in the driver's
     # canonicalization (CORRECTNESS_r04 err).
-    return res.merged.withColumns(
+    out = res.merged.withColumns(
         {
             "valid_from": F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss"),
             "valid_to": F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
         }
     )
+    # attach on the FINAL frame — the marker attribute does not
+    # propagate through DataFrame transformations
+    return _leg(out, res)
 
 
 @register(
@@ -366,7 +385,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment", "valid_from", "valid_to"
     )
     orders = table(spark, sf_dir, "orders")
-    return (
+    out = (
         orders.join(
             F.broadcast(dim),
             (orders["o_custkey"] == dim["c_custkey"])
@@ -381,3 +400,4 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment_as_of_order"),
         )
     )
+    return _leg(out, res)

@@ -227,8 +227,13 @@ def scan_drop_dir(drop_dir: str, as_written: bool = False) -> list[DiscoveredFil
     - branch 3 is ``'passport_blacklist' and '.xlsx' in file`` ≡
       ``'.xlsx' in file``: every xlsx not named ``terminals`` routes
       to the blacklist;
-    - the business date still parses ``split('_')[-1].split('.')[0]``
-      as ddMMyyyy and raises on mismatch, exactly like the reference.
+    - a dot-less filename raises IndexError at the extension read
+      (``file.split('.')[1]``), exactly like the reference;
+    - the ddMMyyyy stamp parses BEFORE branch routing (main.py:110-111
+      runs it for every allowed-extension file), so an
+      allowed-extension file that matches no branch — e.g.
+      ``data.csv`` — still raises ValueError on a bad stamp instead of
+      being silently skipped.
     """
     found: list[DiscoveredFile] = []
     if not os.path.isdir(drop_dir):
@@ -236,9 +241,13 @@ def scan_drop_dir(drop_dir: str, as_written: bool = False) -> list[DiscoveredFil
     for name in sorted(os.listdir(drop_dir)):
         full = os.path.join(drop_dir, name)
         if as_written:
-            parts = name.split(".")
-            if len(parts) < 2 or parts[1] not in ("csv", "txt", "xlsx"):
+            fmt = name.split(".")[1]  # IndexError on dot-less, as written
+            if fmt not in ("csv", "txt", "xlsx"):
                 continue
+            # date parse precedes routing, as written — raises even for
+            # files no branch will accept
+            stamp = name.split("_")[-1].split(".")[0]
+            date = dt.datetime.strptime(stamp, "%d%m%Y").date()
             if ".txt" in name:
                 kind = "transactions"
             elif "terminals" in name and ".xlsx" in name:
@@ -247,8 +256,6 @@ def scan_drop_dir(drop_dir: str, as_written: bool = False) -> list[DiscoveredFil
                 kind = "blacklist"
             else:
                 continue  # the reference's csv branch is unreachable
-            stamp = name.split("_")[-1].split(".")[0]
-            date = dt.datetime.strptime(stamp, "%d%m%Y").date()  # raises, as written
             found.append(DiscoveredFile(kind, full, date))
             continue
         for kind, pattern in FILE_ROUTES.items():

@@ -262,27 +262,44 @@ def streaming_near_dedup_sink(
     pass a ``read_corpus`` that returns the PERSISTED signature table
     layout (``banded_signatures``) instead of raw text.
     """
-    from ..operators.dedup import near_dedup_incremental, release_cached
+    from ..operators.dedup import attach_cache, consuming, near_dedup_incremental
 
     def screen_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.select(id_col, text_col)
         if batch.isEmpty():
             return
-        dups = near_dedup_incremental(
-            batch,
-            read_corpus(),
-            id_col=id_col,
-            text_col=text_col,
-            min_jaccard_pct=min_jaccard_pct,
-        )
-        try:
+        corpus = read_corpus()
+        with consuming(
+            near_dedup_incremental(
+                batch,
+                corpus,
+                id_col=id_col,
+                text_col=text_col,
+                min_jaccard_pct=min_jaccard_pct,
+            )
+        ) as dups:
             # keep-lowest-id policy across both pair orientations:
             # corpus collision → (new, corpus) drops the NEW doc;
             # intra-batch pair → (new < other), both in-batch, drops
-            # the HIGHER id so the batch's canonical copy survives
-            batch_ids = batch.select(F.col(id_col).alias("other_id"))
-            intra = dups.join(F.broadcast(batch_ids), "other_id", "left_semi")
-            vs_corpus = dups.join(F.broadcast(batch_ids), "other_id", "left_anti")
+            # the HIGHER id so the batch's canonical copy survives.
+            # Classification is against the CORPUS id set (restricted
+            # to colliding ids — one corpus scan, no corpus shuffle,
+            # ≤|dups| result rows): a replayed batch id that collides
+            # with an already-admitted corpus id must route to the
+            # vs-corpus policy, not the intra-batch one, or the
+            # re-ingested near-dup gets admitted.
+            corpus_hit = (
+                corpus.select(F.col(id_col).alias("other_id"))
+                .join(
+                    F.broadcast(dups.select("other_id").distinct()),
+                    "other_id",
+                    "left_semi",
+                )
+                .persist()
+            )
+            attach_cache(dups, corpus_hit)  # released with the pairs
+            intra = dups.join(F.broadcast(corpus_hit), "other_id", "left_anti")
+            vs_corpus = dups.join(F.broadcast(corpus_hit), "other_id", "left_semi")
             dup_ids = (
                 intra.select(F.col("other_id").alias(id_col))
                 .unionByName(vs_corpus.select(F.col("new_id").alias(id_col)))
@@ -290,8 +307,6 @@ def streaming_near_dedup_sink(
             )
             clean = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
             admit(clean, dups)
-        finally:
-            release_cached(dups)
 
     writer = (
         stream.writeStream.foreachBatch(screen_batch)

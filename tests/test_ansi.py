@@ -55,9 +55,12 @@ RISKY = [
 
 @pytest.mark.parametrize("name", RISKY)
 def test_query_runs_under_ansi(spark, name):
+    from etl_processing_scd1_spark.operators.dedup import consuming
+
     prev = spark.conf.get("spark.sql.ansi.enabled")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
-        assert ALL_QUERIES[name](spark, SF0001).count() >= 0
+        with consuming(ALL_QUERIES[name](spark, SF0001)) as df:
+            assert df.count() >= 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -87,3 +87,23 @@ class TestDispatchAsWritten:
         # → skipped even though it ends in .txt
         got = self._scan(tmp_path, ["daily.v2.txt"], as_written=True)
         assert got == {}
+
+    def test_dotless_name_raises_as_written(self, tmp_path):
+        # format = file.split('.')[1] → IndexError on 'README';
+        # intended mode just skips it
+        import pytest
+
+        assert self._scan(tmp_path, ["README"]) == {}
+        with pytest.raises(IndexError):
+            self._scan(tmp_path, ["README"], as_written=True)
+
+    def test_date_parses_before_routing_as_written(self, tmp_path):
+        # main.py:110-111 parses the ddMMyyyy stamp for EVERY
+        # allowed-extension file before any branch: 'data.csv' matches
+        # no branch but still raises ValueError on its bad stamp
+        # (intended mode: silently skipped)
+        import pytest
+
+        assert self._scan(tmp_path, ["data.csv"]) == {}
+        with pytest.raises(ValueError):
+            self._scan(tmp_path, ["data.csv"], as_written=True)

@@ -1,7 +1,8 @@
 """dedup_clusters hardening (VERDICT r3 #6/r4 #8): pointer-jumping
 convergence on pathological chain topologies in O(log diameter)
-rounds, reliable-checkpoint mode equivalence, and agreement with a
-plain union-find reference model on arbitrary small graphs.
+rounds, reliable-checkpoint mode equivalence (explicit dir AND the
+cluster-profile session default), and agreement with a plain
+union-find reference model on arbitrary small graphs.
 """
 
 from __future__ import annotations
@@ -10,7 +11,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from etl_processing_scd1_spark.operators.dedup import dedup_clusters
+from etl_processing_scd1_spark.operators.dedup import consuming, dedup_clusters
 
 CHAIN_N = 1024
 
@@ -23,33 +24,45 @@ def _chain(spark, n=CHAIN_N):
     return docs, pairs
 
 
+def _clusters(docs, pairs, **kw):
+    with consuming(dedup_clusters(docs, pairs, **kw)) as out:
+        rows = out.collect()
+        return rows, out._spark_graft_rounds
+
+
 def test_chain_converges_in_log_rounds(spark):
     """A 1024-node path is the worst diameter per node count: plain
     neighbor-min needs ~1024 rounds (far past max_iters=25); the
     pointer jump must close it in O(log n)."""
     docs, pairs = _chain(spark)
-    out = dedup_clusters(docs, pairs, max_iters=25)
-    rows = out.collect()
+    rows, rounds = _clusters(docs, pairs, max_iters=25)
     assert len(rows) == CHAIN_N
     assert {r.cluster_id for r in rows} == {0}
     assert all(r.cluster_size == CHAIN_N for r in rows)
-    assert out._spark_graft_rounds <= 15  # log2(1024)=10 + slack
+    assert rounds <= 15  # log2(1024)=10 + slack
 
 
 def test_reliable_checkpoint_dir_matches_local(spark, tmp_path):
+    sc = spark.sparkContext
     docs, pairs = _chain(spark, n=64)
-    local = sorted(map(tuple, dedup_clusters(docs, pairs).collect()))
-    reliable = sorted(
-        map(
-            tuple,
-            dedup_clusters(
-                docs, pairs, checkpoint_dir=str(tmp_path / "ckpt")
-            ).collect(),
-        )
-    )
-    assert local == reliable
-    # reliable mode actually wrote checkpoint data to shared storage
-    assert any((tmp_path / "ckpt").rglob("*"))
+    local, _ = _clusters(docs, pairs)
+    try:
+        explicit, _ = _clusters(docs, pairs, checkpoint_dir=str(tmp_path / "ckpt"))
+        assert sorted(map(tuple, local)) == sorted(map(tuple, explicit))
+        # reliable mode actually wrote checkpoint data to shared storage
+        assert any((tmp_path / "ckpt").rglob("*"))
+        # cluster-profile DEFAULT: with a session checkpoint dir set
+        # (here: by the explicit call above), a bare call must pick the
+        # reliable path on its own — executor loss mid-iteration on a
+        # real cluster recovers from storage without any parameter
+        n_files = sum(1 for _ in (tmp_path / "ckpt").rglob("*"))
+        session_default, _ = _clusters(docs, pairs)
+        assert sorted(map(tuple, local)) == sorted(map(tuple, session_default))
+        assert sum(1 for _ in (tmp_path / "ckpt").rglob("*")) > n_files
+    finally:
+        # the checkpoint dir is documented global state — restore so
+        # later tests exercise the localCheckpoint fast path again
+        sc._jsc.sc().setCheckpointDir(None)
 
 
 @given(
@@ -85,7 +98,6 @@ def test_matches_union_find_model(spark, edges):
         [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
         "id_a long, id_b long",
     ).filter(F.col("id_a") != F.col("id_b"))
-    got = {
-        r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()
-    }
+    with consuming(dedup_clusters(docs, pairs)) as out:
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert got == expected

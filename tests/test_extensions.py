@@ -40,10 +40,10 @@ def _docs(spark):
 
 
 def test_near_dedup_finds_planted_pairs(spark):
-    pairs = {
-        (r["id_a"], r["id_b"])
-        for r in near_dedup_minhash(_docs(spark), "doc_id", "text").collect()
-    }
+    from etl_processing_scd1_spark.operators.dedup import consuming
+
+    with consuming(near_dedup_minhash(_docs(spark), "doc_id", "text")) as out:
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 3) in pairs          # exact dup always survives
     assert (0, 1) in pairs or (1, 3) in pairs  # near-dup caught by LSH
     assert all(2 not in p for p in pairs)      # unrelated doc never pairs
@@ -178,16 +178,17 @@ def test_dedup_clusters_chain_and_singletons(spark):
     """A chain a-b, b-c, plus pair e-f, plus isolated d: components
     {a,b,c}, {e,f}, {d} with min-id canonical labels — the chain
     proves multi-round propagation, not just direct neighbors."""
-    from etl_processing_scd1_spark.operators.dedup import dedup_clusters
+    from etl_processing_scd1_spark.operators.dedup import consuming, dedup_clusters
 
     docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id int")
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6)], "id_a int, id_b int"
     )
-    got = {
-        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
-        for r in dedup_clusters(docs, pairs, id_col="doc_id").collect()
-    }
+    with consuming(dedup_clusters(docs, pairs, id_col="doc_id")) as out:
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in out.collect()
+        }
     assert got == {
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         4: (4, 1),
@@ -253,6 +254,7 @@ def test_substring_dedup_planted_spans(spark):
 def test_semantic_dedup_marks_within_cluster_copies(spark):
     """An exact copy is marked dup_of its lower-id twin; items below
     tau (or in other clusters) stay kept."""
+    from etl_processing_scd1_spark.operators.dedup import consuming
     from etl_processing_scd1_spark.operators.similarity import semantic_dedup
 
     corpus = spark.createDataFrame(
@@ -268,7 +270,8 @@ def test_semantic_dedup_marks_within_cluster_copies(spark):
         [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
         "`__cid__` int, `__cvec__` array<double>",
     )
-    out = {r["vec_id"]: r for r in semantic_dedup(corpus, cf, tau=0.95).collect()}
+    with consuming(semantic_dedup(corpus, cf, tau=0.95)) as res:
+        out = {r["vec_id"]: r for r in res.collect()}
     assert len(out) == 4
     assert not out[1]["is_dup"] and out[1]["dup_of"] is None
     assert out[2]["is_dup"] and out[2]["dup_of"] == 1

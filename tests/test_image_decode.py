@@ -15,12 +15,15 @@ from hypothesis import strategies as st
 from etl_processing_scd1_spark.operators.multimodal import (
     decode_image,
     encode_bmp,
+    encode_png,
     encode_ppm,
 )
 
 
-def _pixels(width: int, height: int, seed: int = 7) -> bytes:
-    return bytes((seed + 31 * i) % 256 for i in range(3 * width * height))
+def _pixels(width: int, height: int, seed: int = 7, channels: int = 3) -> bytes:
+    return bytes(
+        (seed + 31 * i) % 256 for i in range(channels * width * height)
+    )
 
 
 @given(
@@ -67,9 +70,50 @@ def test_bmp_top_down_negative_height():
     assert out == px
 
 
+@given(
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=255),
+    channels=st.sampled_from([1, 3, 4]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_all_filters(width, height, seed, channels):
+    """filter_cycle rotates none→sub→up→average→paeth per scanline, so
+    any height ≥ 5 exercises every reconstruction path in one image —
+    exact pixel recovery proves the unfiltering, not just the inflate."""
+    px = _pixels(width, height, seed, channels)
+    fmt, w, h, ch, out = decode_image(
+        encode_png(width, height, px, channels=channels)
+    )
+    assert (fmt, w, h, ch) == ("png", width, height, channels)
+    assert out == px
+
+
+def test_png_filter_zero_roundtrip():
+    px = _pixels(5, 3)
+    fmt, w, h, ch, out = decode_image(
+        encode_png(5, 3, px, filter_cycle=False)
+    )
+    assert (fmt, w, h, ch, out) == ("png", 5, 3, 3, px)
+
+
+def test_png_rejections():
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    base = bytearray(encode_png(2, 2, _pixels(2, 2)))
+    # IHDR data starts at offset 16 (sig 8 + len 4 + type 4):
+    # width/height 8 bytes, then bit depth, color type, comp, filter,
+    # interlace — corrupt each gated field
+    for off, val in ((24, 16), (25, 3), (28, 1)):  # 16-bit, palette, Adam7
+        bad = bytearray(base)
+        bad[off] = val
+        with pytest.raises(ValueError, match="only non-interlaced 8-bit"):
+            decode_image(bytes(bad))
+
+
 def test_rejections():
     with pytest.raises(ValueError, match="unsupported image format"):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        decode_image(b"GIF89a" + b"\x00" * 64)
     with pytest.raises(ValueError, match="16-bit"):
         decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
     with pytest.raises(ValueError, match="truncated PPM pixel"):

@@ -16,8 +16,14 @@ ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 
 def plan_of(spark, name: str) -> str:
+    from etl_processing_scd1_spark.operators.dedup import release_cached
+
     df = ALL_QUERIES[name](spark, SF0001)
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # some queries persist auto-probe intermediates at BUILD time —
+    # the plan string is extracted, so release them before returning
+    release_cached(df)
+    return plan
 
 
 def test_parquet_scan_pushes_filters_and_prunes(spark):

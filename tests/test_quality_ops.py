@@ -5,6 +5,7 @@ oracles pin exact values; these pin the semantics).
 
 from __future__ import annotations
 
+from etl_processing_scd1_spark.operators.dedup import consuming
 from etl_processing_scd1_spark.registry import EXTRA_QUERIES, QUERIES
 
 from .conftest import SF0001
@@ -16,7 +17,8 @@ def test_containment_dominates_jaccard(spark):
     """|∩|/min(|A|,|B|) ≥ |∩|/|∪| always — every J≥0.5 near-dup pair
     must therefore appear in the containment≥0.5-equivalent set; at
     the 80% screen, containment_pct must sit in [80, 100]."""
-    rows = ALL["containment_dedup"](spark, SF0001).collect()
+    with consuming(ALL["containment_dedup"](spark, SF0001)) as df:
+        rows = df.collect()
     assert rows
     for r in rows:
         assert 80 <= r.containment_pct <= 100
@@ -47,6 +49,7 @@ def test_dedup_apply_keeps_exactly_one_per_cluster(spark):
     """The kept set must be the cluster representatives: sizes sum to
     the corpus size and every kept doc is its own cluster id."""
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
-    kept = ALL["dedup_apply"](spark, SF0001).collect()
+    with consuming(ALL["dedup_apply"](spark, SF0001)) as df:
+        kept = df.collect()
     assert sum(r.cluster_size for r in kept) == docs.count()
     assert len({r.doc_id for r in kept}) == len(kept)

@@ -19,9 +19,7 @@ from etl_processing_scd1_spark.operators.dedup import (
 from etl_processing_scd1_spark.operators.scd1 import scd1_merge
 from etl_processing_scd1_spark.storage import Warehouse
 
-
-def _n_persistent_rdds(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+from .conftest import persistent_rdd_ids
 
 
 def test_scd1_merge_unpersists_cache(spark):
@@ -36,13 +34,13 @@ def test_scd1_merge_unpersists_cache(spark):
         ],
         "k int, v string, create_dt timestamp, update_dt timestamp, processed_dt timestamp",
     )
-    before = _n_persistent_rdds(spark)
+    before = persistent_rdd_ids(spark)
     res = scd1_merge(dim, stg, key="k", compare_cols=["v"])
     assert res.counts() == {"inserted": 1, "updated": 1, "deleted": 0, "rows": 2}
-    assert _n_persistent_rdds(spark) > before  # cache live while legs consumed
+    assert persistent_rdd_ids(spark) - before  # cache live while legs consumed
     res.unpersist()
     res.unpersist()  # idempotent
-    assert _n_persistent_rdds(spark) == before
+    assert persistent_rdd_ids(spark) - before == set()
 
 
 def test_run_day_leaves_no_persisted_frames(spark, tmp_path):
@@ -67,14 +65,17 @@ def test_run_day_leaves_no_persisted_frames(spark, tmp_path):
         " date_of_birth date, passport_num string, passport_valid_to date,"
         " phone string, create_dt timestamp, update_dt timestamp",
     )
-    before = _n_persistent_rdds(spark)
+    before = persistent_rdd_ids(spark)
     run_day(
         spark,
         Warehouse(spark, str(tmp_path / "wh")),
         bank_sources={"clients": clients},
         run_ts=dt.datetime(2021, 3, 2, 1, 0, 0),
     )
-    assert _n_persistent_rdds(spark) == before
+    # id-SET difference, not a count delta: the ContextCleaner may
+    # concurrently GC-unpersist unrelated dead RDDs, but it can never
+    # introduce NEW ids
+    assert persistent_rdd_ids(spark) - before == set()
 
 
 def test_near_dedup_release_cached(spark):
@@ -83,13 +84,13 @@ def test_near_dedup_release_cached(spark):
         + [(99, "completely unrelated text with no duplicate partner here")],
         "doc_id int, text string",
     )
-    before = _n_persistent_rdds(spark)
+    before = persistent_rdd_ids(spark)
     pairs = near_dedup_minhash(docs, "doc_id", "text")
     assert pairs.count() == 15  # 6 identical docs -> C(6,2) pairs
-    assert _n_persistent_rdds(spark) > before
+    assert persistent_rdd_ids(spark) - before
     release_cached(pairs)
     release_cached(pairs)  # idempotent
-    assert _n_persistent_rdds(spark) == before
+    assert persistent_rdd_ids(spark) - before == set()
 
 
 def test_interrupted_publish_recovers_old_dir(spark, tmp_path):

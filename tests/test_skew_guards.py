@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_processing_scd1_spark.operators.dedup import (
+    near_dedup_incremental,
     near_dedup_minhash,
     release_cached,
 )
@@ -124,7 +125,44 @@ class TestEmbeddingBandCap:
         # every vector beyond the prefix still pairs with a canonical id
         assert {r.id_b for r in pairs} == set(range(1, 200))
         trunc = out._spark_graft_truncated.collect()
+        release_cached(out)
         assert trunc and all(r.bucket_size == 200 for r in trunc)
+
+
+class TestIncrementalCorpusBroadcastProbe:
+    """VERDICT r5 #3: an adversarial ALL-duplicate increment makes the
+    corpus candidate-id set corpus-sized; the probe must then drop the
+    forced broadcast (a real broadcast of it would blow the ceiling on
+    a large corpus) and produce byte-identical pairs via the shuffle
+    semi-join."""
+
+    def _run(self, spark, **kw):
+        text = "spam spam spam wonderful spam baked beans and spam"
+        corpus = spark.range(500).select(
+            F.col("id").alias("doc_id"), F.lit(text).alias("text")
+        )
+        new = spark.range(1000, 1003).select(
+            F.col("id").alias("doc_id"), F.lit(text).alias("text")
+        )
+        # broadcast_sets=False keeps jaccard_verify hint-free, so the
+        # ONLY possible broadcast hint left is the corpus-candidate one
+        out = near_dedup_incremental(
+            new, corpus, id_col="doc_id", text_col="text",
+            broadcast_sets=False, **kw,
+        )
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        rows = sorted(map(tuple, out.collect()))
+        release_cached(out)
+        return rows, analyzed
+
+    def test_all_duplicate_increment_falls_back_to_shuffle(self, spark):
+        b_rows, b_plan = self._run(spark)  # default threshold: broadcast
+        s_rows, s_plan = self._run(spark, corpus_broadcast_max_candidates=0)
+        assert "ResolvedHint" in b_plan
+        assert "ResolvedHint" not in s_plan  # shuffle plan, no forced hint
+        assert b_rows == s_rows
+        # every increment doc collides with the whole corpus + each other
+        assert len(b_rows) == 3 * 500 + 3
 
 
 def _centroids(emb):
@@ -142,6 +180,7 @@ class TestSemanticClusterCap:
         capped = semantic_dedup(emb, centroids, tau=0.2, max_cluster_candidates=10)
         unc = {r.vec_id: r.dup_of for r in uncapped.collect()}
         cap = {r.vec_id: r.dup_of for r in capped.collect()}
+        release_cached(uncapped)
         # same row-per-vector contract; capped marks are a subset and
         # any mark both modes make agrees on the canonical dup_of iff
         # that dup_of rank falls inside the retained prefix
@@ -150,18 +189,17 @@ class TestSemanticClusterCap:
             v is not None for v in unc.values()
         )
         trunc = capped._spark_graft_truncated.collect()
+        release_cached(capped)
         assert all(r.bucket_size > 10 for r in trunc)
 
     def test_generous_cap_is_exact(self, spark):
+        from etl_processing_scd1_spark.operators.dedup import consuming
+
         emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
         centroids = _centroids(emb)
-        exact = sorted(map(tuple, semantic_dedup(emb, centroids, tau=0.2).collect()))
-        roomy = sorted(
-            map(
-                tuple,
-                semantic_dedup(
-                    emb, centroids, tau=0.2, max_cluster_candidates=10**9
-                ).collect(),
-            )
-        )
+        with consuming(semantic_dedup(emb, centroids, tau=0.2)) as a, consuming(
+            semantic_dedup(emb, centroids, tau=0.2, max_cluster_candidates=10**9)
+        ) as b:
+            exact = sorted(map(tuple, a.collect()))
+            roomy = sorted(map(tuple, b.collect()))
         assert exact == roomy
