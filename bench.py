@@ -43,6 +43,10 @@ HEADLINE = [
     "unigram_logprob_quality",  # corpus LM scoring (explode+join)
     "dedup_apply",          # pairs → clusters → keep-decision
     "kl_domain_shift",      # per-language KL vs corpus mixture
+    # mid-round-6 additions
+    "containment_dedup_full",  # exact prefix-filter containment join
+    "ngram_diversity",      # trigram type/token ratio per slice
+    "winsorize_stats",      # exact order-stat clipped aggregates
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -277,6 +277,77 @@ def lsh_candidate_pairs(
     return out
 
 
+def containment_candidate_pairs(
+    with_sets: DataFrame,
+    id_col: str,
+    set_col: str = "sh_set",
+    threshold_pct: int = 80,
+    max_df: int | None = None,
+) -> DataFrame:
+    """FULL-RECALL candidate pairs for containment
+    ``|A∩B| / min(|A|,|B|) >= t`` — the prefix-filter inverted index
+    (PPJoin family), replacing the symmetric-MinHash candidate set
+    whose doc-in-doc recall is only probabilistic.
+
+    Guarantee: rank every shingle by global rarity (document
+    frequency asc, md5 tiebreak — a canonical total order identical
+    in any engine). If the smaller set S of a qualifying pair has
+    containment ≥ t, at most ``|S| - ceil(t·|S|)`` of its shingles
+    fall outside the other doc, so among S's
+    ``p = |S| - ceil(t·|S|) + 1`` RAREST shingles at least one lies
+    in the intersection. Indexing ALL shingles and probing every
+    doc's p-prefix therefore surfaces every qualifying pair (probe
+    from both ends covers whichever side is smaller) — no sketch,
+    no misses.
+
+    Scale shape (100 TB): one linear explode, one shuffle to count
+    document frequency (map-side combined), one id-keyed window to
+    cut prefixes, and one shuffle join ``prefix × index`` keyed on
+    the shingle. The probe side holds only each doc's RAREST
+    shingles, so join keys are low-df by construction — the common
+    ("the quick ") shingles that would skew a naive shingle join
+    never appear as probe keys, and the index side is semi-pruned to
+    probed shingles by the join itself. Worst case (near-identical
+    corpus) is output-bound: candidate volume ≈ true pair volume.
+    ``max_df`` optionally drops shingles with document frequency
+    above the cutoff from BOTH sides — the standard stop-shingle
+    economy; it trades bounded recall (only pairs whose entire
+    intersection is stop-shingles can be lost) for immunity to
+    boilerplate floods. None = exact.
+    """
+    sh = with_sets.select(F.col(id_col), F.explode(set_col).alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "__rn__",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", F.md5("shingle"))
+            ),
+        )
+        .withColumn("__sz__", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    # p = |S| - ceil(t·|S|) + 1, all-integer: ceil(t·n) = (t%·n + 99) div 100
+    prefix = ranked.filter(
+        F.col("__rn__")
+        <= F.expr(f"__sz__ - (({threshold_pct} * __sz__ + 99) DIV 100) + 1")
+    ).select(F.col(id_col).alias("__pid__"), "shingle")
+    index = sh.select(F.col(id_col).alias("__iid__"), "shingle")
+    if max_df is not None:
+        index = index.join(dfreq.select("shingle"), "shingle", "left_semi")
+    return (
+        prefix.join(index, "shingle")
+        .filter(F.col("__pid__") != F.col("__iid__"))
+        .select(
+            F.least("__pid__", "__iid__").alias("id_a"),
+            F.greatest("__pid__", "__iid__").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     with_sets: DataFrame,

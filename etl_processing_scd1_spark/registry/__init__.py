@@ -66,7 +66,14 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   the r5-green distinct_agg/having_filter singles), and
 #   expr_key_join (C6 keeps expr_key_join_trim + expr_key_join_replace)
 #   displaced by the round-6 addition multimodal_decode_png (new
-#   queries enter the window the round they land).
+#   queries enter the window the round they land). Mid-round-6
+#   additions follow the same rule: containment_dedup_full,
+#   ngram_diversity, winsorize_stats rotate in, displacing three
+#   double-confirmed (r2/r3 + r5) rows whose families keep other
+#   in-window representatives — ngram_jaccard (text/dedup K keeps
+#   text_quality + the whole dedup block), similarity_topk
+#   (similarity keeps similarity_topk_pandas + embedding_near_dup),
+#   and session_window_agg (§2.I5 keeps tumbling_window_agg).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -113,14 +120,14 @@ PRIMARY = [
     "skew_salted_agg",
     # §2.I streaming-equivalent windows
     "tumbling_window_agg",
-    "session_window_agg",
+    "winsorize_stats",
     # §2.J UDF surface
     "grouped_custom_agg",
     # §2.K dedup / similarity / text / beyond-ref joins
     "exact_dedup",
     "near_dedup_minhash",
-    "ngram_jaccard",
-    "similarity_topk",
+    "ngram_diversity",
+    "containment_dedup_full",
     "embedding_near_dup",
     "text_quality",
     "asof_join",

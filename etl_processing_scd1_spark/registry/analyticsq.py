@@ -677,4 +677,95 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderpriority", "cents")
 
 
+@register(
+    "winsorize_stats",
+    oracle="""
+    WITH vm AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_m
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, v_m, count(*) AS c FROM vm GROUP BY event_type, v_m
+    ),
+    cum AS (
+      SELECT event_type, v_m,
+             sum(c) OVER (
+               PARTITION BY event_type ORDER BY v_m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM counts
+    ),
+    bounds AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= (5 * n + 99) // 100 THEN v_m END) AS lo_micros,
+             min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v_m END) AS hi_micros
+      FROM cum GROUP BY event_type
+    )
+    SELECT v.event_type,
+           count(*) AS n_events,
+           CAST(sum(greatest(b.lo_micros, least(b.hi_micros, v.v_m))) AS BIGINT)
+             AS sum_clipped_micros,
+           min(b.lo_micros) AS lo_micros,
+           min(b.hi_micros) AS hi_micros
+    FROM vm v JOIN bounds b USING (event_type)
+    GROUP BY v.event_type
+    """,
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type: clip ``value`` to
+    its exact [p05, p95] order statistics, then integer-exact clipped
+    sums — the outlier-robust aggregate a metrics pipeline runs before
+    trusting means (one fat-fingered 1e9 event otherwise owns the
+    average).
+
+    Exactness: the k-th order statistic is the smallest value whose
+    cumulative count reaches ``k = ceil(p·n)`` — pure integer
+    arithmetic on micro-quantized values, no percentile interpolation
+    whose float rounding could drift between engines.
+
+    Scale shape: the cumulative-count window runs over the per-type
+    DISTINCT micro-values (collapsed first by a map-side-combined
+    groupBy), not the raw events — the classic low-cardinality-key
+    window skew (every raw event of a type forced through one task)
+    is reduced to |distinct values| per type before any sort. The
+    5-row bounds frame broadcasts back over the fact for the clip —
+    zero extra shuffles on the wide side beyond one groupBy.
+    """
+    ev = events_table(spark, sf_dir)
+    vm = ev.select(
+        "event_type", F.expr("CAST(round(value * 1000000) AS LONG)").alias("v_m")
+    )
+    counts = vm.groupBy("event_type", "v_m").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "v_m",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(5 * n + 99) DIV 100"), F.col("v_m"))).alias(
+            "lo_micros"
+        ),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(95 * n + 99) DIV 100"), F.col("v_m"))
+        ).alias("hi_micros"),
+    )
+    clipped = vm.join(F.broadcast(bounds), "event_type")
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.greatest("lo_micros", F.least("hi_micros", F.col("v_m")))
+        ).alias("sum_clipped_micros"),
+        F.min("lo_micros").alias("lo_micros"),
+        F.min("hi_micros").alias("hi_micros"),
+    )
+
+
 __all__ = ["QUERIES", "ORACLES"]

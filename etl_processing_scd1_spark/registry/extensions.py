@@ -208,6 +208,157 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SETS16_SQL = """
+      SELECT doc_id,
+             list_distinct(
+               [substr(text, i, 16) for i in range(1, greatest(length(text) - 15, 1) + 1)]
+             ) AS sh_set
+      FROM documents
+"""
+
+CONTAINMENT_FULL_ORACLE = f"""
+    WITH sets AS ({_SETS16_SQL}),
+    sh AS (SELECT doc_id, unnest(sh_set) AS shingle FROM sets),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+      SELECT s.doc_id, s.shingle,
+             row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY d.df, md5(s.shingle)
+             ) AS rn,
+             count(*) OVER (PARTITION BY s.doc_id) AS sz
+      FROM sh s JOIN dfreq d USING (shingle)
+    ),
+    prefix AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE rn <= sz - ((80 * sz + 99) // 100) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT least(p.doc_id, f.doc_id) AS id_a,
+                      greatest(p.doc_id, f.doc_id) AS id_b
+      FROM prefix p JOIN sh f USING (shingle)
+      WHERE p.doc_id <> f.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.sh_set, sb.sh_set)) AS isect,
+           len(sa.sh_set) AS size_a,
+           len(sb.sh_set) AS size_b,
+           CAST(100 * len(list_intersect(sa.sh_set, sb.sh_set))
+                // least(len(sa.sh_set), len(sb.sh_set)) AS BIGINT) AS containment_pct
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
+    WHERE 100 * len(list_intersect(sa.sh_set, sb.sh_set))
+          >= 80 * least(len(sa.sh_set), len(sb.sh_set))
+"""
+
+
+@register("containment_dedup_full", oracle=CONTAINMENT_FULL_ORACLE)
+def containment_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 asymmetric near-dup with FULL RECALL: the prefix-filter
+    inverted index (``operators.dedup.containment_candidate_pairs``)
+    closes the documented recall limitation of ``containment_dedup``
+    — symmetric MinHash LSH only *probabilistically* surfaces a short
+    document quoted inside a long one, while the rarest-shingle
+    prefix probe is guaranteed to collide for every pair with
+    containment ≥ 0.8. Shingle grain is k=16 chars (≈ a three-word
+    phrase — the span length at which quotes are distinctive): on a
+    templated small-vocabulary corpus k=8 grams are shared so widely
+    that "rarest" loses meaning and the exact candidate set
+    approaches all-pairs (measured 5.57M of 12.5M possible at sf0.1
+    vs 1,351 at k=16 — same guarantee, 4000× fewer verifies). Exact
+    integer arithmetic; same verify/output contract as
+    ``containment_dedup``."""
+    from ..operators.dedup import (
+        containment_candidate_pairs,
+        jaccard_verify,
+        shingle_set_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    base = docs.select("doc_id", "text").repartition(n_parts, "doc_id")
+    with_sets = base.select(
+        F.col("doc_id"), shingle_set_col("text", k=16).alias("sh_set")
+    ).persist()
+    pairs = containment_candidate_pairs(with_sets, "doc_id", threshold_pct=80)
+    verified = jaccard_verify(pairs, with_sets, "doc_id", emit_sizes=True)
+    out = (
+        verified.filter(100 * F.col("isect") >= 80 * F.least("size_a", "size_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "isect",
+            "size_a",
+            "size_b",
+            F.floor((100 * F.col("isect")) / F.least("size_a", "size_b"))
+            .cast("long")
+            .alias("containment_pct"),
+        )
+    )
+    return attach_cache(
+        out, with_sets, *getattr(verified, "_spark_graft_cached", ())
+    )
+
+
+NGRAM_DIVERSITY_ORACLE = r"""
+    WITH toks AS (
+      SELECT source, lang,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT source, lang,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+             )) AS g
+      FROM toks
+    )
+    SELECT source, lang,
+           count(*) AS total_grams,
+           count(DISTINCT g) AS distinct_grams,
+           CAST(100 * count(DISTINCT g) // count(*) AS BIGINT) AS diversity_pct
+    FROM grams GROUP BY source, lang
+"""
+
+
+@register("ngram_diversity", oracle=NGRAM_DIVERSITY_ORACLE)
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corpus diversity: token-trigram type/token ratio per
+    (source, lang) — the cheap self-repetition signal used to screen
+    template farms and decode loops out of training mixes (a corpus
+    slice whose distinct-trigram share collapses is boilerplate).
+    Tokens are the proven cross-engine BPE-ish pre-tokenizer
+    (``TOKEN_PATTERN``); trigram generation is a narrow array
+    expression (no per-token explode before the ONE aggregation
+    shuffle), distinct counting is Spark's two-phase partial-agg
+    count-distinct. Integer percent floor — hash-exact vs DuckDB."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "lang",
+        F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0).alias("t"),
+    )
+    grams = toks.select(
+        "source",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 3 THEN array() ELSE "
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', t[i - 1], t[i], t[i + 1])) END"
+            )
+        ).alias("g"),
+    )
+    return grams.groupBy("source", "lang").agg(
+        F.count("*").alias("total_grams"),
+        F.countDistinct("g").alias("distinct_grams"),
+        F.expr("CAST(100 * count(DISTINCT g) DIV count(*) AS BIGINT)").alias(
+            "diversity_pct"
+        ),
+    )
+
+
 def _simhash_oracle() -> str:
     votes = []
     i = 0

