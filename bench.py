@@ -47,6 +47,7 @@ HEADLINE = [
     "containment_dedup_full",  # exact prefix-filter containment join
     "ngram_diversity",      # trigram type/token ratio per slice
     "winsorize_stats",      # exact order-stat clipped aggregates
+    "bpe_train_merges",     # iterative BPE tokenizer training
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

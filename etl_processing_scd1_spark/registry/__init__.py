@@ -73,7 +73,10 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   in-window representatives — ngram_jaccard (text/dedup K keeps
 #   text_quality + the whole dedup block), similarity_topk
 #   (similarity keeps similarity_topk_pandas + embedding_near_dup),
-#   and session_window_agg (§2.I5 keeps tumbling_window_agg).
+#   and session_window_agg (§2.I5 keeps tumbling_window_agg); then
+#   bpe_train_merges (in-engine BPE tokenizer training) displaces
+#   text_quality (K4 keeps ngram_diversity + unigram_logprob_quality
+#   in-window; text_quality stays double-confirmed r2/r3 + r5).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -129,7 +132,7 @@ PRIMARY = [
     "ngram_diversity",
     "containment_dedup_full",
     "embedding_near_dup",
-    "text_quality",
+    "bpe_train_merges",
     "asof_join",
     # round-6 rotation: first driver check of the post-r5-freeze
     # quality/dedup additions + the round-6 PNG decode

@@ -359,6 +359,97 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """DuckDB twin of ``operators.bpe.bpe_train_merges``: the merge
+    iterations are unrolled as generated CTEs from the same constant
+    (the playbook proven by the k-means/IVF oracles), and the greedy
+    left-to-right merge application is expressed relationally — a
+    position merges iff its pair matches AND the previous position
+    did not merge, i.e. the odd-ranked members of each run of
+    consecutive matches (equivalent to the engine's fold)."""
+    parts = [
+        """vocab0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+             [substr(word, i, 1) for i in range(1, length(word) + 1)] AS segs
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+      GROUP BY word
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"vocab{k - 1}"
+        parts.append(
+            f"""pc{k} AS (
+      SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+      FROM (SELECT cnt,
+                   unnest([{{'l': segs[i], 'r': segs[i + 1]}}
+                           for i in range(1, len(segs))]) AS u
+            FROM {prev})
+      GROUP BY u.l, u.r
+    ),
+    best{k} AS (
+      SELECT l, r, pair_cnt FROM pc{k} ORDER BY pair_cnt DESC, l, r LIMIT 1
+    )"""
+        )
+        if k < n_merges:
+            parts.append(
+                f"""pos{k} AS (
+      SELECT word, cnt, u.i AS i, u.tok AS tok
+      FROM (SELECT word, cnt,
+                   unnest([{{'i': i, 'tok': segs[i]}}
+                           for i in range(1, len(segs) + 1)]) AS u
+            FROM {prev})
+    ),
+    match{k} AS (
+      SELECT word, i, row_number() OVER (PARTITION BY word ORDER BY i) AS mrn
+      FROM (SELECT p.word, p.i, p.tok,
+                   lead(p.tok) OVER (PARTITION BY p.word ORDER BY p.i) AS nxt
+            FROM pos{k} p) m
+      CROSS JOIN best{k} b
+      WHERE m.tok = b.l AND m.nxt = b.r
+    ),
+    merged{k} AS (
+      SELECT word, i FROM (
+        SELECT word, i,
+               row_number() OVER (PARTITION BY word, i - mrn ORDER BY i) AS rpos
+        FROM match{k}
+      ) WHERE rpos % 2 = 1
+    ),
+    vocab{k} AS (
+      SELECT p.word, p.cnt,
+             list(CASE WHEN g.i IS NOT NULL THEN b.l || b.r ELSE p.tok END
+                  ORDER BY p.i) AS segs
+      FROM pos{k} p
+      CROSS JOIN best{k} b
+      LEFT JOIN merged{k} g ON p.word = g.word AND p.i = g.i
+      LEFT JOIN merged{k} g2 ON p.word = g2.word AND p.i = g2.i + 1
+      WHERE g2.i IS NULL
+      GROUP BY p.word, p.cnt
+    )"""
+            )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS l_tok, r AS r_tok,"
+        f" pair_cnt FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle(4))
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: BPE tokenizer TRAINING in-engine — the top-4 byte-pair
+    merges over the corpus word vocabulary (frequency-weighted,
+    lexicographic tie-break). The corpus is touched exactly once (the
+    word-count aggregation); every iteration then runs over the
+    distinct-word vocabulary (Heaps'-law small), pulls one argmax row
+    to the driver, and re-segments with a narrow fold — the shape
+    that trains a real tokenizer on 100 TB without a corpus-sized
+    shuffle per merge."""
+    from ..operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(table(spark, sf_dir, "documents"), "text", n_merges=4)
+
+
 def _simhash_oracle() -> str:
     votes = []
     i = 0

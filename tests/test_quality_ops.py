@@ -222,3 +222,40 @@ def test_winsorize_exact_order_statistics(spark):
     for r in out:
         assert r.lo_micros <= r.hi_micros
         assert r.lo_micros * r.n_events <= r.sum_clipped_micros <= r.hi_micros * r.n_events
+
+
+def test_bpe_merges_use_learned_tokens(spark):
+    """Iteration dependency must be real: on a corpus of repeated
+    'lowest', merges chain l+o → lo+w → low+e (each later merge
+    consumes the token the earlier one created), and counts follow
+    word frequency."""
+    from etl_processing_scd1_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(i, "lowest lowest lowest") for i in range(5)], ["doc_id", "text"]
+    )
+    merges = bpe_train_merges(docs, "text", n_merges=3).collect()
+    got = [(r.merge_rank, r.l_tok, r.r_tok) for r in merges]
+    # 'lowest' x1 distinct word, cnt=15; ties break lexicographically:
+    # rank1 pairs all cnt 15 -> (e,s) wins; then (es,t); then (l,o)
+    assert got[0] == (1, "e", "s")
+    assert got[1] == (2, "es", "t")  # consumes the rank-1 token
+    assert [r.pair_cnt for r in merges] == [15, 15, 15]
+
+
+def test_bpe_greedy_run_parity(spark):
+    """A=B runs merge greedily left-to-right: 'aaaa' under merge (a,a)
+    segments to [aa, aa], and 'aaa' to [aa, a] — the 1st/3rd/5th-match
+    rule the oracle mirrors relationally."""
+    from etl_processing_scd1_spark.operators.bpe import (
+        _apply_merge,
+        word_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa"), (2, "aaaa")], ["doc_id", "text"]
+    )
+    vocab = _apply_merge(word_vocab(docs, "text"), "a", "a")
+    segs = {r.word: r.segs for r in vocab.collect()}
+    assert segs["aaaa"] == ["aa", "aa"]
+    assert segs["aaa"] == ["aa", "a"]
