@@ -48,6 +48,7 @@ HEADLINE = [
     "ngram_diversity",      # trigram type/token ratio per slice
     "winsorize_stats",      # exact order-stat clipped aggregates
     "bpe_train_merges",     # iterative BPE tokenizer training
+    "triangle_count",       # compact-forward triangles on support graph
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -76,7 +76,10 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   and session_window_agg (§2.I5 keeps tumbling_window_agg); then
 #   bpe_train_merges (in-engine BPE tokenizer training) displaces
 #   text_quality (K4 keeps ngram_diversity + unigram_logprob_quality
-#   in-window; text_quality stays double-confirmed r2/r3 + r5).
+#   in-window; text_quality stays double-confirmed r2/r3 + r5); then
+#   triangle_count (frequent-co-supplier graph triangles) displaces
+#   filename_date_extract (§2.A keeps csv_scan + parquet_scan;
+#   filename_date_extract stays double-confirmed r2/r3 + r5).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -104,7 +107,7 @@ PRIMARY = [
     # §2.A sources / scans
     "csv_scan",
     "parquet_scan",
-    "filename_date_extract",
+    "triangle_count",
     # §2.B projections / predicates
     "project_reshape",
     "nullsafe_diff",

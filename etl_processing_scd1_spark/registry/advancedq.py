@@ -1291,3 +1291,95 @@ def hll_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__hll_merge_orders__")
     return spark.sql(_hll_merge_sql("spark").format(tbl="__hll_merge_orders__"))
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH co AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM co a JOIN co b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+      HAVING count(*) >= 4
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: per-node triangle counts on the FREQUENT
+    co-supplier graph (suppliers sharing ≥ 4 orders — the
+    market-basket support threshold) — the clustering-coefficient
+    numerator used for community/anomaly screens on entity graphs.
+
+    The support threshold is the density control: a raw co-occurrence
+    graph over high-throughput entities saturates toward the complete
+    graph as data grows (measured 91% density at sf0.1 — 1.25e8
+    triangles, quadratic garbage), while support-thresholded edges
+    keep only statistically meaningful ties, so edge count tracks
+    the entity count, not its square.
+
+    Canonical-order enumeration: undirected edges stored once as
+    ``u < v`` and triangles matched as a<b<c via two equi-joins
+    (edge (a,b) ⋈ (b,c) ⋈ (a,c)) — each triangle counted exactly
+    once, no nested-loop and no double counting to divide away. The
+    a<b<c orientation is the id-ordered variant of compact-forward:
+    every wedge is generated from its lowest vertex only, so the
+    join fanout is Σ_v d_>(v)² over FORWARD degrees, not total
+    degrees (at 100 TB the further refinement is degree-ordering
+    the orientation; id-order keeps the oracle portable). Edge
+    construction fans out per-order supplier pairs — bounded by
+    items-per-order (~7), linear in lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    co = li.select("l_orderkey", "l_suppkey").distinct()
+    a = co.alias("a")
+    b = co.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 4)
+        .select("u", "v")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -78,6 +78,27 @@ def streaming_append_dedup(
     return stream.withWatermark(event_time_col, watermark).dropDuplicates([id_col])
 
 
+def streaming_append_dedup_within_watermark(
+    stream: DataFrame,
+    id_col: str,
+    event_time_col: str,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Variant of :func:`streaming_append_dedup` on
+    ``dropDuplicatesWithinWatermark``: dedup state is evicted once
+    the watermark passes an id's FIRST event time, so two events with
+    the same id but different timestamps still dedup as long as they
+    arrive within the watermark delay of each other. Prefer this on
+    re-delivery streams whose duplicate copies carry *jittered*
+    timestamps — plain ``dropDuplicates([id])`` keys state on the id
+    alone but can only evict state by exact event-time equality
+    semantics, while the within-watermark form guarantees bounded
+    state AND catches time-jittered duplicates."""
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def streaming_scd1_sink(
     stream: DataFrame,
     read_dim: Callable[[], DataFrame],

@@ -417,3 +417,32 @@ def test_streaming_near_dedup_admission(spark, tmp_path):
     assert (10, 1) in rejected       # near-copy of corpus doc 1
     assert (11, 12) in rejected or (12, 11) in rejected  # intra-batch pair
     assert all(i != 11 or j == 12 for i, j in rejected)
+
+
+def test_streaming_dedup_within_watermark_catches_jittered_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same id re-delivered with a
+    JITTERED timestamp (the case plain id-keyed dropDuplicates also
+    catches, but with unbounded eviction semantics) dedups to one row,
+    and distinct ids all pass."""
+    from etl_processing_scd1_spark.streaming.pipeline import (
+        streaming_append_dedup_within_watermark,
+        stream_transactions_source,
+    )
+
+    drop = tmp_path / "dropw"
+    drop.mkdir()
+    _tx_file(
+        str(drop / "transactions_w1.txt"),
+        [
+            ("T1", "2021-03-01 10:00:00", "1,00"),
+            ("T1", "2021-03-01 10:00:07", "1,00"),  # re-delivery, +7s jitter
+            ("T2", "2021-03-01 11:00:00", "2,00"),
+        ],
+    )
+    stream = stream_transactions_source(spark, str(drop))
+    deduped = streaming_append_dedup_within_watermark(
+        stream, "trans_id", "trans_date", watermark="1 hour"
+    )
+    _run_to_memory(deduped, "tx_dedup_ww", str(tmp_path / "ckw"))
+    ids = [r["trans_id"] for r in spark.sql("SELECT trans_id FROM tx_dedup_ww").collect()]
+    assert sorted(ids) == ["T1", "T2"]
