@@ -7,17 +7,20 @@ surface splits in two:
 
 - ``decode_image`` is a REAL pure-Python decoder for the formats
   decodable without third-party codecs — binary PPM (P6), 24-bit
-  uncompressed BMP, and (stdlib ``zlib``) non-interlaced 8-bit
+  uncompressed BMP, (stdlib ``zlib``) non-interlaced 8-bit
   gray/RGB/RGBA PNG with full sub/up/average/paeth filter
-  reconstruction — returning true header dimensions and packed
-  top-down pixel bytes (BMP row padding stripped, bottom-up order
-  normalized, BGR swapped to RGB; PNG scanline filters undone).
+  reconstruction, and (``operators.jpeg``, numpy DCT + standard
+  Huffman tables) baseline sequential JPEG in grayscale or YCbCr
+  4:4:4 — returning true header dimensions and packed top-down pixel
+  bytes (BMP row padding stripped, bottom-up order normalized, BGR
+  swapped to RGB; PNG scanline filters undone; JPEG fully
+  entropy-decoded, dequantized, IDCT'd and color-converted).
   ``decode_features`` runs it over binary payload columns in the same
   Arrow ``mapInPandas`` shape as every other extractor here.
-- formats needing real codecs (JPEG/video) still raise — wire
-  PIL/libvips into the same function in deployment;
-  ``fake_feature_extract`` remains the deterministic stand-in where
-  tests need a payload-agnostic feature tuple.
+- remaining exotic variants (progressive/subsampled JPEG, video)
+  still raise — wire PIL/libvips into the same function in
+  deployment; ``fake_feature_extract`` remains the deterministic
+  stand-in where tests need a payload-agnostic feature tuple.
 
 Everything around the decoders is the load-bearing part at 100 TB —
 the binary schema, the Arrow batch shape, the mapInPandas iterator
@@ -277,13 +280,20 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
     ``pixels`` as packed top-down bytes regardless of the on-disk
     layout (BMP's bottom-up BGR rows and 4-byte row padding are
     normalized away; PNG scanline filters are reconstructed). Supports
-    binary PPM (P6, maxval ≤ 255), 24-bit uncompressed BMP, and
+    binary PPM (P6, maxval ≤ 255), 24-bit uncompressed BMP,
     non-interlaced 8-bit gray/RGB/RGBA PNG (stdlib zlib inflate +
-    sub/up/average/paeth unfiltering); formats needing real codecs
-    (JPEG, palette/16-bit/Adam7 PNG, video) raise ValueError —
-    PIL/libvips slot in here in deployment."""
+    sub/up/average/paeth unfiltering), and baseline sequential JPEG
+    (gray / YCbCr 4:4:4 via ``operators.jpeg``); remaining exotic
+    variants (progressive/subsampled JPEG, palette/16-bit/Adam7 PNG,
+    video) raise ValueError — PIL/libvips slot in here in
+    deployment."""
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        w, h, ch, pixels = decode_jpeg(payload)
+        return ("jpeg", w, h, ch, pixels)
     if payload[:2] == b"P6":
         (width, height, maxval), off = _ppm_header_ints(payload, 3)
         if maxval > 255:
@@ -315,8 +325,9 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
             out += rgb
         return ("bmp", width, height, 3, bytes(out))
     raise ValueError(
-        "unsupported image format (PPM P6, 24-bit BMP and 8-bit PNG "
-        "decode here; wire PIL/libvips for other formats in deployment)"
+        "unsupported image format (PPM P6, 24-bit BMP, 8-bit PNG and "
+        "baseline JPEG decode here; wire PIL/libvips for other formats "
+        "in deployment)"
     )
 
 

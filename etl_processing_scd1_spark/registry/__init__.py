@@ -79,7 +79,11 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   in-window; text_quality stays double-confirmed r2/r3 + r5); then
 #   triangle_count (frequent-co-supplier graph triangles) displaces
 #   filename_date_extract (§2.A keeps csv_scan + parquet_scan;
-#   filename_date_extract stays double-confirmed r2/r3 + r5).
+#   filename_date_extract stays double-confirmed r2/r3 + r5); then
+#   multimodal_decode_jpeg (real baseline JPEG codec, exact
+#   flat-tile oracle) displaces project_reshape (§2.B keeps
+#   nullsafe_diff/semi_join_in plus the r5-green
+#   project_rename/project_drop/like_filter singles).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -109,7 +113,7 @@ PRIMARY = [
     "parquet_scan",
     "triangle_count",
     # §2.B projections / predicates
-    "project_reshape",
+    "multimodal_decode_jpeg",
     "nullsafe_diff",
     "semi_join_in",
     # §2.C / §2.G joins + merges

@@ -2072,6 +2072,69 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg",
+    oracle="""
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(64 * ((doc_id * 37) % 256 + (doc_id * 37 + 11) % 256
+                      + (doc_id * 37 + 22) % 256 + (doc_id * 37 + 33) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal baseline JPEG decode (operators.jpeg — numpy DCT,
+    standard Annex-K tables, real Huffman entropy coding): synthesize
+    16×16 grayscale JPEGs of four flat 8×8 tiles with per-tile values
+    derived from doc_id, then decode them in one Arrow ``mapInPandas``
+    pass. The oracle is EXACT, not approximate: at quality 75 the luma
+    DC quantizer is 8, so a flat tile of value v quantizes to DC=v−128
+    and reconstructs to exactly v (the codec's integer round-half-up
+    discipline keeps every step off float boundaries) — pixel_sum
+    only matches 64·Σv_k if marker parsing, Huffman DC coding
+    (nonzero inter-tile diffs), byte (de)stuffing, dequantization,
+    IDCT and clipping are all bit-correct. The lossy path (AC
+    coefficients, gradients, color conversion) is pinned by pytest
+    round-trip bounds instead — lossy outputs have no closed form."""
+    from ..operators.jpeg import decode_jpeg, encode_jpeg
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height", "channels", "pixel_sum")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for k in range(4):
+                    v = (doc_id * 37 + k * 11) % 256
+                    by, bx = divmod(k, 2)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payload = encode_jpeg(16, 16, img.tobytes(), channels=1, quality=75)
+                w, h, ch, pixels = decode_jpeg(payload)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append("jpeg")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["pixel_sum"].append(int(sum(pixels)))
+            yield pd.DataFrame(out)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        synth_decode,
+        schema="doc_id bigint, fmt string, width int, height int, "
+               "channels int, pixel_sum bigint",
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH base AS (

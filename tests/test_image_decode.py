@@ -122,3 +122,89 @@ def test_rejections():
     bad_bpp[28:30] = (8).to_bytes(2, "little")
     with pytest.raises(ValueError, match="24-bit uncompressed"):
         decode_image(bytes(bad_bpp))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (operators.jpeg)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_tiles_decode_exactly():
+    """Quality-75 luma DC quantizer is 8, so flat 8x8 tiles survive
+    the whole pipeline bit-exactly — the property the oracle-paired
+    query leans on."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    vals = [0, 17, 128, 140, 200, 255, 63, 9]
+    img = np.zeros((16, 32), dtype=np.uint8)
+    for k in range(8):
+        by, bx = divmod(k, 4)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[k]
+    w, h, ch, px = decode_jpeg(encode_jpeg(32, 16, img.tobytes(), 1, 75))
+    assert (w, h, ch) == (32, 16, 1)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(16, 32)
+    assert (dec == img).all()
+
+
+def test_jpeg_gradient_roundtrip_bounded_error():
+    """Smooth content at quality 90: every decoded pixel within a few
+    quantization steps of the source (lossy, but bounded and
+    deterministic)."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    src = np.zeros((24, 40, 3), dtype=np.uint8)
+    for y in range(24):
+        for x in range(40):
+            src[y, x] = [(2 * x + y) % 256, (3 * y) % 256, (x * 5) % 256]
+    enc1 = encode_jpeg(40, 24, src.tobytes(), 3, 90)
+    enc2 = encode_jpeg(40, 24, src.tobytes(), 3, 90)
+    assert enc1 == enc2  # bit-deterministic
+    w, h, ch, px = decode_jpeg(enc1)
+    assert (w, h, ch) == (40, 24, 3)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(24, 40, 3).astype(int)
+    assert np.abs(dec - src.astype(int)).max() <= 8
+
+
+def test_jpeg_odd_dimensions_crop():
+    """Non-multiple-of-8 sizes: encoder pads by edge replication,
+    decoder crops back to the true header dimensions."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    src = np.full((13, 21, 3), 77, dtype=np.uint8)
+    w, h, ch, px = decode_jpeg(encode_jpeg(21, 13, src.tobytes(), 3, 75))
+    assert (w, h, ch) == (21, 13, 3)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(13, 21, 3).astype(int)
+    assert np.abs(dec - 77).max() <= 2  # flat color, near-exact through YCbCr
+
+
+def test_jpeg_via_decode_image_dispatch():
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    fmt, w, h, ch, px = decode_image(encode_jpeg(8, 8, img.tobytes(), 1, 75))
+    assert (fmt, w, h, ch) == ("jpeg", 8, 8, 1)
+    assert set(px) == {200}
+
+
+def test_jpeg_rejections():
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    enc = bytearray(encode_jpeg(8, 8, img.tobytes(), 1, 75))
+    # flip SOF0 to SOF2 (progressive): must raise, not mis-decode
+    i = enc.find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
