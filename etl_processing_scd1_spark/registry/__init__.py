@@ -83,7 +83,13 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   multimodal_decode_jpeg (real baseline JPEG codec, exact
 #   flat-tile oracle) displaces project_reshape (§2.B keeps
 #   nullsafe_diff/semi_join_in plus the r5-green
-#   project_rename/project_drop/like_filter singles).
+#   project_rename/project_drop/like_filter singles); finally
+#   multimodal_audio_features (real RIFF/WAV parse) and
+#   multimodal_video_frames (real Y4M parse) displace nullsafe_diff
+#   (B4 semantics also live in the in-window scd1_merge_full
+#   null-safe diff leg) and fact_append_dedup (G4 pinned by the
+#   pytest replay-idempotence suite) — both stay double-confirmed
+#   r2/r3 + r5 and oracle-checked locally.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -114,11 +120,11 @@ PRIMARY = [
     "triangle_count",
     # §2.B projections / predicates
     "multimodal_decode_jpeg",
-    "nullsafe_diff",
+    "multimodal_audio_features",
     "semi_join_in",
     # §2.C / §2.G joins + merges
     "scd1_merge_full",
-    "fact_append_dedup",
+    "multimodal_video_frames",
     "star_join_chain",
     # §2.E / §2.H fraud rules + windows
     "velocity_fraud_rule",

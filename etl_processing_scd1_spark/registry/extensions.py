@@ -2135,6 +2135,121 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id * 13) % 1000 + 1 AS a,
+             (doc_id % 7 + 1) * 10 AS n,
+             doc_id % 5 AS z
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(16 AS INT) AS bits,
+           CAST(z + n AS BIGINT) AS n_samples,
+           CAST(n * a AS BIGINT) AS abs_sum,
+           CAST(n * a * a AS BIGINT) AS sq_sum,
+           CAST(n - 1 AS BIGINT) AS zero_crossings
+    FROM p
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal AUDIO: synthesize real RIFF/WAVE PCM payloads
+    (doc_id-derived silence prefix + alternating ±a square wave),
+    parse them with the real chunk-walking WAV decoder
+    (``operators.audio``), and emit exact-integer features — Σ|s|,
+    Σs², zero-crossing count. The oracle is EXACT closed form
+    (silence contributes nothing, the square wave's sums and sign
+    flips are arithmetic), so a hash match proves RIFF chunk walk,
+    fmt parsing, 16-bit little-endian sample decode and the ZCR
+    sign convention end-to-end. Same Arrow ``mapInPandas`` narrow
+    shape as the image decoders."""
+    from ..operators.audio import encode_wav, wav_features
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                a = (doc_id * 13) % 1000 + 1
+                n = (doc_id % 7 + 1) * 10
+                z = doc_id % 5
+                samples = [0] * z + [a if i % 2 == 0 else -a for i in range(n)]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_wav(samples, 8000, 1, 16))
+            yield pd.DataFrame(out)
+
+    with_payload = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return wav_features(with_payload)
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 6 + 2 AS w,
+             doc_id % 4 + 2 AS h,
+             doc_id % 5 + 1 AS nf
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, CAST(i AS INT) AS frame_idx,
+             (doc_id + 7 * i) % 256 AS s, w * h AS n
+      FROM p, unnest(range(0, nf)) AS t(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           'mono' AS colorspace,
+           CAST(((s + n) // 256) * 32640
+                + ((s + n) % 256) * ((s + n) % 256 - 1) // 2
+                - s * (s - 1) // 2 AS BIGINT) AS luma_sum
+    FROM f
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal VIDEO: synthesize real YUV4MPEG2 streams
+    (doc_id-derived dimensions, frame count, and a per-frame rolling
+    ``(doc_id + 7·frame + i) % 256`` luma ramp), parse them with the
+    real Y4M container walker (``operators.video``), and emit one
+    exact-integer luma-sum row per frame — the brightness trace a
+    video curation pipeline runs for scene-cut/dead-frame screens.
+    The oracle is the same closed-form ramp arithmetic as the PNG
+    query (full 256-cycles × 32640 + triangular remainders), so a
+    hash match proves header tag parsing, FRAME walking and plane
+    slicing end-to-end."""
+    from ..operators.video import encode_y4m, y4m_frame_stats
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = doc_id % 6 + 2, doc_id % 4 + 2
+                nf = doc_id % 5 + 1
+                frames = [
+                    bytes((doc_id + 7 * f + i) % 256 for i in range(w * h))
+                    for f in range(nf)
+                ]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_y4m(w, h, frames, "mono"))
+            yield pd.DataFrame(out)
+
+    with_payload = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return y4m_frame_stats(with_payload)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH base AS (
