@@ -75,6 +75,32 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def _train(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared training loop → (merge table, PERSISTED final vocab).
+    The caller owns the returned vocab's cache (unpersist or ride the
+    attach_cache contract)."""
+    vocab = word_vocab(docs, text_col).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b.l, b.r, int(b.pair_cnt)))
+        nxt = _apply_merge(vocab, b.l, b.r).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab
+
+
 def bpe_train_merges(
     docs: DataFrame, text_col: str = "text", n_merges: int = 4
 ) -> DataFrame:
@@ -88,29 +114,50 @@ def bpe_train_merges(
     iteration's cache released, so the fold lineage never re-runs the
     corpus aggregation."""
     spark = docs.sparkSession
-    vocab = word_vocab(docs, text_col).persist()
-    merges: list[tuple[int, str, str, int]] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            best = (
-                _pair_counts(vocab)
-                .orderBy(F.desc("pair_cnt"), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            b = best[0]
-            merges.append((rank, b.l, b.r, int(b.pair_cnt)))
-            nxt = _apply_merge(vocab, b.l, b.r).persist()
-            nxt.count()  # materialize before dropping the parent cache
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+    merges, vocab = _train(docs, text_col, n_merges)
+    vocab.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank BIGINT, l_tok STRING, r_tok STRING, pair_cnt BIGINT"
     )
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """The apply half of the train→tokenize loop: per document, the
+    word count and the SUBWORD token count under the trained
+    segmentation — the number a data pipeline needs per doc to pack
+    sequences and budget context windows.
+
+    At 100 TB the trained vocabulary (word → subword count) is the
+    broadcast side of one join against the exploded corpus words —
+    the corpus is scanned once for training (word counts) and once
+    for tokenization; every merge iteration in between touches only
+    the vocab. Docs with no letter-run words (e.g. pure CJK under the
+    [a-z]+ word model) have no vocabulary rows and drop out — the
+    documented inner-join semantic, identical in the oracle."""
+    from .dedup import attach_cache
+
+    _merges, vocab = _train(docs, text_col, n_merges)
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("word"),
+    )
+    counts = vocab.select("word", F.size("segs").alias("__ntok__"))
+    out = (
+        words.join(F.broadcast(counts), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__ntok__").alias("n_subword_tokens"),
+        )
+    )
+    return attach_cache(out, vocab)
 
 
 def bpe_segment(vocab_merged: DataFrame) -> DataFrame:

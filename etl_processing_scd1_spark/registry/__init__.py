@@ -89,7 +89,11 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   (B4 semantics also live in the in-window scd1_merge_full
 #   null-safe diff leg) and fact_append_dedup (G4 pinned by the
 #   pytest replay-idempotence suite) — both stay double-confirmed
-#   r2/r3 + r5 and oracle-checked locally.
+#   r2/r3 + r5 and oracle-checked locally; and bpe_tokenize (the
+#   apply half of the BPE loop) displaces groupby_agg (§2.F keeps
+#   skew_salted_agg, watermark_max and the r5-green
+#   distinct_agg/having_filter singles; the groupby partial-agg plan
+#   gate runs regardless of window membership).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -132,7 +136,7 @@ PRIMARY = [
     "fraud_expiry_theta",
     # §2.F aggregation surface
     "watermark_max",
-    "groupby_agg",
+    "bpe_tokenize",
     "skew_salted_agg",
     # §2.I streaming-equivalent windows
     "tumbling_window_agg",

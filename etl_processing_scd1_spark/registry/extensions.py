@@ -359,7 +359,7 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 4) -> str:
+def _bpe_oracle(n_merges: int = 4, emit: str = "merges") -> str:
     """DuckDB twin of ``operators.bpe.bpe_train_merges``: the merge
     iterations are unrolled as generated CTEs from the same constant
     (the playbook proven by the k-means/IVF oracles), and the greedy
@@ -391,7 +391,7 @@ def _bpe_oracle(n_merges: int = 4) -> str:
       SELECT l, r, pair_cnt FROM pc{k} ORDER BY pair_cnt DESC, l, r LIMIT 1
     )"""
         )
-        if k < n_merges:
+        if k < n_merges or emit == "tokenize":
             parts.append(
                 f"""pos{k} AS (
       SELECT word, cnt, u.i AS i, u.tok AS tok
@@ -427,11 +427,20 @@ def _bpe_oracle(n_merges: int = 4) -> str:
       GROUP BY p.word, p.cnt
     )"""
             )
-    sel = "\n    UNION ALL\n    ".join(
-        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS l_tok, r AS r_tok,"
-        f" pair_cnt FROM best{k}"
-        for k in range(1, n_merges + 1)
-    )
+    if emit == "tokenize":
+        sel = f"""SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(v.segs)) AS BIGINT) AS n_subword_tokens
+    FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents) w
+    JOIN vocab{n_merges} v USING (word)
+    GROUP BY w.doc_id"""
+    else:
+        sel = "\n    UNION ALL\n    ".join(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS l_tok, r AS r_tok,"
+            f" pair_cnt FROM best{k}"
+            for k in range(1, n_merges + 1)
+        )
     return "WITH " + ",\n    ".join(parts) + "\n    " + sel
 
 
@@ -448,6 +457,20 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train_merges
 
     return bpe_train_merges(table(spark, sf_dir, "documents"), "text", n_merges=4)
+
+
+@register("bpe_tokenize", oracle=_bpe_oracle(4, emit="tokenize"))
+def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: the APPLY half of the BPE loop — per-document word and
+    subword-token counts under the 4-merge tokenizer trained on the
+    same corpus (the sequence-packing / context-budget number). The
+    trained word→subword-count vocabulary broadcasts over one join
+    against the exploded corpus words; the oracle replays training
+    AND application by extending the unrolled-iteration CTEs to the
+    final vocabulary."""
+    from ..operators.bpe import bpe_tokenize
+
+    return bpe_tokenize(table(spark, sf_dir, "documents"), "doc_id", "text", 4)
 
 
 def _simhash_oracle() -> str:

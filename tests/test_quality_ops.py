@@ -259,3 +259,22 @@ def test_bpe_greedy_run_parity(spark):
     segs = {r.word: r.segs for r in vocab.collect()}
     assert segs["aaaa"] == ["aa", "aa"]
     assert segs["aaa"] == ["aa", "a"]
+
+
+def test_bpe_tokenize_bounds_and_compression(spark):
+    """n_words <= n_subword_tokens <= total letters; training on a
+    repetitive corpus must compress (fewer subwords than characters)."""
+    from etl_processing_scd1_spark.operators.bpe import bpe_tokenize
+
+    docs = spark.createDataFrame(
+        [(i, "lowest lowest slowest lowest") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    with consuming(bpe_tokenize(docs, "doc_id", "text", n_merges=3)) as df:
+        rows = df.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.n_words == 4
+        assert r.n_words <= r.n_subword_tokens
+        n_chars = len("lowestlowestslowestlowest")
+        assert r.n_subword_tokens < n_chars  # merges compressed
