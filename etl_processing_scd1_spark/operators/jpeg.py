@@ -262,11 +262,16 @@ def encode_jpeg(
     pixels: bytes,
     channels: int = 3,
     quality: int = 75,
+    subsample: bool = False,
 ) -> bytes:
-    """Baseline JFIF encoder: grayscale (channels=1) or YCbCr 4:4:4
-    (channels=3), standard tables scaled to ``quality``."""
+    """Baseline JFIF encoder: grayscale (channels=1) or YCbCr
+    (channels=3) at 4:4:4, or 4:2:0 with ``subsample=True`` (2×2
+    chroma downsampling by mean — the layout virtually every camera
+    JPEG uses); standard tables scaled to ``quality``."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if subsample and channels != 3:
+        raise ValueError("subsampling applies to 3-channel YCbCr only")
     px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
     qt_l = scaled_quant_table(QT_LUM, quality)
     qt_c = scaled_quant_table(QT_CHROM, quality)
@@ -278,13 +283,30 @@ def encode_jpeg(
         planes = [px[:, :, 0].astype(np.float64)]
         qts = [qt_l]
 
-    # pad to 8-multiples by edge replication
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
-    planes = [
-        np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
-        for p in planes
-    ]
+    if subsample:
+        # pad to 16-multiples (MCU = 2×2 luma blocks), downsample chroma
+        ph = (height + 15) // 16 * 16
+        pw = (width + 15) // 16 * 16
+        planes = [
+            np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+            for p in planes
+        ]
+        for ci in (1, 2):
+            c = planes[ci]
+            planes[ci] = np.floor(
+                (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
+                / 4.0
+                + 0.5
+            )
+        samplings = [0x22, 0x11, 0x11]
+    else:
+        ph = (height + 7) // 8 * 8
+        pw = (width + 7) // 8 * 8
+        planes = [
+            np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+            for p in planes
+        ]
+        samplings = [0x11] * channels
 
     dc_l = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_l = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
@@ -294,14 +316,30 @@ def encode_jpeg(
 
     writer = _BitWriter()
     prev_dc = [0] * channels
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(channels):
-                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coefs = _fdct_quant(block, qts[ci])
-                prev_dc[ci] = _encode_block(
-                    writer, coefs, prev_dc[ci], huffs[ci][0], huffs[ci][1]
-                )
+
+    def emit(ci: int, block: np.ndarray) -> None:
+        coefs = _fdct_quant(block, qts[ci])
+        prev_dc[ci] = _encode_block(
+            writer, coefs, prev_dc[ci], huffs[ci][0], huffs[ci][1]
+        )
+
+    if subsample:
+        for by in range(ph // 16):
+            for bx in range(pw // 16):
+                for dy in range(2):
+                    for dx in range(2):
+                        y0, x0 = by * 16 + dy * 8, bx * 16 + dx * 8
+                        emit(0, planes[0][y0 : y0 + 8, x0 : x0 + 8])
+                for ci in (1, 2):
+                    emit(
+                        ci,
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    )
+    else:
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(channels):
+                    emit(ci, planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
     writer.flush()
 
     def qt_payload(tid: int, q: np.ndarray) -> bytes:
@@ -318,7 +356,7 @@ def encode_jpeg(
     sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
     sof += bytes([channels])
     for ci in range(channels):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sof += bytes([ci + 1, samplings[ci], 0 if ci == 0 else 1])
     out += _marker(0xC0, bytes(sof))
     out += _marker(0xC4, dht_payload(0, 0, _DC_LUM_BITS, _DC_LUM_VALS))
     out += _marker(0xC4, dht_payload(1, 0, _AC_LUM_BITS, _AC_LUM_VALS))
@@ -425,17 +463,22 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
             comps = []
+            samps = []
             for c in range(nc):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError(
-                        "chroma subsampling not supported (baseline 4:4:4 "
-                        "only; wire PIL/libvips in deployment)"
-                    )
                 comps.append((cid, qid))
+                samps.append((samp >> 4, samp & 0x0F))
             if nc not in (1, 3):
                 raise ValueError("only 1- or 3-component JPEG supported")
-            frame = (w, h, comps)
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (nc == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise ValueError(
+                    "only 4:4:4 / gray / 4:2:0 JPEG sampling supported "
+                    "(other layouts need PIL/libvips in deployment)"
+                )
+            frame = (w, h, comps, samps)
         elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                      0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -473,41 +516,64 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
 
-    w, h, comps = frame
+    w, h, comps, samps = frame
     sel, entropy = scan
     nc = len(comps)
     reader = _BitReader(entropy)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.zeros((ph, pw)) for _ in range(nc)]
+    subsampled = nc == 3 and samps[0] == (2, 2)
+
+    def read_block(ci: int) -> np.ndarray:
+        cid, qid = comps[ci]
+        dc_id, ac_id = sel[cid]
+        zz = np.zeros(64, dtype=np.int64)
+        s = _read_symbol(reader, dc_tabs[dc_id])
+        diff = _extend(reader.read_bits(s), s)
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k <= 63:
+            sym = _read_symbol(reader, ac_tabs[ac_id])
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(reader.read_bits(size), size)
+            k += 1
+        coefs = np.zeros(64, dtype=np.int64)
+        coefs[ZIGZAG] = zz
+        return _dequant_idct(coefs.reshape(8, 8), qts[qid])
+
     prev_dc = [0] * nc
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, (cid, qid) in enumerate(comps):
-                dc_id, ac_id = sel[cid]
-                zz = np.zeros(64, dtype=np.int64)
-                s = _read_symbol(reader, dc_tabs[dc_id])
-                diff = _extend(reader.read_bits(s), s)
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k <= 63:
-                    sym = _read_symbol(reader, ac_tabs[ac_id])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                coefs = np.zeros(64, dtype=np.int64)
-                coefs[ZIGZAG] = zz
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _dequant_idct(coefs.reshape(8, 8), qts[qid])
-                )
+    if subsampled:
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        luma = np.zeros((ph, pw))
+        chroma = [np.zeros((ph // 2, pw // 2)) for _ in range(2)]
+        for by in range(ph // 16):
+            for bx in range(pw // 16):
+                for dy in range(2):
+                    for dx in range(2):
+                        y0, x0 = by * 16 + dy * 8, bx * 16 + dx * 8
+                        luma[y0 : y0 + 8, x0 : x0 + 8] = read_block(0)
+                for ci in (1, 2):
+                    chroma[ci - 1][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = read_block(ci)
+        # nearest-neighbor chroma upsample back to full resolution
+        planes = [luma] + [np.repeat(np.repeat(c, 2, 0), 2, 1) for c in chroma]
+    else:
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        planes = [np.zeros((ph, pw)) for _ in range(nc)]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(nc):
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        read_block(ci)
+                    )
     planes = [p[:h, :w] for p in planes]
     if nc == 1:
         return (w, h, 1, planes[0].astype(np.uint8).tobytes())

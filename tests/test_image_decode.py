@@ -208,3 +208,44 @@ def test_jpeg_rejections():
         decode_jpeg(prog)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 (2x2 chroma subsampling — the camera-JPEG layout): MCU
+    interleave 4xY + Cb + Cr, chroma downsample on encode, nearest
+    upsample on decode; bounded error on smooth content and odd
+    (non-MCU-multiple) dimensions crop correctly."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    src = np.zeros((24, 40, 3), dtype=np.uint8)
+    for y in range(24):
+        for x in range(40):
+            src[y, x] = [(2 * x + y) % 200 + 20, (3 * y) % 180 + 30, (x * 4) % 200 + 25]
+    enc = encode_jpeg(40, 24, src.tobytes(), 3, 90, subsample=True)
+    w, h, ch, px = decode_jpeg(enc)
+    assert (w, h, ch) == (40, 24, 3)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(24, 40, 3).astype(int)
+    assert np.abs(dec - src.astype(int)).max() <= 10
+
+    odd = np.full((11, 19, 3), 99, dtype=np.uint8)
+    w, h, ch, px = decode_jpeg(encode_jpeg(19, 11, odd.tobytes(), 3, 75, subsample=True))
+    assert (w, h) == (19, 11)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(11, 19, 3).astype(int)
+    assert np.abs(dec - 99).max() <= 1
+
+
+def test_jpeg_unsupported_sampling_rejected():
+    """4:2:2 (2x1) sampling must raise, not mis-decode."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    enc = bytearray(encode_jpeg(8, 8, img.tobytes(), 3, 75))
+    i = enc.find(b"\xff\xc0")
+    # component 0 sampling byte sits at SOF payload offset 7 (len(2)+prec+h+w+nc+cid)
+    enc[i + 2 + 2 + 6 + 1] = 0x21  # Y sampling 2x1
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(enc))
