@@ -625,6 +625,88 @@ def pq_encode(
     )
 
 
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    codebook_id_col: str = "vec_id",
+    codebook_vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search by Asymmetric Distance Computation (Jégou et al.
+    2011): approximate squared-L2 from a query to a PQ-coded vector
+    is Σ_b lut_b[code_b], where lut_b holds the exact distance from
+    the query's b-th sub-vector to every codeword's b-th sub-vector.
+    The search half of the ``pq_encode`` pair — together they are the
+    memory layout behind billion-vector IVF-PQ indexes: the corpus
+    side touches only ``m`` small ints per vector, never the floats.
+
+    Output: (query_id, neighbor_id, rank, adc_scaled) ranked by ADC
+    distance ascending, ties → lowest neighbor id. All arithmetic is
+    scaled-int (round-then-sum, same contract as ``pq_encode``), so
+    the result hash-matches any engine's oracle.
+
+    Scale shape: the codebook (k·m sub-vectors, k ≤ 256 BY
+    DEFINITION) is inlined as literals; each query row builds its
+    m×k LUT as one narrow expression; the query relation (small BY
+    DEFINITION — it is the online search batch) is broadcast to the
+    codes relation, and the per-pair work is ``m`` map lookups — no
+    float vector ever crosses the join. The only shuffle is the
+    per-query top-k window, identical to ``cosine_topk_bruteforce``'s
+    accepted survivor shape.
+    """
+    rows = codebook.select(codebook_id_col, codebook_vec_col).collect()
+    codewords = sorted((r[0], list(r[1])) for r in rows)
+    dim = len(codewords[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    qvec = F.col(vec_col)
+
+    def block_dist(b: int, cvec: list[float]) -> Column:
+        sub = F.slice(qvec, b * w + 1, w)
+        lit = F.array(*[F.lit(float(x)) for x in cvec[b * w : (b + 1) * w]])
+        prods = F.zip_with(
+            sub,
+            lit,
+            lambda x, y: F.round(
+                (x.cast("double") - y) * (x.cast("double") - y) * SCALE
+            ).cast("long"),
+        )
+        return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    # Per-block LUT as MAP<codeword id, exact scaled dist> — map keys
+    # are the REAL codeword ids, so arbitrary (non-contiguous) id
+    # spaces need no position bookkeeping at lookup time.
+    lut_cols = [
+        F.create_map(
+            *[e for cid, cvec in codewords for e in (F.lit(cid), block_dist(b, cvec))]
+        ).alias(f"__lut{b}__")
+        for b in range(m)
+    ]
+    q = queries.select(F.col(id_col).alias("query_id"), *lut_cols)
+    c = codes_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__codes__")
+    )
+    adc = None
+    for b in range(m):
+        term = F.element_at(F.col(f"__lut{b}__"), F.element_at("__codes__", b + 1))
+        adc = term if adc is None else adc + term
+    scored = c.crossJoin(F.broadcast(q)).withColumn("adc_scaled", adc)
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc_scaled"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_scaled")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -93,7 +93,12 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   apply half of the BPE loop) displaces groupby_agg (§2.F keeps
 #   skew_salted_agg, watermark_max and the r5-green
 #   distinct_agg/having_filter singles; the groupby partial-agg plan
-#   gate runs regardless of window membership).
+#   gate runs regardless of window membership); and similarity_pq_adc
+#   (PQ asymmetric-distance search, the query half of pq_encode)
+#   displaces exact_dedup (K1 pinned by pytest + r2/r3 + r5 driver
+#   green; the dedup family keeps near_dedup_minhash,
+#   containment_dedup, containment_dedup_full and dedup_apply
+#   in-window).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -144,7 +149,7 @@ PRIMARY = [
     # §2.J UDF surface
     "grouped_custom_agg",
     # §2.K dedup / similarity / text / beyond-ref joins
-    "exact_dedup",
+    "similarity_pq_adc",
     "near_dedup_minhash",
     "ngram_diversity",
     "containment_dedup_full",

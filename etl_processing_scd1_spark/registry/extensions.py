@@ -808,6 +808,74 @@ def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("codes", F.concat_ws(",", F.col("codes").cast("array<string>")))
 
 
+PQ_ADC_ORACLE = """
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    bdists AS (
+      SELECT e.vec_id, CAST((e.idx - 1) // 16 AS INT) AS block, c.vec_id AS cid,
+             SUM(CAST(round((e.v - c.v) * (e.v - c.v) * 1e8) AS BIGINT)) AS dist
+      FROM expanded e JOIN expanded c ON e.idx = c.idx
+      WHERE c.vec_id < 8
+      GROUP BY e.vec_id, block, c.vec_id
+    ),
+    codes AS (
+      SELECT vec_id, block, cid FROM (
+        SELECT vec_id, block, cid,
+               row_number() OVER (PARTITION BY vec_id, block ORDER BY dist, cid) AS rn
+        FROM bdists
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT l.vec_id AS query_id, k.vec_id AS neighbor_id,
+             SUM(l.dist) AS adc_scaled
+      FROM codes k
+      JOIN bdists l ON l.block = k.block AND l.cid = k.cid
+      WHERE l.vec_id >= 100 AND l.vec_id < 105
+      GROUP BY l.vec_id, k.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(adc_scaled AS BIGINT) AS adc_scaled,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_scaled, neighbor_id
+             ) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, rank, adc_scaled
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_pq_adc", oracle=PQ_ADC_ORACLE)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 quantized search: PQ Asymmetric Distance Computation — the
+    search half of the ``pq_encode`` pair (operators.similarity
+    .pq_adc_topk). The corpus is first PQ-coded (4 blocks × 16 dims,
+    codebook = sub-vectors of vecs 0-7), then queries 100-104 rank the
+    whole corpus by LUT-summed approximate L2 touching only the m=4
+    small ints per corpus vector. Scaled-int LUTs make the ADC sums
+    exact, so ranks hash-match the oracle (which reuses ``bdists`` —
+    the query-side LUT rows are exactly the query's per-block
+    codeword distances)."""
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 8)
+    codes = pq_encode(emb, codebook=codebook, id_col="vec_id",
+                      vec_col="embedding", m=4)
+    return pq_adc_topk(
+        codes,
+        queries=emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)),
+        codebook=codebook,
+        k=5,
+        m=4,
+    )
+
+
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
 

@@ -109,3 +109,25 @@ def test_pq_encode_codeword_is_its_own_code(spark):
     for cid in range(8):
         assert enc[cid]["codes"] == [cid] * 4
         assert enc[cid]["dist_scaled"] == 0
+
+
+def test_pq_adc_self_is_rank1_with_own_distortion(spark):
+    """ADC(q, q's own codes) = Σ_b min_c lut_b[c] — the per-block
+    argmin pq_encode took — so no corpus vector can beat a query's own
+    codes: every query must rank ITSELF first (ties → lowest id), and
+    that rank-1 adc_scaled must equal the query's pq_encode
+    dist_scaled exactly."""
+    from etl_processing_scd1_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    emb = _emb(spark)
+    cb = emb.filter(F.col("vec_id") < 8)
+    codes = pq_encode(emb, cb, m=4)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    top = pq_adc_topk(codes, queries, cb, k=3, m=4).collect()
+    enc = {r["vec_id"]: r["dist_scaled"] for r in pq_encode(queries, cb, m=4).collect()}
+    rank1 = {r["query_id"]: r for r in top if r["rank"] == 1}
+    assert set(rank1) == set(range(100, 105))
+    for qid, r in rank1.items():
+        assert r["adc_scaled"] == enc[qid]
+        # self achieves the minimum; rank-1 id can only be <= qid
+        assert r["neighbor_id"] <= qid
