@@ -49,6 +49,7 @@ HEADLINE = [
     "winsorize_stats",      # exact order-stat clipped aggregates
     "bpe_train_merges",     # iterative BPE tokenizer training
     "triangle_count",       # compact-forward triangles on support graph
+    "similarity_pq_adc",    # PQ ADC search over m-int codes
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

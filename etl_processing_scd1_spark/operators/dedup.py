@@ -495,6 +495,124 @@ def near_dedup_minhash(
     )
 
 
+def edit_distance_verify(
+    pairs: DataFrame,
+    with_text: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_sim_pct: int | None = None,
+    broadcast_texts: bool | None = None,
+    broadcast_max_candidates: int = 100_000,
+) -> DataFrame:
+    """Exact Levenshtein distance on candidate pairs — the
+    character-level verify for fuzzy dedup, where set-based Jaccard
+    misses small in-place edits (typo farms, template fills) that
+    shift every containing shingle.
+
+    Same scale shape as :func:`jaccard_verify`: work is
+    output-bounded (|pairs| × O(len_a·len_b) per row, all in JVM
+    codegen via the built-in ``levenshtein``), the text relation is
+    semi-restricted to candidate ids, and ``broadcast_texts`` follows
+    the identical None auto-probe (pairs persisted, broadcast kept
+    iff the candidate-id bound fits).
+
+    ``min_sim_pct`` enables the LOSSLESS length prefilter:
+    lev ≥ |len_a − len_b|, so normalized similarity
+    (max−lev)/max ≤ min(len)/max(len) — pairs whose length ratio
+    already misses the threshold are pruned with two ``length()``
+    calls before the O(n·m) distance runs.
+    """
+    cached: tuple[DataFrame, ...] = ()
+    if broadcast_texts is None:
+        pairs = pairs.persist()
+        cached = (pairs,)
+        broadcast_texts = 2 * pairs.count() <= broadcast_max_candidates
+
+    def _side(rel: DataFrame) -> DataFrame:
+        return F.broadcast(rel) if broadcast_texts else rel
+
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    texts = with_text.select(F.col(id_col), text_col).join(
+        _side(cand_ids), id_col, "left_semi"
+    )
+    a_texts = _side(
+        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__"))
+    )
+    b_texts = _side(
+        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__"))
+    )
+    joined = pairs.join(a_texts, "id_a").join(b_texts, "id_b")
+    la, lb = F.length("__ta__"), F.length("__tb__")
+    if min_sim_pct is not None:
+        joined = joined.filter(
+            100 * F.least(la, lb) >= min_sim_pct * F.greatest(la, lb)
+        )
+    out = joined.select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.levenshtein("__ta__", "__tb__").alias("lev_dist"),
+        F.greatest(la, lb).alias("max_len"),
+    )
+    return attach_cache(out, *cached)
+
+
+def edit_distance_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    min_sim_pct: int = 80,
+    max_bucket_size: int | None = None,
+    broadcast_texts: bool | None = None,
+) -> DataFrame:
+    """K2 fuzzy dedup end-to-end: shingle → MinHash → LSH candidates
+    → exact Levenshtein verify → pairs with normalized edit
+    similarity ``100*(max_len−lev) >= min_sim_pct*max_len`` (integer
+    comparison, no float thresholds — hash-matches any oracle).
+
+    The LSH screen bounds the O(n·m) distance computations to
+    near-collision candidates; ``max_bucket_size`` and the
+    ``broadcast_texts`` auto-probe are the same two 100 TB skew
+    guards as :func:`near_dedup_minhash`. Callers release with
+    ``release_cached(out)`` after their action.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(id_col, text_col).repartition(n_parts, id_col)
+    with_sets = base.select(
+        F.col(id_col), shingle_set_col(text_col, k=shingle_k).alias("sh_set")
+    )
+    sigs = minhash_signatures(with_sets, id_col, num_hashes=bands * rows_per_band)
+    pairs = lsh_candidate_pairs(
+        sigs,
+        id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    verified = edit_distance_verify(
+        pairs,
+        base,
+        id_col,
+        text_col,
+        min_sim_pct=min_sim_pct,
+        broadcast_texts=broadcast_texts,
+    )
+    out = verified.filter(
+        100 * (F.col("max_len") - F.col("lev_dist"))
+        >= min_sim_pct * F.col("max_len")
+    )
+    truncated = getattr(pairs, "_spark_graft_truncated", None)
+    if truncated is not None:
+        out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
+    return attach_cache(out, *getattr(verified, "_spark_graft_cached", ()))
+
+
 def simhash_bits(token_hash_hex: Column, num_bits: int = 32) -> list[Column]:
     """Bit k of the first num_bits/4 hex chars of a token hash,
     via hex-digit decode (strpos arithmetic — portable, no bit ops)."""

@@ -98,7 +98,12 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   displaces exact_dedup (K1 pinned by pytest + r2/r3 + r5 driver
 #   green; the dedup family keeps near_dedup_minhash,
 #   containment_dedup, containment_dedup_full and dedup_apply
-#   in-window).
+#   in-window); and edit_distance_dedup (character-level Levenshtein
+#   verify over the LSH screen) displaces fraud_expiry_theta (H2
+#   double-confirmed r2/r3 + r5; the theta-predicate family keeps
+#   theta_filter in-window and the fraud family keeps
+#   velocity_fraud_rule, fraud_blacklist_semi and
+#   fraud_report_as_written).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -138,7 +143,7 @@ PRIMARY = [
     # §2.E / §2.H fraud rules + windows
     "velocity_fraud_rule",
     "fraud_blacklist_semi",
-    "fraud_expiry_theta",
+    "edit_distance_dedup",
     # §2.F aggregation surface
     "watermark_max",
     "bpe_tokenize",

@@ -138,6 +138,54 @@ def near_dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT_DISTANCE_ORACLE = f"""
+    WITH sets AS ({_SETS_SQL}),
+    mh AS ({_MINHASH_SQL}),
+    banded AS ({_BANDED_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             levenshtein(da.text, db.text) AS lev_dist,
+             greatest(length(da.text), length(db.text)) AS max_len
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+      WHERE 100 * least(length(da.text), length(db.text))
+            >= 70 * greatest(length(da.text), length(db.text))
+    )
+    SELECT id_a, id_b,
+           CAST(lev_dist AS BIGINT) AS lev_dist,
+           CAST(max_len AS BIGINT) AS max_len
+    FROM scored
+    WHERE 100 * (max_len - lev_dist) >= 70 * max_len
+"""
+
+
+@register("edit_distance_dedup", oracle=EDIT_DISTANCE_ORACLE)
+def edit_distance_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 fuzzy dedup: LSH candidate screen, then EXACT character-level
+    Levenshtein verify (operators.dedup.edit_distance_dedup) — catches
+    the in-place-edit near-dups (typo farms, template fills) whose
+    shifted shingles depress set-based Jaccard. Normalized edit
+    similarity ≥ 70% as an integer comparison; the lossless length
+    prefilter prunes pairs before any O(n·m) distance runs."""
+    from ..operators.dedup import edit_distance_dedup
+
+    return edit_distance_dedup(
+        table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_k=8,
+        bands=4,
+        rows_per_band=2,
+        min_sim_pct=70,
+    )
+
+
 CONTAINMENT_ORACLE = f"""
     WITH sets AS ({_SETS_SQL}),
     mh AS ({_MINHASH_SQL}),

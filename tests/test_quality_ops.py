@@ -278,3 +278,24 @@ def test_bpe_tokenize_bounds_and_compression(spark):
         assert r.n_words <= r.n_subword_tokens
         n_chars = len("lowestlowestslowestlowest")
         assert r.n_subword_tokens < n_chars  # merges compressed
+
+
+def test_edit_distance_dedup_finds_planted_typos(spark):
+    """A doc and its 3-typo copy share most shingles (LSH fires) and
+    differ by exactly 3 single-char edits — the pair must surface with
+    lev_dist == 3; the unrelated doc must pair with nothing."""
+    from etl_processing_scd1_spark.operators.dedup import edit_distance_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    typo = base.replace("quick", "quack", 1).replace("lazy", "hazy", 1).replace("runs", "rans", 1)
+    docs = spark.createDataFrame(
+        [(1, base), (2, typo), (3, "completely different content about maritime law")],
+        "doc_id int, text string",
+    )
+    with consuming(
+        edit_distance_dedup(docs, "doc_id", "text", min_sim_pct=80)
+    ) as out:
+        rows = out.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    assert rows[0].lev_dist == 3
+    assert rows[0].max_len == len(base)
