@@ -198,3 +198,66 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -
         F.min(F.md5("g")).alias("fingerprint"),
         F.count("*").alias("n_shingles"),
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    split_pattern: str = r"\s+",
+) -> DataFrame:
+    """Exact-phrase retrieval over a positional posting list — the
+    relational core of an inverted index with positions (what Lucene
+    calls a phrase query), built and matched in ONE aggregation
+    instead of an n-way self-join.
+
+    The anchor trick: a posting (doc, pos) for phrase token i can
+    only belong to a phrase occurrence starting at ``anchor = pos-i``,
+    so postings are mapped to (doc, anchor, i) and an anchor with all
+    n distinct i's is a full match. One explode restricted to the
+    phrase's terms (the filter prunes the posting stream BEFORE the
+    shuffle — the phrase vocabulary is tiny, so the surviving stream
+    is the phrase terms' document frequency, not the corpus), then
+    one groupBy(doc, anchor) — versus the textbook n-way positional
+    self-join whose every leg re-shuffles the posting relation.
+    Repeated phrase tokens are handled by fanning each posting out to
+    EVERY i whose token matches (a ≤n-element array explode).
+
+    Output: (doc_id, n_matches, first_pos) per matching document,
+    first_pos 0-based.
+    """
+    tokens = [t for t in phrase.split(" ") if t]
+    if not tokens:
+        raise ValueError("phrase must contain at least one token")
+    n = len(tokens)
+    posted = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern, -1)).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(tokens))
+    # fan each surviving posting out to every phrase slot it could fill
+    slots = F.array(
+        *[
+            F.when(F.col("tok") == F.lit(t), F.lit(i))
+            for i, t in enumerate(tokens)
+        ]
+    )
+    hits = posted.select(
+        F.col(id_col),
+        F.explode(F.filter(slots, lambda s: s.isNotNull())).alias("i"),
+        F.col("pos"),
+    ).select(
+        F.col(id_col), (F.col("pos") - F.col("i")).alias("anchor"), F.col("i")
+    ).filter(F.col("anchor") >= 0)
+    anchors = (
+        hits.groupBy(id_col, "anchor")
+        .agg(F.count_distinct("i").alias("__k__"))
+        .filter(F.col("__k__") == n)
+    )
+    return (
+        anchors.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("anchor").alias("first_pos"),
+        )
+    )

@@ -103,7 +103,10 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   double-confirmed r2/r3 + r5; the theta-predicate family keeps
 #   theta_filter in-window and the fraud family keeps
 #   velocity_fraud_rule, fraud_blacklist_semi and
-#   fraud_report_as_written).
+#   fraud_report_as_written); and phrase_search (positional
+#   posting-list phrase retrieval via the anchor aggregation)
+#   displaces semi_join_in (B6/C8 double-confirmed r2/r3 + r5; the
+#   left-semi shape stays in-window inside fraud_blacklist_semi).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -135,7 +138,7 @@ PRIMARY = [
     # §2.B projections / predicates
     "multimodal_decode_jpeg",
     "multimodal_audio_features",
-    "semi_join_in",
+    "phrase_search",
     # §2.C / §2.G joins + merges
     "scd1_merge_full",
     "multimodal_video_frames",

@@ -1454,6 +1454,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, t.pos - ph.i AS anchor, ph.i
+      FROM toks t JOIN (VALUES (0, 'table'), (1, 'scan')) AS ph(i, tok)
+        ON t.tok = ph.tok
+      WHERE t.pos - ph.i >= 0
+    ),
+    anchors AS (
+      SELECT doc_id, anchor FROM hits
+      GROUP BY doc_id, anchor HAVING COUNT(DISTINCT i) = 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(anchor) AS BIGINT) AS first_pos
+    FROM anchors GROUP BY doc_id
+    """,
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 retrieval: exact-phrase search ("table scan") over a
+    positional posting list via the anchor trick
+    (operators.text.phrase_search) — postings restricted to the
+    phrase's terms BEFORE the shuffle, one groupBy(doc, pos-i)
+    replaces the textbook n-way positional self-join. The oracle runs
+    the same anchor aggregation relationally."""
+    from ..operators.text import phrase_search
+
+    return phrase_search(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        phrase="table scan", split_pattern=" ",
+    )
+
+
+@register(
     "text_stats",
     oracle="""
     SELECT doc_id, lang,

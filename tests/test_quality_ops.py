@@ -299,3 +299,20 @@ def test_edit_distance_dedup_finds_planted_typos(spark):
     assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
     assert rows[0].lev_dist == 3
     assert rows[0].max_len == len(base)
+
+
+def test_phrase_search_overlapping_and_repeated_tokens(spark):
+    """Overlapping occurrences of a phrase with a REPEATED token must
+    each count: "a b a" occurs in "x a b a b a y" at anchors 1 and 3
+    (sharing the middle 'a'); a doc with the tokens out of order must
+    not match."""
+    from etl_processing_scd1_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "x a b a b a y"), (2, "b a a x"), (3, "a b a")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in phrase_search(docs, "doc_id", "text", "a b a").collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].n_matches == 2 and rows[1].first_pos == 1
+    assert rows[3].n_matches == 1 and rows[3].first_pos == 0
