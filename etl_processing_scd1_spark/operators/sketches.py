@@ -10,7 +10,7 @@ the merge identity cell-by-cell against a DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _HLL_RHO_EXPR = (
@@ -57,3 +57,74 @@ def hll_estimate(registers: DataFrame, m: int = 256) -> float:
     if raw <= 2.5 * m and present < m:
         return m * math.log(m / float(m - present))
     return raw
+
+
+def kmv_sketches(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values sketch per group: the k smallest md5 hashes of
+    the group's DISTINCT keys (Beyer et al. 2007). Like the HLL
+    registers above, the (group, sketch) relation is tiny SKETCH
+    STATE — k strings per group — and mergeable: the min-k of a union
+    is the min-k of the concatenated sketches, so per-batch sketches
+    roll up without rescanning history, and set-overlap between any
+    two groups is estimable from their sketches alone (see
+    :func:`kmv_overlap`).
+
+    Scale shape: one distinct on (group, key), one hash map, one
+    shuffle on group for the per-group min-k (row_number window).
+    The windowed rows are the group's DISTINCT keys — linear — and
+    only k rows per group survive into the collected array.
+    """
+    hashed = (
+        df.select(F.col(group_col), F.col(key_col))
+        .distinct()
+        .select(F.col(group_col), F.md5(F.col(key_col).cast("string")).alias("__h__"))
+    )
+    w = Window.partitionBy(group_col).orderBy("__h__")
+    return (
+        hashed.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("__h__")).alias("sketch"))
+    )
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimates from KMV sketches alone: for
+    groups A, B the k smallest of S_A ∪ S_B is a uniform sample of
+    A ∪ B, and the fraction of that sample present in BOTH sketches
+    estimates the Jaccard similarity — |S_k(A∪B) ∩ S_A ∩ S_B| / k.
+
+    The pair join carries only the k-element sketch arrays (groups ×
+    k strings — corpus size never appears), so estimating overlap
+    between every pair of corpus slices is O(groups² · k log k),
+    independent of the data. Output: (group_a, group_b, sample_hits,
+    est_jaccard_pct) with integer evidence columns.
+    """
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("__sa__")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("__sb__")
+    )
+    paired = a.join(b, F.col("group_a") < F.col("group_b"))
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__sa__", "__sb__"))), 1, k
+    )
+    hits = F.size(
+        F.array_intersect(union_k, F.array_intersect("__sa__", "__sb__"))
+    )
+    return paired.select(
+        "group_a",
+        "group_b",
+        hits.alias("sample_hits"),
+        (100 * hits / F.lit(k)).cast("long").alias("est_jaccard_pct"),
+    )

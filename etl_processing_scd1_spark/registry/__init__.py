@@ -106,7 +106,12 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   fraud_report_as_written); and phrase_search (positional
 #   posting-list phrase retrieval via the anchor aggregation)
 #   displaces semi_join_in (B6/C8 double-confirmed r2/r3 + r5; the
-#   left-semi shape stays in-window inside fraud_blacklist_semi).
+#   left-semi shape stays in-window inside fraud_blacklist_semi);
+#   and corpus_overlap_kmv (mergeable k-minimum-values slice-overlap
+#   estimation, exact Jaccard alongside) displaces watermark_max (F1
+#   double-confirmed r2/r3 + r5; coalesce(max) semantics also live in
+#   the pytest-pinned meta-upsert path and §2.F keeps
+#   skew_salted_agg/distinct_agg/having_filter/bpe_tokenize).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -148,7 +153,7 @@ PRIMARY = [
     "fraud_blacklist_semi",
     "edit_distance_dedup",
     # §2.F aggregation surface
-    "watermark_max",
+    "corpus_overlap_kmv",
     "bpe_tokenize",
     "skew_salted_agg",
     # §2.I streaming-equivalent windows

@@ -15,6 +15,7 @@ from ..operators.dedup import (
     attach_cache,
     exact_dedup as exact_dedup_op,
     near_dedup_minhash,
+    shingle_set_col,
     simhash_fingerprint,
 )
 from ..operators.multimodal import (
@@ -1451,6 +1452,97 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram set + shingle cardinality (winnowing with whole-doc
     window)."""
     return rolling_fingerprint(table(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+
+
+CORPUS_OVERLAP_ORACLE = """
+    WITH keys AS (
+      SELECT DISTINCT lang,
+             unnest(list_distinct(
+               [substr(text, i, 8) for i in range(1, greatest(length(text) - 7, 1) + 1)]
+             )) AS g
+      FROM documents
+    ),
+    hashed AS (SELECT DISTINCT lang, md5(g) AS h FROM keys),
+    ranked AS (
+      SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM hashed
+    ),
+    sk AS (
+      SELECT lang, list_sort(list(h)) AS sketch
+      FROM ranked WHERE rn <= 64 GROUP BY lang
+    ),
+    est AS (
+      SELECT a.lang AS group_a, b.lang AS group_b,
+             len(list_intersect(
+               list_slice(list_sort(list_distinct(list_concat(a.sketch, b.sketch))), 1, 64),
+               list_intersect(a.sketch, b.sketch)
+             )) AS sample_hits
+      FROM sk a JOIN sk b ON a.lang < b.lang
+    ),
+    sizes AS (SELECT lang, count(*) AS n FROM hashed GROUP BY lang),
+    inter AS (
+      SELECT x.lang AS group_a, y.lang AS group_b, count(*) AS isect
+      FROM hashed x JOIN hashed y ON x.h = y.h AND x.lang < y.lang
+      GROUP BY 1, 2
+    )
+    SELECT e.group_a, e.group_b,
+           CAST(e.sample_hits AS BIGINT) AS sample_hits,
+           CAST(100 * e.sample_hits // 64 AS BIGINT) AS est_jaccard_pct,
+           CAST(100 * i.isect // (sa.n + sb.n - i.isect) AS BIGINT) AS exact_jaccard_pct
+    FROM est e
+    JOIN inter i ON i.group_a = e.group_a AND i.group_b = e.group_b
+    JOIN sizes sa ON sa.lang = e.group_a
+    JOIN sizes sb ON sb.lang = e.group_b
+"""
+
+
+@register("corpus_overlap_kmv", oracle=CORPUS_OVERLAP_ORACLE)
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/corpus analytics: pairwise shingle-set overlap between
+    language slices, estimated from k-minimum-values sketches
+    (operators.sketches.kmv_sketches/kmv_overlap, k=64) — the
+    mergeable corpus-vs-corpus overlap monitor: once per-slice
+    sketches exist, every pairwise estimate costs O(k) regardless of
+    corpus size. Exact Jaccard is computed alongside (hll_cardinality
+    precedent) so the estimate's accuracy is part of the evidence."""
+    from ..operators.sketches import kmv_overlap, kmv_sketches
+
+    docs = table(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.col("lang"), F.explode(shingle_set_col("text", k=8)).alias("g")
+    )
+    sk = kmv_sketches(keys, "lang", "g", k=64)
+    est = kmv_overlap(sk, "lang", k=64)
+
+    hashed = keys.distinct().select(
+        "lang", F.md5(F.col("g").cast("string")).alias("h")
+    ).distinct()
+    sizes = hashed.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(
+            F.col("x.lang").alias("group_a"), F.col("y.lang").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    return (
+        est.join(inter, ["group_a", "group_b"])
+        .join(F.broadcast(sizes.withColumnRenamed("lang", "group_a").withColumnRenamed("n", "na")), "group_a")
+        .join(F.broadcast(sizes.withColumnRenamed("lang", "group_b").withColumnRenamed("n", "nb")), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("sample_hits").cast("long").alias("sample_hits"),
+            "est_jaccard_pct",
+            (100 * F.col("isect") / (F.col("na") + F.col("nb") - F.col("isect")))
+            .cast("long")
+            .alias("exact_jaccard_pct"),
+        )
+    )
 
 
 @register(

@@ -316,3 +316,31 @@ def test_phrase_search_overlapping_and_repeated_tokens(spark):
     assert set(rows) == {1, 3}
     assert rows[1].n_matches == 2 and rows[1].first_pos == 1
     assert rows[3].n_matches == 1 and rows[3].first_pos == 0
+
+
+def test_kmv_sketch_mergeable_and_estimates_extremes(spark):
+    """Merge identity: the min-k of a union equals the min-k of the
+    concatenated per-part sketches. And the estimator must hit the
+    extremes exactly: identical groups -> J=100%, disjoint -> 0%."""
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.sketches import kmv_overlap, kmv_sketches
+
+    rows = (
+        [("a", f"k{i}") for i in range(200)]
+        + [("b", f"k{i}") for i in range(200)]          # b == a
+        + [("c", f"x{i}") for i in range(200)]          # c disjoint
+    )
+    df = spark.createDataFrame(rows, "grp string, key string")
+    est = {
+        (r.group_a, r.group_b): r.est_jaccard_pct
+        for r in kmv_overlap(kmv_sketches(df, "grp", "key", k=32), "grp", k=32).collect()
+    }
+    assert est[("a", "b")] == 100
+    assert est[("a", "c")] == 0 and est[("b", "c")] == 0
+
+    # merge identity: sketch(a ∪ c) == min-k over concat(sketch_a, sketch_c)
+    sk = {r.grp: r.sketch for r in kmv_sketches(df, "grp", "key", k=32).collect()}
+    union_df = df.filter(F.col("grp").isin("a", "c")).withColumn("grp", F.lit("u"))
+    direct = kmv_sketches(union_df, "grp", "key", k=32).collect()[0].sketch
+    assert sorted(set(sk["a"]) | set(sk["c"]))[:32] == direct
