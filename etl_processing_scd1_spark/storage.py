@@ -249,6 +249,57 @@ class Warehouse:
             shutil.rmtree(staging_root, ignore_errors=True)
         return manifest
 
+    def save_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        num_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Persist ``df`` as a catalog-registered BUCKETED table —
+        the pre-shuffled layout for tables that are repeatedly joined
+        or aggregated on the same key. Each writer task hashes rows
+        into ``num_buckets`` files by ``bucket_cols``; every later
+        equi-join between two tables bucketed the same way (same
+        columns, same count), and every groupBy on the bucket key,
+        then runs WITHOUT an Exchange — the one-off write shuffle
+        replaces a shuffle per downstream query. ``sort_cols``
+        additionally orders rows within each bucket file so
+        sort-merge joins skip their per-task Sort.
+
+        At 100 TB this is the difference between re-shuffling a fact
+        table every nightly join and never shuffling it again: the
+        bucket layout is the physical co-location contract
+        (plan-gated by test_plans.py — zero Exchange on a
+        bucketed-bucketed join).
+
+        Spark's bucket metadata lives in the session catalog, not the
+        parquet files, so this writes through ``saveAsTable`` with an
+        external path under the warehouse root and returns the
+        catalog table name to join through (``spark.table(...)``).
+        With the default in-memory catalog the registration lasts the
+        session; production deployments point the session at a shared
+        metastore (or use Iceberg/Delta bucketing) so the layout
+        outlives it.
+        """
+        safe = "".join(c if c.isalnum() else "_" for c in name.lower())
+        tbl = f"bkt_{safe}_{abs(hash(self.root)) % 100_000}"
+        path = os.path.join(self.root, f"{name}.bucketed")
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(tbl)
+        return tbl
+
     def compact(self, name: str, max_files: int = 4, target_files: int = 1) -> dict:
         """Bound the file count of an append table's partitions.
 

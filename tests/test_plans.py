@@ -302,3 +302,39 @@ def test_winsorize_windows_run_over_distinct_values(spark):
     # collapse into one Window when frames share the partitioning)
     assert "Window" in plan
     assert "HashAggregate" in plan
+
+
+def test_bucketed_join_and_agg_run_without_exchange(spark, tmp_path):
+    """save_bucketed's co-location contract: joining two tables
+    bucketed on the same key (same columns, same count) and
+    aggregating on the bucket key must plan with ZERO shuffles —
+    the one-off write shuffle replaces a shuffle per query."""
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    right = spark.range(0, 10_000, 2).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+    )
+    t_left = wh.save_bucketed("facts_l", left, ["k"], num_buckets=8, sort_cols=["k"])
+    t_right = wh.save_bucketed("facts_r", right, ["k"], num_buckets=8, sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(t_left).join(spark.table(t_right), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 5_000
+
+        agg = spark.table(t_left).groupBy("k").agg(F.sum("v").alias("s"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan
+        assert agg.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t_left}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_right}")
