@@ -50,6 +50,9 @@ HEADLINE = [
     "bpe_train_merges",     # iterative BPE tokenizer training
     "triangle_count",       # compact-forward triangles on support graph
     "similarity_pq_adc",    # PQ ADC search over m-int codes
+    "edit_distance_dedup",  # LSH screen + exact Levenshtein verify
+    "phrase_search",        # positional-postings anchor aggregation
+    "corpus_overlap_kmv",   # mergeable KMV slice-overlap estimates
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -282,11 +282,12 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
     normalized away; PNG scanline filters are reconstructed). Supports
     binary PPM (P6, maxval ≤ 255), 24-bit uncompressed BMP,
     non-interlaced 8-bit gray/RGB/RGBA PNG (stdlib zlib inflate +
-    sub/up/average/paeth unfiltering), and baseline sequential JPEG
-    (gray / YCbCr 4:4:4 via ``operators.jpeg``); remaining exotic
-    variants (progressive/subsampled JPEG, palette/16-bit/Adam7 PNG,
-    video) raise ValueError — PIL/libvips slot in here in
-    deployment."""
+    sub/up/average/paeth unfiltering), baseline sequential JPEG
+    (gray / YCbCr 4:4:4 and 4:2:0 via ``operators.jpeg``), and
+    non-interlaced GIF87a/89a (real variable-width LZW, global or
+    local palette); remaining exotic variants (progressive JPEG,
+    palette/16-bit/Adam7 PNG, interlaced GIF, video) raise ValueError
+    — PIL/libvips slot in here in deployment."""
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -294,6 +295,8 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
 
         w, h, ch, pixels = decode_jpeg(payload)
         return ("jpeg", w, h, ch, pixels)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"P6":
         (width, height, maxval), off = _ppm_header_ints(payload, 3)
         if maxval > 255:
@@ -499,3 +502,187 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .repartition(n_parts, id_col)
         .mapInPandas(batches, schema=FRAME_SCHEMA)
     )
+
+
+# -- GIF (LZW) ---------------------------------------------------------------
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes, clear/EOI
+    codes, 12-bit table cap with an explicit clear on overflow."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = indices[:1]
+    for k in indices[1:]:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # encoder leads the decoder's deferred first add by one,
+            # hence the +1 vs the decoder's bump condition
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([k])
+    emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = nbits = 0
+
+    def read(size: int) -> int | None:
+        nonlocal pos, acc, nbits
+        while nbits < size:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        c = read(code_size)
+        if c is None or c == eoi:
+            break
+        if c == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[c]
+        elif c < len(table):
+            entry = table[c]
+        elif c == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """GIF87a from packed RGB bytes: a deterministic sorted palette of
+    the image's distinct colors (≤256 — GIF's hard limit), real LZW
+    entropy coding, 255-byte sub-block framing."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be 3*width*height packed RGB bytes")
+    colors = sorted({pixels[i : i + 3] for i in range(0, len(pixels), 3)})
+    if len(colors) > 256:
+        raise ValueError("GIF supports at most 256 distinct colors")
+    depth = max(1, (len(colors) - 1).bit_length())
+    lookup = {c: i for i, c in enumerate(colors)}
+    indices = bytes(
+        lookup[pixels[i : i + 3]] for i in range(0, len(pixels), 3)
+    )
+    palette = b"".join(colors) + b"\x00\x00\x00" * ((1 << depth) - len(colors))
+    min_code_size = max(2, depth)
+    lzw = _lzw_encode(indices, min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF87a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0])
+        + palette
+        + b"\x2c\x00\x00\x00\x00"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def _decode_gif(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF contains no image data")
+        else:
+            raise ValueError("corrupt GIF block stream")
+    iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+    ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+    ipacked = payload[pos + 9]
+    pos += 10
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    min_code_size = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos]:
+        ln = payload[pos]
+        lzw += payload[pos + 1 : pos + 1 + ln]
+        pos += ln + 1
+    indices = _lzw_decode(bytes(lzw), min_code_size)
+    if len(indices) < iw * ih:
+        raise ValueError("truncated GIF pixel data")
+    out = bytearray()
+    for i in indices[: iw * ih]:
+        out += palette[3 * i : 3 * i + 3]
+    return ("gif", iw, ih, 3, bytes(out))

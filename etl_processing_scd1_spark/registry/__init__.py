@@ -111,7 +111,12 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   estimation, exact Jaccard alongside) displaces watermark_max (F1
 #   double-confirmed r2/r3 + r5; coalesce(max) semantics also live in
 #   the pytest-pinned meta-upsert path and §2.F keeps
-#   skew_salted_agg/distinct_agg/having_filter/bpe_tokenize).
+#   skew_salted_agg/distinct_agg/having_filter/bpe_tokenize); and
+#   multimodal_decode_gif (real GIF87a LZW codec — the fifth real
+#   image decoder) displaces star_join_chain (C5 double-confirmed
+#   r2/r3 + r5; the broadcast-star shape stays in-window inside
+#   fraud_blacklist_semi/velocity_fraud_rule and is pinned by the
+#   test_plans broadcast gate regardless of window membership).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -147,7 +152,7 @@ PRIMARY = [
     # §2.C / §2.G joins + merges
     "scd1_merge_full",
     "multimodal_video_frames",
-    "star_join_chain",
+    "multimodal_decode_gif",
     # §2.E / §2.H fraud rules + windows
     "velocity_fraud_rule",
     "fraud_blacklist_semi",

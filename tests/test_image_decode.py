@@ -113,7 +113,9 @@ def test_png_rejections():
 
 def test_rejections():
     with pytest.raises(ValueError, match="unsupported image format"):
-        decode_image(b"GIF89a" + b"\x00" * 64)
+        decode_image(b"TIFF\x00\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="corrupt GIF block stream"):
+        decode_image(b"GIF89a" + b"\x00" * 64)  # GIF now decodes for real
     with pytest.raises(ValueError, match="16-bit"):
         decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
     with pytest.raises(ValueError, match="truncated PPM pixel"):
@@ -249,3 +251,43 @@ def test_jpeg_unsupported_sampling_rejected():
     enc[i + 2 + 2 + 6 + 1] = 0x21  # Y sampling 2x1
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(enc))
+
+
+def test_gif_roundtrip_random_palette():
+    """Random 200-color image crosses LZW code-size boundaries; the
+    decode must reproduce every pixel byte."""
+    import random
+
+    from etl_processing_scd1_spark.operators.multimodal import decode_image, encode_gif
+
+    random.seed(7)
+    w, h = 80, 60
+    colors = [bytes([random.randrange(256) for _ in range(3)]) for _ in range(200)]
+    px = b"".join(random.choice(colors) for _ in range(w * h))
+    fmt, dw, dh, ch, out = decode_image(encode_gif(w, h, px))
+    assert (fmt, dw, dh, ch) == ("gif", w, h, 3)
+    assert out == px
+
+
+def test_gif_lzw_table_overflow_clear():
+    """A 19200-pixel random image overflows the 4096-entry LZW table,
+    forcing the encoder's clear-code reset path; decode must still be
+    byte-exact."""
+    import random
+
+    from etl_processing_scd1_spark.operators.multimodal import _decode_gif, encode_gif
+
+    random.seed(11)
+    w, h = 160, 120
+    colors = [bytes([i, (i * 7) % 256, (i * 13) % 256]) for i in range(256)]
+    px = b"".join(random.choice(colors) for _ in range(w * h))
+    assert _decode_gif(encode_gif(w, h, px))[4] == px
+
+
+def test_gif_kwkwk_case():
+    """cScSc strings hit the LZW code == next_code (KwKwK) branch —
+    the classic decoder edge; aaa...a input exercises it densely."""
+    from etl_processing_scd1_spark.operators.multimodal import _decode_gif, encode_gif
+
+    px = b"\x01\x02\x03" * 64  # one repeated color -> runs of index 0
+    assert _decode_gif(encode_gif(8, 8, px))[4] == px
