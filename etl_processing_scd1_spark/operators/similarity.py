@@ -593,34 +593,58 @@ def pq_encode(
     w = dim // m
     vec = F.col(vec_col)
 
-    def block_dist(b: int, cvec: list[float]) -> Column:
+    # Per-block argmin via array_min over (dist, cid) structs computed
+    # by ONE transform over a k×w codeword-block literal — struct
+    # ordering gives lowest distance, ties to the lowest codeword id.
+    # Two deliberate tree-size choices: (a) the earlier when/least
+    # comparison chain re-referenced every prior distance expression
+    # per codeword (O(k²) aggregate evaluations per block after
+    # codegen); (b) even an argmin that INLINES one distance
+    # expression per codeword makes the generated code grow O(k·w),
+    # and janino compile time — a per-query constant — was the
+    # dominant bench cost. The higher-order form keeps the tree
+    # constant-size: one lambda, codewords as array literals.
+    def block_argmin(b: int) -> Column:
         sub = F.slice(vec, b * w + 1, w)
-        lit = F.array(*[F.lit(float(x)) for x in cvec[b * w : (b + 1) * w]])
-        prods = F.zip_with(
-            sub,
-            lit,
-            lambda x, y: F.round(
-                (x.cast("double") - y) * (x.cast("double") - y) * SCALE
-            ).cast("long"),
+        cb_blocks = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cvec[b * w : (b + 1) * w]])
+                for _cid, cvec in codewords
+            ]
         )
-        return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        cids = F.array(*[F.lit(cid) for cid, _cvec in codewords])
+        dists = F.transform(
+            cb_blocks,
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    sub,
+                    cv,
+                    lambda x, y: F.round(
+                        (x.cast("double") - y) * (x.cast("double") - y) * SCALE
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return F.array_min(
+            F.zip_with(
+                dists, cids, lambda d, c: F.struct(d.alias("d"), c.alias("c"))
+            )
+        )
 
-    code_cols, dist_cols = [], []
-    for b in range(m):
-        dists = [(cid, block_dist(b, cvec)) for cid, cvec in codewords]
-        code, best = None, None
-        for cid, d in dists:
-            is_better = F.lit(True) if best is None else d < best
-            code = F.when(is_better, F.lit(cid)) if code is None else F.when(is_better, F.lit(cid)).otherwise(code)
-            best = d if best is None else F.least(best, d)
-        code_cols.append(code.cast("int"))
-        dist_cols.append(best)
-    total = dist_cols[0]
-    for d in dist_cols[1:]:
-        total = total + d
-    return df.select(
+    staged = df.select(
         F.col(id_col),
-        F.array(*code_cols).alias("codes"),
+        *[block_argmin(b).alias(f"__pqb{b}__") for b in range(m)],
+    )
+    total = F.col("__pqb0__")["d"]
+    for b in range(1, m):
+        total = total + F.col(f"__pqb{b}__")["d"]
+    return staged.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__pqb{b}__")["c"].cast("int") for b in range(m)]).alias(
+            "codes"
+        ),
         total.alias("dist_scaled"),
     )
 
@@ -667,27 +691,39 @@ def pq_adc_topk(
     w = dim // m
     qvec = F.col(vec_col)
 
-    def block_dist(b: int, cvec: list[float]) -> Column:
-        sub = F.slice(qvec, b * w + 1, w)
-        lit = F.array(*[F.lit(float(x)) for x in cvec[b * w : (b + 1) * w]])
-        prods = F.zip_with(
-            sub,
-            lit,
-            lambda x, y: F.round(
-                (x.cast("double") - y) * (x.cast("double") - y) * SCALE
-            ).cast("long"),
-        )
-        return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
     # Per-block LUT as MAP<codeword id, exact scaled dist> — map keys
     # are the REAL codeword ids, so arbitrary (non-contiguous) id
-    # spaces need no position bookkeeping at lookup time.
-    lut_cols = [
-        F.create_map(
-            *[e for cid, cvec in codewords for e in (F.lit(cid), block_dist(b, cvec))]
-        ).alias(f"__lut{b}__")
-        for b in range(m)
-    ]
+    # spaces need no position bookkeeping at lookup time. Built with
+    # ONE transform over a k×w codeword-block literal — same
+    # constant-size-tree rationale as pq_encode: inlining one distance
+    # expression per codeword made janino compile time (a per-query
+    # constant) the dominant cost.
+    def block_lut(b: int) -> Column:
+        sub = F.slice(qvec, b * w + 1, w)
+        cb_blocks = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cvec[b * w : (b + 1) * w]])
+                for _cid, cvec in codewords
+            ]
+        )
+        cids = F.array(*[F.lit(cid) for cid, _cvec in codewords])
+        dists = F.transform(
+            cb_blocks,
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    sub,
+                    cv,
+                    lambda x, y: F.round(
+                        (x.cast("double") - y) * (x.cast("double") - y) * SCALE
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return F.map_from_arrays(cids, dists)
+
+    lut_cols = [block_lut(b).alias(f"__lut{b}__") for b in range(m)]
     q = queries.select(F.col(id_col).alias("query_id"), *lut_cols)
     c = codes_df.select(
         F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__codes__")
