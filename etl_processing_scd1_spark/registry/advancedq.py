@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import attach_cache
 from ..operators.rangejoin import interval_join
 from ._base import events_table, make_registry, table
 
@@ -1361,6 +1362,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 4)
         .select("u", "v")
+        # consumed THREE times below (e1/e2/e3): without the persist
+        # each join leg re-runs the whole lineitem co-occurrence
+        # build; released by callers via the attach_cache contract
+        .persist()
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -1382,4 +1387,6 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("b").alias("node")))
         .unionByName(tri.select(F.col("c").alias("node")))
     )
-    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    return attach_cache(
+        nodes.groupBy("node").agg(F.count("*").alias("n_triangles")), edges
+    )
