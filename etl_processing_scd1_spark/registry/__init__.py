@@ -116,7 +116,15 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   image decoder) displaces star_join_chain (C5 double-confirmed
 #   r2/r3 + r5; the broadcast-star shape stays in-window inside
 #   fraud_blacklist_semi/velocity_fraud_rule and is pinned by the
-#   test_plans broadcast gate regardless of window membership).
+#   test_plans broadcast gate regardless of window membership);
+#   and doc_chunking (overlapping training-window split, chunk
+#   content hash-pinned) + deterministic_shuffle (salted-hash
+#   reproducible training order with range-shard column) displace
+#   embedding_near_dup and asof_join (both double-confirmed
+#   r2/r3 + r5; embedding near-dup keeps its test_plans no-NLJ gate
+#   and the similarity family keeps similarity_topk_pandas +
+#   similarity_pq_adc in-window; as-of keeps its test_asof suite and
+#   the beyond-ref join family keeps scd2_merge_full in-window).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -171,9 +179,9 @@ PRIMARY = [
     "near_dedup_minhash",
     "ngram_diversity",
     "containment_dedup_full",
-    "embedding_near_dup",
+    "doc_chunking",
     "bpe_train_merges",
-    "asof_join",
+    "deterministic_shuffle",
     # round-6 rotation: first driver check of the post-r5-freeze
     # quality/dedup additions + the round-6 PNG decode
     "containment_dedup",

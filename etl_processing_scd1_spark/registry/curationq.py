@@ -210,3 +210,86 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic split — the end-to-end shape of a training-data
     prep job, as ONE declarative plan."""
     return curate(table(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=10)
+
+
+DOC_CHUNK_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(range(0, (n - 1) // 400 + 1)) AS chunk_idx,
+             text, n
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(length(substr(text, chunk_idx * 400 + 1, 500)) AS INT) AS chunk_len,
+           md5(substr(text, chunk_idx * 400 + 1, 500)) AS chunk_hash
+    FROM c
+"""
+
+
+@register("doc_chunking", oracle=DOC_CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: split documents into overlapping training windows —
+    500-char chunks on a 400-char stride (100-char overlap), the
+    standard long-document preprocessing before tokenize-and-pack.
+    One narrow ``sequence``+``explode`` per doc (chunk count derived
+    from the length, no join, no shuffle); emits the chunk hash
+    rather than the text so the evidence row stays small while still
+    pinning the exact chunk CONTENT."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunk, stride = 500, 400
+    n_chunks = (F.length("text") - 1) / stride
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), n_chunks.cast("int"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.length(
+                F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, chunk)
+            ).cast("int").alias("chunk_len"),
+            F.md5(
+                F.encode(
+                    F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, chunk),
+                    "utf-8",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+DET_SHUFFLE_ORACLE = f"""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':epoch7') AS shuffle_key,
+           CAST({hex_to_int_sql("md5(CAST(doc_id AS VARCHAR) || ':epoch7')")} % 256 AS BIGINT)
+             AS shard
+    FROM documents
+"""
+
+
+@register("deterministic_shuffle", oracle=DET_SHUFFLE_ORACLE)
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: reproducible corpus shuffle for training order — a
+    salted hash is the sort key (new salt = new permutation, same
+    salt = bit-identical order on any cluster size), and its top bits
+    are the output shard. Writers materialize the order with
+    ``repartitionByRange(shard, shuffle_key)`` +
+    ``sortWithinPartitions`` — a RANGE shuffle, never a global
+    single-partition sort; this evidence query emits the key and
+    shard columns themselves so the permutation (not just its
+    statistics) is hash-pinned against the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch7")))
+    return docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 256).alias("shard"),
+    )

@@ -64,3 +64,37 @@ def test_mixture_sample_nested_and_rated(spark):
     assert all(i in half for i in range(1, 200, 2))  # src b untouched
     none_a = {r["doc_id"] for r in mixture_sample(df, "doc_id", "src", {"b": 100}).collect()}
     assert all(i % 2 == 1 for i in none_a)  # default_rate=0 drops all of src a
+
+
+def test_doc_chunking_covers_text_with_overlap(spark):
+    """Chunks must tile the document: stride 400, width 500 — every
+    char covered, consecutive chunks overlap by exactly 100 chars,
+    and a short doc yields exactly one chunk of its own length."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 950), (2, "b" * 120), (3, "")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    chunk, stride = 500, 400
+    got = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), ((F.length("text") - 1) / stride).cast("int"))
+            ).alias("i"),
+            F.length("text").alias("n"),
+        )
+        .select(
+            "doc_id", "i",
+            F.least(F.lit(chunk), F.col("n") - F.col("i") * stride).alias("clen"),
+        )
+        .collect()
+    )
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.i, r.clen))
+    assert sorted(by_doc[1]) == [(0, 500), (1, 500), (2, 150)]  # 950 chars
+    assert sorted(by_doc[2]) == [(0, 120)]
+    assert 3 not in by_doc  # empty doc: no chunks
