@@ -124,7 +124,12 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   r2/r3 + r5; embedding near-dup keeps its test_plans no-NLJ gate
 #   and the similarity family keeps similarity_topk_pandas +
 #   similarity_pq_adc in-window; as-of keeps its test_asof suite and
-#   the beyond-ref join family keeps scd2_merge_full in-window).
+#   the beyond-ref join family keeps scd2_merge_full in-window);
+#   and multimodal_resize_bilinear (real fixed-point bilinear kernel)
+#   displaces fraud_blacklist_semi (H1 double-confirmed r2/r3 + r5;
+#   the fraud family keeps velocity_fraud_rule and
+#   fraud_report_as_written in-window, and the broadcast-star/semi
+#   shapes stay pinned by the test_plans gates).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -163,7 +168,7 @@ PRIMARY = [
     "multimodal_decode_gif",
     # §2.E / §2.H fraud rules + windows
     "velocity_fraud_rule",
-    "fraud_blacklist_semi",
+    "multimodal_resize_bilinear",
     "edit_distance_dedup",
     # §2.F aggregation surface
     "corpus_overlap_kmv",

@@ -2410,6 +2410,75 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_bilinear",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+    ), d AS (
+      SELECT doc_id,
+             blen % 19 + 2 AS w,
+             blen % 9 + 2 AS h,
+             blen % 256 AS fill
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(w // 2 + 1 AS INT) AS out_w,
+           CAST(h // 2 + 1 AS INT) AS out_h,
+           CAST(3 * (w // 2 + 1) * (h // 2 + 1) * fill AS BIGINT) AS pixel_sum
+    FROM d
+    """,
+)
+def multimodal_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal REAL resize: decode a synthesized image (GIF for
+    even doc ids, PPM for odd) and downscale it through the
+    pure-integer fixed-point bilinear kernel
+    (operators.multimodal.resize_bilinear — Q16 half-pixel mapping,
+    Q32 round-half-up accumulation, bit-deterministic on any
+    platform). The oracle pins the FLAT-image invariant — exact-Q32
+    weight normalization must return the constant everywhere, so
+    pixel_sum = ch·tw·th·fill with no tolerance; the nontrivial
+    gradient arithmetic is pinned by the test_image_decode
+    known-value and float-reference tests."""
+    from ..operators.multimodal import (
+        decode_image,
+        encode_gif,
+        encode_ppm,
+        resize_bilinear,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("__blen__")
+    )
+
+    def synth_resize(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "out_w", "out_h", "pixel_sum")}
+            for doc_id, blen in zip(pdf["doc_id"], pdf["__blen__"]):
+                blen = int(blen)
+                w, h, fill = blen % 19 + 2, blen % 9 + 2, blen % 256
+                px = bytes([fill]) * (3 * w * h)
+                payload = (
+                    encode_gif(w, h, px) if doc_id % 2 == 0 else encode_ppm(w, h, px)
+                )
+                _fmt, dw, dh, ch, pixels = decode_image(payload)
+                tw, th = dw // 2 + 1, dh // 2 + 1
+                resized = resize_bilinear(pixels, dw, dh, ch, tw, th)
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(tw)
+                out["out_h"].append(th)
+                out["pixel_sum"].append(sum(resized))
+            yield pd.DataFrame(out)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        synth_resize,
+        schema="doc_id bigint, out_w int, out_h int, pixel_sum bigint",
+    )
+
+
+@register(
     "multimodal_decode_jpeg",
     oracle="""
     SELECT doc_id, 'jpeg' AS fmt,

@@ -291,3 +291,37 @@ def test_gif_kwkwk_case():
 
     px = b"\x01\x02\x03" * 64  # one repeated color -> runs of index 0
     assert _decode_gif(encode_gif(8, 8, px))[4] == px
+
+
+def test_resize_bilinear_identity_flat_and_reference():
+    """Identity resize is byte-exact; a flat image stays constant at
+    any target size (Q32 weights normalize exactly); a gradient stays
+    within 1 LSB of the float half-pixel bilinear reference and is
+    monotone along a ramp row."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.multimodal import resize_bilinear
+
+    px = bytes(range(48))
+    assert resize_bilinear(px, 4, 4, 3, 4, 4) == px
+
+    flat = bytes([77]) * (3 * 5 * 7)
+    assert resize_bilinear(flat, 5, 7, 3, 9, 4) == bytes([77]) * (3 * 9 * 4)
+
+    row = list(resize_bilinear(bytes([0, 100, 200]), 3, 1, 1, 6, 1))
+    assert row == sorted(row) and row[0] == 0 and row[-1] == 200
+
+    img = (np.arange(24).reshape(6, 4, 1) * 9 % 256).astype(np.uint8)
+    ys = np.clip((np.arange(3) + 0.5) * 6 / 3 - 0.5, 0, 5)
+    xs = np.clip((np.arange(7) + 0.5) * 4 / 7 - 0.5, 0, 3)
+    y0 = np.floor(ys).astype(int); x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, 5); x1 = np.minimum(x0 + 1, 3)
+    fy = (ys - y0)[:, None, None]; fx = (xs - x0)[None, :, None]
+    fimg = img.astype(float)
+    a = fimg[y0][:, x0] * (1 - fx) + fimg[y0][:, x1] * fx
+    b = fimg[y1][:, x0] * (1 - fx) + fimg[y1][:, x1] * fx
+    exp = a * (1 - fy) + b * fy
+    got = np.frombuffer(
+        resize_bilinear(img.tobytes(), 4, 6, 1, 7, 3), np.uint8
+    ).reshape(3, 7, 1)
+    assert np.abs(got.astype(float) - exp).max() <= 1.0
