@@ -129,7 +129,15 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   displaces fraud_blacklist_semi (H1 double-confirmed r2/r3 + r5;
 #   the fraud family keeps velocity_fraud_rule and
 #   fraud_report_as_written in-window, and the broadcast-star/semi
-#   shapes stay pinned by the test_plans gates).
+#   shapes stay pinned by the test_plans gates); and
+#   sessionize_events (batch gaps-and-islands sessionization, the
+#   one-shuffle twin of the streaming session window) +
+#   profile_table (per-column null/distinct/min-max audit) displace
+#   tumbling_window_agg (I5: sessionize keeps the window family's
+#   slot; tumbling stays double-confirmed r4/r5 + streaming-pytest)
+#   and skew_salted_agg (F: double-confirmed r2/r3 + r5, and the
+#   skew story stays pinned by test_skew_guards + the AQE plan gate
+#   regardless of window membership).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -173,9 +181,9 @@ PRIMARY = [
     # §2.F aggregation surface
     "corpus_overlap_kmv",
     "bpe_tokenize",
-    "skew_salted_agg",
+    "profile_table",
     # §2.I streaming-equivalent windows
-    "tumbling_window_agg",
+    "sessionize_events",
     "winsorize_stats",
     # §2.J UDF surface
     "grouped_custom_agg",

@@ -768,4 +768,114 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+SESSIONIZE_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events", oracle=SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands twin of the
+    streaming ``session_window_agg``: a session breaks after 30 idle
+    minutes. lag() marks session starts, a running sum numbers them,
+    one groupBy aggregates — all three steps share the ONE shuffle on
+    user_id (same-key windows and the final agg reuse the
+    partitioning). Timestamps flow as epoch MICROSECOND integers —
+    exact, order-free, and immune to the pandas datetime-range
+    canonicalization failures of round 4."""
+    e = events_table(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessioned = e.withColumn("session_id", F.sum(is_new).over(run))
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+_PROFILE_COLS = ["l_orderkey", "l_shipdate", "l_returnflag", "l_linestatus"]
+
+PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM lineitem
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_table", oracle=PROFILE_ORACLE)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ/profiling: per-column row/null/distinct counts and string-
+    rendered min/max — the audit a warehouse emits before publish
+    (complements dq_checks' constraint violations). ONE scan computes
+    every per-column aggregate map-side partially; the profiled
+    columns are int/date/string so the string rendering is identical
+    across engines (no float formatting divergence)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack("
+            + str(len(_PROFILE_COLS))
+            + ", "
+            + ", ".join(
+                f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}"
+                for c in _PROFILE_COLS
+            )
+            + ") AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+    return stacked
+
+
 __all__ = ["QUERIES", "ORACLES"]

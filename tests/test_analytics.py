@@ -169,3 +169,38 @@ def test_inverted_index_caps_and_sorts_postings(spark):
         assert ids == sorted(ids)
         assert len(ids) == min(r["df"], 20)
         assert r["df"] >= 50
+
+
+def test_sessionize_splits_on_gap_boundary(spark):
+    """Events 29:59 apart share a session; 30:01 apart split. Session
+    stats must count and bound each island exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.registry import EXTRA_QUERIES, QUERIES
+
+    t0 = dt.datetime(2021, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7), (2, t0 + dt.timedelta(minutes=29, seconds=59), 7),
+        (3, t0 + dt.timedelta(minutes=60, seconds=1), 7),   # gap 30:02 -> new
+        (4, t0, 8),
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")\
+        .createOrReplaceTempView("__sess_in")
+    e = spark.table("__sess_in").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0)
+    out = (
+        e.withColumn("sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sess = {(r.user_id, r.sid): r.n for r in out}
+    assert sess == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
