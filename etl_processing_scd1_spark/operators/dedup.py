@@ -551,6 +551,24 @@ def edit_distance_verify(
         joined = joined.filter(
             100 * F.least(la, lb) >= min_sim_pct * F.greatest(la, lb)
         )
+        # Banded Levenshtein: any pair the threshold filter keeps has
+        # lev ≤ max_len·(100−pct)/100 ≤ the GLOBAL bound T, so running
+        # the distance with threshold T (O(n·T) band instead of the
+        # full O(n·m) matrix) returns the exact value for every
+        # surviving pair; pairs driven past T come back −1 and are
+        # provably below the similarity threshold — dropped here.
+        # T costs one max(length) aggregation over the candidate-
+        # restricted text relation (tiny by construction).
+        gmax = texts.agg(F.max(F.length(text_col))).collect()[0][0] or 0
+        t_bound = max(1, (gmax * (100 - min_sim_pct)) // 100)
+        lev = F.levenshtein("__ta__", "__tb__", t_bound)
+        out = joined.select(
+            F.col("id_a"),
+            F.col("id_b"),
+            lev.alias("lev_dist"),
+            F.greatest(la, lb).alias("max_len"),
+        ).filter(F.col("lev_dist") >= 0)
+        return attach_cache(out, *cached)
     out = joined.select(
         F.col("id_a"),
         F.col("id_b"),

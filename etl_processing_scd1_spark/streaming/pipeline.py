@@ -337,3 +337,49 @@ def streaming_near_dedup_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_scd2_sink(
+    stream: DataFrame,
+    read_dim: Callable[[], DataFrame],
+    write_dim: Callable[[DataFrame], None],
+    key: str,
+    compare_cols: list[str],
+    checkpoint_dir: str,
+    effective_ts_fn: Callable[[DataFrame, int], "object"],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """SCD TYPE 2 history accrual as a foreachBatch sink — each
+    micro-batch closes changed versions at the batch's effective
+    timestamp and opens new ones, through the same batch operator as
+    the nightly merge (one code path, like ``streaming_scd1_sink``).
+    ``delete_missing`` stays off: a micro-batch is an increment,
+    never a full snapshot, so absent keys mean "no change".
+
+    ``effective_ts_fn(batch, batch_id)`` supplies the version
+    boundary for the batch — a deterministic function of batch
+    content (e.g. its max event time) keeps replays idempotent, the
+    same property the batch merge gets from a run-literal ``now()``.
+    """
+    from ..operators.scd2 import scd2_merge
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        ts = effective_ts_fn(batch, batch_id)
+        res = scd2_merge(
+            read_dim(), batch, key=key, compare_cols=compare_cols,
+            effective_ts=F.lit(ts), delete_missing=False,
+        )
+        try:
+            write_dim(res.merged)
+        finally:
+            if res.cached is not None:
+                res.cached.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -446,3 +446,67 @@ def test_streaming_dedup_within_watermark_catches_jittered_duplicates(spark, tmp
     _run_to_memory(deduped, "tx_dedup_ww", str(tmp_path / "ckw"))
     ids = [r["trans_id"] for r in spark.sql("SELECT trans_id FROM tx_dedup_ww").collect()]
     assert sorted(ids) == ["T1", "T2"]
+
+
+def test_streaming_scd2_foreachbatch(spark, tmp_path):
+    """Two micro-batches mutate the same key: the final dimension must
+    hold the closed first version (valid_to = batch-2 boundary) and an
+    open current second version — CDC history accrued through the one
+    scd2_merge code path."""
+    import datetime as dt
+
+    from etl_processing_scd1_spark.streaming.pipeline import streaming_scd2_sink
+
+    dim_path = str(tmp_path / "dim2")
+    spark.createDataFrame(
+        [],
+        "k string, city string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    ).write.mode("overwrite").parquet(dim_path)
+
+    def read_dim():
+        return spark.read.parquet(dim_path)
+
+    def write_dim(df):
+        df.write.mode("overwrite").parquet(dim_path + ".next")
+        spark.read.parquet(dim_path + ".next").write.mode("overwrite").parquet(dim_path)
+
+    src = tmp_path / "scd2src"
+    src.mkdir()
+    (src / "b1.csv").write_text("k;city;ets\nA;Moscow;2021-03-01 00:00:00\n")
+    stream = (
+        spark.readStream.format("csv")
+        .option("sep", ";")
+        .option("header", "true")
+        .schema("k string, city string, ets timestamp")
+        .load(str(src))
+    )
+
+    def eff_ts(batch, _bid):
+        row = batch.agg({"ets": "max"}).collect()[0]
+        return row[0] or dt.datetime(2021, 3, 1)
+
+    def run_once():
+        q = streaming_scd2_sink(
+            stream.select("k", "city", "ets"),
+            read_dim,
+            write_dim,
+            key="k",
+            compare_cols=["city"],
+            checkpoint_dir=str(tmp_path / "ck_scd2"),
+            effective_ts_fn=lambda b, i: eff_ts(b.select("ets"), i),
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    (src / "b2.csv").write_text("k;city;ets\nA;Kazan;2021-03-02 00:00:00\n")
+    run_once()
+
+    rows = sorted(
+        spark.read.parquet(dim_path).collect(), key=lambda r: r.valid_from
+    )
+    assert len(rows) == 2
+    closed, current = rows
+    assert closed.city == "Moscow" and not closed.is_current
+    assert closed.valid_to == dt.datetime(2021, 3, 2)
+    assert current.city == "Kazan" and current.is_current
