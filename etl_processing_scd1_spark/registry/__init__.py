@@ -137,7 +137,11 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   slot; tumbling stays double-confirmed r4/r5 + streaming-pytest)
 #   and skew_salted_agg (F: double-confirmed r2/r3 + r5, and the
 #   skew story stays pinned by test_skew_guards + the AQE plan gate
-#   regardless of window membership).
+#   regardless of window membership); and cdc_apply (change-stream
+#   collapse to current state: last op per key wins, trailing delete
+#   removes) displaces parquet_scan (A2 double-confirmed r2/r3 + r5;
+#   §2.A keeps csv_scan in-window and the pushdown/pruning shape
+#   stays pinned by test_plans' parquet gate).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -164,7 +168,7 @@ PRIMARY = [
     "fraud_report_as_written",
     # §2.A sources / scans
     "csv_scan",
-    "parquet_scan",
+    "cdc_apply",
     "triangle_count",
     # §2.B projections / predicates
     "multimodal_decode_jpeg",

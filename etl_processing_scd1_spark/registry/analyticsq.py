@@ -878,4 +878,59 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked
 
 
+
+
+CDC_APPLY_ORACLE = """
+    WITH c AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             event_id,
+             CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, us, op, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY us DESC, event_id DESC
+             ) AS rn
+      FROM c
+    )
+    SELECT user_id,
+           CAST(us AS BIGINT) AS last_us,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("cdc_apply", oracle=CDC_APPLY_ORACLE)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization: collapse a change stream (upserts +
+    deletes) to current state — last op per key wins by (event time,
+    change id), a trailing delete removes the key. ONE window shuffle
+    on the key; the standard replication-feed -> queryable-table
+    step (the event_id%10 op derivation stands in for the feed's op
+    column). Values emitted as exact cents, timestamps as epoch
+    micros."""
+    e = events_table(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("us").alias("last_us"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+
+
 __all__ = ["QUERIES", "ORACLES"]
