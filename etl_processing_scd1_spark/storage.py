@@ -19,6 +19,7 @@ consistent) snapshot.
 
 from __future__ import annotations
 
+import re
 import json
 import os
 import shutil
@@ -33,9 +34,15 @@ class Warehouse:
     publish. Layout: ``root/<table>/`` live data, ``root/.staging/``
     in-flight run, ``root/_manifest.json`` last-commit record."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, retain_versions: int = 0):
         self.spark = spark
         self.root = root
+        #: number of superseded full-table versions kept per table for
+        #: time-travel reads (0 = classic swap-and-delete). Versions
+        #: live beside the table as ``<table>.v_<run_id>`` — the
+        #: run_id that PUBLISHED that data — and are pruned oldest-
+        #: first past the retention count at every publish.
+        self.retain_versions = retain_versions
         os.makedirs(root, exist_ok=True)
         self._staged: dict[str, str] = {}
         self._staged_schema: dict[str, StructType] = {}
@@ -60,7 +67,16 @@ class Warehouse:
                 old = os.path.join(dirpath, entry)
                 live = os.path.join(dirpath, entry[: -len(".old")])
                 if os.path.isdir(live):
-                    shutil.rmtree(old, ignore_errors=True)
+                    # swap completed, only the post-swap step was
+                    # lost. Under retention the displaced data is the
+                    # previous manifest's state — finish the rename
+                    # it would have gotten; without retention, finish
+                    # the delete.
+                    m = self.manifest() if dirpath == self.root else None
+                    if self.retain_versions > 0 and m and m.get("run_id"):
+                        os.rename(old, f"{live}.v_{m['run_id']}")
+                    else:
+                        shutil.rmtree(old, ignore_errors=True)
                 else:
                     os.rename(old, live)
                     # descend into the restored directory: an
@@ -195,6 +211,8 @@ class Warehouse:
         cross-table consistency resolve paths through it.
         """
         run_id = run_id or time.strftime("%Y%m%d%H%M%S")
+        prev_manifest = self.manifest()
+        prev_run_id = (prev_manifest or {}).get("run_id")
         for name, staged in self._staged.items():
             if name.endswith("@append"):
                 live = self._live(name[: -len("@append")])
@@ -232,11 +250,21 @@ class Warehouse:
                 os.rename(live, old)
             os.rename(staged, live)
             if os.path.isdir(old):
-                shutil.rmtree(old)
+                # retention: the displaced data is exactly the state
+                # published by the PREVIOUS run — keep it as a named
+                # version for time travel instead of deleting it
+                if self.retain_versions > 0 and prev_run_id:
+                    os.rename(old, f"{live}.v_{prev_run_id}")
+                    self._prune_versions(live)
+                else:
+                    shutil.rmtree(old)
         manifest = {
             "run_id": run_id,
             "tables": sorted({n.split("@")[0] for n in self._staged}),
             "committed_at": time.time(),
+            "previous": ((prev_manifest or {}).get("previous", []) + [prev_run_id])[-50:]
+            if prev_run_id
+            else [],
         }
         tmp = os.path.join(self.root, "._manifest.tmp")
         with open(tmp, "w") as fh:
@@ -248,6 +276,68 @@ class Warehouse:
         if os.path.isdir(staging_root):
             shutil.rmtree(staging_root, ignore_errors=True)
         return manifest
+
+    def manifest(self) -> dict | None:
+        """Last commit record, or None before the first publish."""
+        path = os.path.join(self.root, "_manifest.json")
+        if not os.path.isfile(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _prune_versions(self, live: str) -> None:
+        parent, base = os.path.split(live)
+        prefix = base + ".v_"
+        versions = sorted(
+            e for e in os.listdir(parent or ".") if e.startswith(prefix)
+        )
+        for stale in versions[: max(0, len(versions) - self.retain_versions)]:
+            shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
+
+    def read_as_of(self, name: str, run_id: str) -> DataFrame:
+        """Time travel: the table as the named published run left it.
+
+        Resolution order: the current manifest's run → the live dir;
+        a retained full-table version → ``<table>.v_<run_id>``; an
+        APPEND table → the live dir restricted to files whose
+        ``<run_id>-NNNNN`` name prefix sorts ≤ the target run (append
+        publishes only ever ADD run-stamped files, so the as-of state
+        is exactly the file subset — no copies retained, no retention
+        limit). Raises KeyError when the run is neither current, nor
+        retained, nor reconstructible from append stamps."""
+        # version dir FIRST: in the publish crash window (swap done,
+        # manifest not yet rewritten) recovery materializes
+        # ``<table>.v_<run_id>`` while the stale manifest still names
+        # that run — the retained dir is the true as-of state
+        vdir = f"{self._live(name)}.v_{run_id}"
+        if os.path.isdir(vdir):
+            return self.spark.read.parquet(vdir)
+        m = self.manifest()
+        if m and m.get("run_id") == run_id:
+            return self.read(name)
+        live = self._live(name)
+        if os.path.isdir(live):
+            stamp = re.compile(r"(.+)-\d{5}\.parquet$")
+            all_parquet = [
+                fn
+                for _dp, _dirs, fns in os.walk(live)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+            stamps = [stamp.fullmatch(fn) for fn in all_parquet]
+            if all_parquet and all(stamps):
+                files = [
+                    os.path.join(dirpath, fn)
+                    for dirpath, _dirs, fns in os.walk(live)
+                    for fn in fns
+                    if (mm := stamp.fullmatch(fn)) and mm.group(1) <= run_id
+                ]
+                if files:
+                    return self.spark.read.parquet(*files)
+        raise KeyError(
+            f"no retained version of {name!r} for run {run_id!r} "
+            f"(retain_versions={self.retain_versions})"
+        )
 
     def save_bucketed(
         self,

@@ -210,3 +210,65 @@ def test_staged_empty_full_table_not_stale(spark, tmp_path):
     wh.stage_append("fact", spark.createDataFrame([], "x int"))
     inc = wh.staged_view("fact@append")
     assert inc is None or inc.count() == 0
+
+
+def test_version_retention_and_time_travel(spark, tmp_path):
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whv"), retain_versions=2)
+    for run, val in (("r1", "a"), ("r2", "b"), ("r3", "c")):
+        wh.stage("dim", spark.createDataFrame([(1, val)], "id int, v string"))
+        wh.publish(run_id=run)
+    assert wh.read("dim").collect()[0].v == "c"
+    assert wh.read_as_of("dim", "r3").collect()[0].v == "c"
+    assert wh.read_as_of("dim", "r2").collect()[0].v == "b"
+    assert wh.read_as_of("dim", "r1").collect()[0].v == "a"
+    # a fourth publish prunes the oldest retained version (keep 2)
+    wh.stage("dim", spark.createDataFrame([(1, "d")], "id int, v string"))
+    wh.publish(run_id="r4")
+    assert wh.read_as_of("dim", "r2").collect()[0].v == "b"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        wh.read_as_of("dim", "r1")
+    # manifest history records the lineage
+    assert wh.manifest()["previous"][-2:] == ["r2", "r3"]
+
+
+def test_append_table_time_travel_via_run_stamps(spark, tmp_path):
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wha"))
+    for run, n in (("r1", 2), ("r2", 3)):
+        wh.stage_append(
+            "facts", spark.createDataFrame([(run, i) for i in range(n)], "run string, i int")
+        )
+        wh.publish(run_id=run)
+    assert wh.read("facts").count() == 5
+    asof = wh.read_as_of("facts", "r1")
+    assert asof.count() == 2
+    assert {r.run for r in asof.collect()} == {"r1"}
+
+
+def test_interrupted_publish_with_retention_preserves_version(spark, tmp_path):
+    """Crash between swap and version-rename: recovery must finish the
+    rename the publish would have done, so the displaced state stays
+    reachable by its run id."""
+    import os
+
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    root = str(tmp_path / "whc")
+    wh = Warehouse(spark, root, retain_versions=2)
+    wh.stage("dim", spark.createDataFrame([(1, "a")], "id int, v string"))
+    wh.publish(run_id="r1")
+    # simulate the crash window: new data live, old state still in .old
+    wh.stage("dim", spark.createDataFrame([(1, "b")], "id int, v string"))
+    staged = wh._staged["dim"]
+    live = os.path.join(root, "dim")
+    os.rename(live, live + ".old")
+    os.rename(staged, live)
+    # reopen -> recovery runs (manifest still says r1)
+    wh2 = Warehouse(spark, root, retain_versions=2)
+    assert wh2.read("dim").collect()[0].v == "b"
+    assert wh2.read_as_of("dim", "r1").collect()[0].v == "a"
