@@ -134,3 +134,64 @@ def wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n_parts, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+SPECTRO_SCHEMA = (
+    "doc_id bigint, n_frames int, n_bins int, peak_bin int, "
+    "peak_frame int, spectral_centroid_milli bigint"
+)
+
+
+def wav_spectrogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_len: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """STFT magnitude spectrogram over binary WAV payloads — the
+    standard speech-curation front end (VAD, music/noise screens,
+    language-ID features all start here). Hann-windowed frames of
+    ``frame_len`` samples every ``hop``, numpy ``rfft`` per batch —
+    vectorized across all frames of a payload at once, one Arrow
+    ``mapInPandas`` pass, zero shuffles.
+
+    Emits summary features rather than the (frames × bins) matrix:
+    global peak bin/frame and the spectral centroid in milli-bins
+    (floats floored to integers AFTER the physics, so the output is
+    hash-stable). No SQL oracle — an FFT is not SQL-expressible; the
+    pytest suite pins pure-tone peak location, centroid monotonicity
+    in frequency, and frame-count arithmetic instead (the documented
+    weaker rows-only check for non-relational operators).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(frame_len)
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "n_bins", "peak_bin",
+                "peak_frame", "spectral_centroid_milli",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                _rate, channels, _bits, samples = decode_wav(payload)
+                ch0 = np.asarray(samples[::channels], dtype=np.float64)
+                if len(ch0) < frame_len:
+                    ch0 = np.pad(ch0, (0, frame_len - len(ch0)))
+                n_frames = 1 + (len(ch0) - frame_len) // hop
+                idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+                mag = np.abs(np.fft.rfft(ch0[idx] * win[None, :], axis=1))
+                flat = int(np.argmax(mag))
+                peak_frame, peak_bin = divmod(flat, mag.shape[1])
+                power = mag.sum()
+                bins = np.arange(mag.shape[1], dtype=np.float64)
+                centroid = float((mag.sum(axis=0) * bins).sum() / power) if power > 0 else 0.0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_bins"].append(mag.shape[1])
+                out["peak_bin"].append(int(peak_bin))
+                out["peak_frame"].append(int(peak_frame))
+                out["spectral_centroid_milli"].append(int(centroid * 1000))
+            yield pd.DataFrame(out)
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts, id_col).mapInPandas(batches, schema=SPECTRO_SCHEMA)

@@ -373,8 +373,13 @@ class Warehouse:
         metastore (or use Iceberg/Delta bucketing) so the layout
         outlives it.
         """
+        import zlib
+
         safe = "".join(c if c.isalnum() else "_" for c in name.lower())
-        tbl = f"bkt_{safe}_{abs(hash(self.root)) % 100_000}"
+        # crc32, not hash(): the builtin is salted per-process, which
+        # would register the same warehouse table under a new catalog
+        # name every session
+        tbl = f"bkt_{safe}_{zlib.crc32(self.root.encode()) % 100_000}"
         path = os.path.join(self.root, f"{name}.bucketed")
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         if os.path.isdir(path):

@@ -89,3 +89,27 @@ def test_y4m_rejections():
         decode_y4m(b"YUV4MPEG2 W2 H2 C410\nFRAME\n\x00\x00\x00\x00")
     with pytest.raises(ValueError, match="truncated"):
         decode_y4m(b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n\x00\x00")
+
+
+def test_spectrogram_pure_tone_peak_and_centroid(spark):
+    """A pure tone at bin k of a 256-sample frame must peak at bin k;
+    a higher tone moves both the peak and the spectral centroid up;
+    frame count follows 1 + (n - frame)//hop."""
+    import math
+
+    from etl_processing_scd1_spark.operators.audio import encode_wav, wav_spectrogram
+
+    def tone(bin_k: int, n: int = 1024) -> bytes:
+        # bin k of a 256-pt frame at rate 8000 -> freq = k*8000/256
+        return encode_wav(
+            [int(12000 * math.sin(2 * math.pi * bin_k * i / 256)) for i in range(n)],
+            sample_rate=8000, channels=1, bits=16,
+        )
+
+    rows = [(1, tone(8)), (2, tone(40))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in wav_spectrogram(df).collect()}
+    assert out[1].peak_bin == 8 and out[2].peak_bin == 40
+    assert out[1].n_bins == 129
+    assert out[1].n_frames == 1 + (1024 - 256) // 128
+    assert out[2].spectral_centroid_milli > out[1].spectral_centroid_milli
