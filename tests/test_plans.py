@@ -338,3 +338,26 @@ def test_bucketed_join_and_agg_run_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t_left}")
         spark.sql(f"DROP TABLE IF EXISTS {t_right}")
+
+
+def test_audit_plan_reports_star_join_shape(spark):
+    from etl_processing_scd1_spark.plans.audit import assert_scale_clean, audit_plan
+
+    from etl_processing_scd1_spark.operators.dedup import release_cached
+
+    df = ALL_QUERIES["star_join_chain"](spark, SF0001)
+    audit = assert_scale_clean(df)
+    assert audit["broadcast_joins"] >= 3
+    assert audit["nested_loop_joins"] == 0
+    assert any(s["pushed_filters"] for s in audit["scans"])
+    release_cached(df)
+
+    # a deliberate cartesian product must be flagged and rejected
+    import pytest as _pytest
+
+    a = spark.range(10)
+    b = spark.range(10)
+    cross = a.crossJoin(b)
+    assert audit_plan(cross)["warnings"]
+    with _pytest.raises(AssertionError, match="nested-loop|cartesian"):
+        assert_scale_clean(cross)
