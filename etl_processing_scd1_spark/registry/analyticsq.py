@@ -933,4 +933,65 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+#: Benford leading-digit probabilities log10(1+1/d), shared verbatim
+#: by the Spark plan and the DuckDB oracle so expected counts agree
+#: bit-for-bit
+_BENFORD_P = {"1": 0.3010299956639812, "2": 0.17609125905568124, "3": 0.12493873660829992, "4": 0.09691001300805642, "5": 0.07918124604762482, "6": 0.06694678963061322, "7": 0.05799194697768673, "8": 0.05115252244738129, "9": 0.04575749056067514}
+
+BENFORD_ORACLE = """
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+    t AS (SELECT count(*) AS n FROM d),
+    praw(digit, p) AS (VALUES ('1', 0.3010299956639812), ('2', 0.17609125905568124), ('3', 0.12493873660829992), ('4', 0.09691001300805642), ('5', 0.07918124604762482), ('6', 0.06694678963061322), ('7', 0.05799194697768673), ('8', 0.05115252244738129), ('9', 0.04575749056067514)),
+    p AS (SELECT digit, CAST(p AS DOUBLE) AS p FROM praw)
+    SELECT c.digit,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(round(t.n * p.p * 1e9) AS BIGINT) AS expected_nano,
+           CAST(round((observed - t.n * p.p) * (observed - t.n * p.p)
+                      / (t.n * p.p) * 1e9) AS BIGINT) AS chi2_nano
+    FROM c JOIN p ON p.digit = c.digit CROSS JOIN t
+"""
+
+
+@register("benford_screen", oracle=BENFORD_ORACLE)
+def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud analytics (the reference's domain, H-family adjacent):
+    Benford's-law leading-digit screen over order totals — fabricated
+    amounts flunk the log-distribution, so per-digit chi-squared
+    contributions are the standard first-pass forensic test. The
+    leading digit is taken through an explicit floor before the
+    BIGINT cast (Spark's decimal->long cast truncates while DuckDB's
+    ROUNDS — and decimal string formatting differs too); expectations use the
+    module-literal log10 probabilities shared with the oracle; chi2
+    contributions are nano-quantized after identical IEEE arithmetic.
+    Two tiny aggregations (9-row digit counts + a 1-row total,
+    broadcast back) — scan-bound at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    p = spark.createDataFrame(
+        [(k, v) for k, v in _BENFORD_P.items()], "digit string, p double"
+    )
+    j = counts.join(F.broadcast(p), "digit").crossJoin(F.broadcast(total))
+    exp = F.col("n") * F.col("p")
+    return j.select(
+        "digit",
+        F.col("observed").cast("long").alias("observed"),
+        F.round(exp * 1e9).cast("long").alias("expected_nano"),
+        F.round((F.col("observed") - exp) * (F.col("observed") - exp) / exp * 1e9)
+        .cast("long")
+        .alias("chi2_nano"),
+    )
+
+
 __all__ = ["QUERIES", "ORACLES"]

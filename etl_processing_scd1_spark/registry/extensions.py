@@ -925,6 +925,54 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEXT_CLEAN_ORACLE = """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || ' cafe' || chr(769) || chr(9) || chr(1)),
+             '[\\x00-\\x1f]', '', 'g'), '\\s+', ' ', 'g'))) AS clean_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || ' cafe' || chr(769) || chr(9) || chr(1)),
+             '[\\x00-\\x1f]', '', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM documents
+"""
+
+
+@register("text_clean", oracle=TEXT_CLEAN_ORACLE)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 text normalization: Unicode NFC composition (an Arrow
+    SCALAR pandas_udf over Python's unicodedata — Spark has no NFC
+    builtin; the vectorized batch path, never per-row), control-char
+    strip and whitespace collapse (JVM regexp). The appended
+    decomposed suffix (e + combining acute, a tab, a control byte)
+    makes the check REAL: clean_hash only matches DuckDB's
+    nfc_normalize if composition actually ran — on pure-ASCII corpus
+    text NFC would be untestable."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: this module runs under PEP 563 (string
+    # annotations), which pandas_udf cannot resolve — same isolation
+    # trick as operators.udfs
+    @pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    docs = table(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit(" cafe\u0301\t\x01"))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(dirty), "[\\x00-\\x1f]", ""), "\\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(cleaned, "utf-8")).alias("clean_hash"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    )
+
+
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
 
