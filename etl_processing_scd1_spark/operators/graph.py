@@ -1,0 +1,63 @@
+"""Graph operators over edge relations (beyond-reference analytics
+tier, alongside PageRank in ``registry/advancedq`` and the
+connected-components clustering in ``operators/dedup``).
+
+Scale design notes: every iteration of a propagation algorithm is
+one join of the label relation to the (pre-partitioned) edge
+relation plus one aggregation — O(E) shuffled bytes per round, no
+driver-side state beyond the loop counter. Fixed iteration counts
+keep plans finite and oracles unrollable; convergence-looped
+variants belong behind checkpointed iteration like dedup_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    2007), DETERMINISTIC variant: every node starts as its own label;
+    each round it adopts the most frequent label among its neighbors,
+    ties → lowest label, isolated nodes keep their own. Unlike the
+    min-label propagation in ``dedup_clusters`` (which converges to
+    connected components), the mode rule lets dense subgraphs hold
+    distinct labels — communities, not components.
+
+    ``edges`` holds each undirected edge ONCE as ``u < v``; both
+    directions are materialized here. Each of the ``iters`` rounds is
+    one labels⋈edges join + one (node, label) count + one per-node
+    argmax window — O(E) per round, shuffles keyed on node so the
+    rounds reuse the partitioning. Output: (node, community).
+    """
+    fwd = edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+    rev = edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst"))
+    adj = fwd.unionByName(rev)
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(iters):
+        neighbor_labels = (
+            adj.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("__votes__"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("__votes__"), F.asc("community")
+        )
+        winners = (
+            neighbor_labels.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("node", "community")
+        )
+        labels = nodes.join(winners, "node", "left").select(
+            "node", F.coalesce(F.col("community"), F.col("node")).alias("community")
+        )
+    return labels

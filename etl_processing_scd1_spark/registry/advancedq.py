@@ -1390,3 +1390,118 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_cache(
         nodes.groupBy("node").agg(F.count("*").alias("n_triangles")), edges
     )
+
+
+LABEL_PROP_ORACLE = """
+WITH
+    co AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM co a JOIN co b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+      HAVING count(*) >= 4
+    ),
+    adj AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM adj),
+    lab0 AS (SELECT node, node AS community FROM nodes),
+    votes1 AS (
+      SELECT a.src AS node, l.community, count(*) AS votes
+      FROM adj a JOIN lab0 l ON l.node = a.dst
+      GROUP BY a.src, l.community
+    ),
+    win1 AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY votes DESC, community
+               ) AS rn
+        FROM votes1
+      ) WHERE rn = 1
+    ),
+    lab1 AS (
+      SELECT n.node, COALESCE(w.community, n.node) AS community
+      FROM nodes n LEFT JOIN win1 w ON w.node = n.node
+    ),
+    votes2 AS (
+      SELECT a.src AS node, l.community, count(*) AS votes
+      FROM adj a JOIN lab1 l ON l.node = a.dst
+      GROUP BY a.src, l.community
+    ),
+    win2 AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY votes DESC, community
+               ) AS rn
+        FROM votes2
+      ) WHERE rn = 1
+    ),
+    lab2 AS (
+      SELECT n.node, COALESCE(w.community, n.node) AS community
+      FROM nodes n LEFT JOIN win2 w ON w.node = n.node
+    ),
+    votes3 AS (
+      SELECT a.src AS node, l.community, count(*) AS votes
+      FROM adj a JOIN lab2 l ON l.node = a.dst
+      GROUP BY a.src, l.community
+    ),
+    win3 AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY votes DESC, community
+               ) AS rn
+        FROM votes3
+      ) WHERE rn = 1
+    ),
+    lab3 AS (
+      SELECT n.node, COALESCE(w.community, n.node) AS community
+      FROM nodes n LEFT JOIN win3 w ON w.node = n.node
+    )
+    SELECT node, CAST(community AS BIGINT) AS community
+    FROM lab3
+"""
+
+
+@register("label_propagation_communities", oracle=LABEL_PROP_ORACLE)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics (iterative #3, beside PageRank and the
+    dedup-cluster components): deterministic synchronous label
+    propagation on the support-thresholded co-supplier graph
+    (operators.graph.label_propagation) — 3 rounds of
+    adopt-the-modal-neighbor-label, ties to the lowest label,
+    isolated nodes keep their own. The oracle unrolls the rounds as
+    generated CTE blocks from the same iteration count. One O(E)
+    join+agg per round; the edge build is the shared
+    market-basket-support construction (density control at scale)."""
+    from ..operators.dedup import attach_cache
+    from ..operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+    co = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = co.alias("a"), co.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 4)
+        .select("u", "v")
+        # consumed once per propagation round — persist like
+        # triangle_count's triply-consumed edge relation
+        .persist()
+    )
+    out = label_propagation(edges, iters=3)
+    return attach_cache(
+        out.select("node", F.col("community").cast("long").alias("community")),
+        edges,
+    )

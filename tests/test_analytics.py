@@ -204,3 +204,19 @@ def test_sessionize_splits_on_gap_boundary(spark):
     )
     sess = {(r.user_id, r.sid): r.n for r in out}
     assert sess == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
+
+
+def test_label_propagation_separates_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 rounds each
+    clique converges to its lowest member's label, and the bridge
+    does not merge them (a component algorithm WOULD merge — that is
+    the communities-vs-components distinction)."""
+    from etl_processing_scd1_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "u long, v long")
+    out = {r.node: r.community for r in label_propagation(edges, iters=3).collect()}
+    assert {out[n] for n in range(4)} == {0}
+    assert {out[n] for n in range(10, 14)} == {10}
