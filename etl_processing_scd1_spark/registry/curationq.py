@@ -293,3 +293,97 @@ def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         key.alias("shuffle_key"),
         (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 256).alias("shard"),
     )
+
+
+TEMP_MIX_ORACLE = """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM s)
+    SELECT s.source,
+           s.n,
+           CAST(round(sqrt(CAST(s.n AS DOUBLE)) / t.z * 1e9) AS BIGINT) AS weight_nano,
+           CAST(floor(100000 * sqrt(CAST(s.n AS DOUBLE)) / t.z) AS BIGINT) AS target_docs
+    FROM s CROSS JOIN t
+"""
+
+
+@register("temperature_mixture", oracle=TEMP_MIX_ORACLE)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM data mixing: temperature-flattened source weights
+    w_i ∝ n_i^α with α = 1/2 — the standard up-sampling of small
+    sources / down-sampling of giants before training (α=1 is
+    proportional, α=0 uniform). α is fixed at 1/2 because sqrt is
+    IEEE-correctly-rounded on every engine — pow(x, α) for general α
+    is not — so the nano-quantized weights hash-match exactly. Emits
+    the per-source weight and its 100k-document allocation; the
+    actual admission reuses the deterministic hash-threshold sampler
+    (`corpus_mixture`) with these rates."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    z = s.agg(F.sum(F.sqrt(F.col("n").cast("double"))).alias("z"))
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.sqrt(F.col("n").cast("double")) / F.col("z") * 1e9)
+            .cast("long")
+            .alias("weight_nano"),
+            F.floor(100000 * F.sqrt(F.col("n").cast("double")) / F.col("z"))
+            .cast("long")
+            .alias("target_docs"),
+        )
+    )
+
+
+TOPK_AGG_ORACLE = """
+    SELECT l_returnflag,
+           CAST(k.o AS BIGINT) AS l_orderkey,
+           CAST(k.p AS BIGINT) AS price_cents
+    FROM (
+      SELECT l_returnflag,
+             unnest(list_slice(
+               list_sort(list((CAST(round(l_extendedprice * 100) AS BIGINT),
+                               l_orderkey)),
+                         'DESC'),
+               1, 3)) AS pair
+      FROM lineitem GROUP BY l_returnflag
+    ) t(l_returnflag, pair),
+    LATERAL (SELECT pair[2] AS o, pair[1] AS p) k
+"""
+
+
+@register("topk_per_group_agg", oracle=TOPK_AGG_ORACLE)
+def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITHOUT a window: collect (price, key) structs
+    per group, sort and slice inside the aggregate. The window
+    formulation shuffles and sorts EVERY row by group; this shape is
+    partial-aggregatable — each map task keeps its local rows, one
+    k-row slice survives per group per side. (Spark lacks a bounded
+    collect-top-k UDAF built-in, so the full list is collected per
+    group before the slice — the documented trade: right when groups
+    are bounded, e.g. pre-aggregated or high-cardinality keys; the
+    window path remains for giant single groups.) Ties broken by the
+    struct's second field DESC — mirrored exactly in the oracle's
+    pair sort."""
+    li = table(spark, sf_dir, "lineitem")
+    pair = F.struct(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.col("l_orderkey").alias("o"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.slice(F.sort_array(F.collect_list(pair), asc=False), 1, 3).alias("top")
+        )
+        .select(
+            "l_returnflag",
+            F.explode("top").alias("pair"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pair.o").cast("long").alias("l_orderkey"),
+            F.col("pair.p").cast("long").alias("price_cents"),
+        )
+    )
