@@ -102,3 +102,71 @@ def streaming_velocity_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "key string, session_start_us long, session_end_us long, n_events long"
+)
+SESSION_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+
+def session_assembler(gap_minutes: int = 30):
+    """Per-key incremental sessionizer: extend the open session while
+    events arrive within the gap, EMIT the closed session the moment
+    an event breaks it, keep the new session open in state. The
+    streaming twin of the batch ``sessionize_events`` gaps-and-islands
+    query — identical session boundaries, but O(keys) state and
+    closed-session rows the instant the breaking event arrives
+    instead of a full-table window."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        start_us, end_us, n = state.get if state.exists else (None, None, 0)
+        out = {k: [] for k in ("key", "session_start_us", "session_end_us", "n_events")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for row in pdf.itertuples():
+                us = int(row.us)
+                if start_us is None:
+                    start_us, end_us, n = us, us, 1
+                elif us - end_us <= gap_us:
+                    end_us, n = us, n + 1
+                else:
+                    out["key"].append(key[0])
+                    out["session_start_us"].append(start_us)
+                    out["session_end_us"].append(end_us)
+                    out["n_events"].append(n)
+                    start_us, end_us, n = us, us, 1
+        state.update((start_us, end_us, n))
+        if out["key"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_sessionize_stateful(
+    stream: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """groupBy(key) → applyInPandasWithState sessionization. The open
+    session stays in state across micro-batches (never emitted until
+    broken — production adds EventTimeTimeout to flush idle keys;
+    NoTimeout keeps tests deterministic, same note as the velocity
+    flagger above)."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("string").alias("event_id"),
+        F.unix_micros(F.col(event_time_col).cast("timestamp")).alias("us"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        session_assembler(gap_minutes),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

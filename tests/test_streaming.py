@@ -510,3 +510,55 @@ def test_streaming_scd2_foreachbatch(spark, tmp_path):
     assert closed.city == "Moscow" and not closed.is_current
     assert closed.valid_to == dt.datetime(2021, 3, 2)
     assert current.city == "Kazan" and current.is_current
+
+
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    """Incremental sessionization: a session that OPENS in batch 1 and
+    is broken by a batch-2 event must be emitted with its batch-1
+    boundaries — the closed-session row depends entirely on state
+    carried across micro-batches."""
+    from etl_processing_scd1_spark.streaming.stateful import (
+        streaming_sessionize_stateful,
+    )
+
+    src = tmp_path / "ss"
+    src.mkdir()
+    (src / "a_b1.csv").write_text(
+        "user_id;event_id;ts\n"
+        "1;E1;2021-03-01 10:00:00\n"
+        "1;E2;2021-03-01 10:10:00\n"
+    )
+    (src / "b_b2.csv").write_text(
+        "user_id;event_id;ts\n"
+        "1;E3;2021-03-01 11:00:00\n"  # 50-min gap -> closes session 1
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id long, event_id string, ts timestamp")
+        .option("sep", ";")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    sessions = streaming_sessionize_stateful(
+        stream, key_col="user_id", event_time_col="ts", id_col="event_id",
+        gap_minutes=30,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("ss_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import datetime as dt
+
+    rows = spark.sql("SELECT * FROM ss_out").collect()
+    assert len(rows) == 1  # E3's session stays OPEN in state
+    r = rows[0]
+    t0 = int(dt.datetime(2021, 3, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert r.key == "1" and r.n_events == 2
+    assert r.session_start_us == t0
+    assert r.session_end_us == t0 + 10 * 60 * 1_000_000
