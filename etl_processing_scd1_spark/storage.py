@@ -179,6 +179,23 @@ class Warehouse:
         self._staged[name] = path
         self._staged_schema[name] = df.schema
 
+    def stage_ordered(
+        self, name: str, df: DataFrame, order_cols: list[str], num_files: int | None = None
+    ) -> None:
+        """Stage with a MATERIALIZED global order: rows are range-
+        partitioned on ``order_cols`` and sorted within each file, so
+        file k's key range sits strictly before file k+1's and a
+        sequential reader sees the exact global order — the
+        scale-safe way to write a deterministic training order (the
+        ``deterministic_shuffle`` query's contract) or a sort key for
+        range-pruned scans. One RANGE shuffle; never a
+        single-partition global sort."""
+        parts = num_files or self.spark.sparkContext.defaultParallelism
+        ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
+            *order_cols
+        )
+        self.stage(name, ordered)
+
     def stage_append(
         self, name: str, df: DataFrame, partition_cols: list[str] | None = None
     ) -> None:

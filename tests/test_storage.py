@@ -272,3 +272,33 @@ def test_interrupted_publish_with_retention_preserves_version(spark, tmp_path):
     wh2 = Warehouse(spark, root, retain_versions=2)
     assert wh2.read("dim").collect()[0].v == "b"
     assert wh2.read_as_of("dim", "r1").collect()[0].v == "a"
+
+
+def test_stage_ordered_materializes_global_order(spark, tmp_path):
+    """Range-partitioned + sorted-within-file staging: each parquet
+    file is internally sorted and file key ranges are pairwise
+    disjoint and ordered, so concatenating files in name order yields
+    the global order without any further sort."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "who"))
+    df = spark.range(0, 5000).select(
+        F.md5(F.col("id").cast("string")).alias("k"), F.col("id").alias("v")
+    )
+    wh.stage_ordered("ordered", df, ["k"], num_files=4)
+    wh.publish(run_id="r1")
+    files = sorted(glob.glob(os.path.join(str(tmp_path / "who"), "ordered", "part-*.parquet")))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(f"file://{os.path.abspath(f)}").collect()]
+        assert ks == sorted(ks)  # sorted within file
+        if ks:
+            ranges.append((ks[0], ks[-1]))
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # disjoint, ordered ranges across files
