@@ -276,3 +276,27 @@ def archive_file(path: str, archive_dir: str) -> str:
     dest = os.path.join(archive_dir, os.path.basename(path) + ".backup")
     shutil.move(path, dest)
     return dest
+
+
+def write_transactions_csv(df: DataFrame, path: str) -> None:
+    """Writer-side twin of :func:`read_transactions_csv` — emit the
+    reference's exact on-disk format (``;`` separator, COMMA decimal
+    amounts, the source header names; main.py:116's
+    ``sep=';', decimal=','`` read contract), so the engine can feed
+    downstreams that still consume the legacy drop-dir files. The
+    comma decimal is produced by formatting the DECIMAL as a plain
+    string and translating the point — never float formatting, which
+    would vary by locale/engine. Executor-parallel: one file per
+    partition, splittable on re-read."""
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        F.col("trans_id").alias("transaction_id"),
+        F.date_format("trans_date", "yyyy-MM-dd HH:mm:ss").alias("transaction_date"),
+        F.translate(F.col("amt").cast("string"), ".", ",").alias("amount"),
+        "card_num",
+        "oper_type",
+        "oper_result",
+        "terminal",
+    )
+    out.write.mode("overwrite").option("sep", ";").option("header", True).csv(path)

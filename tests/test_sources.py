@@ -140,3 +140,37 @@ def test_csv_corrupt_records_are_audited_not_dropped(spark, tmp_path):
     assert bad.count() == 1
     assert "garbage" in bad.collect()[0]["_corrupt_record"]
     df.unpersist()
+
+
+def test_transactions_csv_roundtrip_writer(spark, tmp_path):
+    """write_transactions_csv emits the reference's format exactly:
+    re-reading through read_transactions_csv reproduces every value,
+    and the raw bytes carry ';' separators and comma decimals."""
+    import datetime as dt
+    import glob
+    from decimal import Decimal
+
+    from etl_processing_scd1_spark.sources.readers import (
+        read_transactions_csv,
+        write_transactions_csv,
+    )
+
+    rows = [
+        ("T1", dt.datetime(2021, 3, 1, 10, 0, 0), Decimal("1046.40000"),
+         "4513 5880 2369 1799", "PAYMENT", "SUCCESS", "A001"),
+        ("T2", dt.datetime(2021, 3, 1, 11, 0, 0), Decimal("7.00000"),
+         "4513 5880 2369 1799", "WITHDRAW", "REJECT", "P002"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trans_id string, trans_date timestamp, amt decimal(18,5), "
+        "card_num string, oper_type string, oper_result string, terminal string",
+    )
+    out = str(tmp_path / "tx_out")
+    write_transactions_csv(df, out)
+    raw = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*.csv")))
+    assert "1046,40000" in raw and ";" in raw.splitlines()[0]
+    back = {r.trans_id: r for r in read_transactions_csv(spark, out).collect()}
+    assert back["T1"].amt == Decimal("1046.40000")
+    assert back["T2"].oper_result == "REJECT"
+    assert back["T1"].trans_date == rows[0][1]
