@@ -141,7 +141,13 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   collapse to current state: last op per key wins, trailing delete
 #   removes) displaces parquet_scan (A2 double-confirmed r2/r3 + r5;
 #   §2.A keeps csv_scan in-window and the pushdown/pruning shape
-#   stays pinned by test_plans' parquet gate).
+#   stays pinned by test_plans' parquet gate). Window-invariant
+#   repair: displacing BOTH semi_join_in and fraud_blacklist_semi
+#   left the left-semi family (B6/C8) without an in-window
+#   representative, so semi_join_in returns in place of
+#   scd1_insert_new (r5 driver-green single whose insert-leg
+#   semantics ride in-window inside scd1_merge_full and the
+#   hypothesis merge-model suite).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -154,7 +160,7 @@ PRIMARY = [
     "theta_filter",
     "expr_key_join_trim",
     "expr_key_join_replace",
-    "scd1_insert_new",
+    "semi_join_in",
     "scd1_update_detect",
     "scd1_delete_missing",
     "window_lag_prev",
