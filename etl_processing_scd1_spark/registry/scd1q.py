@@ -401,3 +401,68 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _leg(out, res)
+
+
+SNAPSHOT_DIFF_ORACLE = """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < DATE '1996-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate < DATE '1997-01-01' AND o_orderkey % 10 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE
+               WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+               ELSE 'keep' END AS action
+      FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n_keys
+    FROM j GROUP BY action
+"""
+
+
+@register("snapshot_diff", oracle=SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-diff / regression audit: classify every key between two
+    snapshot versions as insert/update/delete/keep — the engine's
+    scd1_changes primitive reused as a standalone comparison tool
+    (what you run before promoting a rebuilt table, or to diff a
+    migration against its source). ONE full-outer join on the key,
+    null-safe column comparison, then a 4-row count rollup. The two
+    'versions' are deterministic slices of orders (a date cut, with
+    mod-10 deletes and mod-7 status mutations on the newer side)."""
+    from ..operators.scd1 import _MARKER, scd1_changes
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderkey") % 10 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    changes = scd1_changes(
+        old, new, key="o_orderkey", compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        changes.groupBy(F.col(_MARKER).alias("action"))
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
