@@ -523,39 +523,53 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
 
     src = tmp_path / "ss"
     src.mkdir()
+    emitted = []
+
+    def run_once():
+        # two sequential availableNow passes over the SAME checkpoint:
+        # the file source's within-batch ordering under load is not
+        # deterministic, so batch boundaries are forced by writing the
+        # second file only after the first pass completes (the
+        # operator's contract is in-order arrival per key — production
+        # pairs it with an event-time watermark upstream)
+        stream = (
+            spark.readStream.format("csv")
+            .schema("user_id long, event_id string, ts timestamp")
+            .option("sep", ";")
+            .option("header", True)
+            .load(str(src))
+        )
+        sessions = streaming_sessionize_stateful(
+            stream, key_col="user_id", event_time_col="ts", id_col="event_id",
+            gap_minutes=30,
+        )
+        # foreachBatch, not the memory sink: only foreachBatch
+        # supports resuming from the shared checkpoint across passes
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda batch, _bid: emitted.extend(batch.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_ss"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
     (src / "a_b1.csv").write_text(
         "user_id;event_id;ts\n"
         "1;E1;2021-03-01 10:00:00\n"
         "1;E2;2021-03-01 10:10:00\n"
     )
+    run_once()
     (src / "b_b2.csv").write_text(
         "user_id;event_id;ts\n"
         "1;E3;2021-03-01 11:00:00\n"  # 50-min gap -> closes session 1
     )
-    stream = (
-        spark.readStream.format("csv")
-        .schema("user_id long, event_id string, ts timestamp")
-        .option("sep", ";")
-        .option("header", True)
-        .option("maxFilesPerTrigger", 1)
-        .load(str(src))
-    )
-    sessions = streaming_sessionize_stateful(
-        stream, key_col="user_id", event_time_col="ts", id_col="event_id",
-        gap_minutes=30,
-    )
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName("ss_out")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck_ss"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    run_once()
     import datetime as dt
 
-    rows = spark.sql("SELECT * FROM ss_out").collect()
+    rows = emitted
     assert len(rows) == 1  # E3's session stays OPEN in state
     r = rows[0]
     t0 = int(dt.datetime(2021, 3, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp() * 1e6)
