@@ -994,4 +994,87 @@ def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+Q18_ORACLE = """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+"""
+
+
+@register("analytic_q18", oracle=Q18_ORACLE)
+def analytic_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): an IN-subquery over
+    a grouped HAVING — planned as a partial-agg'd per-order quantity
+    rollup whose survivors SEMI-restrict the fact before the customer
+    join. The big-order relation is tiny after the threshold, so it
+    broadcasts into the semi join; quantities sum as exact integers,
+    prices as cents."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q__"))
+        .filter(F.col("__q__") > 300)
+        .select("l_orderkey")
+    )
+    restricted = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    return (
+        restricted.join(orders, restricted["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty")
+        )
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+CORR_MIN_ORACLE = """
+    SELECT p.p_partkey, p.p_type,
+           CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+    )
+"""
+
+
+@register("correlated_min_subquery", oracle=CORR_MIN_ORACLE)
+def correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-scalar-subquery shape: rows matching
+    their group's minimum. Decorrelated the way Catalyst itself
+    would — ONE window min over the correlation key instead of a
+    per-row subquery execution; equality on DECIMAL is exact so the
+    filter is engine-portable."""
+    part = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("__min__", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__min__"))
+        .select(
+            "p_partkey",
+            "p_type",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+
+
 __all__ = ["QUERIES", "ORACLES"]
