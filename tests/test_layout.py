@@ -81,3 +81,45 @@ def test_zorder_files_cover_small_rectangles(spark, tmp_path):
     got = spark.read.parquet(z_dir)
     assert got.count() == n
     assert got.agg(F.sum("payload")).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_hilbert_column_matches_reference_and_is_continuous(spark):
+    """The unrolled column recurrence must reproduce the scalar
+    reference for every cell of an 8×8 grid — and that mapping is a
+    continuous bijection (consecutive keys are grid neighbors), the
+    locality property Morton order lacks."""
+    from etl_processing_scd1_spark.operators.layout import hilbert_index, hilbert_layout
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    # run the layout with 1 file and re-derive d by position: the
+    # written order IS the curve order
+    out = hilbert_layout(grid, ["x", "y"], n_files=1, bits=3)
+    rows = [(r.x, r.y) for r in out.collect()]
+    expect = sorted(
+        ((x, y) for x in range(8) for y in range(8)),
+        key=lambda p: hilbert_index(p[0], p[1], bits=3),
+    )
+    assert rows == expect
+    for (x1, y1), (x2, y2) in zip(rows, rows[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # continuity
+
+
+def test_hilbert_files_cover_small_rectangles(spark, tmp_path):
+    """Same pruning bar as Z-order: each of 16 Hilbert files spans a
+    small fraction of the x domain on a uniform 256×256 grid."""
+    from etl_processing_scd1_spark.operators.layout import hilbert_layout
+
+    n, n_files = 1 << 14, 16
+    base = spark.range(n).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 2654435761) % 256).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    h_dir = str(tmp_path / "hil")
+    hilbert_layout(base, ["x", "y"], n_files=n_files, bits=8).write.parquet(h_dir)
+    spans = _file_spans(h_dir, "x")
+    assert len(spans) == n_files
+    avg = sum(hi - lo for lo, hi in spans) / len(spans)
+    assert avg < 100  # natural order would be ~255
