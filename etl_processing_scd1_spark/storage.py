@@ -196,6 +196,118 @@ class Warehouse:
         )
         self.stage(name, ordered)
 
+    _BLOOM_SIDECAR = "_bloom_index.json"
+
+    def stage_indexed(
+        self,
+        name: str,
+        df: DataFrame,
+        key_col: str,
+        bits: int = 4096,
+        hashes: int = 3,
+    ) -> None:
+        """Stage with a per-file BLOOM SIDECAR over ``key_col`` — a
+        secondary index for point lookups on a column the table is
+        NOT partitioned or sorted by. Parquet footer min/max stats
+        only help when the layout clusters the column (Z-order /
+        Hilbert); a Bloom filter per file admits membership queries
+        on arbitrary ids with zero false negatives, so
+        :meth:`read_point` opens only the files that can contain the
+        key — at 100 TB, the difference between scanning a table and
+        touching a handful of files.
+
+        Index build is DISTRIBUTED: one pass maps every row to its
+        ``hashes`` md5-derived bit positions keyed by
+        ``input_file_name``, a distinct collapses them, and only the
+        tiny (file × set-bit) relation reaches the driver for the
+        sidecar JSON (underscore-prefixed: Spark/Hadoop readers treat
+        it as hidden, so plain ``read`` is unaffected)."""
+        from pyspark.sql import functions as F
+
+        self.stage(name, df)
+        staged = self._staged[name]
+        rel = self.spark.read.parquet(staged)
+        pos_cols = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}:"), F.col(key_col).cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % bits
+            ).alias(f"__p{i}__")
+            for i in range(hashes)
+        ]
+        exploded = (
+            rel.select(F.input_file_name().alias("__file__"), *pos_cols)
+            .select(
+                "__file__",
+                F.explode(F.array(*[F.col(f"__p{i}__") for i in range(hashes)])).alias(
+                    "__pos__"
+                ),
+            )
+            .distinct()
+        )
+        index: dict[str, list[int]] = {}
+        for row in exploded.collect():
+            fname = os.path.basename(row["__file__"])
+            index.setdefault(fname, []).append(int(row["__pos__"]))
+        sidecar = {
+            "key_col": key_col,
+            "bits": bits,
+            "hashes": hashes,
+            "files": {f: sorted(p) for f, p in index.items()},
+        }
+        with open(os.path.join(staged, self._BLOOM_SIDECAR), "w") as fh:
+            json.dump(sidecar, fh)
+
+    @staticmethod
+    def _bloom_positions(value: str, hashes: int, bits: int) -> list[int]:
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % bits
+            for i in range(hashes)
+        ]
+
+    def read_point(self, name: str, value) -> DataFrame:
+        """Point lookup through the Bloom sidecar: open ONLY the files
+        whose filter admits ``value`` (zero false negatives by Bloom
+        construction; false positives just open an extra file). Falls
+        back to the full table when no sidecar exists. Returns the
+        matching rows of the indexed key column's table filtered to
+        ``value``."""
+        from pyspark.sql import functions as F
+
+        live = self._live(name)
+        side = os.path.join(live, self._BLOOM_SIDECAR)
+        if not os.path.isfile(side):
+            raise FileNotFoundError(
+                f"no bloom sidecar for {name!r}; stage with stage_indexed"
+            )
+        with open(side) as fh:
+            meta = json.load(fh)
+        pos = set(self._bloom_positions(str(value), meta["hashes"], meta["bits"]))
+        admitted = [
+            os.path.join(live, f)
+            for f, bits_set in meta["files"].items()
+            if pos.issubset(bits_set)
+        ]
+        df = (
+            self.spark.read.parquet(*admitted)
+            if admitted
+            else self.spark.read.parquet(live).limit(0)
+        )
+        return df.filter(F.col(meta["key_col"]).cast("string") == str(value))
+
     def stage_append(
         self, name: str, df: DataFrame, partition_cols: list[str] | None = None
     ) -> None:

@@ -302,3 +302,44 @@ def test_stage_ordered_materializes_global_order(spark, tmp_path):
             ranges.append((ks[0], ks[-1]))
     for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
         assert hi_a <= lo_b  # disjoint, ordered ranges across files
+
+
+def test_bloom_sidecar_point_lookup_skips_files(spark, tmp_path):
+    """stage_indexed: point lookups open only Bloom-admitted files —
+    zero false negatives (every present key found), and a typical
+    lookup admits a strict subset of the table's files."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whb"))
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    ).repartition(8)
+    wh.stage_indexed("idx", df, key_col="k")
+    wh.publish(run_id="r1")
+
+    live = os.path.join(str(tmp_path / "whb"), "idx")
+    n_files = len(glob.glob(os.path.join(live, "*.parquet")))
+    assert n_files >= 4
+    meta = json.load(open(os.path.join(live, "_bloom_index.json")))
+    assert set(meta["files"]) == {
+        os.path.basename(f) for f in glob.glob(os.path.join(live, "*.parquet"))
+    }
+
+    # zero false negatives on a sample of present keys
+    for k in (0, 1234, 3999):
+        rows = wh.read_point("idx", k).collect()
+        assert [(r.k, r.v) for r in rows] == [(k, k * 7)]
+
+    # admitted-file count for a lookup is bounded well below n_files
+    pos = set(Warehouse._bloom_positions("1234", meta["hashes"], meta["bits"]))
+    admitted = [f for f, bits in meta["files"].items() if pos.issubset(bits)]
+    assert 1 <= len(admitted) < n_files
+
+    # plain read still works (sidecar is hidden to the parquet reader)
+    assert wh.read("idx").count() == 4000
