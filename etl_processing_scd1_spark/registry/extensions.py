@@ -973,6 +973,100 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_LM_ORACLE = """
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS fil
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([fil[i] || ' ' || fil[i + 1] for i in range(1, len(fil))]) AS bigram
+      FROM arrs WHERE len(fil) >= 2
+    ),
+    c12 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram),
+    uni AS (
+      SELECT t AS term, CAST(count(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(fil) AS t FROM arrs
+      ) GROUP BY t
+    ),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM uni),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln((CAST(c12.c AS DOUBLE) + 1.0)
+                           / (CAST(u.c1 AS DOUBLE) + CAST(v.vsize AS DOUBLE)))
+                        * 1000000000.0) AS BIGINT) AS nano
+      FROM bg b
+      JOIN c12 ON c12.bigram = b.bigram
+      JOIN uni u ON u.term = split_part(b.bigram, ' ', 1)
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nano) AS BIGINT) AS sum_nano,
+           (CAST(SUM(nano) AS DOUBLE) / 1000000000.0) / CAST(count(*) AS DOUBLE)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_quality", oracle=BIGRAM_LM_ORACLE)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 quality scoring, one order up from the unigram proxy: mean
+    ADD-ONE-SMOOTHED bigram log-probability ln((c12+1)/(c1+V)) under
+    the corpus's own bigram model — catches shuffled-word salad that
+    unigram frequency scores as fluent. Same determinism recipe as
+    unigram_logprob_quality (per-token ln quantized to nano BIGINTs,
+    order-free sums, one identical final division). Plan shape: one
+    narrow bigram construction (zip_with over the filtered token
+    array — no posexplode/self-join), two partial-agg'd count
+    relations, two term-keyed joins, one per-doc aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    fil = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    arrs = docs.select("doc_id", fil.alias("fil")).filter(F.size("fil") >= 2)
+    bigrams = arrs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("fil"), 1, F.size("fil") - 1),
+                F.slice(F.col("fil"), 2, F.size("fil") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    c12 = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    uni = (
+        arrs.select(F.explode("fil").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    nano = F.round(
+        F.log(
+            (F.col("c").cast("double") + 1.0)
+            / (F.col("c1").cast("double") + F.col("vsize").cast("double"))
+        )
+        * 1000000000.0
+    ).cast("long")
+    scored = (
+        bigrams.join(c12, "bigram")
+        .join(uni, F.split(F.col("bigram"), " ").getItem(0) == F.col("term"))
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nano.alias("nano"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nano").alias("sum_nano"),
+        (
+            (F.sum("nano").cast("double") / 1000000000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_logprob"),
+    )
+
+
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
 
