@@ -568,6 +568,7 @@ def pq_encode(
     m: int = 4,
     codebook_id_col: str = "vec_id",
     codebook_vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product quantization: split each vector into ``m`` contiguous
     blocks and code every block as its nearest codeword (scaled-int
@@ -635,6 +636,7 @@ def pq_encode(
 
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         *[block_argmin(b).alias(f"__pqb{b}__") for b in range(m)],
     )
     total = F.col("__pqb0__")["d"]
@@ -642,6 +644,7 @@ def pq_encode(
         total = total + F.col(f"__pqb{b}__")["d"]
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         F.array(*[F.col(f"__pqb{b}__")["c"].cast("int") for b in range(m)]).alias(
             "codes"
         ),
@@ -660,6 +663,7 @@ def pq_adc_topk(
     code_col: str = "codes",
     codebook_id_col: str = "vec_id",
     codebook_vec_col: str = "embedding",
+    group_col: str | None = None,
 ) -> DataFrame:
     """PQ search by Asymmetric Distance Computation (Jégou et al.
     2011): approximate squared-L2 from a query to a PQ-coded vector
@@ -724,15 +728,25 @@ def pq_adc_topk(
         return F.map_from_arrays(cids, dists)
 
     lut_cols = [block_lut(b).alias(f"__lut{b}__") for b in range(m)]
-    q = queries.select(F.col(id_col).alias("query_id"), *lut_cols)
+    group = [group_col] if group_col else []
+    q = queries.select(
+        F.col(id_col).alias("query_id"), *[F.col(g) for g in group], *lut_cols
+    )
     c = codes_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__codes__")
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(g) for g in group],
+        F.col(code_col).alias("__codes__"),
     )
     adc = None
     for b in range(m):
         term = F.element_at(F.col(f"__lut{b}__"), F.element_at("__codes__", b + 1))
         adc = term if adc is None else adc + term
-    scored = c.crossJoin(F.broadcast(q)).withColumn("adc_scaled", adc)
+    # with a group column (IVF cell) the search joins per cell — the
+    # corpus side is restricted to the probed bucket instead of the
+    # whole relation, which is the IVF-PQ scale contract
+    scored = (
+        c.join(F.broadcast(q), group) if group else c.crossJoin(F.broadcast(q))
+    ).withColumn("adc_scaled", adc)
     win = Window.partitionBy("query_id").orderBy(
         F.col("adc_scaled"), F.col("neighbor_id")
     )

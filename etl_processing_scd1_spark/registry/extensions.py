@@ -1067,6 +1067,130 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_ORACLE = """
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n
+      FROM expanded GROUP BY vec_id
+    ),
+    cdots AS (
+      SELECT e.vec_id, c.vec_id AS cid,
+             SUM(CAST(round(e.v * c.v * 1e8) AS BIGINT)) AS dot
+      FROM expanded e JOIN expanded c ON e.idx = c.idx
+      WHERE c.vec_id < 8
+      GROUP BY e.vec_id, c.vec_id
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY d.dot / sqrt(CAST(nv.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                          d.cid
+               ) AS rn
+        FROM cdots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN norms nc ON nc.vec_id = d.cid
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT e.vec_id, a.bucket, e.idx, e.v - ce.v AS rv
+      FROM expanded e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN expanded ce ON ce.vec_id = a.bucket AND ce.idx = e.idx
+    ),
+    bdists AS (
+      SELECT r.vec_id, CAST((r.idx - 1) // 16 AS INT) AS block, c.vec_id AS cid,
+             SUM(CAST(round((r.rv - c.rv) * (r.rv - c.rv) * 1e8) AS BIGINT)) AS dist
+      FROM resid r JOIN resid c ON c.idx = r.idx
+      WHERE c.vec_id >= 8 AND c.vec_id < 16
+      GROUP BY r.vec_id, block, c.vec_id
+    ),
+    codes AS (
+      SELECT vec_id, block, cid FROM (
+        SELECT vec_id, block, cid,
+               row_number() OVER (PARTITION BY vec_id, block ORDER BY dist, cid) AS rn
+        FROM bdists
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT l.vec_id AS query_id, k.vec_id AS neighbor_id,
+             SUM(l.dist) AS adc_scaled
+      FROM codes k
+      JOIN bdists l ON l.block = k.block AND l.cid = k.cid
+      JOIN assigned aq ON aq.vec_id = l.vec_id
+      JOIN assigned ac ON ac.vec_id = k.vec_id AND ac.bucket = aq.bucket
+      WHERE l.vec_id >= 100 AND l.vec_id < 105
+      GROUP BY l.vec_id, k.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(adc_scaled AS BIGINT) AS adc_scaled,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_scaled, neighbor_id
+             ) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, rank, adc_scaled
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_ivfpq", oracle=IVFPQ_ORACLE)
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 flagship composition — IVF-PQ, the billion-vector index
+    end-to-end: corpus vectors are assigned to their nearest centroid
+    cell (narrow argmax, one row per vector), RESIDUALS against the
+    cell centroid are product-quantized to m=4 code ints, and each
+    query searches by ADC restricted to ITS OWN probed cell — the
+    corpus side of the search join is one bucket, never the relation
+    (group_col in pq_adc_topk). Residual coding is what lets a shared
+    codebook serve every cell (Jégou et al. 2011); every distance is
+    scaled-int exact so the composed pipeline still hash-matches the
+    oracle, which replays assignment, residuals, codes and the
+    per-cell ADC relationally."""
+    from ..operators.similarity import assign_centroid, pq_adc_topk, pq_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    crows = sorted(
+        (r[0], list(r[1])) for r in cents.select("vec_id", "embedding").collect()
+    )
+    cmat = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid, _v in crows]),
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in v]) for _cid, v in crows]
+        ),
+    )
+    assigned = assign_centroid(emb, cents)
+    res = assigned.select(
+        "vec_id",
+        "bucket",
+        F.zip_with(
+            F.col("embedding"),
+            F.element_at(cmat, F.col("bucket")),
+            lambda a, b: a.cast("double") - b,
+        ).alias("res"),
+    )
+    codebook = res.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        "vec_id", "res"
+    )
+    codes = pq_encode(
+        res, codebook, vec_col="res", codebook_vec_col="res", m=4,
+        keep_cols=["bucket"],
+    )
+    queries_res = res.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return pq_adc_topk(
+        codes, queries_res, codebook, k=5, m=4,
+        vec_col="res", codebook_vec_col="res", group_col="bucket",
+    )
+
+
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
 

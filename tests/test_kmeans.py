@@ -131,3 +131,26 @@ def test_pq_adc_self_is_rank1_with_own_distortion(spark):
         assert r["adc_scaled"] == enc[qid]
         # self achieves the minimum; rank-1 id can only be <= qid
         assert r["neighbor_id"] <= qid
+
+
+def test_ivfpq_neighbors_share_cell_and_self_ranks_first(spark):
+    """IVF-PQ composition: every returned neighbor must live in the
+    query's own cell (the per-cell join IS the index contract), and —
+    as with flat ADC — the query's own residual codes achieve the
+    per-block minima, so each query ranks itself (or a lower-id
+    exact tie) first."""
+    from etl_processing_scd1_spark.registry import EXTRA_QUERIES, QUERIES
+    from etl_processing_scd1_spark.operators.similarity import assign_centroid
+
+    allq = {**QUERIES, **EXTRA_QUERIES}
+    top = allq["similarity_ivfpq"](spark, SF0001).collect()
+    emb = _emb(spark)
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in assign_centroid(emb, emb.filter(F.col("vec_id") < 8)).collect()
+    }
+    assert {r.query_id for r in top} == set(range(100, 105))
+    for r in top:
+        assert buckets[r.neighbor_id] == buckets[r.query_id]
+        if r.rank == 1:
+            assert r.neighbor_id <= r.query_id
