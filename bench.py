@@ -58,6 +58,8 @@ HEADLINE = [
     "label_propagation_communities",  # 3-round modal-label graph
     "multimodal_decode_gif",  # real LZW decode via mapInPandas
     "text_clean",           # NFC pandas_udf + JVM regex cleanup
+    "similarity_ivfpq",     # cell assign + residual PQ + per-cell ADC
+    "bigram_lm_quality",    # add-one bigram LM scoring
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

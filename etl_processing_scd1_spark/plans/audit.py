@@ -63,7 +63,10 @@ def audit_plan(df: DataFrame) -> dict:
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": nested,
         "scans": scans,
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # executedPlan toString marks codegen regions as "*(N)" node
+        # prefixes (the WholeStageCodegen (N) spelling appears only in
+        # formatted explain output)
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "warnings": warnings,
         "plan": plan,
     }
