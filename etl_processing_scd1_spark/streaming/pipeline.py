@@ -383,3 +383,73 @@ def streaming_scd2_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_ivfpq_sink(
+    stream: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    write_codes: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Keep an IVF-PQ index FRESH as vectors stream in: each
+    micro-batch is centroid-assigned, residual-coded against the
+    frozen codebook and appended to the codes table — O(batch) work
+    per trigger, the searchable index (bucket + m code ints per
+    vector) never rebuilt. Centroids/codebook stay frozen between
+    retrains by construction (codes are only comparable under the
+    codebook that produced them); retraining is a batch job that
+    rewrites the codes table wholesale.
+
+    The per-batch transform is the exact batch path
+    (assign_centroid → residual → pq_encode), so streamed codes are
+    bit-identical to a batch rebuild over the same vectors — the
+    test pins that equivalence.
+    """
+    from ..operators.similarity import assign_centroid, pq_encode
+
+    crows = sorted(
+        (r[0], list(r[1]))
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+    cmat = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid, _v in crows]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in v]) for _cid, v in crows]),
+    )
+    cb_rows = codebook.select(id_col, "res").collect()
+
+    def encode_batch(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        cb = spark.createDataFrame(
+            [(r[0], list(r[1])) for r in cb_rows], f"{id_col} long, res array<double>"
+        )
+        assigned = assign_centroid(batch, centroids, id_col=id_col, vec_col=vec_col)
+        res = assigned.select(
+            id_col,
+            "bucket",
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(cmat, F.col("bucket")),
+                lambda a, b: a.cast("double") - b,
+            ).alias("res"),
+        )
+        codes = pq_encode(
+            res, cb, id_col=id_col, vec_col="res", codebook_vec_col="res",
+            m=m, keep_cols=["bucket"],
+        )
+        write_codes(codes)
+
+    writer = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

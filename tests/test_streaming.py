@@ -576,3 +576,73 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     assert r.key == "1" and r.n_events == 2
     assert r.session_start_us == t0
     assert r.session_end_us == t0 + 10 * 60 * 1_000_000
+
+
+def test_streaming_ivfpq_codes_match_batch_rebuild(spark, tmp_path):
+    """Index freshness contract: vectors coded per micro-batch must be
+    BIT-IDENTICAL to a batch rebuild over the same vectors under the
+    same frozen centroids/codebook."""
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.similarity import (
+        assign_centroid,
+        pq_encode,
+    )
+    from etl_processing_scd1_spark.streaming.pipeline import streaming_ivfpq_sink
+    from tests.conftest import SF0001
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8)
+    # frozen residual codebook from vecs 8-15 (their own-cell residuals)
+    crows = sorted((r[0], list(r[1])) for r in cents.collect())
+    cmat = F.map_from_arrays(
+        F.array(*[F.lit(c) for c, _ in crows]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in v]) for _, v in crows]),
+    )
+    res_all = assign_centroid(emb, cents).select(
+        "vec_id", "bucket",
+        F.zip_with(F.col("embedding"), F.element_at(cmat, F.col("bucket")),
+                   lambda a, b: a.cast("double") - b).alias("res"),
+    )
+    codebook = res_all.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        "vec_id", "res"
+    )
+
+    # stream 40 vectors in two parquet batches
+    src = tmp_path / "vecs"
+    emb.filter(F.col("vec_id").between(20, 39)).write.parquet(str(src / "b1"))
+    emb.filter(F.col("vec_id").between(40, 59)).write.parquet(str(src / "b2"))
+    # flatten into one dir of files for the file source
+    import glob
+    import shutil
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(src / "*" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    stream = spark.readStream.schema(emb.schema).parquet(str(feed))
+    out_dir = str(tmp_path / "codes")
+
+    def write_codes(df):
+        df.write.mode("append").parquet(out_dir)
+
+    q = streaming_ivfpq_sink(
+        stream, cents, codebook, write_codes,
+        checkpoint_dir=str(tmp_path / "ck_ivfpq"),
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r.vec_id: (r.bucket, tuple(r.codes), r.dist_scaled)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.vec_id: (r.bucket, tuple(r.codes), r.dist_scaled)
+        for r in pq_encode(
+            res_all.filter(F.col("vec_id").between(20, 59)),
+            codebook, vec_col="res", codebook_vec_col="res", m=4,
+            keep_cols=["bucket"],
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 40
