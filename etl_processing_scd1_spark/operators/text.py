@@ -261,3 +261,54 @@ def phrase_search(
             F.min("anchor").alias("first_pos"),
         )
     )
+
+
+def compression_ratio_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/RefinedWeb
+    repetition heuristic: highly repetitive boilerplate compresses
+    far below natural prose, so a low ratio flags template farms and
+    loops that n-gram repetition counters can miss (and a ratio ≈ 1
+    flags already-compressed or random-byte junk). Runs as an Arrow
+    ``mapInPandas`` pass (zlib is per-doc Python work, batched);
+    emits exact integer byte sizes plus the ratio in basis points so
+    the output is hash-stable. zlib output is DETERMINISTIC for a
+    fixed level and library version — same-session comparisons are
+    exact; cross-version drift is why the evidence columns are the
+    SIZES, not the compressed bytes.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+            raw_len = raw.map(len)
+            comp_len = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw_len.astype("int64"),
+                    "compressed_bytes": comp_len.astype("int64"),
+                    "ratio_bp": (
+                        (comp_len * 10000) // raw_len.where(raw_len > 0, 1)
+                    ).astype("int64"),
+                }
+            )
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(n_parts, id_col)
+        .mapInPandas(
+            batches,
+            schema=f"{id_col} long, raw_bytes long, compressed_bytes long, ratio_bp long",
+        )
+    )

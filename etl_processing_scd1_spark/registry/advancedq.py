@@ -1505,3 +1505,37 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         out.select("node", F.col("community").cast("long").alias("community")),
         edges,
     )
+
+
+@register(
+    "gzip_jsonl_scan",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A source-format breadth: COMPRESSED JSON-lines — how web
+    corpora actually arrive (Common-Crawl-style .jsonl.gz drops).
+    customer round-trips through gzip-codec JSONL (write with
+    compression=gzip → read with an explicit schema; gzip is
+    NON-SPLITTABLE so one file = one task — the docstring trade
+    every ingest pipeline must know: fine for many medium files,
+    repack to a splittable codec or parquet for few huge ones),
+    then aggregates exact cents per nation."""
+    path = _roundtrip_dir("gzip_jsonl")
+    cust = table(spark, sf_dir, "customer")
+    (
+        cust.repartition(4)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    schema = "c_custkey long, c_nationkey int, c_acctbal double"
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )

@@ -344,3 +344,21 @@ def test_kmv_sketch_mergeable_and_estimates_extremes(spark):
     union_df = df.filter(F.col("grp").isin("a", "c")).withColumn("grp", F.lit("u"))
     direct = kmv_sketches(union_df, "grp", "key", k=32).collect()[0].sketch
     assert sorted(set(sk["a"]) | set(sk["c"]))[:32] == direct
+
+
+def test_compression_ratio_flags_repetition(spark):
+    """A 100×-repeated phrase must compress far below varied prose of
+    the same length; sizes are exact and the ratio is monotone in
+    repetitiveness."""
+    from etl_processing_scd1_spark.operators.text import compression_ratio_quality
+
+    varied = " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 200), (2, varied), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio_quality(docs, "doc_id", "text").collect()}
+    assert out[1].raw_bytes == len("spam ham " * 200)
+    assert out[1].ratio_bp < out[2].ratio_bp  # repetition compresses more
+    assert out[1].ratio_bp < 1000             # boilerplate well under 10%
+    assert out[3].raw_bytes == 0
