@@ -1191,6 +1191,94 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DRIFT_ORACLE = """
+    WITH expanded AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    slice_sums AS (
+      SELECT label, idx,
+             SUM(CAST(round(v * 1e8) AS BIGINT)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM expanded GROUP BY label, idx
+    ),
+    corpus_sums AS (
+      SELECT idx, SUM(s) AS s, SUM(n) AS n FROM slice_sums GROUP BY idx
+    ),
+    dots AS (
+      SELECT l.label,
+             SUM(CAST(round((CAST(l.s AS DOUBLE) / l.n) * (CAST(c.s AS DOUBLE) / c.n)) AS BIGINT)) AS dot,
+             SUM(CAST(round((CAST(l.s AS DOUBLE) / l.n) * (CAST(l.s AS DOUBLE) / l.n)) AS BIGINT)) AS nl,
+             SUM(CAST(round((CAST(c.s AS DOUBLE) / c.n) * (CAST(c.s AS DOUBLE) / c.n)) AS BIGINT)) AS nc,
+             MAX(l.n) AS n_vectors
+      FROM slice_sums l JOIN corpus_sums c ON c.idx = l.idx
+      GROUP BY l.label
+    )
+    SELECT label,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nl AS DOUBLE) * CAST(nc AS DOUBLE)) * 1e9) AS BIGINT)
+             AS cos_to_corpus_nano
+    FROM dots
+"""
+
+
+@register("embedding_drift", oracle=EMB_DRIFT_ORACLE)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (the vector twin of
+    kl_domain_shift): cosine of each label slice's MEAN embedding to
+    the corpus mean — a slice whose centroid swings away from the
+    corpus signals distribution shift before any downstream metric
+    moves. Determinism: per-dimension sums are scaled-int BIGINTs
+    (order-free across 1000 executors); per-dim mean products are rounded to
+    BIGINT before the (otherwise order-dependent) cross-dim sum, and
+    the final cosine is one identical IEEE expression, nano-quantized.
+    Plan: one explode → one (slice, dim) partial-agg'd aggregation →
+    one dim-keyed rollup; nothing corpus-sized leaves the executors."""
+    emb = table(spark, sf_dir, "embeddings")
+    expanded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("idx0", "v"),
+    ).select(
+        "label",
+        (F.col("idx0") + 1).alias("idx"),
+        F.col("v").cast("double").alias("v"),
+    )
+    slice_sums = expanded.groupBy("label", "idx").agg(
+        F.sum(F.round(F.col("v") * 1e8).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    corpus_sums = slice_sums.groupBy("idx").agg(
+        F.sum("s").alias("cs"), F.sum("n").alias("cn")
+    )
+    lm = F.col("s").cast("double") / F.col("n")
+    cm = F.col("cs").cast("double") / F.col("cn")
+    dots = (
+        slice_sums.join(F.broadcast(corpus_sums), "idx")
+        .groupBy("label")
+        .agg(
+            # per-dim products rounded to BIGINT before summation —
+            # a 64-term double sum is order-dependent across partial
+            # aggregation; integer sums are not
+            F.sum(F.round(lm * cm).cast("long")).alias("dot"),
+            F.sum(F.round(lm * lm).cast("long")).alias("nl"),
+            F.sum(F.round(cm * cm).cast("long")).alias("nc"),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+    return dots.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nl").cast("double") * F.col("nc").cast("double"))
+            * 1e9
+        )
+        .cast("long")
+        .alias("cos_to_corpus_nano"),
+    )
+
+
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
 
