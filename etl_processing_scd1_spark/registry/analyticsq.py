@@ -1077,4 +1077,47 @@ def correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+RFM_ORACLE = """
+    SELECT o_custkey,
+           CAST(max_by(o_orderkey, strftime(o_orderdate, '%Y%m%d') || '-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS BIGINT) AS last_orderkey,
+           CAST(max(o_orderdate) AS VARCHAR) AS last_orderdate,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+    FROM orders GROUP BY o_custkey
+"""
+
+
+@register("customer_rfm", oracle=RFM_ORACLE)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mart analytics: recency/frequency/monetary per customer in ONE
+    window-free aggregation — ``max_by`` keyed on a
+    lexicographic (date, zero-padded orderkey) string picks the
+    latest order deterministically (the tiebreak rides the
+    comparison key, not a row_number sort; DuckDB's max_by takes no
+    composite key, so both engines share the string encoding), so the whole scoring scan
+    is partial-aggregatable: each map task contributes one row per
+    customer, no whole-table window sort ever happens. Exact cents;
+    dates rendered as ISO strings (identical on both engines)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by(
+            F.col("o_orderkey"),
+            F.concat(
+                F.date_format("o_orderdate", "yyyyMMdd"),
+                F.lit("-"),
+                F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            ),
+        )
+        .cast("long")
+        .alias("last_orderkey"),
+        F.max("o_orderdate").cast("string").alias("last_orderdate"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+
+
 __all__ = ["QUERIES", "ORACLES"]
