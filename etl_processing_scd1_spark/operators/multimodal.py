@@ -327,10 +327,21 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
             rgb[0::3], rgb[2::3] = row[2::3], row[0::3]
             out += rgb
         return ("bmp", width, height, 3, bytes(out))
+    # TGA has NO magic number: dispatch last, only when the 18-byte
+    # header is self-consistent for the supported 24-bit truecolor
+    # types (the risk of misrouting another format here is nil — all
+    # formats above matched on real signatures first)
+    if (
+        len(payload) >= 18
+        and payload[1] == 0
+        and payload[2] in (2, 10)
+        and payload[16] == 24
+    ):
+        return _decode_tga(payload)
     raise ValueError(
-        "unsupported image format (PPM P6, 24-bit BMP, 8-bit PNG and "
-        "baseline JPEG decode here; wire PIL/libvips for other formats "
-        "in deployment)"
+        "unsupported image format (PPM P6, 24-bit BMP, 8-bit PNG, "
+        "baseline JPEG, GIF and 24-bit TGA decode here; wire "
+        "PIL/libvips for other formats in deployment)"
     )
 
 
@@ -723,3 +734,96 @@ def resize_bilinear(
     val = top * (65536 - fyc) + bot * fyc
     out = (val + (1 << 31)) >> 32
     return out.astype(np.uint8).tobytes()
+
+
+# -- TGA (Truevision TARGA) --------------------------------------------------
+
+def encode_tga(width: int, height: int, pixels: bytes, rle: bool = True) -> bytes:
+    """24-bit TGA from packed RGB bytes — type 10 (real greedy RLE
+    packets) by default, type 2 (uncompressed) otherwise. Rows are
+    written in the format's default bottom-up order with BGR
+    channels, so decoding exercises both normalizations."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be 3*width*height packed RGB bytes")
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = pixels[3 * width * y : 3 * width * (y + 1)]
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+        rows.append(bytes(bgr))
+    header = (
+        bytes([0, 0, 10 if rle else 2])
+        + b"\x00" * 5
+        + b"\x00" * 4
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([24, 0])
+    )
+    if not rle:
+        return header + b"".join(rows)
+    out = bytearray(header)
+    for row in rows:  # RLE packets never cross row boundaries (spec)
+        px = [row[i : i + 3] for i in range(0, len(row), 3)]
+        i = 0
+        while i < len(px):
+            run = 1
+            while i + run < len(px) and run < 128 and px[i + run] == px[i]:
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += px[i]
+                i += run
+            else:
+                j = i + 1
+                while (
+                    j < len(px)
+                    and (j - i) < 128
+                    and not (j + 1 < len(px) and px[j + 1] == px[j])
+                ):
+                    j += 1
+                out.append((j - i) - 1)
+                out += b"".join(px[i:j])
+                i = j
+    return bytes(out)
+
+
+def _decode_tga(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    id_len, cmap_type, img_type = payload[0], payload[1], payload[2]
+    if cmap_type != 0 or img_type not in (2, 10):
+        raise ValueError("only 24-bit truecolor TGA (type 2/10) supported")
+    width = int.from_bytes(payload[12:14], "little")
+    height = int.from_bytes(payload[14:16], "little")
+    bpp, desc = payload[16], payload[17]
+    if bpp != 24:
+        raise ValueError("only 24-bit truecolor TGA (type 2/10) supported")
+    top_down = bool(desc & 0x20)
+    pos = 18 + id_len
+    n = width * height
+    if img_type == 2:
+        data = payload[pos : pos + 3 * n]
+        if len(data) != 3 * n:
+            raise ValueError("truncated TGA pixel data")
+    else:
+        out = bytearray()
+        while len(out) < 3 * n:
+            if pos >= len(payload):
+                raise ValueError("truncated TGA pixel data")
+            packet = payload[pos]
+            pos += 1
+            count = (packet & 0x7F) + 1
+            if packet & 0x80:
+                out += payload[pos : pos + 3] * count
+                pos += 3
+            else:
+                out += payload[pos : pos + 3 * count]
+                pos += 3 * count
+        data = bytes(out[: 3 * n])
+    rows = [data[3 * width * y : 3 * width * (y + 1)] for y in range(height)]
+    if not top_down:
+        rows.reverse()
+    rgb = bytearray()
+    for row in rows:
+        r = bytearray(row)
+        r[0::3], r[2::3] = row[2::3], row[0::3]
+        rgb += r
+    return ("tga", width, height, 3, bytes(rgb))

@@ -1279,6 +1279,71 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_decode_tga",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+    ), d AS (
+      SELECT doc_id,
+             blen % 17 + 1 AS w,
+             blen % 7 + 1 AS h,
+             blen % 256 AS fill
+      FROM p
+    ), s AS (
+      SELECT doc_id, w, h, fill, 3 * w * h AS n FROM d
+    )
+    SELECT doc_id, 'tga' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           3 AS channels,
+           CAST(((fill + n) // 256) * 32640
+                + ((fill + n) % 256) * ((fill + n) % 256 - 1) // 2
+                - fill * (fill - 1) // 2 AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+)
+def multimodal_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal TGA decode — the sixth real image codec:
+    synthesize type-10 RLE TARGA files (real greedy run/raw packets,
+    bottom-up BGR rows) and run operators.multimodal.decode_image
+    over them in one Arrow mapInPandas pass. The (fill+i) % 256 ramp
+    defeats trivial RLE (few runs survive), so pixel_sum only matches
+    the closed-form ramp sum if packet walking, row-order flip and
+    BGR normalization are all exact."""
+    from ..operators.multimodal import decode_image, encode_tga
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("__blen__")
+    )
+
+    def synth_decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height", "channels", "pixel_sum")}
+            for doc_id, blen in zip(pdf["doc_id"], pdf["__blen__"]):
+                blen = int(blen)
+                w, h, fill = blen % 17 + 1, blen % 7 + 1, blen % 256
+                px = bytes((fill + i) % 256 for i in range(3 * w * h))
+                fmt, dw, dh, dch, pixels = decode_image(encode_tga(w, h, px))
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["channels"].append(dch)
+                out["pixel_sum"].append(sum(pixels))
+            yield pd.DataFrame(out)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        synth_decode,
+        schema="doc_id bigint, fmt string, width int, height int, "
+               "channels int, pixel_sum bigint",
+    )
+
+
 NEAR_DUP_PLANES = 32
 NEAR_DUP_BANDS = 4
 

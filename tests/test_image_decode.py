@@ -325,3 +325,38 @@ def test_resize_bilinear_identity_flat_and_reference():
         resize_bilinear(img.tobytes(), 4, 6, 1, 7, 3), np.uint8
     ).reshape(3, 7, 1)
     assert np.abs(got.astype(float) - exp).max() <= 1.0
+
+
+def test_tga_roundtrip_both_types_and_origins():
+    """Type-2 and RLE type-10 must both reproduce every pixel byte
+    (bottom-up BGR normalized), and the 128-pixel packet cap must
+    split long runs correctly."""
+    import random
+
+    from etl_processing_scd1_spark.operators.multimodal import (
+        _decode_tga,
+        decode_image,
+        encode_tga,
+    )
+
+    random.seed(3)
+    px = bytes(random.randrange(256) for _ in range(3 * 7 * 3))
+    for rle in (False, True):
+        fmt, w, h, ch, out = decode_image(encode_tga(7, 3, px, rle=rle))
+        assert (fmt, w, h, ch) == ("tga", 7, 3, 3)
+        assert out == px
+    flat = bytes([9, 8, 7]) * 1000  # 1000-px runs >> 128-px packet cap
+    assert _decode_tga(encode_tga(200, 5, flat))[4] == flat
+
+
+def test_tga_rejections():
+    import pytest as _pytest
+
+    from etl_processing_scd1_spark.operators.multimodal import _decode_tga, encode_tga
+
+    bad = bytearray(encode_tga(2, 2, bytes(12)))
+    bad[16] = 16  # 16-bit
+    with _pytest.raises(ValueError, match="only 24-bit truecolor TGA"):
+        _decode_tga(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated TGA pixel"):
+        _decode_tga(encode_tga(4, 4, bytes(48), rle=False)[:-10])
