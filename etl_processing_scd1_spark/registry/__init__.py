@@ -147,7 +147,15 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   representative, so semi_join_in returns in place of
 #   scd1_insert_new (r5 driver-green single whose insert-leg
 #   semantics ride in-window inside scd1_merge_full and the
-#   hypothesis merge-model suite).
+#   hypothesis merge-model suite). Late round-6 additions that the
+#   family-coverage invariant kept OUT of this window (text_clean,
+#   benford_screen, label_propagation_communities,
+#   temperature_mixture, topk_per_group_agg, snapshot_diff,
+#   analytic_q18, correlated_min_subquery, bigram_lm_quality,
+#   similarity_ivfpq, gzip_jsonl_scan, embedding_drift,
+#   customer_rfm, multimodal_decode_tga) are first in line for the
+#   round-7 rotation; all are oracle-green at sf0.001/0.01/0.1 via
+#   tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
