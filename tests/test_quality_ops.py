@@ -362,3 +362,38 @@ def test_compression_ratio_flags_repetition(spark):
     assert out[1].ratio_bp < out[2].ratio_bp  # repetition compresses more
     assert out[1].ratio_bp < 1000             # boilerplate well under 10%
     assert out[3].raw_bytes == 0
+
+
+def test_phrase_search_matches_bruteforce_reference(spark):
+    """Property: on small random token documents, the anchor
+    aggregation must agree with a brute-force sliding-window scan for
+    every document and phrase — including repeated tokens in both the
+    docs and the phrase."""
+    import random
+
+    from etl_processing_scd1_spark.operators.text import phrase_search
+
+    random.seed(42)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(random.choice(vocab) for _ in range(random.randint(1, 12))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for phrase in ("a b", "b b", "a b a", "c"):
+        got = {
+            r.doc_id: (r.n_matches, r.first_pos)
+            for r in phrase_search(df, "doc_id", "text", phrase).collect()
+        }
+        want = {}
+        p = phrase.split(" ")
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            hits = [
+                i
+                for i in range(len(toks) - len(p) + 1)
+                if toks[i : i + len(p)] == p
+            ]
+            if hits:
+                want[doc_id] = (len(hits), hits[0])
+        assert got == want, phrase
