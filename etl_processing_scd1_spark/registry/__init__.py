@@ -156,27 +156,47 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   customer_rfm, multimodal_decode_tga) are first in line for the
 #   round-7 rotation; all are oracle-green at sf0.001/0.01/0.1 via
 #   tools/check.py this round.
+#
+#   round 7 window (below) — the 14 late-round-6 additions that had
+#   judge-green evidence only (tools/check.py 14/14) rotate IN for
+#   their first driver check → cumulative driver-green 156/156 when
+#   green. Displaced, all r6 driver-green with their family invariant
+#   intact: project_rename/project_drop (B1/B3 — §2.B keeps
+#   like_filter + theta_filter in-window; positional reshape also
+#   r5-green as project_reshape); expr_key_join_trim /
+#   expr_key_join_replace (C6/C7 — §2.C keeps scd1_merge_full +
+#   semi_join_in; the expression-key shape is pytest-pinned in
+#   test_fraud); scd1_update_detect / scd1_delete_missing (C2/C3 —
+#   both legs ride in-window inside scd1_merge_full and the
+#   hypothesis merge-model suite); window_lag_prev (E1 — the lag
+#   window stays in-window inside velocity_fraud_rule, and the
+#   incoming topk_per_group_agg covers the ranking shape);
+#   distinct_agg (F — having_filter + grouped_custom_agg stay, and
+#   the incoming analytic_q18 / correlated_min_subquery /
+#   customer_rfm widen §2.F's in-window analytics);
+#   embedding_passthrough (K3 — similarity_topk_pandas +
+#   similarity_pq_adc stay, incoming similarity_ivfpq +
+#   embedding_drift); and five r6-green multimodal decode variants
+#   (jpeg, gif, png, video_frames, resize_bilinear — §2.K5 keeps
+#   multimodal_decode + multimodal_audio_features in-window, the
+#   incoming multimodal_decode_tga adds the sixth codec's first
+#   driver check, and every displaced codec stays pixel-exact-pinned
+#   by tests/test_image_decode.py + test_audio_video.py regardless of
+#   window membership).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
     "pq_encode",
     "embedding_quantize",
-    # never-driver-checked extras (single-operator demos)
-    "project_rename",
-    "project_drop",
+    # §2.B predicates
     "like_filter",
     "theta_filter",
-    "expr_key_join_trim",
-    "expr_key_join_replace",
+    # §2.C joins
     "semi_join_in",
-    "scd1_update_detect",
-    "scd1_delete_missing",
-    "window_lag_prev",
-    "distinct_agg",
+    # §2.F aggregation surface
     "having_filter",
     "text_stats",
     "similarity_topk_pandas",
-    "embedding_passthrough",
     # round-5 additions (real image decode; as-written bug-compat)
     "multimodal_decode",
     "fraud_report_as_written",
@@ -185,16 +205,12 @@ PRIMARY = [
     "cdc_apply",
     "triangle_count",
     # §2.B projections / predicates
-    "multimodal_decode_jpeg",
     "multimodal_audio_features",
     "phrase_search",
     # §2.C / §2.G joins + merges
     "scd1_merge_full",
-    "multimodal_video_frames",
-    "multimodal_decode_gif",
     # §2.E / §2.H fraud rules + windows
     "velocity_fraud_rule",
-    "multimodal_resize_bilinear",
     "edit_distance_dedup",
     # §2.F aggregation surface
     "corpus_overlap_kmv",
@@ -214,12 +230,27 @@ PRIMARY = [
     "bpe_train_merges",
     "deterministic_shuffle",
     # round-6 rotation: first driver check of the post-r5-freeze
-    # quality/dedup additions + the round-6 PNG decode
+    # quality/dedup additions
     "containment_dedup",
     "unigram_logprob_quality",
     "dedup_apply",
     "kl_domain_shift",
-    "multimodal_decode_png",
+    # round-7 rotation: first driver check of the 14 late-round-6
+    # additions (previously judge-green only via tools/check.py)
+    "analytic_q18",
+    "benford_screen",
+    "bigram_lm_quality",
+    "correlated_min_subquery",
+    "customer_rfm",
+    "embedding_drift",
+    "gzip_jsonl_scan",
+    "label_propagation_communities",
+    "multimodal_decode_tga",
+    "similarity_ivfpq",
+    "snapshot_diff",
+    "temperature_mixture",
+    "text_clean",
+    "topk_per_group_agg",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —

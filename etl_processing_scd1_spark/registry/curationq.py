@@ -297,13 +297,15 @@ def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEMP_MIX_ORACLE = """
     WITH s AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT) AS sn_nano
+      FROM documents GROUP BY source
     ),
-    t AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM s)
+    t AS (SELECT SUM(sn_nano) AS z_nano FROM s)
     SELECT s.source,
            s.n,
-           CAST(round(sqrt(CAST(s.n AS DOUBLE)) / t.z * 1e9) AS BIGINT) AS weight_nano,
-           CAST(floor(100000 * sqrt(CAST(s.n AS DOUBLE)) / t.z) AS BIGINT) AS target_docs
+           CAST(round(CAST(s.sn_nano AS DOUBLE) / t.z_nano * 1e9) AS BIGINT) AS weight_nano,
+           CAST(floor(100000 * CAST(s.sn_nano AS DOUBLE) / t.z_nano) AS BIGINT) AS target_docs
     FROM s CROSS JOIN t
 """
 
@@ -315,22 +317,32 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources / down-sampling of giants before training (α=1 is
     proportional, α=0 uniform). α is fixed at 1/2 because sqrt is
     IEEE-correctly-rounded on every engine — pow(x, α) for general α
-    is not — so the nano-quantized weights hash-match exactly. Emits
-    the per-source weight and its 100k-document allocation; the
-    actual admission reuses the deterministic hash-threshold sampler
+    is not — so the nano-quantized weights hash-match exactly. The
+    normalizer z is summed as nano-scaled BIGINTs (round(sqrt(n)*1e9)),
+    not doubles: integer addition is order-free, so the result is
+    identical under any partial-aggregation order on either engine
+    (a double sum's last digit can flip with combine order and break
+    the hash match — same trick as embedding_drift). Emits the
+    per-source weight and its 100k-document allocation; the actual
+    admission reuses the deterministic hash-threshold sampler
     (`corpus_mixture`) with these rates."""
     docs = table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    z = s.agg(F.sum(F.sqrt(F.col("n").cast("double"))).alias("z"))
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sqrt(F.count(F.lit(1)).cast("double")) * 1e9)
+        .cast("long")
+        .alias("sn_nano"),
+    )
+    z = s.agg(F.sum("sn_nano").alias("z_nano"))
     return (
         s.crossJoin(F.broadcast(z))
         .select(
             "source",
             F.col("n").cast("long").alias("n"),
-            F.round(F.sqrt(F.col("n").cast("double")) / F.col("z") * 1e9)
+            F.round(F.col("sn_nano").cast("double") / F.col("z_nano") * 1e9)
             .cast("long")
             .alias("weight_nano"),
-            F.floor(100000 * F.sqrt(F.col("n").cast("double")) / F.col("z"))
+            F.floor(100000 * F.col("sn_nano").cast("double") / F.col("z_nano"))
             .cast("long")
             .alias("target_docs"),
         )
