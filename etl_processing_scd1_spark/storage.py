@@ -74,7 +74,15 @@ class Warehouse:
                     # the delete.
                     m = self.manifest() if dirpath == self.root else None
                     if self.retain_versions > 0 and m and m.get("run_id"):
-                        os.rename(old, f"{live}.v_{m['run_id']}")
+                        # never rename onto an existing version dir
+                        # (ENOTEMPTY on a non-empty destination would
+                        # make every subsequent open re-raise and leave
+                        # the warehouse unopenable): the existing dir
+                        # is authoritative for that run, so the
+                        # displaced copy gets a __dup suffix — still
+                        # retention-GC'd by _prune_versions, just not
+                        # addressable by read_as_of
+                        os.rename(old, self._version_slot(live, m["run_id"]))
                     else:
                         shutil.rmtree(old, ignore_errors=True)
                 else:
@@ -278,20 +286,30 @@ class Warehouse:
             for i in range(hashes)
         ]
 
-    def read_point(self, name: str, value) -> DataFrame:
+    def read_point(self, name: str, value, key_col: str | None = None) -> DataFrame:
         """Point lookup through the Bloom sidecar: open ONLY the files
         whose filter admits ``value`` (zero false negatives by Bloom
-        construction; false positives just open an extra file). Falls
-        back to the full table when no sidecar exists. Returns the
-        matching rows of the indexed key column's table filtered to
+        construction; false positives just open an extra file).
+
+        When no sidecar exists the lookup can still be answered —
+        just not pruned: with ``key_col`` given it falls back to a
+        full-table scan filtered to ``value`` (correct, O(table)).
+        Without ``key_col`` there is nothing to filter on (the column
+        normally comes from the sidecar metadata), so it raises
+        FileNotFoundError. Returns the matching rows filtered to
         ``value``."""
         from pyspark.sql import functions as F
 
         live = self._live(name)
         side = os.path.join(live, self._BLOOM_SIDECAR)
         if not os.path.isfile(side):
+            if key_col is not None:
+                return self.read(name).filter(
+                    F.col(key_col).cast("string") == str(value)
+                )
             raise FileNotFoundError(
-                f"no bloom sidecar for {name!r}; stage with stage_indexed"
+                f"no bloom sidecar for {name!r}; stage with stage_indexed "
+                "or pass key_col= for an unpruned full-scan fallback"
             )
         with open(side) as fh:
             meta = json.load(fh)
@@ -331,6 +349,38 @@ class Warehouse:
         writer.parquet(path)
         self._staged[f"{name}@append"] = path
 
+    _INFLIGHT = "_inflight.json"
+
+    def _version_slot(self, live: str, run_id: str) -> str:
+        """First free ``<live>.v_<run_id>`` destination: the exact
+        name when unoccupied, else ``__dupN`` suffixes. An occupied
+        slot means an earlier publish/recovery already retained that
+        run's state — the existing dir is authoritative, and the
+        colliding displaced data (from a crashed, unmanifested run)
+        is kept under the suffix purely so retention GC can reclaim
+        it instead of os.rename failing ENOTEMPTY mid-publish."""
+        dest = f"{live}.v_{run_id}"
+        k = 0
+        while os.path.exists(dest):
+            k += 1
+            dest = f"{live}.v_{run_id}__dup{k}"
+        return dest
+
+    def _read_inflight(self) -> dict:
+        path = os.path.join(self.root, ".staging", self._INFLIGHT)
+        if os.path.isfile(path):
+            with open(path) as fh:
+                return json.load(fh)
+        return {}
+
+    def _write_inflight(self, record: dict) -> None:
+        staging_root = os.path.join(self.root, ".staging")
+        os.makedirs(staging_root, exist_ok=True)
+        tmp = os.path.join(staging_root, "._inflight.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, os.path.join(staging_root, self._INFLIGHT))
+
     def publish(self, run_id: str | None = None) -> dict:
         """Swap all staged tables live, then write the manifest.
 
@@ -338,10 +388,28 @@ class Warehouse:
         tables on a POSIX fs; the manifest (written last, atomically
         via rename) is the commit record — consumers that require
         cross-table consistency resolve paths through it.
-        """
+
+        Crash labeling: before any swap the run records itself in
+        ``.staging/_inflight.json`` and appends each table name right
+        after that table's staged→live rename. If the process dies
+        between a swap and the manifest write, the next publish finds
+        the stale record and labels the displaced live data with the
+        run that ACTUALLY produced it (the crashed run) instead of
+        the previous manifest's id — without the record, a retained
+        version would both mislabel the crashed run's data and
+        collide with the version dir recovery created for the
+        previous run (the ENOTEMPTY failure mode)."""
         run_id = run_id or time.strftime("%Y%m%d%H%M%S")
         prev_manifest = self.manifest()
         prev_run_id = (prev_manifest or {}).get("run_id")
+        # a stale in-flight record from a run that DID commit its
+        # manifest carries no extra information — manifest labeling
+        # is already correct
+        stale_inflight = self._read_inflight()
+        if stale_inflight.get("run_id") == prev_run_id:
+            stale_inflight = {}
+        inflight = {"run_id": run_id, "swapped": []}
+        self._write_inflight(inflight)
         for name, staged in self._staged.items():
             if name.endswith("@append"):
                 live = self._live(name[: -len("@append")])
@@ -378,12 +446,21 @@ class Warehouse:
             if os.path.isdir(live):
                 os.rename(live, old)
             os.rename(staged, live)
+            inflight["swapped"].append(name)
+            self._write_inflight(inflight)
             if os.path.isdir(old):
-                # retention: the displaced data is exactly the state
-                # published by the PREVIOUS run — keep it as a named
-                # version for time travel instead of deleting it
-                if self.retain_versions > 0 and prev_run_id:
-                    os.rename(old, f"{live}.v_{prev_run_id}")
+                # retention: the displaced data is the state published
+                # by the PREVIOUS run — normally the manifest's run,
+                # but when a stale in-flight record shows a crashed
+                # (unmanifested) run already swapped this table, the
+                # displaced data is THAT run's
+                displaced_rid = prev_run_id
+                if stale_inflight.get("run_id") and name in stale_inflight.get(
+                    "swapped", ()
+                ):
+                    displaced_rid = stale_inflight["run_id"]
+                if self.retain_versions > 0 and displaced_rid:
+                    os.rename(old, self._version_slot(live, displaced_rid))
                     self._prune_versions(live)
                 else:
                     shutil.rmtree(old)
@@ -432,8 +509,13 @@ class Warehouse:
         ``<run_id>-NNNNN`` name prefix sorts ≤ the target run (append
         publishes only ever ADD run-stamped files, so the as-of state
         is exactly the file subset — no copies retained, no retention
-        limit). Raises KeyError when the run is neither current, nor
-        retained, nor reconstructible from append stamps."""
+        limit). compact() fuses old runs' files under the newest
+        compacted-in run's stamp and records that run in a
+        ``_compact_floor.json`` sidecar: reconstruction stays exact
+        for runs ≥ the floor and raises KeyError below it (the
+        pre-compaction subsets no longer exist as files). Raises
+        KeyError when the run is neither current, nor retained, nor
+        reconstructible from append stamps."""
         # version dir FIRST: in the publish crash window (swap done,
         # manifest not yet rewritten) recovery materializes
         # ``<table>.v_<run_id>`` while the stale manifest still names
@@ -446,6 +528,16 @@ class Warehouse:
             return self.read(name)
         live = self._live(name)
         if os.path.isdir(live):
+            floor_path = os.path.join(live, self._COMPACT_FLOOR)
+            if os.path.isfile(floor_path):
+                with open(floor_path) as fh:
+                    floor = json.load(fh).get("as_of_floor")
+                if floor is not None and run_id < floor:
+                    raise KeyError(
+                        f"run {run_id!r} of {name!r} predates the compaction "
+                        f"floor {floor!r} — its file subset was fused by "
+                        "compact() and is no longer reconstructible"
+                    )
             stamp = re.compile(r"(.+)-\d{5}\.parquet$")
             all_parquet = [
                 fn
@@ -539,6 +631,18 @@ class Warehouse:
         same rename → ``.old`` → cleanup dance as publish, recovered
         on open by ``_recover_interrupted_publish``.
 
+        Time-travel interaction: when every input part of a leaf
+        carries a ``<run_id>-NNNNN`` append stamp, the compacted
+        outputs are re-stamped ``<max_source_run_id>-NNNNN`` — so
+        :meth:`read_as_of` stays EXACT for any run ≥ the newest
+        compacted-in run (the merged file's stamp admits it, and it
+        holds precisely the union of the older runs' rows). Reads for
+        runs OLDER than that are no longer reconstructible (their
+        rows are fused into a newer-stamped file); compact() records
+        that floor in a ``_compact_floor.json`` sidecar and
+        read_as_of raises KeyError below it rather than silently
+        returning a partial snapshot.
+
         Run it out-of-band (the reference has no analog — Postgres
         autovacuums; immutable-file warehouses schedule compaction).
         """
@@ -546,6 +650,7 @@ class Warehouse:
         stats = {"partitions_seen": 0, "partitions_compacted": 0, "files_before": 0, "files_after": 0}
         if not os.path.isdir(live):
             return stats
+        stamp = re.compile(r"(.+)-\d{5}\.parquet$")
         leaves = []
         for dirpath, _dirs, files in os.walk(live):
             parts = [f for f in files if f.endswith(".parquet")]
@@ -553,10 +658,11 @@ class Warehouse:
                 stats["partitions_seen"] += 1
                 stats["files_before"] += len(parts)
                 if len(parts) > max_files:
-                    leaves.append((dirpath, len(parts)))
+                    leaves.append((dirpath, parts))
                 else:
                     stats["files_after"] += len(parts)
-        for dirpath, n_parts in leaves:
+        compact_floor: str | None = None
+        for dirpath, parts in leaves:
             rel = os.path.relpath(dirpath, live)
             base = os.path.join(self.root, ".staging", f"{name}@compact")
             # unpartitioned table: the leaf IS the live root, rel == "."
@@ -573,6 +679,21 @@ class Warehouse:
             for f in list(os.listdir(staged)):
                 if not f.endswith(".parquet"):
                     os.remove(os.path.join(staged, f))
+            # preserve append-run stamps: outputs inherit the NEWEST
+            # source stamp so read_as_of keeps working for runs ≥ it
+            matches = [stamp.fullmatch(f) for f in parts]
+            if all(matches):
+                max_rid = max(m.group(1) for m in matches)
+                outs = sorted(
+                    f for f in os.listdir(staged) if f.endswith(".parquet")
+                )
+                for i, f in enumerate(outs):
+                    os.rename(
+                        os.path.join(staged, f),
+                        os.path.join(staged, f"{max_rid}-{i:05d}.parquet"),
+                    )
+                if compact_floor is None or max_rid > compact_floor:
+                    compact_floor = max_rid
             old = dirpath + ".old"
             if os.path.isdir(old):
                 shutil.rmtree(old)
@@ -583,10 +704,21 @@ class Warehouse:
             stats["files_after"] += sum(
                 1 for f in os.listdir(dirpath) if f.endswith(".parquet")
             )
+        if compact_floor is not None:
+            floor_path = os.path.join(live, self._COMPACT_FLOOR)
+            prev_floor = None
+            if os.path.isfile(floor_path):
+                with open(floor_path) as fh:
+                    prev_floor = json.load(fh).get("as_of_floor")
+            if prev_floor is None or compact_floor > prev_floor:
+                with open(floor_path, "w") as fh:
+                    json.dump({"as_of_floor": compact_floor}, fh)
         staging = os.path.join(self.root, ".staging", f"{name}@compact")
         if os.path.isdir(staging):
             shutil.rmtree(staging, ignore_errors=True)
         return stats
+
+    _COMPACT_FLOOR = "_compact_floor.json"
 
     def _live(self, name: str) -> str:
         return os.path.join(self.root, name)

@@ -49,8 +49,16 @@ def velocity_flagger(max_gap_hours: float = 1.0):
     ) -> Iterator[pd.DataFrame]:
         last_ts, last_state = state.get if state.exists else (None, None)
         out = {k: [] for k in ("key", "event_id", "ts", "state_val", "prev_state", "gap_seconds")}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a key's rows within one micro-batch can SPAN Arrow chunks in
+        # arbitrary order — sorting each chunk independently would let
+        # an earlier event arriving in a later chunk replay against
+        # newer state. Concatenate the whole batch for this key, sort
+        # ONCE, then fold; memory is one key's batch slice (the same
+        # bound applyInPandas already imposes), not the table.
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0] if chunks else None
+        if batch is not None:
+            pdf = batch.sort_values(["ts", "event_id"])
             for row in pdf.itertuples():
                 ts_epoch = int(row.ts.timestamp())
                 if (
@@ -123,8 +131,13 @@ def session_assembler(gap_minutes: int = 30):
     def fn(key, pdfs, state):
         start_us, end_us, n = state.get if state.exists else (None, None, 0)
         out = {k: [] for k in ("key", "session_start_us", "session_end_us", "n_events")}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["us", "event_id"])
+        # same chunk-spanning hazard as velocity_flagger: sort the
+        # key's WHOLE micro-batch once, or an early event in a late
+        # chunk regresses end_us and corrupts session boundaries
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0] if chunks else None
+        if batch is not None:
+            pdf = batch.sort_values(["us", "event_id"])
             for row in pdf.itertuples():
                 us = int(row.us)
                 if start_us is None:

@@ -343,3 +343,128 @@ def test_bloom_sidecar_point_lookup_skips_files(spark, tmp_path):
 
     # plain read still works (sidecar is hidden to the parquet reader)
     assert wh.read("idx").count() == 4000
+
+
+def test_crashed_unmanifested_publish_then_next_publish(spark, tmp_path):
+    """The round-6 advisor's ENOTEMPTY scenario: run r2 swaps the
+    table live and records itself in-flight, then dies BEFORE writing
+    the manifest. Recovery on reopen retains the displaced r1 state
+    as dim.v_r1 (manifest still names r1). The NEXT publish must then
+    (a) not collide with that existing version dir, and (b) label the
+    displaced live data with r2 — the run that actually produced it —
+    not the stale manifest's r1."""
+    import pytest
+
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    root = str(tmp_path / "whcrash")
+    wh = Warehouse(spark, root, retain_versions=3)
+    wh.stage("dim", spark.createDataFrame([(1, "a")], "id int, v string"))
+    wh.publish(run_id="r1")
+
+    # replay publish(r2) up to the crash point: in-flight recorded,
+    # live swapped, old still on disk, NO manifest write
+    wh.stage("dim", spark.createDataFrame([(1, "b")], "id int, v string"))
+    staged = wh._staged["dim"]
+    wh._write_inflight({"run_id": "r2", "swapped": ["dim"]})
+    live = os.path.join(root, "dim")
+    os.rename(live, live + ".old")
+    os.rename(staged, live)
+
+    # reopen: recovery retains the orphaned .old as v_r1
+    wh2 = Warehouse(spark, root, retain_versions=3)
+    assert wh2.read("dim").collect()[0].v == "b"
+    assert wh2.read_as_of("dim", "r1").collect()[0].v == "a"
+
+    # next publish: must succeed AND label the displaced data as r2
+    wh2.stage("dim", spark.createDataFrame([(1, "c")], "id int, v string"))
+    wh2.publish(run_id="r3")
+    assert wh2.read("dim").collect()[0].v == "c"
+    assert wh2.read_as_of("dim", "r1").collect()[0].v == "a"
+    assert wh2.read_as_of("dim", "r2").collect()[0].v == "b"
+    # the warehouse stays openable (regression: recovery used to
+    # re-raise ENOTEMPTY forever once the version dirs collided)
+    wh3 = Warehouse(spark, root, retain_versions=3)
+    assert wh3.read("dim").collect()[0].v == "c"
+    with pytest.raises(KeyError):
+        wh3.read_as_of("dim", "r0")
+
+
+def test_legacy_crash_layout_without_inflight_record(spark, tmp_path):
+    """Same crash window but from a warehouse written before the
+    in-flight record existed (no _inflight.json): the colliding
+    displaced data cannot be attributed to a run, so it lands in a
+    __dup slot — mislabeled but publishable, and retention GC still
+    reclaims it. The authoritative v_r1 contents are untouched."""
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    root = str(tmp_path / "whlegacy")
+    wh = Warehouse(spark, root, retain_versions=3)
+    wh.stage("dim", spark.createDataFrame([(1, "a")], "id int, v string"))
+    wh.publish(run_id="r1")
+    wh.stage("dim", spark.createDataFrame([(1, "b")], "id int, v string"))
+    staged = wh._staged["dim"]
+    live = os.path.join(root, "dim")
+    os.rename(live, live + ".old")
+    os.rename(staged, live)  # crash: no inflight, no manifest
+
+    wh2 = Warehouse(spark, root, retain_versions=3)  # recovery -> v_r1
+    wh2.stage("dim", spark.createDataFrame([(1, "c")], "id int, v string"))
+    wh2.publish(run_id="r3")  # must not ENOTEMPTY on v_r1
+    assert wh2.read("dim").collect()[0].v == "c"
+    assert wh2.read_as_of("dim", "r1").collect()[0].v == "a"
+    dup_dirs = [d for d in os.listdir(root) if "__dup" in d]
+    assert dup_dirs  # the unattributable displaced copy is parked
+
+
+def test_read_point_full_scan_fallback_without_sidecar(spark, tmp_path):
+    import pytest
+
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whnp"))
+    wh.stage("plain", spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"))
+    wh.publish(run_id="r1")
+    # with key_col: correct unpruned fallback
+    rows = wh.read_point("plain", 2, key_col="k").collect()
+    assert [(r.k, r.v) for r in rows] == [(2, "y")]
+    # without key_col there is nothing to filter on -> explicit error
+    with pytest.raises(FileNotFoundError):
+        wh.read_point("plain", 2)
+
+
+def test_compact_preserves_run_stamps_for_time_travel(spark, tmp_path):
+    """compact() re-stamps merged leaves with the newest source run id
+    so read_as_of stays exact for runs >= that stamp, and raises
+    (instead of silently under-returning) below the compaction floor."""
+    import pytest
+
+    from etl_processing_scd1_spark.storage import Warehouse
+
+    root = str(tmp_path / "whcmp")
+    wh = Warehouse(spark, root)
+    for run, n in (("r1", 3), ("r2", 3)):
+        df = spark.createDataFrame(
+            [(run, i) for i in range(n)], "run string, i int"
+        ).repartition(3)
+        wh.stage_append("facts", df)
+        wh.publish(run_id=run)
+    assert wh.read_as_of("facts", "r1").count() == 3
+
+    stats = wh.compact("facts", max_files=4, target_files=1)
+    assert stats["partitions_compacted"] == 1
+    # every surviving file still carries a run stamp
+    files = [f for f in os.listdir(os.path.join(root, "facts")) if f.endswith(".parquet")]
+    assert files and all(f.startswith("r2-") for f in files)
+
+    # exact at and above the floor
+    assert wh.read_as_of("facts", "r2").count() == 6
+    wh.stage_append("facts", spark.createDataFrame([("r3", 0)], "run string, i int"))
+    wh.publish(run_id="r3")
+    assert wh.read_as_of("facts", "r2").count() == 6
+    assert wh.read_as_of("facts", "r3").count() == 7
+    # below the floor: loud, not silently partial
+    with pytest.raises(KeyError):
+        wh.read_as_of("facts", "r1")
+    # plain reads unaffected by the floor sidecar
+    assert wh.read("facts").count() == 7

@@ -646,3 +646,70 @@ def test_streaming_ivfpq_codes_match_batch_rebuild(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(streamed) == 40
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState state stand-in for direct unit
+    tests of the per-key fold functions (exists/get/update surface)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_stateful_folds_sort_across_arrow_chunks():
+    """A key's micro-batch rows can span Arrow chunks in arbitrary
+    order. The fold functions must sort the WHOLE batch once — a
+    per-chunk sort would replay an early event (arriving in a later
+    chunk) against newer state: velocity_flagger would mis-flag and
+    corrupt (last_ts, last_state); session_assembler would regress
+    end_us and split/merge sessions wrongly (round-6 advisor)."""
+    import pandas as pd
+
+    from etl_processing_scd1_spark.streaming.stateful import (
+        session_assembler,
+        velocity_flagger,
+    )
+
+    # --- sessionizer: the late chunk carries the EARLIEST event.
+    # All three events are within the gap -> ONE open session, no
+    # emission. A per-chunk fold sees 100s,160s then 40s: 40s breaks
+    # "backwards", closing a bogus session.
+    gap_us = 60 * 60 * 1_000_000  # 60 min, all events inside
+    chunk_a = pd.DataFrame({"us": [100 * 1_000_000, 160 * 1_000_000], "event_id": ["b", "c"]})
+    chunk_b = pd.DataFrame({"us": [40 * 1_000_000], "event_id": ["a"]})
+    state = _FakeGroupState()
+    out = list(session_assembler(gap_minutes=60)(("k1",), iter([chunk_a, chunk_b]), state))
+    assert out == []  # nothing closed
+    assert state.get == (40 * 1_000_000, 160 * 1_000_000, 3)
+
+    # --- velocity flagger: events at t0 (state X) and t0+10s
+    # (state Y) arrive with the EARLIER one in the LATER chunk.
+    # Correct fold flags exactly the later event (Y within the gap of
+    # X); a per-chunk fold would process Y first and flag X instead.
+    t0 = pd.Timestamp("2021-03-01 10:00:00")
+    chunk_y = pd.DataFrame({"ts": [t0 + pd.Timedelta(seconds=10)], "event_id": ["e2"], "state_val": ["Y"]})
+    chunk_x = pd.DataFrame({"ts": [t0], "event_id": ["e1"], "state_val": ["X"]})
+    vstate = _FakeGroupState()
+    flagged = pd.concat(
+        list(velocity_flagger(max_gap_hours=1.0)(("k1",), iter([chunk_y, chunk_x]), vstate))
+    )
+    assert list(flagged["event_id"]) == ["e2"]
+    assert list(flagged["prev_state"]) == ["X"]
+    assert vstate.get == (int((t0 + pd.Timedelta(seconds=10)).timestamp()), "Y")
+
+    # empty batch iterator: state untouched semantics (no crash)
+    estate = _FakeGroupState()
+    estate.update((1, 2, 3))
+    assert list(session_assembler(60)(("k",), iter([]), estate)) == []
+    assert estate.get == (1, 2, 3)
