@@ -20,6 +20,55 @@ from pyspark.sql import DataFrame
 #: acceptable in an unbounded-input plan
 RED_FLAG_JOINS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
+_TREE_ART = re.compile(r"^([ :+|-]*)(.*)$")
+_GLOBAL_AGG = re.compile(r"(Hash|Sort|ObjectHash)Aggregate(?:\w*)?\(keys=\[\]")
+
+
+def _node(line: str) -> tuple[int, str]:
+    """(tree depth in characters, node text) for one plan line."""
+    m = _TREE_ART.match(line)
+    return len(m.group(1)), m.group(2)
+
+
+def classify_single_partitions(plan: str) -> list[dict]:
+    """Classify every ``Exchange SinglePartition`` in a plan string.
+
+    A single-partition exchange is BENIGN when it implements the
+    final step of a GLOBAL aggregate: the parent node is an
+    Aggregate with ``keys=[]`` and the exchange's input is the
+    matching partial Aggregate — then the exchanged data is one
+    partial-state row PER UPSTREAM PARTITION (a few KB at any data
+    size), not the relation. Anything else — a global Sort, an
+    unpartitioned Window, a GlobalLimit over raw rows — funnels the
+    actual data through one task and is a REAL red flag at 100 TB.
+    Requiring BOTH sides prevents a real funnel from hiding behind a
+    waived warning: a global sort/window parent fails the parent
+    check, and a global agg fed by raw (non-partial) rows fails the
+    child check.
+    """
+    lines = plan.splitlines()
+    found: list[dict] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        depth, _ = _node(ln)
+        parent = next(
+            (
+                text
+                for d, text in (
+                    _node(lines[j]) for j in range(i - 1, -1, -1)
+                )
+                if d < depth and text
+            ),
+            "",
+        )
+        child = _node(lines[i + 1])[1] if i + 1 < len(lines) else ""
+        benign = bool(_GLOBAL_AGG.search(parent)) and bool(
+            _GLOBAL_AGG.search(child)
+        )
+        found.append({"benign": benign, "parent": parent, "child": child})
+    return found
+
 
 def audit_plan(df: DataFrame) -> dict:
     """Scale-relevant facts from the executed (pre-AQE-final) plan.
@@ -52,11 +101,15 @@ def audit_plan(df: DataFrame) -> dict:
     for op in RED_FLAG_JOINS:
         if op in plan:
             warnings.append(f"{op} present — quadratic in input size")
-    if re.search(r"Exchange SinglePartition", plan):
-        warnings.append(
-            "SinglePartition exchange — a global sort/window funnels "
-            "all data through one task"
-        )
+    single_partitions = classify_single_partitions(plan)
+    for sp in single_partitions:
+        if not sp["benign"]:
+            warnings.append(
+                "SinglePartition exchange feeding "
+                f"{sp['parent'].split('(')[0] or '<root>'} — funnels the "
+                "relation through one task (not a 1-row global-aggregate "
+                "hand-off)"
+            )
     return {
         "shuffle_exchanges": shuffles,
         "broadcast_joins": plan.count("BroadcastHashJoin"),
@@ -67,6 +120,7 @@ def audit_plan(df: DataFrame) -> dict:
         # prefixes (the WholeStageCodegen (N) spelling appears only in
         # formatted explain output)
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "single_partition_exchanges": single_partitions,
         "warnings": warnings,
         "plan": plan,
     }
@@ -81,7 +135,12 @@ def assert_scale_clean(
     """Raise AssertionError (with the offending plan attached) when
     the plan carries a scale red flag; returns the audit otherwise.
     ``allow_nested_loop`` is for plans where one side is bounded BY
-    CONSTRUCTION (a broadcast query batch, a k-row codebook)."""
+    CONSTRUCTION (a broadcast query batch, a k-row codebook).
+
+    Benign single-partition exchanges (1-row global-aggregate
+    hand-offs, see :func:`classify_single_partitions`) never trip the
+    gate; ``allow_single_partition`` waives only the REAL funnels —
+    for plans whose input is bounded by construction."""
     audit = audit_plan(df)
     problems = []
     if not allow_nested_loop and audit["nested_loop_joins"]:
