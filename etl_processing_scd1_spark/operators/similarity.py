@@ -28,6 +28,38 @@ from pyspark.sql import functions as F
 
 SCALE = int(1e8)
 
+#: broadcast ceiling for the query side of the brute-force paths.
+#: The BroadcastNestedLoopJoin those plans produce is safe ONLY while
+#: |Q| is bounded — 65536 query vectors × a few-hundred-float payload
+#: is tens of MB, comfortably inside executor broadcast budgets;
+#: beyond it the "small by definition" assumption is broken and the
+#: plan must not silently ship an unbounded relation to every task.
+DEFAULT_MAX_QUERY_ROWS = 65536
+
+
+def _probe_query_rows(
+    queries: DataFrame, max_query_rows: int | None, fn_name: str
+) -> None:
+    """Fail-fast guard on the bounded-|Q| contract (mirrors the dedup
+    broadcast auto-probe): count AT MOST ``max_query_rows + 1`` rows
+    of the query side — ``limit(n+1).count()`` stops scanning at the
+    bound, so the probe costs O(bound) regardless of how large the
+    relation actually is — and raise before the plan is built when
+    the bound is exceeded. ``max_query_rows=None`` skips the probe
+    (caller asserts boundedness by construction, e.g. a k-row
+    centroid batch)."""
+    if max_query_rows is None:
+        return
+    n = queries.limit(max_query_rows + 1).count()
+    if n > max_query_rows:
+        raise ValueError(
+            f"{fn_name}: query side exceeds max_query_rows={max_query_rows} "
+            "— the broadcast nested-loop plan is only safe for bounded "
+            "query batches. Split the batch, route through the bucketed "
+            "path (cosine_topk_lsh with broadcast_queries=False, or IVF "
+            "cells via group_col), or raise max_query_rows deliberately."
+        )
+
 
 def _dot_scaled(a: Column, b: Column) -> Column:
     """Σ round(a_i * b_i * SCALE) as BIGINT — exact, order-free."""
@@ -50,6 +82,8 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
@@ -57,7 +91,34 @@ def cosine_topk_bruteforce(
     evidence columns, rank tie-broken by neighbor id. The query side
     is broadcast; the corpus streams through map-side; the only
     shuffle is the per-query top-k window over k·|Q| survivors.
+
+    The broadcast is guarded by an explicit |Q| probe
+    (:func:`_probe_query_rows`): ``on_overflow="raise"`` (default)
+    fails fast when the query side exceeds ``max_query_rows``;
+    ``on_overflow="lsh"`` falls back to the bucketed
+    :func:`cosine_topk_lsh` path with a SHUFFLE join (no broadcast) —
+    the scale shape for query sets too large to ship to every task,
+    at the documented cost of approximate recall (the fallback is
+    opt-in precisely because it trades exactness).
     """
+    if max_query_rows is not None:
+        if on_overflow not in ("raise", "lsh"):
+            raise ValueError(f"on_overflow must be 'raise' or 'lsh', got {on_overflow!r}")
+        try:
+            _probe_query_rows(queries, max_query_rows, "cosine_topk_bruteforce")
+        except ValueError:
+            if on_overflow == "raise":
+                raise
+            dim = queries.select(F.size(F.col(vec_col))).first()[0]
+            return cosine_topk_lsh(
+                corpus,
+                queries,
+                planes=md5_planes(16, dim),
+                id_col=id_col,
+                vec_col=vec_col,
+                k=k,
+                broadcast_queries=False,
+            )
     # Norms computed ONCE per vector before the join (not per pair),
     # and the dot product once per pair — the per-pair work is a
     # single zip_with/aggregate pass.
@@ -360,6 +421,7 @@ def cosine_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k with the scoring loop in an Arrow-batched
     ``mapInPandas`` (numpy matrix math) instead of JVM array
@@ -372,10 +434,18 @@ def cosine_topk_pandas(
     half-to-even and diverge from Spark/DuckDB ``round``). The query
     matrix rides the closure (small side); the corpus streams through
     executors in Arrow batches; only k·|Q| survivors shuffle for the
-    final ranking window."""
+    final ranking window.
+
+    The driver-side ``collect()`` makes the bounded-|Q| contract even
+    harder here than in the JVM variant (an unbounded query side is
+    an OOM, not just a slow broadcast), so the probe runs BEFORE the
+    collect and always fails fast — there is no approximate fallback
+    that preserves this function's exactness promise; route oversized
+    batches through cosine_topk_lsh / IVF instead."""
     import numpy as np
     import pandas as pd
 
+    _probe_query_rows(queries, max_query_rows, "cosine_topk_pandas")
     qrows = queries.select(id_col, vec_col).collect()
     qids = [int(r[id_col]) for r in qrows]
     qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
@@ -480,11 +550,18 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: join only within matching hyperplane
     buckets. Same output shape as brute force; recall depends on
     plane count (probe multiple tables at higher recall — the bucket
-    column is cheap to replicate)."""
+    column is cheap to replicate).
+
+    ``broadcast_queries=False`` switches the bucket join to a plain
+    SHUFFLE join (both sides exchanged on ``__bucket__``): the shape
+    for query sets too large to broadcast — this is the fallback
+    target of cosine_topk_bruteforce's |Q| probe, and the only
+    variant here with no size assumption on either side."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
@@ -498,7 +575,7 @@ def cosine_topk_lsh(
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
     )
     scored = (
-        c.join(F.broadcast(q), "__bucket__")
+        c.join(F.broadcast(q) if broadcast_queries else q, "__bucket__")
         .withColumn("dot_scaled", _dot_scaled(F.col("__qv__"), F.col("__cv__")))
         .withColumn(
             "__cos__",
@@ -664,6 +741,7 @@ def pq_adc_topk(
     codebook_id_col: str = "vec_id",
     codebook_vec_col: str = "embedding",
     group_col: str | None = None,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """PQ search by Asymmetric Distance Computation (Jégou et al.
     2011): approximate squared-L2 from a query to a PQ-coded vector
@@ -686,7 +764,15 @@ def pq_adc_topk(
     float vector ever crosses the join. The only shuffle is the
     per-query top-k window, identical to ``cosine_topk_bruteforce``'s
     accepted survivor shape.
+
+    The "small BY DEFINITION" query batch is PROBED, not assumed
+    (``max_query_rows``): the broadcast — and with it each query
+    row's m×k LUT literal — must stay bounded; an oversized batch
+    fails fast with a pointer at splitting it or at per-cell IVF
+    routing (``group_col``), where the corpus side of each join is a
+    cell, not the relation.
     """
+    _probe_query_rows(queries, max_query_rows, "pq_adc_topk")
     rows = codebook.select(codebook_id_col, codebook_vec_col).collect()
     codewords = sorted((r[0], list(r[1])) for r in rows)
     dim = len(codewords[0][1])
