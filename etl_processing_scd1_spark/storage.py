@@ -72,8 +72,20 @@ class Warehouse:
                     # previous manifest's state — finish the rename
                     # it would have gotten; without retention, finish
                     # the delete.
-                    m = self.manifest() if dirpath == self.root else None
-                    if self.retain_versions > 0 and m and m.get("run_id"):
+                    label = None
+                    if dirpath == self.root:
+                        # the crashed publish precomputed which run
+                        # produced each table's pre-swap state (its
+                        # in-flight "displaced" map — survives chained
+                        # crashes where the manifest is several runs
+                        # stale); the manifest run is the fallback for
+                        # records from before that map existed
+                        table = entry[: -len(".old")]
+                        label = self._read_inflight().get("displaced", {}).get(table)
+                        if label is None:
+                            m = self.manifest()
+                            label = (m or {}).get("run_id")
+                    if self.retain_versions > 0 and label:
                         # never rename onto an existing version dir
                         # (ENOTEMPTY on a non-empty destination would
                         # make every subsequent open re-raise and leave
@@ -82,7 +94,7 @@ class Warehouse:
                         # displaced copy gets a __dup suffix — still
                         # retention-GC'd by _prune_versions, just not
                         # addressable by read_as_of
-                        os.rename(old, self._version_slot(live, m["run_id"]))
+                        os.rename(old, self._version_slot(live, label))
                     else:
                         shutil.rmtree(old, ignore_errors=True)
                 else:
@@ -381,6 +393,31 @@ class Warehouse:
             json.dump(record, fh)
         os.replace(tmp, os.path.join(staging_root, self._INFLIGHT))
 
+    def _begin_publish(self, run_id: str, prev_run_id: str | None) -> dict:
+        """Start the publish crash protocol: compute, per staged
+        full table, which run produced the data the swap is about to
+        displace — the previous manifest's run normally, or a crashed
+        (unmanifested) run recorded as having already swapped that
+        table — and persist it all as the in-flight record BEFORE any
+        rename. Recovery and the swap loop both label displaced
+        states from this map, so the attribution survives chained
+        crashes where the manifest is several runs stale."""
+        stale = self._read_inflight()
+        if stale.get("run_id") == prev_run_id:
+            stale = {}  # that run committed; manifest labeling is right
+        displaced: dict[str, str] = {}
+        for name in self._staged:
+            if name.endswith("@append"):
+                continue
+            rid = prev_run_id
+            if stale.get("run_id") and name in stale.get("swapped", ()):
+                rid = stale["run_id"]
+            if rid:
+                displaced[name] = rid
+        record = {"run_id": run_id, "swapped": [], "displaced": displaced}
+        self._write_inflight(record)
+        return record
+
     def publish(self, run_id: str | None = None) -> dict:
         """Swap all staged tables live, then write the manifest.
 
@@ -402,14 +439,7 @@ class Warehouse:
         run_id = run_id or time.strftime("%Y%m%d%H%M%S")
         prev_manifest = self.manifest()
         prev_run_id = (prev_manifest or {}).get("run_id")
-        # a stale in-flight record from a run that DID commit its
-        # manifest carries no extra information — manifest labeling
-        # is already correct
-        stale_inflight = self._read_inflight()
-        if stale_inflight.get("run_id") == prev_run_id:
-            stale_inflight = {}
-        inflight = {"run_id": run_id, "swapped": []}
-        self._write_inflight(inflight)
+        inflight = self._begin_publish(run_id, prev_run_id)
         for name, staged in self._staged.items():
             if name.endswith("@append"):
                 live = self._live(name[: -len("@append")])
@@ -449,16 +479,12 @@ class Warehouse:
             inflight["swapped"].append(name)
             self._write_inflight(inflight)
             if os.path.isdir(old):
-                # retention: the displaced data is the state published
-                # by the PREVIOUS run — normally the manifest's run,
-                # but when a stale in-flight record shows a crashed
-                # (unmanifested) run already swapped this table, the
-                # displaced data is THAT run's
-                displaced_rid = prev_run_id
-                if stale_inflight.get("run_id") and name in stale_inflight.get(
-                    "swapped", ()
-                ):
-                    displaced_rid = stale_inflight["run_id"]
+                # retention: the displaced data is labeled with the
+                # run that produced it, from the precomputed
+                # _begin_publish map (the previous manifest's run, or
+                # a crashed unmanifested run that had already swapped
+                # this table)
+                displaced_rid = inflight["displaced"].get(name)
                 if self.retain_versions > 0 and displaced_rid:
                     os.rename(old, self._version_slot(live, displaced_rid))
                     self._prune_versions(live)
