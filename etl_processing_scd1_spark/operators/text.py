@@ -227,14 +227,43 @@ def phrase_search(
     Output: (doc_id, n_matches, first_pos) per matching document,
     first_pos 0-based.
     """
+    posted = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern, -1)).alias("pos", "tok"),
+    )
+    return phrase_match_postings(posted, id_col, phrase)
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_pattern: str = r"\s+",
+) -> DataFrame:
+    """Positional postings relation (tok, doc, pos) for an inverted
+    index with positions — the MATERIALIZED form of the stream
+    :func:`phrase_search` derives on the fly. Per-document and
+    stateless, so index maintenance is O(new docs): the streaming
+    sink appends each micro-batch's postings and queries run
+    :func:`phrase_match_postings` over the accumulated relation. At
+    scale, partition/bucket the stored postings by ``tok`` so a
+    phrase query prunes to its terms' partitions."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern, -1)).alias("pos", "tok"),
+    ).select("tok", id_col, "pos")
+
+
+def phrase_match_postings(posted: DataFrame, id_col: str, phrase: str) -> DataFrame:
+    """The anchor aggregation over an existing postings relation
+    (``id_col``, pos, tok) — shared by the one-shot
+    :func:`phrase_search` and queries over a maintained postings
+    index (:func:`build_postings` / the streaming postings sink)."""
     tokens = [t for t in phrase.split(" ") if t]
     if not tokens:
         raise ValueError("phrase must contain at least one token")
     n = len(tokens)
-    posted = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), split_pattern, -1)).alias("pos", "tok"),
-    ).filter(F.col("tok").isin(tokens))
+    posted = posted.filter(F.col("tok").isin(tokens))
     # fan each surviving posting out to every phrase slot it could fill
     slots = F.array(
         *[

@@ -713,3 +713,122 @@ def test_stateful_folds_sort_across_arrow_chunks():
     estate.update((1, 2, 3))
     assert list(session_assembler(60)(("k",), iter([]), estate)) == []
     assert estate.get == (1, 2, 3)
+
+
+def test_streaming_postings_index_matches_batch_phrase_search(spark, tmp_path):
+    """Round-7 parity decision: phrase-search index MAINTENANCE is
+    incremental (O(batch) postings append per trigger); the phrase
+    QUERY over the accumulated index must be row-identical to batch
+    phrase_search over every document seen."""
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.text import (
+        phrase_match_postings,
+        phrase_search,
+    )
+    from etl_processing_scd1_spark.streaming.pipeline import streaming_postings_sink
+    from tests.conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select("doc_id", "text")
+    feed = tmp_path / "docs_feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(feed / "_b1.tmp")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(feed / "_b2.tmp")
+    )
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    idx_dir = str(tmp_path / "postings")
+
+    def write_postings(df):
+        df.write.mode("append").parquet(idx_dir)
+
+    q = streaming_postings_sink(
+        stream, write_postings, checkpoint_dir=str(tmp_path / "ck_postings")
+    )
+    q.awaitTermination(180)
+
+    # pick a phrase that actually occurs: first two tokens of some doc
+    sample = docs.filter(F.size(F.split("text", r"\s+")) >= 2).first()
+    phrase = " ".join(sample.text.split()[:2])
+
+    postings = spark.read.parquet(idx_dir)
+    streamed = {
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in phrase_match_postings(postings, "doc_id", phrase).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in phrase_search(docs, "doc_id", "text", phrase).collect()
+    }
+    assert streamed == batch and streamed  # non-trivial and identical
+
+
+def test_streaming_bpe_tokenize_matches_batch_apply(spark, tmp_path):
+    """Round-7 parity decision: BPE APPLY streams under a frozen
+    trained vocabulary (training itself stays batch-only by design —
+    an incrementally drifting merge table would silently re-tokenize
+    history); streamed per-doc counts must equal batch bpe_tokenize
+    with the same merges."""
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.bpe import _train, bpe_tokenize
+    from etl_processing_scd1_spark.streaming.pipeline import (
+        streaming_bpe_tokenize_sink,
+    )
+    from tests.conftest import SF0001
+
+    docs = (
+        spark.read.parquet(f"{SF0001}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    _merges, vocab = _train(docs, "text", n_merges=4)
+    vocab_counts = vocab.select("word", F.size("segs").alias("n"))
+
+    feed = tmp_path / "bpe_feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(feed / "_b1.tmp")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(feed / "_b2.tmp")
+    )
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    out_dir = str(tmp_path / "bpe_counts")
+
+    def write_counts(df):
+        df.write.mode("append").parquet(out_dir)
+
+    q = streaming_bpe_tokenize_sink(
+        stream, vocab_counts, write_counts,
+        checkpoint_dir=str(tmp_path / "ck_bpe"),
+    )
+    q.awaitTermination(180)
+    vocab.unpersist()
+
+    streamed = {
+        (r.doc_id, r.n_words, r.n_subword_tokens)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    ref = bpe_tokenize(docs, n_merges=4)
+    batch = {
+        (r.doc_id, r.n_words, r.n_subword_tokens) for r in ref.collect()
+    }
+    from etl_processing_scd1_spark.operators.dedup import release_cached
+
+    release_cached(ref)
+    assert streamed == batch and streamed
