@@ -182,7 +182,10 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   incoming multimodal_decode_tga adds the sixth codec's first
 #   driver check, and every displaced codec stays pixel-exact-pinned
 #   by tests/test_image_decode.py + test_audio_video.py regardless of
-#   window membership).
+#   window membership). Round-7 additions landing AFTER this window
+#   froze (analytic_q21_blame_supplier, analytic_q20_heavy_suppliers)
+#   are first in line for the round-8 rotation; both are oracle-green
+#   at sf0.001/0.01 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",

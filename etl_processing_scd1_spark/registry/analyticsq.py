@@ -1120,4 +1120,122 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q21_ORACLE = """
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    blame AS (
+      SELECT t.l_orderkey, t.l_suppkey FROM late t
+      WHERE EXISTS (
+        SELECT 1 FROM pairs p
+        WHERE p.l_orderkey = t.l_orderkey AND p.l_suppkey <> t.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l2
+        WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey
+      )
+    )
+    SELECT b.l_suppkey AS s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM blame b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY b.l_suppkey, s.s_name
+"""
+
+
+@register("analytic_q21_blame_supplier", oracle=Q21_ORACLE)
+def analytic_q21_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (suppliers who kept orders waiting), adapted
+    to this schema's dates: a supplier is BLAMED for an order when it
+    shipped late (l_shipdate > o_orderdate + 60 days), the order had
+    ANOTHER supplier (EXISTS → left-semi on the order key with a
+    supp-inequality residual), and NO OTHER supplier shipped it late
+    (NOT EXISTS → left-anti, same shape). This is the classic
+    hardest-to-decorrelate TPC-H query: two correlated subqueries
+    against the same fact, planned here as two hash joins on the
+    order key with the inequality as a join residual — the late-pair
+    relation is distinct-collapsed BEFORE the self-joins, so each leg
+    shuffles O(late pairs), never O(lineitems)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    p2 = pairs.select(
+        F.col("l_orderkey").alias("__o__"), F.col("l_suppkey").alias("__s__")
+    )
+    l2 = late.select(
+        F.col("l_orderkey").alias("__o__"), F.col("l_suppkey").alias("__s__")
+    )
+    blame = late.join(
+        p2,
+        (late["l_orderkey"] == p2["__o__"]) & (late["l_suppkey"] != p2["__s__"]),
+        "left_semi",
+    ).join(
+        l2,
+        (late["l_orderkey"] == l2["__o__"]) & (late["l_suppkey"] != l2["__s__"]),
+        "left_anti",
+    )
+    return (
+        blame.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("numwait").cast("long").alias("numwait"))
+    )
+
+
+Q20_ORACLE = """
+    WITH qualifying AS (
+      SELECT l_suppkey, l_partkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 's%')
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 60
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS n_heavy_parts
+    FROM qualifying q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("analytic_q20_heavy_suppliers", oracle=Q20_ORACLE)
+def analytic_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's nested-IN shape (suppliers with heavy volume on a
+    part family): the inner IN (name-prefix part filter — pushed to
+    the part scan as StringStartsWith) broadcast-SEMI-restricts the
+    fact, a grouped HAVING keeps (supplier, part) pairs over the
+    volume threshold, and the outer IN collapses to a per-supplier
+    count joined against the broadcast supplier dim. Every subquery
+    level becomes a join stage with the fact shuffled exactly once,
+    on the aggregation key."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    fam = part.filter(F.col("p_name").startswith("s")).select("p_partkey")
+    qualifying = (
+        li.join(F.broadcast(fam), li["l_partkey"] == fam["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q__"))
+        .filter(F.col("__q__") > 60)
+    )
+    return (
+        qualifying.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_heavy_parts"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_heavy_parts").cast("long").alias("n_heavy_parts"),
+        )
+    )
+
+
 __all__ = ["QUERIES", "ORACLES"]
