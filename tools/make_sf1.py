@@ -15,14 +15,19 @@ measures data growth, not a synthesized pathology:
   edges) instead of one graph with 10× support everywhere (which
   would densify it super-linearly and poison the triangle/label-prop
   curves).
-- documents replicate with offset doc_ids and a PER-REPLICA
-  position-keyed word permutation (replica 0 is the original): the
-  permutation reorders both members of a planted near-dup pair the
-  same way, so within-replica near-dup structure (shingle Jaccard,
-  edit distance) survives, while cross-replica copies of the same doc
-  share only a word multiset, not shingles — duplicate DENSITY stays
-  ~constant at 10× corpus size, which is what a real 10× crawl looks
-  like.
+- documents replicate with offset doc_ids and a PER-REPLICA Caesar
+  shift over letters and digits (replica 0 is the original). A
+  bijective character map preserves within-replica similarity
+  structure EXACTLY — edit distances, character-shingle Jaccard, LSH
+  bucket distributions — so each replica keeps its planted near-dup
+  pairs, while cross-replica copies of the same doc share no
+  character 8-grams at all (every letter differs under a non-zero
+  shift). Duplicate DENSITY stays constant at 10× corpus size, which
+  is what a real 10× crawl looks like. (The first cut used a word
+  permutation instead: intra-word 8-grams survived it, cross-replica
+  copies still collided as near-dups, and the dedup family measured
+  a pair-explosion pathology — 43× on 10× data — that the real
+  workload does not have.)
 - embeddings replicate with offset ids and a tiny deterministic
   per-replica perturbation (no exact-duplicate vectors).
 - region/nation copy as-is (fixed dimensions at every TPC-H scale).
@@ -108,30 +113,34 @@ def main() -> int:
     for t in ("region", "nation"):
         write(t, read(t))
 
-    # documents: replica 0 verbatim; replica k>0 gets doc_id offset and
-    # a position-keyed word permutation (crc32(k:pos) sort key) —
-    # deterministic, similarity-structure-preserving within a replica
+    # documents: replica 0 verbatim; replica k>0 gets doc_id offset
+    # and a Caesar shift of k over letters and digits — a bijective
+    # char map (translate), so within-replica similarity structure is
+    # EXACTLY preserved and cross-replica char-shingle overlap is ~0
     docs = read("documents")
     dk = offset_for(docs, "doc_id")
     rep = spark.range(R).select(F.col("id").cast("long").alias("__k__"))
-    permuted = (
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
+    src = lower + lower.upper() + digits
+
+    def shifted(k: int) -> str:
+        lo = lower[k % 26 :] + lower[: k % 26]
+        dg = digits[k % 10 :] + digits[: k % 10]
+        return lo + lo.upper() + dg
+
+    shift_expr = F.col("text")
+    for k in range(1, R):
+        shift_expr = F.when(
+            F.col("__k__") == k, F.translate(F.col("text"), src, shifted(k))
+        ).otherwise(shift_expr)
+    caesared = (
         docs.crossJoin(F.broadcast(rep))
         .withColumn("doc_id", F.col("doc_id") + F.col("__k__") * F.lit(dk))
-        .withColumn(
-            "text",
-            F.when(F.col("__k__") == 0, F.col("text")).otherwise(
-                F.expr(
-                    "array_join(transform(array_sort(transform(split(text, ' '), "
-                    "(w, i) -> struct(crc32(encode(concat(cast(__k__ as string), "
-                    "':', cast(i as string)), 'utf-8')) as key, w as w))), "
-                    "s -> s.w), ' ')"
-                )
-            ),
-        )
-        .withColumn("n_chars", F.length("text").cast("long"))
+        .withColumn("text", shift_expr)  # length-preserving: n_chars holds
         .drop("__k__")
     )
-    write("documents", permuted)
+    write("documents", caesared)
 
     # embeddings: offset ids; nudge one coordinate per replica by a
     # sub-epsilon amount so no cross-replica vector is bit-identical
