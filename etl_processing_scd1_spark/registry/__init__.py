@@ -186,6 +186,19 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   froze (analytic_q21_blame_supplier, analytic_q20_heavy_suppliers)
 #   are first in line for the round-8 rotation; both are oracle-green
 #   at sf0.001/0.01 via tools/check.py this round.
+#
+#   round 8 window (below) — round 7 ended before the driver wrote
+#   CORRECTNESS_r07.json, so the 14 late-round-6 rotations above have
+#   STILL never been driver-checked; they stay in-window untouched.
+#   The two post-freeze round-7 analytics rotate IN:
+#   analytic_q21_blame_supplier and analytic_q20_heavy_suppliers
+#   displace having_filter (F — r6 driver-green; the grouped-HAVING
+#   shape stays in-window inside analytic_q18's grouped-HAVING semi
+#   restriction, plus grouped_custom_agg / corpus_overlap_kmv keep
+#   §2.F represented) and text_stats (K4 — r6 driver-green; the text
+#   family keeps ngram_diversity, unigram_logprob_quality,
+#   kl_domain_shift, bigram_lm_quality, text_clean, bpe_tokenize,
+#   bpe_train_merges and phrase_search in-window).
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
@@ -197,8 +210,8 @@ PRIMARY = [
     # §2.C joins
     "semi_join_in",
     # §2.F aggregation surface
-    "having_filter",
-    "text_stats",
+    "analytic_q21_blame_supplier",
+    "analytic_q20_heavy_suppliers",
     "similarity_topk_pandas",
     # round-5 additions (real image decode; as-written bug-compat)
     "multimodal_decode",
