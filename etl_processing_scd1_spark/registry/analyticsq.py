@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.text import winnow_fingerprints
 from ._base import events_table, make_registry, table
 
 QUERIES, ORACLES, register = make_registry()
@@ -1236,6 +1237,183 @@ def analytic_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_heavy_parts").cast("long").alias("n_heavy_parts"),
         )
     )
+
+
+Q17_ORACLE = """
+    WITH agg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qc,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey,
+           CAST(count(*) AS BIGINT) AS n_small,
+           CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) // 7 AS BIGINT)
+             AS avg_yearly_cents
+    FROM lineitem l
+    JOIN agg a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * a.cnt < a.sum_qc
+    GROUP BY l.l_partkey
+"""
+
+
+@register("analytic_q17_small_qty_revenue", oracle=Q17_ORACLE)
+def analytic_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated-scalar-average shape (revenue lost to
+    small-quantity orders): the per-part ``avg(l_quantity)`` subquery
+    decorrelates into ONE grouped aggregate over the fact, and the
+    ``qty < 0.2 * avg`` predicate becomes the exact integer
+    cross-multiplication ``qty_cents * 5 * cnt < sum_qty_cents`` (no
+    float division on either engine — the comparison is order-free
+    and hash-stable). The brand filter pushes to the part scan and
+    broadcast-restricts BOTH the aggregate and the probe side, so the
+    fact is scanned twice but shuffled only on ``l_partkey`` — the
+    same key both times, and the per-part aggregate (one row per
+    part) broadcasts back to the probe. Revenue ships as exact cents
+    floor-divided by 7 (both engines share ``//``-on-BIGINT)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    fact = (
+        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"], "left_semi")
+        .select(
+            "l_partkey",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("__qc__"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("__pc__"),
+        )
+    )
+    agg = fact.groupBy("l_partkey").agg(
+        F.sum("__qc__").alias("__sum_qc__"), F.count(F.lit(1)).alias("__cnt__")
+    )
+    return (
+        fact.join(
+            F.broadcast(agg.withColumnRenamed("l_partkey", "__pk__")),
+            F.col("l_partkey") == F.col("__pk__"),
+        )
+        .filter(F.col("__qc__") * 5 * F.col("__cnt__") < F.col("__sum_qc__"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            # DIV truncates, DuckDB // floors — identical here because
+            # the summed cents are non-negative.
+            F.expr("CAST(sum(__pc__) DIV 7 AS BIGINT)").alias("avg_yearly_cents"),
+        )
+    )
+
+
+Q22_ORACLE = """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+             count(*) AS cnt
+      FROM customer WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11)
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+    FROM customer c, pos
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11)
+      AND CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.cnt > pos.sum_c
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+      )
+    GROUP BY c.c_nationkey
+"""
+
+
+@register("analytic_q22_global_sales_opportunity", oracle=Q22_ORACLE)
+def analytic_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape (well-funded customers in target countries
+    with no sales activity), adapted to this schema: the country-code
+    substring filter becomes a nationkey IN-list, and — because this
+    dataset has no order-less customers — the NOT EXISTS leg excludes
+    customers with any LARGE order (>450k) instead of any order at
+    all, preserving the anti-join. The correlated scalar
+    ``avg(c_acctbal)`` decorrelates into ONE global aggregate
+    (sum_cents, count) carried as a 1-row broadcast cross join, and
+    the ``bal > avg`` predicate is the exact integer cross-multiply
+    ``bal_cents * cnt > sum_cents`` — order-free on both engines. The
+    anti join shuffles only the distinct big-order customer keys; the
+    customer scan keeps its IN-list pushed down."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nations = [1, 3, 5, 7, 9, 11]
+    tgt = cust.filter(F.col("c_nationkey").isin(nations)).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("__bc__"),
+    )
+    pos = tgt.filter(F.col("__bc__") > 0).agg(
+        F.sum("__bc__").cast("long").alias("__sum_c__"),
+        F.count(F.lit(1)).alias("__cnt__"),
+    )
+    big = orders.filter(F.col("o_totalprice") > 450000).select("o_custkey")
+    return (
+        tgt.crossJoin(F.broadcast(pos))
+        .filter(F.col("__bc__") * F.col("__cnt__") > F.col("__sum_c__"))
+        .join(big, F.col("c_custkey") == big["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("__bc__").cast("long").alias("totacctbal_cents"),
+        )
+    )
+
+
+WINNOW_ORACLE = """
+    WITH g AS (
+      SELECT doc_id,
+             [ (CAST(ascii(substr(text, p, 1)) AS BIGINT) * 27512614111
+              + CAST(ascii(substr(text, p + 1, 1)) AS BIGINT) * 887503681
+              + CAST(ascii(substr(text, p + 2, 1)) AS BIGINT) * 28629151
+              + CAST(ascii(substr(text, p + 3, 1)) AS BIGINT) * 923521
+              + CAST(ascii(substr(text, p + 4, 1)) AS BIGINT) * 29791
+              + CAST(ascii(substr(text, p + 5, 1)) AS BIGINT) * 961
+              + CAST(ascii(substr(text, p + 6, 1)) AS BIGINT) * 31
+              + ascii(substr(text, p + 7, 1))) % 1000000007
+                * 2097152 + (2097151 - p)
+               for p in range(1, greatest(length(text) - 7, 0) + 1) ] AS packed
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_distinct([
+               list_aggregate(list_slice(packed, q, q + 3), 'min') // 2097152
+               for q in range(1, greatest(len(packed) - 3, 0) + 1)
+             ]) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+    FROM fp
+"""
+
+
+@register("winnowing_fingerprint", oracle=WINNOW_ORACLE)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: robust winnowing (Schleimer/Wilkerson/Aiken, the MOSS
+    fingerprint): polynomial-hash every char 8-gram (base 31, mod
+    1e9+7 — exact BIGINT arithmetic, identical on both engines), then
+    slide a window of 4 consecutive gram hashes and keep the minimum
+    of each window, rightmost-on-ties (the tiebreak rides a packed
+    ``hash * 2^21 + (2^21-1-pos)`` key, so ``min`` alone selects it).
+    The guarantee: any shared substring of >= 11 chars between two
+    documents yields at least one shared fingerprint, with ~2/(w+1)
+    of grams selected — the local-dedup primitive between
+    full-shingle Jaccard (too big) and one-hash-per-doc
+    (``doc_fingerprint``, too coarse).
+
+    Runs as the Arrow-vectorized ``winnow_fingerprints``
+    (``operators/text.py``): per-row independent, zero shuffles. The
+    pure-builtin spelling (aggregate/transform fold over the packed
+    gram array — structurally the oracle below) is correct but
+    interpreted per element and measured ~20x slower; the operator
+    docstring records the tradeoff."""
+    docs = table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
 
 
 __all__ = ["QUERIES", "ORACLES"]
