@@ -397,3 +397,74 @@ def test_phrase_search_matches_bruteforce_reference(spark):
             if hits:
                 want[doc_id] = (len(hits), hits[0])
         assert got == want, phrase
+
+
+# ---------------------------------------------------------------------------
+# Robust winnowing: brute-force parity + the shared-substring guarantee.
+# ---------------------------------------------------------------------------
+
+K, W, MOD, POS = 8, 4, 1_000_000_007, 1 << 21
+
+
+def _brute_winnow(text: str) -> set[int]:
+    """Reference implementation straight from the paper: hash all
+    k-grams, take each window's min (rightmost on ties), distinct."""
+    n = len(text)
+    if n < K + W - 1:
+        return set()
+    hashes = []
+    for p in range(n - K + 1):
+        h = 0
+        for c in text[p : p + K]:
+            h = h * 31 + ord(c)
+        hashes.append(h % MOD)
+    fps = set()
+    for q in range(len(hashes) - W + 1):
+        win = hashes[q : q + W]
+        m = min(win)
+        # rightmost occurrence of the min
+        fps.add(m)
+    return fps
+
+
+def test_winnowing_matches_brute_force(spark):
+    from etl_processing_scd1_spark.operators.text import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaa",          # all-equal hashes: tie path
+        "abcdefghij",                     # 3 grams < window: no fingerprints
+        "short",                          # under k
+        "",                               # empty
+        "xyzzy plugh abracadabra xyzzy plugh abracadabra",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_sum"])
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        fps = _brute_winnow(t)
+        assert got[i] == (len(fps), sum(fps)), (i, t)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The paper's detection guarantee: two docs sharing a substring of
+    length >= k + w - 1 (= 11) share at least one fingerprint."""
+    from etl_processing_scd1_spark.operators.text import winnow_fingerprints
+
+    shared = "copied-block-of-text-long-enough-to-guarantee"
+    a = "left prefix completely different " + shared + " tail one"
+    b = "other beginning text here " + shared + " unrelated ending"
+    assert len(shared) >= K + W - 1
+    assert _brute_winnow(a) & _brute_winnow(b)
+    # and the operator agrees with the brute set on both docs
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_sum"])
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    assert got[0] == (len(_brute_winnow(a)), sum(_brute_winnow(a)))
+    assert got[1] == (len(_brute_winnow(b)), sum(_brute_winnow(b)))
