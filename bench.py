@@ -60,6 +60,10 @@ HEADLINE = [
     "text_clean",           # NFC pandas_udf + JVM regex cleanup
     "similarity_ivfpq",     # cell assign + residual PQ + per-cell ADC
     "bigram_lm_quality",    # add-one bigram LM scoring
+    # round-8 additions
+    "winnowing_fingerprint",  # MOSS robust winnowing, numpy mapInPandas
+    "analytic_q17_small_qty_revenue",  # decorrelated scalar-avg probe
+    "analytic_q22_global_sales_opportunity",  # global-scalar + anti join
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list
