@@ -407,3 +407,118 @@ def winnow_fingerprints(
     return df.select(id_col, text_col).mapInPandas(
         batches, schema=f"{id_col} long, n_fingerprints long, fp_sum long"
     )
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Exploded winnowing fingerprints: one ``(id, fp)`` row per
+    DISTINCT selected fingerprint per document — the inverted-index
+    layout for fingerprint-overlap near-dup candidate generation
+    (:func:`winnow_fingerprints` returns the per-doc rollup instead).
+    Same vectorized numpy kernel; per-row independent, no shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if window >= 1 << 21:
+        raise ValueError("window positions must fit the 21-bit pack field")
+    weights = np.array([31 ** (k - 1 - i) for i in range(k)], dtype=np.int64)
+    pos_field = 1 << 21
+
+    def one(text: str) -> "np.ndarray":
+        codes = np.fromiter((ord(c) for c in text), dtype=np.int64)
+        if codes.size < k + window - 1:
+            return np.empty(0, dtype=np.int64)
+        hashes = np.convolve(codes, weights[::-1], mode="valid") % mod
+        pos = np.arange(1, hashes.size + 1, dtype=np.int64)
+        packed = hashes * pos_field + (pos_field - 1 - pos)
+        mins = np.minimum.reduce(
+            [packed[i : packed.size - (window - 1) + i] for i in range(window)]
+        )
+        return np.unique(mins // pos_field)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = [one(t) for t in pdf[text_col].fillna("")]
+            ids = np.repeat(
+                pdf[id_col].to_numpy(dtype=np.int64),
+                [f.size for f in fps],
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "fp": np.concatenate(fps) if fps else
+                          np.empty(0, dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, fp long"
+    )
+
+
+def winnow_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_containment_pct: int = 50,
+    max_posting: int = 32,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Fingerprint-overlap near-dup pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints, with the shared count —
+    the DETERMINISTIC complement to MinHash-LSH dedup. Winnowing's
+    guarantee makes recall structural, not probabilistic: any pair
+    sharing a substring of ``k + window - 1`` (= 11) chars shares a
+    fingerprint, so every pair with substantial verbatim overlap
+    surfaces (MinHash recall at the band threshold is a sigmoid coin
+    flip). Precision comes from the fingerprint-containment ratio:
+    ``100 * |shared| // min(|fps_a|, |fps_b|) >= min_containment_pct``
+    — an absolute shared count is meaningless on boilerplate-heavy
+    corpora where every pair shares a few hot fingerprints (measured
+    on the synthetic docs: planted near-dups sit at >= 50%, the noise
+    floor under 35%).
+
+    Scale design (same shape as the LSH bucket join): the pair join
+    is per-fingerprint — an inverted index self-join, never all-pairs.
+    Hot fingerprints (boilerplate) are the skew risk, so the
+    pair-SOURCE side is capped to each posting list's ``max_posting``
+    lowest ids via :func:`~..operators.dedup.cap_bucket_side` — cost
+    per fingerprint drops |posting|² → |posting|·cap while every doc
+    still probes the capped side, and overflowing postings are
+    reported on ``result._spark_graft_truncated``, never dropped
+    silently. One shuffle on ``fp``, one on the pair key.
+    """
+    from .dedup import cap_bucket_side
+
+    rows = winnow_fingerprint_rows(df, id_col, text_col, k=k, window=window)
+    counts = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nfp__"))
+    capped, truncated = cap_bucket_side(rows, ["fp"], id_col, max_posting)
+    a = capped.select(F.col(id_col).alias("id_a"), "fp")
+    b = rows.select(F.col(id_col).alias("id_b"), "fp")
+    ca = F.broadcast(counts.select(F.col(id_col).alias("id_a"), F.col("__nfp__").alias("__na__")))
+    cb = F.broadcast(counts.select(F.col(id_col).alias("id_b"), F.col("__nfp__").alias("__nb__")))
+    out = (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "containment_pct",
+            F.expr("CAST(100 * n_shared DIV least(__na__, __nb__) AS BIGINT)"),
+        )
+        .filter(F.col("containment_pct") >= min_containment_pct)
+        .select("id_a", "id_b", "n_shared", "containment_pct")
+    )
+    out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
+    return out

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.text import winnow_fingerprints
+from ..operators.text import winnow_dedup_pairs, winnow_fingerprints
 from ._base import events_table, make_registry, table
 
 QUERIES, ORACLES, register = make_registry()
@@ -1414,6 +1414,74 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring records the tradeoff."""
     docs = table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+
+
+WINNOW_PAIRS_ORACLE = """
+    WITH g AS (
+      SELECT doc_id,
+             [ (CAST(ascii(substr(text, p, 1)) AS BIGINT) * 27512614111
+              + CAST(ascii(substr(text, p + 1, 1)) AS BIGINT) * 887503681
+              + CAST(ascii(substr(text, p + 2, 1)) AS BIGINT) * 28629151
+              + CAST(ascii(substr(text, p + 3, 1)) AS BIGINT) * 923521
+              + CAST(ascii(substr(text, p + 4, 1)) AS BIGINT) * 29791
+              + CAST(ascii(substr(text, p + 5, 1)) AS BIGINT) * 961
+              + CAST(ascii(substr(text, p + 6, 1)) AS BIGINT) * 31
+              + ascii(substr(text, p + 7, 1))) % 1000000007
+                * 2097152 + (2097151 - p)
+               for p in range(1, greatest(length(text) - 7, 0) + 1) ] AS packed
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               list_aggregate(list_slice(packed, q, q + 3), 'min') // 2097152
+               for q in range(1, greatest(len(packed) - 3, 0) + 1)
+             ])) AS fp
+      FROM g
+    ),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM rows_
+      ) WHERE rn <= 32
+    ),
+    counts AS (SELECT doc_id, count(*) AS nfp FROM rows_ GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM capped a JOIN rows_ b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.n_shared,
+           CAST(100 * p.n_shared // least(ca.nfp, cb.nfp) AS BIGINT)
+             AS containment_pct
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.id_a
+    JOIN counts cb ON cb.doc_id = p.id_b
+    WHERE 100 * p.n_shared // least(ca.nfp, cb.nfp) >= 50
+"""
+
+
+@register("winnow_dedup_pairs", oracle=WINNOW_PAIRS_ORACLE)
+def winnow_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: fingerprint-overlap near-dup pairs — the DETERMINISTIC
+    complement to MinHash-LSH (``near_dedup_minhash``). Winnowing's
+    detection guarantee makes recall structural: any pair sharing a
+    verbatim substring of >= 11 chars shares a fingerprint, so
+    near-dup pairs surface without a probabilistic band threshold;
+    precision comes from the fingerprint-containment ratio
+    (shared // min(|fps|) >= 50% — planted near-dups sit >= 50%,
+    the boilerplate noise floor under 35%). The pair join is an inverted-index self-join per
+    fingerprint (never all-pairs); hot boilerplate fingerprints are
+    capped on the pair-source side (lowest-32 ids, same
+    ``cap_bucket_side`` guard as the LSH family, overflow reported)
+    — the oracle replicates the cap exactly via the same
+    deterministic row_number ranking."""
+    docs = table(spark, sf_dir, "documents")
+    return winnow_dedup_pairs(
+        docs, "doc_id", "text", min_containment_pct=50, max_posting=32
+    )
 
 
 __all__ = ["QUERIES", "ORACLES"]
