@@ -497,9 +497,26 @@ def winnow_dedup_pairs(
     reported on ``result._spark_graft_truncated``, never dropped
     silently. One shuffle on ``fp``, one on the pair key.
     """
+    rows = winnow_fingerprint_rows(df, id_col, text_col, k=k, window=window)
+    return winnow_pairs_from_rows(
+        rows, id_col, min_containment_pct=min_containment_pct,
+        max_posting=max_posting,
+    )
+
+
+def winnow_pairs_from_rows(
+    rows: DataFrame,
+    id_col: str,
+    min_containment_pct: int = 50,
+    max_posting: int = 32,
+) -> DataFrame:
+    """Pair generation over a MATERIALIZED ``(id, fp)`` fingerprint
+    relation — factored out of :func:`winnow_dedup_pairs` so the
+    streaming index sink's accumulated relation answers the same
+    query identically (the phrase-search ``build_postings`` /
+    ``phrase_match_postings`` split, applied to dedup)."""
     from .dedup import cap_bucket_side
 
-    rows = winnow_fingerprint_rows(df, id_col, text_col, k=k, window=window)
     counts = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nfp__"))
     capped, truncated = cap_bucket_side(rows, ["fp"], id_col, max_posting)
     a = capped.select(F.col(id_col).alias("id_a"), "fp")

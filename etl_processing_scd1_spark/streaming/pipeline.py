@@ -501,6 +501,54 @@ def streaming_postings_sink(
     return writer.start()
 
 
+def streaming_winnow_index_sink(
+    stream: DataFrame,
+    write_rows: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Keep a WINNOWING FINGERPRINT INDEX fresh as documents stream
+    in — the dedup twin of the phrase-search postings sink.
+    Fingerprint rows (id, fp) are per-document and stateless
+    (``operators.text.winnow_fingerprint_rows``), so each trigger
+    appends exactly the new docs' fingerprints: O(batch) maintenance,
+    the index never rebuilt. Near-dup pair queries run the SAME
+    capped inverted-index join as the batch operator
+    (``winnow_pairs_from_rows``) over the accumulated relation, so
+    streamed-index results are row-identical to batch
+    ``winnow_dedup_pairs`` over every document seen — the parity test
+    pins it. At scale, have ``write_rows`` partition/bucket by ``fp``
+    so the pair join co-locates without a shuffle.
+
+    Parity decision (same contract as the postings sink): index
+    MAINTENANCE is incremental; the pair QUERY stays batch — a
+    standing streaming pair query would re-emit historical pairs
+    every trigger, since a pair's verdict never changes after both
+    ends are admitted.
+    """
+    from ..operators.text import winnow_fingerprint_rows
+
+    def append_rows(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        write_rows(
+            winnow_fingerprint_rows(batch, id_col, text_col, k=k, window=window)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(append_rows)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_bpe_tokenize_sink(
     stream: DataFrame,
     vocab_counts: DataFrame,

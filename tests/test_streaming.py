@@ -832,3 +832,57 @@ def test_streaming_bpe_tokenize_matches_batch_apply(spark, tmp_path):
 
     release_cached(ref)
     assert streamed == batch and streamed
+
+
+def test_streaming_winnow_index_matches_batch_pairs(spark, tmp_path):
+    """Round-8 parity: winnowing fingerprint index MAINTENANCE is
+    incremental (O(batch) row append per trigger); the near-dup pair
+    QUERY over the accumulated index must be row-identical to batch
+    winnow_dedup_pairs over every document seen."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.text import (
+        winnow_dedup_pairs,
+        winnow_pairs_from_rows,
+    )
+    from etl_processing_scd1_spark.streaming.pipeline import (
+        streaming_winnow_index_sink,
+    )
+    from tests.conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select("doc_id", "text")
+    feed = tmp_path / "docs_feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(feed / "_b1.tmp")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(feed / "_b2.tmp")
+    )
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    idx_dir = str(tmp_path / "winnow_idx")
+
+    def write_rows(df):
+        df.write.mode("append").parquet(idx_dir)
+
+    q = streaming_winnow_index_sink(
+        stream, write_rows, checkpoint_dir=str(tmp_path / "ck_winnow")
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(idx_dir)
+    streamed = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["containment_pct"])
+        for r in winnow_pairs_from_rows(rows, "doc_id").collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["containment_pct"])
+        for r in winnow_dedup_pairs(docs, "doc_id", "text").collect()
+    }
+    assert streamed == batch and batch  # identical and non-trivial
