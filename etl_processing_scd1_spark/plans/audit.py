@@ -22,6 +22,12 @@ RED_FLAG_JOINS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
 _TREE_ART = re.compile(r"^([ :+|-]*)(.*)$")
 _GLOBAL_AGG = re.compile(r"(Hash|Sort|ObjectHash)Aggregate(?:\w*)?\(keys=\[\]")
+#: operators that cannot increase their child's row count — safe to
+#: look through when proving a broadcast build side is <= 1 row
+_ROW_PRESERVING = re.compile(
+    r"\*?\(?\d*\)?\s*(Filter|Project|Sort|Exchange|ReusedExchange|"
+    r"AQEShuffleRead|ColumnarToRow|InputAdapter|Coalesce)\b"
+)
 
 
 def _node(line: str) -> tuple[int, str]:
@@ -70,6 +76,59 @@ def classify_single_partitions(plan: str) -> list[dict]:
     return found
 
 
+def classify_nested_loops(plan: str) -> list[dict]:
+    """Classify every nested-loop/cartesian join in a plan string.
+
+    A ``BroadcastNestedLoopJoin`` is BENIGN when its broadcast build
+    side is a GLOBAL aggregate (``keys=[]``) — one row by
+    construction, so the "nested loop" is a constant-append of
+    scalars to every row (the decorrelated-scalar-subquery shape:
+    TPC-H Q22's avg-balance, the KL/bigram normalizer joins), never
+    quadratic. Detection requires the provable case: the first
+    non-exchange node under the join's ``BroadcastExchange`` must be
+    the global Aggregate. Joins whose bounded side is only bounded by
+    CONSTRUCTION (a k-row codebook literal, a broadcast query batch)
+    do NOT classify benign here — callers waive those explicitly via
+    ``assert_scale_clean(allow_nested_loop=True)``, keeping the
+    auto-waiver narrow enough that a real quadratic join can't hide
+    behind it. ``CartesianProduct`` never classifies benign.
+    """
+    lines = plan.splitlines()
+    found: list[dict] = []
+    for i, ln in enumerate(lines):
+        depth, text = _node(ln)
+        if not any(op in text for op in RED_FLAG_JOINS):
+            continue
+        benign = False
+        if "BroadcastNestedLoopJoin" in text:
+            # find the join's DIRECT build-side child (the
+            # BroadcastExchange at direct-child depth — a nested
+            # exchange inside the probe branch must not match), then
+            # descend past cardinality-non-increasing nodes (Filter /
+            # Project / Sort / exchanges / codegen adapters) to the
+            # first operator that determines the build side's row count
+            j = i + 1
+            child_depth: int | None = None
+            in_bcast_depth: int | None = None
+            while j < len(lines):
+                d, t = _node(lines[j])
+                if t and d <= depth:
+                    break
+                if t and child_depth is None:
+                    child_depth = d
+                if in_bcast_depth is not None and t and d > in_bcast_depth:
+                    if _GLOBAL_AGG.search(t):
+                        benign = True
+                        break
+                    if not _ROW_PRESERVING.match(t):
+                        break
+                elif t and d == child_depth and "BroadcastExchange" in t:
+                    in_bcast_depth = d
+                j += 1
+        found.append({"benign": benign, "node": text})
+    return found
+
+
 def audit_plan(df: DataFrame) -> dict:
     """Scale-relevant facts from the executed (pre-AQE-final) plan.
 
@@ -96,11 +155,15 @@ def audit_plan(df: DataFrame) -> dict:
     shuffles = len(
         re.findall(r"(?<!Reused)Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan)
     )
-    nested = sum(plan.count(op) for op in RED_FLAG_JOINS)
+    nested_loops = classify_nested_loops(plan)
+    nested = len(nested_loops)
     warnings = []
-    for op in RED_FLAG_JOINS:
-        if op in plan:
-            warnings.append(f"{op} present — quadratic in input size")
+    for nl in nested_loops:
+        if not nl["benign"]:
+            warnings.append(
+                f"{nl['node'].split(' ')[0]} present — quadratic in input "
+                "size (build side is not a 1-row global aggregate)"
+            )
     single_partitions = classify_single_partitions(plan)
     for sp in single_partitions:
         if not sp["benign"]:
@@ -121,6 +184,7 @@ def audit_plan(df: DataFrame) -> dict:
         # formatted explain output)
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "single_partition_exchanges": single_partitions,
+        "nested_loop_classification": nested_loops,
         "warnings": warnings,
         "plan": plan,
     }
@@ -134,8 +198,11 @@ def assert_scale_clean(
 ) -> dict:
     """Raise AssertionError (with the offending plan attached) when
     the plan carries a scale red flag; returns the audit otherwise.
-    ``allow_nested_loop`` is for plans where one side is bounded BY
-    CONSTRUCTION (a broadcast query batch, a k-row codebook).
+    Nested-loop joins whose broadcast side is a provable 1-row global
+    aggregate (see :func:`classify_nested_loops`) never trip the
+    gate; ``allow_nested_loop`` waives the rest — for plans where one
+    side is bounded BY CONSTRUCTION (a broadcast query batch, a k-row
+    codebook) in a way the plan text can't prove.
 
     Benign single-partition exchanges (1-row global-aggregate
     hand-offs, see :func:`classify_single_partitions`) never trip the
@@ -143,8 +210,11 @@ def assert_scale_clean(
     for plans whose input is bounded by construction."""
     audit = audit_plan(df)
     problems = []
-    if not allow_nested_loop and audit["nested_loop_joins"]:
-        problems.append(f"{audit['nested_loop_joins']} nested-loop/cartesian join(s)")
+    real_nested = sum(
+        1 for nl in audit["nested_loop_classification"] if not nl["benign"]
+    )
+    if not allow_nested_loop and real_nested:
+        problems.append(f"{real_nested} nested-loop/cartesian join(s)")
     if not allow_single_partition and any(
         "SinglePartition" in w for w in audit["warnings"]
     ):

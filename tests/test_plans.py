@@ -414,3 +414,41 @@ def test_classifier_flags_real_global_funnels(spark):
     sps = audit["single_partition_exchanges"]
     assert sps and not all(sp["benign"] for sp in sps)
     assert any("SinglePartition exchange feeding" in x for x in audit["warnings"])
+
+
+def test_nested_loop_classifier_1row_aggregate_is_benign(spark):
+    """Round-8 tightening: the decorrelated-scalar-subquery shape (a
+    1-row global aggregate broadcast-crossed onto every row — TPC-H
+    Q22's avg balance, the KL/bigram normalizers) classifies benign
+    and passes the gate with NO waiver, while a raw cross join stays
+    a hard failure — the auto-waiver must not widen into a rubber
+    stamp."""
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.plans.audit import (
+        assert_scale_clean,
+        audit_plan,
+        classify_nested_loops,
+    )
+
+    big = spark.range(0, 1000).withColumnRenamed("id", "v")
+    scalar = big.agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    benign = big.crossJoin(F.broadcast(scalar)).filter(
+        F.col("v") * F.col("n") > F.col("s")
+    )
+    audit = assert_scale_clean(benign)  # must not raise
+    nls = audit["nested_loop_classification"]
+    assert nls and all(nl["benign"] for nl in nls)
+    assert not any("quadratic" in w for w in audit["warnings"])
+
+    raw = big.crossJoin(spark.range(0, 50).withColumnRenamed("id", "w"))
+    raw_nls = classify_nested_loops(audit_plan(raw)["plan"])
+    assert raw_nls and not any(nl["benign"] for nl in raw_nls)
+    try:
+        assert_scale_clean(raw)
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("raw cross join must fail the gate")
