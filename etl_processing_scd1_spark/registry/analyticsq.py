@@ -1484,4 +1484,145 @@ def winnow_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NB_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang, t AS term, count(*) AS tf FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+      GROUP BY doc_id, lang, t
+    ),
+    counts AS (
+      SELECT lang, term, CAST(SUM(tf) AS BIGINT) AS c
+      FROM toks GROUP BY lang, term
+    ),
+    class_totals AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS t_c FROM counts GROUP BY lang
+    ),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+    priors AS (
+      SELECT lang, count(DISTINCT doc_id) AS d_c FROM toks GROUP BY lang
+    ),
+    total AS (SELECT CAST(SUM(d_c) AS BIGINT) AS d FROM priors),
+    grid AS (
+      SELECT t.term, ct.lang,
+             CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (ct.t_c + v.v))
+                        * 1000000000.0) AS BIGINT) AS logp_q
+      FROM (SELECT DISTINCT term FROM toks) t
+      CROSS JOIN class_totals ct CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.term = t.term AND c.lang = ct.lang
+    ),
+    scores AS (
+      SELECT tk.doc_id, tk.lang AS actual_lang, g.lang AS cand,
+             CAST(SUM(tk.tf * g.logp_q) AS BIGINT)
+             + any_value(CAST(round(ln(CAST(p.d_c AS DOUBLE) / t.d)
+                                    * 1000000000.0) AS BIGINT)) AS score_q
+      FROM toks tk
+      JOIN grid g ON g.term = tk.term
+      JOIN priors p ON p.lang = g.lang
+      CROSS JOIN total t
+      GROUP BY tk.doc_id, tk.lang, g.lang
+    ),
+    pred AS (
+      SELECT actual_lang, cand AS predicted_lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score_q DESC, cand) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+"""
+
+
+@register("nb_lang_classifier", oracle=NB_ORACLE)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND applied as one dataflow —
+    the train-a-model-in-the-engine pattern (quality/domain/language
+    classifiers over a 100 TB corpus train exactly like this: the
+    "model" is a (term, class, log-prob) relation, never a
+    driver-side object). Laplace-smoothed token likelihoods and class
+    priors are quantized-ln BIGINTs (the tfidf_top_terms playbook) so
+    scores sum order-free and hash-identically on both engines;
+    argmax per doc is a C-row window with a lexicographic tiebreak.
+    Output is the confusion matrix (actual x predicted counts) of
+    self-classification by ``lang``.
+
+    Scale shape: two token-keyed aggregations (tf, counts), the V x C
+    smoothing grid built by cross-joining the distinct-term relation
+    with the C-row class totals (left join fills zeros — a term
+    absent from a class still contributes ln(1/(T_c+V))), one
+    term-keyed score join, one doc-keyed sum + argmax window. No
+    driver-side model state, no collect; C is the only small
+    constant."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = toks.groupBy(F.col("lang"), "term").agg(
+        F.sum("tf").cast("long").alias("c")
+    )
+    class_totals = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("t_c"))
+    vocab = toks.agg(F.countDistinct("term").alias("v"))
+    priors = toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("d_c")
+    )
+    total = priors.agg(F.sum("d_c").cast("long").alias("d"))
+    terms = toks.select("term").distinct()
+    grid = (
+        terms.crossJoin(F.broadcast(class_totals))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            counts.select(
+                F.col("term").alias("__t__"), F.col("lang").alias("__l__"), "c"
+            ),
+            (F.col("term") == F.col("__t__")) & (F.col("lang") == F.col("__l__")),
+            "left",
+        )
+        .select(
+            "term",
+            "lang",
+            F.expr(
+                "CAST(round(ln((COALESCE(c, 0) + 1.0) / (t_c + v))"
+                " * 1000000000.0) AS BIGINT)"
+            ).alias("logp_q"),
+        )
+    )
+    prior_q = (
+        priors.crossJoin(F.broadcast(total))
+        .select(
+            F.col("lang").alias("cand"),
+            F.expr(
+                "CAST(round(ln(CAST(d_c AS DOUBLE) / d) * 1000000000.0)"
+                " AS BIGINT)"
+            ).alias("prior_q"),
+        )
+    )
+    scores = (
+        toks.join(
+            grid.select(
+                F.col("term").alias("__t__"), F.col("lang").alias("cand"), "logp_q"
+            ),
+            F.col("term") == F.col("__t__"),
+        )
+        .groupBy("doc_id", F.col("lang").alias("actual_lang"), "cand")
+        .agg(F.sum(F.col("tf") * F.col("logp_q")).cast("long").alias("__s__"))
+        .join(F.broadcast(prior_q), "cand")
+        .withColumn("score_q", F.col("__s__") + F.col("prior_q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), F.col("cand"))
+    pred = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.groupBy(
+        "actual_lang", F.col("cand").alias("predicted_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
 __all__ = ["QUERIES", "ORACLES"]
