@@ -64,6 +64,8 @@ HEADLINE = [
     "winnowing_fingerprint",  # MOSS robust winnowing, numpy mapInPandas
     "analytic_q17_small_qty_revenue",  # decorrelated scalar-avg probe
     "analytic_q22_global_sales_opportunity",  # global-scalar + anti join
+    "winnow_dedup_pairs",   # fingerprint-overlap dedup, capped postings
+    "nb_lang_classifier",   # in-engine Naive Bayes train+apply
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

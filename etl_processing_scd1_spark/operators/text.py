@@ -539,3 +539,51 @@ def winnow_pairs_from_rows(
     )
     out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
     return out
+
+
+def nb_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    class_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Naive Bayes sufficient statistics as two relations:
+    ``(class, term, c)`` token counts and ``(class, d_c)`` labeled-doc
+    counts. These ARE the model — both are sums, so they accumulate
+    across increments: the streaming sink appends each micro-batch's
+    statistics and a groupBy-sum over the accumulated relation equals
+    batch training over all docs seen (parity-tested). Tokenization
+    is shared with scoring via :func:`nb_tokens`."""
+    toks = nb_tokens(df, id_col, text_col, class_col)
+    counts = toks.groupBy(class_col, "term").agg(
+        F.sum("tf").cast("long").alias("c")
+    )
+    priors = toks.select(id_col, class_col).distinct().groupBy(class_col).agg(
+        F.count(F.lit(1)).cast("long").alias("d_c")
+    )
+    return counts, priors
+
+
+def nb_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Per-document term frequencies ``(id, class, term, tf)`` — the
+    ONE tokenization under NB training (:func:`nb_token_counts`), the
+    streaming statistics sink, and scoring
+    (``registry/analyticsq.py::nb_lang_classifier``): lowercase,
+    split on non-alphanumerics, empty terms dropped."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(class_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, class_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.text import winnow_dedup_pairs, winnow_fingerprints
+from ..operators.text import (
+    nb_token_counts,
+    nb_tokens,
+    winnow_dedup_pairs,
+    winnow_fingerprints,
+)
 from ._base import events_table, make_registry, table
 
 QUERIES, ORACLES, register = make_registry()
@@ -1557,24 +1562,10 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side model state, no collect; C is the only small
     constant."""
     docs = table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("doc_id", "lang", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    counts = toks.groupBy(F.col("lang"), "term").agg(
-        F.sum("tf").cast("long").alias("c")
-    )
+    toks = nb_tokens(docs, "doc_id", "text", "lang")
+    counts, priors = nb_token_counts(docs, "doc_id", "text", "lang")
     class_totals = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("t_c"))
     vocab = toks.agg(F.countDistinct("term").alias("v"))
-    priors = toks.groupBy("lang").agg(
-        F.countDistinct("doc_id").alias("d_c")
-    )
     total = priors.agg(F.sum("d_c").cast("long").alias("d"))
     terms = toks.select("term").distinct()
     grid = (
@@ -1623,6 +1614,65 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "actual_lang", F.col("cand").alias("predicted_lang")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+Q15_ORACLE = """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01'
+        AND l_shipdate < DATE '1995-04-01'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT CAST(MAX(rev_c) AS BIGINT) AS m FROM revenue)
+    SELECT s.s_suppkey, s.s_name, r.rev_c AS total_revenue_c
+    FROM revenue r
+    CROSS JOIN mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_c = mx.m
+"""
+
+
+@register("analytic_q15_top_supplier", oracle=Q15_ORACLE)
+def analytic_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's view-plus-scalar-max shape (the top supplier(s) by
+    windowed revenue): the revenue "view" is one grouped aggregate
+    over the date-filtered fact (filter pushed to the scan), the
+    scalar MAX over it is a 1-row global aggregate broadcast-crossed
+    back onto the view (the benign NLJ shape the plan audit
+    classifies), and the equality keeps every supplier tied at the
+    max — exactly the Q15 subtlety (the spec's equality, not a
+    LIMIT 1, so ties all surface). Revenue is exact integer cents of
+    price*(100 - discount_pct), avoiding the float product both
+    engines would round differently."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select(
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            )
+            .cast("long")
+            .alias("__rc__"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("__rc__").cast("long").alias("rev_c"))
+    )
+    mx = revenue.agg(F.max("rev_c").cast("long").alias("__m__"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("__m__"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_c").alias("total_revenue_c"))
+    )
 
 
 __all__ = ["QUERIES", "ORACLES"]

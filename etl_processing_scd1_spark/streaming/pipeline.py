@@ -614,3 +614,47 @@ def streaming_bpe_tokenize_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_nb_counts_sink(
+    stream: DataFrame,
+    write_counts: Callable[[DataFrame], None],
+    write_priors: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "lang",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Keep a Naive Bayes MODEL fresh as labeled documents stream in.
+    The model is its sufficient statistics — (class, term, c) token
+    counts and (class, d_c) doc counts (``operators.text.
+    nb_token_counts``) — and both are SUMS, so maintenance is a pure
+    append of each micro-batch's statistics: O(batch tokens) per
+    trigger, no rebuild, no state store. Scoring reads the
+    accumulated relations with a groupBy-sum (identical to batch
+    training over every doc seen — the parity test pins it) and runs
+    the same grid/score/argmax dataflow as ``nb_lang_classifier``.
+
+    This closes the train-in-engine loop the way the IVF-PQ and BPE
+    sinks do for their models, with one difference worth the
+    docstring: NB statistics are associative, so unlike the frozen
+    BPE merge table there is NO drift hazard — incremental and batch
+    training are exactly equal, not approximately."""
+    from ..operators.text import nb_token_counts
+
+    def append_stats(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        counts, priors = nb_token_counts(batch, id_col, text_col, class_col)
+        write_counts(counts)
+        write_priors(priors)
+
+    writer = (
+        stream.writeStream.foreachBatch(append_stats)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

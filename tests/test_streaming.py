@@ -886,3 +886,70 @@ def test_streaming_winnow_index_matches_batch_pairs(spark, tmp_path):
         for r in winnow_dedup_pairs(docs, "doc_id", "text").collect()
     }
     assert streamed == batch and batch  # identical and non-trivial
+
+
+def test_streaming_nb_counts_match_batch_training(spark, tmp_path):
+    """Round-8 parity: NB sufficient statistics are sums, so the
+    accumulated streamed statistics, re-aggregated, must EXACTLY equal
+    batch training over all admitted docs (associativity — no drift,
+    unlike the frozen BPE/IVF-PQ model contracts)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.text import nb_token_counts
+    from etl_processing_scd1_spark.streaming.pipeline import (
+        streaming_nb_counts_sink,
+    )
+    from tests.conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    feed = tmp_path / "nb_feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(feed / "_b1.tmp")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(feed / "_b2.tmp")
+    )
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    counts_dir = str(tmp_path / "nb_counts")
+    priors_dir = str(tmp_path / "nb_priors")
+
+    q = streaming_nb_counts_sink(
+        stream,
+        lambda df: df.write.mode("append").parquet(counts_dir),
+        lambda df: df.write.mode("append").parquet(priors_dir),
+        checkpoint_dir=str(tmp_path / "ck_nb"),
+    )
+    q.awaitTermination(180)
+
+    streamed_counts = {
+        (r["lang"], r["term"]): r["c"]
+        for r in spark.read.parquet(counts_dir)
+        .groupBy("lang", "term")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    }
+    streamed_priors = {
+        r["lang"]: r["d_c"]
+        for r in spark.read.parquet(priors_dir)
+        .groupBy("lang")
+        .agg(F.sum("d_c").cast("long").alias("d_c"))
+        .collect()
+    }
+    batch_counts_df, batch_priors_df = nb_token_counts(
+        docs, "doc_id", "text", "lang"
+    )
+    batch_counts = {
+        (r["lang"], r["term"]): r["c"] for r in batch_counts_df.collect()
+    }
+    batch_priors = {r["lang"]: r["d_c"] for r in batch_priors_df.collect()}
+    assert streamed_counts == batch_counts and batch_counts
+    assert streamed_priors == batch_priors and batch_priors
