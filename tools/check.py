@@ -76,9 +76,13 @@ def main() -> int:
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+        # driver-generated SFs are single parquet FILES; synthesized
+        # SFs (tools/make_sf1.py) are Spark-written DIRECTORIES —
+        # glob the parts in that case
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     names = args.names or list(QUERIES)
     failures = 0
