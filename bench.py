@@ -66,6 +66,7 @@ HEADLINE = [
     "analytic_q22_global_sales_opportunity",  # global-scalar + anti join
     "winnow_dedup_pairs",   # fingerprint-overlap dedup, capped postings
     "nb_lang_classifier",   # in-engine Naive Bayes train+apply
+    "analytic_q15_top_supplier",  # view + scalar-max tie-preserving
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -159,3 +159,56 @@ def mixture_sample(
         rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
     rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
     return df.filter(bucket < rate)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, per group
+    — Efraimidis–Spirakis exponential races with HASH-derived
+    uniforms: each row draws u = (md5_32(salt:id)+1)/2^32 ∈ (0, 1]
+    and the k rows with the largest u^(1/w) win, which samples
+    exactly proportional-to-weight without replacement. Ranking by
+    ln(u)/w (monotone in u^(1/w)) keeps the race integer-exact:
+    ln(u) is quantized to nano-BIGINT and divided by the integer
+    weight — two exact integers through one IEEE division, identical
+    on any engine, so the chosen set is content-stable across
+    engines, runs and partitionings (the property a rand()-seeded
+    sample lacks, and the contract every other curation op here
+    shares). Rows with weight <= 0 never win. Adds ``wkey_rank``.
+
+    Shape: one narrow projection + one per-group top-k window (single
+    shuffle on the group key) — the quality-weighted corpus
+    subsampling step of a mixture pipeline, runnable at any scale.
+    """
+    u32 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    ln_q = F.round(
+        F.log(u32.cast("double") / F.lit(4294967296.0)) * 1000000000.0
+    ).cast("long")
+    key = ln_q.cast("double") / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__wkey__"), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey__", key)
+        .withColumn("wkey_rank", F.row_number().over(w))
+        .filter(F.col("wkey_rank") <= k)
+        .drop("__wkey__")
+    )

@@ -14,6 +14,7 @@ from ..operators.curation import (
     mixture_sample,
     sequence_packing,
     term_doc_freq,
+    weighted_sample_per_group,
 )
 from ._base import make_registry, table
 
@@ -398,4 +399,48 @@ def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pair.o").cast("long").alias("l_orderkey"),
             F.col("pair.p").cast("long").alias("price_cents"),
         )
+    )
+
+
+WSAMPLE_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(round(ln(({hex_to_int_sql("md5('wsample:' || CAST(doc_id AS VARCHAR))")} + 1) / 4294967296.0)
+                        * 1000000000.0) AS BIGINT) AS ln_q
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(ln_q AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC,
+                        doc_id) AS wkey_rank
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, CAST(wkey_rank AS BIGINT) AS wkey_rank
+    FROM ranked WHERE wkey_rank <= 3
+"""
+
+
+@register("weighted_sample", oracle=WSAMPLE_ORACLE)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: Efraimidis-Spirakis weighted sampling without
+    replacement — 3 docs per language, probability proportional to
+    ``n_chars`` — with HASH-derived uniforms so the chosen set is
+    content-stable across engines/runs/partitionings (the contract
+    every curation op here shares; a rand()-seeded sample has none of
+    it). The race key ln(u)/w is one IEEE division of two exact
+    integers (nano-quantized ln, integer weight), so both engines
+    rank identically; ties break on doc_id. One narrow projection +
+    one per-group top-k window = single shuffle on the group key."""
+    docs = table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "lang",
+        "n_chars",
+        k=3,
+    ).select(
+        "doc_id", "lang", "n_chars",
+        F.col("wkey_rank").cast("long").alias("wkey_rank"),
     )

@@ -98,3 +98,35 @@ def test_doc_chunking_covers_text_with_overlap(spark):
     assert sorted(by_doc[1]) == [(0, 500), (1, 500), (2, 150)]  # 950 chars
     assert sorted(by_doc[2]) == [(0, 120)]
     assert 3 not in by_doc  # empty doc: no chunks
+
+
+def test_weighted_sample_deterministic_and_weight_dominant(spark):
+    from etl_processing_scd1_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g", 1) for i in range(200)] + [(999, "g", 10**9)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    picked = {
+        r["doc_id"]
+        for r in weighted_sample_per_group(df, "doc_id", "grp", "w", k=3).collect()
+    }
+    # the 10^9-weight doc's race key ln(u)/w is ~0 — it must win a slot
+    assert 999 in picked and len(picked) == 3
+    # partitioning-invariant (the rand()-sample property failure mode)
+    repicked = {
+        r["doc_id"]
+        for r in weighted_sample_per_group(
+            df.repartition(7), "doc_id", "grp", "w", k=3
+        ).collect()
+    }
+    assert picked == repicked
+    # zero/negative weights never win
+    df2 = spark.createDataFrame(
+        [(1, "g", 0), (2, "g", -5), (3, "g", 7)], "doc_id long, grp string, w long"
+    )
+    only = [
+        r["doc_id"]
+        for r in weighted_sample_per_group(df2, "doc_id", "grp", "w", k=3).collect()
+    ]
+    assert only == [3]
