@@ -67,6 +67,7 @@ HEADLINE = [
     "winnow_dedup_pairs",   # fingerprint-overlap dedup, capped postings
     "nb_lang_classifier",   # in-engine Naive Bayes train+apply
     "analytic_q15_top_supplier",  # view + scalar-max tie-preserving
+    "simhash_near_dup",     # Hamming-banded pigeonhole dedup pairs
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -896,3 +896,87 @@ def near_dedup_incremental(
     return attach_cache(
         out, new_sets, nc, *getattr(verified, "_spark_graft_cached", ())
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_bits: int = 32,
+    bands: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """SimHash near-dup pairs — the Hamming-space member of the dedup
+    family (MinHash covers Jaccard, winnowing covers verbatim
+    overlap, this covers weighted-token cosine-ish similarity the way
+    Charikar's construction does). Recall is STRUCTURAL via the
+    pigeonhole principle: the ``num_bits`` fingerprint splits into
+    ``bands`` equal bands, and any pair within Hamming distance
+    ``max_hamming`` < ``bands`` differs in at most ``max_hamming``
+    bands, so at least one band matches exactly — the band-bucket
+    self-join surfaces every qualifying pair, never all-pairs. The
+    exact Hamming distance then verifies candidates (a per-position
+    comparison sum — JVM expression, no UDF).
+
+    Same skew discipline as every bucketed self-join here: the
+    pair-source side caps each band bucket at ``max_bucket_size``
+    lowest ids (:func:`cap_bucket_side`), overflow reported on
+    ``result._spark_graft_truncated``. Two shuffles (band key, pair
+    key) plus two id-keyed fingerprint joins.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if num_bits % bands:
+        raise ValueError("bands must divide num_bits")
+    width = num_bits // bands
+    fps = simhash_fingerprint(df, id_col, text_col, num_bits=num_bits)
+    banded = fps.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("simhash"), b * width + 1, width)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    capped, truncated = cap_bucket_side(
+        banded, ["band_id", "band_sig"], id_col, max_bucket_size
+    )
+    a = capped.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa__"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb__"))
+    hamming = sum(
+        F.when(
+            F.substring("__fa__", i + 1, 1) != F.substring("__fb__", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(num_bits)
+    )
+    out = (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
+    return out

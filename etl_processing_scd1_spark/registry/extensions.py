@@ -553,6 +553,56 @@ def simhash_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_near_dup_oracle() -> str:
+    base = _simhash_oracle().strip()
+    # bands: 4 x 8-bit substrings; cap each band bucket at the 64
+    # lowest doc ids (exact twin of cap_bucket_side's ranking)
+    return f"""
+    WITH fp AS ({base}),
+    banded AS (
+      SELECT doc_id, b.band_id,
+             substr(simhash, b.band_id * 8 + 1, 8) AS band_sig
+      FROM fp, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    capped AS (
+      SELECT doc_id, band_id, band_sig FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY band_id, band_sig ORDER BY doc_id) AS rn
+        FROM banded
+      ) WHERE rn <= 64
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST((CASE WHEN substr(fa.simhash, 1, 1) <> substr(fb.simhash, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 2, 1) <> substr(fb.simhash, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 3, 1) <> substr(fb.simhash, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 4, 1) <> substr(fb.simhash, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 5, 1) <> substr(fb.simhash, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 6, 1) <> substr(fb.simhash, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 7, 1) <> substr(fb.simhash, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 8, 1) <> substr(fb.simhash, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 9, 1) <> substr(fb.simhash, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 10, 1) <> substr(fb.simhash, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 11, 1) <> substr(fb.simhash, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 12, 1) <> substr(fb.simhash, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 13, 1) <> substr(fb.simhash, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 14, 1) <> substr(fb.simhash, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 15, 1) <> substr(fb.simhash, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 16, 1) <> substr(fb.simhash, 16, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 17, 1) <> substr(fb.simhash, 17, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 18, 1) <> substr(fb.simhash, 18, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 19, 1) <> substr(fb.simhash, 19, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 20, 1) <> substr(fb.simhash, 20, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 21, 1) <> substr(fb.simhash, 21, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 22, 1) <> substr(fb.simhash, 22, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 23, 1) <> substr(fb.simhash, 23, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 24, 1) <> substr(fb.simhash, 24, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 25, 1) <> substr(fb.simhash, 25, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 26, 1) <> substr(fb.simhash, 26, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 27, 1) <> substr(fb.simhash, 27, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 28, 1) <> substr(fb.simhash, 28, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 29, 1) <> substr(fb.simhash, 29, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 30, 1) <> substr(fb.simhash, 30, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 31, 1) <> substr(fb.simhash, 31, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 32, 1) <> substr(fb.simhash, 32, 1) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN fp fa ON fa.doc_id = p.id_a
+    JOIN fp fb ON fb.doc_id = p.id_b
+    WHERE (CASE WHEN substr(fa.simhash, 1, 1) <> substr(fb.simhash, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 2, 1) <> substr(fb.simhash, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 3, 1) <> substr(fb.simhash, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 4, 1) <> substr(fb.simhash, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 5, 1) <> substr(fb.simhash, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 6, 1) <> substr(fb.simhash, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 7, 1) <> substr(fb.simhash, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 8, 1) <> substr(fb.simhash, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 9, 1) <> substr(fb.simhash, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 10, 1) <> substr(fb.simhash, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 11, 1) <> substr(fb.simhash, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 12, 1) <> substr(fb.simhash, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 13, 1) <> substr(fb.simhash, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 14, 1) <> substr(fb.simhash, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 15, 1) <> substr(fb.simhash, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 16, 1) <> substr(fb.simhash, 16, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 17, 1) <> substr(fb.simhash, 17, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 18, 1) <> substr(fb.simhash, 18, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 19, 1) <> substr(fb.simhash, 19, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 20, 1) <> substr(fb.simhash, 20, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 21, 1) <> substr(fb.simhash, 21, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 22, 1) <> substr(fb.simhash, 22, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 23, 1) <> substr(fb.simhash, 23, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 24, 1) <> substr(fb.simhash, 24, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 25, 1) <> substr(fb.simhash, 25, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 26, 1) <> substr(fb.simhash, 26, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 27, 1) <> substr(fb.simhash, 27, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 28, 1) <> substr(fb.simhash, 28, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 29, 1) <> substr(fb.simhash, 29, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 30, 1) <> substr(fb.simhash, 30, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 31, 1) <> substr(fb.simhash, 31, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(fa.simhash, 32, 1) <> substr(fb.simhash, 32, 1) THEN 1 ELSE 0 END) <= 3
+    """
+
+
+@register("simhash_near_dup", oracle=_simhash_near_dup_oracle())
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: SimHash near-dup pairs — the Hamming-space dedup member
+    (MinHash: Jaccard; winnowing: verbatim overlap; this: Charikar's
+    weighted-token similarity). Pigeonhole recall is exact: Hamming
+    <= 3 over 32 bits in 4 bands means at least one band matches, so
+    the band-bucket self-join (capped per bucket, overflow reported)
+    surfaces every qualifying pair; a 32-term per-position comparison
+    sum verifies exactly — all JVM expressions, no UDF."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, num_bits=32, bands=4, max_bucket_size=64,
+    )
+
+
 @register(
     "ngram_jaccard",
     oracle="""

@@ -468,3 +468,37 @@ def test_winnowing_shared_substring_guarantee(spark):
     }
     assert got[0] == (len(_brute_winnow(a)), sum(_brute_winnow(a)))
     assert got[1] == (len(_brute_winnow(b)), sum(_brute_winnow(b)))
+
+
+def test_simhash_near_dup_pigeonhole_recall(spark):
+    """Uncapped, the banded join must surface EXACTLY the brute-force
+    Hamming<=3 set (pigeonhole: <=3 differing bits over 4 bands leave
+    one band equal — recall is structural, precision is the exact
+    verify)."""
+    from etl_processing_scd1_spark.operators.dedup import (
+        simhash_fingerprint,
+        simhash_near_dup_pairs,
+    )
+    from tests.conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprint(docs, "doc_id", "text", 32).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b): sum(x != y for x, y in zip(fps[a], fps[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sum(x != y for x, y in zip(fps[a], fps[b])) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3, max_bucket_size=10**9
+        ).collect()
+    }
+    assert got == brute and brute  # exact, and non-trivial on this corpus
