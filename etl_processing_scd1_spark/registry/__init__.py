@@ -202,8 +202,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   Round-8 additions landing AFTER this window froze
 #   (analytic_q17_small_qty_revenue, analytic_q22_global_sales_opportunity,
 #   winnowing_fingerprint, winnow_dedup_pairs, nb_lang_classifier,
-#   analytic_q15_top_supplier, weighted_sample, simhash_near_dup)
-#   are first in line for the round-9 rotation; all eight are
+#   analytic_q15_top_supplier, weighted_sample, simhash_near_dup,
+#   kcore_decomposition)
+#   are first in line for the round-9 rotation; all nine are
 #   oracle-green at sf0.001/0.01/0.1 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas

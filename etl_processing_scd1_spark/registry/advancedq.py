@@ -1294,6 +1294,90 @@ def hll_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hll_merge_sql("spark").format(tbl="__hll_merge_orders__"))
 
 
+KCORE_ORACLE = """
+    WITH co AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM co a JOIN co b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+      HAVING count(*) >= 4
+    ),
+    u0 AS (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL SELECT v, u FROM e
+    ),
+    kp1 AS (
+      SELECT src FROM u0 GROUP BY src HAVING count(*) >= 3
+    ),
+    u1 AS (
+      SELECT x.src, x.dst FROM u0 x
+      JOIN kp1 a ON x.src = a.src
+      JOIN kp1 b ON x.dst = b.src
+    ),
+    kp2 AS (
+      SELECT src FROM u1 GROUP BY src HAVING count(*) >= 3
+    ),
+    u2 AS (
+      SELECT x.src, x.dst FROM u1 x
+      JOIN kp2 a ON x.src = a.src
+      JOIN kp2 b ON x.dst = b.src
+    ),
+    kp3 AS (
+      SELECT src FROM u2 GROUP BY src HAVING count(*) >= 3
+    ),
+    u3 AS (
+      SELECT x.src, x.dst FROM u2 x
+      JOIN kp3 a ON x.src = a.src
+      JOIN kp3 b ON x.dst = b.src
+    ),
+    kp4 AS (
+      SELECT src FROM u3 GROUP BY src HAVING count(*) >= 3
+    ),
+    u4 AS (
+      SELECT x.src, x.dst FROM u3 x
+      JOIN kp4 a ON x.src = a.src
+      JOIN kp4 b ON x.dst = b.src
+    )
+    SELECT src AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM u4 GROUP BY src
+"""
+
+
+@register("kcore_decomposition", oracle=KCORE_ORACLE)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: the 3-core of the frequent co-supplier graph
+    (same support-thresholded edges as ``triangle_count``) via a
+    FIXED 4-round synchronous peel — each round drops every node
+    whose current degree is below 3 together with its edges. Fixed
+    rounds (not run-to-convergence) keep the oracle an unrolled CTE
+    chain and make the two engines bit-comparable even mid-peel; on
+    this graph the fringe is shallow, so the peel is stationary well
+    before round 4 (asserted in pytest). O(E) per round, one degree
+    aggregation + two node-keyed semi joins, per-round persists
+    released through the attach_cache contract. Output: surviving
+    (node_id, core_degree) — the dense backbone for community
+    seeding and collusion-ring screens."""
+    from ..operators.graph import k_core
+
+    li = table(spark, sf_dir, "lineitem")
+    co = li.select("l_orderkey", "l_suppkey").distinct()
+    b = co.select(
+        F.col("l_orderkey").alias("__o__"), F.col("l_suppkey").alias("__s__")
+    )
+    edges = (
+        co.join(b, co["l_orderkey"] == F.col("__o__"))
+        .filter(F.col("l_suppkey") < F.col("__s__"))
+        .groupBy(F.col("l_suppkey").alias("u"), F.col("__s__").alias("v"))
+        .agg(F.count(F.lit(1)).alias("__support__"))
+        .filter(F.col("__support__") >= 4)
+        .select("u", "v")
+    )
+    return k_core(edges, k=3, rounds=4)
+
+
 @register(
     "triangle_count",
     oracle="""

@@ -502,3 +502,63 @@ def test_simhash_near_dup_pigeonhole_recall(spark):
         ).collect()
     }
     assert got == brute and brute  # exact, and non-trivial on this corpus
+
+
+def test_kcore_converges_and_matches_model(spark):
+    """The 4-round peel must be stationary (round 4 == round 5 — the
+    fixed-round contract is converged on this graph, not an arbitrary
+    truncation) and must equal a pure-Python peel model on a small
+    constructed graph."""
+    from etl_processing_scd1_spark.operators.graph import k_core
+    from etl_processing_scd1_spark.operators.dedup import release_cached
+
+    # triangle + pendant chain: 3-core empty; 2-core = the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+
+    def model(es, k):
+        import collections
+
+        es = set(es)
+        while True:
+            deg = collections.Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return dict(deg)
+            es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+    for k in (2, 3):
+        out = k_core(df, k=k, rounds=4)
+        got = {r["node_id"]: r["core_degree"] for r in out.collect()}
+        release_cached(out)
+        # model degrees count each undirected edge once per endpoint;
+        # k_core's und relation holds both directions, so degrees match
+        assert got == model(edges, k), k
+
+    # stationarity on the real co-supplier graph: rounds 4 == 5
+    from etl_processing_scd1_spark.registry import _ALL_QUERIES
+    from tests.conftest import SF0001
+    import etl_processing_scd1_spark.operators.graph as g
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    co = li.select("l_orderkey", "l_suppkey").distinct()
+    b = co.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+    real = (
+        co.join(b, co["l_orderkey"] == F.col("o"))
+        .filter(F.col("l_suppkey") < F.col("s"))
+        .groupBy(F.col("l_suppkey").alias("u"), F.col("s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 4)
+        .select("u", "v")
+    )
+    r4 = g.k_core(real, k=3, rounds=4)
+    r5 = g.k_core(real, k=3, rounds=5)
+    got4 = {(r["node_id"], r["core_degree"]) for r in r4.collect()}
+    got5 = {(r["node_id"], r["core_degree"]) for r in r5.collect()}
+    release_cached(r4)
+    release_cached(r5)
+    assert got4 == got5
