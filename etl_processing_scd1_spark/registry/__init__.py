@@ -23,11 +23,11 @@ definition below):
 
 from __future__ import annotations
 
-from . import advancedq, analyticsq, core, curationq, extensions, scd1q, streamingq
+from . import advancedq, analyticsq, core, curationq, extensions, scd1q, streamingq, tpchq
 
 _ALL_QUERIES: dict = {}
 _ALL_ORACLES: dict = {}
-for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq):
+for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq, tpchq):
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 
@@ -203,8 +203,14 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   (analytic_q17_small_qty_revenue, analytic_q22_global_sales_opportunity,
 #   winnowing_fingerprint, winnow_dedup_pairs, nb_lang_classifier,
 #   analytic_q15_top_supplier, weighted_sample, simhash_near_dup,
-#   kcore_decomposition)
-#   are first in line for the round-9 rotation; all nine are
+#   kcore_decomposition, plus the registry/tpchq.py module that
+#   completes the TPC-H 22-shape suite: analytic_q4_priority_late_ship,
+#   analytic_q6_forecast_revenue, analytic_q7_volume_shipping,
+#   analytic_q8_market_share, analytic_q9_product_profit,
+#   analytic_q10_returned_items, analytic_q11_important_inventory,
+#   analytic_q12_ship_delay_priority, analytic_q13_customer_distribution,
+#   analytic_q16_supplier_relationship, analytic_q19_disjunctive_revenue)
+#   are first in line for the round-9 rotation; all twenty are
 #   oracle-green at sf0.001/0.01/0.1 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
