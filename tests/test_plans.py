@@ -452,3 +452,78 @@ def test_nested_loop_classifier_1row_aggregate_is_benign(spark):
         pass
     else:
         raise AssertionError("raw cross join must fail the gate")
+
+
+def test_q4_exists_is_semi_hash_join_with_residual(spark):
+    """Q4's correlated EXISTS must plan as ONE semi hash join whose
+    non-equi leg rides as the join residual — never a nested loop,
+    never a second pass over lineitem."""
+    plan = plan_of(spark, "analytic_q4_priority_late_ship")
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # date window pushed to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q6_predicates_all_reach_the_scan(spark):
+    """Q6 is the canonical scan query: shipdate range AND quantity
+    bound must appear in PushedFilters; the only exchange is the
+    1-row global-aggregate funnel."""
+    plan = plan_of(spark, "analytic_q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # PushedFilters renders truncated in toString; the pushed quantity
+    # bound is still visible in the scan's DataFilters expression
+    assert "< 24.0" in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1  # the benign 1-row funnel
+
+
+def test_q7_q8_q9_dims_broadcast_fact_joins_equi(spark):
+    """The wide-join TPC-H shapes must broadcast every dim (the fact
+    tables never shuffle for a dim join) and contain no cartesian:
+    the only non-broadcast joins are fact⋈fact on their shared key."""
+    for name, min_bcast in [
+        ("analytic_q7_volume_shipping", 2),
+        ("analytic_q8_market_share", 3),
+        ("analytic_q9_product_profit", 3),
+    ]:
+        plan = plan_of(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q10_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "analytic_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q13_priority_filter_prunes_before_outer_join(spark):
+    """Q13's exclusion lives in the outer join's ON clause; because it
+    touches only the right side it must prune the ORDERS SCAN (pushed
+    as Not(EqualTo)), and the join must stay LeftOuter — a WHERE-side
+    filter would silently drop zero-order customers."""
+    plan = plan_of(spark, "analytic_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority" in plan
+
+
+def test_q16_not_in_is_anti_join_with_distinct_partial(spark):
+    """Q16's NOT IN (non-null key) must plan as a left-anti hash join,
+    and count(DISTINCT) as the two-phase partial-distinct aggregate —
+    no driver-side distinct anywhere."""
+    plan = plan_of(spark, "analytic_q16_supplier_relationship")
+    assert "LeftAnti" in plan
+    assert plan.count("HashAggregate") >= 3  # distinct expand + partial + final
+
+
+def test_q19_disjunct_hulls_push_to_both_scans(spark):
+    """Q19's OR-of-conjuncts: the per-side hulls must reach BOTH
+    parquet scans (quantity ∈ [1,30] on lineitem, the brand/size
+    disjunction on part) while the exact disjunction evaluates on the
+    joined row inside the broadcast hash join."""
+    plan = plan_of(spark, "analytic_q19_disjunctive_revenue")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
