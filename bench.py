@@ -68,6 +68,13 @@ HEADLINE = [
     "nb_lang_classifier",   # in-engine Naive Bayes train+apply
     "analytic_q15_top_supplier",  # view + scalar-max tie-preserving
     "simhash_near_dup",     # Hamming-banded pigeonhole dedup pairs
+    "kcore_decomposition",  # fixed-round synchronous k-core peel
+    # TPC-H completion (registry/tpchq.py) — representative subset
+    "analytic_q7_volume_shipping",   # two-nation pair disjunction
+    "analytic_q9_product_profit",    # signed profit, mid-string LIKE
+    "analytic_q13_customer_distribution",  # outer join, ON-clause filter
+    "analytic_q16_supplier_relationship",  # NOT IN anti + count distinct
+    "analytic_q19_disjunctive_revenue",    # OR-of-conjuncts pushdown
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list
