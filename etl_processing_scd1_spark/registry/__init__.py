@@ -209,8 +209,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   analytic_q8_market_share, analytic_q9_product_profit,
 #   analytic_q10_returned_items, analytic_q11_important_inventory,
 #   analytic_q12_ship_delay_priority, analytic_q13_customer_distribution,
-#   analytic_q16_supplier_relationship, analytic_q19_disjunctive_revenue)
-#   are first in line for the round-9 rotation; all twenty are
+#   analytic_q16_supplier_relationship, analytic_q19_disjunctive_revenue,
+#   plus band_join_tolerance and line_dedup_boilerplate)
+#   are first in line for the round-9 rotation; all twenty-two are
 #   oracle-green at sf0.001/0.01/0.1 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas

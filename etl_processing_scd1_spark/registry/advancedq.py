@@ -1623,3 +1623,47 @@ def gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
     )
+
+
+BAND_JOIN_ORACLE = """
+    WITH p AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(abs(a.vc - b.vc) AS BIGINT) AS diff_c
+    FROM p a JOIN p b
+      ON a.event_id < b.event_id AND abs(a.vc - b.vc) <= 5
+"""
+
+
+@register("band_join_tolerance", oracle=BAND_JOIN_ORACLE)
+def band_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance (band) self-join: all purchase pairs whose amounts
+    differ by ≤ 5 cents — the record-linkage / fraud-screen shape
+    ('same charge, split card'). A bare ``abs(a-b) <= t`` predicate
+    plans as a nested loop; :func:`operators.rangejoin.band_join`
+    buckets both sides on ``value DIV tolerance`` (partner is always
+    in the same or an adjacent bucket → 3× replication on one side)
+    and the exact band filters inside the bucket equi-join. Values
+    are quantized to integer cents BEFORE the join, so the band edge
+    is exact on both engines; ``id_a < id_b`` halves the symmetric
+    pairs. Oracle: the naive inequality join, fine at oracle scale."""
+    from ..operators.rangejoin import band_join
+
+    ev = events_table(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    base = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("value_c")
+    )
+    right = base.select(
+        F.col("event_id").alias("id_b"), F.col("value_c").alias("vc_b")
+    )
+    return (
+        band_join(base, right, "value_c", "vc_b", tolerance=5)
+        .filter(F.col("event_id") < F.col("id_b"))
+        .select(
+            F.col("event_id").alias("id_a"),
+            "id_b",
+            F.abs(F.col("value_c") - F.col("vc_b")).cast("long").alias("diff_c"),
+        )
+    )

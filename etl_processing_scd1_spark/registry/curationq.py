@@ -444,3 +444,88 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.col("wkey_rank").cast("long").alias("wkey_rank"),
     )
+
+
+LINE_DEDUP_ORACLE = """
+    WITH ch AS (
+      SELECT doc_id,
+             md5(substr(text, k * 100 + 1, 100)) AS h,
+             CAST(length(substr(text, k * 100 + 1, 100)) AS BIGINT) AS seg_len
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, ((length(text) - 1) // 100) + 1)) AS k
+            FROM documents WHERE length(text) > 0)
+    ),
+    df AS (SELECT h, count(DISTINCT doc_id) AS docfreq FROM ch GROUP BY h)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN df.docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS boiler_segments,
+           CAST((SUM(CASE WHEN df.docfreq >= 2 THEN seg_len ELSE 0 END) * 10000)
+                // SUM(seg_len) AS BIGINT) AS boiler_bp,
+           CAST(CASE WHEN SUM(CASE WHEN df.docfreq >= 2 THEN seg_len ELSE 0 END) * 2
+                          < SUM(seg_len)
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM ch c JOIN df ON c.h = df.h
+    GROUP BY c.doc_id
+"""
+
+
+@register("line_dedup_boilerplate", oracle=LINE_DEDUP_ORACLE)
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level segment dedup: split every document into
+    fixed 100-char segments, count each segment content's document
+    frequency ACROSS the corpus, and score each document by how much
+    of it is 'boilerplate' (segments appearing in ≥2 distinct docs —
+    headers, footers, templated passages); docs that are mostly
+    boilerplate are dropped (``keep = 0`` when ≥ half the chars are
+    duplicated). The web-corpus counterpart of per-doc dedup: C4
+    removed any LINE occurring ≥3 times in the crawl; this schema's
+    texts have no newlines, so fixed segments stand in for lines
+    while the corpus-frequency mechanics stay identical.
+
+    Scale shape: segments derive via the doc_chunking
+    sequence+explode arithmetic (no join); document frequency is one
+    groupBy on the segment hash; the join back to segments reuses the
+    SAME key (h → h, co-partitioned shuffle); the per-doc rollup is
+    the only other shuffle. Ratio in basis points via integer DIV —
+    no float division; ``keep`` as an exact integer comparison."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    seg = 100
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), ((F.length("text") - 1) / seg).cast("int"))
+        ).alias("k"),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.encode(F.substring(F.col("text"), F.col("k") * seg + 1, seg), "utf-8")
+        ).alias("h"),
+        F.length(F.substring(F.col("text"), F.col("k") * seg + 1, seg))
+        .cast("long")
+        .alias("seg_len"),
+    )
+    df_ = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("docfreq"))
+    boiler = F.when(F.col("docfreq") >= 2, F.col("seg_len")).otherwise(F.lit(0))
+    return (
+        ch.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("boiler_segments"),
+            F.sum(boiler).alias("__bchars__"),
+            F.sum("seg_len").alias("__tchars__"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "boiler_segments",
+            F.expr("CAST((__bchars__ * 10000) DIV __tchars__ AS BIGINT)").alias(
+                "boiler_bp"
+            ),
+            (F.col("__bchars__") * 2 < F.col("__tchars__")).cast("long").alias("keep"),
+        )
+    )

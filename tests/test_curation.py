@@ -130,3 +130,29 @@ def test_weighted_sample_deterministic_and_weight_dominant(spark):
         for r in weighted_sample_per_group(df2, "doc_id", "grp", "w", k=3).collect()
     ]
     assert only == [3]
+
+
+def test_line_dedup_boilerplate_flags_shared_segments(spark):
+    """Two identical docs → every segment has docfreq 2 → 10000 bp and
+    keep=0; a unique doc → 0 bp and keep=1; a half-copied doc sits in
+    between and keeps (strictly less than half duplicated chars)."""
+    import etl_processing_scd1_spark.registry.curationq as cq
+
+    shared = "A" * 250           # 3 segments of 100/100/50
+    unique1 = "B" * 130
+    half = shared[:100] + "C" * 120   # first segment shared with docs 1/2
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, unique1), (4, half)],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["boiler_bp"], r["keep"], r["n_segments"])
+        for r in cq.QUERIES["line_dedup_boilerplate"](spark, d).collect()
+    }
+    assert out[1] == (10000, 0, 3) and out[2] == (10000, 0, 3)
+    assert out[3] == (0, 1, 2)
+    # doc 4: 100 shared chars of 220 total → 4545 bp, kept
+    assert out[4] == (4545, 1, 3)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from etl_processing_scd1_spark.operators.rangejoin import interval_join
 
 D = dt.datetime
@@ -30,3 +32,37 @@ def test_interval_join_boundaries_and_grain_straddle(spark):
         grain_seconds=3600, extra_key=("key", "ikey"),
     )
     assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_band_join_matches_bruteforce_including_boundaries(spark):
+    """band_join must equal the brute-force inequality join on a frame
+    engineered to hit the edge cases: diff exactly == tolerance (kept),
+    tolerance+1 (dropped), partners straddling a bucket boundary, and
+    an extra_key that separates otherwise-matching rows."""
+    from etl_processing_scd1_spark.operators.rangejoin import band_join
+
+    # tolerance 5 → buckets of width 5; values straddle bucket edges
+    rows = [
+        (1, 10, "x"), (2, 15, "x"),   # diff 5 == tolerance, kept
+        (3, 21, "x"),                  # 15→21 diff 6, dropped; 21 vs 19...
+        (4, 19, "x"),                  # 19 vs 21 diff 2 across bucket edge (3 vs 4)
+        (5, 100, "x"), (6, 106, "x"),  # diff 6, dropped
+        (7, 15, "y"),                  # same value as id 2, different key
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, k string")
+    right = df.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("k").alias("kb")
+    )
+    got = {
+        (r["id"], r["id_b"])
+        for r in band_join(df, right, "v", "vb", tolerance=5, extra_key=("k", "kb"))
+        .filter(F.col("id") < F.col("id_b"))
+        .collect()
+    }
+    brute = {
+        (a, b)
+        for a, va, ka in rows
+        for b, vb, kb in rows
+        if a < b and ka == kb and abs(va - vb) <= 5
+    }
+    assert got == brute and (1, 2) in got and (3, 4) in got
