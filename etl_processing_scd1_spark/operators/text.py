@@ -496,12 +496,38 @@ def winnow_dedup_pairs(
     still probes the capped side, and overflowing postings are
     reported on ``result._spark_graft_truncated``, never dropped
     silently. One shuffle on ``fp``, one on the pair key.
+
+    The fingerprint relation is PERSISTED before the fan-out: the
+    downstream plan consumes it three times (per-doc counts, the
+    capped posting ranking, and the uncapped probe side). Without the
+    persist, ReuseExchange dedupes the two identical fp-shuffle
+    consumers, so the numpy kernel runs twice (not thrice) — at sf0.1
+    that makes the unpersisted plan marginally faster warm (8.5 s vs
+    9.4 s; the persist + text repartition costs ~1 s at toy scale)
+    but slower cold (13.4 s vs 11.1 s). The persisted shape is kept
+    because it is the one that survives scale: the cached relation is
+    compact ``(id, fp)`` longs, far smaller than the raw text the
+    extra kernel pass would rescan, and exchange reuse is a
+    physical-plan accident AQE re-planning can drop, not a contract.
+    The keyed ``repartition(id)`` spreads the CPU-heavy kernel across
+    tasks — a single parquet file otherwise pins it to one task (it
+    does NOT save the count-agg shuffle: ``mapInPandas`` mints fresh
+    output attributes, so Catalyst cannot carry the child partitioning
+    through it). Callers release via ``release_cached`` /
+    ``dedup.consuming``.
     """
-    rows = winnow_fingerprint_rows(df, id_col, text_col, k=k, window=window)
-    return winnow_pairs_from_rows(
+    from .dedup import attach_cache
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(id_col, text_col).repartition(n_parts, id_col)
+    rows = winnow_fingerprint_rows(
+        base, id_col, text_col, k=k, window=window
+    ).persist()
+    out = winnow_pairs_from_rows(
         rows, id_col, min_containment_pct=min_containment_pct,
         max_posting=max_posting,
     )
+    return attach_cache(out, rows)
 
 
 def winnow_pairs_from_rows(

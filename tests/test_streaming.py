@@ -881,10 +881,13 @@ def test_streaming_winnow_index_matches_batch_pairs(spark, tmp_path):
         (r["id_a"], r["id_b"]): (r["n_shared"], r["containment_pct"])
         for r in winnow_pairs_from_rows(rows, "doc_id").collect()
     }
-    batch = {
-        (r["id_a"], r["id_b"]): (r["n_shared"], r["containment_pct"])
-        for r in winnow_dedup_pairs(docs, "doc_id", "text").collect()
-    }
+    from etl_processing_scd1_spark.operators import dedup as dd
+
+    with dd.consuming(winnow_dedup_pairs(docs, "doc_id", "text")) as bp:
+        batch = {
+            (r["id_a"], r["id_b"]): (r["n_shared"], r["containment_pct"])
+            for r in bp.collect()
+        }
     assert streamed == batch and batch  # identical and non-trivial
 
 
