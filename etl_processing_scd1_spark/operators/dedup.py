@@ -793,6 +793,38 @@ def dedup_clusters(
     return attach_cache(out, *[h for h in (edges_h, labels_h) if h is not None])
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Select each cluster's single best member: highest ``score_col``,
+    lowest ``id_col`` on ties — the keep policy for dedup pipelines
+    where near-dups are truncations/wrapped copies of one best version
+    and the lowest-id canonical would discard it. ``clusters`` is a
+    ``dedup_clusters``-shaped relation (id, cluster_id, cluster_size);
+    ``scored`` carries ``id_col``, ``score_col`` and any columns the
+    kept representative should retain.
+
+    The deterministic (score DESC, id ASC) order is the contract, not
+    a nicety: score ties are the COMMON case (identical copies have
+    identical lengths/scores), and without a total order two runs can
+    ship different representatives — an incremental consumer then sees
+    phantom churn. One row_number window per cluster over the cluster
+    relation joined to ``scored`` — only ids, scores and the carried
+    columns shuffle, never the documents' text."""
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        clusters.join(scored, id_col)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
 def near_dedup_incremental(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

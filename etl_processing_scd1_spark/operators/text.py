@@ -97,6 +97,70 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_c: int = 300,
+    max_mean_word_len_c: int = 1000,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher / MassiveText document-quality RULE SET (Rae et al.
+    2021, §A.1.1) as one narrow projection: per-rule pass bits plus
+    the conjunction, so a pipeline can both filter and report WHY
+    each document was dropped (``quality_metrics`` gives continuous
+    signals; this gives the published go/no-go rules).
+
+    Rules (each an exact integer comparison — thresholds in
+    fixed-point so the decision is portable across engines):
+    word count in [min_words, max_words]; mean word length in
+    [min/max_mean_word_len_c] CENTI-chars (×100, floor division);
+    at least ``min_stopword_hits`` DISTINCT Gopher stopwords present
+    (the, be, to, of, and, that, have, with). The reference rule set
+    also bounds symbol/ellipsis/bullet ratios — those reduce to the
+    alphabetic-ratio machinery in ``quality_metrics`` and are
+    trivially constant on an [a-z ] corpus, so they are not
+    duplicated here.
+
+    Scale shape: zero shuffles, zero UDFs — the token array is
+    materialized once per row and every rule folds over that SAME
+    array column (an inlined array expression inside a higher-order
+    lambda re-evaluates per element), so cost is O(len(text)) per row
+    and the whole thing rides a single WholeStageCodegen scan."""
+    words = F.filter(F.split(F.col(text_col), " +"), lambda w: w != "")
+    base = df.select(F.col(id_col), F.col(text_col), words.alias("__w__"))
+    n_words = F.size("__w__")
+    sum_len = F.aggregate(
+        "__w__", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl_c = F.when(n_words > 0, F.floor(sum_len * 100 / n_words)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_intersect("__w__", F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    r_wc = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (mean_wl_c >= min_mean_word_len_c) & (mean_wl_c <= max_mean_word_len_c)
+    r_stop = stop_hits >= min_stopword_hits
+    return base.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl_c.alias("mean_word_len_c"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        r_wc.cast("long").alias("rule_word_count"),
+        r_mwl.cast("long").alias("rule_mean_word_len"),
+        r_stop.cast("long").alias("rule_stopwords"),
+        (r_wc & r_mwl & r_stop).cast("long").alias("keep"),
+    )
+
+
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition signals per document: token counts,
     type-token ratio, top-token mass, duplicate-trigram fraction —

@@ -210,8 +210,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   analytic_q10_returned_items, analytic_q11_important_inventory,
 #   analytic_q12_ship_delay_priority, analytic_q13_customer_distribution,
 #   analytic_q16_supplier_relationship, analytic_q19_disjunctive_revenue,
-#   plus band_join_tolerance and line_dedup_boilerplate)
-#   are first in line for the round-9 rotation; all twenty-two are
+#   plus band_join_tolerance, line_dedup_boilerplate,
+#   gopher_quality_rules, dsir_importance and dedup_keep_best)
+#   are first in line for the round-9 rotation; all twenty-five are
 #   oracle-green at sf0.001/0.01/0.1 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas

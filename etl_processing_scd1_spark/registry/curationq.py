@@ -529,3 +529,172 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__bchars__") * 2 < F.col("__tchars__")).cast("long").alias("keep"),
         )
     )
+
+
+GOPHER_RULES_ORACLE = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(CASE WHEN len(ws) > 0
+                  THEN (list_sum(list_transform(ws, x -> length(x))) * 100)
+                       // len(ws)
+                  ELSE 0 END AS BIGINT) AS mean_word_len_c,
+             CAST(len(list_intersect(
+                    ws, ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS stopword_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len_c, stopword_hits,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+             AS BIGINT) AS rule_word_count,
+           CAST(CASE WHEN mean_word_len_c BETWEEN 300 AND 1000 THEN 1 ELSE 0 END
+             AS BIGINT) AS rule_mean_word_len,
+           CAST(CASE WHEN stopword_hits >= 1 THEN 1 ELSE 0 END
+             AS BIGINT) AS rule_stopwords,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_word_len_c BETWEEN 300 AND 1000
+                      AND stopword_hits >= 1 THEN 1 ELSE 0 END
+             AS BIGINT) AS keep
+    FROM m
+"""
+
+
+@register("gopher_quality_rules", oracle=GOPHER_RULES_ORACLE)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: the Gopher / MassiveText published go/no-go quality rules
+    (word-count bounds, mean-word-length band, >= 2 distinct
+    stopwords) as per-rule pass bits plus the conjunction — the
+    filter a web-scale curation pipeline runs FIRST, before any
+    model-based scoring, because it is one codegen'd scan with zero
+    shuffles (``quality_metrics`` reports continuous signals; this
+    reports the published decisions and why). Thresholds are exact
+    integer comparisons — mean word length in floor-divided
+    centi-chars — so a 1000-executor run and the single-threaded
+    oracle make bit-identical decisions. The stopword threshold is
+    pinned to 1 here (operator default: Gopher's published 2) — the
+    synthetic vocabulary contains only one of the eight Gopher
+    stopwords, so the published value would fail every document and
+    the rule would stop discriminating."""
+    from ..operators.text import gopher_rules
+
+    return gopher_rules(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        min_stopword_hits=1,
+    )
+
+
+DSIR_ORACLE = """
+    WITH arrs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS fil
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             substr(md5(fil[i] || ' ' || fil[i + 1]), 1, 4) AS bucket
+      FROM arrs, unnest(range(1, len(fil))) AS t(i)
+      WHERE len(fil) >= 2
+    ),
+    tf AS (
+      SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS tf
+      FROM bg GROUP BY doc_id, lang, bucket
+    ),
+    bc AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(tf) AS BIGINT) AS cr
+      FROM tf GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+      FROM bc
+    ),
+    lam AS (
+      SELECT bucket,
+             CAST(round((ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 65536.0))
+                         - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 65536.0)))
+                        * 1000000000.0) AS BIGINT) AS lam_nano
+      FROM bc CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(SUM(t.tf) AS BIGINT) AS n_features,
+           CAST(SUM(t.tf * l.lam_nano) AS BIGINT) AS logratio_nano
+    FROM tf t JOIN lam l ON t.bucket = l.bucket
+    GROUP BY t.doc_id
+"""
+
+
+@register("dsir_importance", oracle=DSIR_ORACLE)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: Data Selection via Importance Resampling (Xie et al. 2023)
+    — score every document by its hashed-bigram log importance weight
+    ln p_target(x) - ln p_raw(x) under bag-of-ngram unigram models,
+    where the TARGET distribution is estimated from the ``lang='en'``
+    slice and RAW from the whole corpus. The DSIR trick is that both
+    models live over a FIXED hashed feature space (here the first 4
+    hex chars of md5(bigram): 65536 buckets, string keys — no
+    hex-to-int conversion to keep the oracle trivial), so the model
+    is a bounded-size relation regardless of corpus size.
+
+    Plan shape at 100 TB: one narrow bigram+hash projection, one
+    (doc, bucket) partial-agg'd count, one bucket-level aggregation
+    into the <= 65536-row model, and a BROADCAST join of that model
+    back onto the per-doc term frequencies — the corpus shuffles
+    once, on (doc_id, bucket). Determinism: add-one-smoothed
+    log-ratios are quantized per bucket to nano BIGINTs, and per-doc
+    scores are exact integer dot products tf . lam — order-free, so
+    the distributed sum hash-matches the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    fil = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    arrs = docs.select("doc_id", "lang", fil.alias("fil")).filter(
+        F.size("fil") >= 2
+    )
+    bigrams = arrs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("fil"), 1, F.size("fil") - 1),
+                F.slice(F.col("fil"), 2, F.size("fil") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    ).select(
+        "doc_id", "lang", F.substring(F.md5(F.col("bigram")), 1, 4).alias("bucket")
+    )
+    tf = bigrams.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    bc = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ct"),
+        F.sum("tf").cast("long").alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
+    )
+    lam_nano = F.round(
+        (
+            F.log((F.col("ct").cast("double") + 1.0) / (F.col("tt").cast("double") + 65536.0))
+            - F.log((F.col("cr").cast("double") + 1.0) / (F.col("tr").cast("double") + 65536.0))
+        )
+        * 1000000000.0
+    ).cast("long")
+    lam = bc.crossJoin(F.broadcast(tot)).select("bucket", lam_nano.alias("lam_nano"))
+    return (
+        tf.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_features"),
+            F.sum(F.col("tf") * F.col("lam_nano")).cast("long").alias("logratio_nano"),
+        )
+    )

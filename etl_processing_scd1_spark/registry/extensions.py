@@ -2562,6 +2562,56 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_cache(out, *getattr(clusters, "_spark_graft_cached", ()))
 
 
+DEDUP_KEEP_BEST_ORACLE = DEDUP_CLUSTERS_ORACLE.replace(
+    """    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cl
+""",
+    """    , sized AS (
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cl
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.cluster_id, s.cluster_size, d.n_chars, d.lang,
+             row_number() OVER (PARTITION BY s.cluster_id
+                                ORDER BY d.n_chars DESC, s.doc_id) AS rn
+      FROM sized s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, cluster_size, n_chars, lang
+    FROM ranked WHERE rn = 1
+""",
+)
+
+
+@register("dedup_keep_best", oracle=DEDUP_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 policy variant of ``dedup_apply``: instead of the lowest-id
+    canonical member, keep the BEST document of every near-dup
+    cluster — here the longest (``n_chars`` DESC), lowest id on ties
+    — the policy real curation pipelines run, because near-dups are
+    usually truncations or boilerplate-wrapped copies of one best
+    version and 'lowest id' throws the best version away whenever it
+    crawled later. One window (row_number per cluster) over the
+    cluster relation joined to the corpus: ranking shuffles only the
+    (id, cluster) pairs plus the two carried columns, never the text,
+    and the deterministic (score, id) sort order makes the selection
+    reproducible under any partitioning (the tiebreak contract is
+    documented on :func:`~..operators.dedup.keep_best_per_cluster`)."""
+    from ..operators.dedup import dedup_clusters, keep_best_per_cluster
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dedup_minhash(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=8, bands=4, rows_per_band=2, min_jaccard_pct=50,
+    )
+    clusters = dedup_clusters(docs, pairs, id_col="doc_id")
+    out = keep_best_per_cluster(
+        clusters, docs.select("doc_id", "n_chars", "lang"), "doc_id", "n_chars"
+    ).select("doc_id", "cluster_id", "cluster_size", "n_chars", "lang")
+    return attach_cache(out, *getattr(clusters, "_spark_graft_cached", ()))
+
+
 SUBSTRING_DEDUP_ORACLE = """
     WITH wins AS (
       SELECT doc_id, p AS pos, md5(substr(text, CAST(p AS INTEGER), 40)) AS h

@@ -156,3 +156,70 @@ def test_line_dedup_boilerplate_flags_shared_segments(spark):
     assert out[3] == (0, 1, 2)
     # doc 4: 100 shared chars of 220 total → 4545 bp, kept
     assert out[4] == (4545, 1, 3)
+
+
+def test_gopher_rules_boundaries(spark):
+    """Each rule pinned at its boundary: word count exactly at
+    min_words passes / one under fails; mean word length at both band
+    edges; stopword threshold counts DISTINCT stopwords."""
+    from etl_processing_scd1_spark.operators.text import gopher_rules
+
+    rows = [
+        # 5 words incl 2 stopwords, mean len (3+2+2+3+4)/5 = 2.8 -> 280c
+        (1, "the be aa the word"),
+        # 5 words, mean (3+2+5+5+5)/5 = 4.0 -> 400c, stopwords {the, of}
+        (2, "the of quick brown foxes"),
+        # 4 words (below min), all else passing
+        (3, "the of word cart"),
+        # repeated same stopword counts ONCE
+        (4, "the the the the word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(
+            df, "doc_id", "text",
+            min_words=5, max_words=10,
+            min_mean_word_len_c=300, max_mean_word_len_c=400,
+            min_stopword_hits=2,
+        ).collect()
+    }
+    assert out[1]["rule_word_count"] == 1 and out[1]["rule_stopwords"] == 1
+    assert out[1]["mean_word_len_c"] == 280 and out[1]["rule_mean_word_len"] == 0
+    assert out[1]["keep"] == 0
+    assert out[2]["mean_word_len_c"] == 400 and out[2]["keep"] == 1
+    assert out[3]["rule_word_count"] == 0 and out[3]["keep"] == 0
+    assert out[4]["stopword_hits"] == 1 and out[4]["rule_stopwords"] == 0
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs made of target-corpus bigrams must outscore docs made of
+    raw-only bigrams: the target slice repeats 'alpha beta', so a new
+    doc of 'alpha beta' gets a higher (less negative) log importance
+    weight than one of 'gamma delta'."""
+    import os
+    import tempfile
+
+    import etl_processing_scd1_spark.registry.curationq as cq
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta", "en", "s", 32),
+        (2, "alpha beta alpha beta", "en", "s", 21),
+        (3, "gamma delta gamma delta gamma delta", "de", "s", 35),
+        (4, "alpha beta alpha beta", "de", "s", 21),   # target-like, raw lang
+        (5, "gamma delta gamma delta", "fr", "s", 23), # raw-only bigrams
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["n_features"], r["logratio_nano"])
+        for r in cq.QUERIES["dsir_importance"](spark, d).collect()
+    }
+    # per-bigram average so length doesn't confound the comparison
+    per = {k: v[1] / v[0] for k, v in out.items()}
+    assert per[4] > per[5]
+    assert per[1] > per[3]
+    assert out[1][0] == 5  # 6 tokens -> 5 bigram features

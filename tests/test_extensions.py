@@ -278,3 +278,23 @@ def test_semantic_dedup_marks_within_cluster_copies(spark):
     assert not out[3]["is_dup"]
     assert not out[4]["is_dup"]
     assert out[3]["bucket"] == out[4]["bucket"] == 1
+
+
+def test_keep_best_per_cluster_score_and_id_tiebreak(spark):
+    """Highest score wins per cluster; exact score ties resolve to the
+    LOWEST id deterministically; singletons keep themselves."""
+    from etl_processing_scd1_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (4, 4, 2), (5, 4, 2), (6, 6, 1)],
+        "doc_id int, cluster_id int, cluster_size int",
+    )
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 7), (6, 1)],
+        "doc_id int, score int",
+    )
+    got = {
+        r["cluster_id"]: r["doc_id"]
+        for r in keep_best_per_cluster(clusters, scored, "doc_id", "score").collect()
+    }
+    assert got == {1: 2, 4: 4, 6: 6}

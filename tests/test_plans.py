@@ -527,3 +527,32 @@ def test_q19_disjunct_hulls_push_to_both_scans(spark):
     assert "LessThanOrEqual(l_quantity,30.0)" in plan
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_gopher_rules_single_scan_no_shuffle_no_python(spark):
+    """The Gopher rule set is ONE codegen'd projection: no exchange,
+    no Python eval, and only the two referenced columns read."""
+    plan = plan_of(spark, "gopher_quality_rules")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_dsir_model_joins_back_via_broadcast(spark):
+    """DSIR's bucket model (<= 65536 rows) must BROADCAST back onto
+    the per-doc term frequencies — the corpus-sized tf relation never
+    shuffles for the model join; the only nested loop is the 1-row
+    totals crossJoin."""
+    plan = plan_of(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_band_join_is_equi_bucketed_never_nested_loop(spark):
+    """The tolerance band join must execute as an equi join on the
+    bucket key (sort-merge or shuffled-hash) with the band predicate
+    as a residual — a bare |a-b| <= t plans nested-loop, which is the
+    exact failure this operator exists to avoid."""
+    plan = plan_of(spark, "band_join_tolerance")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
