@@ -1667,3 +1667,98 @@ def band_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("value_c") - F.col("vc_b")).cast("long").alias("diff_c"),
         )
     )
+
+
+# Fellegi–Sunter model constants shared by the Spark plan and the
+# oracle: the integer milli-bit weights are computed ONCE here and
+# embedded as literals in both, so there is no engine-side float log
+# to drift.
+from ..operators.linkage import fs_weights_milli as _fs_w  # noqa: E402
+
+_FS_SEG = _fs_w(0.9, 0.2, name="segment")
+_FS_NAME = _fs_w(0.95, 0.01, name="name")
+_FS_BAL = _fs_w(0.9, 0.3, name="acctbal")
+_FS_MATCH, _FS_POSSIBLE = 6000, 0
+
+RECORD_LINKAGE_ORACLE = f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS BIGINT) AS agr_segment,
+             CAST(CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 1 ELSE 0 END AS BIGINT) AS agr_name,
+             CAST(CASE WHEN abs(a.bal_c - b.bal_c) <= 100 THEN 1 ELSE 0 END AS BIGINT) AS agr_acctbal
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey
+       AND abs(a.bal_c - b.bal_c) <= 500
+       AND a.c_custkey < b.c_custkey
+    ),
+    scored AS (
+      SELECT *,
+             CAST(CASE WHEN agr_segment = 1 THEN {_FS_SEG[0]} ELSE {_FS_SEG[1]} END
+                + CASE WHEN agr_name = 1 THEN {_FS_NAME[0]} ELSE {_FS_NAME[1]} END
+                + CASE WHEN agr_acctbal = 1 THEN {_FS_BAL[0]} ELSE {_FS_BAL[1]} END
+               AS BIGINT) AS score_milli
+      FROM pairs
+    )
+    SELECT id_a, id_b, agr_segment, agr_name, agr_acctbal, score_milli,
+           CASE WHEN score_milli >= {_FS_MATCH} THEN 'match'
+                WHEN score_milli < {_FS_POSSIBLE} THEN 'non_match'
+                ELSE 'possible' END AS link_class
+    FROM scored
+"""
+
+
+@register("record_linkage_fs", oracle=RECORD_LINKAGE_ORACLE)
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, the record-level sibling of document dedup:
+    Fellegi–Sunter probabilistic linkage over the customer table.
+    Blocking is the band join (same-nation customers whose account
+    balances sit within 500 cents — a HIGH-cardinality blocking key,
+    so block sizes stay bounded as data grows; blocking on nation
+    alone would grow pair counts quadratically). Each candidate pair
+    is compared on three fields — market segment equality, name edit
+    distance <= 2 (JVM levenshtein, no UDF), balance within 100 cents
+    — and scored with the FS log-likelihood weights log2(m/u) /
+    log2((1-m)/(1-u)), precomputed driver-side as integer milli-bit
+    literals (``operators.linkage.fs_weights_milli``), then classified
+    match / possible / non_match. Every executor-side operation is an
+    integer comparison or addition, so the distributed classification
+    hash-matches the single-threaded oracle exactly."""
+    from ..operators.linkage import FsField, fs_score_pairs
+    from ..operators.rangejoin import band_join
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    right = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nation_b"),
+        F.col("c_mktsegment").alias("segment_b"),
+        F.col("bal_c").alias("bal_b"),
+    )
+    blocked = (
+        band_join(
+            c, right, "bal_c", "bal_b", tolerance=500,
+            extra_key=("c_nationkey", "nation_b"),
+        )
+        .filter(F.col("c_custkey") < F.col("id_b"))
+    )
+    fields = [
+        FsField("segment", F.col("c_mktsegment") == F.col("segment_b"), 0.9, 0.2),
+        FsField("name", F.levenshtein("c_name", "name_b") <= 2, 0.95, 0.01),
+        FsField("acctbal", F.abs(F.col("bal_c") - F.col("bal_b")) <= 100, 0.9, 0.3),
+    ]
+    return fs_score_pairs(
+        blocked, fields,
+        match_threshold_milli=_FS_MATCH, possible_threshold_milli=_FS_POSSIBLE,
+    ).select(
+        F.col("c_custkey").alias("id_a"),
+        "id_b", "agr_segment", "agr_name", "agr_acctbal",
+        "score_milli", "link_class",
+    )

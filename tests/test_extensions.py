@@ -298,3 +298,44 @@ def test_keep_best_per_cluster_score_and_id_tiebreak(spark):
         for r in keep_best_per_cluster(clusters, scored, "doc_id", "score").collect()
     }
     assert got == {1: 2, 4: 4, 6: 6}
+
+
+def test_fs_score_pairs_weights_and_classes(spark):
+    """FS scoring: agreement bits pick the agree/disagree milli-bit
+    weight per field, the total classifies against both thresholds,
+    and degenerate m/u orderings are rejected at build time."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.linkage import (
+        FsField, fs_score_pairs, fs_weights_milli,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, "x", "x", 0), (1, 3, "x", "y", 0), (2, 3, "x", "y", 999)],
+        "id_a int, id_b int, f_a string, f_b string, d int",
+    )
+    fields = [
+        FsField("eq", F.col("f_a") == F.col("f_b"), 0.9, 0.1),
+        FsField("close", F.col("d") <= 10, 0.8, 0.4),
+    ]
+    w_eq, w_eq_dis = fs_weights_milli(0.9, 0.1)
+    w_cl, w_cl_dis = fs_weights_milli(0.8, 0.4)
+    out = {
+        (r["id_a"], r["id_b"]): (r["agr_eq"], r["agr_close"], r["score_milli"], r["link_class"])
+        for r in fs_score_pairs(
+            pairs, fields,
+            match_threshold_milli=w_eq + w_cl,
+            possible_threshold_milli=0,
+        ).collect()
+    }
+    assert out[(1, 2)] == (1, 1, w_eq + w_cl, "match")
+    assert out[(1, 3)] == (0, 1, w_eq_dis + w_cl, "non_match")
+    assert out[(2, 3)] == (0, 0, w_eq_dis + w_cl_dis, "non_match")
+    # log2 weights: m/u = 9 -> 3170 milli-bits
+    assert w_eq == 3170 and w_eq_dis == round(-3.169925 * 1000)
+    with pytest.raises(ValueError):
+        fs_weights_milli(0.5, 0.5)
+    with pytest.raises(ValueError):
+        fs_score_pairs(pairs, fields, 0, 1)

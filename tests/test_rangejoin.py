@@ -66,3 +66,45 @@ def test_band_join_matches_bruteforce_including_boundaries(spark):
         if a < b and ka == kb and abs(va - vb) <= 5
     }
     assert got == brute and (1, 2) in got and (3, 4) in got
+
+
+def test_band_join_property_matches_bruteforce(spark):
+    """Property: on randomized integer values and tolerances the
+    bucketed band join equals the brute-force quadratic join —
+    including negative values (floor division must bucket them
+    consistently) and values sitting exactly on bucket edges."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_processing_scd1_spark.operators.rangejoin import band_join
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=2, max_size=14
+        ),
+        tol=st.integers(min_value=1, max_value=12),
+    )
+    def run(vals, tol):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        right = df.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        got = {
+            (r["id"], r["id_b"])
+            for r in band_join(df, right, "v", "vb", tolerance=tol)
+            .filter(F.col("id") < F.col("id_b"))
+            .collect()
+        }
+        brute = {
+            (a, b)
+            for a, va in rows
+            for b, vb in rows
+            if a < b and abs(va - vb) <= tol
+        }
+        assert got == brute
+
+    run()
