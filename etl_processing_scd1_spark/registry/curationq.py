@@ -649,52 +649,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, on (doc_id, bucket). Determinism: add-one-smoothed
     log-ratios are quantized per bucket to nano BIGINTs, and per-doc
     scores are exact integer dot products tf . lam — order-free, so
-    the distributed sum hash-matches the oracle."""
+    the distributed sum hash-matches the oracle. Composed from
+    ``operators.dsir`` (bucket counts → model → score), whose
+    statistics are associative sums — the streaming maintenance sink
+    (``streaming_dsir_counts_sink``) appends per-batch statistics and
+    yields EXACTLY this query's scores (parity-tested)."""
+    from ..operators.dsir import dsir_bucket_counts, dsir_model, dsir_score
+
     docs = table(spark, sf_dir, "documents")
-    fil = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
-    )
-    arrs = docs.select("doc_id", "lang", fil.alias("fil")).filter(
-        F.size("fil") >= 2
-    )
-    bigrams = arrs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("fil"), 1, F.size("fil") - 1),
-                F.slice(F.col("fil"), 2, F.size("fil") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("bigram"),
-    ).select(
-        "doc_id", "lang", F.substring(F.md5(F.col("bigram")), 1, 4).alias("bucket")
-    )
-    tf = bigrams.groupBy("doc_id", "lang", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    bc = tf.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("ct"),
-        F.sum("tf").cast("long").alias("cr"),
-    )
-    tot = bc.agg(
-        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
-    )
-    lam_nano = F.round(
-        (
-            F.log((F.col("ct").cast("double") + 1.0) / (F.col("tt").cast("double") + 65536.0))
-            - F.log((F.col("cr").cast("double") + 1.0) / (F.col("tr").cast("double") + 65536.0))
-        )
-        * 1000000000.0
-    ).cast("long")
-    lam = bc.crossJoin(F.broadcast(tot)).select("bucket", lam_nano.alias("lam_nano"))
-    return (
-        tf.join(F.broadcast(lam), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("long").alias("n_features"),
-            F.sum(F.col("tf") * F.col("lam_nano")).cast("long").alias("logratio_nano"),
-        )
-    )
+    counts = dsir_bucket_counts(docs, "doc_id", "text", F.col("lang") == "en")
+    return dsir_score(docs, dsir_model(counts), "doc_id", "text")

@@ -658,3 +658,46 @@ def streaming_nb_counts_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dsir_counts_sink(
+    stream: DataFrame,
+    write_counts: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Keep a DSIR importance model fresh as documents stream in. The
+    model's sufficient statistics are per-bucket SUMS — (bucket, ct,
+    cr) target/raw bigram counts over the fixed 65536-bucket hashed
+    feature space (``operators.dsir.dsir_bucket_counts``) — so
+    maintenance is a pure append of each micro-batch's partial
+    counts: O(batch bigrams) per trigger, no rebuild, no state store,
+    and the accumulated relation stays tiny (<= 65536 rows per
+    batch). Scoring collapses the accumulation with
+    ``dsir_model`` (groupBy-sum) and runs ``dsir_score`` — EXACTLY
+    equal to batch model-building over every document seen, the same
+    associativity argument as the Naive Bayes sink (parity-tested
+    in ``test_streaming.py``)."""
+    from ..operators.dsir import dsir_bucket_counts
+
+    def append_stats(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        write_counts(
+            dsir_bucket_counts(
+                batch, id_col, text_col, F.col(target_col) == target_value
+            )
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(append_stats)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

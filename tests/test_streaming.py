@@ -956,3 +956,61 @@ def test_streaming_nb_counts_match_batch_training(spark, tmp_path):
     batch_priors = {r["lang"]: r["d_c"] for r in batch_priors_df.collect()}
     assert streamed_counts == batch_counts and batch_counts
     assert streamed_priors == batch_priors and batch_priors
+
+
+def test_streaming_dsir_counts_match_batch_model(spark, tmp_path):
+    """Round-8 parity: DSIR sufficient statistics are sums, so the
+    model built from the accumulated streamed (bucket, ct, cr)
+    partials must yield EXACTLY the batch scores over all docs seen —
+    the associativity guarantee the sink's docstring claims."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_model,
+        dsir_score,
+    )
+    from etl_processing_scd1_spark.streaming.pipeline import (
+        streaming_dsir_counts_sink,
+    )
+    from tests.conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    feed = tmp_path / "dsir_feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(feed / "_b1.tmp")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(feed / "_b2.tmp")
+    )
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    counts_dir = str(tmp_path / "dsir_counts")
+    q = streaming_dsir_counts_sink(
+        stream,
+        lambda df: df.write.mode("append").parquet(counts_dir),
+        checkpoint_dir=str(tmp_path / "ck_dsir"),
+    )
+    q.awaitTermination(180)
+
+    streamed_model = dsir_model(spark.read.parquet(counts_dir))
+    batch_model = dsir_model(
+        dsir_bucket_counts(docs, "doc_id", "text", F.col("lang") == "en")
+    )
+    streamed = {
+        r["doc_id"]: (r["n_features"], r["logratio_nano"])
+        for r in dsir_score(docs, streamed_model, "doc_id", "text").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_features"], r["logratio_nano"])
+        for r in dsir_score(docs, batch_model, "doc_id", "text").collect()
+    }
+    assert streamed == batch and len(batch) > 0
