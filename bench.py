@@ -75,6 +75,13 @@ HEADLINE = [
     "analytic_q13_customer_distribution",  # outer join, ON-clause filter
     "analytic_q16_supplier_relationship",  # NOT IN anti + count distinct
     "analytic_q19_disjunctive_revenue",    # OR-of-conjuncts pushdown
+    # late-round-8 additions
+    "band_join_tolerance",    # bucketed |a-b|<=t self-join, never nested-loop
+    "line_dedup_boilerplate", # C4-style corpus segment docfreq scoring
+    "gopher_quality_rules",   # published rule set, single codegen'd scan
+    "dsir_importance",        # hashed-bigram importance weights, broadcast model
+    "dedup_keep_best",        # best-of-cluster keep policy over minhash clusters
+    "record_linkage_fs",      # Fellegi-Sunter scoring over band-join blocking
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

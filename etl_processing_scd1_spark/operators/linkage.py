@@ -93,3 +93,49 @@ def fs_score_pairs(
         .when(F.col("score_milli") < possible_threshold_milli, F.lit("non_match"))
         .otherwise(F.lit("possible")),
     )
+
+
+def incremental_band_candidates(
+    batch: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    val_col: str,
+    tolerance: int,
+    extra_key: str | None = None,
+    suffix: str = "_b",
+) -> DataFrame:
+    """Candidate pairs for INCREMENTAL linkage: every (batch row,
+    reference row) band-join pair plus every intra-batch pair exactly
+    once — the blocking contract ``streaming_fs_linkage_sink`` needs
+    so that streamed admission emits the same pair set as a one-shot
+    batch run over the union (parity-tested). Right-side columns are
+    renamed with ``suffix``; ids are canonicalized to
+    (least, greatest) AFTER pairing, which is sound because FS
+    comparison fields are symmetric (equality, absolute difference,
+    edit distance) — batch and reference ids interleave arbitrarily
+    in arrival order, so no orientation can be assumed.
+
+    Scale: both legs are the bucketed band join — per-batch cost is
+    O(batch × bucket occupancy), never O(reference²); the reference
+    side rescans but never reshuffles (its 3-bucket replication is a
+    narrow map), matching the near-dedup admission sink's contract
+    that per-trigger work is output-bound, not corpus-bound."""
+    from .rangejoin import band_join
+
+    def renamed(df: DataFrame) -> DataFrame:
+        return df.select([F.col(c).alias(f"{c}{suffix}") for c in df.columns])
+
+    ek = (extra_key, f"{extra_key}{suffix}") if extra_key else None
+    vs_ref = band_join(
+        batch, renamed(reference), val_col, f"{val_col}{suffix}",
+        tolerance=tolerance, extra_key=ek,
+    )
+    intra = band_join(
+        batch, renamed(batch), val_col, f"{val_col}{suffix}",
+        tolerance=tolerance, extra_key=ek,
+    ).filter(F.col(id_col) < F.col(f"{id_col}{suffix}"))
+    both = vs_ref.unionByName(intra)
+    ida, idb = F.col(id_col), F.col(f"{id_col}{suffix}")
+    return both.withColumn("__id_a__", F.least(ida, idb)).withColumn(
+        "__id_b__", F.greatest(ida, idb)
+    )

@@ -1014,3 +1014,81 @@ def test_streaming_dsir_counts_match_batch_model(spark, tmp_path):
         for r in dsir_score(docs, batch_model, "doc_id", "text").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_fs_linkage_matches_batch_query(spark, tmp_path):
+    """Round-8 parity: the union of links emitted across micro-batches
+    must equal the one-shot batch record_linkage_fs over all records
+    seen — the exactly-once pair contract of
+    incremental_band_candidates plus pure per-pair scoring."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import etl_processing_scd1_spark.registry.advancedq as aq
+    from etl_processing_scd1_spark.operators.linkage import (
+        FsField,
+        incremental_band_candidates,
+    )
+    from etl_processing_scd1_spark.streaming.pipeline import (
+        streaming_fs_linkage_sink,
+    )
+    from tests.conftest import SF0001
+
+    cust = spark.read.parquet(f"{SF0001}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        "c_name", "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    feed = tmp_path / "fs_feed"
+    feed.mkdir()
+    cust.filter(F.col("id") % 2 == 0).coalesce(1).write.parquet(str(feed / "_b1.tmp"))
+    cust.filter(F.col("id") % 2 == 1).coalesce(1).write.parquet(str(feed / "_b2.tmp"))
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    ref_dir = str(tmp_path / "fs_ref")
+    links_dir = str(tmp_path / "fs_links")
+    spark.createDataFrame([], cust.schema).write.parquet(ref_dir)
+
+    fields = [
+        FsField("segment", F.col("c_mktsegment") == F.col("c_mktsegment_b"), 0.9, 0.2),
+        FsField("name", F.levenshtein("c_name", "c_name_b") <= 2, 0.95, 0.01),
+        FsField("acctbal", F.abs(F.col("bal_c") - F.col("bal_c_b")) <= 100, 0.9, 0.3),
+    ]
+    stream = spark.readStream.schema(cust.schema).parquet(str(feed))
+    q = streaming_fs_linkage_sink(
+        stream,
+        read_reference=lambda: spark.read.parquet(ref_dir),
+        append_reference=lambda df: df.write.mode("append").parquet(ref_dir),
+        emit_links=lambda df: df.select(
+            F.col("__id_a__").alias("id_a"), F.col("__id_b__").alias("id_b"),
+            "agr_segment", "agr_name", "agr_acctbal", "score_milli", "link_class",
+        ).write.mode("append").parquet(links_dir),
+        candidates=lambda batch, ref: incremental_band_candidates(
+            batch, ref, id_col="id", val_col="bal_c",
+            tolerance=500, extra_key="c_nationkey",
+        ),
+        fields=fields,
+        match_threshold_milli=aq._FS_MATCH,
+        possible_threshold_milli=aq._FS_POSSIBLE,
+        checkpoint_dir=str(tmp_path / "ck_fs"),
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["id_a"], r["id_b"]): (
+            r["agr_segment"], r["agr_name"], r["agr_acctbal"],
+            r["score_milli"], r["link_class"],
+        )
+        for r in spark.read.parquet(links_dir).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"]): (
+            r["agr_segment"], r["agr_name"], r["agr_acctbal"],
+            r["score_milli"], r["link_class"],
+        )
+        for r in aq.QUERIES["record_linkage_fs"](spark, SF0001).collect()
+    }
+    assert streamed == batch and len(batch) > 0
