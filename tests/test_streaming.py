@@ -1034,9 +1034,9 @@ def test_streaming_fs_linkage_matches_batch_query(spark, tmp_path):
     from etl_processing_scd1_spark.streaming.pipeline import (
         streaming_fs_linkage_sink,
     )
-    from tests.conftest import SF0001
+    from tests.conftest import SF001
 
-    cust = spark.read.parquet(f"{SF0001}/customer.parquet").select(
+    cust = spark.read.parquet(f"{SF001}/customer.parquet").select(
         F.col("c_custkey").alias("id"),
         "c_name", "c_nationkey", "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
@@ -1089,6 +1089,6 @@ def test_streaming_fs_linkage_matches_batch_query(spark, tmp_path):
             r["agr_segment"], r["agr_name"], r["agr_acctbal"],
             r["score_milli"], r["link_class"],
         )
-        for r in aq.QUERIES["record_linkage_fs"](spark, SF0001).collect()
+        for r in aq.QUERIES["record_linkage_fs"](spark, SF001).collect()
     }
     assert streamed == batch and len(batch) > 0
