@@ -211,9 +211,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   analytic_q12_ship_delay_priority, analytic_q13_customer_distribution,
 #   analytic_q16_supplier_relationship, analytic_q19_disjunctive_revenue,
 #   plus band_join_tolerance, line_dedup_boilerplate,
-#   gopher_quality_rules, dsir_importance, dedup_keep_best and
-#   record_linkage_fs)
-#   are first in line for the round-9 rotation; all twenty-six are
+#   gopher_quality_rules, dsir_importance, dedup_keep_best,
+#   record_linkage_fs and web_corpus_curate)
+#   are first in line for the round-9 rotation; all twenty-seven are
 #   oracle-green at sf0.001/0.01/0.1 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas

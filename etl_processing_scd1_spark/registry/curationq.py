@@ -659,3 +659,184 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     counts = dsir_bucket_counts(docs, "doc_id", "text", F.col("lang") == "en")
     return dsir_score(docs, dsir_model(counts), "doc_id", "text")
+
+
+def _web_corpus_oracle() -> str:
+    """Assemble the composed-pipeline oracle from the SAME SQL pieces
+    the standalone stage oracles use (gopher keep set, boilerplate
+    keep set, the MinHash cluster closure re-pointed at the filtered
+    corpus, the DSIR model) — textual reuse, so a fix to any stage
+    oracle propagates here and the two can never disagree."""
+    from .extensions import _BANDED_SQL, _MINHASH_SQL, _SETS_SQL
+
+    sets_f = _SETS_SQL.replace("FROM documents", "FROM docs_f")
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT doc_id FROM ({GOPHER_RULES_ORACLE}) WHERE keep = 1),
+    bl AS (SELECT doc_id FROM ({LINE_DEDUP_ORACLE}) WHERE keep = 1),
+    docs_f AS (
+      SELECT d.* FROM documents d
+      JOIN g USING (doc_id) JOIN bl USING (doc_id)
+    ),
+    sets AS ({sets_f}),
+    mh AS ({_MINHASH_SQL}),
+    banded AS ({_BANDED_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    dup AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN sets sa ON sa.doc_id = p.id_a
+      JOIN sets sb ON sb.doc_id = p.id_b
+      WHERE 100 * len(list_intersect(sa.sh_set, sb.sh_set))
+            >= 50 * (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)))
+    ),
+    edges(a, b) AS (
+      SELECT id_a, id_b FROM dup UNION SELECT id_b, id_a FROM dup
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM docs_f
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cl
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.cluster_id, s.cluster_size, d.n_chars, d.lang,
+             row_number() OVER (PARTITION BY s.cluster_id
+                                ORDER BY d.n_chars DESC, s.doc_id) AS rn
+      FROM sized s JOIN docs_f d USING (doc_id)
+    ),
+    reps AS (SELECT doc_id, cluster_id, cluster_size, n_chars, lang
+             FROM ranked WHERE rn = 1),
+    arrs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS fil
+      FROM docs_f
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             substr(md5(fil[i] || ' ' || fil[i + 1]), 1, 4) AS bucket
+      FROM arrs, unnest(range(1, len(fil))) AS t(i)
+      WHERE len(fil) >= 2
+    ),
+    tf AS (
+      SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS tf
+      FROM bg GROUP BY doc_id, lang, bucket
+    ),
+    bc AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(tf) AS BIGINT) AS cr
+      FROM tf GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM bc
+    ),
+    lam AS (
+      SELECT bucket,
+             CAST(round((ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 65536.0))
+                         - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 65536.0)))
+                        * 1000000000.0) AS BIGINT) AS lam_nano
+      FROM bc CROSS JOIN tot
+    ),
+    scores AS (
+      SELECT t.doc_id, CAST(SUM(t.tf * l.lam_nano) AS BIGINT) AS logratio_nano
+      FROM tf t JOIN lam l ON t.bucket = l.bucket
+      GROUP BY t.doc_id
+    ),
+    final AS (
+      SELECT r.doc_id, r.cluster_id, r.cluster_size, r.lang, r.n_chars,
+             COALESCE(s.logratio_nano, CAST(-1000000000000000 AS BIGINT)) AS logratio_nano,
+             row_number() OVER (PARTITION BY r.lang
+                                ORDER BY COALESCE(s.logratio_nano,
+                                                  CAST(-1000000000000000 AS BIGINT)) DESC,
+                                         r.doc_id) AS lang_rank
+      FROM reps r LEFT JOIN scores s USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, cluster_size, lang, n_chars, logratio_nano,
+           CAST(lang_rank AS BIGINT) AS lang_rank
+    FROM final WHERE lang_rank <= 25
+"""
+
+
+@register("web_corpus_curate", oracle=_web_corpus_oracle())
+def web_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern web-corpus curation recipe END-TO-END as one
+    declarative dataflow — the composition proof that the §2.K stages
+    are operators, not demos: (1) Gopher go/no-go rules, (2) drop
+    boilerplate-heavy documents (corpus-level segment docfreq), (3)
+    MinHash near-dup clusters collapsed to their BEST (longest)
+    member, (4) DSIR importance scoring against the en target, (5)
+    deterministic top-25 per language by (score, id). Every stage is
+    the SAME operator the standalone queries run (gopher_rules,
+    line_dedup_boilerplate's docfreq plan, near_dedup_minhash →
+    dedup_clusters → keep_best_per_cluster, dsir_*), and the oracle is
+    textually assembled from the same stage-oracle SQL, so the
+    composed pipeline can never drift from its parts.
+
+    Scale: the stages chain by doc_id semi-joins (each filter pass
+    shrinks the corpus before the expensive dedup/DSIR stages see
+    it — rule filters are O(corpus) narrow scans, so they go FIRST,
+    the order a 100 TB run needs); the cluster stage inherits every
+    LSH skew guard; the DSIR model broadcast keeps the scoring join
+    shuffle-free; the final per-lang top-k is a bounded window over
+    the surviving representatives only."""
+    from ..operators.dedup import (
+        attach_cache, dedup_clusters, keep_best_per_cluster, near_dedup_minhash,
+    )
+    from ..operators.dsir import dsir_bucket_counts, dsir_model, dsir_score
+    from ..operators.text import gopher_rules
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    g_ids = (
+        gopher_rules(docs, "doc_id", "text", min_stopword_hits=1)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    bl_ids = (
+        line_dedup_boilerplate(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    eligible = docs.join(g_ids, "doc_id", "left_semi").join(
+        bl_ids, "doc_id", "left_semi"
+    )
+    pairs = near_dedup_minhash(
+        eligible, id_col="doc_id", text_col="text",
+        shingle_k=8, bands=4, rows_per_band=2, min_jaccard_pct=50,
+    )
+    clusters = dedup_clusters(eligible, pairs, id_col="doc_id")
+    reps = keep_best_per_cluster(
+        clusters, eligible.select("doc_id", "n_chars", "lang"), "doc_id", "n_chars"
+    ).select("doc_id", "cluster_id", "cluster_size", "n_chars", "lang")
+    model = dsir_model(
+        dsir_bucket_counts(eligible, "doc_id", "text", F.col("lang") == "en")
+    )
+    scores = dsir_score(eligible, model, "doc_id", "text").select(
+        "doc_id", "logratio_nano"
+    )
+    sentinel = F.lit(-1000000000000000).cast("long")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("logratio_nano").desc(), F.col("doc_id")
+    )
+    out = (
+        reps.join(scores, "doc_id", "left")
+        .withColumn("logratio_nano", F.coalesce(F.col("logratio_nano"), sentinel))
+        .withColumn("lang_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("lang_rank") <= 25)
+        .select(
+            "doc_id", "cluster_id", "cluster_size", "lang", "n_chars",
+            "logratio_nano", "lang_rank",
+        )
+    )
+    return attach_cache(out, *getattr(clusters, "_spark_graft_cached", ()))
