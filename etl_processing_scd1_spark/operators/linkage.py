@@ -139,3 +139,118 @@ def incremental_band_candidates(
     return both.withColumn("__id_a__", F.least(ida, idb)).withColumn(
         "__id_b__", F.greatest(ida, idb)
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number under a TOTAL order — without
+    the naive ``row_number() OVER (ORDER BY ...)`` whose empty
+    partitionBy funnels the whole relation through ONE task (the
+    single-partition plan the audit hard-gates). Three-phase, all
+    bounded:
+
+    1. range-partition on ``order_cols`` and sort within partitions —
+       the scalable global sort (``Exchange rangepartitioning``);
+    2. per-partition local row_number (window keyed by
+       ``spark_partition_id()`` — each partition is one group, so the
+       window processes range-partition-sized chunks in parallel);
+    3. per-partition row counts collected to the driver — BOUNDED at
+       ``num_partitions`` rows, the documented exception to the
+       no-driver-collect rule — turned into cumulative offsets and
+       re-embedded as a literal map; global rn = offset[pid] + local.
+
+    The result is EXACTLY the global rank regardless of where range
+    sampling placed the partition boundaries (offsets absorb the
+    split), so the output is deterministic for any total order —
+    callers must include a unique tiebreaker in ``order_cols``.
+
+    The ranged relation is PERSISTED before its two consumers, and
+    that persist is CORRECTNESS, not caching: range boundaries come
+    from a sampling pass whose seed folds in the fresh-per-action RDD
+    id, so the counts job and the rank job would otherwise see
+    DIFFERENT partition boundaries and the offsets would misalign
+    with the local ranks (observed at sf0.1: 285 duplicate ranks from
+    exactly this). The cache pins one materialized partitioning that
+    both jobs read. Released via the ``attach_cache`` contract —
+    consumers materialize under ``dedup.consuming(...)``.
+    """
+    from itertools import accumulate
+
+    from .dedup import attach_cache
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid__", F.spark_partition_id())
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__pid__").orderBy(*order_cols)
+    local = ranged.withColumn("__lrn__", F.row_number().over(w))
+    counts = sorted(
+        (r["__pid__"], r["cnt"])
+        for r in ranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets = dict(
+        zip([p for p, _ in counts], accumulate([0] + [c for _, c in counts[:-1]]))
+    )
+    omap = F.create_map(
+        *[F.lit(x) for pc in offsets.items() for x in pc]
+    ) if offsets else F.create_map()
+    out = (
+        local.withColumn(
+            out_col, (omap[F.col("__pid__")] + F.col("__lrn__")).cast("long")
+        )
+        .drop("__pid__", "__lrn__")
+    )
+    return attach_cache(out, ranged)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    order_cols: list[str],
+    window: int,
+    suffix: str = "_b",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995), the
+    classic complement to value-band blocking: sort the corpus by a
+    composite key and emit every pair whose GLOBAL sort ranks differ
+    by less than ``window`` — robust where band blocking fails
+    (sparse regions get far-apart values paired; dense regions stay
+    bounded at window-1 partners per record regardless of value
+    density, so the output is O(n·window) by construction, never
+    Ω(pairs-in-band)). Rank distance rides along as ``rank_dist``.
+
+    Built on :func:`global_row_number` (scale-correct global sort)
+    plus the band join ON THE RANK column (tolerance window-1):
+    neighbors in rank space land in the same or adjacent rank bucket,
+    so the pair join stays an equi-join. Deterministic for any total
+    ``order_cols`` (include a unique tiebreaker)."""
+    from .rangejoin import band_join
+
+    if window < 2:
+        raise ValueError("window must be >= 2 (window-1 rank neighbors)")
+    from .dedup import attach_cache
+
+    ranked = global_row_number(df, order_cols, out_col="__grn__")
+    right = ranked.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in ranked.columns]
+    )
+    out = (
+        band_join(ranked, right, "__grn__", f"__grn__{suffix}", tolerance=window - 1)
+        .filter(F.col("__grn__") < F.col(f"__grn__{suffix}"))
+        .withColumn(
+            "rank_dist",
+            (F.col(f"__grn__{suffix}") - F.col("__grn__")).cast("long"),
+        )
+        .drop("__grn__", f"__grn__{suffix}")
+    )
+    # ride global_row_number's correctness persist to THIS result
+    return attach_cache(out, *getattr(ranked, "_spark_graft_cached", ()))

@@ -212,8 +212,8 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   analytic_q16_supplier_relationship, analytic_q19_disjunctive_revenue,
 #   plus band_join_tolerance, line_dedup_boilerplate,
 #   gopher_quality_rules, dsir_importance, dedup_keep_best,
-#   record_linkage_fs and web_corpus_curate)
-#   are first in line for the round-9 rotation; all twenty-seven are
+#   record_linkage_fs, web_corpus_curate and sorted_neighborhood_pairs)
+#   are first in line for the round-9 rotation; all twenty-eight are
 #   oracle-green at sf0.001/0.01/0.1 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas

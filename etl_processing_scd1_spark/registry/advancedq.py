@@ -1762,3 +1762,52 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b", "agr_segment", "agr_name", "agr_acctbal",
         "score_milli", "link_class",
     )
+
+
+SORTED_NEIGHBORHOOD_ORACLE = """
+    WITH c AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    r AS (
+      SELECT c_custkey, bal_c,
+             row_number() OVER (ORDER BY bal_c, c_custkey) AS rn
+      FROM c
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+           CAST(abs(a.bal_c - b.bal_c) AS BIGINT) AS bal_diff_c
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 9
+"""
+
+
+@register("sorted_neighborhood_pairs", oracle=SORTED_NEIGHBORHOOD_ORACLE)
+def sorted_neighborhood_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER classic linkage blocking (Hernández–Stolfo sorted
+    neighborhood): every customer pair within 10 positions of each
+    other in the global (balance, id) sort order — output bounded at
+    O(n·window) by construction, where value-band blocking
+    (``record_linkage_fs``) goes Ω(pairs-in-band) on dense regions.
+    The global rank comes from
+    ``operators.linkage.global_row_number`` — range partition +
+    per-partition rank + bounded offset collect — NOT the naive empty
+    partitionBy window that funnels the corpus through one task; the
+    rank-space pair join reuses the band join as an equi-join on rank
+    buckets. Ranks are exact integers under a total order, so the
+    distributed result hash-matches the oracle's single-threaded
+    row_number."""
+    from ..operators.linkage import sorted_neighborhood_pairs
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c")
+    )
+    pairs = sorted_neighborhood_pairs(
+        c, "c_custkey", ["bal_c", "c_custkey"], window=10
+    )
+    out = pairs.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_custkey_b").alias("id_b"),
+        "rank_dist",
+        F.abs(F.col("bal_c") - F.col("bal_c_b")).cast("long").alias("bal_diff_c"),
+    )
+    return attach_cache(out, *getattr(pairs, "_spark_graft_cached", ()))

@@ -339,3 +339,47 @@ def test_fs_score_pairs_weights_and_classes(spark):
         fs_weights_milli(0.5, 0.5)
     with pytest.raises(ValueError):
         fs_score_pairs(pairs, fields, 0, 1)
+
+
+def test_global_row_number_exact_and_deterministic(spark):
+    """global_row_number must equal the naive global window's ranks
+    exactly (1..n, no duplicates) on data engineered to straddle many
+    range partitions, twice in a row (the range-sampling seed folds in
+    the per-action RDD id — without the correctness persist the
+    offsets misalign and ranks duplicate)."""
+    from etl_processing_scd1_spark.operators.dedup import consuming
+    from etl_processing_scd1_spark.operators.linkage import global_row_number
+
+    df = spark.createDataFrame(
+        [((i * 37) % 1000, i) for i in range(1000)], "v long, id long"
+    ).repartition(16)
+    for _ in range(2):
+        with consuming(global_row_number(df, ["v", "id"], out_col="rn")) as r:
+            rows = {(x["v"], x["id"]): x["rn"] for x in r.collect()}
+        expected = {
+            (v, i): k + 1
+            for k, (v, i) in enumerate(sorted(rows.keys()))
+        }
+        assert rows == expected
+
+
+def test_sorted_neighborhood_pairs_bounded_output(spark):
+    """Every rank-adjacent pair within the window, nothing else:
+    n rows, window w -> exactly sum_{d=1..w-1}(n-d) pairs, each with
+    the true rank distance; output stays O(n.w) however dense the
+    value space is (here ALL values equal - band blocking would go
+    quadratic, rank blocking must not)."""
+    from etl_processing_scd1_spark.operators.dedup import consuming
+    from etl_processing_scd1_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w = 200, 5
+    df = spark.createDataFrame([(0, i) for i in range(n)], "v long, id long")
+    with consuming(
+        sorted_neighborhood_pairs(df, "id", ["v", "id"], window=w)
+    ) as p:
+        got = [(r["id"], r["id_b"], r["rank_dist"]) for r in p.collect()]
+    assert len(got) == sum(n - d for d in range(1, w))
+    # ids ARE the rank order here (all v equal, id tiebreak)
+    assert all(b - a == d and 1 <= d <= w - 1 for a, b, d in got)

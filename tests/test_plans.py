@@ -556,3 +556,14 @@ def test_band_join_is_equi_bucketed_never_nested_loop(spark):
     exact failure this operator exists to avoid."""
     plan = plan_of(spark, "band_join_tolerance")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_global_rank_is_range_partitioned_never_single_partition(spark):
+    """sorted_neighborhood_pairs' global rank must come from a
+    rangepartitioning exchange + per-partition windows — never the
+    naive empty-partitionBy window that funnels the relation through
+    one task."""
+    plan = plan_of(spark, "sorted_neighborhood_pairs")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
