@@ -82,6 +82,7 @@ HEADLINE = [
     "dsir_importance",        # hashed-bigram importance weights, broadcast model
     "dedup_keep_best",        # best-of-cluster keep policy over minhash clusters
     "record_linkage_fs",      # Fellegi-Sunter scoring over band-join blocking
+    "sorted_neighborhood_pairs",  # rank-window blocking on distributed global rank
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list
