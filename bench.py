@@ -83,6 +83,11 @@ HEADLINE = [
     "dedup_keep_best",        # best-of-cluster keep policy over minhash clusters
     "record_linkage_fs",      # Fellegi-Sunter scoring over band-join blocking
     "sorted_neighborhood_pairs",  # rank-window blocking on distributed global rank
+    # data-mining tier (registry/miningq.py)
+    "frequent_pairs",         # market-basket brand pairs, support + integer lift
+    "pareto_skyline",         # O(n log n) level-prefix-max vs quadratic oracle
+    "rank_fusion",            # RRF of BM25 top-k and cosine top-k
+    "bfs_distances",          # 3-round multi-source BFS over the trade graph
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

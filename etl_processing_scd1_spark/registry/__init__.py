@@ -23,11 +23,21 @@ definition below):
 
 from __future__ import annotations
 
-from . import advancedq, analyticsq, core, curationq, extensions, scd1q, streamingq, tpchq
+from . import (
+    advancedq,
+    analyticsq,
+    core,
+    curationq,
+    extensions,
+    miningq,
+    scd1q,
+    streamingq,
+    tpchq,
+)
 
 _ALL_QUERIES: dict = {}
 _ALL_ORACLES: dict = {}
-for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq, tpchq):
+for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq, tpchq, miningq):
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 
@@ -212,9 +222,11 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   analytic_q16_supplier_relationship, analytic_q19_disjunctive_revenue,
 #   plus band_join_tolerance, line_dedup_boilerplate,
 #   gopher_quality_rules, dsir_importance, dedup_keep_best,
-#   record_linkage_fs, web_corpus_curate and sorted_neighborhood_pairs)
-#   are first in line for the round-9 rotation; all twenty-eight are
-#   oracle-green at sf0.001/0.01/0.1 via tools/check.py this round.
+#   record_linkage_fs, web_corpus_curate and sorted_neighborhood_pairs,
+#   plus the registry/miningq.py module: frequent_pairs,
+#   pareto_skyline, rank_fusion and bfs_distances) are first in line
+#   for the round-9 rotation; all thirty-two are oracle-green at
+#   sf0.001/0.01/0.1 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",

@@ -567,3 +567,43 @@ def test_global_rank_is_range_partitioned_never_single_partition(spark):
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_frequent_pairs_broadcasts_dims_and_partial_aggregates(spark):
+    """The basket self-join is the only large exchange: the part dim,
+    both 25-row brand-count frames, and the 1-row basket count all
+    broadcast; the pair count partial-aggregates map-side into at
+    most |brands|^2 groups before its exchange."""
+    plan = plan_of(spark, "frequent_pairs")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "partial_count" in plan
+
+
+def test_pareto_skyline_window_runs_over_levels_not_part(spark):
+    """The prefix-max window must run over the (brand, price) LEVELS
+    relation and broadcast back into part — never sort the part table
+    itself, and never fall back to a nested-loop dominance join."""
+    plan = plan_of(spark, "pareto_skyline")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the window input is the post-aggregate levels relation: its sort
+    # happens after the partial_max aggregation, not on the raw scan
+    assert "partial_max" in plan
+
+
+def test_rank_fusion_topk_without_global_sort(spark):
+    """Both retrieval legs end k-row: the lexical top-20 is a
+    TakeOrdered, never an Exchange rangepartitioning global sort of
+    the scored corpus."""
+    plan = plan_of(spark, "rank_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bfs_rounds_partial_aggregate_the_frontier(spark):
+    """Each BFS round's min-aggregation must partial-aggregate
+    map-side (combiner) so the per-round shuffle carries at most one
+    candidate distance per (node, partition)."""
+    plan = plan_of(spark, "bfs_distances")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
