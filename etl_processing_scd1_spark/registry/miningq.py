@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._base import make_registry, table
+from ..operators.mining import pareto_skyline_2d
 from ..operators.similarity import cosine_topk_bruteforce
 from .extensions import _BM25_TERMS, _bm25_contrib
 
@@ -145,33 +146,19 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct price levels) or its own price level holds a strictly
     larger size (per-level max).
 
-    Plan: one fine-grained groupBy on (brand, price) → per-level max
-    size; the prefix window then runs over the LEVELS relation
-    (|distinct prices| rows, orders of magnitude smaller than part),
-    not over the part table; the level stats broadcast back into a
-    join against part. The only per-row shuffle is the level groupBy.
-    At 100 TB the level relation itself could grow past broadcast —
-    the join degrades to a shuffle join on (brand, price) and the
-    prefix window to the two-phase distributed prefix-max used by
-    sorted_neighborhood_pairs; dominance semantics are unchanged."""
+    Plan and the 100 TB degradation path: see
+    :func:`operators.mining.pareto_skyline_2d` (the only per-row
+    shuffle is the (brand, price) level groupBy; the prefix window
+    runs over the small levels relation, never the part table)."""
     part = table(spark, sf_dir, "part").select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("partkey"),
         F.col("p_retailprice").alias("price"),
         F.col("p_size").cast("long").alias("size"),
     )
-    levels = part.groupBy("brand", "price").agg(F.max("size").alias("lvl_max"))
-    w = (
-        Window.partitionBy("brand")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    return pareto_skyline_2d(part, "brand", "price", "size").select(
+        "brand", "partkey", "price", "size"
     )
-    levels = levels.withColumn("cheaper_max", F.max("lvl_max").over(w))
-    out = part.join(F.broadcast(levels), ["brand", "price"])
-    dominated = (
-        F.col("cheaper_max").isNotNull() & (F.col("cheaper_max") >= F.col("size"))
-    ) | (F.col("lvl_max") > F.col("size"))
-    return out.filter(~dominated).select("brand", "partkey", "price", "size")
 
 
 # --------------------------------------------------------------------------
