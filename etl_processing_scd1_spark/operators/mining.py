@@ -10,6 +10,77 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cooccurrence_pairs(
+    baskets: DataFrame,
+    basket_col: str = "o",
+    item_col: str = "br",
+) -> DataFrame:
+    """Per-basket unordered item pairs with support counts:
+    (item_a < item_b, support). ``baskets`` must hold each
+    (basket, item) membership ONCE (pre-deduped).
+
+    Plan: the self-join co-partitions on the basket key; fan-out per
+    basket is bounded by C(|items-in-basket|, 2); the pair count
+    partial-aggregates map-side into at most |items|^2 groups."""
+    a, b2 = baskets.alias("a"), baskets.alias("b2")
+    return (
+        a.join(
+            b2,
+            (F.col(f"a.{basket_col}") == F.col(f"b2.{basket_col}"))
+            & (F.col(f"a.{item_col}") < F.col(f"b2.{item_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{item_col}").alias("item_a"),
+            F.col(f"b2.{item_col}").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+
+
+def incremental_cooccurrence_counts(
+    new: DataFrame,
+    seen: DataFrame,
+    basket_col: str = "o",
+    item_col: str = "br",
+) -> DataFrame:
+    """Pair-count DELTA contributed by the NEW basket rows: pairs
+    within ``new`` plus pairs between ``new`` and the already-``seen``
+    rows of the same basket. Caller contract: both inputs are deduped
+    (basket, item) memberships and ``new`` ∩ ``seen`` = ∅.
+
+    Exactness: each unordered pair of distinct memberships is counted
+    exactly once — in the increment where the LATER of its two rows
+    arrives (within-new if both arrive together, cross otherwise) —
+    so summing deltas over any batch split equals
+    :func:`cooccurrence_pairs` over the union. Sufficient statistics
+    are sums; incremental and batch counting are exactly equal, the
+    same associativity argument as the Naive Bayes sink.
+
+    Per-increment cost: O(new²-within-basket) + O(new × seen rows of
+    the touched baskets) — the join keys on the basket id, so only
+    baskets present in the increment are rescanned, never the whole
+    history."""
+    within = cooccurrence_pairs(new, basket_col, item_col)
+    n, s = new.alias("n"), seen.alias("s")
+    cross = (
+        n.join(
+            s,
+            (F.col(f"n.{basket_col}") == F.col(f"s.{basket_col}"))
+            & (F.col(f"n.{item_col}") != F.col(f"s.{item_col}")),
+        )
+        .groupBy(
+            F.least(F.col(f"n.{item_col}"), F.col(f"s.{item_col}")).alias("item_a"),
+            F.greatest(F.col(f"n.{item_col}"), F.col(f"s.{item_col}")).alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return (
+        within.unionByName(cross)
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("support").cast("long").alias("support"))
+    )
+
+
 def pareto_skyline_2d(
     df: DataFrame,
     group_col: str,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._base import make_registry, table
-from ..operators.mining import pareto_skyline_2d
+from ..operators.mining import cooccurrence_pairs, pareto_skyline_2d
 from ..operators.similarity import cosine_topk_bruteforce
 from .extensions import _BM25_TERMS, _bm25_contrib
 
@@ -92,13 +92,10 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = b.agg(F.countDistinct("o").cast("long").alias("n_baskets"))
     cnt = b.groupBy("br").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    a, b2 = b.alias("a"), b.alias("b2")
-    pairs = (
-        a.join(b2, (F.col("a.o") == F.col("b2.o")) & (F.col("a.br") < F.col("b2.br")))
-        .groupBy(
-            F.col("a.br").alias("brand_a"), F.col("b2.br").alias("brand_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    pairs = cooccurrence_pairs(b, "o", "br").select(
+        F.col("item_a").alias("brand_a"),
+        F.col("item_b").alias("brand_b"),
+        "support",
     )
     joined = (
         pairs.join(

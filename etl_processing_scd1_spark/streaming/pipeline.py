@@ -754,3 +754,64 @@ def streaming_fs_linkage_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cooccurrence_sink(
+    stream: DataFrame,
+    read_seen: Callable[[], DataFrame],
+    append_seen: Callable[[DataFrame], None],
+    append_pair_counts: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Keep market-basket co-occurrence counts fresh as basket
+    memberships stream in — the streaming form of the
+    ``frequent_pairs`` pair-count stage. Unlike the NB/DSIR sinks,
+    the statistic is NOT a per-row sum: a pair needs TWO rows, which
+    may arrive in different micro-batches (a basket split mid-order
+    by the file boundary). The increment therefore stitches across
+    batches: each batch's NEW memberships (deduped, then
+    anti-joined against the accumulated membership relation so
+    replays are no-ops) contribute pairs-within-the-batch PLUS pairs
+    against the already-seen rows of the SAME baskets
+    (``operators.mining.incremental_cooccurrence_counts`` — each
+    unordered pair counted exactly once, in the batch where its
+    later row arrives). Re-aggregating the appended deltas equals
+    batch ``cooccurrence_pairs`` over everything seen, exactly
+    (parity-tested in ``test_streaming.py``).
+
+    Per-trigger cost: O(batch² within-basket) + O(batch × seen rows
+    of the touched baskets) — the stitch join keys on the basket id,
+    so only baskets present in the increment are rescanned; the
+    accumulated history is never reshuffled wholesale. Support
+    thresholding/lift belong at READ time over the groupBy-sum, like
+    scoring in the model sinks."""
+    from ..operators.mining import incremental_cooccurrence_counts
+
+    def count_batch(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        b = batch.select(basket_col, item_col).distinct()
+        new = b.join(read_seen(), [basket_col, item_col], "left_anti").persist()
+        try:
+            if not new.take(1):
+                return
+            append_pair_counts(
+                incremental_cooccurrence_counts(
+                    new, read_seen(), basket_col, item_col
+                )
+            )
+            append_seen(new)
+        finally:
+            new.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

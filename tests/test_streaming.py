@@ -1092,3 +1092,83 @@ def test_streaming_fs_linkage_matches_batch_query(spark, tmp_path):
         for r in aq.QUERIES["record_linkage_fs"](spark, SF001).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_cooccurrence_counts_match_batch_pairs(spark, tmp_path):
+    """Round-8 parity: co-occurrence support is NOT a per-row sum — a
+    pair needs two rows that may arrive in different micro-batches.
+    The feed deliberately splits every multi-brand basket across the
+    two files (by brand hash) and replays a slice of batch 1 inside
+    batch 2; re-aggregated streamed deltas must still EXACTLY equal
+    batch cooccurrence_pairs over all distinct memberships."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.mining import cooccurrence_pairs
+    from etl_processing_scd1_spark.streaming.pipeline import (
+        streaming_cooccurrence_sink,
+    )
+    from tests.conftest import SF0001
+
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF0001}/part.parquet")
+    baskets = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    feed = tmp_path / "cooc_feed"
+    feed.mkdir()
+    split = F.abs(F.hash("item")) % 2
+    b1 = baskets.filter(split == 0)
+    # batch 2 = the other half PLUS a replayed slice of batch 1 — the
+    # sink's anti-join must make the replay a no-op
+    b2 = baskets.filter(split == 1).unionByName(
+        b1.filter(F.col("basket_id") % 7 == 0)
+    )
+    b1.coalesce(1).write.parquet(str(feed / "_b1.tmp"))
+    b2.coalesce(1).write.parquet(str(feed / "_b2.tmp"))
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    seen_dir = str(tmp_path / "cooc_seen")
+    pairs_dir = str(tmp_path / "cooc_pairs")
+    spark.createDataFrame([], baskets.schema).write.parquet(seen_dir)
+
+    stream = (
+        spark.readStream.schema(baskets.schema)
+        .option("maxFilesPerTrigger", 1)  # force the mid-basket batch split
+        .parquet(str(feed))
+    )
+    q = streaming_cooccurrence_sink(
+        stream,
+        read_seen=lambda: spark.read.parquet(seen_dir),
+        append_seen=lambda df: df.write.mode("append").parquet(seen_dir),
+        append_pair_counts=lambda df: df.write.mode("append").parquet(pairs_dir),
+        checkpoint_dir=str(tmp_path / "ck_cooc"),
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in spark.read.parquet(pairs_dir)
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("support").cast("long").alias("support"))
+        .collect()
+    }
+    batch = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccurrence_pairs(baskets, "basket_id", "item").collect()
+    }
+    assert streamed == batch and batch
+    # the stitch actually fired: some basket must span both batches
+    spanning = (
+        b1.select("basket_id").intersect(
+            baskets.filter(split == 1).select("basket_id")
+        ).count()
+    )
+    assert spanning > 0
+    # accumulated membership relation is exactly the distinct input
+    assert spark.read.parquet(seen_dir).count() == baskets.count()
