@@ -1625,6 +1625,49 @@ def gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fixed_width_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A source-format breadth: FIXED-WIDTH text — the
+    mainframe/legacy-extract format next to the reference's CSV/XLSX
+    drop-dir family. supplier round-trips through a fixed-width
+    rendering (``sources.readers.write_fixed_width`` /
+    ``read_fixed_width``: decimals rendered as right-aligned integer
+    cents so the text round-trip is exact; the parse is pure
+    substring/trim/cast inside whole-stage codegen, and plain
+    fixed-width text stays line-splittable, unlike the gzip-JSONL
+    drop), then aggregates exact cents per nation."""
+    from ..sources.readers import read_fixed_width, write_fixed_width
+
+    specs = [
+        ("s_suppkey", 1, 12, "long"),
+        ("s_name", 13, 24, "string"),
+        ("s_nationkey", 37, 4, "int"),
+        ("acctbal_cents", 41, 10, "long"),
+    ]
+    path = _roundtrip_dir("fixed_width")
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_fixed_width(sup.repartition(4), path, specs)
+    back = read_fixed_width(spark, path, specs)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("acctbal_cents").cast("long").alias("acctbal_cents"),
+    )
+
+
 BAND_JOIN_ORACLE = """
     WITH p AS (
       SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc

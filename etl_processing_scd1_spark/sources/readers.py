@@ -300,3 +300,54 @@ def write_transactions_csv(df: DataFrame, path: str) -> None:
         "terminal",
     )
     out.write.mode("overwrite").option("sep", ";").option("header", True).csv(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text reader — the mainframe/legacy-extract format
+    the reference's CSV/XLSX drop-dir family would meet next in a
+    bank integration (reference scope: ``main.py:54-168`` file
+    sources). ``colspecs`` = (column, 1-based start, width, spark
+    type); each field is substringed, trimmed and cast — all
+    JVM-side ``substring``/``trim``/``cast`` column expressions on
+    one ``spark.read.text`` scan, so the parse stays inside
+    whole-stage codegen (no UDF, no Python row loop) and the text
+    scan splits by line like any other (unlike gzip-JSONL, plain
+    fixed-width is splittable — HDFS line splitting applies).
+
+    Numeric fields are expected as right-aligned integers (render
+    decimals as scaled integers, e.g. cents) — fixed-width files
+    carrying locale-formatted floats should be parsed as strings and
+    routed through ``functions.parse_comma_decimal``."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    cols = [
+        F.trim(F.substring(F.col("value"), start, width)).cast(typ).alias(name)
+        for name, start, width, typ in colspecs
+    ]
+    return raw.select(*cols)
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> None:
+    """Render ``df`` as fixed-width text (the write half of the
+    round-trip; column order and widths from the same ``colspecs``
+    as :func:`read_fixed_width`). String fields are left-aligned
+    (rpad), everything else right-aligned (lpad) — both truncate at
+    the declared width, which callers must size to their domain.
+    Executor-parallel single text column write; no driver state."""
+    from pyspark.sql import functions as F
+
+    rendered = []
+    for name, _start, width, typ in colspecs:
+        c = F.col(name).cast("string")
+        pad = F.rpad if typ == "string" else F.lpad
+        rendered.append(pad(c, width, " "))
+    df.select(F.concat(*rendered).alias("value")).write.mode("overwrite").text(path)

@@ -174,3 +174,36 @@ def test_transactions_csv_roundtrip_writer(spark, tmp_path):
     assert back["T1"].amt == Decimal("1046.40000")
     assert back["T2"].oper_result == "REJECT"
     assert back["T1"].trans_date == rows[0][1]
+
+
+def test_fixed_width_roundtrip_exact(spark, tmp_path):
+    """Fixed-width round-trip is value-exact for the cases the
+    sf-table aggregate can't isolate: negative right-aligned
+    integers, a string exactly at its declared width, and interior
+    spaces surviving the trim (only edge whitespace is padding)."""
+    from etl_processing_scd1_spark.sources.readers import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    specs = [
+        ("id", 1, 6, "long"),
+        ("name", 7, 10, "string"),
+        ("cents", 17, 8, "long"),
+    ]
+    rows = [
+        (1, "a b", -97602),          # interior space + negative amount
+        (42, "0123456789", 0),       # name exactly at width 10
+        (999999, "x", 9988030),      # id at width edge
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, cents long")
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, specs)
+    back = {
+        r["id"]: (r["name"], r["cents"])
+        for r in read_fixed_width(spark, path, specs).collect()
+    }
+    assert back == {i: (n, c) for i, n, c in rows}
+    # every rendered line has the exact total width
+    widths = {len(r["value"]) for r in spark.read.text(path).collect()}
+    assert widths == {24}
