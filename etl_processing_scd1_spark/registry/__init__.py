@@ -225,8 +225,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   record_linkage_fs, web_corpus_curate and sorted_neighborhood_pairs,
 #   plus the registry/miningq.py module: frequent_pairs,
 #   pareto_skyline, rank_fusion and bfs_distances, and the
-#   fixed_width_scan source round-trip) are first in line for the
-#   round-9 rotation; all thirty-three are oracle-green at
+#   fixed_width_scan source round-trip and the ivf_recall ANN
+#   quality measurement) are first in line for the round-9
+#   rotation; all thirty-four are oracle-green at
 #   sf0.001/0.01/0.1 via tools/check.py this round.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas

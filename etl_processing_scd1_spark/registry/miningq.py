@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ._base import make_registry, table
 from ..operators.mining import cooccurrence_pairs, pareto_skyline_2d
-from ..operators.similarity import cosine_topk_bruteforce
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
 from .extensions import _BM25_TERMS, _bm25_contrib
 
 QUERIES, ORACLES, register = make_registry()
@@ -433,4 +433,135 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return d.filter(F.col("d") < _BFS_INF).select(
         F.col("node").alias("node_id"), F.col("d").alias("dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality measurement: IVF recall against exact brute force
+# --------------------------------------------------------------------------
+
+_IVF_RECALL_ORACLE = """
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n
+      FROM expanded GROUP BY vec_id
+    ),
+    cdots AS (
+      SELECT e.vec_id, c.vec_id AS cid,
+             SUM(CAST(round(e.v * c.v * 1e8) AS BIGINT)) AS dot
+      FROM expanded e JOIN expanded c ON e.idx = c.idx
+      WHERE c.vec_id < 8
+      GROUP BY e.vec_id, c.vec_id
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY d.dot / sqrt(CAST(nv.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                          d.cid
+               ) AS rn
+        FROM cdots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN norms nc ON nc.vec_id = d.cid
+      ) WHERE rn = 1
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(round(q.v * c.v * 1e8) AS BIGINT)) AS dot_scaled
+      FROM expanded q JOIN expanded c ON q.idx = c.idx
+      WHERE q.vec_id >= 100 AND q.vec_id < 105
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY d.dot_scaled / sqrt(CAST(nq.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                          d.neighbor_id
+               ) AS rank
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= 5
+    ),
+    ivf5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY d.dot_scaled / sqrt(CAST(nq.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+                          d.neighbor_id
+               ) AS rank
+        FROM dots d
+        JOIN assigned aq ON aq.vec_id = d.query_id
+        JOIN assigned ac ON ac.vec_id = d.neighbor_id AND ac.bucket = aq.bucket
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT i.query_id, CAST(count(*) AS BIGINT) AS matched
+      FROM ivf5 i JOIN exact5 e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.matched, 0) AS BIGINT) AS matched,
+           CAST(COALESCE(h.matched, 0) * 1000 // 5 AS BIGINT) AS recall_milli
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 100 AND vec_id < 105) q
+    LEFT JOIN hits h ON h.query_id = q.vec_id
+"""
+
+
+@register("ivf_recall", oracle=_IVF_RECALL_ORACLE)
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement IN-ENGINE: recall@5 of the
+    single-probe IVF search ([[similarity_ivf]]) against the exact
+    brute-force ranking ([[similarity_topk]]) for the same query set
+    — the completeness metric every approximate index must report
+    before it replaces the exact path in a pipeline. Counts are
+    integers; recall is milli-units via floor division — exact.
+
+    Plan: both legs reuse the K3 operators (broadcast-bounded query
+    side, cell-restricted IVF join); the comparison itself is a
+    left-semi join of two k-row-per-query relations plus a count —
+    negligible next to the searches. At scale, recall is estimated
+    over a SAMPLED query set precisely because the exact leg is
+    brute-force; the query-set probe in cosine_topk_bruteforce
+    enforces that boundedness."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    exact = cosine_topk_bruteforce(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = cosine_topk_ivf(
+        emb,
+        queries,
+        centroids=emb.filter(F.col("vec_id") < 8),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("matched"), F.lit(0)).cast("long").alias("matched"),
+            F.expr(
+                "CAST(COALESCE(matched, 0) * 1000 DIV 5 AS BIGINT)"
+            ).alias("recall_milli"),
+        )
     )

@@ -109,3 +109,11 @@ def test_bfs_distances_frontier_invariants(spark):
     # bipartite parity: supplier seeds -> customers odd, suppliers even
     for n, d in dist.items():
         assert (d % 2 == 0) == (n >= 1_000_000)
+
+
+def test_ivf_recall_bounds_and_scaling(spark):
+    rows = Q["ivf_recall"](spark, SF0001).collect()
+    assert {r["query_id"] for r in rows} == {100, 101, 102, 103, 104}
+    for r in rows:
+        assert 0 <= r["matched"] <= 5
+        assert r["recall_milli"] == r["matched"] * 200
