@@ -815,3 +815,58 @@ def streaming_cooccurrence_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_skyline_sink(
+    stream: DataFrame,
+    read_skyline: Callable[[], DataFrame],
+    write_skyline: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    group_col: str,
+    min_col: str,
+    max_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a per-group 2-D Pareto skyline as points stream in —
+    exact incremental view maintenance, not an approximation:
+    dominance is transitive, so any point dominated within
+    seen ∪ batch is dominated by a member of skyline(seen) ∪ batch,
+    giving skyline(seen ∪ batch) = skyline(skyline(seen) ∪ batch).
+    Each trigger therefore recomputes the skyline over CANDIDATES =
+    current skyline ∪ batch only — O(|skyline| + |batch|) per
+    trigger, never a rescan of history — and REPLACES the maintained
+    relation (new points can evict previously-undominated ones, so
+    unlike the count sinks this is an overwrite, not an append).
+
+    Write contract: the new skyline's plan lazily READS the relation
+    ``read_skyline`` returned, so ``write_skyline`` MUST NOT
+    overwrite that storage in place — write to a fresh versioned
+    slot and flip a pointer (the ``storage.Warehouse`` staged-publish
+    pattern; the parity test uses per-batch version dirs). This also
+    makes the foreachBatch idempotent under batch retry, which an
+    in-place overwrite never is. Parity with one-shot batch
+    ``pareto_skyline_2d`` over everything seen is exact
+    (``test_streaming.py``)."""
+    from ..operators.mining import pareto_skyline_2d
+
+    def fold_batch(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        # full-schema union: pareto_skyline_2d passes non-dimension
+        # columns (ids, payloads) through, so the maintained relation
+        # keeps them. Rows are multiset semantics — a source that can
+        # REPLAY rows must dedupe upstream (or accept multiplicity),
+        # exactly as one-shot batch skyline would over the same feed.
+        candidates = read_skyline().unionByName(batch)
+        write_skyline(
+            pareto_skyline_2d(candidates, group_col, min_col, max_col)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
