@@ -88,6 +88,8 @@ HEADLINE = [
     "pareto_skyline",         # O(n log n) level-prefix-max vs quadratic oracle
     "rank_fusion",            # RRF of BM25 top-k and cosine top-k
     "bfs_distances",          # 3-round multi-source BFS over the trade graph
+    "ivf_recall",             # ANN quality: IVF recall@5 vs exact brute force
+    "fixed_width_scan",       # fixed-width text round-trip, codegen parse
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

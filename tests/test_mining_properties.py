@@ -53,3 +53,54 @@ def test_skyline_matches_quadratic_spec(spark, rows):
         for r in pareto_skyline_2d(df, "g", "x", "y").collect()
     }
     assert got == _model_skyline(rows)
+
+
+MEMBERSHIP = st.tuples(
+    st.integers(min_value=0, max_value=4),     # basket id
+    st.sampled_from(["a", "b", "c", "d"]),     # item
+)
+FEED = st.lists(MEMBERSHIP, min_size=1, max_size=16, unique=True)
+SPLIT = st.lists(st.integers(min_value=0, max_value=2), min_size=16, max_size=16)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(FEED, SPLIT)
+def test_cooccurrence_deltas_sum_to_batch(spark, rows, split):
+    """The sink's exactness claim, over arbitrary 3-way batch splits
+    of arbitrary membership sets: summed incremental deltas == batch
+    pair counts, for every way a basket can straddle batches."""
+    from etl_processing_scd1_spark.operators.mining import (
+        cooccurrence_pairs,
+        incremental_cooccurrence_counts,
+    )
+
+    global _spark
+    _spark = spark
+    schema = "o long, br string"
+    batches = [[], [], []]
+    for i, r in enumerate(rows):
+        batches[split[i % len(split)] % 3].append(r)
+
+    def df(data):
+        return _spark.createDataFrame(data, schema) if data else _spark.createDataFrame([], schema)
+
+    totals: dict = {}
+    seen_rows: list = []
+    for b in batches:
+        new = [r for r in b if r not in seen_rows]
+        if not new:
+            continue
+        delta = incremental_cooccurrence_counts(df(new), df(seen_rows), "o", "br")
+        for r in delta.collect():
+            k = (r["item_a"], r["item_b"])
+            totals[k] = totals.get(k, 0) + r["support"]
+        seen_rows.extend(new)
+    batch_counts = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccurrence_pairs(df(seen_rows), "o", "br").collect()
+    }
+    assert totals == batch_counts
