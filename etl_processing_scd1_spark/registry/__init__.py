@@ -31,13 +31,14 @@ from . import (
     extensions,
     miningq,
     scd1q,
+    statsq,
     streamingq,
     tpchq,
 )
 
 _ALL_QUERIES: dict = {}
 _ALL_ORACLES: dict = {}
-for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq, tpchq, miningq):
+for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq, tpchq, miningq, statsq):
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 

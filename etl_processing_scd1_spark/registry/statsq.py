@@ -1,0 +1,394 @@
+"""Distributed-statistics tier: grouped closed-form OLS, decision
+stumps, power-iteration PCA, mutual-NN embedding alignment, lag
+autocorrelation, and grid-cell spatial joins.
+
+Beyond-reference model-training/analysis shapes (reference scope is
+the single fraud pipeline, ``main.py:1-479``). Determinism playbook
+as everywhere in the registry: exact BIGINT sufficient statistics;
+ratios via the portable double tree (cast → IEEE divide/multiply/
+sqrt → floor — identical bits on identical int64 inputs); Spark
+``DIV`` and DuckDB ``//`` both truncate toward zero (verified), so
+negative intermediates divide identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._base import events_table, make_registry, table
+from ..operators.similarity import md5_planes
+from ..operators.stats import (
+    acf_lags,
+    decision_stump,
+    grid_radius_join,
+    grouped_ols,
+    mutual_nn_match,
+    pca_power_iteration,
+)
+
+QUERIES, ORACLES, register = make_registry()
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS (closed-form, sufficient statistics)
+# --------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+    WITH t AS (
+      SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS x,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS y
+      FROM part
+    ),
+    s AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+      FROM t GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n,
+           CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                      / CAST(n*sxx - sx*sx AS DOUBLE) * 1e9 + 0.5)
+                AS BIGINT) AS slope_nanos,
+           CAST(floor((CAST(sy AS DOUBLE)
+                       - CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) * 1e9 + 0.5)
+                AS BIGINT) AS intercept_nanos,
+           CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                      * CAST(n*sxy - sx*sy AS DOUBLE)
+                      / (CAST(n*sxx - sx*sx AS DOUBLE)
+                         * CAST(n*syy - sy*sy AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT) AS r2_micros
+    FROM s
+    WHERE (n*sxx - sx*sx) != 0 AND (n*syy - sy*sy) != 0
+"""
+
+
+@register("grouped_ols", oracle=_OLS_ORACLE)
+def grouped_ols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand least-squares fit of retail price (cents) against
+    size — distributed model training as ONE map-side-combinable
+    aggregation of sufficient statistics; see
+    :func:`operators.stats.grouped_ols` for the plan and the int64
+    exactness bound. At 100 TB the shuffle is still
+    #partitions × #brands rows."""
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+    return grouped_ols(part, "brand", "x", "y")
+
+
+# --------------------------------------------------------------------------
+# Decision stump (best single split per group)
+# --------------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+    WITH t AS (
+      SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS lvl,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS y
+      FROM part
+    ),
+    levels AS (
+      SELECT brand, lvl, CAST(count(*) AS BIGINT) AS cnt, SUM(y) AS sy
+      FROM t GROUP BY brand, lvl
+    ),
+    pref AS (
+      SELECT brand, lvl,
+             SUM(cnt) OVER (PARTITION BY brand ORDER BY lvl) AS n_l,
+             SUM(sy)  OVER (PARTITION BY brand ORDER BY lvl) AS sy_l,
+             SUM(cnt) OVER (PARTITION BY brand) AS n,
+             SUM(sy)  OVER (PARTITION BY brand) AS sy_tot
+      FROM levels
+    ),
+    scored AS (
+      SELECT brand, lvl AS threshold, n_l, n - n_l AS n_r,
+             (CAST(n - n_l AS DOUBLE) * CAST(sy_l AS DOUBLE)
+              - CAST(n_l AS DOUBLE) * CAST(sy_tot - sy_l AS DOUBLE))
+             * (CAST(n - n_l AS DOUBLE) * CAST(sy_l AS DOUBLE)
+                - CAST(n_l AS DOUBLE) * CAST(sy_tot - sy_l AS DOUBLE))
+             / (CAST(n_l AS DOUBLE) * CAST(n - n_l AS DOUBLE)) AS score
+      FROM pref WHERE n - n_l > 0
+    )
+    SELECT brand, CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r, score
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY brand ORDER BY score DESC, threshold ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+"""
+
+
+@register("decision_stump", oracle=_STUMP_ORACLE)
+def decision_stump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand best "size <= t" split maximizing between-class
+    scatter of price — the histogram-method inner loop of
+    distributed tree training. Plan: one level-histogram shuffle;
+    windows run over the tiny levels relation only
+    (:func:`operators.stats.decision_stump`)."""
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+    return decision_stump(part, "brand", "x", "y")
+
+
+# --------------------------------------------------------------------------
+# PCA power iteration (dominant Gram-matrix direction)
+# --------------------------------------------------------------------------
+
+_PCA_ORACLE = """
+    WITH q AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS e
+      FROM embeddings
+    ),
+    seed AS (
+      SELECT idx, ((idx * 2654435761) % 1000) - 500 AS v
+      FROM (SELECT DISTINCT idx FROM q)
+    ),
+    s1 AS (
+      SELECT q.vec_id, SUM(q.e * seed.v) AS s
+      FROM q JOIN seed USING (idx) GROUP BY q.vec_id
+    ),
+    w1 AS (
+      SELECT q.idx, SUM(q.e * s1.s) AS w
+      FROM q JOIN s1 ON s1.vec_id = q.vec_id GROUP BY q.idx
+    ),
+    m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+    v1 AS (
+      SELECT idx, w // GREATEST(m // 10000, 1) AS v
+      FROM w1 CROSS JOIN m1
+    ),
+    s2 AS (
+      SELECT q.vec_id, SUM(q.e * v1.v) AS s
+      FROM q JOIN v1 USING (idx) GROUP BY q.vec_id
+    ),
+    w2 AS (
+      SELECT q.idx, SUM(q.e * s2.s) AS w
+      FROM q JOIN s2 ON s2.vec_id = q.vec_id GROUP BY q.idx
+    ),
+    m2 AS (SELECT MAX(ABS(w)) AS m FROM w2)
+    SELECT CAST(idx AS BIGINT) AS dim_idx,
+           CAST(w // GREATEST(m // 10000, 1) AS BIGINT) AS component_scaled
+    FROM w2 CROSS JOIN m2
+"""
+
+
+@register("pca_power_component", oracle=_PCA_ORACLE)
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding Gram matrix via
+    two exact-integer power-iteration rounds — distributed linear
+    algebra with per-row array intrinsics plus a 64-group matvec
+    shuffle per round; the only collect is the 64-int mid-iteration
+    vector (:func:`operators.stats.pca_power_iteration`)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return pca_power_iteration(emb, vec_col="embedding", dim=64, scale=10_000)
+
+
+# --------------------------------------------------------------------------
+# Mutual top-1 embedding alignment (LSH-bucketed)
+# --------------------------------------------------------------------------
+
+_ALIGN_PLANES = 4
+
+
+def _mutual_nn_oracle(num_planes: int = _ALIGN_PLANES) -> str:
+    # md5-parity plane reconstruction — the SQL twin of
+    # operators.similarity.md5_planes (same rule as _lsh_topk_oracle).
+    def sign(i: int) -> str:
+        return (
+            "CASE WHEN (strpos('0123456789abcdef', "
+            f"substr(md5(CAST({i} AS VARCHAR) || ':' || CAST(idx - 1 AS VARCHAR)), 2, 1)) - 1) % 2 = 1 "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+
+    plane_sums = ", ".join(
+        f"SUM(CAST(round(v * ({sign(i)}) * 1e8) AS BIGINT)) AS p{i}"
+        for i in range(num_planes)
+    )
+    bucket = " || ".join(
+        f"(CASE WHEN p{i} >= 0 THEN '1' ELSE '0' END)" for i in range(num_planes)
+    )
+    return f"""
+    WITH expanded AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    per_vec AS (
+      SELECT vec_id,
+             SUM(CAST(round(v * v * 1e8) AS BIGINT)) AS n,
+             {plane_sums}
+      FROM expanded GROUP BY vec_id
+    ),
+    bucketed AS (SELECT vec_id, n, {bucket} AS bucket FROM per_vec),
+    cand AS (
+      SELECT lb.vec_id AS l_id, rb.vec_id AS r_id,
+             lb.n AS ln, rb.n AS rn,
+             SUM(CAST(round(el.v * er.v * 1e8) AS BIGINT)) AS dot_scaled
+      FROM bucketed lb
+      JOIN bucketed rb ON rb.bucket = lb.bucket
+      JOIN expanded el ON el.vec_id = lb.vec_id
+      JOIN expanded er ON er.vec_id = rb.vec_id AND er.idx = el.idx
+      WHERE lb.vec_id % 2 = 0 AND rb.vec_id % 2 = 1
+      GROUP BY lb.vec_id, rb.vec_id, lb.n, rb.n
+    ),
+    flagged AS (
+      SELECT l_id, r_id, dot_scaled,
+             row_number() OVER (
+               PARTITION BY l_id
+               ORDER BY dot_scaled / sqrt(CAST(ln AS DOUBLE) * CAST(rn AS DOUBLE)) DESC,
+                        r_id) AS rn_l,
+             row_number() OVER (
+               PARTITION BY r_id
+               ORDER BY dot_scaled / sqrt(CAST(ln AS DOUBLE) * CAST(rn AS DOUBLE)) DESC,
+                        l_id) AS rn_r
+      FROM cand
+    )
+    SELECT l_id, r_id, CAST(dot_scaled AS BIGINT) AS dot_scaled
+    FROM flagged WHERE rn_l = 1 AND rn_r = 1
+    """
+
+
+@register("mutual_nn_align", oracle=_mutual_nn_oracle())
+def mutual_nn_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one embedding alignment (the bitext-mining shape):
+    mutual cosine top-1 between the even- and odd-id halves of the
+    embeddings table, candidates restricted to matching
+    hyperplane-LSH buckets — approximate globally, but bucket
+    membership and ranking are scaled-integer exact, so the oracle
+    reconstructs the identical md5-parity planes and matches
+    bit-for-bit (:func:`operators.stats.mutual_nn_match`)."""
+    emb = table(spark, sf_dir, "embeddings")
+    planes = md5_planes(num_planes=_ALIGN_PLANES, dim=64)
+    return mutual_nn_match(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        planes,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily-count autocorrelation
+# --------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS k),
+    pairs AS (
+      SELECT lags.k, a.c AS x, b.c AS y
+      FROM lags
+      CROSS JOIN daily a
+      JOIN daily b ON b.d = a.d + CAST(lags.k AS INTEGER)
+    ),
+    s AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS m,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_d, CAST(m AS BIGINT) AS m,
+           CAST(m*sxy - sx*sy AS BIGINT) AS num,
+           CAST(m*sxx - sx*sx AS BIGINT) AS varx,
+           CAST(m*syy - sy*sy AS BIGINT) AS vary,
+           CAST(floor(CAST(m*sxy - sx*sy AS DOUBLE)
+                      / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+                             * CAST(m*syy - sy*sy AS DOUBLE))
+                      * 1e9 + 0.5) AS BIGINT) AS r_nanos
+    FROM s
+"""
+
+
+@register("acf_daily_counts", oracle=_ACF_ORACLE)
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1-3 —
+    seasonality detection with NO global sort/window: lag alignment
+    is a date-shift equi-join, each lag reduces to one exact-integer
+    stats row (:func:`operators.stats.acf_lags`)."""
+    ev = events_table(spark, sf_dir)
+    return acf_lags(ev, "ts", [1, 2, 3])
+
+
+# --------------------------------------------------------------------------
+# Grid-cell radius join (spatial join as bucketed equijoin)
+# --------------------------------------------------------------------------
+
+_GEO_RADIUS = 800
+_GEO_CELL = 1000
+
+
+def _hex4(start: int) -> str:
+    # 4 md5 hex digits of the key string as an integer 0..65535 —
+    # DuckDB twin of Spark's conv(substring(md5(key), start, 4), 16, 10).
+    # (An LCG-derived coordinate pair was tried first and produced an
+    # ALWAYS-EMPTY result: congruential points fall on Marsaglia
+    # lattice planes whose inter-point spacing exceeds the radius.)
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {start + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"({digits})"
+
+
+_GEO_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey AS pid,
+             {_hex4(1)} AS px,
+             {_hex4(5)} AS py
+      FROM (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h
+            FROM customer)
+    ),
+    cells AS (
+      SELECT pid, px, py, px // {_GEO_CELL} AS cx, py // {_GEO_CELL} AS cy
+      FROM pts
+    ),
+    offs AS (
+      SELECT dx.d AS dx, dy.d AS dy
+      FROM (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    cand AS (
+      SELECT a.pid AS id_a, b.pid AS id_b,
+             (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) AS dist2
+      FROM cells a
+      CROSS JOIN offs
+      JOIN cells b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+                  AND a.pid < b.pid
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM cand WHERE dist2 <= {_GEO_RADIUS * _GEO_RADIUS}
+"""
+
+
+@register("geo_cell_radius_join", oracle=_GEO_ORACLE)
+def geo_cell_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within Euclidean radius 800 on a synthetic
+    integer coordinate plane (coords = md5-nibble hashes of the key,
+    reconstructed digit-by-digit in the oracle) — the spatial join
+    expressed as a 3x3-neighborhood grid-cell equijoin, never a
+    nested loop (:func:`operators.stats.grid_radius_join`)."""
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long").alias("px"),
+        F.conv(F.substring(h, 5, 4), 16, 10).cast("long").alias("py"),
+    )
+    return grid_radius_join(
+        cust, "pid", "px", "py", radius=_GEO_RADIUS, cell=_GEO_CELL
+    )

@@ -1,0 +1,299 @@
+"""Invariant tests for the distributed-statistics tier
+(operators/stats.py): grouped OLS vs the closed-form model, stump
+optimality vs the quadratic spec, power-iteration alignment with the
+planted dominant direction, mutual-NN properties vs in-bucket brute
+force, ACF vs numpy on the integer formula, and grid-radius-join
+parity with the all-pairs quadratic."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_processing_scd1_spark.operators.similarity import md5_planes
+from etl_processing_scd1_spark.operators.stats import (
+    _trunc_div,
+    acf_lags,
+    decision_stump,
+    grid_radius_join,
+    grouped_ols,
+    mutual_nn_match,
+    ols_from_stats,
+    ols_stats,
+    pca_power_iteration,
+    power_seed,
+)
+
+
+def test_trunc_div_matches_spark_div_semantics():
+    # Spark DIV / DuckDB // truncate toward zero; Python // floors.
+    assert _trunc_div(-7, 2) == -3
+    assert _trunc_div(7, -2) == -3
+    assert _trunc_div(-7, -2) == 3
+    assert _trunc_div(7, 2) == 3
+
+
+def test_grouped_ols_recovers_exact_linear_model(spark):
+    # y = 3x + 7 exactly -> slope 3e9 nanos, intercept 7e9, R^2 = 1e6.
+    rows = [("g", x, 3 * x + 7) for x in range(1, 20)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = grouped_ols(df, "g", "x", "y").collect()[0]
+    assert out["slope_nanos"] == 3_000_000_000
+    assert out["intercept_nanos"] == 7_000_000_000
+    assert out["r2_micros"] == 1_000_000
+
+
+def test_grouped_ols_matches_numpy_least_squares(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    xs = rng.randint(1, 50, size=200)
+    ys = (2.5 * xs + 40 + rng.randint(-30, 30, size=200)).astype(int)
+    df = spark.createDataFrame(
+        [("g", int(x), int(y)) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    out = grouped_ols(df, "g", "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(out["slope_nanos"] / 1e9 - slope) < 1e-6
+    assert abs(out["intercept_nanos"] / 1e9 - intercept) < 1e-6
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_stump_beats_every_other_threshold(spark, rows):
+    # The chosen split's score must equal the max over the quadratic
+    # enumeration of all candidate thresholds (ties broken by lower
+    # threshold).
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in decision_stump(df, "g", "x", "y").collect()}
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for g, x, y in rows:
+        by_group.setdefault(g, []).append((x, y))
+    for g, pts in by_group.items():
+        levels = sorted({x for x, _ in pts})
+        cands = []
+        for t in levels:
+            left = [y for x, y in pts if x <= t]
+            right = [y for x, y in pts if x > t]
+            if not right:
+                continue
+            n_l, n_r = len(left), len(right)
+            diff = n_r * sum(left) - n_l * sum(right)
+            cands.append((diff * diff / (n_l * n_r), -t))
+        if not cands:
+            assert g not in got
+            continue
+        best_score, neg_t = max(cands)
+        assert got[g]["threshold"] == -neg_t
+        assert got[g]["score"] == pytest.approx(best_score, rel=1e-12)
+
+
+def test_ols_stats_merge_by_addition_equals_full_fit(spark):
+    # Incremental contract: stats(batch1) + stats(batch2) row-added
+    # per group == stats(all), hence the same derived model.
+    rows = [("g", x % 7, (x * 3) % 11) for x in range(60)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    b1, b2 = df.filter(F.col("y") % 2 == 0), df.filter(F.col("y") % 2 == 1)
+    merged = (
+        ols_stats(b1, "g", "x", "y")
+        .unionByName(ols_stats(b2, "g", "x", "y"))
+        .groupBy("g")
+        .agg(*[F.sum(c).alias(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
+    )
+    got = ols_from_stats(merged, "g").collect()[0]
+    want = grouped_ols(df, "g", "x", "y").collect()[0]
+    assert got.asDict() == want.asDict()
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    import numpy as np
+
+    # Plant a dominant direction: 300 points along u plus small noise.
+    rng = np.random.RandomState(3)
+    dim = 16
+    u = rng.randn(dim)
+    u /= np.linalg.norm(u)
+    pts = np.outer(rng.randn(300) * 5.0, u) + rng.randn(300, dim) * 0.1
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in pts.astype(float)], "embedding array<double>"
+    )
+    out = pca_power_iteration(df, vec_col="embedding", dim=dim, scale=10_000)
+    comp = np.zeros(dim)
+    for r in out.collect():
+        comp[r["dim_idx"] - 1] = r["component_scaled"]
+    cos = abs(comp @ u) / (np.linalg.norm(comp) * 1.0)
+    assert cos > 0.99
+
+
+def test_power_iteration_matches_quantized_reference(spark):
+    import numpy as np
+
+    # Bit-exact against a numpy replay of the SAME integer algorithm.
+    rng = np.random.RandomState(11)
+    dim = 8
+    pts = rng.randn(40, dim) * 0.3
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in pts.astype(float)], "embedding array<double>"
+    )
+    scale = 10_000
+    got = {
+        r["dim_idx"]: r["component_scaled"]
+        for r in pca_power_iteration(
+            df, vec_col="embedding", dim=dim, scale=scale
+        ).collect()
+    }
+    # numpy replay with python ints (exact), same trunc-div rescale
+    q = [[int(round(v * scale)) for v in row] for row in pts]
+    seed = power_seed(dim)
+
+    def matvec(v):
+        s = [sum(e * w for e, w in zip(row, v)) for row in q]
+        return [sum(q[i][j] * s[i] for i in range(len(q))) for j in range(dim)]
+
+    w1 = matvec(seed)
+    den1 = max(_trunc_div(max(abs(w) for w in w1), scale), 1)
+    v1 = [_trunc_div(w, den1) for w in w1]
+    w2 = matvec(v1)
+    den2 = max(_trunc_div(max(abs(w) for w in w2), scale), 1)
+    want = {j + 1: _trunc_div(w2[j], den2) for j in range(dim)}
+    assert got == want
+
+
+def test_mutual_nn_is_mutual_and_one_to_one(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = md5_planes(num_planes=4, dim=64)
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    out = mutual_nn_match(left, right, planes).collect()
+    l_ids = [r["l_id"] for r in out]
+    r_ids = [r["r_id"] for r in out]
+    assert len(l_ids) == len(set(l_ids))  # one-to-one left
+    assert len(r_ids) == len(set(r_ids))  # one-to-one right
+    assert len(out) > 0
+
+
+def test_mutual_nn_matches_in_bucket_brute_force(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    planes = md5_planes(num_planes=4, dim=64)
+    SCALE = 1e8
+
+    def bucket(vec):
+        bits = ""
+        for p in planes:
+            dot = sum(int(round(float(x) * y * SCALE)) for x, y in zip(vec, p))
+            bits += "1" if dot >= 0 else "0"
+        return bits
+
+    def norm(vec):
+        return sum(int(round(float(x) * float(x) * SCALE)) for x in vec)
+
+    left = [(r["vec_id"], r["embedding"]) for r in rows if r["vec_id"] % 2 == 0]
+    right = [(r["vec_id"], r["embedding"]) for r in rows if r["vec_id"] % 2 == 1]
+    cand: dict[tuple[int, int], float] = {}
+    rb: dict[str, list] = {}
+    for rid, rv in right:
+        rb.setdefault(bucket(rv), []).append((rid, rv))
+    for lid, lv in left:
+        for rid, rv in rb.get(bucket(lv), []):
+            dot = sum(int(round(float(a) * float(b) * SCALE)) for a, b in zip(lv, rv))
+            cand[(lid, rid)] = dot / math.sqrt(norm(lv) * norm(rv))
+    best_r = {}
+    best_l = {}
+    for (lid, rid), cos in cand.items():
+        if lid not in best_r or (-cos, rid) < best_r[lid][0]:
+            best_r[lid] = ((-cos, rid), rid)
+        if rid not in best_l or (-cos, lid) < best_l[rid][0]:
+            best_l[rid] = ((-cos, lid), lid)
+    want = {
+        (lid, rid)
+        for lid, (_, rid) in best_r.items()
+        if best_l.get(rid, (None, None))[1] == lid
+    }
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in mutual_nn_match(
+            spark.createDataFrame(left, "vec_id long, embedding array<float>"),
+            spark.createDataFrame(right, "vec_id long, embedding array<float>"),
+            planes,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_acf_constant_plus_alternating_series(spark):
+    import datetime as dt
+
+    # Counts alternate 1,3,1,3,... -> lag-1 r = -1, lag-2 r = +1.
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(30):
+        for _ in range(1 if day % 2 == 0 else 3):
+            rows.append((eid, base + dt.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["lag_d"]: r for r in acf_lags(df, "ts", [1, 2]).collect()}
+    assert out[1]["r_nanos"] == -1_000_000_000
+    assert out[2]["r_nanos"] == 1_000_000_000
+    # integer pieces satisfy the Pearson identity num^2 = varx*vary at |r|=1
+    for k in (1, 2):
+        assert out[k]["num"] ** 2 == out[k]["varx"] * out[k]["vary"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    coords=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 5000)),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    ),
+    radius=st.integers(min_value=100, max_value=900),
+)
+def test_grid_radius_join_matches_quadratic(spark, coords, radius):
+    pts = [(i, x, y) for i, (x, y) in enumerate(coords)]
+    df = spark.createDataFrame(pts, "pid long, px long, py long")
+    got = {
+        (r["id_a"], r["id_b"], r["dist2"])
+        for r in grid_radius_join(df, "pid", "px", "py", radius, cell=1000).collect()
+    }
+    want = {
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= radius * radius
+    }
+    # normalize orientation: operator emits id_a < id_b
+    want = {(min(a, b), max(a, b), d) for a, b, d in want}
+    assert got == want
+
+
+def test_grid_radius_join_rejects_cell_smaller_than_radius(spark):
+    df = spark.createDataFrame([(1, 0, 0)], "pid long, px long, py long")
+    with pytest.raises(ValueError):
+        grid_radius_join(df, "pid", "px", "py", radius=2000, cell=1000)
