@@ -870,3 +870,40 @@ def streaming_skyline_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_ols_sink(
+    stream: DataFrame,
+    write_stats: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Keep a per-group OLS regression model fresh as rows stream in.
+    The model is its sufficient statistics — (group, n, Σx, Σy, Σxx,
+    Σxy, Σyy) from ``operators.stats.ols_stats`` — and every one is a
+    SUM, so maintenance is a pure append of each micro-batch's
+    partial statistics: O(batch rows) per trigger, no rebuild, no
+    state store, and the accumulation stays tiny (≤ #groups rows per
+    batch). Reading the model back is a groupBy-sum collapse +
+    ``operators.stats.ols_from_stats`` — EXACTLY equal to batch
+    ``grouped_ols`` over every row seen (associativity; the same
+    no-drift argument as the Naive Bayes and DSIR sinks, parity-
+    pinned in ``test_streaming.py``)."""
+    from ..operators.stats import ols_stats
+
+    def append_stats(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        write_stats(ols_stats(batch, group_col, x_col, y_col))
+
+    writer = (
+        stream.writeStream.foreachBatch(append_stats)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

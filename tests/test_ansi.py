@@ -50,6 +50,11 @@ RISKY = [
     "dq_checks",             # anti-join counts, guarded domains
     "promo_revenue_share",   # conditional cent sums, share division
     "semantic_dedup",        # kmeans fit + within-cluster cosine under ANSI
+    "grouped_ols",           # n·Σxy cross terms near the int64 bound
+    "pca_power_component",   # exact-integer matvecs + DIV renormalize
+    "acf_daily_counts",      # m·Σxy Pearson pieces in BIGINT
+    "mutual_nn_align",       # scaled-int dot/norm sums under ANSI
+    "geo_cell_radius_join",  # conv() hex parse + squared distances
 ]
 
 

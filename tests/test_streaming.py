@@ -1259,3 +1259,65 @@ def test_streaming_skyline_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert first_sky - got, "batch 2 must evict at least one point"
+
+
+def test_streaming_ols_stats_match_batch_fit(spark, tmp_path):
+    """OLS sufficient statistics are sums, so the accumulated
+    streamed statistics, re-aggregated and passed through
+    ols_from_stats, must EXACTLY equal batch grouped_ols over all
+    admitted rows (associativity — same no-drift contract as the NB
+    and DSIR sinks)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.stats import (
+        grouped_ols,
+        ols_from_stats,
+    )
+    from etl_processing_scd1_spark.streaming.pipeline import streaming_ols_sink
+
+    part = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("pk"),
+            F.col("p_size").cast("long").alias("x"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+        )
+    )
+    feed = tmp_path / "ols_feed"
+    feed.mkdir()
+    part.filter(F.col("pk") % 2 == 0).coalesce(1).write.parquet(
+        str(feed / "_b1.tmp")
+    )
+    part.filter(F.col("pk") % 2 == 1).coalesce(1).write.parquet(
+        str(feed / "_b2.tmp")
+    )
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    stream = spark.readStream.schema(part.schema).parquet(str(feed))
+    stats_dir = str(tmp_path / "ols_stats")
+    q = streaming_ols_sink(
+        stream,
+        lambda df: df.write.mode("append").parquet(stats_dir),
+        checkpoint_dir=str(tmp_path / "ck_ols"),
+        group_col="brand",
+        x_col="x",
+        y_col="y",
+    )
+    q.awaitTermination(180)
+
+    merged = (
+        spark.read.parquet(stats_dir)
+        .groupBy("brand")
+        .agg(*[F.sum(c).alias(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
+    )
+    got = {r["brand"]: r.asDict() for r in ols_from_stats(merged, "brand").collect()}
+    want = {
+        r["brand"]: r.asDict() for r in grouped_ols(part, "brand", "x", "y").collect()
+    }
+    assert got == want
+    assert len(want) > 0
