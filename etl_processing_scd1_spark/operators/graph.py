@@ -118,3 +118,120 @@ def k_core(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
     return attach_cache(out, *([] if handle is None else [handle]))
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the diameter-independent algorithm:
+    O(log² n) rounds worst case, a handful in practice, REGARDLESS of
+    graph diameter.
+
+    Why this exists next to ``dedup_clusters``: min-label propagation
+    with pointer jumping needs rounds proportional to log(diameter)
+    with a long constant tail — measured 25+ rounds (past its
+    iteration cap) on a geometric ε-neighbor graph at sf0.1, whose
+    giant component has hundreds-of-hops diameter. Near-dup graphs are
+    shallow (cliques of copies), geometric/spatial graphs are not.
+    Star contraction restructures the graph itself each round instead
+    of walking labels along it, so the round count stays flat as the
+    data (and its diameter) grows — the property that matters at
+    100 TB.
+
+    Round = two edge rewrites, each one groupBy + one join on O(E):
+    - large-star: every node's strictly-larger neighbors reattach to
+      the minimum of its closed neighborhood;
+    - small-star: every node's smaller-or-equal neighbors (and the
+      node) reattach to that minimum.
+    Edges stay canonical (id_a < id_b); both rewrites only ever
+    decrease the small endpoint, so the fixpoint is a star forest
+    whose centers are the component minima. Convergence check per
+    round: edge count + empty anti-join (exact set equality, no
+    hash-collision risk). Each round's edge relation is eagerly
+    checkpointed (the ``k_core`` discipline) and superseded rounds
+    are released.
+
+    Output: ``(id_col, cluster_id)`` — every node labeled with its
+    component's minimum node id; isolated nodes label themselves.
+    """
+    from .dedup import attach_cache, checkpoint_handle, release_cached
+
+    spark = edges.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ck(df: DataFrame):
+        c = df.checkpoint() if reliable else df.localCheckpoint()
+        return c, checkpoint_handle(c)
+
+    e, handle = _ck(
+        edges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    release_cached(edges)
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        # large-star: for each u over the SYMMETRIC adjacency, m(u) =
+        # min(closed neighborhood); strictly-larger neighbors v > u
+        # re-point to m(u). (m <= u < v, so (m, v) is canonical.)
+        sym = e.unionByName(
+            e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        m = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("m").alias("id_a"), F.col("dst").alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        # small-star: group by the LARGER endpoint u; its smaller
+        # neighbors and u itself re-point to min(smaller neighbors).
+        ms = large.groupBy("id_b").agg(F.min("id_a").alias("m"))
+        small = (
+            large.join(ms, "id_b")
+            .select(F.col("m").alias("id_a"), F.col("id_a").alias("id_b"))
+            .unionByName(
+                ms.select(F.col("m").alias("id_a"), F.col("id_b"))
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        new, new_h = _ck(small)
+        n_new = new.count()
+        changed = (
+            n_new != n_edges
+            or new.join(e, ["id_a", "id_b"], "left_anti").limit(1).count() > 0
+        )
+        if handle is not None:
+            handle.unpersist()
+        e, handle, n_edges = new, new_h, n_new
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds"
+        )
+    labels = e.groupBy(F.col("id_b").alias("__n__")).agg(
+        F.min("id_a").alias("__root__")
+    )
+    out = (
+        nodes.join(labels, nodes[id_col] == F.col("__n__"), "left")
+        .select(
+            nodes[id_col],
+            F.coalesce("__root__", nodes[id_col]).alias("cluster_id"),
+        )
+    )
+    return attach_cache(out, *([] if handle is None else [handle]))

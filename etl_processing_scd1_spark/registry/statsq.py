@@ -392,3 +392,110 @@ def geo_cell_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_radius_join(
         cust, "pid", "px", "py", radius=_GEO_RADIUS, cell=_GEO_CELL
     )
+
+
+# --------------------------------------------------------------------------
+# Grid DBSCAN (density clustering)
+# --------------------------------------------------------------------------
+
+_DB_EPS = 800
+_DB_MINPTS = 4
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS pid,
+             {_hex4(1)} AS px,
+             {_hex4(5)} AS py
+      FROM (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h
+            FROM customer)
+    ),
+    cells AS (
+      SELECT pid, px, py, px // {_GEO_CELL} AS cx, py // {_GEO_CELL} AS cy
+      FROM pts
+    ),
+    offs AS (
+      SELECT dx.d AS dx, dy.d AS dy
+      FROM (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    cand AS (
+      SELECT a.pid AS id_a, b.pid AS id_b
+      FROM cells a
+      CROSS JOIN offs
+      JOIN cells b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+                  AND a.pid < b.pid
+      WHERE (a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) <= {_DB_EPS * _DB_EPS}
+    ),
+    sym(src, dst) AS (
+      SELECT id_a, id_b FROM cand UNION ALL SELECT id_b, id_a FROM cand
+    ),
+    deg AS (
+      SELECT p.pid AS node,
+             COALESCE(cnt.c, 0) + 1 AS n_nbrs
+      FROM pts p
+      LEFT JOIN (SELECT src, count(*) AS c FROM sym GROUP BY src) cnt
+        ON cnt.src = p.pid
+    ),
+    core AS (SELECT node FROM deg WHERE n_nbrs >= {_DB_MINPTS}),
+    core_edges AS (
+      SELECT s.src AS a, s.dst AS b FROM sym s
+      JOIN core ca ON ca.node = s.src
+      JOIN core cb ON cb.node = s.dst
+    ),
+    reach(src, dst) AS (
+      SELECT node, node FROM core
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN core_edges e ON r.dst = e.a
+    ),
+    core_labeled AS (
+      SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    border AS (
+      SELECT d.node, min(cl.cluster_id) AS cluster_id
+      FROM deg d
+      JOIN sym s ON s.src = d.node
+      JOIN core_labeled cl ON cl.node = s.dst
+      WHERE d.node NOT IN (SELECT node FROM core)
+      GROUP BY d.node
+    )
+    SELECT CAST(node AS BIGINT) AS pid,
+           CAST(cluster_id AS BIGINT) AS cluster_id, role
+    FROM (
+      SELECT node, cluster_id, 'core' AS role FROM core_labeled
+      UNION ALL
+      SELECT node, cluster_id, 'border' AS role FROM border
+      UNION ALL
+      SELECT p.pid AS node, NULL AS cluster_id, 'noise' AS role
+      FROM pts p
+      WHERE p.pid NOT IN (SELECT node FROM core_labeled)
+        AND p.pid NOT IN (SELECT node FROM border)
+    )
+"""
+
+
+@register("dbscan_clusters", oracle=_DBSCAN_ORACLE)
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering (DBSCAN, eps={eps}, minPts={mp}) over the
+    hashed customer coordinate plane — ε-neighbors via the grid-cell
+    equijoin, core detection as a degree aggregation, components via
+    checkpointed min-label propagation, borders assigned to their
+    minimum-labeled core neighbor (deterministic variant of the
+    order-dependent classic). The oracle verifies the genuinely
+    iterative component step exactly with a recursive
+    transitive-closure CTE over the same edges
+    (:func:`operators.stats.dbscan_grid`).""".format(
+        eps=_DB_EPS, mp=_DB_MINPTS
+    )
+    from ..operators.stats import dbscan_grid
+
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long").alias("px"),
+        F.conv(F.substring(h, 5, 4), 16, 10).cast("long").alias("py"),
+    )
+    return dbscan_grid(
+        cust, "pid", "px", "py",
+        eps=_DB_EPS, min_pts=_DB_MINPTS, cell=_GEO_CELL,
+    )

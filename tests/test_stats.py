@@ -297,3 +297,77 @@ def test_grid_radius_join_rejects_cell_smaller_than_radius(spark):
     df = spark.createDataFrame([(1, 0, 0)], "pid long, px long, py long")
     with pytest.raises(ValueError):
         grid_radius_join(df, "pid", "px", "py", radius=2000, cell=1000)
+
+
+def _dbscan_spec(pts, eps, min_pts):
+    """Quadratic reference DBSCAN with the deterministic conventions:
+    cluster label = min core id of the component; border joins its
+    min-labeled core neighbor."""
+    ids = [p[0] for p in pts]
+    loc = {p[0]: (p[1], p[2]) for p in pts}
+
+    def near(a, b):
+        (xa, ya), (xb, yb) = loc[a], loc[b]
+        return (xa - xb) ** 2 + (ya - yb) ** 2 <= eps * eps
+
+    nbrs = {a: [b for b in ids if b != a and near(a, b)] for a in ids}
+    core = {a for a in ids if len(nbrs[a]) + 1 >= min_pts}
+    # components over core-core edges
+    label = {a: a for a in core}
+
+    def find(a):
+        while label[a] != a:
+            label[a] = label[label[a]]
+            a = label[a]
+        return a
+
+    for a in core:
+        for b in nbrs[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    tgt, src = min(ra, rb), max(ra, rb)
+                    label[src] = tgt
+    comp = {a: find(a) for a in core}
+    # min id per component
+    rep = {}
+    for a, r in comp.items():
+        rep.setdefault(r, a)
+        rep[r] = min(rep[r], a)
+    out = {}
+    for a in core:
+        out[a] = (rep[comp[a]], "core")
+    for a in ids:
+        if a in core:
+            continue
+        core_nb = [rep[comp[b]] for b in nbrs[a] if b in core]
+        out[a] = (min(core_nb), "border") if core_nb else (None, "noise")
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    coords=st.lists(
+        st.tuples(st.integers(0, 4000), st.integers(0, 4000)),
+        min_size=3,
+        max_size=25,
+        unique=True,
+    ),
+    min_pts=st.integers(min_value=2, max_value=4),
+)
+def test_dbscan_matches_quadratic_spec(spark, coords, min_pts):
+    from etl_processing_scd1_spark.operators.dedup import consuming
+    from etl_processing_scd1_spark.operators.stats import dbscan_grid
+
+    eps = 900
+    pts = [(i, x, y) for i, (x, y) in enumerate(coords)]
+    df = spark.createDataFrame(pts, "pid long, px long, py long")
+    with consuming(
+        dbscan_grid(df, "pid", "px", "py", eps=eps, min_pts=min_pts, cell=1000)
+    ) as res:
+        got = {r["pid"]: (r["cluster_id"], r["role"]) for r in res.collect()}
+    assert got == _dbscan_spec(pts, eps, min_pts)
