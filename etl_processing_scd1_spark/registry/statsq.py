@@ -499,3 +499,175 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, "pid", "px", "py",
         eps=_DB_EPS, min_pts=_DB_MINPTS, cell=_GEO_CELL,
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square association screen (categorical x categorical)
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg, r.r_name AS region,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY c.c_mktsegment, r.r_name
+    ),
+    tot AS (
+      SELECT seg, region, obs,
+             SUM(obs) OVER (PARTITION BY seg) AS row_tot,
+             SUM(obs) OVER (PARTITION BY region) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM o
+    )
+    SELECT seg, region, CAST(obs AS BIGINT) AS obs,
+           CAST(row_tot AS BIGINT) AS row_tot,
+           CAST(col_tot AS BIGINT) AS col_tot,
+           CAST(floor(CAST(obs*n - row_tot*col_tot AS DOUBLE)
+                      * CAST(obs*n - row_tot*col_tot AS DOUBLE)
+                      / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                         * CAST(n AS DOUBLE)) * 1e9 + 0.5)
+                AS BIGINT) AS term_nanos
+    FROM tot
+"""
+
+
+@register("chi_square_assoc", oracle=_CHI2_ORACLE)
+def chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-association screen: per-cell chi-square contributions
+    for market segment × region over the customer base. The Pearson
+    statistic is the SUM of term_nanos — but the query emits the
+    CELLS, because a double sum is order-dependent while each cell's
+    term is the portable double tree over exact integers
+    ((O·n − r·c)²/(r·c·n), one-row-per-cell, nothing to drift).
+
+    Plan: one contingency aggregation (map-side combinable,
+    #segments × #regions = 25 groups) after two broadcast dim joins;
+    the margin windows run over the 25-row contingency relation,
+    never the customer table. At 100 TB: identical — contingency
+    tables are why chi-square screens scale."""
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    o = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("region")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    tot = (
+        o.select(
+            "seg",
+            "region",
+            "obs",
+            F.sum("obs").over(Window.partitionBy("seg")).alias("row_tot"),
+            F.sum("obs").over(Window.partitionBy("region")).alias("col_tot"),
+        )
+        # grand total via a broadcast 1-row aggregate, not a global
+        # window — keeps the plan free of SinglePartition exchanges
+        .crossJoin(F.broadcast(o.agg(F.sum("obs").alias("n"))))
+    )
+    diff = (
+        F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot")
+    ).cast("double")
+    term = F.floor(
+        diff
+        * diff
+        / (
+            F.col("row_tot").cast("double")
+            * F.col("col_tot").cast("double")
+            * F.col("n").cast("double")
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return tot.select(
+        "seg", "region", "obs", "row_tot", "col_tot", term.alias("term_nanos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (day-of-week index + exact anomaly rule)
+# --------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    keyed AS (
+      SELECT d, c,
+             CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+      FROM daily
+    ),
+    season AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS cnt,
+             SUM(c) AS s, SUM(c*c) AS ss
+      FROM keyed GROUP BY dow
+    )
+    SELECT k.d AS day, CAST(k.c AS BIGINT) AS c, k.dow,
+           CAST(floor(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) * 1e9 + 0.5)
+                AS BIGINT) AS dow_mean_nanos,
+           CAST(k.c * cnt - s AS BIGINT) AS resid_num,
+           CAST(cnt AS BIGINT) AS resid_den,
+           ((k.c * cnt - s) * (k.c * cnt - s)
+            > 4 * (cnt * ss - s * s)) AS is_anomaly
+    FROM keyed k JOIN season USING (dow)
+"""
+
+
+@register("seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily event-count
+    series: per day its seasonal mean, the residual as an EXACT
+    rational (numerator c·cnt − Σc over denominator cnt — no float
+    residual to drift), and an exact-integer anomaly rule
+    ((c−mean)² > 4·variance cross-multiplied to
+    (c·cnt − Σc)² > 4·(cnt·Σc² − (Σc)²), pure BIGINT comparison).
+    Day-of-week is epoch-day mod 7 on both engines — never the
+    engines' differing dayofweek() conventions.
+
+    Plan: one daily aggregation (map-side combinable), one 7-group
+    seasonal aggregation, one broadcast join back. No global
+    sort/window anywhere."""
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    keyed = daily.select(
+        "d",
+        "c",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("long")
+        .alias("dow"),
+    )
+    season = keyed.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = keyed.join(F.broadcast(season), "dow")
+    resid_num = F.col("c") * F.col("cnt") - F.col("s")
+    return j.select(
+        F.col("d").alias("day"),
+        "c",
+        "dow",
+        F.floor(
+            F.col("s").cast("double") / F.col("cnt").cast("double") * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dow_mean_nanos"),
+        resid_num.alias("resid_num"),
+        F.col("cnt").alias("resid_den"),
+        (
+            resid_num * resid_num
+            > 4 * (F.col("cnt") * F.col("ss") - F.col("s") * F.col("s"))
+        ).alias("is_anomaly"),
+    )

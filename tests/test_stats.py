@@ -371,3 +371,117 @@ def test_dbscan_matches_quadratic_spec(spark, coords, min_pts):
     ) as res:
         got = {r["pid"]: (r["cluster_id"], r["role"]) for r in res.collect()}
     assert got == _dbscan_spec(pts, eps, min_pts)
+
+
+def test_star_contraction_on_long_path_graph(spark):
+    """Diameter is the adversary: a 3000-node path has diameter 3000.
+    Label propagation needs ~log2(3000)+tail rounds and measured
+    non-convergence within its cap on geometric graphs; star
+    contraction must finish well inside its 30-round cap and label
+    every node with the path minimum."""
+    from etl_processing_scd1_spark.operators.dedup import consuming
+    from etl_processing_scd1_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 3000
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with consuming(connected_components_star(nodes, edges, id_col="node")) as cc:
+        labels = {r["node"]: r["cluster_id"] for r in cc.collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_star_contraction_mixed_components_and_isolates(spark):
+    from etl_processing_scd1_spark.operators.dedup import consuming
+    from etl_processing_scd1_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # components: {1,2,3} (triangle), {10,11} (edge), {20} isolated
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "id_a long, id_b long"
+    )
+    with consuming(connected_components_star(nodes, edges, id_col="node")) as cc:
+        labels = {r["node"]: r["cluster_id"] for r in cc.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_chi_square_terms_zero_under_exact_independence(spark):
+    from etl_processing_scd1_spark.registry.statsq import QUERIES as SQ
+
+    # planted perfectly-independent contingency: every (seg, region)
+    # cell has O = r*c/n exactly -> every term_nanos == 0
+    rows = []
+    i = 0
+    for seg in ("A", "B"):
+        for reg in ("X", "Y", "Z"):
+            for _ in range(10):  # uniform -> independence holds exactly
+                rows.append((i, seg, reg))
+                i += 1
+    df = spark.createDataFrame(rows, "id long, seg string, region string")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = df.groupBy("seg", "region").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    tot = (
+        o.select(
+            "seg", "region", "obs",
+            F.sum("obs").over(Window.partitionBy("seg")).alias("row_tot"),
+            F.sum("obs").over(Window.partitionBy("region")).alias("col_tot"),
+        ).crossJoin(F.broadcast(o.agg(F.sum("obs").alias("n"))))
+    )
+    diff = (F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot")).cast("double")
+    term = F.floor(
+        diff * diff / (F.col("row_tot").cast("double") * F.col("col_tot").cast("double") * F.col("n").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    terms = [r["t"] for r in tot.select(term.alias("t")).collect()]
+    assert terms and all(t == 0 for t in terms)
+
+
+def test_seasonal_anomaly_rule_matches_float_zscore(spark):
+    import datetime as dt
+    import numpy as np
+
+    # 8 weeks of a weekly pattern plus one planted spike
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    pattern = [2, 2, 2, 2, 2, 5, 5]
+    for day in range(56):
+        n = pattern[day % 7] + (30 if day == 33 else 0)
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    daily = df.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    keyed = daily.select(
+        "d", "c",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).cast("long").alias("dow"),
+    )
+    season = keyed.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = keyed.join(F.broadcast(season), "dow")
+    resid_num = F.col("c") * F.col("cnt") - F.col("s")
+    out = j.select(
+        "d", "c", "dow",
+        (resid_num * resid_num > 4 * (F.col("cnt") * F.col("ss") - F.col("s") * F.col("s"))).alias("is_anomaly"),
+    ).collect()
+    # float reference: |c - mean| > 2*sigma (population), per dow
+    by_dow = {}
+    for r in out:
+        by_dow.setdefault(r["dow"], []).append(r["c"])
+    flagged = {(r["d"], r["is_anomaly"]) for r in out}
+    for r in out:
+        cs = np.array(by_dow[r["dow"]], dtype=float)
+        want = (r["c"] - cs.mean()) ** 2 > 4 * cs.var()
+        assert (r["d"], bool(want)) in flagged
+    assert sum(1 for r in out if r["is_anomaly"]) == 1  # exactly the spike
