@@ -90,6 +90,16 @@ HEADLINE = [
     "bfs_distances",          # 3-round multi-source BFS over the trade graph
     "ivf_recall",             # ANN quality: IVF recall@5 vs exact brute force
     "fixed_width_scan",       # fixed-width text round-trip, codegen parse
+    # distributed-statistics tier (registry/statsq.py)
+    "grouped_ols",            # closed-form per-group OLS, one stats aggregation
+    "decision_stump",         # histogram-method best-split search
+    "pca_power_component",    # exact-integer Gram-matrix power iteration
+    "mutual_nn_align",        # LSH-bucketed mutual top-1 alignment
+    "acf_daily_counts",       # date-shift equi-join autocorrelation
+    "geo_cell_radius_join",   # 3x3 grid-cell spatial radius join
+    "dbscan_clusters",        # grid DBSCAN, star-contraction components
+    "chi_square_assoc",       # contingency chi-square cell contributions
+    "seasonal_decompose",     # dow seasonal index + exact anomaly rule
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -398,11 +398,13 @@ def acf_lags(
     daily = events.groupBy(
         F.to_date(F.col(ts_col)).alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    lag_lit = F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag")
-    a = daily.select(F.col("d").alias("d1"), F.col("c").alias("x")).crossJoin(
-        F.broadcast(
-            events.sparkSession.range(1).select(lag_lit)
-        )
+    # lag fan-out as a literal-array explode (a generator, not a
+    # join) — a crossJoin with a literal relation plans as a
+    # BroadcastNestedLoopJoin and trips the quadratic-join audit.
+    a = daily.select(
+        F.col("d").alias("d1"),
+        F.col("c").alias("x"),
+        F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag"),
     )
     b = daily.select(F.col("d").alias("d2"), F.col("c").alias("y"))
     pairs = a.join(b, F.expr("d2 = date_add(d1, lag)"))
@@ -468,17 +470,17 @@ def grid_radius_join(
         F.expr(f"{x_col} DIV {cell}").alias("cx"),
         F.expr(f"{y_col} DIV {cell}").alias("cy"),
     )
-    offsets = (
-        pts.sparkSession.range(1)
-        .select(
-            F.explode(
-                F.array(*[F.lit(d) for d in (-1, 0, 1)])
-            ).alias("dx")
-        )
-        .crossJoin(
-            pts.sparkSession.range(1).select(
-                F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy")
-            )
+    # 9-way neighbor fan-out as a literal struct-array explode (a
+    # generator, not a join) — a crossJoin with the offsets relation
+    # plans as a BroadcastNestedLoopJoin and trips the quadratic-join
+    # audit even though the build side is 9 literal rows.
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
         )
     )
     a = base.select(
@@ -487,7 +489,16 @@ def grid_radius_join(
         F.col("py").alias("ya"),
         "cx",
         "cy",
-    ).crossJoin(F.broadcast(offsets))
+        offs.alias("o"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        "cx",
+        "cy",
+        F.col("o.dx").alias("dx"),
+        F.col("o.dy").alias("dy"),
+    )
     b = base.select(
         F.col("pid").alias("id_b"),
         F.col("px").alias("xb"),
