@@ -907,3 +907,61 @@ def streaming_ols_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_components_sink(
+    stream: DataFrame,
+    read_star: Callable[[], DataFrame],
+    write_star: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain connected components as EDGES stream in — exact
+    incremental view maintenance: a component's star (every node →
+    component minimum) is connectivity-equivalent to the edges that
+    produced it, so
+
+        components(seen ∪ batch) = components(star(seen) ∪ batch).
+
+    Each trigger runs ``operators.graph.connected_components_star``
+    over CANDIDATES = current star edges ∪ batch edges only —
+    O(|nodes seen| + |batch|) per trigger, never a rescan of edge
+    history — and REPLACES the maintained star relation (a batch
+    edge can merge two components, re-rooting one of them, so this
+    is an overwrite, not an append).
+
+    Write contract: identical to the skyline sink — the new star's
+    plan lazily reads ``read_star()``'s relation, so ``write_star``
+    must go to a fresh versioned slot and flip a pointer, which also
+    makes the fold idempotent under batch retry. Batches carry
+    (id_a, id_b) edge rows. Parity with one-shot star contraction
+    over every edge seen is exact (``test_streaming.py``)."""
+    from ..operators.dedup import consuming
+    from ..operators.graph import connected_components_star
+
+    def fold_batch(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        prior = read_star().select("id_a", "id_b")
+        cand = prior.unionByName(batch.select("id_a", "id_b"))
+        nodes = (
+            cand.select(F.col("id_a").alias("node"))
+            .unionByName(cand.select(F.col("id_b").alias("node")))
+            .distinct()
+        )
+        with consuming(
+            connected_components_star(nodes, cand, id_col="node")
+        ) as labels:
+            star = labels.filter(F.col("node") != F.col("cluster_id")).select(
+                F.col("cluster_id").alias("id_a"), F.col("node").alias("id_b")
+            )
+            write_star(star)
+
+    writer = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1321,3 +1321,98 @@ def test_streaming_ols_stats_match_batch_fit(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_components_match_batch_star_contraction(spark, tmp_path):
+    """IVM parity for connected components: a component's star is
+    connectivity-equivalent to the edges that produced it, so folding
+    each edge batch against only the CURRENT star relation must land
+    on exactly the one-shot star contraction over every edge seen —
+    including cross-batch merges (a batch edge joining two existing
+    components must re-root the higher-labeled one)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.dedup import consuming
+    from etl_processing_scd1_spark.operators.graph import (
+        connected_components_star,
+    )
+    from etl_processing_scd1_spark.streaming.pipeline import (
+        streaming_components_sink,
+    )
+
+    # two chains that MERGE only via a batch-2 bridge edge, plus a
+    # batch-2-only component: 0-1-2-3 and 10-11-12-13; bridge (3,10);
+    # isolated pair (20,21)
+    b1 = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12)]
+    b2 = [(12, 13), (3, 10), (20, 21)]
+    schema = "id_a long, id_b long"
+    feed = tmp_path / "cc_feed"
+    feed.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(feed / "_b1.tmp")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(feed / "_b2.tmp")
+    )
+    for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+        shutil.copy(f, feed / f"{i:03d}.parquet")
+
+    state = {"dir": None, "n": 0}
+    root = tmp_path / "cc_state"
+    root.mkdir()
+
+    def read_star():
+        if state["dir"] is None:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(state["dir"])
+
+    def write_star(df):
+        nxt = str(root / f"v{state['n']}")
+        df.write.parquet(nxt)
+        state["dir"] = nxt
+        state["n"] += 1
+
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame(b1, schema).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = streaming_components_sink(
+        stream,
+        read_star,
+        write_star,
+        checkpoint_dir=str(tmp_path / "ck_cc"),
+    )
+    q.awaitTermination(180)
+    assert state["n"] == 2  # two triggers folded
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(state["dir"]).collect()
+    }
+    all_edges = spark.createDataFrame(b1 + b2, schema)
+    nodes = (
+        all_edges.select(F.col("id_a").alias("node"))
+        .unionByName(all_edges.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    with consuming(
+        connected_components_star(nodes, all_edges, id_col="node")
+    ) as labels:
+        want = {
+            (r["cluster_id"], r["node"])
+            for r in labels.collect()
+            if r["node"] != r["cluster_id"]
+        }
+    assert got == want
+    # the bridge merged the chains: every chain node shares root 0
+    roots = {b: a for a, b in got}
+    assert all(
+        roots.get(n, n) == 0 for n in (0, 1, 2, 3, 10, 11, 12, 13)
+    )
+    assert roots.get(21) == 20
