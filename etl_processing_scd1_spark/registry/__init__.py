@@ -230,6 +230,12 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   quality measurement) are first in line for the round-9
 #   rotation; all thirty-four are oracle-green at
 #   sf0.001/0.01/0.1 via tools/check.py this round.
+#   The distributed-statistics tier (registry/statsq.py: grouped_ols,
+#   decision_stump, pca_power_component, mutual_nn_align,
+#   acf_daily_counts, geo_cell_radius_join, dbscan_clusters,
+#   chi_square_assoc, seasonal_decompose) landed after those and
+#   queues behind them; all nine oracle-green at sf0.001/0.01/0.1
+#   via tools/check.py when added.
 PRIMARY = [
     # repaired round-4 errs — driver-harness-safe output schemas
     "scd2_merge_full",
