@@ -2612,6 +2612,93 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_cache(out, *getattr(clusters, "_spark_graft_cached", ()))
 
 
+GOLDEN_RECORD_ORACLE = DEDUP_CLUSTERS_ORACLE.replace(
+    """    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cl
+""",
+    """    , members AS (
+      SELECT c.cluster_id, d.doc_id, d.lang, d.n_chars
+      FROM cl c JOIN documents d USING (doc_id)
+    ),
+    lang_votes AS (
+      SELECT cluster_id, lang, CAST(count(*) AS BIGINT) AS votes
+      FROM members GROUP BY cluster_id, lang
+    ),
+    modal AS (
+      SELECT cluster_id, lang AS modal_lang FROM (
+        SELECT cluster_id, lang,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY votes DESC, lang) AS rn
+        FROM lang_votes
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS golden_id,
+             CAST(count(*) AS BIGINT) AS members,
+             CAST(max(n_chars) AS BIGINT) AS best_n_chars
+      FROM members GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.golden_id, a.members, a.best_n_chars,
+           m.modal_lang
+    FROM agg a JOIN modal m USING (cluster_id)
+""",
+)
+
+
+@register("golden_record", oracle=GOLDEN_RECORD_ORACLE)
+def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship (the MDM golden record): one
+    SYNTHESIZED row per near-dup cluster with field-wise merge rules
+    — canonical id = min member id, best_n_chars = max over members,
+    modal_lang = most frequent language (ties -> lexicographically
+    smallest). Unlike ``dedup_keep_best`` (which keeps one EXISTING
+    row), survivorship composes each field from a different member —
+    the merge real MDM pipelines publish.
+
+    Plan: the cluster relation joins the corpus once; the modal vote
+    is a (cluster, lang) aggregation plus a row_number over the vote
+    relation (shuffles carry only ids + two fields, never text); the
+    numeric rules ride the same groupBy. The cluster checkpoints
+    back the lazy plan, so their release handles re-attach to THIS
+    result (materialize under ``dedup.consuming``)."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dedup_minhash(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=8, bands=4, rows_per_band=2, min_jaccard_pct=50,
+    )
+    clusters = dedup_clusters(docs, pairs, id_col="doc_id")
+    members = clusters.select("doc_id", "cluster_id").join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    votes = members.groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    modal = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("votes").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("lang").alias("modal_lang"))
+    )
+    agg = members.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("golden_id"),
+        F.count(F.lit(1)).cast("long").alias("members"),
+        F.max("n_chars").alias("best_n_chars"),
+    )
+    out = agg.join(modal, "cluster_id").select(
+        "cluster_id", "golden_id", "members", "best_n_chars", "modal_lang"
+    )
+    return attach_cache(out, *getattr(clusters, "_spark_graft_cached", ()))
+
+
 SUBSTRING_DEDUP_ORACLE = """
     WITH wins AS (
       SELECT doc_id, p AS pos, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
