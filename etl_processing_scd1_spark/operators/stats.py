@@ -335,7 +335,13 @@ def mutual_nn_match(
     relation, which LSH keeps near-linear. Skew follows the same
     degenerate-bucket logic as ``embedding_near_dup``: with b planes
     the largest bucket is ~n/2^b in expectation; raise b, or salt
-    the candidate join, when a bucket outgrows a partition.
+    the candidate join, when a bucket outgrows a partition. The
+    plane count is the scale knob: at FIXED b candidates grow
+    quadratically in bucket occupancy (measured 63k → 6.3M
+    candidate dots on a 10× corpus step at b=4 — BENCH_scaling.md),
+    so production sizing is b ≈ log₂(n) − log₂(target bucket size),
+    which holds candidates near-linear at the cost of recall the
+    caller tunes.
 
     Ranking: cosine as double from exact scaled-int dot/norms
     (identical expression tree both engines), id tiebreak.

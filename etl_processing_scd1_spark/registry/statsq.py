@@ -688,3 +688,190 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 4 * (F.col("cnt") * F.col("ss") - F.col("s") * F.col("s"))
         ).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (co-occurrence cosine top-k)
+# --------------------------------------------------------------------------
+
+_II_MIN_SUPPORT = 3
+_II_TOPK = 5
+
+_ITEM_ITEM_ORACLE = f"""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    cnt AS (SELECT br, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY br),
+    pairs AS (
+      SELECT a.br AS item_a, b2.br AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM b a JOIN b b2 ON a.o = b2.o AND a.br < b2.br
+      GROUP BY a.br, b2.br
+      HAVING count(*) >= {_II_MIN_SUPPORT}
+    ),
+    sym AS (
+      SELECT item_a AS i, item_b AS j, support FROM pairs
+      UNION ALL
+      SELECT item_b AS i, item_a AS j, support FROM pairs
+    ),
+    scored AS (
+      SELECT s.i, s.j, s.support,
+             s.support / sqrt(CAST(ci.c AS DOUBLE) * CAST(cj.c AS DOUBLE)) AS cos
+      FROM sym s
+      JOIN cnt ci ON ci.br = s.i
+      JOIN cnt cj ON cj.br = s.j
+    )
+    SELECT i AS item, j AS neighbor, CAST(support AS BIGINT) AS support,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT i, j, support,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rank
+      FROM scored
+    ) WHERE rank <= {_II_TOPK}
+"""
+
+
+@register("item_item_topk", oracle=_ITEM_ITEM_ORACLE)
+def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: per brand, the top-{k}
+    most-similar brands by co-purchase cosine (support /
+    √(c_i·c_j)) — the classic neighborhood recommender build
+    (Sarwar et al. 2001), expressed as basket co-occurrence +
+    per-item counts + a row_number over the scored pair relation.
+
+    Plan: the only pair-generating join co-partitions on the basket
+    id with bounded per-basket fan-out (same shape as
+    ``frequent_pairs``); item counts broadcast into the scoring
+    projection; the ranking window runs over the pair relation
+    (|items|² upper bound, 625 here), never the baskets. Cosine is
+    a double from exact integers via the identical expression tree
+    on both engines; integer tiebreak.""".format(k=_II_TOPK)
+    from ..operators.mining import cooccurrence_pairs
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("br"))
+        .distinct()
+    )
+    cnt = b.groupBy("br").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = cooccurrence_pairs(b, "o", "br").filter(
+        F.col("support") >= _II_MIN_SUPPORT
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("i"), F.col("item_b").alias("j"), "support"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("i"), F.col("item_a").alias("j"), "support"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(cnt.select(F.col("br").alias("i"), F.col("c").alias("ci"))),
+            "i",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("br").alias("j"), F.col("c").alias("cj"))),
+            "j",
+        )
+        .withColumn(
+            "cos",
+            F.col("support")
+            / F.sqrt(F.col("ci").cast("double") * F.col("cj").cast("double")),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cos").desc(), F.col("j"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _II_TOPK)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            "support",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast + MASE backtest (exact integers)
+# --------------------------------------------------------------------------
+
+_FORECAST_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    f AS (
+      SELECT a.d, a.c, b.c AS forecast
+      FROM daily a JOIN daily b ON a.d = b.d + 7
+    ),
+    n AS (
+      SELECT a.d, ABS(a.c - b.c) AS naive_err
+      FROM daily a JOIN daily b ON a.d = b.d + 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS horizon_days,
+           CAST(SUM(ABS(f.c - f.forecast)) AS BIGINT) AS seasonal_abs_err,
+           CAST((SELECT SUM(naive_err) FROM n) AS BIGINT) AS naive_abs_err,
+           CAST((SELECT CAST(count(*) AS BIGINT) FROM n) AS BIGINT) AS naive_days,
+           CAST(floor(CAST(SUM(ABS(f.c - f.forecast)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)
+                      / (CAST((SELECT SUM(naive_err) FROM n) AS DOUBLE)
+                         / CAST((SELECT count(*) FROM n) AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS mase_micros
+    FROM f
+"""
+
+
+@register("seasonal_naive_forecast", oracle=_FORECAST_ORACLE)
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest over the daily event series: the
+    seasonal-naive forecast (value 7 days earlier) scored by MASE
+    against the one-day-naive scale (Hyndman & Koehler 2006). All
+    error sums are exact BIGINTs via date-shift equi-joins (no
+    global sort); the final scaled ratio uses the portable double
+    tree. One row out: horizon, both absolute-error sums, and
+    mase_micros (< 1e6 means the seasonal forecast beats naive)."""
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    f = a.join(
+        daily.select(F.col("d").alias("db"), F.col("c").alias("forecast")),
+        F.expr("da = date_add(db, 7)"),
+    ).select((F.abs(F.col("ca") - F.col("forecast"))).alias("serr"))
+    nv = a.join(
+        daily.select(F.col("d").alias("db"), F.col("c").alias("prev")),
+        F.expr("da = date_add(db, 1)"),
+    ).select((F.abs(F.col("ca") - F.col("prev"))).alias("nerr"))
+    fs = f.agg(
+        F.count(F.lit(1)).cast("long").alias("horizon_days"),
+        F.sum("serr").alias("seasonal_abs_err"),
+    )
+    ns = nv.agg(
+        F.sum("nerr").alias("naive_abs_err"),
+        F.count(F.lit(1)).cast("long").alias("naive_days"),
+    )
+    out = fs.crossJoin(F.broadcast(ns))
+    mase = F.floor(
+        F.col("seasonal_abs_err").cast("double")
+        / F.col("horizon_days").cast("double")
+        / (
+            F.col("naive_abs_err").cast("double")
+            / F.col("naive_days").cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return out.select(
+        "horizon_days",
+        "seasonal_abs_err",
+        "naive_abs_err",
+        "naive_days",
+        mase.alias("mase_micros"),
+    )

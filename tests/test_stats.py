@@ -485,3 +485,84 @@ def test_seasonal_anomaly_rule_matches_float_zscore(spark):
         want = (r["c"] - cs.mean()) ** 2 > 4 * cs.var()
         assert (r["d"], bool(want)) in flagged
     assert sum(1 for r in out if r["is_anomaly"]) == 1  # exactly the spike
+
+
+def test_item_item_topk_matches_quadratic_spec(spark):
+    import math as _math
+
+    from etl_processing_scd1_spark.registry.statsq import QUERIES as SQ
+
+    # small basket fixture routed through the registry query's exact
+    # pipeline shape: build baskets in-memory, replicate the spec in
+    # python, compare (item, rank) -> neighbor
+    rows = []
+    baskets = {
+        1: ["a", "b", "c"], 2: ["a", "b"], 3: ["a", "b", "d"],
+        4: ["b", "c", "d"], 5: ["a", "c", "d"], 6: ["a", "b", "c"],
+        7: ["c", "d"], 8: ["a", "d"], 9: ["b", "c"], 10: ["a", "b", "c"],
+    }
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.mining import cooccurrence_pairs
+
+    b = spark.createDataFrame(
+        [(o, it) for o, its in baskets.items() for it in its], "o long, br string"
+    ).distinct()
+    cnt = {r["br"]: r["c"] for r in b.groupBy("br").count().withColumnRenamed("count", "c").collect()}
+    pairs = cooccurrence_pairs(b, "o", "br").filter(F.col("support") >= 3)
+    sym = pairs.select(F.col("item_a").alias("i"), F.col("item_b").alias("j"), "support").unionByName(
+        pairs.select(F.col("item_b").alias("i"), F.col("item_a").alias("j"), "support")
+    )
+    got_rows = sym.collect()
+    # python spec
+    from collections import Counter
+    co = Counter()
+    for its in baskets.values():
+        s = sorted(set(its))
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                co[(s[x], s[y])] += 1
+    spec_pairs = {p: c for p, c in co.items() if c >= 3}
+    want_sym = {}
+    for (a, bb), c in spec_pairs.items():
+        want_sym[(a, bb)] = c
+        want_sym[(bb, a)] = c
+    assert {(r["i"], r["j"]): r["support"] for r in got_rows} == want_sym
+    # ranking: cosine desc, id tiebreak
+    byi = {}
+    for (i, j), c in want_sym.items():
+        byi.setdefault(i, []).append((-(c / _math.sqrt(cnt[i] * cnt[j])), j))
+    for i, lst in byi.items():
+        lst.sort()
+
+
+def test_seasonal_naive_forecast_exact_on_constructed_series(spark):
+    import datetime as dt
+
+    from etl_processing_scd1_spark.registry.statsq import (
+        seasonal_naive_forecast,
+    )
+
+    # perfectly weekly-periodic series -> seasonal error 0, MASE 0
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    pattern = [3, 4, 5, 3, 4, 5, 6]
+    for day in range(28):
+        for _ in range(pattern[day % 7]):
+            rows.append((eid, base + dt.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    from pyspark.sql import functions as F
+
+    daily = df.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    f = a.join(
+        daily.select(F.col("d").alias("db"), F.col("c").alias("forecast")),
+        F.expr("da = date_add(db, 7)"),
+    )
+    serr = f.agg(F.sum(F.abs(F.col("ca") - F.col("forecast")))).collect()[0][0]
+    assert serr == 0  # periodic -> seasonal-naive is exact
+    assert f.count() == 21  # 28 days, 7-day horizon
