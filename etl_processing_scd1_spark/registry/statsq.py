@@ -361,14 +361,21 @@ _GEO_ORACLE = f"""
       FROM (SELECT unnest([-1, 0, 1]) AS d) dx,
            (SELECT unnest([-1, 0, 1]) AS d) dy
     ),
+    -- shifted neighbor keys PRE-computed as plain columns so the
+    -- pair join is a two-sided column equality DuckDB hash-joins;
+    -- with the shift inside the ON clause (b.cx = a.cx + offs.dx)
+    -- DuckDB 1.0 falls back to a nested loop that never finishes at
+    -- sf1 (the engine side ran in 23 s while the oracle hung >9 min)
+    shifted AS (
+      SELECT a.pid, a.px, a.py, a.cx + o.dx AS jcx, a.cy + o.dy AS jcy
+      FROM cells a CROSS JOIN offs o
+    ),
     cand AS (
       SELECT a.pid AS id_a, b.pid AS id_b,
              (a.px - b.px) * (a.px - b.px)
              + (a.py - b.py) * (a.py - b.py) AS dist2
-      FROM cells a
-      CROSS JOIN offs
-      JOIN cells b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
-                  AND a.pid < b.pid
+      FROM shifted a
+      JOIN cells b ON b.cx = a.jcx AND b.cy = a.jcy AND a.pid < b.pid
     )
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            CAST(dist2 AS BIGINT) AS dist2
@@ -428,12 +435,16 @@ _DBSCAN_ORACLE = f"""
       FROM (SELECT unnest([-1, 0, 1]) AS d) dx,
            (SELECT unnest([-1, 0, 1]) AS d) dy
     ),
+    shifted AS (
+      -- shift pre-computed as plain columns (hash-joinable two-sided
+      -- equality; same DuckDB nested-loop hazard as the geo oracle)
+      SELECT a.pid, a.px, a.py, a.cx + o.dx AS jcx, a.cy + o.dy AS jcy
+      FROM cells a CROSS JOIN offs o
+    ),
     cand AS (
       SELECT a.pid AS id_a, b.pid AS id_b
-      FROM cells a
-      CROSS JOIN offs
-      JOIN cells b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
-                  AND a.pid < b.pid
+      FROM shifted a
+      JOIN cells b ON b.cx = a.jcx AND b.cy = a.jcy AND a.pid < b.pid
       WHERE (a.px - b.px) * (a.px - b.px)
             + (a.py - b.py) * (a.py - b.py) <= {_DB_EPS * _DB_EPS}
     ),
