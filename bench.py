@@ -100,6 +100,10 @@ HEADLINE = [
     "dbscan_clusters",        # grid DBSCAN, star-contraction components
     "chi_square_assoc",       # contingency chi-square cell contributions
     "seasonal_decompose",     # dow seasonal index + exact anomaly rule
+    "item_item_topk",         # co-purchase cosine neighborhood recommender
+    "seasonal_naive_forecast",  # MASE backtest, date-shift error sums
+    "golden_record",          # survivorship merge over near-dup clusters
+    "bootstrap_mean_ci",      # hash-deterministic Poisson bootstrap
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

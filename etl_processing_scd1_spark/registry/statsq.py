@@ -886,3 +886,119 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "naive_days",
         mase.alias("mase_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (hash-derived multipliers)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 20
+# Poisson(1) CDF thresholds scaled by 16^6 (floor(cdf_k * 16777216)):
+# a 6-hex-digit md5 uniform u gets multiplier k = #thresholds <= u,
+# capped at 6. Identical integer literals on both engines.
+_BOOT_T = [6171992, 12343985, 15429982, 16458647, 16715813, 16767247]
+
+
+def _boot_case_sql(u: str) -> str:
+    # multiplier = number of thresholds strictly <= u (0..6)
+    return (
+        "("
+        + " + ".join(f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _BOOT_T)
+        + ")"
+    )
+
+
+def _hex6_sql(expr: str) -> str:
+    # first 6 md5 hex digits of `expr` as an integer 0..16^6-1 —
+    # DuckDB twin of Spark conv(substring(md5(expr), 1, 6), 16, 10)
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({digits})"
+
+
+_BOOT_ORACLE = f"""
+    WITH reps AS (SELECT unnest(range(1, {_BOOT_B + 1})) AS b),
+    weighted AS (
+      SELECT r.b,
+             {_boot_case_sql(_hex6_sql("CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)"))} AS w,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN reps r
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * cents) AS BIGINT) AS sum_cents,
+           CAST(floor(CAST(SUM(w * cents) AS DOUBLE)
+                      / CAST(SUM(w) AS DOUBLE) * 1e3 + 0.5)
+                AS BIGINT) AS mean_millicents
+    FROM weighted GROUP BY b
+"""
+
+
+@register("bootstrap_mean_ci", oracle=_BOOT_ORACLE)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap of the mean order value — the
+    standard large-scale resampling scheme (each replicate weights
+    every row by an independent Poisson(1) multiplier, avoiding any
+    per-replicate shuffle or materialized resample; Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams"). Here the
+    multipliers are HASH-DETERMINISTIC: a 6-hex-digit md5 uniform of
+    (row id, replicate id) bucketed by exact integer Poisson-CDF
+    thresholds — both engines draw the identical 'randomness', so the
+    replicate statistics are value-exact, not just statistically
+    equivalent.
+
+    Plan: one fused scan — the replicate fan-out is a ×B literal
+    explode inside the scan projection, the aggregation is
+    map-side-combinable into B groups. No shuffle grows with B; the
+    downstream CI is a trivial reduction over the B replicate rows
+    (emitted as exact integers; the mean uses the portable double
+    tree)."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pid"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    fan = orders.select(
+        "pid",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(1, _BOOT_B + 1)])
+        ).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("pid").cast("string"), F.lit(":"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        [F.when(u >= F.lit(t), 1).otherwise(0) for t in _BOOT_T],
+        F.lit(0),
+    )
+    stats = (
+        fan.select(F.col("b"), w.alias("w"), "cents")
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
+        )
+    )
+    mean = F.floor(
+        F.col("sum_cents").cast("double") / F.col("n_eff").cast("double") * F.lit(1e3)
+        + F.lit(0.5)
+    ).cast("long")
+    return stats.select(
+        F.col("b").cast("long").alias("replicate"),
+        "n_eff",
+        "sum_cents",
+        mean.alias("mean_millicents"),
+    )

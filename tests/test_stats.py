@@ -566,3 +566,31 @@ def test_seasonal_naive_forecast_exact_on_constructed_series(spark):
     serr = f.agg(F.sum(F.abs(F.col("ca") - F.col("forecast")))).collect()[0][0]
     assert serr == 0  # periodic -> seasonal-naive is exact
     assert f.count() == 21  # 28 days, 7-day horizon
+
+
+def test_bootstrap_weights_are_poisson_like_and_deterministic(spark):
+    from etl_processing_scd1_spark.registry.statsq import (
+        _BOOT_T,
+        bootstrap_mean_ci,
+    )
+
+    # deterministic: same session, same result twice
+    a = {r["replicate"]: (r["n_eff"], r["sum_cents"])
+         for r in bootstrap_mean_ci(spark, "/root/testdata/sf0.001").collect()}
+    b = {r["replicate"]: (r["n_eff"], r["sum_cents"])
+         for r in bootstrap_mean_ci(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and len(a) == 20
+    # Poisson(1) multipliers: E[n_eff] = n rows; each replicate's
+    # effective size should sit near n (within 5 sigma = 5*sqrt(n))
+    n = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    import math
+    for n_eff, _ in a.values():
+        assert abs(n_eff - n) < 5 * math.sqrt(n) + 10
+    # thresholds are the Poisson(1) CDF scaled by 16^6
+    cdf, fact, acc = [], 1, 0.0
+    for k in range(6):
+        if k:
+            fact *= k
+        acc += math.exp(-1) / fact
+        cdf.append(math.floor(acc * 16777216))
+    assert cdf == _BOOT_T
