@@ -695,6 +695,15 @@ def dedup_clusters(
     rounds). Labels stay within the component's node-id set and never
     increase, so the unique fixpoint is the component minimum.
 
+    Diameter caveat: rounds grow with log(diameter) plus a long
+    constant tail — near-dup graphs (cliques of copies, short chains)
+    converge in a handful of rounds, but on a geometric ε-neighbor
+    graph at sf0.1 this loop was still changing labels past round 22
+    (measured round 7). For high-diameter graphs use
+    ``operators.graph.connected_components_star`` (alternating
+    large-star/small-star contraction — diameter-independent, 8
+    rounds on that same graph); it returns the same min-id labels.
+
     Fault tolerance: labels are re-materialized per round to keep the
     plan O(1) deep instead of O(rounds). The mode defaults from the
     session: when the SparkContext already has a checkpoint dir
