@@ -55,6 +55,10 @@ RISKY = [
     "acf_daily_counts",      # m·Σxy Pearson pieces in BIGINT
     "mutual_nn_align",       # scaled-int dot/norm sums under ANSI
     "geo_cell_radius_join",  # conv() hex parse + squared distances
+    "bootstrap_mean_ci",     # conv() md5 uniforms, weighted cent sums
+    "seasonal_naive_forecast",  # date-shift abs-error sums
+    "item_item_topk",        # co-occurrence counts + cosine ranking
+    "dbscan_clusters",       # grid join + star contraction under ANSI
 ]
 
 
