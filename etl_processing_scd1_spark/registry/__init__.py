@@ -233,77 +233,91 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   The distributed-statistics tier (registry/statsq.py: grouped_ols,
 #   decision_stump, pca_power_component, mutual_nn_align,
 #   acf_daily_counts, geo_cell_radius_join, dbscan_clusters,
-#   chi_square_assoc, seasonal_decompose) landed after those and
-#   queues behind them; all nine oracle-green at sf0.001/0.01/0.1
-#   via tools/check.py when added.
+#   chi_square_assoc, seasonal_decompose — nine queries in statsq.py
+#   proper; the tier as bench-headlined is THIRTEEN, the later
+#   item_item_topk, seasonal_naive_forecast, bootstrap_mean_ci and
+#   golden_record included) landed after those and queued behind
+#   them; all oracle-green at sf0.001/0.01/0.1 via tools/check.py
+#   when added.
+#
+#   round 8 window (below) — the full 47-query never-driver-checked
+#   backlog rotates IN at once (everything added after the r7 window
+#   froze: the 14 TPC-H completions, the mining tier, the
+#   distributed-statistics tier, winnowing/SimHash/NB,
+#   linkage/curation/survivorship, fixed-width source and ivf_recall
+#   — the exact set is derivable as registry minus the union of
+#   CORRECTNESS_r01..r07 names, and the judge pre-verified all 47
+#   green at sf0.01 via tools/check.py in the round-7 verdict).
+#   Green here → cumulative driver-green 205/205 registered queries.
+#   The remaining 3 slots are family re-confirmations so the §2 core
+#   keeps in-window representatives: scd1_merge_full (§2.C/G — the
+#   reference's SCD1 heart, all three legs), velocity_fraud_rule
+#   (§2.E/H — lag window + fraud rules; also the flagship entry()),
+#   near_dedup_minhash (§2.K dedup — the banded-LSH scale shape).
+#   Displaced: the 47 r7-window queries, every one driver-green in
+#   CORRECTNESS_r07.json, families intact via the three slots above
+#   plus the pytest plan/replay gates that run regardless of window
+#   membership.
 PRIMARY = [
-    # repaired round-4 errs — driver-harness-safe output schemas
-    "scd2_merge_full",
-    "pq_encode",
-    "embedding_quantize",
-    # §2.B predicates
-    "like_filter",
-    "theta_filter",
-    # §2.C joins
-    "semi_join_in",
-    # §2.F aggregation surface
-    "analytic_q21_blame_supplier",
-    "analytic_q20_heavy_suppliers",
-    "similarity_topk_pandas",
-    # round-5 additions (real image decode; as-written bug-compat)
-    "multimodal_decode",
-    "fraud_report_as_written",
-    # §2.A sources / scans
-    "csv_scan",
-    "cdc_apply",
-    "triangle_count",
-    # §2.B projections / predicates
-    "multimodal_audio_features",
-    "phrase_search",
-    # §2.C / §2.G joins + merges
+    # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",
-    # §2.E / §2.H fraud rules + windows
     "velocity_fraud_rule",
-    "edit_distance_dedup",
-    # §2.F aggregation surface
-    "corpus_overlap_kmv",
-    "bpe_tokenize",
-    "profile_table",
-    # §2.I streaming-equivalent windows
-    "sessionize_events",
-    "winsorize_stats",
-    # §2.J UDF surface
-    "grouped_custom_agg",
-    # §2.K dedup / similarity / text / beyond-ref joins
-    "similarity_pq_adc",
     "near_dedup_minhash",
-    "ngram_diversity",
-    "containment_dedup_full",
-    "doc_chunking",
-    "bpe_train_merges",
-    "deterministic_shuffle",
-    # round-6 rotation: first driver check of the post-r5-freeze
-    # quality/dedup additions
-    "containment_dedup",
-    "unigram_logprob_quality",
-    "dedup_apply",
-    "kl_domain_shift",
-    # round-7 rotation: first driver check of the 14 late-round-6
-    # additions (previously judge-green only via tools/check.py)
-    "analytic_q18",
-    "benford_screen",
-    "bigram_lm_quality",
-    "correlated_min_subquery",
-    "customer_rfm",
-    "embedding_drift",
-    "gzip_jsonl_scan",
-    "label_propagation_communities",
-    "multimodal_decode_tga",
-    "similarity_ivfpq",
-    "snapshot_diff",
-    "temperature_mixture",
-    "text_clean",
-    "topk_per_group_agg",
+    # round-8 rotation: first driver check of the TPC-H completions
+    # (the 22-shape suite's remaining 14, registry/tpchq.py)
+    "analytic_q4_priority_late_ship",
+    "analytic_q6_forecast_revenue",
+    "analytic_q7_volume_shipping",
+    "analytic_q8_market_share",
+    "analytic_q9_product_profit",
+    "analytic_q10_returned_items",
+    "analytic_q11_important_inventory",
+    "analytic_q12_ship_delay_priority",
+    "analytic_q13_customer_distribution",
+    "analytic_q15_top_supplier",
+    "analytic_q16_supplier_relationship",
+    "analytic_q17_small_qty_revenue",
+    "analytic_q19_disjunctive_revenue",
+    "analytic_q22_global_sales_opportunity",
+    # round-8 rotation: mining tier (registry/miningq.py)
+    "frequent_pairs",
+    "pareto_skyline",
+    "rank_fusion",
+    "bfs_distances",
+    "kcore_decomposition",
+    "ivf_recall",
+    # round-8 rotation: distributed-statistics tier
+    # (registry/statsq.py + the late stats-shaped additions)
+    "grouped_ols",
+    "decision_stump",
+    "pca_power_component",
+    "mutual_nn_align",
+    "acf_daily_counts",
+    "geo_cell_radius_join",
+    "dbscan_clusters",
+    "chi_square_assoc",
+    "seasonal_decompose",
+    "item_item_topk",
+    "seasonal_naive_forecast",
+    "bootstrap_mean_ci",
+    # round-8 rotation: dedup / fingerprint / classifier late-adds
+    "simhash_near_dup",
+    "winnowing_fingerprint",
+    "winnow_dedup_pairs",
+    "nb_lang_classifier",
+    "dedup_keep_best",
+    # round-8 rotation: record linkage + survivorship + curation
+    "record_linkage_fs",
+    "sorted_neighborhood_pairs",
+    "band_join_tolerance",
+    "golden_record",
+    "weighted_sample",
+    "web_corpus_curate",
+    "line_dedup_boilerplate",
+    "gopher_quality_rules",
+    "dsir_importance",
+    # round-8 rotation: sources + remaining singles
+    "fixed_width_scan",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —
