@@ -313,12 +313,34 @@ def pca_power_iteration(
     )
 
 
+def align_plane_count(
+    n: int, target_bucket: int = 64, floor: int = 4, ceil: int = 24
+) -> int:
+    """Hyperplane count sized from the corpus count so LSH buckets
+    stay ~``target_bucket`` in expectation: b = bit_length(n //
+    target_bucket), clamped to [floor, ceil]. Pure integer arithmetic
+    so an oracle can reproduce it exactly in SQL as
+    ``LENGTH(bin(GREATEST(n // target, 1)))`` — no float log2 whose
+    rounding could diverge at power-of-two boundaries.
+
+    This is the fix for the measured quadratic blow-up at FIXED b
+    (63k → 6.3M candidate dots on a 10× corpus step at b=4 —
+    BENCH_scaling.md r7): with b growing as log₂(n) the expected
+    bucket occupancy, and hence the per-bucket candidate join, stays
+    flat as the corpus grows. The ceiling bounds plan size; past it
+    (n > target·2²⁴ ≈ 10⁹ vectors at the defaults) bucket occupancy
+    grows linearly again and the ``max_bucket_side`` cap takes over
+    as the hard guard."""
+    return max(floor, min(ceil, max(1, n // target_bucket).bit_length()))
+
+
 def mutual_nn_match(
     left: DataFrame,
     right: DataFrame,
     planes: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_side: int | None = None,
 ) -> DataFrame:
     """One-to-one entity alignment: mutual cosine top-1 between two
     embedding sets, candidates restricted to matching hyperplane-LSH
@@ -332,20 +354,29 @@ def mutual_nn_match(
     (``hyperplane_bucket`` — exact, so oracle-replicable); the only
     pair-generating join is bucket-equi (never all-pairs); the two
     top-1 row_numbers partition by each side's id over the candidate
-    relation, which LSH keeps near-linear. Skew follows the same
-    degenerate-bucket logic as ``embedding_near_dup``: with b planes
-    the largest bucket is ~n/2^b in expectation; raise b, or salt
-    the candidate join, when a bucket outgrows a partition. The
-    plane count is the scale knob: at FIXED b candidates grow
-    quadratically in bucket occupancy (measured 63k → 6.3M
-    candidate dots on a 10× corpus step at b=4 — BENCH_scaling.md),
-    so production sizing is b ≈ log₂(n) − log₂(target bucket size),
-    which holds candidates near-linear at the cost of recall the
-    caller tunes.
+    relation, which LSH keeps near-linear. Scale is governed by TWO
+    guards, mirroring the dedup family:
+
+    1. The plane count — size it from a corpus-count probe via
+       :func:`align_plane_count` (b ≈ log₂(n/target_bucket)), which
+       holds expected bucket occupancy, and hence candidate volume,
+       flat as the corpus grows. At FIXED b candidates grow
+       quadratically in occupancy (measured 63k → 6.3M candidate
+       dots on a 10× corpus step at b=4 — BENCH_scaling.md r7).
+    2. ``max_bucket_side`` — when set, the LEFT side of the bucket
+       join is capped to the ``max_bucket_side`` lowest-id members
+       per bucket (``cap_bucket_side``), so a degenerate bucket
+       (planted identical vectors, adversarial skew) costs
+       |bucket|·cap instead of |bucket|²; capped-out left members
+       simply produce no match (right-side rows still rank against
+       the cap canonical members), and the overflow is surfaced on
+       the result as ``result._spark_graft_truncated``, never
+       silent.
 
     Ranking: cosine as double from exact scaled-int dot/norms
     (identical expression tree both engines), id tiebreak.
     """
+    from .dedup import cap_bucket_side
     from .similarity import _dot_scaled, _norm_scaled, hyperplane_bucket
 
     def prep(df: DataFrame, side: str) -> DataFrame:
@@ -357,6 +388,11 @@ def mutual_nn_match(
         )
 
     l_, r_ = prep(left, "l"), prep(right, "r")
+    truncated = None
+    if max_bucket_side is not None:
+        l_, truncated = cap_bucket_side(
+            l_, ["l_bucket"], "l_id", max_bucket_side
+        )
     cand = (
         l_.join(r_, F.col("l_bucket") == F.col("r_bucket"))
         .select(
@@ -374,12 +410,15 @@ def mutual_nn_match(
     )
     best_r = Window.partitionBy("l_id").orderBy(F.col("cos").desc(), F.col("r_id"))
     best_l = Window.partitionBy("r_id").orderBy(F.col("cos").desc(), F.col("l_id"))
-    return (
+    out = (
         cand.withColumn("rn_l", F.row_number().over(best_r))
         .withColumn("rn_r", F.row_number().over(best_l))
         .filter((F.col("rn_l") == 1) & (F.col("rn_r") == 1))
         .select("l_id", "r_id", "dot_scaled")
     )
+    if truncated is not None:
+        out._spark_graft_truncated = truncated  # type: ignore[attr-defined]
+    return out
 
 
 def acf_lags(

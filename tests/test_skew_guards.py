@@ -296,3 +296,79 @@ class TestBoundedQueryProbe:
         codes = pq_encode(corpus, codebook, m=4)
         with pytest.raises(ValueError, match="pq_adc_topk"):
             pq_adc_topk(codes, big_q, codebook, k=3, m=4, max_query_rows=10)
+
+
+class TestMutualNnAlignGuards:
+    """VERDICT r7 #1: the stats-tier bucket join gets the same two
+    guards as the dedup family — adaptive plane count (corpus-count
+    probe) and a degenerate-bucket cap with surfaced truncation."""
+
+    def test_align_plane_count_formula(self):
+        from etl_processing_scd1_spark.operators.stats import align_plane_count
+
+        # floor below/at target, log2 growth above, ceiling at 24
+        assert align_plane_count(0) == 4
+        assert align_plane_count(500) == 4          # sf0.01: q=7 → 3 → floor 4
+        assert align_plane_count(5_000) == 7        # sf0.1: q=78 → 7
+        assert align_plane_count(50_000) == 10      # sf1: q=781 → 10
+        assert align_plane_count(10**9) == 24       # capped
+        # exact power-of-two boundary: bit_length, not float log2
+        assert align_plane_count(64 * 256) == 9     # q=256 → bit_length 9
+
+    def test_align_plane_count_matches_oracle_sql(self):
+        """The SQL twin (LENGTH(bin(GREATEST(q,1)))) must agree with
+        Python int.bit_length for every n the driver could present."""
+        import duckdb
+
+        from etl_processing_scd1_spark.operators.stats import align_plane_count
+
+        con = duckdb.connect()
+        for n in [0, 1, 63, 64, 65, 500, 4095, 4096, 5000, 50_000, 10**6, 10**9]:
+            (b_sql,) = con.execute(
+                f"SELECT GREATEST(4, LEAST(24, LENGTH(bin(GREATEST({n} // 64, 1)))))"
+            ).fetchone()
+            assert b_sql == align_plane_count(n), n
+
+    def test_planted_degenerate_bucket_bounded(self, spark):
+        """All-identical vectors collapse every plane sign into ONE
+        bucket no matter how many planes — the cap must bound the
+        candidate join and surface the overflow."""
+        from etl_processing_scd1_spark.operators.similarity import md5_planes
+        from etl_processing_scd1_spark.operators.stats import mutual_nn_match
+
+        emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        one = emb.orderBy("vec_id").limit(1).select("embedding")
+        planted = (
+            spark.range(400)
+            .crossJoin(one)
+            .select(F.col("id").alias("vec_id"), "embedding")
+        )
+        planes = md5_planes(num_planes=8, dim=64)
+        cap = 5
+        out = mutual_nn_match(
+            planted.filter(F.col("vec_id") % 2 == 0),
+            planted.filter(F.col("vec_id") % 2 == 1),
+            planes,
+            max_bucket_side=cap,
+        )
+        rows = out.collect()
+        # mutual top-1 over identical vectors: id tiebreak pairs the
+        # lowest surviving left ids with the lowest right ids; the cap
+        # bounds how many left members enter the join at all.
+        assert 0 < len(rows) <= cap
+        trunc = out._spark_graft_truncated.collect()
+        assert len(trunc) == 1 and trunc[0].bucket_size == 200
+
+    def test_uncapped_has_no_truncation_attribute(self, spark):
+        from etl_processing_scd1_spark.operators.similarity import md5_planes
+        from etl_processing_scd1_spark.operators.stats import mutual_nn_match
+
+        emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        planes = md5_planes(num_planes=4, dim=64)
+        out = mutual_nn_match(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            planes,
+        )
+        assert not hasattr(out, "_spark_graft_truncated")
+        assert out.count() > 0

@@ -30,6 +30,8 @@ SFS = [0.001, 0.01, 0.1, 1]
 def sf_dir(sf: float) -> str:
     """Driver-generated SFs live under /root/testdata; the synthesized
     sf1 lives in the repo's scratch area."""
+    if isinstance(sf, float) and sf == int(sf):
+        sf = int(sf)  # argparse floats: 1.0 → the sf1 directory
     native = f"/root/testdata/sf{sf}"
     if os.path.isdir(native):
         return native
