@@ -259,17 +259,29 @@ def main() -> None:
             indent=1,
         )
 
-    # ONE compact machine-parseable line: driver contract fields
-    # ("metric"/"value"/"unit"/"queries"/"sf") with build-inclusive
-    # per-query seconds (continuous with the r6 series), plus the
-    # execute-only total and the same-session oracle ratios.
-    print(
-        json.dumps(
+    # stdout contract (r7 verdict #2): the driver records only the LAST
+    # ~2000 bytes of stdout, and the 75-query map alone overflows that,
+    # head-truncating whatever line carries it (BENCH_r06/r07 "parsed":
+    # null). So stdout is two lines: the full per-query map first (may
+    # lose its head in the driver tail — it also lives intact in
+    # BENCH_full.json), then ONE compact FINAL line that is guaranteed
+    # to fit the tail buffer whole: contract fields + totals first, and
+    # only as many per-query entries (most-expensive first) as keep the
+    # line under the byte budget, with the omission surfaced.
+    full_map = {n: t["total"] for n, t in timings.items()}
+    print(json.dumps({"all_queries": full_map, "sf": sf}, separators=(",", ":")))
+
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1500"))
+
+    def compact_line(top_n: int) -> str:
+        top = dict(
+            sorted(full_map.items(), key=lambda kv: -kv[1])[:top_n]
+        )
+        return json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {n: t["total"] for n, t in timings.items()},
                 "sf": sf,
                 "exec_total": exec_total,
                 "oracle_total": oracle_total,
@@ -277,10 +289,19 @@ def main() -> None:
                     round(total / oracle_total, 4) if oracle_total else None
                 ),
                 "detail": "BENCH_full.json",
+                "queries_shown": len(top),
+                "queries_total_count": len(full_map),
+                "queries": top,
             },
             separators=(",", ":"),
         )
-    )
+
+    n = len(full_map)
+    line = compact_line(n)
+    while n > 0 and len(line.encode()) > budget:
+        n -= 1
+        line = compact_line(n)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -465,12 +465,19 @@ def acf_lags(
     num = m * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = m * F.col("syy") - F.col("sy") * F.col("sy")
-    r_nanos = F.floor(
-        num.cast("double")
-        / F.sqrt(varx.cast("double") * vary.cast("double"))
-        * F.lit(float(NANOS))
-        + F.lit(0.5)
-    ).cast("long")
+    # Degenerate-lag guard (r7 advisor): a lag with one aligned pair
+    # or a constant series has varx/vary = 0 → 0/0 NaN (null under
+    # non-ANSI, runtime error under ANSI). Emit NULL r_nanos for
+    # those lags explicitly — same CASE in the oracle.
+    r_nanos = F.when(
+        (varx > 0) & (vary > 0),
+        F.floor(
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double"))
+            * F.lit(float(NANOS))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
     return stats.select(
         F.col("lag").cast("long").alias("lag_d"),
         "m",

@@ -343,10 +343,12 @@ _ACF_ORACLE = """
            CAST(m*sxy - sx*sy AS BIGINT) AS num,
            CAST(m*sxx - sx*sx AS BIGINT) AS varx,
            CAST(m*syy - sy*sy AS BIGINT) AS vary,
-           CAST(floor(CAST(m*sxy - sx*sy AS DOUBLE)
-                      / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
-                             * CAST(m*syy - sy*sy AS DOUBLE))
-                      * 1e9 + 0.5) AS BIGINT) AS r_nanos
+           CASE WHEN m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0
+                THEN CAST(floor(CAST(m*sxy - sx*sy AS DOUBLE)
+                                / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+                                       * CAST(m*syy - sy*sy AS DOUBLE))
+                                * 1e9 + 0.5) AS BIGINT)
+                ELSE NULL END AS r_nanos
     FROM s
 """
 
@@ -885,11 +887,13 @@ _FORECAST_ORACLE = """
            CAST(SUM(ABS(f.c - f.forecast)) AS BIGINT) AS seasonal_abs_err,
            CAST((SELECT SUM(naive_err) FROM n) AS BIGINT) AS naive_abs_err,
            CAST((SELECT CAST(count(*) AS BIGINT) FROM n) AS BIGINT) AS naive_days,
-           CAST(floor(CAST(SUM(ABS(f.c - f.forecast)) AS DOUBLE)
-                      / CAST(count(*) AS DOUBLE)
-                      / (CAST((SELECT SUM(naive_err) FROM n) AS DOUBLE)
-                         / CAST((SELECT count(*) FROM n) AS DOUBLE))
-                      * 1e6 + 0.5) AS BIGINT) AS mase_micros
+           CASE WHEN (SELECT SUM(naive_err) FROM n) > 0 AND count(*) > 0
+                THEN CAST(floor(CAST(SUM(ABS(f.c - f.forecast)) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE)
+                                / (CAST((SELECT SUM(naive_err) FROM n) AS DOUBLE)
+                                   / CAST((SELECT count(*) FROM n) AS DOUBLE))
+                                * 1e6 + 0.5) AS BIGINT)
+                ELSE NULL END AS mase_micros
     FROM f
 """
 
@@ -925,16 +929,23 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("naive_days"),
     )
     out = fs.crossJoin(F.broadcast(ns))
-    mase = F.floor(
-        F.col("seasonal_abs_err").cast("double")
-        / F.col("horizon_days").cast("double")
-        / (
-            F.col("naive_abs_err").cast("double")
-            / F.col("naive_days").cast("double")
-        )
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
+    # Degenerate-series guard (r7 advisor): a constant daily series
+    # has naive_abs_err = 0 → Infinity (ANSI cast failure); an empty
+    # horizon divides by 0. NULL mase for those — same CASE in the
+    # oracle.
+    mase = F.when(
+        (F.col("naive_abs_err") > 0) & (F.col("horizon_days") > 0),
+        F.floor(
+            F.col("seasonal_abs_err").cast("double")
+            / F.col("horizon_days").cast("double")
+            / (
+                F.col("naive_abs_err").cast("double")
+                / F.col("naive_days").cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
     return out.select(
         "horizon_days",
         "seasonal_abs_err",

@@ -874,7 +874,7 @@ def streaming_skyline_sink(
 
 def streaming_ols_sink(
     stream: DataFrame,
-    write_stats: Callable[[DataFrame], None],
+    write_stats: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     group_col: str,
     x_col: str,
@@ -891,13 +891,22 @@ def streaming_ols_sink(
     ``operators.stats.ols_from_stats`` — EXACTLY equal to batch
     ``grouped_ols`` over every row seen (associativity; the same
     no-drift argument as the Naive Bayes and DSIR sinks, parity-
-    pinned in ``test_streaming.py``)."""
+    pinned in ``test_streaming.py``).
+
+    Write contract (r7 advisor): ``write_stats(stats, batch_id)``
+    receives the micro-batch id so the caller can make the append
+    idempotent under foreachBatch's at-least-once retry — write each
+    batch's partials to a per-batch-id slot (overwrite on retry,
+    e.g. ``.../batch=<id>``), never a blind append: a retried batch
+    that blind-appends double-counts its sums and silently corrupts
+    the model (the same versioned-slot contract as the skyline /
+    components sinks)."""
     from ..operators.stats import ols_stats
 
-    def append_stats(batch: DataFrame, _bid: int) -> None:
+    def append_stats(batch: DataFrame, bid: int) -> None:
         if not batch.take(1):
             return
-        write_stats(ols_stats(batch, group_col, x_col, y_col))
+        write_stats(ols_stats(batch, group_col, x_col, y_col), bid)
 
     writer = (
         stream.writeStream.foreachBatch(append_stats)

@@ -594,3 +594,54 @@ def test_bootstrap_weights_are_poisson_like_and_deterministic(spark):
         acc += math.exp(-1) / fact
         cdf.append(math.floor(acc * 16777216))
     assert cdf == _BOOT_T
+
+
+def test_acf_degenerate_lags_emit_null_r(spark):
+    """r7 advisor: constant daily counts (vary/varx = 0) or a
+    single-pair lag must yield NULL r_nanos, not NaN / an ANSI cast
+    error; integer pieces still come through exact."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # constant series: 2 events every day for 10 days
+    rows = []
+    eid = 0
+    for day in range(10):
+        for _ in range(2):
+            rows.append((eid, base + dt.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["lag_d"]: r for r in acf_lags(df, "ts", [1, 9]).collect()}
+    assert out[1]["varx"] == 0 and out[1]["vary"] == 0
+    assert out[1]["r_nanos"] is None
+    # lag 9 aligns exactly one pair: m=1 -> var = m*sxx - sx^2 = 0
+    assert out[9]["m"] == 1 and out[9]["r_nanos"] is None
+
+
+def test_seasonal_naive_forecast_constant_series_null_mase(spark, tmp_path):
+    """r7 advisor: a constant daily series has naive_abs_err = 0 —
+    MASE is undefined (0/0) and must surface as NULL, not Infinity."""
+    import datetime as dt
+
+    from etl_processing_scd1_spark.registry.statsq import (
+        seasonal_naive_forecast,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, base + dt.timedelta(days=day))
+        for day in range(14)
+        for eid in (day,)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    sf_dir = str(tmp_path / "sfdeg")
+    df.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.lit("a").alias("user_id"),
+        F.lit("s").alias("state"),
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    row = seasonal_naive_forecast(spark, sf_dir).collect()[0]
+    assert row["seasonal_abs_err"] == 0
+    assert row["naive_abs_err"] == 0
+    assert row["mase_micros"] is None

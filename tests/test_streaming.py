@@ -1302,7 +1302,11 @@ def test_streaming_ols_stats_match_batch_fit(spark, tmp_path):
     stats_dir = str(tmp_path / "ols_stats")
     q = streaming_ols_sink(
         stream,
-        lambda df: df.write.mode("append").parquet(stats_dir),
+        # per-batch-id slot, overwritten on retry — the idempotent
+        # write the sink's batch-id contract exists for
+        lambda df, bid: df.write.mode("overwrite").parquet(
+            f"{stats_dir}/batch={bid}"
+        ),
         checkpoint_dir=str(tmp_path / "ck_ols"),
         group_col="brand",
         x_col="x",
