@@ -74,22 +74,104 @@ def kmv_sketches(
     two groups is estimable from their sketches alone (see
     :func:`kmv_overlap`).
 
-    Scale shape: one distinct on (group, key), one hash map, one
-    shuffle on group for the per-group min-k (row_number window).
-    The windowed rows are the group's DISTINCT keys — linear — and
-    only k rows per group survive into the collected array.
+    Scale shape (r7 verdict #4 — was: global distinct + full-domain
+    row_number window, one shuffle of the whole distinct key domain):
+    bottom-k is a mergeable statistic, and a hash in the global
+    distinct-min-k is necessarily in the distinct-min-k of every
+    partition that contains it — so the min-k partial is computed
+    PER PARTITION in one narrow Arrow pass (no shuffle of the key
+    domain at all, duplicates collapse locally), and the only
+    shuffle carries ≤ partitions × groups × k rows into the final
+    per-group merge (distinct → sort → slice k). Past the narrow
+    scan, work is O(slices · k) exactly as a mergeable sketch
+    should be; no distinct pre-pass is needed because local dedup
+    plus the merge's array_distinct reproduce it.
     """
-    hashed = (
-        df.select(F.col(group_col), F.col(key_col))
-        .distinct()
-        .select(F.col(group_col), F.md5(F.col(key_col).cast("string")).alias("__h__"))
+    import pandas as pd
+
+    hashed = df.select(
+        F.col(group_col), F.md5(F.col(key_col).cast("string")).alias("__h__")
     )
-    w = Window.partitionBy(group_col).orderBy("__h__")
-    return (
-        hashed.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= k)
-        .groupBy(group_col)
-        .agg(F.sort_array(F.collect_list("__h__")).alias("sketch"))
+    schema = hashed.schema
+
+    def partition_bottom_k(batches):
+        best: dict = {}  # group -> set of candidate hashes (trimmed)
+        trim_at = 8 * k
+        for pdf in batches:
+            for g, s in pdf.groupby(group_col, sort=False)["__h__"]:
+                cur = best.setdefault(g, set())
+                cur.update(s.dropna().unique())
+                if len(cur) > trim_at:
+                    best[g] = set(sorted(cur)[:k])
+        rows = [
+            (g, h) for g, cur in best.items() for h in sorted(cur)[:k]
+        ]
+        yield pd.DataFrame(rows, columns=[group_col, "__h__"])
+
+    partial = hashed.mapInPandas(partition_bottom_k, schema=schema)
+    return partial.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("__h__"))), 1, k
+        ).alias("sketch")
+    )
+
+
+def kmv_sketches_from_sets(
+    df: DataFrame,
+    group_col: str,
+    keys_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch per group when each row already carries a key SET
+    (an array column, e.g. a document's shingle set) — same result as
+    exploding ``keys_col`` into :func:`kmv_sketches`, cheaper by one
+    whole tier: the per-ROW bottom-k (hash → sort → slice k) runs
+    JVM-side inside whole-stage codegen, so the Arrow boundary moves
+    bounded k-element arrays (rows × k), never the exploded key
+    domain. Correct for the same reason the partition merge is: a
+    hash in the global distinct-min-k is in the min-k of every row's
+    set that contains it. The Python pass then merges per partition
+    and the final shuffle is ≤ partitions × groups × k rows.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    per_row = df.select(
+        F.col(group_col),
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col(keys_col), lambda g: F.md5(g.cast("string"))
+                )
+            ),
+            1,
+            k,
+        ).alias("__hs__"),
+    )
+    out_schema = StructType(
+        [df.schema[group_col], StructField("__h__", StringType())]
+    )
+
+    def partition_merge(batches):
+        best: dict = {}
+        trim_at = 8 * k
+        for pdf in batches:
+            for g, arrs in pdf.groupby(group_col, sort=False)["__hs__"]:
+                cur = best.setdefault(g, set())
+                for a in arrs:
+                    cur.update(a)
+                if len(cur) > trim_at:
+                    best[g] = set(sorted(cur)[:k])
+        rows = [
+            (g, h) for g, cur in best.items() for h in sorted(cur)[:k]
+        ]
+        yield pd.DataFrame(rows, columns=[group_col, "__h__"])
+
+    partial = per_row.mapInPandas(partition_merge, schema=out_schema)
+    return partial.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("__h__"))), 1, k
+        ).alias("sketch")
     )
 
 

@@ -1973,14 +1973,28 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable corpus-vs-corpus overlap monitor: once per-slice
     sketches exist, every pairwise estimate costs O(k) regardless of
     corpus size. Exact Jaccard is computed alongside (hll_cardinality
-    precedent) so the estimate's accuracy is part of the evidence."""
-    from ..operators.sketches import kmv_overlap, kmv_sketches
+    precedent) so the estimate's accuracy is part of the evidence.
+
+    Scale (r7 verdict #4): the sketch path does per-DOC bottom-k
+    JVM-side over the shingle arrays, merges per partition in one
+    bounded Arrow pass, and shuffles only partitions × slices × k
+    rows (kmv_sketches_from_sets) — O(slices·k) past the narrow
+    scan. The remaining linear term is the exact-Jaccard companion
+    (distinct shingle domain + equi-join) which exists purely as
+    accuracy evidence; a production overlap monitor would keep only
+    the sketch columns."""
+    from ..operators.sketches import kmv_overlap, kmv_sketches_from_sets
 
     docs = table(spark, sf_dir, "documents")
     keys = docs.select(
         F.col("lang"), F.explode(shingle_set_col("text", k=8)).alias("g")
     )
-    sk = kmv_sketches(keys, "lang", "g", k=64)
+    sk = kmv_sketches_from_sets(
+        docs.select("lang", shingle_set_col("text", k=8).alias("gs")),
+        "lang",
+        "gs",
+        k=64,
+    )
     est = kmv_overlap(sk, "lang", k=64)
 
     hashed = keys.distinct().select(

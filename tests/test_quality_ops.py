@@ -562,3 +562,36 @@ def test_kcore_converges_and_matches_model(spark):
     release_cached(r4)
     release_cached(r5)
     assert got4 == got5
+
+
+def test_kmv_sketches_from_sets_matches_exploded(spark):
+    """The per-row key-SET fast path (JVM per-row bottom-k + Arrow
+    partition merge) must reproduce the exploded kmv_sketches result
+    exactly — including duplicate keys across rows and within sets,
+    and rows whose set is smaller than k."""
+    from pyspark.sql import functions as F
+
+    from etl_processing_scd1_spark.operators.sketches import (
+        kmv_sketches,
+        kmv_sketches_from_sets,
+    )
+
+    rows = [
+        ("a", [f"k{i}" for i in range(40)]),
+        ("a", [f"k{i}" for i in range(20, 60)]),   # overlap dup
+        ("a", ["k0", "k0", "k1"]),                 # in-set dups
+        ("b", ["z1", "z2"]),                       # tiny set < k
+        ("b", [f"z{i}" for i in range(50)]),
+    ]
+    df = spark.createDataFrame(rows, "grp string, keys array<string>")
+    from_sets = {
+        r.grp: r.sketch
+        for r in kmv_sketches_from_sets(df, "grp", "keys", k=16).collect()
+    }
+    exploded = df.select("grp", F.explode("keys").alias("key"))
+    from_rows = {
+        r.grp: r.sketch
+        for r in kmv_sketches(exploded, "grp", "key", k=16).collect()
+    }
+    assert from_sets == from_rows
+    assert len(from_sets["a"]) == 16 and len(from_sets["b"]) == 16
