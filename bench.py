@@ -104,6 +104,9 @@ HEADLINE = [
     "seasonal_naive_forecast",  # MASE backtest, date-shift error sums
     "golden_record",          # survivorship merge over near-dup clusters
     "bootstrap_mean_ci",      # hash-deterministic Poisson bootstrap
+    # round-8 additions: product-analytics tier (registry/productq.py)
+    "exact_quantiles_price",  # histogram-refinement exact order stats
+    "heavy_hitters_exact",    # candidate screen + proved-exact top-k
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

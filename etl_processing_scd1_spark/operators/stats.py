@@ -678,3 +678,182 @@ def dbscan_grid(
         *([] if sym_h is None else [sym_h]),
         *getattr(clusters, "_spark_graft_cached", ()),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs_bp: list[int],
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """EXACT discrete quantiles of a LONG column without a global
+    sort — histogram refinement, the distributed order-statistic
+    pattern (beyond-reference; the reference's only aggregate is
+    ``main.py:362``'s scalar max).
+
+    Rank convention matches DuckDB ``quantile_disc``: for prob p
+    (basis points) over n rows the result is the value at 1-indexed
+    rank k = floor((n-1)·p/10000) + 1 of the sorted multiset.
+
+    Plan — three bounded jobs, NO sort of the data anywhere:
+    1. one scalar aggregate (n, min) — map-side combined;
+    2. one histogram groupBy on bucket = (v − min) DIV W; the
+       driver walks the ≤ domain/W cumulative counts to locate each
+       rank's bucket and residual rank;
+    3. one groupBy (v) count restricted to the ≤ |probs| needed
+       buckets; the driver resolves each residual rank over ≤ W
+       distinct values per bucket.
+    Driver memory is O(domain/W + |probs|·W) — independent of row
+    count, the property that matters at 100 TB (for an enormous
+    value domain, recurse: re-histogram inside the located bucket
+    instead of step 3; one extra level covers 2^48 domains at
+    W=4096). Every count is an exact BIGINT; no floats anywhere, so
+    engine/oracle parity is structural.
+
+    Returns one row per prob: (prob_bp, rank, value).
+    """
+    spark = df.sparkSession
+    v = df.select(F.col(value_col).cast("long").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    head = v.agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("vmin")
+    ).collect()[0]
+    n, vmin = head["n"], head["vmin"]
+    if not n:
+        return spark.createDataFrame(
+            [], "prob_bp long, rank long, value long"
+        )
+    ranks = {bp: ((n - 1) * bp) // 10000 + 1 for bp in probs_bp}
+
+    # (v - vmin) >= 0, so DIV bucketing is order-preserving (no
+    # negative truncation hazard) and float-free
+    hist = (
+        v.selectExpr(f"(v - {vmin}) DIV {bucket_width} AS b")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cum = 0
+    located: dict[int, tuple[int, int]] = {}  # bp -> (bucket, residual rank)
+    pending = sorted(ranks.items(), key=lambda kv: kv[1])
+    i = 0
+    for row in sorted(hist, key=lambda r: r["b"]):
+        while i < len(pending) and pending[i][1] <= cum + row["c"]:
+            bp, k = pending[i]
+            located[bp] = (row["b"], k - cum)
+            i += 1
+        cum += row["c"]
+    need = sorted({b for b, _ in located.values()})
+
+    fine = (
+        v.selectExpr("v", f"(v - {vmin}) DIV {bucket_width} AS b")
+        .filter(F.col("b").isin(need))
+        .groupBy("b", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_bucket: dict[int, list] = {}
+    for r in fine:
+        by_bucket.setdefault(r["b"], []).append(r)
+    out_rows = []
+    for bp in probs_bp:
+        b, kres = located[bp]
+        run = 0
+        for r in sorted(by_bucket[b], key=lambda r: r["v"]):
+            run += r["c"]
+            if run >= kres:
+                out_rows.append((bp, ranks[bp], r["v"]))
+                break
+    return spark.createDataFrame(
+        out_rows, "prob_bp long, rank long, value long"
+    )
+
+
+def heavy_hitters_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """EXACT top-k keys by frequency with a bounded-candidate screen —
+    the heavy-hitters pattern for key domains too large to shuffle.
+
+    Phase 1 (screen): each partition counts its keys exactly in one
+    Arrow pass and keeps only its ``c = candidates_per_partition``
+    most frequent (count desc, key asc). Any key absent from a
+    partition's kept set has at most that partition's c-th kept count
+    there, so a key absent from the UNION of kept sets has global
+    count ≤ B = Σ_p t_p (t_p = partition p's c-th kept count, 0 when
+    the partition holds < c distinct keys).
+    Phase 2 (verify): exact global recount of the candidate union
+    (distinct candidates broadcast into a semi join, one map-side-
+    combined groupBy), take the top k.
+    Guarantee check: if the k-th candidate's exact count > B the
+    screen provably contains the true top-k and the result is EXACT;
+    otherwise fall back to the full groupBy(key).count() — identical
+    output either way, so the branch is a pure cost choice and the
+    result is deterministic (count desc, key asc tiebreak).
+
+    Scale: the full-aggregation fallback shuffles one row per
+    distinct key (map-side combined) — fine up to billions of keys;
+    the screen path shuffles partitions × c rows. The screen wins
+    exactly when the key distribution is skewed (Zipf web/corpus
+    data), which is when the distinct domain is also at its largest.
+    """
+    import pandas as pd
+
+    c = candidates_per_partition or 8 * k
+    keyed = df.select(F.col(key_col).alias("key"))
+    key_type = dict(keyed.dtypes)["key"]
+    tagged = keyed.withColumn("pid", F.spark_partition_id())
+    schema = f"key {key_type}, cnt long, pid int, tp long"
+
+    def partition_counts(batches):
+        total: dict = {}
+        pid = 0
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["pid"].iloc[0])
+            for key, cnt in pdf["key"].value_counts().items():
+                total[key] = total.get(key, 0) + int(cnt)
+        kept = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:c]
+        t_p = kept[-1][1] if len(kept) == c else 0
+        yield pd.DataFrame(
+            [(key, cnt, pid, t_p) for key, cnt in kept],
+            columns=["key", "cnt", "pid", "tp"],
+        )
+
+    partials = tagged.mapInPandas(partition_counts, schema=schema).collect()
+    cand_keys = sorted({r["key"] for r in partials})
+    # B = Σ_p t_p: a key absent from EVERY partition's kept set has
+    # count ≤ t_p in each, so its global count is ≤ B
+    bound = sum({r["pid"]: r["tp"] for r in partials}.values())
+
+    cand_df = keyed.sparkSession.createDataFrame(
+        [(x,) for x in cand_keys], f"key {key_type}"
+    )
+    exact = (
+        keyed.join(F.broadcast(cand_df), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(k)
+    )
+    top = exact.collect()
+    if len(top) == k and top[-1]["cnt"] > bound:
+        out = keyed.sparkSession.createDataFrame(
+            [(r["key"], r["cnt"]) for r in top],
+            f"key {key_type}, cnt long",
+        )
+        out._spark_graft_hh_path = "screen"  # type: ignore[attr-defined]
+        return out
+    # fallback: exact full aggregation (map-side combined)
+    out = (
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(k)
+    )
+    out._spark_graft_hh_path = "fallback"  # type: ignore[attr-defined]
+    return out

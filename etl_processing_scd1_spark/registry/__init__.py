@@ -30,6 +30,7 @@ from . import (
     curationq,
     extensions,
     miningq,
+    productq,
     scd1q,
     statsq,
     streamingq,
@@ -38,7 +39,7 @@ from . import (
 
 _ALL_QUERIES: dict = {}
 _ALL_ORACLES: dict = {}
-for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq, tpchq, miningq, statsq):
+for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq, tpchq, miningq, statsq, productq):
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 

@@ -645,3 +645,93 @@ def test_seasonal_naive_forecast_constant_series_null_mase(spark, tmp_path):
     assert row["seasonal_abs_err"] == 0
     assert row["naive_abs_err"] == 0
     assert row["mase_micros"] is None
+
+
+def test_exact_quantiles_matches_python_sort(spark):
+    """Histogram refinement vs a literal sort, including duplicates,
+    negatives (vmin shift) and every-bucket edge ranks."""
+    import random
+
+    from etl_processing_scd1_spark.operators.stats import exact_quantiles
+
+    rng = random.Random(7)
+    vals = [rng.randint(-50_000, 50_000) for _ in range(5_000)]
+    vals += [vals[0]] * 40  # heavy duplicate block
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(8)
+    probs = [1, 2500, 5000, 7500, 9900, 10000]
+    got = {
+        r["prob_bp"]: (r["rank"], r["value"])
+        for r in exact_quantiles(df, "x", probs, bucket_width=512).collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    for bp in probs:
+        k = (n - 1) * bp // 10000 + 1
+        assert got[bp] == (k, s[k - 1]), bp
+
+
+def test_exact_quantiles_single_row_and_empty(spark):
+    from etl_processing_scd1_spark.operators.stats import exact_quantiles
+
+    one = spark.createDataFrame([(42,)], "x long")
+    out = exact_quantiles(one, "x", [5000]).collect()
+    assert [(r["rank"], r["value"]) for r in out] == [(1, 42)]
+    empty = spark.createDataFrame([], "x long")
+    assert exact_quantiles(empty, "x", [5000]).count() == 0
+
+
+def test_heavy_hitters_screen_path_on_zipf(spark):
+    """Planted Zipf skew: the candidate screen must prove exactness
+    (take the screen path) and agree with the full aggregation."""
+    from etl_processing_scd1_spark.operators.stats import heavy_hitters_topk
+
+    rows = []
+    for key in range(50):
+        rows += [(key,)] * (2000 // (key + 1))  # Zipf-ish head
+    rows += [(1000 + i,) for i in range(500)]   # long singleton tail
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    out = heavy_hitters_topk(df, "k", k=5)
+    assert out._spark_graft_hh_path == "screen"
+    got = [(r["key"], r["cnt"]) for r in out.collect()]
+    want = [
+        (r["k"], r["cnt"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("k"))
+        .limit(5)
+        .collect()
+    ]
+    assert got == want
+    assert got[0] == (0, 2000)
+
+
+def test_heavy_hitters_fallback_on_uniform(spark):
+    """Near-uniform counts defeat the screen's proof — the fallback
+    must engage and still return the exact deterministic top-k."""
+    from etl_processing_scd1_spark.operators.stats import heavy_hitters_topk
+
+    rows = [(i % 400,) for i in range(4000)]  # all keys count 10
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    out = heavy_hitters_topk(df, "k", k=5, candidates_per_partition=10)
+    assert out._spark_graft_hh_path == "fallback"
+    got = [(r["key"], r["cnt"]) for r in out.collect()]
+    assert got == [(i, 10) for i in range(5)]  # key-asc tiebreak
+
+
+def test_heavy_hitters_screen_and_fallback_agree(spark):
+    """Both branches must be interchangeable on the SAME data: force
+    the fallback (tiny candidate budget) and the screen (generous
+    budget) on a skewed corpus and compare row-for-row."""
+    from etl_processing_scd1_spark.operators.stats import heavy_hitters_topk
+
+    rows = []
+    for key in range(30):
+        rows += [(key,)] * (600 // (key + 1))
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    wide = heavy_hitters_topk(df, "k", k=4, candidates_per_partition=64)
+    narrow = heavy_hitters_topk(df, "k", k=4, candidates_per_partition=2)
+    assert wide._spark_graft_hh_path == "screen"
+    assert narrow._spark_graft_hh_path == "fallback"
+    assert [tuple(r) for r in wide.collect()] == [
+        tuple(r) for r in narrow.collect()
+    ]
