@@ -107,6 +107,7 @@ HEADLINE = [
     # round-8 additions: product-analytics tier (registry/productq.py)
     "exact_quantiles_price",  # histogram-refinement exact order stats
     "heavy_hitters_exact",    # candidate screen + proved-exact top-k
+    "delta_scan",             # Delta-log round trip, partitioned snapshot read
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

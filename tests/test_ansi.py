@@ -59,9 +59,11 @@ RISKY = [
     "seasonal_naive_forecast",  # date-shift abs-error sums
     "item_item_topk",        # co-occurrence counts + cosine ranking
     "dbscan_clusters",       # grid join + star contraction under ANSI
-    # round-8 product-analytics additions
+    # round-8 product-analytics + lakehouse-interop additions
     "exact_quantiles_price", # DIV bucketing + driver rank arithmetic
     "heavy_hitters_exact",   # Arrow partition counts + broadcast semi
+    "delta_scan",            # partition-column string<->long casts
+    "delta_time_travel",     # version-pinned snapshot aggregate
 ]
 
 

@@ -1,0 +1,214 @@
+"""Delta Lake transaction-log interop (sources/delta.py): write /
+read round trips, append vs overwrite snapshots, version time
+travel, partitioned layout, put-if-absent commit atomicity, log
+checkpoints, protocol gating, and a hand-authored spec-shaped log
+(reader consumes a log this writer did not produce)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_processing_scd1_spark.sources.delta import (
+    DeltaConcurrentCommit,
+    DeltaProtocolError,
+    delta_history,
+    delta_table_version,
+    read_delta_table,
+    write_delta_table,
+    write_checkpoint,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).cast("string").alias("part"),
+    )
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.select("k", "v").collect())
+
+
+class TestDeltaRoundTrip:
+    def test_write_read_append_overwrite_timetravel(self, spark, tmp_path):
+        path = str(tmp_path / "t1")
+        v0 = write_delta_table(_df(spark, 0, 10), path)
+        assert v0 == 0
+        assert _rows(read_delta_table(spark, path)) == _rows(_df(spark, 0, 10))
+
+        v1 = write_delta_table(_df(spark, 10, 15), path, mode="append")
+        assert v1 == 1
+        assert _rows(read_delta_table(spark, path)) == _rows(_df(spark, 0, 15))
+
+        v2 = write_delta_table(_df(spark, 100, 103), path, mode="overwrite")
+        assert v2 == 2
+        assert _rows(read_delta_table(spark, path)) == _rows(_df(spark, 100, 103))
+
+        # time travel reproduces every prior snapshot exactly
+        assert _rows(read_delta_table(spark, path, version=0)) == _rows(
+            _df(spark, 0, 10)
+        )
+        assert _rows(read_delta_table(spark, path, version=1)) == _rows(
+            _df(spark, 0, 15)
+        )
+        assert delta_table_version(path) == 2
+        hist = delta_history(path)
+        assert [h["version"] for h in hist] == [0, 1, 2]
+        assert hist[2]["operationParameters"]["mode"] == "overwrite"
+
+    def test_partitioned_table_reconstructs_partition_column(self, spark, tmp_path):
+        path = str(tmp_path / "t2")
+        write_delta_table(_df(spark, 0, 30), path, partition_by=["part"])
+        got = read_delta_table(spark, path)
+        assert set(got.columns) == {"k", "v", "part"}
+        assert _rows(got) == _rows(_df(spark, 0, 30))
+        # partition values survive the directory round trip
+        assert {r.part for r in got.select("part").distinct().collect()} == {
+            "0", "1", "2"
+        }
+        # appends inherit the table's partitioning without re-passing it
+        write_delta_table(_df(spark, 30, 33), path, mode="append")
+        assert read_delta_table(spark, path).count() == 33
+
+    def test_concurrent_commit_loses_cleanly(self, spark, tmp_path, monkeypatch):
+        import etl_processing_scd1_spark.sources.delta as delta_mod
+
+        path = str(tmp_path / "t3")
+        write_delta_table(_df(spark, 0, 5), path)
+        # race: a competing writer lands version 1 between this
+        # writer's log listing and its commit
+        real_list = delta_mod._list_versions
+
+        def racy_list(p):
+            versions = real_list(p)
+            if versions == [0]:
+                target = os.path.join(p, "_delta_log", f"{1:020d}.json")
+                if not os.path.exists(target):
+                    with open(target, "w") as fh:
+                        fh.write(
+                            json.dumps({"commitInfo": {"operation": "WRITE"}})
+                            + "\n"
+                        )
+                return versions  # stale view: competitor not seen
+            return versions
+
+        monkeypatch.setattr(delta_mod, "_list_versions", racy_list)
+        with pytest.raises(DeltaConcurrentCommit):
+            write_delta_table(_df(spark, 5, 8), path, mode="append")
+        monkeypatch.undo()
+        # the loser corrupted nothing: both committed versions read
+        assert read_delta_table(spark, path, version=0).count() == 5
+        assert read_delta_table(spark, path).count() == 5
+        # and a clean retry on the fresh snapshot succeeds at v2
+        assert write_delta_table(_df(spark, 5, 8), path, mode="append") == 2
+        assert read_delta_table(spark, path).count() == 8
+
+    def test_checkpoint_replay_equals_full_replay(self, spark, tmp_path):
+        path = str(tmp_path / "t4")
+        for i in range(6):
+            write_delta_table(
+                _df(spark, i * 2, i * 2 + 2), path,
+                mode="append", checkpoint_interval=0,
+            )
+        write_checkpoint(spark, path, 4)
+        assert os.path.exists(
+            os.path.join(path, "_delta_log", f"{4:020d}.checkpoint.parquet")
+        )
+        # target beyond the checkpoint: replay = checkpoint + commit 5
+        assert _rows(read_delta_table(spark, path)) == _rows(_df(spark, 0, 12))
+        # target at the checkpoint exactly
+        assert _rows(read_delta_table(spark, path, version=4)) == _rows(
+            _df(spark, 0, 10)
+        )
+        # pre-checkpoint target must NOT use the newer checkpoint
+        assert _rows(read_delta_table(spark, path, version=2)) == _rows(
+            _df(spark, 0, 6)
+        )
+
+    def test_auto_checkpoint_every_interval(self, spark, tmp_path):
+        path = str(tmp_path / "t5")
+        for i in range(4):
+            write_delta_table(
+                _df(spark, i, i + 1), path, mode="append", checkpoint_interval=3
+            )
+        assert os.path.exists(
+            os.path.join(path, "_delta_log", f"{3:020d}.checkpoint.parquet")
+        )
+        last = json.load(
+            open(os.path.join(path, "_delta_log", "_last_checkpoint"))
+        )
+        assert last["version"] == 3
+
+    def test_protocol_gating(self, spark, tmp_path):
+        path = str(tmp_path / "t6")
+        write_delta_table(_df(spark, 0, 3), path)
+        # raise minReaderVersion beyond support in a new commit
+        with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                              "minWriterVersion": 7}}) + "\n")
+        with pytest.raises(DeltaProtocolError, match="minReaderVersion=3"):
+            read_delta_table(spark, path)
+        # older version untouched by the upgrade commit still reads
+        assert read_delta_table(spark, path, version=0).count() == 3
+
+    def test_reads_hand_authored_spec_log(self, spark, tmp_path):
+        """A log assembled by hand from PROTOCOL.md primitives (not by
+        this writer): data file + protocol/metaData/add actions."""
+        path = str(tmp_path / "t7")
+        os.makedirs(os.path.join(path, "_delta_log"))
+        spark.range(0, 7).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        ).coalesce(1).write.parquet(str(tmp_path / "raw"))
+        src = next(
+            f for f in os.listdir(tmp_path / "raw") if f.endswith(".parquet")
+        )
+        os.replace(
+            str(tmp_path / "raw" / src), os.path.join(path, "data-0.parquet")
+        )
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "a", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "b", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": "00000000-0000-0000-0000-000000000000",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {},
+            }},
+            {"add": {
+                "path": "data-0.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, "data-0.parquet")),
+                "modificationTime": 0,
+                "dataChange": True,
+            }},
+        ]
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        got = read_delta_table(spark, path)
+        assert got.columns == ["a", "b"]
+        assert sorted((r.a, r.b) for r in got.collect()) == [
+            (i, i + 1) for i in range(7)
+        ]
+
+    def test_empty_snapshot_after_full_overwrite_remove(self, spark, tmp_path):
+        path = str(tmp_path / "t8")
+        write_delta_table(_df(spark, 0, 4), path)
+        empty = _df(spark, 0, 4).filter(F.lit(False))
+        write_delta_table(empty, path, mode="overwrite")
+        got = read_delta_table(spark, path)
+        assert got.count() == 0
+        assert set(got.columns) == {"k", "v", "part"}
