@@ -102,14 +102,17 @@ def _read_actions(fh_lines) -> list[dict]:
 
 
 class DeltaSnapshot:
-    """Replayed table state at one version: active files + metadata."""
+    """Replayed table state at one version: active files + metadata
+    + per-application transaction watermarks (``txn`` actions — the
+    spec's idempotent-streaming primitive)."""
 
     def __init__(self, version: int, metadata: dict, protocol: dict,
-                 files: dict[str, dict]):
+                 files: dict[str, dict], app_versions: dict[str, int]):
         self.version = version
         self.metadata = metadata
         self.protocol = protocol
         self.files = files  # path -> add action
+        self.app_versions = app_versions  # appId -> last txn version
 
     @property
     def schema(self) -> StructType:
@@ -133,6 +136,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
     files: dict[str, dict] = {}
     metadata: dict | None = None
     protocol: dict | None = None
+    app_versions: dict[str, int] = {}
 
     start = 0
     ckpt = _latest_checkpoint_at_or_before(path, target)
@@ -158,6 +162,11 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
                 ) or {}
             elif "protocol" in action:
                 protocol = action["protocol"]
+            elif "txn" in action:
+                t = action["txn"]
+                app_versions[t["appId"]] = max(
+                    app_versions.get(t["appId"], -1), int(t["version"])
+                )
         start = ckpt + 1
 
     for v in range(start, target + 1):
@@ -176,6 +185,11 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
                     metadata = action["metaData"]
                 elif "protocol" in action:
                     protocol = action["protocol"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    app_versions[t["appId"]] = max(
+                        app_versions.get(t["appId"], -1), int(t["version"])
+                    )
 
     if metadata is None or protocol is None:
         raise DeltaProtocolError(f"table {path} has no metaData/protocol action")
@@ -190,7 +204,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
     )
     if cm_mode != "none":
         raise DeltaProtocolError(f"column mapping mode {cm_mode!r} not supported")
-    return DeltaSnapshot(target, metadata, protocol, files)
+    return DeltaSnapshot(target, metadata, protocol, files, app_versions)
 
 
 def read_delta_table(
@@ -215,6 +229,17 @@ def read_delta_table(
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema.fields]
     )
+
+
+def delta_last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
+    """Highest ``txn`` version committed for ``app_id`` (−1 if none)
+    — the reader half of the spec's idempotent-writer contract: a
+    streaming sink skips any micro-batch with id ≤ this watermark."""
+    try:
+        snap = _replay(spark, path, None)
+    except FileNotFoundError:
+        return -1
+    return snap.app_versions.get(app_id, -1)
 
 
 def delta_table_version(path: str) -> int:
@@ -259,6 +284,7 @@ def write_delta_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the new
     version. ``mode='append'`` adds files; ``mode='overwrite'`` also
@@ -267,7 +293,12 @@ def write_delta_table(
     parquet write into a staged subdirectory, then registered in the
     log); the commit itself is the put-if-absent JSON, so a loser of
     a concurrent race raises ``DeltaConcurrentCommit`` with nothing
-    corrupted — its orphaned staged files are unreferenced."""
+    corrupted — its orphaned staged files are unreferenced.
+
+    ``txn=(app_id, version)`` records the spec's transaction
+    watermark in the same commit — the exactly-once primitive for
+    streaming writers: pair with :func:`delta_last_txn_version` to
+    skip replayed micro-batches (``streaming_delta_sink``)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
     spark = df.sparkSession
@@ -353,6 +384,16 @@ def write_delta_table(
                 }
             )
     shutil.rmtree(stage_abs, ignore_errors=True)
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {
@@ -419,6 +460,15 @@ def _checkpoint_schema():
                     ]
                 ),
             ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -462,13 +512,30 @@ def write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             "dataChange": bool(add.get("dataChange", True)),
         }
 
-    rows = [
-        {"protocol": snap.protocol, "metaData": None, "add": None},
-        {"protocol": None, "metaData": _meta_for_checkpoint(snap.metadata), "add": None},
-    ] + [
-        {"protocol": None, "metaData": None, "add": add_row(add)}
-        for _, add in sorted(snap.files.items())
-    ]
+    rows = (
+        [
+            {"protocol": snap.protocol, "metaData": None, "add": None, "txn": None},
+            {
+                "protocol": None,
+                "metaData": _meta_for_checkpoint(snap.metadata),
+                "add": None,
+                "txn": None,
+            },
+        ]
+        + [
+            {"protocol": None, "metaData": None, "add": add_row(add), "txn": None}
+            for _, add in sorted(snap.files.items())
+        ]
+        + [
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app, "version": v},
+            }
+            for app, v in sorted(snap.app_versions.items())
+        ]
+    )
     tbl = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
     tmp = _checkpoint_file(path, version) + f".tmp-{uuid.uuid4().hex}"
     pq.write_table(tbl, tmp)

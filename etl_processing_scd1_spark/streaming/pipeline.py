@@ -974,3 +974,53 @@ def streaming_components_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_delta_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once micro-batch appends into a Delta table via the
+    spec's ``txn`` action (``sources/delta.py``): every commit
+    records (appId, batch_id), and the sink SKIPS any micro-batch
+    whose id is ≤ the table's committed watermark for this appId —
+    so foreachBatch's at-least-once redelivery (checkpoint lost,
+    batch retried) cannot double-append rows. This is the same
+    mechanism real Delta streaming sinks use, and unlike the
+    versioned-slot contract of the OLS/skyline sinks it needs no
+    caller cooperation: idempotence lives in the table's own log.
+
+    ``app_id`` defaults to the checkpoint dir (stable across
+    restarts of the same query). Concurrent-writer races surface as
+    ``DeltaConcurrentCommit`` from the commit primitive — the batch
+    fails and Structured Streaming retries it, at which point the
+    watermark check decides."""
+    from ..sources.delta import delta_last_txn_version, write_delta_table
+
+    app = app_id or f"stream-{checkpoint_dir}"
+
+    def append_batch(batch: DataFrame, bid: int) -> None:
+        if not batch.take(1):
+            return
+        if bid <= delta_last_txn_version(batch.sparkSession, table_path, app):
+            return  # replayed micro-batch: already in the log
+        write_delta_table(
+            batch,
+            table_path,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app, bid),
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
