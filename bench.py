@@ -108,6 +108,7 @@ HEADLINE = [
     "exact_quantiles_price",  # histogram-refinement exact order stats
     "heavy_hitters_exact",    # candidate screen + proved-exact top-k
     "delta_scan",             # Delta-log round trip, partitioned snapshot read
+    "xlsx_scan_distributed",  # executor-side xlsx parse via binaryFile
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

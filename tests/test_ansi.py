@@ -64,6 +64,7 @@ RISKY = [
     "heavy_hitters_exact",   # Arrow partition counts + broadcast semi
     "delta_scan",            # partition-column string<->long casts
     "delta_time_travel",     # version-pinned snapshot aggregate
+    "xlsx_scan_distributed", # executor parse + string->long casts
 ]
 
 

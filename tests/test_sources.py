@@ -207,3 +207,77 @@ def test_fixed_width_roundtrip_exact(spark, tmp_path):
     # every rendered line has the exact total width
     widths = {len(r["value"]) for r in spark.read.text(path).collect()}
     assert widths == {24}
+
+
+class TestDistributedXlsx:
+    """Executor-side XLSX parse (binaryFile + mapInPandas) must match
+    the driver-side reader file-for-file, including Cyrillic strings
+    and preserved empty rows."""
+
+    def _write_files(self, tmp_path, n=3):
+        from tests.xlsx_util import write_xlsx
+
+        paths = []
+        for i in range(n):
+            p = str(tmp_path / f"term_{i}.xlsx")
+            write_xlsx(
+                p,
+                [
+                    ["terminal_id", "terminal_type", "terminal_city"],
+                    [f"A{i}00", "ATM", "Москва"],
+                    [f"P{i}11", "POS", f"Город-{i}"],
+                    [i * 10 + 7, "ATM", "Тверь"],  # numeric id cell
+                ],
+            )
+            paths.append(p)
+        return paths
+
+    def test_matches_driver_side_reader_per_file(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.readers import (
+            read_xlsx,
+            read_xlsx_distributed,
+        )
+
+        paths = self._write_files(tmp_path)
+        dist = read_xlsx_distributed(
+            spark, str(tmp_path / "term_*.xlsx"), with_source_file=True
+        )
+        got = {
+            p: sorted(
+                tuple(r)[1:] for r in dist.collect()
+                if r._source_file.endswith(os.path.basename(p))
+            )
+            for p in paths
+        }
+        for p in paths:
+            want = sorted(tuple(r) for r in read_xlsx(spark, p).collect())
+            assert got[p] == want, p
+
+    def test_explicit_columns_keep_all_rows(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.readers import (
+            read_xlsx_distributed,
+        )
+
+        paths = self._write_files(tmp_path, n=2)
+        dist = read_xlsx_distributed(
+            spark,
+            str(tmp_path / "term_*.xlsx"),
+            columns=["c1", "c2", "c3"],
+        )
+        # no header skipping: 4 rows per file including the header row
+        assert dist.count() == 8
+        assert dist.columns == ["c1", "c2", "c3"]
+
+    def test_parse_runs_distributed_not_on_driver(self, spark, tmp_path):
+        """The plan must be a binaryFile scan + mapInPandas — no
+        driver-side createDataFrame of parsed content (LocalTableScan
+        would betray a driver parse)."""
+        from etl_processing_scd1_spark.sources.readers import (
+            read_xlsx_distributed,
+        )
+
+        self._write_files(tmp_path)
+        dist = read_xlsx_distributed(spark, str(tmp_path / "term_*.xlsx"))
+        plan = dist._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "LocalTableScan" not in plan
