@@ -259,6 +259,14 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   CORRECTNESS_r07.json, families intact via the three slots above
 #   plus the pytest plan/replay gates that run regardless of window
 #   membership.
+#   Round-8 additions landing AFTER this window froze are first in
+#   line for the round-9 rotation (all oracle-green via
+#   tools/check.py when added): the product-analytics tier
+#   (registry/productq.py: exact_quantiles_price — sort-free exact
+#   order statistics; heavy_hitters_exact — proved-exact top-k with
+#   screen/fallback), the lakehouse-interop pair (delta_scan,
+#   delta_time_travel — sources/delta.py open-spec transaction log),
+#   and xlsx_scan_distributed (executor-side xlsx parse).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",
