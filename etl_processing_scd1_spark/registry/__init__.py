@@ -266,7 +266,10 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   order statistics; heavy_hitters_exact — proved-exact top-k with
 #   screen/fallback), the lakehouse-interop pair (delta_scan,
 #   delta_time_travel — sources/delta.py open-spec transaction log),
-#   and xlsx_scan_distributed (executor-side xlsx parse).
+#   and xlsx_scan_distributed (executor-side xlsx parse), plus the
+#   Iceberg-interop pair (iceberg_scan, iceberg_time_travel —
+#   sources/iceberg.py open-spec metadata tree over the
+#   sources/avro.py stdlib Avro object-container codec).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",

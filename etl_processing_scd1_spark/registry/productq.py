@@ -236,3 +236,85 @@ def xlsx_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.col("cents").cast("long")).alias("acctbal_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Apache Iceberg interop (sources/iceberg.py + sources/avro.py)
+# --------------------------------------------------------------------------
+
+_ICEBERG_SCAN_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("iceberg_scan", oracle=_ICEBERG_SCAN_ORACLE)
+def iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse interop, Iceberg half (companion to ``delta_scan``):
+    customer round-trips through a PARTITIONED Iceberg v1 table —
+    distributed parquet write registered in spec-shaped Avro
+    manifests + manifest list (``sources/avro.py`` stdlib
+    object-container codec) under a ``v<N>.metadata.json`` commit
+    (put-if-absent atomicity, the HadoopTables protocol), snapshot
+    read by manifest-list planning (never a directory listing) with
+    types cast per the table schema — then aggregates exact cents per
+    market segment. Rebuilt from scratch each run so snapshot/version
+    numbering is deterministic."""
+    import shutil
+
+    from ..sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    path = _delta_dir("iceberg_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_iceberg_table(cust, path, partition_by=["c_mktsegment"])
+    got = read_iceberg_table(spark, path)
+    return got.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acctbal_cents").alias("acctbal_cents"),
+    )
+
+
+_ICEBERG_TRAVEL_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer
+"""
+
+
+@register("iceberg_time_travel", oracle=_ICEBERG_TRAVEL_ORACLE)
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation through Iceberg metadata versions: commit 1
+    holds the FULL customer relation, commit 2 OVERWRITES it with a
+    small subset — the query then reads metadata ``version=1``. A
+    reader that ignored the version pin (or planned from a directory
+    listing instead of the pinned snapshot's manifest list) would see
+    the subset or a mix and fail the oracle, so the hash match IS the
+    time-travel proof."""
+    import shutil
+
+    from ..sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    path = _delta_dir("iceberg_travel")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_iceberg_table(cust, path)
+    write_iceberg_table(
+        cust.filter(F.col("c_custkey") % 100 == 0), path, mode="overwrite"
+    )
+    v1 = read_iceberg_table(spark, path, version=1)
+    return v1.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("acctbal_cents").alias("acctbal_cents"),
+    )

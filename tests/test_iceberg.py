@@ -1,0 +1,321 @@
+"""Apache Iceberg interop (sources/iceberg.py) and the stdlib Avro
+object-container codec under it (sources/avro.py): binary-encoding
+round trips (hypothesis), container files under both codecs, table
+write/read round trips, append vs overwrite snapshots, metadata-
+version and snapshot-id time travel, partitioned layout with typed
+partition tuples, put-if-absent commit atomicity, protocol gating,
+and the foreign-table path (identity-partition constants filled from
+the manifest when data files omit the column)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_processing_scd1_spark.sources.avro import (
+    AvroError,
+    decode,
+    dump_avro,
+    encode,
+    load_avro,
+    parse_schema,
+)
+from etl_processing_scd1_spark.sources.iceberg import (
+    IcebergConcurrentCommit,
+    IcebergProtocolError,
+    iceberg_snapshots,
+    iceberg_table_version,
+    read_iceberg_table,
+    write_iceberg_table,
+)
+
+
+# --------------------------------------------------------------------------
+# Avro codec
+# --------------------------------------------------------------------------
+
+_REC_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": {"type": "array", "items": "long"}},
+            {"name": "d", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": "boolean"},
+            {"name": "f", "type": "double"},
+            {"name": "g", "type": "bytes"},
+        ],
+    }
+)
+
+_REC = st.fixed_dictionaries(
+    {
+        "a": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "b": st.none() | st.text(max_size=20),
+        "c": st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=5),
+        "d": st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=4),
+        "e": st.booleans(),
+        "f": st.floats(allow_nan=False),
+        "g": st.binary(max_size=16),
+    }
+)
+
+
+class TestAvroCodec:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_REC, max_size=8), st.sampled_from(["null", "deflate"]))
+    def test_container_roundtrip(self, tmp_path_factory, recs, codec):
+        path = str(tmp_path_factory.mktemp("avro") / "t.avro")
+        dump_avro(path, _REC_SCHEMA, recs, codec=codec)
+        meta, out = load_avro(path)
+        assert out == recs
+        assert meta["avro.codec"].decode() == codec
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def test_zigzag_long_roundtrip(self, n):
+        buf = io.BytesIO()
+        encode(buf, "long", n)
+        buf.seek(0)
+        assert decode(buf, "long") == n
+
+    def test_named_type_reference_and_enum_fixed(self):
+        schema = parse_schema(
+            json.dumps(
+                {
+                    "type": "record",
+                    "name": "outer",
+                    "fields": [
+                        {
+                            "name": "p",
+                            "type": {
+                                "type": "record",
+                                "name": "pt",
+                                "fields": [{"name": "x", "type": "int"}],
+                            },
+                        },
+                        {"name": "q", "type": "pt"},  # reference by name
+                        {
+                            "name": "kind",
+                            "type": {
+                                "type": "enum",
+                                "name": "k",
+                                "symbols": ["A", "B"],
+                            },
+                        },
+                        {
+                            "name": "sync",
+                            "type": {"type": "fixed", "name": "s16", "size": 4},
+                        },
+                    ],
+                }
+            )
+        )
+        rec = {"p": {"x": 1}, "q": {"x": -7}, "kind": "B", "sync": b"abcd"}
+        buf = io.BytesIO()
+        encode(buf, schema, rec)
+        buf.seek(0)
+        assert decode(buf, schema) == rec
+
+    def test_negative_array_block_count_with_size(self):
+        # spec: a negative count means |count| items preceded by a
+        # byte size — writers like Java Avro emit this form
+        schema = parse_schema(json.dumps({"type": "array", "items": "long"}))
+        items = io.BytesIO()
+        encode(items, "long", 5)
+        encode(items, "long", 6)
+        payload = items.getvalue()
+        buf = io.BytesIO()
+        encode(buf, "long", -2)
+        encode(buf, "long", len(payload))
+        buf.write(payload)
+        encode(buf, "long", 0)
+        buf.seek(0)
+        assert decode(buf, schema) == [5, 6]
+
+    def test_corrupt_sync_marker_raises(self, tmp_path):
+        path = str(tmp_path / "t.avro")
+        dump_avro(path, _REC_SCHEMA, [{"a": 1, "b": None, "c": [], "d": {},
+                                       "e": True, "f": 0.0, "g": b""}])
+        raw = bytearray(open(path, "rb").read())
+        raw[-1] ^= 0xFF
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(AvroError, match="sync"):
+            load_avro(path)
+
+
+# --------------------------------------------------------------------------
+# Iceberg tables
+# --------------------------------------------------------------------------
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).cast("string").alias("part"),
+    )
+
+
+def _rows(df):
+    return sorted((r.k, r.v, r.part) for r in df.select("k", "v", "part").collect())
+
+
+class TestIcebergRoundTrip:
+    def test_write_read_append_overwrite_timetravel(self, spark, tmp_path):
+        path = str(tmp_path / "t1")
+        v1 = write_iceberg_table(_df(spark, 0, 10), path)
+        assert v1 == 1
+        assert _rows(read_iceberg_table(spark, path)) == _rows(_df(spark, 0, 10))
+
+        v2 = write_iceberg_table(_df(spark, 10, 15), path, mode="append")
+        assert v2 == 2
+        assert _rows(read_iceberg_table(spark, path)) == _rows(_df(spark, 0, 15))
+
+        v3 = write_iceberg_table(_df(spark, 100, 103), path, mode="overwrite")
+        assert v3 == 3
+        assert _rows(read_iceberg_table(spark, path)) == _rows(_df(spark, 100, 103))
+
+        # time travel: metadata version pin sees the pre-overwrite state
+        assert _rows(read_iceberg_table(spark, path, version=2)) == _rows(
+            _df(spark, 0, 15)
+        )
+        assert _rows(read_iceberg_table(spark, path, version=1)) == _rows(
+            _df(spark, 0, 10)
+        )
+        # snapshot pin within the LATEST metadata (old snapshots kept)
+        snaps = iceberg_snapshots(path)
+        assert [s["operation"] for s in snaps] == ["append", "append", "overwrite"]
+        assert _rows(
+            read_iceberg_table(spark, path, snapshot_id=snaps[0]["snapshot-id"])
+        ) == _rows(_df(spark, 0, 10))
+        assert iceberg_table_version(path) == 3
+
+    def test_partitioned_layout_and_typed_tuples(self, spark, tmp_path):
+        path = str(tmp_path / "t2")
+        write_iceberg_table(_df(spark, 0, 30), path, partition_by=["part"])
+        got = read_iceberg_table(spark, path)
+        assert _rows(got) == _rows(_df(spark, 0, 30))
+        # data files keep ALL schema columns (spec behavior) and the
+        # hive layout uses shadow dirs
+        data_dirs = os.listdir(os.path.join(path, "data"))
+        assert any(d.startswith("_p_part=") for d in data_dirs)
+        # the manifest carries a typed partition tuple
+        from etl_processing_scd1_spark.sources.avro import load_avro as _load
+
+        meta_dir = os.path.join(path, "metadata")
+        manifest = next(
+            f for f in os.listdir(meta_dir) if f.endswith("-m0.avro")
+        )
+        _, entries = _load(os.path.join(meta_dir, manifest))
+        parts = {e["data_file"]["partition"]["part"] for e in entries}
+        assert parts == {"0", "1", "2"}
+        assert all(e["data_file"]["record_count"] > 0 for e in entries)
+
+    def test_integer_partition_column_round_trips_typed(self, spark, tmp_path):
+        path = str(tmp_path / "t3")
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("bucket")
+        )
+        write_iceberg_table(df, path, partition_by=["bucket"])
+        got = read_iceberg_table(spark, path)
+        assert dict(got.dtypes)["bucket"] == "bigint"
+        assert sorted(r.bucket for r in got.select("bucket").distinct().collect()) == [
+            0, 1, 2, 3,
+        ]
+
+    def test_append_reorders_columns_to_table_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t4")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        shuffled = _df(spark, 5, 8).select("part", "v", "k")
+        write_iceberg_table(shuffled, path, mode="append")
+        assert _rows(read_iceberg_table(spark, path)) == _rows(_df(spark, 0, 8))
+
+    def test_empty_overwrite_gives_empty_snapshot(self, spark, tmp_path):
+        path = str(tmp_path / "t5")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        write_iceberg_table(_df(spark, 0, 5).limit(0), path, mode="overwrite")
+        got = read_iceberg_table(spark, path)
+        assert got.count() == 0
+        assert got.columns == ["k", "v", "part"]
+
+
+class TestIcebergProtocol:
+    def test_concurrent_commit_loses_cleanly(self, spark, tmp_path):
+        path = str(tmp_path / "t6")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        # steal version 2 out from under the writer
+        v2 = os.path.join(path, "metadata", "v2.metadata.json")
+        with open(os.path.join(path, "metadata", "v1.metadata.json")) as fh:
+            json_v1 = fh.read()
+        with open(v2, "w") as fh:
+            fh.write(json_v1)
+        with pytest.raises(IcebergConcurrentCommit):
+            write_iceberg_table(_df(spark, 5, 9), path, mode="append")
+        # the winner's table still reads
+        assert read_iceberg_table(spark, path, version=1).count() == 5
+
+    def test_future_format_version_gated(self, spark, tmp_path):
+        path = str(tmp_path / "t7")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        f = os.path.join(path, "metadata", "v1.metadata.json")
+        meta = json.load(open(f))
+        meta["format-version"] = 3
+        json.dump(meta, open(f, "w"))
+        with pytest.raises(IcebergProtocolError, match="format-version 3"):
+            read_iceberg_table(spark, path)
+
+    def test_v2_delete_manifest_gated(self, spark, tmp_path):
+        path = str(tmp_path / "t8")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        meta_dir = os.path.join(path, "metadata")
+        snap_list = next(f for f in os.listdir(meta_dir) if f.startswith("snap-"))
+        lp = os.path.join(meta_dir, snap_list)
+        meta_hdr, manifests = load_avro(lp)
+        schema = json.loads(meta_hdr["avro.schema"].decode())
+        schema["fields"].append(
+            {"name": "content", "type": "int", "field-id": 517}
+        )
+        for m in manifests:
+            m["content"] = 1
+        dump_avro(lp, json.dumps(schema), manifests)
+        with pytest.raises(IcebergProtocolError, match="DELETE manifests"):
+            read_iceberg_table(spark, path)
+
+    def test_nested_schema_refused_by_writer(self, spark, tmp_path):
+        df = spark.range(3).select(F.struct(F.col("id")).alias("s"))
+        with pytest.raises(IcebergProtocolError, match="flat scalar"):
+            write_iceberg_table(df, str(tmp_path / "t9"))
+
+
+class TestForeignTable:
+    def test_partition_constants_filled_from_manifest(self, spark, tmp_path):
+        """A table written by engines that DROP identity-partition
+        source columns from data files (hive-migrated layouts): our
+        reader reconstitutes the column from the manifest's typed
+        partition tuple."""
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "t10")
+        write_iceberg_table(_df(spark, 0, 30), path, partition_by=["part"])
+        # strip the partition column out of every data file in place
+        for root, _d, fns in os.walk(os.path.join(path, "data")):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    f = os.path.join(root, fn)
+                    t = pq.read_table(f)
+                    # a foreign writer carries no Spark row-metadata
+                    # footer key (Spark would trust it over the
+                    # physical schema and resurrect the column as NULL)
+                    t = t.drop_columns(["part"]).replace_schema_metadata(None)
+                    pq.write_table(t, f)
+        got = read_iceberg_table(spark, path)
+        assert _rows(got) == _rows(_df(spark, 0, 30))
