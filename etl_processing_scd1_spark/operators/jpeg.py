@@ -1,13 +1,18 @@
-"""Baseline JPEG codec — pure Python + numpy, no third-party codecs.
+"""JPEG codec — pure Python + numpy, no third-party codecs.
 
-Closes the last compressed-format seam in ``multimodal.decode_image``
+Closes the compressed-format seam in ``multimodal.decode_image``
 (the round-5/6 PNG work covered the lossless side): a real, standard
-JFIF encoder/decoder pair for baseline sequential DCT, 8-bit, either
-grayscale (1 component) or YCbCr 4:4:4 (3 components, no chroma
-subsampling), standard Annex-K quantization and Huffman tables.
-Unsupported on decode (progressive SOF2, arithmetic coding, chroma
-subsampling, restart intervals, 12-bit) raises ValueError — the same
-documented PIL/libvips deployment seam as the other codecs.
+JFIF codec. Decode covers baseline sequential (SOF0) AND progressive
+(SOF2) DCT, 8-bit, grayscale or YCbCr at arbitrary sampling factors
+(4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / 4:1:1), restart intervals
+(DRI/RSTn), multi-scan spectral selection + successive approximation
+with EOB runs — i.e. what a real web crawl contains. Encode emits
+baseline at any of those samplings (plus restart intervals) and a
+spectrally-complete progressive scan script, standard Annex-K
+quantization and Huffman tables. Still unsupported on decode
+(arithmetic coding, lossless/hierarchical, 12-bit) raises ValueError
+— the same documented PIL/libvips deployment seam as the other
+codecs.
 
 Determinism discipline: every rounding step is ``floor(x + 0.5)``
 (round-half-up), and the DC quantization is PURE INTEGER
@@ -256,26 +261,32 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return bytes([0xFF, tag]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_jpeg(
+SAMPLINGS = {
+    "444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2), "411": (4, 1),
+}
+
+
+def _component_blocks(
     width: int,
     height: int,
     pixels: bytes,
-    channels: int = 3,
-    quality: int = 75,
-    subsample: bool = False,
-) -> bytes:
-    """Baseline JFIF encoder: grayscale (channels=1) or YCbCr
-    (channels=3) at 4:4:4, or 4:2:0 with ``subsample=True`` (2×2
-    chroma downsampling by mean — the layout virtually every camera
-    JPEG uses); standard tables scaled to ``quality``."""
+    channels: int,
+    quality: int,
+    sampling: str,
+) -> tuple[list[np.ndarray], list[np.ndarray], tuple[int, int]]:
+    """Shared encoder front half: color transform, chroma
+    downsampling per ``sampling``, pad to MCU multiples, forward
+    DCT + quantization → per-component arrays of ZIGZAG-order
+    coefficient blocks shaped (bh, bw, 64), plus the quant tables
+    and luma sampling factors."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
-    if subsample and channels != 3:
-        raise ValueError("subsampling applies to 3-channel YCbCr only")
+    if sampling not in SAMPLINGS:
+        raise ValueError(f"sampling must be one of {sorted(SAMPLINGS)}")
+    hl, vl = SAMPLINGS[sampling] if channels == 3 else (1, 1)
     px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
     qt_l = scaled_quant_table(QT_LUM, quality)
     qt_c = scaled_quant_table(QT_CHROM, quality)
-
     if channels == 3:
         planes = _rgb_to_ycbcr(px)
         qts = [qt_l, qt_c, qt_c]
@@ -283,31 +294,111 @@ def encode_jpeg(
         planes = [px[:, :, 0].astype(np.float64)]
         qts = [qt_l]
 
-    if subsample:
-        # pad to 16-multiples (MCU = 2×2 luma blocks), downsample chroma
-        ph = (height + 15) // 16 * 16
-        pw = (width + 15) // 16 * 16
-        planes = [
-            np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
-            for p in planes
-        ]
-        for ci in (1, 2):
-            c = planes[ci]
-            planes[ci] = np.floor(
-                (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
-                / 4.0
-                + 0.5
-            )
-        samplings = [0x22, 0x11, 0x11]
-    else:
-        ph = (height + 7) // 8 * 8
-        pw = (width + 7) // 8 * 8
-        planes = [
-            np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
-            for p in planes
-        ]
-        samplings = [0x11] * channels
+    mw, mh = 8 * hl, 8 * vl  # MCU pixel size
+    ph = (height + mh - 1) // mh * mh
+    pw = (width + mw - 1) // mw * mw
+    planes = [
+        np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge") for p in planes
+    ]
+    for ci in range(1, channels):
+        c = planes[ci]
+        box = c.reshape(ph // vl, vl, pw // hl, hl).mean(axis=(1, 3))
+        planes[ci] = np.floor(box + 0.5)
 
+    coef = []
+    for ci, plane in enumerate(planes):
+        h, w = plane.shape
+        bh, bw = h // 8, w // 8
+        zz = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                q = _fdct_quant(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                                qts[ci])
+                zz[by, bx] = q.flatten()[ZIGZAG]
+        coef.append(zz)
+    return coef, qts, (hl, vl)
+
+
+def _headers(
+    width: int,
+    height: int,
+    channels: int,
+    qts: list[np.ndarray],
+    luma_samp: tuple[int, int],
+    sof_tag: int,
+    restart_interval: int = 0,
+) -> bytearray:
+    """SOI + JFIF + DQT + SOF + DHT (+ DRI) prologue shared by the
+    baseline and progressive encoders."""
+
+    def qt_payload(tid: int, q: np.ndarray) -> bytes:
+        return bytes([tid]) + bytes(int(q.flatten()[z]) for z in ZIGZAG)
+
+    def dht_payload(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xDB, qt_payload(0, qts[0]))
+    if channels == 3:
+        out += _marker(0xDB, qt_payload(1, qts[1]))
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([channels])
+    hl, vl = luma_samp
+    for ci in range(channels):
+        samp = (hl << 4) | vl if ci == 0 else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
+    out += _marker(sof_tag, bytes(sof))
+    out += _marker(0xC4, dht_payload(0, 0, _DC_LUM_BITS, _DC_LUM_VALS))
+    out += _marker(0xC4, dht_payload(1, 0, _AC_LUM_BITS, _AC_LUM_VALS))
+    if channels == 3:
+        out += _marker(0xC4, dht_payload(0, 1, _DC_CHROM_BITS, _DC_CHROM_VALS))
+        out += _marker(0xC4, dht_payload(1, 1, _AC_CHROM_BITS, _AC_CHROM_VALS))
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
+    return out
+
+
+def _mcu_order(coef, luma_samp, channels):
+    """Yield (ci, by, bx) in interleaved MCU order (or the single
+    component's row-major order for grayscale)."""
+    hl, vl = luma_samp
+    bh, bw = coef[0].shape[:2]
+    mcus_y, mcus_x = bh // vl, bw // hl
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for dy in range(vl):
+                for dx in range(hl):
+                    yield 0, my * vl + dy, mx * hl + dx
+            for ci in range(1, channels):
+                yield ci, my, mx
+            yield None  # MCU boundary sentinel (restart bookkeeping)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 75,
+    subsample: bool = False,
+    sampling: str | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder: grayscale (channels=1) or YCbCr
+    (channels=3) at any of the standard chroma layouts
+    (``sampling`` in 444/422/440/420/411; ``subsample=True`` is the
+    4:2:0 shorthand), optional restart intervals (``DRI`` +
+    ``RSTn`` every ``restart_interval`` MCUs — what camera firmware
+    emits for error resilience); standard tables scaled to
+    ``quality``."""
+    if sampling is None:
+        sampling = "420" if subsample else "444"
+    if channels == 1 and sampling != "444":
+        raise ValueError("subsampling applies to 3-channel YCbCr only")
+    coef, qts, luma_samp = _component_blocks(
+        width, height, pixels, channels, quality, sampling
+    )
     dc_l = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_l = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
     dc_c = _build_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
@@ -316,76 +407,271 @@ def encode_jpeg(
 
     writer = _BitWriter()
     prev_dc = [0] * channels
-
-    def emit(ci: int, block: np.ndarray) -> None:
-        coefs = _fdct_quant(block, qts[ci])
+    mcu = 0
+    rst = 0
+    for item in _mcu_order(coef, luma_samp, channels):
+        if item is None:
+            mcu += 1
+            if restart_interval and mcu % restart_interval == 0:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc = [0] * channels
+            continue
+        ci, by, bx = item
+        zz = coef[ci][by, bx]
+        nat = np.zeros(64, dtype=np.int64)
+        nat[ZIGZAG] = zz
         prev_dc[ci] = _encode_block(
-            writer, coefs, prev_dc[ci], huffs[ci][0], huffs[ci][1]
+            writer, nat.reshape(8, 8), prev_dc[ci], huffs[ci][0], huffs[ci][1]
         )
-
-    if subsample:
-        for by in range(ph // 16):
-            for bx in range(pw // 16):
-                for dy in range(2):
-                    for dx in range(2):
-                        y0, x0 = by * 16 + dy * 8, bx * 16 + dx * 8
-                        emit(0, planes[0][y0 : y0 + 8, x0 : x0 + 8])
-                for ci in (1, 2):
-                    emit(
-                        ci,
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    )
-    else:
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                for ci in range(channels):
-                    emit(ci, planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
     writer.flush()
+    # a trailing RST emitted exactly at the final MCU boundary is
+    # spec-illegal (restart markers only BETWEEN intervals); drop it
+    if restart_interval and writer.buf[-2:] == bytes([0xFF, 0xD0 + (rst - 1) % 8]):
+        total_mcus = mcu
+        if total_mcus % restart_interval == 0:
+            del writer.buf[-2:]
 
-    def qt_payload(tid: int, q: np.ndarray) -> bytes:
-        return bytes([tid]) + bytes(int(q.flatten()[z]) for z in ZIGZAG)
-
-    def dht_payload(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        return bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _marker(0xDB, qt_payload(0, qt_l))
-    if channels == 3:
-        out += _marker(0xDB, qt_payload(1, qt_c))
-    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
-    sof += bytes([channels])
-    for ci in range(channels):
-        sof += bytes([ci + 1, samplings[ci], 0 if ci == 0 else 1])
-    out += _marker(0xC0, bytes(sof))
-    out += _marker(0xC4, dht_payload(0, 0, _DC_LUM_BITS, _DC_LUM_VALS))
-    out += _marker(0xC4, dht_payload(1, 0, _AC_LUM_BITS, _AC_LUM_VALS))
-    if channels == 3:
-        out += _marker(0xC4, dht_payload(0, 1, _DC_CHROM_BITS, _DC_CHROM_VALS))
-        out += _marker(0xC4, dht_payload(1, 1, _AC_CHROM_BITS, _AC_CHROM_VALS))
+    out = _headers(width, height, channels, qts, luma_samp, 0xC0, restart_interval)
     sos = bytearray([channels])
     for ci in range(channels):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += _marker(0xDA, bytes(sos))
     out += writer.buf
-    out += b"\xff\xd9"  # EOI
+    out += b"\xff\xd9"
     return bytes(out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 75,
+    sampling: str = "444",
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder with a spectrally-complete
+    successive-approximation scan script — the web-standard layout:
+
+    1. DC first scan, all components interleaved, Al=1;
+    2. DC refinement, Ah=1 → Al=0;
+    3. per component: AC first scan (Ss=1..63, Al=1), then
+       AC refinement (Ah=1 → Al=0).
+
+    Exercises every progressive decode path (DC/AC first + refine,
+    EOB runs, non-interleaved AC scans over the component's true
+    block grid)."""
+    coef, qts, luma_samp = _component_blocks(
+        width, height, pixels, channels, quality, sampling
+    )
+    hl, vl = luma_samp
+    # non-interleaved AC scans walk the component's TRUE block grid
+    # (ceil(comp_dim/8)), not the MCU-padded one
+    hmax, vmax = (hl, vl) if channels == 3 else (1, 1)
+    true_grid = []
+    for ci in range(channels):
+        hi, vi = (hl, vl) if ci == 0 else (1, 1)
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        true_grid.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    dc_codes = [_build_codes(_DC_LUM_BITS, _DC_LUM_VALS)] + [
+        _build_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ] * (channels - 1)
+    ac_codes = [_build_codes(_AC_LUM_BITS, _AC_LUM_VALS)] + [
+        _build_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
+    ] * (channels - 1)
+
+    out = _headers(width, height, channels, qts, luma_samp, 0xC2)
+
+    def sos_header(comps: list[int], Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        sos = bytearray([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        return _marker(0xDA, bytes(sos))
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    w = _BitWriter()
+    prev = [0] * channels
+    for item in _mcu_order(coef, luma_samp, channels):
+        if item is None:
+            continue
+        ci, by, bx = item
+        val = int(coef[ci][by, bx][0]) >> 1  # point transform Al=1
+        diff = val - prev[ci]
+        prev[ci] = val
+        s = _category(diff)
+        code, length = dc_codes[ci][s]
+        w.write(code, length)
+        w.write(_amplitude(diff, s), s)
+    w.flush()
+    out += sos_header(list(range(channels)), 0, 0, 0, 1)
+    out += w.buf
+
+    # ---- scan 2: DC refinement, interleaved, Ah=1 Al=0
+    w = _BitWriter()
+    for item in _mcu_order(coef, luma_samp, channels):
+        if item is None:
+            continue
+        ci, by, bx = item
+        w.write(int(coef[ci][by, bx][0]) & 1, 1)
+    w.flush()
+    out += sos_header(list(range(channels)), 0, 0, 1, 0)
+    out += w.buf
+
+    # ---- per component: AC first (Al=1) then AC refine (Ah=1, Al=0)
+    for ci in range(channels):
+        tbh, tbw = true_grid[ci]
+        blocks = [coef[ci][by, bx] for by in range(tbh) for bx in range(tbw)]
+        out += sos_header([ci], 1, 63, 0, 1)
+        out += _ac_first_scan(blocks, ac_codes[ci], Al=1)
+        out += sos_header([ci], 1, 63, 1, 0)
+        out += _ac_refine_scan(blocks, ac_codes[ci], Al=0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ac_first_scan(blocks: list[np.ndarray], ac: dict, Al: int) -> bytes:
+    """AC first scan body (spec G.6.1): magnitudes shifted toward
+    zero by Al, zero runs + ZRL, EOB-run accumulation across blocks."""
+    w = _BitWriter()
+    eobrun = 0
+
+    # EOB runs are capped at 1 (plain EOB symbol 0x00): the standard
+    # Annex-K AC tables carry no EOBn (0x10..0xE0) symbols — real
+    # progressive encoders ship custom-optimized DHTs for those. The
+    # DECODER handles arbitrary EOBn runs (pinned by a custom-DHT
+    # test); this encoder stays within the standard tables.
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        code, length = ac[0x00]
+        w.write(code, length)
+        eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        wrote = False
+        for k in range(1, 64):
+            t = int(zz[k])
+            t = (t >> Al) if t >= 0 else -((-t) >> Al)
+            if t == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                code, length = ac[0xF0]
+                w.write(code, length)
+                r -= 16
+            s = _category(t)
+            code, length = ac[(r << 4) | s]
+            w.write(code, length)
+            w.write(_amplitude(t, s), s)
+            r = 0
+            wrote = True
+        if r > 0 or not wrote:
+            eobrun += 1
+            emit_eobrun()
+    emit_eobrun()
+    w.flush()
+    return bytes(w.buf)
+
+
+def _ac_refine_scan(blocks: list[np.ndarray], ac: dict, Al: int) -> bytes:
+    """AC refinement scan body (spec G.6.2 / figure G.7): newly
+    nonzero coefficients as run-length-coded ±1·2^Al, correction
+    bits for already-nonzero history buffered and flushed with the
+    next symbol or EOB run."""
+    w = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed to the open EOB block
+
+    # same standard-tables constraint as _ac_first_scan: runs cap at 1
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            code, length = ac[0x00]
+            w.write(code, length)
+            eobrun = 0
+        for b in pending:
+            w.write(b, 1)
+        pending.clear()
+
+    for zz in blocks:
+        absval = np.zeros(64, dtype=np.int64)
+        eob_pos = 0
+        for k in range(1, 64):
+            t = int(zz[k])
+            t = (t >> Al) if t >= 0 else -((-t) >> Al)
+            absval[k] = abs(t)
+            if abs(t) == 1:
+                eob_pos = k
+        r = 0
+        br: list[int] = []  # correction bits for this block's symbols
+        for k in range(1, 64):
+            t = int(absval[k])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_pos:
+                emit_eobrun()
+                code, length = ac[0xF0]
+                w.write(code, length)
+                r -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if t > 1:
+                # history coefficient: next magnitude bit only
+                br.append(t & 1)
+                continue
+            emit_eobrun()
+            code, length = ac[(r << 4) | 1]
+            w.write(code, length)
+            w.write(0 if int(zz[k]) < 0 else 1, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            emit_eobrun()
+    emit_eobrun()
+    w.flush()
+    return bytes(w.buf)
+
+
+class _ScanReader:
+    """Entropy-coded-segment reader positioned on the full payload:
+    destuffs 0xFF00 inline, consumes RSTn markers at restart
+    boundaries, and reports where the segment ended so the marker
+    parser can resume (multi-scan progressive files)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
-        self.pos = 0
+        self.pos = pos
         self.acc = 0
         self.nbits = 0
 
     def read_bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
+            d = self.data
+            if self.pos >= len(d):
                 raise ValueError("truncated JPEG entropy data")
-            self.acc = self.data[self.pos]
-            self.pos += 1
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("truncated JPEG entropy data (marker hit)")
+            else:
+                self.pos += 1
+            self.acc = b
             self.nbits = 8
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
@@ -396,13 +682,30 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        if not (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+    def finish(self) -> int:
+        """Drop padding bits; → index of the marker that ends the scan."""
+        self.nbits = 0
+        return self.pos
+
 
 def _extend(v: int, s: int) -> int:
     # invert the encoder's one's-complement amplitude mapping
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _read_symbol(reader: "_ScanReader", table: dict[tuple[int, int], int]) -> int:
     code = 0
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
@@ -413,22 +716,149 @@ def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JFIF payload → (width, height, channels,
-    packed top-down pixel bytes, gray or RGB). Supports exactly what
-    :func:`encode_jpeg` emits (baseline sequential, 8-bit, 1 or 3
-    components at 1×1 sampling, no restart markers); anything else
-    raises ValueError with the deployment-seam message."""
+    """Decode a JFIF payload → (width, height, channels, packed
+    top-down pixel bytes, gray or RGB).
+
+    Coverage (general, not just this module's own encoder output):
+    baseline sequential (SOF0) AND progressive (SOF2) DCT, 8-bit,
+    1 or 3 components, ARBITRARY sampling factors (4:4:4, 4:2:0,
+    4:2:2, 4:4:0, 4:1:1 — nearest-neighbor chroma upsample), restart
+    intervals (DRI/RSTn), multi-scan spectral selection + successive
+    approximation with EOB runs. Still gated with the deployment-seam
+    ValueError: arithmetic coding, lossless/hierarchical frames,
+    12-bit precision, 16-bit quant tables.
+
+    Design: every scan decodes into per-component COEFFICIENT stores
+    (zigzag order), exactly the spec's model — baseline is just the
+    single-scan special case — and one vectorized dequant+IDCT pass
+    reconstructs all blocks per component at EOI."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
-    scan = None
+    coef: list[np.ndarray] = []
+    grids: list[tuple[int, int, int, int]] = []  # bh, bw, tbh, tbw per comp
+    dri = 0
+    mcus_x = mcus_y = hmax = vmax = 0
+
+    def decode_scan(sel: dict, Ss: int, Se: int, Ah: int, Al: int,
+                    reader: "_ScanReader") -> None:
+        nc = len(frame[2])
+        pred = [0] * nc
+        state = {"eobrun": 0}
+        in_scan = [
+            (ci, sel[frame[2][ci][0]][0], sel[frame[2][ci][0]][1])
+            for ci in range(nc)
+            if frame[2][ci][0] in sel
+        ]
+
+        def refine_nonzero(zz, k: int, p1: int) -> None:
+            cur = int(zz[k])
+            if reader.read_bit() and (cur & p1) == 0:
+                zz[k] = cur + (p1 if cur >= 0 else -p1)
+
+        def visit(ci: int, dc_id: int, ac_id: int, by: int, bx: int) -> None:
+            zz = coef[ci][by, bx]
+            if Ah == 0:  # first pass (baseline, or progressive first scans)
+                if Ss == 0:
+                    s = _read_symbol(reader, dc_tabs[dc_id])
+                    diff = _extend(reader.read_bits(s), s)
+                    pred[ci] += diff
+                    zz[0] = pred[ci] << Al
+                if Se == 0:
+                    return
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    return
+                k = max(Ss, 1)
+                while k <= Se:
+                    sym = _read_symbol(reader, ac_tabs[ac_id])
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        if r:
+                            state["eobrun"] = (1 << r) - 1 + reader.read_bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(reader.read_bits(s), s) << Al
+                    k += 1
+            elif Ss == 0:  # DC refinement: one bit per block
+                if reader.read_bit():
+                    zz[0] |= 1 << Al
+            else:  # AC refinement (the spec's G.7 / successive approximation)
+                p1 = 1 << Al
+                k = Ss
+                if state["eobrun"] == 0:
+                    while k <= Se:
+                        sym = _read_symbol(reader, ac_tabs[ac_id])
+                        r, s = sym >> 4, sym & 0x0F
+                        if s:
+                            s = p1 if reader.read_bit() else -p1
+                        elif r != 15:
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += reader.read_bits(r)
+                            break
+                        # advance over r zero-HISTORY coefficients,
+                        # emitting correction bits for nonzero ones
+                        while k <= Se:
+                            if int(zz[k]) != 0:
+                                refine_nonzero(zz, k, p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= Se:
+                            zz[k] = s
+                        k += 1
+                if state["eobrun"] > 0:
+                    while k <= Se:
+                        if int(zz[k]) != 0:
+                            refine_nonzero(zz, k, p1)
+                        k += 1
+                    state["eobrun"] -= 1
+
+        def maybe_restart(unit: int) -> None:
+            if dri and unit and unit % dri == 0:
+                reader.restart()
+                state["eobrun"] = 0
+                for c in range(nc):
+                    pred[c] = 0
+
+        if len(in_scan) == 1:
+            ci, dc_id, ac_id = in_scan[0]
+            _bh, _bw, tbh, tbw = grids[ci]
+            unit = 0
+            for by in range(tbh):
+                for bx in range(tbw):
+                    maybe_restart(unit)
+                    visit(ci, dc_id, ac_id, by, bx)
+                    unit += 1
+        else:
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart(unit)
+                    for ci, dc_id, ac_id in in_scan:
+                        hi, vi = frame[3][ci]
+                        for dy in range(vi):
+                            for dx in range(hi):
+                                visit(ci, dc_id, ac_id, my * vi + dy, mx * hi + dx)
+                    unit += 1
+
     i = 2
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError("marker expected in JPEG header")
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1  # fill bytes
         tag = payload[i + 1]
         if tag == 0xD9:  # EOI
             break
@@ -458,124 +888,76 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 else:
                     ac_tabs[tc_id & 0x0F] = table
                 j += 17 + n
-        elif tag == 0xC0:
+        elif tag in (0xC0, 0xC1, 0xC2):
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
             comps = []
             samps = []
             for c in range(nc):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, qid))
                 samps.append((samp >> 4, samp & 0x0F))
-            if nc not in (1, 3):
-                raise ValueError("only 1- or 3-component JPEG supported")
-            if not (
-                all(s == (1, 1) for s in samps)
-                or (nc == 3 and samps == [(2, 2), (1, 1), (1, 1)])
-            ):
-                raise ValueError(
-                    "only 4:4:4 / gray / 4:2:0 JPEG sampling supported "
-                    "(other layouts need PIL/libvips in deployment)"
-                )
-            frame = (w, h, comps, samps)
-        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                     0xCD, 0xCE, 0xCF):
+            hmax = max(s[0] for s in samps)
+            vmax = max(s[1] for s in samps)
+            if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+                raise ValueError("unsupported JPEG sampling factors")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            frame = (w, h, comps, samps, tag == 0xC2)
+            coef = []
+            grids = []
+            for hi, vi in samps:
+                bh, bw = mcus_y * vi, mcus_x * hi
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                grids.append((bh, bw, (ch + 7) // 8, (cw + 7) // 8))
+                coef.append(np.zeros((bh, bw, 64), dtype=np.int64))
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0) supported "
-                "(progressive/arithmetic need PIL/libvips in deployment)"
+                "only baseline/progressive Huffman JPEG (SOF0/SOF2) supported "
+                "(arithmetic/lossless/hierarchical need PIL/libvips in deployment)"
             )
         elif tag == 0xDD:
-            raise ValueError("restart intervals not supported")
+            dri = int.from_bytes(seg[:2], "big")
         elif tag == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
             ns = seg[0]
             sel = {}
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 0x0F)
-            # entropy data follows: destuff until the next real marker
-            j = i + 2 + seg_len
-            entropy = bytearray()
-            while j < len(payload) - 1:
-                b = payload[j]
-                if b == 0xFF:
-                    nxt = payload[j + 1]
-                    if nxt == 0x00:
-                        entropy.append(0xFF)
-                        j += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:
-                        raise ValueError("restart markers not supported")
-                    break
-                entropy.append(b)
-                j += 1
-            scan = (sel, bytes(entropy))
-            i = j
+            Ss, Se, AhAl = seg[1 + 2 * ns : 4 + 2 * ns]
+            reader = _ScanReader(payload, i + 2 + seg_len)
+            decode_scan(sel, Ss, Se, AhAl >> 4, AhAl & 0x0F, reader)
+            i = reader.finish()
             continue
         i += 2 + seg_len
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or not coef:
+        raise ValueError("JPEG missing frame/scan")
 
-    w, h, comps, samps = frame
-    sel, entropy = scan
-    nc = len(comps)
-    reader = _BitReader(entropy)
-    subsampled = nc == 3 and samps[0] == (2, 2)
-
-    def read_block(ci: int) -> np.ndarray:
-        cid, qid = comps[ci]
-        dc_id, ac_id = sel[cid]
-        zz = np.zeros(64, dtype=np.int64)
-        s = _read_symbol(reader, dc_tabs[dc_id])
-        diff = _extend(reader.read_bits(s), s)
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        k = 1
-        while k <= 63:
-            sym = _read_symbol(reader, ac_tabs[ac_id])
-            if sym == 0x00:  # EOB
-                break
-            run, size = sym >> 4, sym & 0x0F
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient index overflow")
-            zz[k] = _extend(reader.read_bits(size), size)
-            k += 1
-        coefs = np.zeros(64, dtype=np.int64)
-        coefs[ZIGZAG] = zz
-        return _dequant_idct(coefs.reshape(8, 8), qts[qid])
-
-    prev_dc = [0] * nc
-    if subsampled:
-        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
-        luma = np.zeros((ph, pw))
-        chroma = [np.zeros((ph // 2, pw // 2)) for _ in range(2)]
-        for by in range(ph // 16):
-            for bx in range(pw // 16):
-                for dy in range(2):
-                    for dx in range(2):
-                        y0, x0 = by * 16 + dy * 8, bx * 16 + dx * 8
-                        luma[y0 : y0 + 8, x0 : x0 + 8] = read_block(0)
-                for ci in (1, 2):
-                    chroma[ci - 1][
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ] = read_block(ci)
-        # nearest-neighbor chroma upsample back to full resolution
-        planes = [luma] + [np.repeat(np.repeat(c, 2, 0), 2, 1) for c in chroma]
-    else:
-        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-        planes = [np.zeros((ph, pw)) for _ in range(nc)]
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                for ci in range(nc):
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        read_block(ci)
-                    )
-    planes = [p[:h, :w] for p in planes]
-    if nc == 1:
+    w, h, comps, samps, _prog = frame
+    planes = []
+    for ci in range(len(comps)):
+        bh, bw, _tbh, _tbw = grids[ci]
+        q = qts[comps[ci][1]].astype(np.float64)
+        nat = np.zeros_like(coef[ci])
+        nat[:, :, ZIGZAG] = coef[ci]
+        blocks = nat.reshape(bh, bw, 8, 8).astype(np.float64) * q
+        # same operation tree as _dequant_idct, batched over blocks
+        spatial = _C.T @ blocks @ _C
+        recon = np.clip(np.floor(spatial + 128.0 + 0.5), 0, 255)
+        plane = recon.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        hi, vi = samps[ci]
+        rows = (np.arange(h) * vi) // vmax
+        cols = (np.arange(w) * hi) // hmax
+        planes.append(plane[rows][:, cols])
+    if len(comps) == 1:
         return (w, h, 1, planes[0].astype(np.uint8).tobytes())
     rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
     return (w, h, 3, rgb.tobytes())

@@ -17,7 +17,7 @@ surface splits in two:
   entropy-decoded, dequantized, IDCT'd and color-converted).
   ``decode_features`` runs it over binary payload columns in the same
   Arrow ``mapInPandas`` shape as every other extractor here.
-- remaining exotic variants (progressive/subsampled JPEG, video)
+- remaining exotic variants (arithmetic-coded/12-bit JPEG, video)
   still raise — wire PIL/libvips into the same function in
   deployment; ``fake_feature_extract`` remains the deterministic
   stand-in where tests need a payload-agnostic feature tuple.
@@ -282,12 +282,13 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int, bytes]:
     normalized away; PNG scanline filters are reconstructed). Supports
     binary PPM (P6, maxval ≤ 255), 24-bit uncompressed BMP,
     non-interlaced 8-bit gray/RGB/RGBA PNG (stdlib zlib inflate +
-    sub/up/average/paeth unfiltering), baseline sequential JPEG
-    (gray / YCbCr 4:4:4 and 4:2:0 via ``operators.jpeg``), and
+    sub/up/average/paeth unfiltering), baseline AND progressive
+    JPEG (gray / YCbCr at 4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1, restart
+    intervals, successive approximation — ``operators.jpeg``), and
     non-interlaced GIF87a/89a (real variable-width LZW, global or
-    local palette); remaining exotic variants (progressive JPEG,
-    palette/16-bit/Adam7 PNG, interlaced GIF, video) raise ValueError
-    — PIL/libvips slot in here in deployment."""
+    local palette); remaining exotic variants (arithmetic-coded /
+    12-bit JPEG, palette/16-bit/Adam7 PNG, interlaced GIF, video)
+    raise ValueError — PIL/libvips slot in here in deployment."""
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":

@@ -3162,6 +3162,69 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_progressive",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 * ((doc_id * 37) % 256 + (doc_id * 37 + 11) % 256
+                      + (doc_id * 37 + 22) % 256 + (doc_id * 37 + 33) % 256)
+                AS BIGINT) AS pixel_sum_prog,
+           CAST(64 * ((doc_id * 37) % 256 + (doc_id * 37 + 11) % 256
+                      + (doc_id * 37 + 22) % 256 + (doc_id * 37 + 33) % 256)
+                AS BIGINT) AS pixel_sum_rst
+    FROM documents
+    """,
+)
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-multimodal PROGRESSIVE JPEG decode (round-8 codec extension:
+    SOF2 successive approximation — DC first/refine + per-component
+    AC first/refine scans — plus DRI/RSTn restart intervals): the
+    same four-flat-tile 16×16 grayscale closed form as
+    ``multimodal_decode_jpeg``, but each image is decoded twice —
+    once through the multi-scan progressive path
+    (``encode_jpeg_progressive``) and once through a baseline stream
+    with a restart marker after EVERY MCU (``restart_interval=1``).
+    Both pixel sums only match 64·Σv_k if scan-script sequencing,
+    successive-approximation bit assembly, EOB handling, restart
+    resync and DC-predictor resets are all bit-correct."""
+    from ..operators.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "pixel_sum_prog", "pixel_sum_rst")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for k in range(4):
+                    v = (doc_id * 37 + k * 11) % 256
+                    by, bx = divmod(k, 2)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                prog = encode_jpeg_progressive(
+                    16, 16, img.tobytes(), channels=1, quality=75
+                )
+                _w, _h, _ch, px_p = decode_jpeg(prog)
+                rst = encode_jpeg(
+                    16, 16, img.tobytes(), channels=1, quality=75,
+                    restart_interval=1,
+                )
+                _w, _h, _ch, px_r = decode_jpeg(rst)
+                out["doc_id"].append(doc_id)
+                out["pixel_sum_prog"].append(int(sum(px_p)))
+                out["pixel_sum_rst"].append(int(sum(px_r)))
+            yield pd.DataFrame(out)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        synth_decode,
+        schema="doc_id bigint, pixel_sum_prog bigint, pixel_sum_rst bigint",
+    )
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH p AS (

@@ -203,13 +203,18 @@ def test_jpeg_rejections():
 
     img = np.full((8, 8), 10, dtype=np.uint8)
     enc = bytearray(encode_jpeg(8, 8, img.tobytes(), 1, 75))
-    # flip SOF0 to SOF2 (progressive): must raise, not mis-decode
+    # flip SOF0 to SOF9 (extended sequential, arithmetic coding):
+    # must raise, not mis-decode
     i = enc.find(b"\xff\xc0")
-    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(prog)
+    arith = bytes(enc[:i]) + b"\xff\xc9" + bytes(enc[i + 2 :])
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(arith)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
+    # a baseline single-scan inside an SOF2 frame is decoded by the
+    # same unified coefficient-store path — byte-identical pixels
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    assert decode_jpeg(prog) == decode_jpeg(bytes(enc))
 
 
 def test_jpeg_420_subsampled_roundtrip():
@@ -238,19 +243,167 @@ def test_jpeg_420_subsampled_roundtrip():
     assert np.abs(dec - 99).max() <= 1
 
 
-def test_jpeg_unsupported_sampling_rejected():
-    """4:2:2 (2x1) sampling must raise, not mis-decode."""
+def test_jpeg_sampling_layouts_roundtrip():
+    """Every standard chroma layout (4:2:2 / 4:4:0 / 4:1:1 on top of
+    the 4:4:4 / 4:2:0 cases above) round-trips with bounded error on
+    smooth content, including odd (non-MCU-multiple) dimensions."""
     import numpy as np
 
     from etl_processing_scd1_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    img = np.full((8, 8, 3), 50, dtype=np.uint8)
-    enc = bytearray(encode_jpeg(8, 8, img.tobytes(), 3, 75))
-    i = enc.find(b"\xff\xc0")
-    # component 0 sampling byte sits at SOF payload offset 7 (len(2)+prec+h+w+nc+cid)
-    enc[i + 2 + 2 + 6 + 1] = 0x21  # Y sampling 2x1
-    with pytest.raises(ValueError, match="sampling"):
+    src = np.zeros((21, 37, 3), dtype=np.uint8)
+    for y in range(21):
+        for x in range(37):
+            src[y, x] = [(2 * x + y) % 200 + 20, (3 * y) % 180 + 30,
+                         (x * 4) % 200 + 25]
+    for samp in ("422", "440", "411"):
+        w, h, ch, px = decode_jpeg(
+            encode_jpeg(37, 21, src.tobytes(), 3, 90, sampling=samp)
+        )
+        assert (w, h, ch) == (37, 21, 3)
+        dec = np.frombuffer(px, dtype=np.uint8).reshape(21, 37, 3).astype(int)
+        assert np.abs(dec - src.astype(int)).max() <= 12, samp
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: entropy stream restarts every N MCUs (DC predictors
+    reset, bit reader realigned) — what camera firmware emits. A
+    missing restart marker raises instead of mis-decoding."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    src = np.zeros((24, 40, 3), dtype=np.uint8)
+    for y in range(24):
+        for x in range(40):
+            src[y, x] = [(x * 5) % 220, (y * 9) % 220, (x + y) % 220]
+    for samp, dri in (("444", 3), ("420", 2), ("444", 1)):
+        enc = encode_jpeg(40, 24, src.tobytes(), 3, 90, sampling=samp,
+                          restart_interval=dri)
+        assert b"\xff\xdd" in enc  # DRI marker present
+        w, h, ch, px = decode_jpeg(enc)
+        dec = np.frombuffer(px, dtype=np.uint8).reshape(24, 40, 3).astype(int)
+        assert np.abs(dec - src.astype(int)).max() <= 10, (samp, dri)
+    # restart-marker-agnostic plain decode of the same pixels agrees
+    plain = decode_jpeg(encode_jpeg(40, 24, src.tobytes(), 3, 90))
+    with_rst = decode_jpeg(encode_jpeg(40, 24, src.tobytes(), 3, 90,
+                                       restart_interval=4))
+    assert plain == with_rst
+    # corrupt: strip the first RST marker -> decoder must notice
+    enc = bytearray(encode_jpeg(40, 24, src.tobytes(), 3, 90,
+                                restart_interval=1))
+    j = enc.find(b"\xff\xd0")
+    assert j > 0
+    del enc[j : j + 2]
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) successive-approximation decode: the scan
+    script (DC first/refine + per-component AC first/refine) carries
+    exactly the same quantized coefficients as the baseline encoding,
+    so decoded pixels must be BYTE-IDENTICAL to the baseline decode —
+    a closed-loop proof of the whole multi-scan machinery."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    src = np.zeros((24, 40, 3), dtype=np.uint8)
+    for y in range(24):
+        for x in range(40):
+            src[y, x] = [(2 * x + y) % 200 + 20, (3 * y) % 180 + 30,
+                         (x * 4) % 200 + 25]
+    for samp in ("444", "420", "422", "440", "411"):
+        base = decode_jpeg(encode_jpeg(40, 24, src.tobytes(), 3, 85,
+                                       sampling=samp))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(40, 24, src.tobytes(), 3, 85, sampling=samp)
+        )
+        assert base == prog, samp
+    # grayscale + flat-tile DC exactness through the progressive path
+    g = (np.arange(24 * 40, dtype=np.uint8) % 251).reshape(24, 40)
+    assert decode_jpeg(encode_jpeg_progressive(40, 24, g.tobytes(), 1, 75)) == \
+        decode_jpeg(encode_jpeg(40, 24, g.tobytes(), 1, 75))
+    flat = np.full((8, 8), 200, dtype=np.uint8)
+    w, h, ch, px = decode_jpeg(encode_jpeg_progressive(8, 8, flat.tobytes(), 1, 75))
+    assert set(px) == {200}
+
+
+def test_jpeg_progressive_eob_runs_decode():
+    """EOBn runs (r > 0) never appear in this module's own encoder
+    output (standard Annex-K tables carry no EOBn symbols), so pin
+    the decoder's run handling with a hand-assembled SOF2 file using
+    a custom DHT: 4 luma blocks where block 1 carries one AC
+    coefficient then opens an EOB2 run (covers blocks 2-3) and block
+    4 ends with a plain EOB."""
+    import numpy as np
+
+    from etl_processing_scd1_spark.operators.jpeg import (
+        ZIGZAG,
+        _BitWriter,
+        _build_codes,
+        _C,
+        _DC_LUM_BITS,
+        _DC_LUM_VALS,
+        _marker,
+        decode_jpeg,
+    )
+
+    def seg(tag, payload):
+        return _marker(tag, payload)
+
+    # quant table 0: all ones (identity dequant)
+    dqt = bytes([0]) + bytes([1] * 64)
+    sof2 = bytes([8]) + (8).to_bytes(2, "big") + (32).to_bytes(2, "big") + \
+        bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    # custom AC table: 0x00 (EOB), 0x01 (run0/size1), 0x10 (EOB2run r=1)
+    ac_bits = [0, 3] + [0] * 14
+    ac_vals = [0x00, 0x01, 0x10]
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    ac_codes = _build_codes(ac_bits, ac_vals)
+    dc_codes = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+
+    # scan 1: DC first (Ss=0 Se=0 Ah=0 Al=0), DC diffs all zero
+    w1 = _BitWriter()
+    for _ in range(4):
+        code, length = dc_codes[0]
+        w1.write(code, length)
+    w1.flush()
+    # scan 2: AC first (Ss=1 Se=63): block1 = coef 3 at k=1 then EOB2run
+    w2 = _BitWriter()
+    code, length = ac_codes[0x01]
+    w2.write(code, length)
+    w2.write(1, 1)  # amplitude +1 at k=1
+    code, length = ac_codes[0x10]  # r=1: eobrun = (1<<1)-1 + 1 extra bit
+    w2.write(code, length)
+    w2.write(1, 1)  # extra bit -> eobrun = 2 (blocks 2 and 3)
+    code, length = ac_codes[0x00]  # plain EOB for block 4
+    w2.write(code, length)
+    w2.flush()
+
+    payload = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC2, sof2) + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bytes(w1.buf)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes(w2.buf)
+        + b"\xff\xd9"
+    )
+    w, h, ch, px = decode_jpeg(payload)
+    assert (w, h, ch) == (32, 8, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 32)
+    # expected: block 1 = IDCT of {DC=0, coef 1 at natural ZIGZAG[1]};
+    # blocks 2-4 = IDCT of all-zero = flat 128
+    coefs = np.zeros(64)
+    coefs[ZIGZAG[1]] = 1.0
+    block1 = np.clip(np.floor(_C.T @ coefs.reshape(8, 8) @ _C + 128.5), 0, 255)
+    assert np.array_equal(got[:, :8], block1.astype(np.uint8))
+    assert np.all(got[:, 8:] == 128)
 
 
 def test_gif_roundtrip_random_palette():
