@@ -269,7 +269,11 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   and xlsx_scan_distributed (executor-side xlsx parse), plus the
 #   Iceberg-interop pair (iceberg_scan, iceberg_time_travel —
 #   sources/iceberg.py open-spec metadata tree over the
-#   sources/avro.py stdlib Avro object-container codec).
+#   sources/avro.py stdlib Avro object-container codec),
+#   avro_scan_distributed (the same codec as an executor-side DATA
+#   source) and multimodal_decode_jpeg_progressive (SOF2
+#   successive-approximation + restart-interval decode, exact
+#   flat-tile oracle).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",

@@ -318,3 +318,77 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("acctbal_cents").alias("acctbal_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Avro ingestion (sources/readers.py::read_avro_distributed)
+# --------------------------------------------------------------------------
+
+_AVRO_DIST_ORACLE = """
+    SELECT CAST(o_orderpriority AS VARCHAR) AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+"""
+
+
+@register("avro_scan_distributed", oracle=_AVRO_DIST_ORACLE)
+def avro_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro as a DATA source (the stdlib object-container codec from
+    the Iceberg work pointed at row data): open orders are sharded
+    into 8 deflate-compressed Avro files driver-side, then parsed
+    back on the EXECUTORS — Spark ``binaryFile`` + Arrow
+    ``mapInPandas`` around ``loads_avro``, output schema from one
+    file's header probe including a nullable-union column — and
+    aggregated per priority in exact cents."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.avro import dump_avro
+    from ..sources.readers import read_avro_distributed
+
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_avro_drop")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "order_row",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderpriority", "type": ["null", "string"],
+                 "default": None},
+                {"name": "cents", "type": "long"},
+            ],
+        }
+    )
+    shards: list[list[dict]] = [[] for _ in range(8)]
+    for r in rows:
+        shards[r["o_orderkey"] % 8].append(
+            {
+                "o_orderkey": int(r["o_orderkey"]),
+                "o_orderpriority": str(r["o_orderpriority"]),
+                "cents": int(r["cents"]),
+            }
+        )
+    for i, recs in enumerate(shards):
+        dump_avro(os.path.join(out_dir, f"orders_{i}.avro"), schema_json, recs)
+
+    parsed = read_avro_distributed(spark, os.path.join(out_dir, "*.avro"))
+    return parsed.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -331,10 +331,15 @@ def load_avro(path: str):
     ``meta`` maps header keys to bytes and records are dicts. Decodes
     by the schema in the file's own header."""
     with open(path, "rb") as f:
-        raw = f.read()
+        return loads_avro(f.read())
+
+
+def loads_avro(raw: bytes):
+    """:func:`load_avro` over in-memory bytes (the executor-side
+    entry point for distributed Avro ingestion)."""
     buf = io.BytesIO(raw)
     if buf.read(4) != _MAGIC:
-        raise AvroError(f"{path}: not an Avro object-container file")
+        raise AvroError("not an Avro object-container file")
     meta = {}
     while True:
         n = _read_long(buf)
@@ -362,5 +367,78 @@ def load_avro(path: str):
         for _ in range(count):
             records.append(decode(block, schema))
         if buf.read(16) != sync:
-            raise AvroError(f"{path}: sync marker mismatch (corrupt block)")
+            raise AvroError("sync marker mismatch (corrupt block)")
     return meta, records
+
+
+def dumps_avro(schema_json: str, records, *, codec: str = "deflate",
+               extra_meta: dict | None = None) -> bytes:
+    """:func:`dump_avro` into bytes (shard writers / tests)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+        tmp = f.name
+    try:
+        dump_avro(tmp, schema_json, records, codec=codec, extra_meta=extra_meta)
+        with open(tmp, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(tmp)
+
+
+def read_avro_header(path: str) -> dict:
+    """Header metadata map only (schema probe) — reads the file's
+    prefix, never the data blocks."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)  # header is tiny; 1 MiB bounds any real schema
+    buf = io.BytesIO(head)
+    if buf.read(4) != _MAGIC:
+        raise AvroError(f"{path}: not an Avro object-container file")
+    meta = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            return meta
+        if n < 0:
+            n = -n
+            _read_long(buf)
+        for _ in range(n):
+            k = decode(buf, "string")
+            meta[k] = decode(buf, "bytes")
+
+
+_AVRO_TO_SQL = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+def avro_sql_fields(schema_json: str) -> list[tuple[str, str]]:
+    """Flat-record Avro schema → [(column, spark_sql_type)].
+    Unions ``["null", X]`` map to nullable X; anything nested raises
+    (same flat-relational scope as the other tabular sources)."""
+    node = json.loads(schema_json)
+    if not (isinstance(node, dict) and node.get("type") == "record"):
+        raise AvroError("top-level Avro schema must be a record")
+    out = []
+    for f in node["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            branches = [b for b in t if b != "null"]
+            if len(branches) != 1:
+                raise AvroError(f"unsupported union {t!r} for column {f['name']!r}")
+            t = branches[0]
+        if isinstance(t, dict):
+            t = t.get("type")  # logical types decode as the base type
+        if t not in _AVRO_TO_SQL:
+            raise AvroError(
+                f"unsupported Avro type {t!r} for column {f['name']!r} "
+                "(flat scalar records only)"
+            )
+        out.append((f["name"], _AVRO_TO_SQL[t]))
+    return out

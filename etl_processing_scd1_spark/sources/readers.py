@@ -481,3 +481,52 @@ def write_fixed_width(
         pad = F.rpad if typ == "string" else F.lpad
         rendered.append(pad(c, width, " "))
     df.select(F.concat(*rendered).alias("value")).write.mode("overwrite").text(path)
+
+
+def read_avro_distributed(
+    spark: SparkSession,
+    path_glob: str,
+    with_source_file: bool = False,
+) -> DataFrame:
+    """Avro object-container files → DataFrame with the decode on the
+    EXECUTORS: files flow through Spark's ``binaryFile`` source and
+    each is parsed inside an Arrow ``mapInPandas`` pass by the
+    stdlib codec (``sources/avro.py::loads_avro``) — the same parse
+    the Iceberg metadata layer uses, pointed at DATA.
+
+    The output schema comes from ONE file's header (bounded driver
+    probe — ``read_avro_header`` reads the header prefix, never the
+    blocks) via ``avro_sql_fields``; flat scalar records only, with
+    ``["null", X]`` unions as nullable columns. Parallelism is per
+    file — Avro blocks are individually sync-delimited and COULD
+    split further, but per-file tasks already saturate a drop of
+    many files, which is the shape Avro data lands in."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from .avro import avro_sql_fields, loads_avro, read_avro_header
+
+    first = sorted(_glob.glob(path_glob))
+    if not first:
+        raise FileNotFoundError(path_glob)
+    header = read_avro_header(first[0])
+    fields = avro_sql_fields(header["avro.schema"].decode())
+
+    binary = spark.read.format("binaryFile").load(path_glob)
+    out_cols = (["_source_file"] if with_source_file else []) + [n for n, _ in fields]
+    schema = ", ".join(
+        (["`_source_file` string"] if with_source_file else [])
+        + [f"`{n}` {t}" for n, t in fields]
+    )
+
+    def parse_files(batches):
+        for pdf in batches:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                _meta, records = loads_avro(bytes(blob))
+                data = {n: [r.get(n) for r in records] for n, _ in fields}
+                if with_source_file:
+                    data = {"_source_file": [path] * len(records), **data}
+                yield pd.DataFrame(data, columns=out_cols)
+
+    return binary.select("path", "content").mapInPandas(parse_files, schema=schema)

@@ -319,3 +319,60 @@ class TestForeignTable:
                     pq.write_table(t, f)
         got = read_iceberg_table(spark, path)
         assert _rows(got) == _rows(_df(spark, 0, 30))
+
+
+class TestAvroDistributedScan:
+    def test_multi_file_parse_nullable_union_and_source_file(self, spark, tmp_path):
+        import json
+
+        from etl_processing_scd1_spark.sources.avro import dump_avro
+        from etl_processing_scd1_spark.sources.readers import read_avro_distributed
+
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "k", "type": "long"},
+                    {"name": "name", "type": ["null", "string"], "default": None},
+                    {"name": "ok", "type": "boolean"},
+                ],
+            }
+        )
+        for i in range(3):
+            recs = [
+                {"k": i * 10 + j, "name": None if j == 0 else f"n{i}{j}", "ok": j % 2 == 0}
+                for j in range(4)
+            ]
+            dump_avro(str(tmp_path / f"part{i}.avro"), schema, recs)
+        df = read_avro_distributed(spark, str(tmp_path / "*.avro"))
+        assert df.columns == ["k", "name", "ok"]
+        assert dict(df.dtypes) == {"k": "bigint", "name": "string", "ok": "boolean"}
+        rows = {r.k: (r.name, r.ok) for r in df.collect()}
+        assert len(rows) == 12
+        assert rows[0] == (None, True)
+        assert rows[21] == ("n21", False)
+        # with_source_file surfaces per-file lineage
+        df2 = read_avro_distributed(spark, str(tmp_path / "*.avro"),
+                                    with_source_file=True)
+        files = {r._source_file.rsplit("/", 1)[-1] for r in df2.collect()}
+        assert files == {"part0.avro", "part1.avro", "part2.avro"}
+
+    def test_nested_schema_rejected(self, spark, tmp_path):
+        import json
+
+        from etl_processing_scd1_spark.sources.avro import AvroError, dump_avro
+        from etl_processing_scd1_spark.sources.readers import read_avro_distributed
+
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "xs", "type": {"type": "array", "items": "long"}}
+                ],
+            }
+        )
+        dump_avro(str(tmp_path / "n.avro"), schema, [{"xs": [1, 2]}])
+        with pytest.raises(AvroError, match="flat scalar"):
+            read_avro_distributed(spark, str(tmp_path / "*.avro"))
