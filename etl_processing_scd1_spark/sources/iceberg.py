@@ -250,9 +250,13 @@ def iceberg_snapshots(path: str, version: int | None = None) -> list[dict]:
 # --------------------------------------------------------------------------
 
 
-def _snapshot_files(path: str, meta: dict, snapshot_id: int | None):
+def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
+                    predicates: dict | None = None):
     """→ list of (data_file_path, partition_values_dict) for the
-    chosen snapshot (default: current)."""
+    chosen snapshot (default: current). ``predicates`` maps column
+    name → (lo, hi) inclusive range; files whose manifest bounds
+    cannot intersect are SKIPPED — the format's planning-time file
+    pruning, no footer or data touched."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
@@ -260,6 +264,30 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None):
             return None, []
     if snapshot_id not in snaps:
         raise ValueError(f"snapshot {snapshot_id} not in table {path}")
+    by_id = {}
+    schema = meta.get("schema") or {}
+    for f in schema.get("fields", []):
+        by_id[f["id"]] = (f["name"], f["type"])
+
+    def pruned(df_: dict) -> bool:
+        if not predicates:
+            return False
+        lo_map = {b["key"]: b["value"] for b in (df_.get("lower_bounds") or [])}
+        hi_map = {b["key"]: b["value"] for b in (df_.get("upper_bounds") or [])}
+        for fid, (name, ice) in by_id.items():
+            if name not in predicates or fid not in lo_map or fid not in hi_map:
+                continue
+            want_lo, want_hi = predicates[name]
+            f_lo = _decode_bound(lo_map[fid], ice)
+            f_hi = _decode_bound(hi_map[fid], ice)
+            if f_lo is None or f_hi is None:
+                continue
+            if (want_hi is not None and f_lo > want_hi) or (
+                want_lo is not None and f_hi < want_lo
+            ):
+                return True
+        return False
+
     snap = snaps[snapshot_id]
     _, manifests = load_avro(_norm_path(snap["manifest-list"], path))
     files = []
@@ -277,6 +305,8 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None):
             fmt = str(df_.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(f"data file format {fmt} not supported")
+            if pruned(df_):
+                continue
             files.append((_norm_path(df_["file_path"], path), df_.get("partition") or {}))
     return snapshot_id, files
 
@@ -286,15 +316,22 @@ def read_iceberg_table(
     path: str,
     snapshot_id: int | None = None,
     version: int | None = None,
+    predicates: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: ``version`` pins a metadata file (time travel
     across commits), ``snapshot_id`` pins a snapshot within the
     metadata's log. Returns a distributed DataFrame over exactly the
     snapshot's data files, column order and types per the table
-    schema. Empty snapshot → empty DataFrame with the schema."""
+    schema. Empty snapshot → empty DataFrame with the schema.
+
+    ``predicates`` = {column: (lo, hi)} inclusive ranges prune files
+    by the MANIFEST's per-file bounds before Spark ever sees them —
+    at 100 TB this is the step that turns a needle query from
+    "open every footer" into "plan from metadata"; the caller still
+    applies the exact row filter (bounds are a superset guarantee)."""
     meta = _load_metadata(path, version)
     schema = _spark_schema(meta)
-    _, files = _snapshot_files(path, meta, snapshot_id)
+    _, files = _snapshot_files(path, meta, snapshot_id, predicates)
     if not files:
         return spark.createDataFrame([], schema)
 
@@ -376,12 +413,82 @@ def _manifest_entry_schema_json(part_fields: list[tuple[str, str, int]]) -> str:
                              "field-id": 104},
                             {"name": "block_size_in_bytes", "type": "long",
                              "field-id": 105},
+                            {
+                                "name": "lower_bounds",
+                                "type": ["null", _bounds_avro("k126_v127", 126, 127)],
+                                "default": None,
+                                "field-id": 125,
+                            },
+                            {
+                                "name": "upper_bounds",
+                                "type": ["null", _bounds_avro("k129_v130", 129, 130)],
+                                "default": None,
+                                "field-id": 128,
+                            },
                         ],
                     },
                 },
             ],
         }
     )
+
+
+def _bounds_avro(name: str, kid: int, vid: int) -> dict:
+    """Iceberg's map<int, binary> bounds encoding: avro maps need
+    string keys, so the spec stores key/value record arrays with
+    ``logicalType: map``."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
+# spec Appendix D single-value serialization (bounds maps)
+def _encode_bound(v, ice: str) -> bytes | None:
+    import datetime
+    import struct as _s
+
+    if v is None:
+        return None
+    if ice == "int":
+        return _s.pack("<i", int(v))
+    if ice == "long":
+        return _s.pack("<q", int(v))
+    if ice == "float":
+        return _s.pack("<f", float(v))
+    if ice == "double":
+        return _s.pack("<d", float(v))
+    if ice == "string":
+        return str(v).encode("utf-8")
+    if ice == "date":
+        if isinstance(v, datetime.date):
+            v = (v - datetime.date(1970, 1, 1)).days
+        return _s.pack("<i", int(v))
+    return None  # other types: no bounds written
+
+
+def _decode_bound(b: bytes, ice: str):
+    import struct as _s
+
+    if ice == "int" or ice == "date":
+        return _s.unpack("<i", b)[0]
+    if ice == "long":
+        return _s.unpack("<q", b)[0]
+    if ice == "float":
+        return _s.unpack("<f", b)[0]
+    if ice == "double":
+        return _s.unpack("<d", b)[0]
+    if ice == "string":
+        return b.decode("utf-8")
+    return None
 
 
 _MANIFEST_LIST_SCHEMA = json.dumps(
@@ -428,11 +535,79 @@ def _typed_part_value(raw: str, ice: str):
     return raw
 
 
+def _footer_bounds(md, field_ids: dict, ice_types: dict):
+    """Per-file column bounds from the parquet FOOTER (no data read):
+    min/max across row groups for columns whose Iceberg type has a
+    single-value serialization, as spec-shaped key/value lists keyed
+    by field id."""
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            name = col.path_in_schema
+            st = col.statistics
+            if name not in field_ids or st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    lo, hi = [], []
+    for name, fid in field_ids.items():
+        if name in mins:
+            b_lo = _encode_bound(mins[name], ice_types[name])
+            b_hi = _encode_bound(maxs[name], ice_types[name])
+            if b_lo is not None and b_hi is not None:
+                lo.append({"key": fid, "value": b_lo})
+                hi.append({"key": fid, "value": b_hi})
+    return (lo or None), (hi or None)
+
+
+def iceberg_plan_files(
+    path: str,
+    snapshot_id: int | None = None,
+    version: int | None = None,
+    predicates: dict | None = None,
+) -> list[str]:
+    """The snapshot's planned data-file list after manifest-bounds
+    pruning — the metadata-only scan plan (tests pin pruning on it;
+    callers can size a job from it without touching data)."""
+    meta = _load_metadata(path, version)
+    _, files = _snapshot_files(path, meta, snapshot_id, predicates)
+    return sorted(p for p, _ in files)
+
+
+def iceberg_last_batch_id(path: str, app_id: str) -> int:
+    """Highest streaming batch id committed for ``app_id`` (−1 if
+    none), read from snapshot summaries — the reader half of the
+    exactly-once streaming contract (Flink's Iceberg sink stores its
+    checkpoint id the same way; summary keys are free-form by spec)."""
+    try:
+        meta = _load_metadata(path)
+    except FileNotFoundError:
+        return -1
+    best = -1
+    for s in meta.get("snapshots", []):
+        sm = s.get("summary") or {}
+        if sm.get("streaming-app-id") == app_id:
+            best = max(best, int(sm.get("streaming-batch-id", -1)))
+    return best
+
+
 def write_iceberg_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    extra_summary: dict | None = None,
 ) -> int:
     """Commit ``df`` to the Iceberg table at ``path``; returns the
     new metadata version. First commit creates the table (v1
@@ -525,8 +700,11 @@ def write_iceberg_table(
             dest = os.path.join(path, rel_dir, f"part-{uuid.uuid4().hex}.parquet")
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.replace(abs_f, dest)
-            nrows = pq.read_metadata(dest).num_rows
-            new_files.append((dest, part_values, nrows, os.path.getsize(dest)))
+            md = pq.read_metadata(dest)
+            lo, hi = _footer_bounds(md, field_ids, ice_types)
+            new_files.append(
+                (dest, part_values, md.num_rows, os.path.getsize(dest), lo, hi)
+            )
     shutil.rmtree(stage_abs, ignore_errors=True)
 
     # ---- manifest for the new files
@@ -544,9 +722,11 @@ def write_iceberg_table(
                 "record_count": n,
                 "file_size_in_bytes": size,
                 "block_size_in_bytes": 64 * 1024 * 1024,
+                "lower_bounds": lo,
+                "upper_bounds": hi,
             },
         }
-        for p, part, n, size in new_files
+        for p, part, n, size, lo, hi in new_files
     ]
     spec_json = json.dumps(
         [
@@ -575,7 +755,7 @@ def write_iceberg_table(
         "added_data_files_count": len(new_files),
         "existing_data_files_count": 0,
         "deleted_data_files_count": 0,
-        "added_rows_count": sum(n for _, _, n, _ in new_files),
+        "added_rows_count": sum(n for _, _, n, _, _, _ in new_files),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
@@ -608,7 +788,8 @@ def write_iceberg_table(
         "summary": {
             "operation": "append" if mode == "append" else "overwrite",
             "added-data-files": str(len(new_files)),
-            "added-records": str(sum(n for _, _, n, _ in new_files)),
+            "added-records": str(sum(n for _, _, n, _, _, _ in new_files)),
+            **{str(k): str(v) for k, v in (extra_summary or {}).items()},
         },
         "manifest-list": list_path,
         "schema-id": 0,

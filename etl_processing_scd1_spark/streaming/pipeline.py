@@ -1024,3 +1024,51 @@ def streaming_delta_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_iceberg_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once micro-batch appends into an Iceberg table
+    (``sources/iceberg.py``), the lakehouse twin of
+    ``streaming_delta_sink``: every commit stamps
+    (streaming-app-id, streaming-batch-id) into the snapshot SUMMARY
+    — the spec's free-form summary map, the same slot Flink's Iceberg
+    sink uses for its checkpoint id — and the sink SKIPS any
+    micro-batch whose id is ≤ the table's committed watermark for
+    this app (``iceberg_last_batch_id``). foreachBatch's
+    at-least-once redelivery therefore cannot double-append:
+    idempotence lives in the table's own metadata. Concurrent-writer
+    races surface as ``IcebergConcurrentCommit`` from the
+    put-if-absent commit; Structured Streaming retries the batch and
+    the watermark check decides."""
+    from ..sources.iceberg import iceberg_last_batch_id, write_iceberg_table
+
+    app = app_id or f"stream-{checkpoint_dir}"
+
+    def append_batch(batch: DataFrame, bid: int) -> None:
+        if not batch.take(1):
+            return
+        if bid <= iceberg_last_batch_id(table_path, app):
+            return  # replayed micro-batch: already committed
+        write_iceberg_table(
+            batch,
+            table_path,
+            mode="append",
+            partition_by=partition_by,
+            extra_summary={"streaming-app-id": app, "streaming-batch-id": bid},
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -376,3 +376,108 @@ class TestAvroDistributedScan:
         dump_avro(str(tmp_path / "n.avro"), schema, [{"xs": [1, 2]}])
         with pytest.raises(AvroError, match="flat scalar"):
             read_avro_distributed(spark, str(tmp_path / "*.avro"))
+
+
+class TestManifestBoundsPruning:
+    def test_plan_prunes_files_and_reads_stay_correct(self, spark, tmp_path):
+        """Per-file lower/upper bounds (parquet FOOTER stats → spec
+        single-value serialization in the manifest) prune the scan
+        plan at metadata time; a predicate read + exact filter equals
+        the unpruned read + filter."""
+        from etl_processing_scd1_spark.sources.iceberg import iceberg_plan_files
+
+        path = str(tmp_path / "tb")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).alias("v"),
+            F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 4, "0"))
+            .alias("name"),
+        )
+        # disjoint k-ranges per file
+        write_iceberg_table(df.repartitionByRange(8, "k"), path)
+        all_files = iceberg_plan_files(path)
+        assert len(all_files) == 8
+        pruned = iceberg_plan_files(path, predicates={"k": (100, 150)})
+        assert 1 <= len(pruned) < len(all_files)
+        # string bounds prune too
+        pruned_s = iceberg_plan_files(path, predicates={"name": ("u0900", None)})
+        assert 1 <= len(pruned_s) < len(all_files)
+        # correctness: superset guarantee + exact filter == plain read
+        got = (
+            read_iceberg_table(spark, path, predicates={"k": (100, 150)})
+            .filter((F.col("k") >= 100) & (F.col("k") <= 150))
+        )
+        want = read_iceberg_table(spark, path).filter(
+            (F.col("k") >= 100) & (F.col("k") <= 150)
+        )
+        assert sorted(r.k for r in got.collect()) == sorted(
+            r.k for r in want.collect()
+        )
+
+    def test_files_without_bounds_never_pruned(self, spark, tmp_path):
+        """A foreign manifest with no bounds maps must survive any
+        predicate (pruning is a superset guarantee, not a filter)."""
+        from etl_processing_scd1_spark.sources.avro import dump_avro, load_avro
+        from etl_processing_scd1_spark.sources.iceberg import iceberg_plan_files
+
+        path = str(tmp_path / "tnb")
+        write_iceberg_table(_df(spark, 0, 20), path)
+        meta_dir = os.path.join(path, "metadata")
+        for fn in os.listdir(meta_dir):
+            if fn.endswith("-m0.avro"):
+                mp = os.path.join(meta_dir, fn)
+                hdr, entries = load_avro(mp)
+                for e in entries:
+                    e["data_file"]["lower_bounds"] = None
+                    e["data_file"]["upper_bounds"] = None
+                dump_avro(mp, hdr["avro.schema"].decode(), entries)
+        assert len(iceberg_plan_files(path, predicates={"k": (10**9, None)})) \
+            == len(iceberg_plan_files(path))
+
+
+class TestStreamingIcebergSink:
+    def test_stream_matches_batch_and_replay_is_idempotent(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        from etl_processing_scd1_spark.sources.iceberg import iceberg_last_batch_id
+        from etl_processing_scd1_spark.streaming.pipeline import (
+            streaming_iceberg_sink,
+        )
+
+        src = _df(spark, 0, 40)
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        src.filter(F.col("k") < 20).coalesce(1).write.parquet(str(feed / "_b1.tmp"))
+        src.filter(F.col("k") >= 20).coalesce(1).write.parquet(str(feed / "_b2.tmp"))
+        for i, f in enumerate(sorted(glob.glob(str(feed / "_b*.tmp" / "*.parquet")))):
+            shutil.copy(f, feed / f"{i:03d}.parquet")
+
+        stream = spark.readStream.schema(src.schema).parquet(str(feed))
+        table_path = str(tmp_path / "it")
+        q = streaming_iceberg_sink(
+            stream, table_path, checkpoint_dir=str(tmp_path / "ck"),
+            app_id="test-app",
+        )
+        q.awaitTermination(180)
+        assert _rows(read_iceberg_table(spark, table_path)) == _rows(src)
+        assert iceberg_last_batch_id(table_path, "test-app") >= 0
+
+        # at-least-once redelivery with a FRESH checkpoint: batch ids
+        # replay from 0, all at/below the summary watermark — no
+        # double appends
+        stream2 = spark.readStream.schema(src.schema).parquet(str(feed))
+        q2 = streaming_iceberg_sink(
+            stream2, table_path, checkpoint_dir=str(tmp_path / "ck2"),
+            app_id="test-app",
+        )
+        q2.awaitTermination(180)
+        assert _rows(read_iceberg_table(spark, table_path)) == _rows(src)
+        # a DIFFERENT app id is an independent writer and does append
+        stream3 = spark.readStream.schema(src.schema).parquet(str(feed))
+        q3 = streaming_iceberg_sink(
+            stream3, table_path, checkpoint_dir=str(tmp_path / "ck3"),
+            app_id="other-app",
+        )
+        q3.awaitTermination(180)
+        assert read_iceberg_table(spark, table_path).count() == 80
