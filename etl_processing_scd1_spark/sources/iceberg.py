@@ -340,9 +340,23 @@ def read_iceberg_table(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
 
-    df = spark.read.parquet(*sorted(p for p, _ in files))
+    # mergeSchema unions the file footers, so files written BEFORE an
+    # add-column evolution null-fill the new columns per file (the
+    # spec's read semantics for appended field ids)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *sorted(p for p, _ in files)
+    )
     missing = [f for f in schema.fields if f.name not in df.columns]
-    if not missing:
+    part_keys = set()
+    for _p, part in files:
+        part_keys.update((part or {}).keys())
+    const_fill = [f for f in missing if f.name in part_keys]
+    for f in missing:
+        if f.name not in part_keys:
+            # column in NO data file and not a partition source:
+            # evolution added it after every present file was written
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    if not const_fill:
         return _cast(df)
 
     # Foreign table whose files omit identity-partition source
@@ -356,14 +370,12 @@ def read_iceberg_table(
     out = None
     for key, paths in sorted(groups.items()):
         part = dict(key)
-        piece = spark.read.parquet(*sorted(paths))
+        piece = spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
         for f in missing:
-            if f.name not in part:
-                raise IcebergProtocolError(
-                    f"column {f.name!r} absent from data files and from "
-                    "the manifest partition tuple"
-                )
-            piece = piece.withColumn(f.name, F.lit(part[f.name]))
+            if f.name in part:
+                piece = piece.withColumn(f.name, F.lit(part[f.name]))
+            elif f.name not in piece.columns:
+                piece = piece.withColumn(f.name, F.lit(None).cast(f.dataType))
         piece = _cast(piece)
         out = piece if out is None else out.unionByName(piece)
     return out
@@ -620,7 +632,7 @@ def write_iceberg_table(
     put-if-absent on the next ``v<N>.metadata.json``, so a loser of a
     concurrent race raises ``IcebergConcurrentCommit`` with nothing
     corrupted."""
-    if mode not in ("append", "overwrite"):
+    if mode not in ("append", "overwrite", "replace"):
         raise ValueError(mode)
     spark = df.sparkSession
     now_ms = int(time.time() * 1000)
@@ -642,6 +654,20 @@ def write_iceberg_table(
         schema = _spark_schema(prev)
         spec_fields = prev["partition-specs"][0]["fields"]
         partition_by = [f["name"] for f in spec_fields]
+        known = {f.name for f in schema.fields}
+        extra = [c for c in df.columns if c not in known]
+        if extra:
+            # ADD-COLUMN schema evolution (the spec's core evolution
+            # case): new columns get fresh ids APPENDED after
+            # last-column-id — ids are never reused, so old data
+            # files stay valid and read as NULL for the new columns
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(c, df.schema[c].dataType, True) for c in extra]
+            )
+        missing = [f for f in schema.fields if f.name not in df.columns]
+        for f in missing:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         if [f.name for f in schema.fields] != df.columns:
             df = df.select(*[F.col(f.name) for f in schema.fields])
         new_version = base + 1
@@ -786,7 +812,7 @@ def write_iceberg_table(
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
         "summary": {
-            "operation": "append" if mode == "append" else "overwrite",
+            "operation": mode,
             "added-data-files": str(len(new_files)),
             "added-records": str(sum(n for _, _, n, _, _, _ in new_files)),
             **{str(k): str(v) for k, v in (extra_summary or {}).items()},
@@ -842,3 +868,17 @@ def write_iceberg_table(
     with open(os.path.join(_meta_dir(path), _HINT), "w") as fh:
         fh.write(str(new_version))
     return new_version
+
+
+def compact_iceberg_table(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """Bin-pack compaction (the format's OPTIMIZE/rewrite operation):
+    coalesce the current snapshot's rows into ``target_files`` data
+    files and commit a ``replace`` snapshot — row content identical,
+    file count reduced, every older snapshot still time-travelable
+    (rewrites never destroy history; expiry is a separate concern).
+    ``coalesce`` keeps the rewrite shuffle-free — at 100 TB this is
+    the scheduled small-file maintenance job, not a per-ingest step."""
+    df = read_iceberg_table(spark, path)
+    return write_iceberg_table(df.coalesce(target_files), path, mode="replace")

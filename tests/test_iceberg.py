@@ -481,3 +481,63 @@ class TestStreamingIcebergSink:
         )
         q3.awaitTermination(180)
         assert read_iceberg_table(spark, table_path).count() == 80
+
+
+class TestEvolutionAndCompaction:
+    def test_add_column_evolution(self, spark, tmp_path):
+        """Appending a DataFrame with a NEW column evolves the schema
+        (fresh id appended — ids never reused); rows from files
+        written before the evolution read as NULL for it, and a
+        writer missing an existing column null-fills it."""
+        path = str(tmp_path / "ev")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        evolved = _df(spark, 5, 8).withColumn("score", F.col("k") * 2)
+        write_iceberg_table(evolved, path, mode="append")
+        got = read_iceberg_table(spark, path)
+        assert got.columns == ["k", "v", "part", "score"]
+        rows = {r.k: r.score for r in got.collect()}
+        assert rows[0] is None and rows[6] == 12
+        # old writer shape (no score column) still appends, as NULL
+        write_iceberg_table(_df(spark, 8, 9), path, mode="append")
+        got2 = read_iceberg_table(spark, path)
+        assert got2.count() == 9
+        assert {r.k: r.score for r in got2.collect()}[8] is None
+        # time travel to the pre-evolution metadata keeps the old schema
+        v1 = read_iceberg_table(spark, path, version=1)
+        assert v1.columns == ["k", "v", "part"]
+
+    def test_compaction_replace_snapshot(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            compact_iceberg_table,
+            iceberg_plan_files,
+        )
+
+        path = str(tmp_path / "cp")
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+            (F.col("id") % 3).cast("string").alias("part"),
+        )
+        write_iceberg_table(df.repartition(6), path)
+        for lo in (200, 260):
+            write_iceberg_table(
+                spark.range(lo, lo + 60).select(
+                    F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+                    (F.col("id") % 3).cast("string").alias("part"),
+                ).repartition(4),
+                path, mode="append",
+            )
+        before = iceberg_plan_files(path)
+        assert len(before) >= 10
+        compact_iceberg_table(spark, path, target_files=2)
+        after = iceberg_plan_files(path)
+        assert len(after) <= 2
+        got = read_iceberg_table(spark, path)
+        assert got.count() == 320
+        assert sorted(r.k for r in got.collect()) == list(range(320))
+        # history intact: pre-compaction snapshot still readable
+        snaps = iceberg_snapshots(path)
+        assert snaps[-1]["operation"] == "replace"
+        assert _rows(
+            read_iceberg_table(spark, path,
+                               snapshot_id=snaps[-2]["snapshot-id"])
+        ) == _rows(read_iceberg_table(spark, path))
