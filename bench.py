@@ -109,6 +109,10 @@ HEADLINE = [
     "heavy_hitters_exact",    # candidate screen + proved-exact top-k
     "delta_scan",             # Delta-log round trip, partitioned snapshot read
     "xlsx_scan_distributed",  # executor-side xlsx parse via binaryFile
+    # late-round-8 additions: lakehouse + codec tier
+    "iceberg_scan",           # Iceberg snapshot round trip, Avro manifests
+    "avro_scan_distributed",  # executor-side Avro object-container parse
+    "multimodal_decode_jpeg_progressive",  # SOF2 + restart-interval decode
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

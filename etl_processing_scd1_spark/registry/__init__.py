@@ -271,9 +271,11 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   sources/iceberg.py open-spec metadata tree over the
 #   sources/avro.py stdlib Avro object-container codec),
 #   avro_scan_distributed (the same codec as an executor-side DATA
-#   source) and multimodal_decode_jpeg_progressive (SOF2
+#   source), multimodal_decode_jpeg_progressive (SOF2
 #   successive-approximation + restart-interval decode, exact
-#   flat-tile oracle).
+#   flat-tile oracle), and the product-analytics pair
+#   funnel_conversion + retention_cohorts (ordered stage funnel;
+#   weekly cohort retention matrix).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",
