@@ -275,7 +275,8 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   successive-approximation + restart-interval decode, exact
 #   flat-tile oracle), and the product-analytics pair
 #   funnel_conversion + retention_cohorts (ordered stage funnel;
-#   weekly cohort retention matrix).
+#   weekly cohort retention matrix), and delta_cdf (change-data-feed
+#   reconstructed from the transaction log).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",

@@ -518,3 +518,49 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_k").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+_DELTA_CDF_ORACLE = """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           'delete' AS change_type,
+           CAST(1 AS BIGINT) AS commit_version
+    FROM supplier
+    UNION ALL
+    SELECT CAST(s_suppkey AS BIGINT),
+           CAST(round(s_acctbal * 100) AS BIGINT),
+           'insert', CAST(1 AS BIGINT)
+    FROM supplier WHERE s_suppkey % 100 = 0
+"""
+
+
+@register("delta_cdf", oracle=_DELTA_CDF_ORACLE)
+def delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed from the Delta log (``delta_changes``):
+    version 0 holds full supplier, version 1 overwrites it with the
+    %100 subset — the change window (0, 1] must therefore emit every
+    original row as a 'delete' and every subset row as an 'insert',
+    all stamped commit_version 1. The CDC shape incremental consumers
+    (SCD merges, IVM sinks) ingest; file-level log replay, data read
+    distributed."""
+    import shutil
+
+    from ..sources.delta import delta_changes, write_delta_table
+
+    path = _delta_dir("cdf")
+    shutil.rmtree(path, ignore_errors=True)
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_delta_table(sup, path)
+    write_delta_table(
+        sup.filter(F.col("s_suppkey") % 100 == 0), path, mode="overwrite"
+    )
+    ch = delta_changes(spark, path, 0, 1)
+    return ch.select(
+        "s_suppkey",
+        "acctbal_cents",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )

@@ -545,3 +545,105 @@ def write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     with open(tmp2, "w") as fh:
         json.dump(last, fh)
     os.replace(tmp2, os.path.join(_log_dir(path), _LAST_CHECKPOINT))
+
+
+def delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed reconstructed from the transaction log: every
+    row added or removed by commits in ``(from_version, to_version]``,
+    tagged ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` — the CDC shape downstream incremental
+    consumers (SCD merges, IVM sinks) ingest.
+
+    File-granularity is exact for this writer (append adds whole
+    files; overwrite removes whole files): a commit's ``add`` actions
+    contribute their rows as inserts, its ``remove`` actions as
+    deletes. A file both added and removed INSIDE the window nets out
+    (its rows were never visible at either endpoint). Data stays
+    distributed — the log yields file lists; Spark scans them."""
+    to_version = delta_table_version(path) if to_version is None else to_version
+    if from_version > to_version:
+        raise ValueError(f"from_version {from_version} > to_version {to_version}")
+    snap = _replay(spark, path, to_version)  # schema + protocol gates
+    added: dict[str, int] = {}
+    removed: dict[str, int] = {}
+    for v in range(from_version + 1, to_version + 1):
+        f = _commit_file(path, v)
+        if not os.path.exists(f):
+            continue
+        with open(f) as fh:
+            for action in _read_actions(fh):
+                if "add" in action:
+                    p = action["add"]["path"]
+                    if p in removed:
+                        del removed[p]  # re-add after remove: net insert
+                    added[p] = v
+                elif "remove" in action:
+                    p = action["remove"]["path"]
+                    if p in added:
+                        del added[p]  # added inside window: nets out
+                    else:
+                        removed[p] = v
+
+    from pyspark.sql import functions as F
+
+    pieces = []
+    for files, change in ((added, "insert"), (removed, "delete")):
+        by_version: dict[int, list[str]] = {}
+        for p, v in files.items():
+            by_version.setdefault(v, []).append(os.path.join(path, p))
+        for v, paths in sorted(by_version.items()):
+            df = spark.read.option("basePath", path).parquet(*sorted(paths))
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name)
+                  for f in snap.schema.fields]
+            )
+            pieces.append(
+                df.withColumn("_change_type", F.lit(change))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+    if not pieces:
+        from pyspark.sql import types as T
+
+        empty = T.StructType(
+            list(snap.schema.fields)
+            + [T.StructField("_change_type", T.StringType()),
+               T.StructField("_commit_version", T.LongType())]
+        )
+        return spark.createDataFrame([], empty)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def vacuum_delta_table(spark: SparkSession, path: str) -> list[str]:
+    """Delete data files referenced by NO commit in the log (orphans
+    from lost commit races / crashed writers). Conservative by
+    construction: the union of every version's add-actions is the
+    keep-set, so any file any snapshot can still read survives —
+    time travel stays intact; only never-referenced files go."""
+    keep: set[str] = set()
+    for v in _list_versions(path):
+        with open(_commit_file(path, v)) as fh:
+            for action in _read_actions(fh):
+                if "add" in action:
+                    keep.add(os.path.normpath(action["add"]["path"]))
+    deleted = []
+    for root, _dirs, fns in os.walk(path):
+        if _LOG in os.path.relpath(root, path).split(os.sep):
+            continue
+        for fn in fns:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(
+                os.path.relpath(os.path.join(root, fn), path)
+            )
+            if rel not in keep:
+                os.unlink(os.path.join(root, fn))
+                deleted.append(rel)
+    return sorted(deleted)

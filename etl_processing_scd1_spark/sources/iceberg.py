@@ -882,3 +882,65 @@ def compact_iceberg_table(
     the scheduled small-file maintenance job, not a per-ingest step."""
     df = read_iceberg_table(spark, path)
     return write_iceberg_table(df.coalesce(target_files), path, mode="replace")
+
+
+def expire_snapshots(path: str, keep_last: int) -> int:
+    """Snapshot expiry (the maintenance half compaction needs): keep
+    the newest ``keep_last`` snapshots, commit a new metadata version
+    without the rest, and delete files now referenced by NO retained
+    snapshot — manifest lists, manifests, and data files, resolved
+    through the metadata tree (never a blind directory sweep).
+    Returns the new metadata version. Time travel keeps working for
+    every RETAINED snapshot; expired ones become unreadable by
+    design — that is the storage-reclaim contract."""
+    meta = _load_metadata(path)
+    snaps = meta.get("snapshots", [])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return iceberg_table_version(path)
+    keep = snaps[-keep_last:]
+    drop = snaps[:-keep_last]
+
+    def tree(snap_list):
+        lists, manifests, datafiles = set(), set(), set()
+        for s in snap_list:
+            lp = _norm_path(s["manifest-list"], path)
+            lists.add(lp)
+            _, mfs = load_avro(lp)
+            for mf in mfs:
+                mp = _norm_path(mf["manifest_path"], path)
+                manifests.add(mp)
+                _, entries = load_avro(mp)
+                for e in entries:
+                    datafiles.add(_norm_path(e["data_file"]["file_path"], path))
+        return lists, manifests, datafiles
+
+    keep_l, keep_m, keep_d = tree(keep)
+    drop_l, drop_m, drop_d = tree(drop)
+
+    keep_ids = {s["snapshot-id"] for s in keep}
+    new_meta = dict(meta)
+    new_meta["snapshots"] = keep
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in keep_ids
+    ]
+    base = iceberg_table_version(path)
+    target = _meta_file(path, base + 1)
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise IcebergConcurrentCommit(
+            f"metadata version {base + 1} already committed at {path}"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(json.dumps(new_meta, indent=1))
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(_meta_dir(path), _HINT), "w") as fh:
+        fh.write(str(base + 1))
+
+    for f in sorted((drop_l - keep_l) | (drop_m - keep_m) | (drop_d - keep_d)):
+        if os.path.exists(f):
+            os.unlink(f)
+    return base + 1

@@ -288,3 +288,61 @@ class TestStreamingDeltaSink:
             q.awaitTermination(180)
         # two independent writers: rows appear twice
         assert read_delta_table(spark, table_path).count() == 12
+
+
+class TestChangeDataFeed:
+    def test_inserts_deletes_and_netting(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import delta_changes
+
+        path = str(tmp_path / "cdf")
+        write_delta_table(_df(spark, 0, 5), path)              # v0
+        write_delta_table(_df(spark, 5, 8), path, mode="append")   # v1
+        write_delta_table(_df(spark, 100, 102), path, mode="overwrite")  # v2
+
+        # window (0, 1]: pure append
+        ch = delta_changes(spark, path, 0, 1)
+        assert {r._change_type for r in ch.collect()} == {"insert"}
+        assert sorted(r.k for r in ch.collect()) == [5, 6, 7]
+        # window (0, 2]: v1's files were added AND removed inside the
+        # window -> net out; v0's files deleted; v2's inserted
+        ch = delta_changes(spark, path, 0, 2)
+        ins = sorted(r.k for r in ch.collect() if r._change_type == "insert")
+        dels = sorted(r.k for r in ch.collect() if r._change_type == "delete")
+        assert ins == [100, 101]
+        assert dels == [0, 1, 2, 3, 4]
+        assert {r._commit_version for r in ch.collect()} == {2}
+        # full window from -1 equals current snapshot as inserts + nothing
+        ch = delta_changes(spark, path, -1)
+        assert sorted(r.k for r in ch.collect() if r._change_type == "insert") \
+            == [100, 101]
+
+    def test_empty_window(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import delta_changes
+
+        path = str(tmp_path / "cdf2")
+        write_delta_table(_df(spark, 0, 3), path)
+        ch = delta_changes(spark, path, 0, 0)
+        assert ch.count() == 0
+        assert "_change_type" in ch.columns
+
+
+class TestVacuum:
+    def test_orphans_deleted_referenced_kept(self, spark, tmp_path):
+        import glob
+
+        from etl_processing_scd1_spark.sources.delta import vacuum_delta_table
+
+        path = str(tmp_path / "vac")
+        write_delta_table(_df(spark, 0, 5), path)
+        write_delta_table(_df(spark, 5, 8), path, mode="overwrite")
+        # plant an orphan (simulated lost commit race)
+        orphan = os.path.join(path, "part-orphan.parquet")
+        real = glob.glob(os.path.join(path, "*.parquet"))[0]
+        import shutil
+
+        shutil.copy(real, orphan)
+        deleted = vacuum_delta_table(spark, path)
+        assert deleted == ["part-orphan.parquet"]
+        # both snapshots still read (time travel intact)
+        assert read_delta_table(spark, path, version=0).count() == 5
+        assert read_delta_table(spark, path, version=1).count() == 3

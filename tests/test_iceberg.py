@@ -541,3 +541,52 @@ class TestEvolutionAndCompaction:
             read_iceberg_table(spark, path,
                                snapshot_id=snaps[-2]["snapshot-id"])
         ) == _rows(read_iceberg_table(spark, path))
+
+
+class TestExpireSnapshots:
+    def test_expiry_reclaims_unreferenced_tree(self, spark, tmp_path):
+        import glob
+
+        from etl_processing_scd1_spark.sources.iceberg import expire_snapshots
+
+        path = str(tmp_path / "exp")
+        write_iceberg_table(_df(spark, 0, 10), path)                  # snap 1
+        write_iceberg_table(_df(spark, 10, 14), path, mode="append")  # snap 2
+        write_iceberg_table(_df(spark, 100, 103), path, mode="overwrite")  # 3
+        n_data_before = len(glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                                      recursive=True))
+        v = expire_snapshots(path, keep_last=1)
+        assert v == 4
+        snaps = iceberg_snapshots(path)
+        assert len(snaps) == 1 and snaps[0]["operation"] == "overwrite"
+        # current snapshot unaffected
+        assert _rows(read_iceberg_table(spark, path)) == _rows(_df(spark, 100, 103))
+        # the dropped snapshots' exclusive data files are gone
+        n_data_after = len(glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                                     recursive=True))
+        assert n_data_after < n_data_before
+        # expired snapshot ids are unreadable now
+        with pytest.raises(ValueError, match="snapshot"):
+            read_iceberg_table(spark, path, snapshot_id=123456789)
+
+    def test_shared_files_survive_expiry(self, spark, tmp_path):
+        """Append snapshots SHARE manifests with their parents: files
+        referenced by a retained snapshot must survive even though an
+        expired snapshot also referenced them."""
+        path = str(tmp_path / "exp2")
+        write_iceberg_table(_df(spark, 0, 10), path)                  # snap 1
+        write_iceberg_table(_df(spark, 10, 14), path, mode="append")  # snap 2
+
+        from etl_processing_scd1_spark.sources.iceberg import expire_snapshots
+
+        expire_snapshots(path, keep_last=1)
+        # snap 2 (kept) includes snap 1's files — all 14 rows intact
+        assert _rows(read_iceberg_table(spark, path)) == _rows(_df(spark, 0, 14))
+
+    def test_noop_when_nothing_to_expire(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import expire_snapshots
+
+        path = str(tmp_path / "exp3")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        assert expire_snapshots(path, keep_last=5) == 1
+        assert read_iceberg_table(spark, path).count() == 5
