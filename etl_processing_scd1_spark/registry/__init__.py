@@ -273,9 +273,7 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   avro_scan_distributed (the same codec as an executor-side DATA
 #   source), multimodal_decode_jpeg_progressive (SOF2
 #   successive-approximation + restart-interval decode, exact
-#   flat-tile oracle), and the product-analytics pair
-#   funnel_conversion + retention_cohorts (ordered stage funnel;
-#   weekly cohort retention matrix), and delta_cdf (change-data-feed
+#   flat-tile oracle), and delta_cdf (change-data-feed
 #   reconstructed from the transaction log).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)

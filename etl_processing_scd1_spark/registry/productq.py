@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._base import events_table, make_registry, table
+from ._base import make_registry, table
 from ..operators.stats import exact_quantiles, heavy_hitters_topk
 
 QUERIES, ORACLES, register = make_registry()
@@ -393,131 +393,6 @@ def avro_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("total_cents"),
     )
 
-
-
-# --------------------------------------------------------------------------
-# Product analytics: funnel conversion + retention cohorts
-# --------------------------------------------------------------------------
-
-_FUNNEL_ORACLE = """
-    WITH e AS (
-      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
-    ),
-    v AS (
-      SELECT user_id, min(us) AS t_view FROM e
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    c AS (
-      SELECT e.user_id, min(e.us) AS t_click
-      FROM e JOIN v ON e.user_id = v.user_id AND e.us >= v.t_view
-      WHERE e.event_type = 'click' GROUP BY e.user_id
-    ),
-    p AS (
-      SELECT e.user_id, min(e.us) AS t_purchase
-      FROM e JOIN c ON e.user_id = c.user_id AND e.us >= c.t_click
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id
-    )
-    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
-           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
-           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click,
-           CAST((SELECT COALESCE(SUM(p.t_purchase - v.t_view), 0)
-                 FROM p JOIN v ON p.user_id = v.user_id) AS BIGINT)
-             AS sum_view_to_purchase_us
-"""
-
-
-@register("funnel_conversion", oracle=_FUNNEL_ORACLE)
-def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (view → click → purchase): stage k counts users
-    whose earliest stage-k event is AT/AFTER their earliest stage-k−1
-    completion — the product-analytics query every event warehouse
-    runs. Three per-user min-aggregations chained by user_id equijoins
-    (every join and agg shares the ONE user_id partitioning; AQE
-    broadcasts the shrinking stage relations), timestamps as exact
-    epoch-microsecond integers end to end."""
-    e = events_table(spark, sf_dir).select(
-        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
-    )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("us").alias("t_view"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("us") >= F.col("t_view"))
-        .groupBy("user_id").agg(F.min("us").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("us") >= F.col("t_click"))
-        .groupBy("user_id").agg(F.min("us").alias("t_purchase"))
-    )
-    conv = p.join(v, "user_id").agg(
-        F.coalesce(F.sum(F.col("t_purchase") - F.col("t_view")), F.lit(0))
-        .alias("sum_view_to_purchase_us")
-    )
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
-    )
-    return counts.crossJoin(conv).select(
-        "n_view", "n_click_after_view", "n_purchase_after_click",
-        "sum_view_to_purchase_us",
-    )
-
-
-_RETENTION_ORACLE = """
-    WITH e AS (
-      SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week
-      FROM events
-    ),
-    first_week AS (
-      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
-    ),
-    activity AS (
-      SELECT DISTINCT e.user_id, f.cohort_week,
-             e.week - f.cohort_week AS week_k
-      FROM e JOIN first_week f ON e.user_id = f.user_id
-    )
-    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
-           CAST(week_k AS BIGINT) AS week_k,
-           CAST(count(*) AS BIGINT) AS n_active_users
-    FROM activity GROUP BY cohort_week, week_k
-"""
-
-
-@register("retention_cohorts", oracle=_RETENTION_ORACLE)
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention matrix: users cohorted by the epoch-week of
-    their FIRST event; cell (cohort, k) counts distinct users active
-    k weeks later. Epoch-microsecond integer DIV arithmetic (day =
-    us ÷ 86400e6, week = day ÷ 7) so both engines bucket identically
-    with no calendar/timezone conventions; one user_id shuffle feeds
-    the cohort min, the activity join and the distinct — the final
-    cohort-cell agg is the only second exchange."""
-    e = (
-        events_table(spark, sf_dir)
-        .select(
-            "user_id",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        )
-        .select("user_id", F.expr("us DIV 86400000000 DIV 7").alias("week"))
-    )
-    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    activity = (
-        e.join(first, "user_id")
-        .select(
-            "user_id", "cohort_week",
-            (F.col("week") - F.col("cohort_week")).alias("week_k"),
-        )
-        .distinct()
-    )
-    return activity.groupBy("cohort_week", "week_k").agg(
-        F.count(F.lit(1)).alias("n_active_users")
-    )
 
 
 _DELTA_CDF_ORACLE = """
