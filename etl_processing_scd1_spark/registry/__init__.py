@@ -273,8 +273,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   avro_scan_distributed (the same codec as an executor-side DATA
 #   source), multimodal_decode_jpeg_progressive (SOF2
 #   successive-approximation + restart-interval decode, exact
-#   flat-tile oracle), and delta_cdf (change-data-feed
-#   reconstructed from the transaction log).
+#   flat-tile oracle), delta_cdf (change-data-feed
+#   reconstructed from the transaction log), and kaplan_meier_churn
+#   (survival-analysis risk table with censoring).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",

@@ -439,3 +439,92 @@ def delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     )
+
+
+# --------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier churn risk table
+# --------------------------------------------------------------------------
+
+_KM_ORACLE = """
+    WITH bounds AS (
+      SELECT max(epoch_us(ts)) AS end_us FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
+               AS duration_days,
+             CASE WHEN (SELECT end_us FROM bounds) - max(epoch_us(ts))
+                       < 3 * 86400000000
+                  THEN 1 ELSE 0 END AS censored
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT duration_days,
+             SUM(1 - censored) AS n_churned,
+             SUM(censored) AS n_censored
+      FROM u GROUP BY duration_days
+    )
+    SELECT CAST(duration_days AS BIGINT) AS duration_days,
+           CAST((SELECT count(*) FROM u)
+                - COALESCE(SUM(n_churned + n_censored) OVER (
+                    ORDER BY duration_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CAST(n_censored AS BIGINT) AS n_censored
+    FROM d
+"""
+
+
+@register("kaplan_meier_churn", oracle=_KM_ORACLE)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table over user lifetimes (survival
+    analysis, the churn shape): duration = days between a user's
+    first and last event; a user still active within 3 days of the
+    corpus end is CENSORED, not churned. One row per observed
+    duration t: n_at_risk (users whose duration ≥ t — total minus
+    the running count of shorter lifetimes), n_churned, n_censored —
+    all exact BIGINTs; the survival curve Π(1 − d/n) is a trivial
+    driver-side fold over this table when a float curve is wanted.
+    Two shuffles total: the per-user agg and the per-duration agg
+    (the cumulative window reuses the duration ordering); the corpus
+    end is a broadcast 1-row aggregate."""
+    from ..registry._base import events_table
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    end = e.agg(F.max("us").alias("end_us"))
+    u = (
+        e.groupBy("user_id")
+        .agg(F.min("us").alias("first_us"), F.max("us").alias("last_us"))
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.expr("(last_us - first_us) DIV 86400000000").alias("duration_days"),
+            F.when(
+                F.col("end_us") - F.col("last_us") < 3 * 86_400_000_000,
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("censored"),
+        )
+    )
+    d = u.groupBy("duration_days").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("n_churned"),
+        F.sum("censored").alias("n_censored"),
+    )
+    total = u.agg(F.count(F.lit(1)).alias("n_total"))
+    w = (
+        Window.orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_churned") + F.col("n_censored")).over(w), F.lit(0)
+            ),
+        )
+        .select("duration_days", "n_at_risk", "n_churned", "n_censored")
+    )
