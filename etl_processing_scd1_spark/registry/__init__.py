@@ -274,8 +274,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   source), multimodal_decode_jpeg_progressive (SOF2
 #   successive-approximation + restart-interval decode, exact
 #   flat-tile oracle), delta_cdf (change-data-feed
-#   reconstructed from the transaction log), and kaplan_meier_churn
-#   (survival-analysis risk table with censoring).
+#   reconstructed from the transaction log), kaplan_meier_churn
+#   (survival-analysis risk table with censoring), and
+#   sssp_bounded_hops (Bellman-Ford weighted shortest paths).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",

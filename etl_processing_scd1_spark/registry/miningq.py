@@ -565,3 +565,108 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted shortest paths, bounded hops (Bellman-Ford relaxation)
+# --------------------------------------------------------------------------
+
+_SSSP_INF = 1 << 60
+_SSSP_ROUNDS = 3
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    blocks = [f"""
+    pairs AS (
+      SELECT l.l_suppkey + 1000000 AS s_node, o.o_custkey AS c_node,
+             CAST(min(round(l.l_extendedprice * 100)) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT s_node AS src, c_node AS dst, w FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst, w FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    d0 AS (
+      SELECT node,
+             CAST(CASE WHEN node >= 1000000 AND (node - 1000000) % 10 = 0
+                  THEN 0 ELSE {_SSSP_INF} END AS BIGINT) AS d
+      FROM nodes)"""]
+    for t in range(rounds):
+        blocks.append(f"""
+    s{t} AS (
+      SELECT e.dst AS node, CAST(min(r.d + e.w) AS BIGINT) AS nd
+      FROM edges e JOIN d{t} r ON r.node = e.src
+      WHERE r.d < {_SSSP_INF}
+      GROUP BY e.dst
+    ),
+    d{t + 1} AS (
+      SELECT d.node,
+             CAST(least(d.d, COALESCE(s.nd, {_SSSP_INF})) AS BIGINT) AS d
+      FROM d{t} d LEFT JOIN s{t} s ON s.node = d.node
+    )""")
+    return (
+        "WITH " + ",".join(blocks)
+        + f" SELECT node AS node_id, d AS dist_cents FROM d{rounds}"
+        f" WHERE d < {_SSSP_INF}"
+    )
+
+
+@register("sssp_bounded_hops", oracle=_sssp_oracle())
+def sssp_bounded_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, Bellman-Ford
+    relaxation unrolled {rounds} hops — the WEIGHTED sibling of
+    [[bfs_distances]]: edge weight = cheapest traded lineitem between
+    a supplier and customer in exact cents, d_{{t+1}}(v) =
+    min(d_t(v), min_u d_t(u) + w(u,v)). Distances stay exact BIGINT
+    cent sums (3 hops ≤ 3·10^7 cents — no float, no overflow).
+
+    Plan shape is the BFS one: per round ONE edges⋈frontier join and
+    ONE node-keyed min-aggregation, O(E) shuffled bytes per round,
+    node-keyed partitioning reused across rounds; fixed rounds keep
+    the plan finite and the oracle unrollable (a convergence loop
+    belongs behind checkpointed iteration like dedup_clusters)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("l_suppkey") + 1000000).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("w")
+        )
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+        )
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    d = nodes.select(
+        "node",
+        F.expr(
+            f"CAST(CASE WHEN node >= 1000000 AND (node - 1000000) % 10 = 0"
+            f" THEN 0 ELSE {_SSSP_INF} END AS BIGINT)"
+        ).alias("d"),
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            edges.join(
+                d.filter(F.col("d") < _SSSP_INF), edges["src"] == F.col("node")
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("d") + F.col("w")).cast("long").alias("nd"))
+        )
+        d = d.join(relaxed, d["node"] == relaxed["dst"], "left").select(
+            "node",
+            F.least(F.col("d"), F.coalesce(F.col("nd"), F.lit(_SSSP_INF)))
+            .cast("long")
+            .alias("d"),
+        )
+    return d.filter(F.col("d") < _SSSP_INF).select(
+        F.col("node").alias("node_id"), F.col("d").alias("dist_cents")
+    )

@@ -265,8 +265,11 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
     if snapshot_id not in snaps:
         raise ValueError(f"snapshot {snapshot_id} not in table {path}")
     by_id = {}
-    schema = meta.get("schema") or {}
-    for f in schema.get("fields", []):
+    schema = meta.get("schema")
+    if schema is None and meta.get("schemas"):
+        schemas = {s["schema-id"]: s for s in meta["schemas"]}
+        schema = schemas.get(meta.get("current-schema-id"))
+    for f in (schema or {}).get("fields", []):
         by_id[f["id"]] = (f["name"], f["type"])
 
     def pruned(df_: dict) -> bool:
