@@ -528,3 +528,40 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("duration_days", "n_at_risk", "n_churned", "n_censored")
     )
+
+
+_DELTALOG_DS_ORACLE = """
+    SELECT CAST(n_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM nation GROUP BY n_nationkey
+"""
+
+
+@register("deltalog_source_scan", oracle=_DELTALOG_DS_ORACLE)
+def deltalog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta log as a FIRST-CLASS Spark data source (Spark-4
+    Python DataSource API, ``sources/deltalog_datasource.py``):
+    nation round-trips through a partitioned Delta table and back via
+    ``spark.read.format("deltalog")`` — planning walks the
+    transaction log on the driver, each data file becomes one
+    InputPartition read executor-side as Arrow RecordBatches with the
+    hive-encoded partition column reattached from the add-action's
+    partitionValues — then aggregates per nation. The streaming half
+    (incremental version-offset source) is pinned by
+    ``tests/test_delta.py::TestDeltaLogDataSource``."""
+    import shutil
+
+    from ..sources.delta import write_delta_table
+    from ..sources.deltalog_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    path = _delta_dir("ds_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    nat = table(spark, sf_dir, "nation").select(
+        "n_name", F.col("n_nationkey").cast("string").alias("nation_part")
+    )
+    write_delta_table(nat, path, partition_by=["nation_part"])
+    got = spark.read.format("deltalog").load(path)
+    return got.groupBy(
+        F.col("nation_part").cast("long").alias("nation")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))

@@ -1,0 +1,183 @@
+"""Delta tables as a first-class Spark data source — the Spark-4
+Python DataSource API (``pyspark.sql.datasource``, public) wrapping
+``sources/delta.py``'s transaction-log reader:
+
+- batch: ``spark.read.format("deltalog").load(path)`` — snapshot
+  read planned from the log (option ``versionAsOf`` time-travels);
+- streaming: ``spark.readStream.format("deltalog").load(path)`` —
+  the INCREMENTAL source: offsets are log versions, each micro-batch
+  is exactly the files ADDED by commits in ``(start, end]``, so a
+  downstream query processes appends exactly once through Structured
+  Streaming's checkpointed offset log (the same contract as Delta's
+  own streaming source; ``ignoreDeletes=true`` is implied — remove
+  actions are compaction/overwrite bookkeeping the appends-stream
+  consumer skips, and anything else needs CDF via ``delta_changes``).
+
+Scale shape: the driver touches only the LOG (file lists); one
+``InputPartition`` per data file, read executor-side with pyarrow →
+Arrow RecordBatches (zero row-by-row Python). Partition-column
+values (hive-dir encoded, absent from the files) are reattached per
+partition from the add-action's ``partitionValues`` — constants,
+cast per the table's schemaString.
+
+Register per session:
+``spark.dataSource.register(DeltaLogDataSource)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .delta import _replay, delta_table_version
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str, partition_values: dict):
+        self.file_path = file_path
+        self.partition_values = partition_values
+
+
+def _read_file_batches(schema: StructType, part: _FilePartition):
+    """Executor-side: one data file → Arrow RecordBatches carrying
+    ALL schema columns (hive partition values reattached as
+    constants, typed per the log's authoritative schema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    want = to_arrow_schema(schema)
+    tbl = pq.read_table(part.file_path)
+    n = tbl.num_rows
+    arrays = []
+    for field in want:
+        if field.name in tbl.column_names:
+            col = tbl.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            raw = part.partition_values.get(field.name)
+            if raw is None:
+                arrays.append(pa.nulls(n, field.type))
+            else:
+                scalar = pa.scalar(raw, type=pa.string()).cast(field.type)
+                arrays.append(pa.repeat(scalar, n))
+    out = pa.table(arrays, schema=want)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class _DeltaBatchReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType, version: int | None):
+        self.path = path
+        self.schema_ = schema
+        self.version = version
+
+    def partitions(self):
+        # _replay is log-file-only (its spark param is unused — the
+        # snapshot is driver-side metadata); None keeps this planner
+        # independent of an active session
+        snap = _replay(None, self.path, self.version)
+        return [
+            _FilePartition(
+                os.path.join(self.path, p),
+                add.get("partitionValues") or {},
+            )
+            for p, add in sorted(snap.files.items())
+        ]
+
+    def read(self, partition):
+        yield from _read_file_batches(self.schema_, partition)
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    """Offsets are log versions: batch (start, end] = files ADDED by
+    those commits. Structured Streaming persists the offsets in its
+    checkpoint, which is what makes restart/replay exactly-once."""
+
+    def __init__(self, path: str, schema: StructType, starting_version: int):
+        self.path = path
+        self.schema_ = schema
+        self.starting = starting_version
+
+    def initialOffset(self):
+        return {"version": self.starting}
+
+    def latestOffset(self):
+        return {"version": delta_table_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        from .delta import _commit_file, _read_actions
+
+        parts = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            f = _commit_file(self.path, v)
+            if not os.path.exists(f):
+                continue
+            with open(f) as fh:
+                for action in _read_actions(fh):
+                    if "add" in action:
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(self.path, action["add"]["path"]),
+                                action["add"].get("partitionValues") or {},
+                            )
+                        )
+        # Structured Streaming requires >= 1 partition per batch; an
+        # empty range yields one empty-file sentinel handled in read()
+        return parts or [_FilePartition("", {})]
+
+    def read(self, partition):
+        if not partition.file_path:
+            return iter(())
+        return _read_file_batches(self.schema_, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; the log is immutable
+
+    def stop(self) -> None:
+        pass
+
+
+class DeltaLogDataSource(DataSource):
+    """``format("deltalog")`` — see module docstring. Options:
+    ``path`` (required), ``versionAsOf`` (batch time travel),
+    ``startingVersion`` (stream start; default −1 = from the
+    beginning, i.e. the first batch carries the current snapshot's
+    whole history of adds)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltalog"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("deltalog requires .load(<table path>)")
+        return path
+
+    def schema(self):
+        version = self.options.get("versionasof")
+        snap = _replay(
+            None, self._path(), int(version) if version is not None else None
+        )
+        return StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        version = self.options.get("versionasof")
+        return _DeltaBatchReader(
+            self._path(), schema, int(version) if version is not None else None
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        starting = int(self.options.get("startingversion", -1))
+        return _DeltaStreamReader(self._path(), schema, starting)

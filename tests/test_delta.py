@@ -346,3 +346,71 @@ class TestVacuum:
         # both snapshots still read (time travel intact)
         assert read_delta_table(spark, path, version=0).count() == 5
         assert read_delta_table(spark, path, version=1).count() == 3
+
+
+class TestDeltaLogDataSource:
+    """Spark-4 Python DataSource API (format('deltalog')) over the
+    transaction log: batch snapshot reads with time travel, partition
+    constants reattached per file, and the incremental streaming
+    source whose offsets are log versions."""
+
+    @pytest.fixture()
+    def registered(self, spark):
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        return spark
+
+    def test_batch_read_and_time_travel(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "ds")
+        write_delta_table(_df(spark, 0, 20), path, partition_by=["part"])
+        got = spark.read.format("deltalog").load(path)
+        assert sorted(got.columns) == ["k", "part", "v"]
+        assert _rows(got) == _rows(_df(spark, 0, 20))
+        # partition column values come from add-action partitionValues
+        assert sorted(
+            r.part for r in got.select("part").distinct().collect()
+        ) == ["0", "1", "2"]
+        write_delta_table(_df(spark, 100, 103), path, mode="overwrite")
+        assert _rows(
+            spark.read.format("deltalog").option("versionAsOf", 0).load(path)
+        ) == _rows(_df(spark, 0, 20))
+        assert _rows(spark.read.format("deltalog").load(path)) == _rows(
+            _df(spark, 100, 103)
+        )
+
+    def test_streaming_incremental_appends(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "dss")
+        ck = str(tmp_path / "ck")
+        write_delta_table(_df(spark, 0, 10), path)
+
+        def drain(sink):
+            stream = spark.readStream.format("deltalog").load(path)
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda b, bid: sink.append(sorted(r.k for r in b.collect()))
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        got1: list = []
+        drain(got1)
+        assert [ks for ks in got1 if ks] == [list(range(10))]
+        # appends land; the SAME checkpoint resumes from the committed
+        # version offset and sees ONLY the new files
+        write_delta_table(_df(spark, 10, 15), path, mode="append")
+        write_delta_table(_df(spark, 15, 18), path, mode="append")
+        got2: list = []
+        drain(got2)
+        assert sorted(k for ks in got2 for k in ks) == list(range(10, 18))
+        # nothing new -> nothing emitted
+        got3: list = []
+        drain(got3)
+        assert [ks for ks in got3 if ks] == []
