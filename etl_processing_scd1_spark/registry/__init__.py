@@ -277,8 +277,9 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   reconstructed from the transaction log), kaplan_meier_churn
 #   (survival-analysis risk table with censoring), and
 #   sssp_bounded_hops (Bellman-Ford weighted shortest paths), and
-#   deltalog_source_scan (the Delta log as a Spark-4 Python
-#   DataSource — batch time travel + incremental streaming source).
+#   deltalog_source_scan and iceberglog_source_scan (Delta and
+#   Iceberg as Spark-4 Python DataSources — batch time travel +
+#   incremental streaming sources).
 PRIMARY = [
     # family re-confirmations (driver-green r7; keep §2 core in-window)
     "scd1_merge_full",

@@ -565,3 +565,37 @@ def deltalog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.groupBy(
         F.col("nation_part").cast("long").alias("nation")
     ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "iceberglog_source_scan",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def iceberglog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg as a FIRST-CLASS Spark data source (the
+    ``iceberglog`` Python DataSource, twin of
+    ``deltalog_source_scan``): nation round-trips through a
+    partitioned Iceberg table and back via
+    ``spark.read.format("iceberglog")`` — planning walks the manifest
+    tree on the driver, each data file becomes one InputPartition
+    read executor-side as Arrow RecordBatches — then aggregates
+    nations per region. The incremental streaming half is pinned by
+    ``tests/test_iceberg.py::TestIcebergLogDataSource``."""
+    import shutil
+
+    from ..sources.iceberg import write_iceberg_table
+    from ..sources.iceberglog_datasource import IcebergLogDataSource
+
+    spark.dataSource.register(IcebergLogDataSource)
+    path = _delta_dir("ice_ds_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    nat = table(spark, sf_dir, "nation").select(
+        "n_name", F.col("n_regionkey").cast("long").alias("region")
+    )
+    write_iceberg_table(nat, path, partition_by=["region"])
+    got = spark.read.format("iceberglog").load(path)
+    return got.groupBy("region").agg(F.count(F.lit(1)).alias("n_nations"))

@@ -1,0 +1,195 @@
+"""Iceberg tables as a first-class Spark data source — the Spark-4
+Python DataSource API twin of ``deltalog_datasource``:
+
+- batch: ``spark.read.format("iceberglog").load(path)`` — snapshot
+  read planned from the manifest tree (options ``versionAsOf`` /
+  ``snapshotId`` time-travel);
+- streaming: ``spark.readStream.format("iceberglog").load(path)``
+  — incremental appends: offsets are METADATA VERSIONS; a micro
+  batch carries exactly the data files whose manifest entries were
+  ADDED by snapshots committed in ``(start, end]`` (the
+  appends-stream contract — overwrite/replace snapshots surface
+  their added files too; row-level deletes don't exist in v1 and
+  gate in the reader).
+
+Scale shape matches the Delta twin: planning walks metadata only;
+one ``InputPartition`` per data file, read executor-side with
+pyarrow into Arrow RecordBatches; identity-partition constants are
+reattached from the manifest's typed partition tuple when a file
+omits the column (hive-migrated layouts).
+
+Register per session:
+``spark.dataSource.register(IcebergLogDataSource)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .avro import load_avro
+from .iceberg import (
+    _load_metadata,
+    _norm_path,
+    _snapshot_files,
+    _spark_schema,
+    iceberg_table_version,
+)
+
+
+class _IcePartition(InputPartition):
+    def __init__(self, file_path: str, partition_values: dict):
+        self.file_path = file_path
+        self.partition_values = partition_values
+
+
+def _read_batches(schema: StructType, part: _IcePartition):
+    """Executor-side: one parquet data file → Arrow RecordBatches in
+    the table schema; partition-tuple constants fill columns a
+    foreign file omits (values are already typed in the manifest)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    want = to_arrow_schema(schema)
+    tbl = pq.read_table(part.file_path)
+    n = tbl.num_rows
+    arrays = []
+    for field in want:
+        if field.name in tbl.column_names:
+            col = tbl.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            raw = part.partition_values.get(field.name)
+            if raw is None:
+                arrays.append(pa.nulls(n, field.type))
+            else:
+                arrays.append(pa.repeat(pa.scalar(raw).cast(field.type), n))
+    yield from pa.table(arrays, schema=want).to_batches(max_chunksize=1 << 16)
+
+
+class _IceBatchReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType,
+                 version: int | None, snapshot_id: int | None):
+        self.path = path
+        self.schema_ = schema
+        self.version = version
+        self.snapshot_id = snapshot_id
+
+    def partitions(self):
+        meta = _load_metadata(self.path, self.version)
+        _, files = _snapshot_files(self.path, meta, self.snapshot_id)
+        return [_IcePartition(p, part or {}) for p, part in sorted(files)]
+
+    def read(self, partition):
+        yield from _read_batches(self.schema_, partition)
+
+
+class _IceStreamReader(DataSourceStreamReader):
+    """Offsets are metadata versions; batch (start, end] = files whose
+    manifest entries were ADDED by the snapshots those commits
+    created. Structured Streaming's checkpoint persists the offsets —
+    restart resumes at the committed version."""
+
+    def __init__(self, path: str, schema: StructType, starting_version: int):
+        self.path = path
+        self.schema_ = schema
+        self.starting = starting_version
+
+    def initialOffset(self):
+        return {"version": self.starting}
+
+    def latestOffset(self):
+        return {"version": iceberg_table_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        if end["version"] <= start["version"]:
+            return [_IcePartition("", {})]
+        end_meta = _load_metadata(self.path, end["version"])
+        try:
+            start_meta = _load_metadata(self.path, start["version"]) \
+                if start["version"] >= 1 else None
+        except ValueError:
+            start_meta = None  # expired metadata: treat as from-scratch
+        seen = {
+            s["snapshot-id"] for s in (start_meta or {}).get("snapshots", [])
+        }
+        new_snaps = [
+            s for s in end_meta.get("snapshots", [])
+            if s["snapshot-id"] not in seen
+        ]
+        parts = []
+        for s in new_snaps:
+            sid = s["snapshot-id"]
+            _, manifests = load_avro(_norm_path(s["manifest-list"], self.path))
+            for mf in manifests:
+                if mf.get("added_snapshot_id") != sid:
+                    continue  # carried manifest from an earlier snapshot
+                _, entries = load_avro(
+                    _norm_path(mf["manifest_path"], self.path)
+                )
+                for e in entries:
+                    if e["status"] != 0 or e.get("snapshot_id") != sid:
+                        continue
+                    df_ = e["data_file"]
+                    parts.append(
+                        _IcePartition(
+                            _norm_path(df_["file_path"], self.path),
+                            df_.get("partition") or {},
+                        )
+                    )
+        return parts or [_IcePartition("", {})]
+
+    def read(self, partition):
+        if not partition.file_path:
+            return iter(())
+        return _read_batches(self.schema_, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class IcebergLogDataSource(DataSource):
+    """``format("iceberglog")`` — see module docstring. Options:
+    ``path`` (required); batch: ``versionAsOf`` (metadata version),
+    ``snapshotId``; streaming: ``startingVersion`` (default 0 = from
+    the beginning — the first batch carries every snapshot's adds)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberglog"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberglog requires .load(<table path>)")
+        return path
+
+    def _version(self):
+        v = self.options.get("versionasof")
+        return int(v) if v is not None else None
+
+    def schema(self):
+        return _spark_schema(_load_metadata(self._path(), self._version()))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        sid = self.options.get("snapshotid")
+        return _IceBatchReader(
+            self._path(), schema, self._version(),
+            int(sid) if sid is not None else None,
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        starting = int(self.options.get("startingversion", 0))
+        return _IceStreamReader(self._path(), schema, starting)

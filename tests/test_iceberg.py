@@ -590,3 +590,66 @@ class TestExpireSnapshots:
         write_iceberg_table(_df(spark, 0, 5), path)
         assert expire_snapshots(path, keep_last=5) == 1
         assert read_iceberg_table(spark, path).count() == 5
+
+
+class TestIcebergLogDataSource:
+    """Spark-4 Python DataSource API (format('iceberglog')): batch
+    snapshot reads with metadata-version/snapshot-id time travel and
+    the incremental streaming source over snapshot adds."""
+
+    @pytest.fixture()
+    def registered(self, spark):
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        return spark
+
+    def test_batch_read_and_time_travel(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "ids")
+        write_iceberg_table(_df(spark, 0, 20), path, partition_by=["part"])
+        got = spark.read.format("iceberglog").load(path)
+        assert _rows(got) == _rows(_df(spark, 0, 20))
+        write_iceberg_table(_df(spark, 100, 103), path, mode="overwrite")
+        assert _rows(
+            spark.read.format("iceberglog").option("versionAsOf", 1).load(path)
+        ) == _rows(_df(spark, 0, 20))
+        snaps = iceberg_snapshots(path)
+        assert _rows(
+            spark.read.format("iceberglog")
+            .option("snapshotId", snaps[0]["snapshot-id"]).load(path)
+        ) == _rows(_df(spark, 0, 20))
+        assert _rows(spark.read.format("iceberglog").load(path)) == _rows(
+            _df(spark, 100, 103)
+        )
+
+    def test_streaming_incremental_appends(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "iss")
+        ck = str(tmp_path / "ck")
+        write_iceberg_table(_df(spark, 0, 10), path)
+
+        def drain():
+            out: list = []
+            q = (
+                spark.readStream.format("iceberglog").load(path)
+                .writeStream.foreachBatch(
+                    lambda b, bid: out.append(sorted(r.k for r in b.collect()))
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [ks for ks in out if ks]
+
+        assert drain() == [list(range(10))]
+        write_iceberg_table(_df(spark, 10, 15), path, mode="append")
+        write_iceberg_table(_df(spark, 15, 18), path, mode="append")
+        # resumed checkpoint sees ONLY the two new snapshots' adds —
+        # carried manifests from the parent snapshot are filtered by
+        # added_snapshot_id, so nothing replays
+        assert sorted(k for ks in drain() for k in ks) == list(range(10, 18))
+        assert drain() == []
