@@ -37,6 +37,9 @@ ENGINE_CONF: dict[str, str] = {
     # ANSI off: the engine matches the reference's permissive casts
     # (e.g. malformed comma-decimal rows become NULL, not errors).
     "spark.sql.ansi.enabled": "false",
+    # Python DataSource filter pushdown (deltalog/iceberglog sources
+    # skip files from log stats / manifest bounds at planning time).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

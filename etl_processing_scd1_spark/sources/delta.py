@@ -208,19 +208,27 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
 
 
 def read_delta_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    predicates: dict | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table at ``version`` (default:
     latest). Returns a distributed DataFrame over exactly the
     snapshot's active files; partition columns come back via Spark's
     Hive-style directory reconstruction (``basePath``). Empty
-    snapshot → empty DataFrame with the table schema."""
+    snapshot → empty DataFrame with the table schema.
+
+    ``predicates`` = {column: (lo, hi)} inclusive ranges skip files
+    whose ``stats`` cannot intersect (superset guarantee — the caller
+    still applies the exact row filter)."""
     snap = _replay(spark, path, version)
-    if not snap.files:
+    files = {
+        p: a for p, a in snap.files.items() if not _stats_prune(a, predicates)
+    }
+    if not files:
         return spark.createDataFrame([], snap.schema)
     from pyspark.sql import functions as F
 
-    paths = [os.path.join(path, p) for p in sorted(snap.files)]
+    paths = [os.path.join(path, p) for p in sorted(files)]
     reader = spark.read.option("basePath", path)
     df = reader.parquet(*paths)
     # column order AND types per the table schema: Spark's partition
@@ -260,6 +268,90 @@ def delta_history(path: str) -> list[dict]:
                     info.update(action["commitInfo"])
         out.append(info)
     return out
+
+
+def _file_stats_json(dest: str) -> str:
+    """Per-file statistics from the parquet FOOTER (no data read) in
+    the spec's ``stats`` shape — numRecords + minValues/maxValues/
+    nullCount for scalar columns. The reader's predicate pruning and
+    the ``deltalog`` data source's filter pushdown both plan from
+    these, which is the spec's file-skipping mechanism."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(dest)
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if isinstance(mn, (datetime.date, datetime.datetime)):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if not isinstance(mn, (int, float, str, bool)):
+                continue
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        separators=(",", ":"),
+    )
+
+
+def _stats_prune(add: dict, predicates: dict | None) -> bool:
+    """True if the file's stats prove NO row can satisfy the
+    ``{col: (lo, hi)}`` ranges (files without stats never prune —
+    superset guarantee)."""
+    if not predicates:
+        return False
+    raw = add.get("stats")
+    if not raw:
+        return False
+    try:
+        st = json.loads(raw)
+    except (TypeError, ValueError):
+        return False
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    for col, (lo, hi) in predicates.items():
+        if col not in mins or col not in maxs:
+            continue
+        if (hi is not None and mins[col] > hi) or (
+            lo is not None and maxs[col] < lo
+        ):
+            return True
+    return False
+
+
+def delta_plan_files(
+    path: str, version: int | None = None, predicates: dict | None = None
+) -> list[str]:
+    """The snapshot's file list after stats pruning — metadata-only
+    scan planning (mirror of ``iceberg_plan_files``)."""
+    snap = _replay(None, path, version)
+    return sorted(
+        p for p, add in snap.files.items() if not _stats_prune(add, predicates)
+    )
 
 
 def _atomic_commit(path: str, version: int, actions: list[dict]) -> None:
@@ -380,6 +472,7 @@ def write_delta_table(
                         "size": os.path.getsize(dest),
                         "modificationTime": now_ms,
                         "dataChange": True,
+                        "stats": _file_stats_json(dest),
                     }
                 }
             )
@@ -456,6 +549,7 @@ def _checkpoint_schema():
                         ),
                         pa.field("size", pa.int64()),
                         pa.field("modificationTime", pa.int64()),
+                        pa.field("stats", pa.string()),
                         pa.field("dataChange", pa.bool_()),
                     ]
                 ),

@@ -76,23 +76,93 @@ def _read_file_batches(schema: StructType, part: _FilePartition):
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
+def filters_to_ranges(filters) -> tuple[dict, list]:
+    """Comparison filters on top-level columns → ``{col: (lo, hi)}``
+    inclusive ranges for metadata file-skipping. Returns the ranges
+    and the pushed filters (a file-skipping push is a SUPERSET
+    guarantee, so every filter is also returned to Spark for exact
+    row evaluation — the API's partial-pushdown contract)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    ranges: dict = {}
+    pushed = []
+
+    def merge(col, lo, hi):
+        cur_lo, cur_hi = ranges.get(col, (None, None))
+        if lo is not None and (cur_lo is None or lo > cur_lo):
+            cur_lo = lo
+        if hi is not None and (cur_hi is None or hi < cur_hi):
+            cur_hi = hi
+        ranges[col] = (cur_lo, cur_hi)
+
+    for f in filters:
+        if len(getattr(f, "attribute", ())) != 1:
+            continue
+        col = f.attribute[0]
+        v = getattr(f, "value", None)
+        if not isinstance(v, (int, float, str, bool)):
+            continue
+        if isinstance(f, EqualTo):
+            merge(col, v, v)
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            merge(col, v, None)  # strict vs inclusive: superset either way
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            merge(col, None, v)
+        else:
+            continue
+        pushed.append(f)
+    return ranges, pushed
+
+
 class _DeltaBatchReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, version: int | None):
         self.path = path
         self.schema_ = schema
         self.version = version
+        self.predicates: dict = {}
+
+    def pushFilters(self, filters):
+        """File-skipping pushdown: comparison filters become stat
+        ranges evaluated against each add-action's ``stats`` and
+        partitionValues at planning time. All filters are returned —
+        skipping is a superset guarantee, Spark still filters rows."""
+        self.predicates, _ = filters_to_ranges(filters)
+        return filters
 
     def partitions(self):
+        from .delta import _stats_prune
+
         # _replay is log-file-only (its spark param is unused — the
         # snapshot is driver-side metadata); None keeps this planner
         # independent of an active session
         snap = _replay(None, self.path, self.version)
+
+        def part_prune(add) -> bool:
+            pv = add.get("partitionValues") or {}
+            for col, (lo, hi) in self.predicates.items():
+                if (
+                    col in pv
+                    and pv[col] is not None
+                    and lo is not None
+                    and lo == hi
+                    and str(lo) != pv[col]
+                ):
+                    return True
+            return False
+
         return [
             _FilePartition(
                 os.path.join(self.path, p),
                 add.get("partitionValues") or {},
             )
             for p, add in sorted(snap.files.items())
+            if not _stats_prune(add, self.predicates) and not part_prune(add)
         ]
 
     def read(self, partition):

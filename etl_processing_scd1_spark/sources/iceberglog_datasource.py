@@ -83,10 +83,24 @@ class _IceBatchReader(DataSourceReader):
         self.schema_ = schema
         self.version = version
         self.snapshot_id = snapshot_id
+        self.predicates: dict = {}
+
+    def pushFilters(self, filters):
+        """File-skipping pushdown through the MANIFEST bounds (the
+        format's planning-time pruning): comparison filters become
+        the same ``{col: (lo, hi)}`` ranges ``iceberg_plan_files``
+        takes. All filters are returned for exact row evaluation —
+        bounds skipping is a superset guarantee."""
+        from .deltalog_datasource import filters_to_ranges
+
+        self.predicates, _ = filters_to_ranges(filters)
+        return filters
 
     def partitions(self):
         meta = _load_metadata(self.path, self.version)
-        _, files = _snapshot_files(self.path, meta, self.snapshot_id)
+        _, files = _snapshot_files(
+            self.path, meta, self.snapshot_id, self.predicates
+        )
         return [_IcePartition(p, part or {}) for p, part in sorted(files)]
 
     def read(self, partition):

@@ -414,3 +414,58 @@ class TestDeltaLogDataSource:
         got3: list = []
         drain(got3)
         assert [ks for ks in got3 if ks] == []
+
+
+class TestDeltaStatsPruning:
+    def test_plan_files_and_reader_pushdown(self, spark, tmp_path):
+        """Per-file stats (footer min/max in the add-action's spec
+        `stats` JSON) prune scan plans: delta_plan_files, the
+        predicate read, and the deltalog DataSource's pushFilters all
+        skip non-intersecting files; results equal the unpruned read
+        + exact filter (superset guarantee)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThanOrEqual,
+            LessThanOrEqual,
+        )
+
+        from etl_processing_scd1_spark.sources.delta import delta_plan_files
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+            _DeltaBatchReader,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        path = str(tmp_path / "pf")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("part")
+        )
+        write_delta_table(df.repartitionByRange(8, "k"), path)
+        assert len(delta_plan_files(path)) == 8
+        pruned = delta_plan_files(path, predicates={"k": (100, 150)})
+        assert 1 <= len(pruned) < 8
+        r = _DeltaBatchReader(path, df.schema, None)
+        r.pushFilters([GreaterThanOrEqual(("k",), 100),
+                       LessThanOrEqual(("k",), 150)])
+        assert len(r.partitions()) == len(pruned)
+        got = (
+            spark.read.format("deltalog").load(path)
+            .filter("k between 100 and 150")
+        )
+        assert sorted(row.k for row in got.collect()) == list(range(100, 151))
+        # predicate read through the plain reader too
+        got2 = read_delta_table(
+            spark, path, predicates={"k": (100, 150)}
+        ).filter("k between 100 and 150")
+        assert got2.count() == 51
+
+        # partitionValues equality pruning (no stats for hive columns)
+        path2 = str(tmp_path / "pf2")
+        write_delta_table(df, path2, partition_by=["part"])
+        r_all = _DeltaBatchReader(path2, df.schema, None)
+        n_all = len(r_all.partitions())
+        r_eq = _DeltaBatchReader(path2, df.schema, None)
+        r_eq.pushFilters([EqualTo(("part",), "2")])
+        assert 1 <= len(r_eq.partitions()) < n_all
+        got3 = spark.read.format("deltalog").load(path2).filter("part = '2'")
+        assert got3.count() == 250

@@ -653,3 +653,37 @@ class TestIcebergLogDataSource:
         # added_snapshot_id, so nothing replays
         assert sorted(k for ks in drain() for k in ks) == list(range(10, 18))
         assert drain() == []
+
+
+class TestIcebergSourcePushdown:
+    def test_manifest_bounds_pushdown(self, spark, tmp_path):
+        """pushFilters routes comparison filters into the manifest-
+        bounds pruning — the DataSource plans fewer InputPartitions
+        and results equal the exact filter over the full read."""
+        from pyspark.sql.datasource import (
+            GreaterThanOrEqual,
+            LessThanOrEqual,
+        )
+
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+            _IceBatchReader,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "ipf")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        write_iceberg_table(df.repartitionByRange(8, "k"), path)
+        r_all = _IceBatchReader(path, df.schema, None, None)
+        assert len(r_all.partitions()) == 8
+        r = _IceBatchReader(path, df.schema, None, None)
+        r.pushFilters([GreaterThanOrEqual(("k",), 100),
+                       LessThanOrEqual(("k",), 150)])
+        assert 1 <= len(r.partitions()) < 8
+        got = (
+            spark.read.format("iceberglog").load(path)
+            .filter("k between 100 and 150")
+        )
+        assert sorted(row.k for row in got.collect()) == list(range(100, 151))
