@@ -113,6 +113,11 @@ HEADLINE = [
     "iceberg_scan",           # Iceberg snapshot round trip, Avro manifests
     "avro_scan_distributed",  # executor-side Avro object-container parse
     "multimodal_decode_jpeg_progressive",  # SOF2 + restart-interval decode
+    "delta_cdf",              # change-data-feed from the transaction log
+    "deltalog_source_scan",   # Delta as a Spark-4 Python DataSource
+    "iceberglog_source_scan", # Iceberg as a Spark-4 Python DataSource
+    "kaplan_meier_churn",     # survival risk table with censoring
+    "sssp_bounded_hops",      # Bellman-Ford weighted shortest paths
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list
