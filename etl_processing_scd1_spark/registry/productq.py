@@ -485,12 +485,16 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration t: n_at_risk (users whose duration ≥ t — total minus
     the running count of shorter lifetimes), n_churned, n_censored —
     all exact BIGINTs; the survival curve Π(1 − d/n) is a trivial
-    driver-side fold over this table when a float curve is wanted.
-    Two shuffles total: the per-user agg and the per-duration agg
-    (the cumulative window reuses the duration ordering); the corpus
-    end is a broadcast 1-row aggregate."""
+    fold over this table when a float curve is wanted.
+    Two distributed shuffles do all the row-scale work (per-user agg,
+    per-duration agg); the cumulative n_at_risk then folds on the
+    DRIVER over the aggregated relation — bounded by one row per
+    distinct lifetime DAY (calendar-bounded, not row-bounded: ≤ a few
+    thousand rows for decades of data), the same bounded-collect
+    pattern as the PCA matvec and heavy-hitters screen. A global
+    cumulative WINDOW here would be a single-partition funnel — the
+    plan gate (test_plans headline sweep) forbids exactly that."""
     from ..registry._base import events_table
-    from pyspark.sql import Window
 
     e = events_table(spark, sf_dir).select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
@@ -512,21 +516,17 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("censored")).alias("n_churned"),
         F.sum("censored").alias("n_censored"),
     )
-    total = u.agg(F.count(F.lit(1)).alias("n_total"))
-    w = (
-        Window.orderBy("duration_days")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        d.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_at_risk",
-            F.col("n_total")
-            - F.coalesce(
-                F.sum(F.col("n_churned") + F.col("n_censored")).over(w), F.lit(0)
-            ),
-        )
-        .select("duration_days", "n_at_risk", "n_churned", "n_censored")
+    rows = sorted(d.collect(), key=lambda r: r.duration_days)
+    total = sum(r.n_churned + r.n_censored for r in rows)
+    out = []
+    run = 0
+    for r in rows:
+        out.append((r.duration_days, total - run, r.n_churned, r.n_censored))
+        run += r.n_churned + r.n_censored
+    return spark.createDataFrame(
+        out,
+        "duration_days bigint, n_at_risk bigint, n_churned bigint, "
+        "n_censored bigint",
     )
 
 
