@@ -31,9 +31,11 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -251,3 +253,148 @@ class DeltaLogDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         starting = int(self.options.get("startingversion", -1))
         return _DeltaStreamReader(self._path(), schema, starting)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        part = self.options.get("partitionby")
+        partition_by = [c.strip() for c in part.split(",")] if part else []
+        return _DeltaWriter(self._path(), schema, overwrite, partition_by)
+
+
+class _DeltaCommitMessage(WriterCommitMessage):
+    def __init__(self, files: list):
+        # (rel_path, size, partition_values, stats_json) per written file
+        self.files = files
+
+
+class _DeltaWriter(DataSourceArrowWriter):
+    """The cluster-correct Delta commit protocol, which the API maps
+    onto exactly: every EXECUTOR task streams its Arrow batches into
+    uniquely-named parquet files under the table root and reports
+    them in its commit message; the DRIVER then turns the collected
+    messages into one put-if-absent log commit (``commit``) or
+    deletes the orphans (``abort``) — no staging directory, no
+    renames, and a lost race leaves only unreferenced files (the
+    spec's own failure mode)."""
+
+    def __init__(self, path: str, schema: StructType,
+                 overwrite: bool, partition_by: list[str]):
+        self.path = path
+        self.schema_ = schema
+        self.overwrite = overwrite
+        self.partition_by = partition_by
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .delta import _file_stats_json
+
+        batches = list(iterator)
+        files: list = []
+        if batches:
+            tbl = pa.Table.from_batches(batches)
+            groups: list[tuple[dict, "pa.Table"]] = []
+            if self.partition_by:
+                import pyarrow.compute as pc
+
+                keys = tbl.group_by(self.partition_by).aggregate([]).to_pylist()
+                for kv in keys:
+                    mask = None
+                    for c, v in kv.items():
+                        col = tbl.column(c)
+                        m = pc.is_null(col) if v is None \
+                            else pc.equal(col, pa.scalar(v))
+                        mask = m if mask is None else pc.and_(mask, m)
+                    part = {c: (None if v is None else str(v)) for c, v in kv.items()}
+                    groups.append((part, tbl.filter(mask).drop_columns(self.partition_by)))
+            else:
+                groups.append(({}, tbl))
+            for part, piece in groups:
+                if piece.num_rows == 0:
+                    continue
+                segs = [f"{k}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                        for k, v in sorted(part.items())]
+                rel_dir = "/".join(segs)
+                rel = (f"{rel_dir}/" if rel_dir else "") + \
+                    f"part-{_uuid.uuid4().hex}.parquet"
+                dest = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                pq.write_table(piece, dest)
+                files.append(
+                    (rel, os.path.getsize(dest), part, _file_stats_json(dest))
+                )
+        return _DeltaCommitMessage(files)
+
+    def commit(self, messages) -> None:
+        import time as _time
+
+        from .delta import (
+            _atomic_commit,
+            _list_versions,
+            _replay,
+        )
+        import uuid as _uuid
+
+        now_ms = int(_time.time() * 1000)
+        versions = _list_versions(self.path)
+        new_version = (versions[-1] + 1) if versions else 0
+        actions: list[dict] = []
+        if not versions:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(_uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": self.schema_.json(),
+                        "partitionColumns": self.partition_by,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        elif self.overwrite:
+            snap = _replay(None, self.path, versions[-1])
+            for p in sorted(snap.files):
+                actions.append(
+                    {"remove": {"path": p, "deletionTimestamp": now_ms,
+                                "dataChange": True}}
+                )
+        for m in messages:
+            for rel, size, part, stats in (m.files if m else []):
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": part,
+                            "size": size,
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": stats,
+                        }
+                    }
+                )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "overwrite" if self.overwrite else "append"
+                    },
+                    "engineInfo": "etl-processing-scd1-spark deltalog datasource",
+                }
+            }
+        )
+        _atomic_commit(self.path, new_version, actions)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            for rel, _size, _part, _stats in (m.files if m else []):
+                f = os.path.join(self.path, rel)
+                if os.path.exists(f):
+                    os.unlink(f)

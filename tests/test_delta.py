@@ -469,3 +469,74 @@ class TestDeltaStatsPruning:
         assert 1 <= len(r_eq.partitions()) < n_all
         got3 = spark.read.format("deltalog").load(path2).filter("part = '2'")
         assert got3.count() == 250
+
+
+class TestDeltaLogDataSourceWriter:
+    """The write half of format('deltalog'): executors stream Arrow
+    batches into uniquely-named parquet files and report them in
+    commit messages; the driver turns the messages into ONE
+    put-if-absent log commit — the cluster-correct Delta commit
+    protocol (no staging, no renames)."""
+
+    @pytest.fixture()
+    def registered(self, spark):
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        return spark
+
+    def test_append_overwrite_time_travel(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "w1")
+        _df(spark, 0, 50).write.format("deltalog").mode("append").save(path)
+        assert _rows(read_delta_table(spark, path)) == _rows(_df(spark, 0, 50))
+        _df(spark, 50, 60).write.format("deltalog").mode("append").save(path)
+        assert read_delta_table(spark, path).count() == 60
+        _df(spark, 0, 5).write.format("deltalog").mode("overwrite").save(path)
+        assert _rows(read_delta_table(spark, path)) == _rows(_df(spark, 0, 5))
+        assert read_delta_table(spark, path, version=1).count() == 60
+        # stats written by the executor path drive pruning too
+        from etl_processing_scd1_spark.sources.delta import delta_plan_files
+
+        assert delta_plan_files(path, predicates={"k": (10**9, None)}) == []
+
+    def test_partitioned_write_via_option(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "w2")
+        (
+            _df(spark, 0, 30)
+            .write.format("deltalog")
+            .mode("append")
+            .option("partitionBy", "part")
+            .save(path)
+        )
+        got = read_delta_table(spark, path)
+        assert _rows(got) == _rows(_df(spark, 0, 30))
+        assert sorted(
+            d for d in os.listdir(path) if d.startswith("part=")
+        ) == ["part=0", "part=1", "part=2"]
+        # round trip through the source reader (partition constants)
+        assert _rows(spark.read.format("deltalog").load(path)) == _rows(
+            _df(spark, 0, 30)
+        )
+
+    def test_writer_reader_full_loop(self, registered, tmp_path):
+        """write.format('deltalog') → readStream.format('deltalog'):
+        the same registered source serves both halves."""
+        spark = registered
+        path = str(tmp_path / "w3")
+        _df(spark, 0, 10).write.format("deltalog").mode("append").save(path)
+        out: list = []
+        q = (
+            spark.readStream.format("deltalog").load(path)
+            .writeStream.foreachBatch(
+                lambda b, bid: out.append(b.count())
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(180)
+        assert sum(out) == 10
