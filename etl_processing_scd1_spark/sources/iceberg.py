@@ -736,6 +736,35 @@ def write_iceberg_table(
             )
     shutil.rmtree(stage_abs, ignore_errors=True)
 
+    return _commit_snapshot(
+        path, schema, partition_by, mode, new_files, extra_summary, base, prev
+    )
+
+
+def _commit_snapshot(
+    path: str,
+    schema: T.StructType,
+    partition_by: list[str],
+    mode: str,
+    new_files: list,
+    extra_summary: dict | None,
+    base: int,
+    prev: dict | None,
+) -> int:
+    """Driver-side commit shared by :func:`write_iceberg_table` and
+    the ``iceberglog`` DataSource writer: turn a list of already-
+    written data files ``(abs_path, partition_values, record_count,
+    size, lower_bounds, upper_bounds)`` into a manifest + manifest
+    list + snapshot + put-if-absent metadata version."""
+    now_ms = int(time.time() * 1000)
+    new_version = base + 1 if base else 1
+    table_uuid = prev["table-uuid"] if prev else str(uuid.uuid4())
+    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    part_fields = [
+        (c, ice_types[c], 1000 + i) for i, c in enumerate(partition_by)
+    ]
+
     # ---- manifest for the new files
     snapshot_id = now_ms * 1000 + new_version
     os.makedirs(_meta_dir(path), exist_ok=True)

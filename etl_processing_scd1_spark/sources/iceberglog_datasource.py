@@ -26,9 +26,11 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -207,3 +209,145 @@ class IcebergLogDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         starting = int(self.options.get("startingversion", 0))
         return _IceStreamReader(self._path(), schema, starting)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        part = self.options.get("partitionby")
+        partition_by = [c.strip() for c in part.split(",")] if part else []
+        return _IceWriter(self._path(), schema, overwrite, partition_by)
+
+
+class _IceCommitMessage(WriterCommitMessage):
+    def __init__(self, files: list):
+        # (abs_path, partition_values, record_count, size, lo, hi)
+        self.files = files
+
+
+class _IceWriter(DataSourceArrowWriter):
+    """Write half of ``format("iceberglog")`` — the same split as the
+    deltalog writer: executors stream Arrow batches into parquet
+    files under ``data/`` (grouped by identity-partition values,
+    footer bounds computed per file) and report them in commit
+    messages; the driver folds the messages into one manifest +
+    manifest list + snapshot + put-if-absent metadata commit
+    (``_commit_snapshot`` — shared with the batch writer). Appends
+    require the DataFrame schema to equal the table schema (the
+    evolution path lives in ``write_iceberg_table``)."""
+
+    def __init__(self, path: str, schema: StructType,
+                 overwrite: bool, partition_by: list[str]):
+        self.path = path
+        self.schema_ = schema
+        self.overwrite = overwrite
+        self.partition_by = partition_by
+
+    def write(self, iterator):
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .iceberg import (
+            _footer_bounds,
+            _spark_to_iceberg,
+            _typed_part_value,
+        )
+
+        ice_types = {
+            f.name: _spark_to_iceberg(f.dataType) for f in self.schema_.fields
+        }
+        field_ids = {f.name: i + 1 for i, f in enumerate(self.schema_.fields)}
+        batches = list(iterator)
+        files: list = []
+        if batches:
+            tbl = pa.Table.from_batches(batches)
+            groups: list[tuple[dict, "pa.Table"]] = []
+            if self.partition_by:
+                keys = tbl.group_by(self.partition_by).aggregate([]).to_pylist()
+                for kv in keys:
+                    mask = None
+                    for c, v in kv.items():
+                        col = tbl.column(c)
+                        m = pc.is_null(col) if v is None \
+                            else pc.equal(col, pa.scalar(v))
+                        mask = m if mask is None else pc.and_(mask, m)
+                    # files KEEP all columns (identity sources are data
+                    # columns per the spec); dirs use shadow names
+                    groups.append((kv, tbl.filter(mask)))
+            else:
+                groups.append(({}, tbl))
+            for kv, piece in groups:
+                if piece.num_rows == 0:
+                    continue
+                segs = [
+                    f"_p_{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                    for c, v in sorted(kv.items())
+                ]
+                rel_dir = "/".join(["data"] + segs)
+                dest = os.path.join(
+                    self.path, rel_dir, f"part-{_uuid.uuid4().hex}.parquet"
+                )
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                pq.write_table(piece, dest)
+                md = pq.read_metadata(dest)
+                lo, hi = _footer_bounds(md, field_ids, ice_types)
+                part_values = {
+                    c: (None if v is None
+                        else _typed_part_value(str(v), ice_types[c]))
+                    for c, v in kv.items()
+                }
+                files.append(
+                    (dest, part_values, md.num_rows, os.path.getsize(dest),
+                     lo, hi)
+                )
+        return _IceCommitMessage(files)
+
+    def commit(self, messages) -> None:
+        import os
+
+        from .iceberg import (
+            _commit_snapshot,
+            _spark_schema,
+            IcebergProtocolError,
+        )
+
+        hint = os.path.join(self.path, "metadata", "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                base = int(fh.read().strip())
+            prev = _load_metadata(self.path, base)
+            table_schema = _spark_schema(prev)
+            if [f.name for f in table_schema.fields] != \
+                    [f.name for f in self.schema_.fields]:
+                raise IcebergProtocolError(
+                    "iceberglog writer appends require the DataFrame schema "
+                    "to match the table schema (use write_iceberg_table for "
+                    "add-column evolution)"
+                )
+            partition_by = [
+                f["name"] for f in prev["partition-specs"][0]["fields"]
+            ]
+        else:
+            base = 0
+            prev = None
+            partition_by = self.partition_by
+        new_files = [f for m in messages for f in (m.files if m else [])]
+        _commit_snapshot(
+            self.path,
+            self.schema_,
+            partition_by,
+            "overwrite" if self.overwrite else "append",
+            new_files,
+            None,
+            base,
+            prev,
+        )
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            for dest, *_rest in (m.files if m else []):
+                if os.path.exists(dest):
+                    os.unlink(dest)

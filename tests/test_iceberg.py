@@ -773,3 +773,68 @@ class TestAvroRandomSchemas:
         buf.seek(0)
         assert _dec(buf, parsed) == value
         assert buf.read() == b""  # decoder consumed exactly what was written
+
+
+class TestIcebergLogDataSourceWriter:
+    """Write half of format('iceberglog'): executors write
+    data/ parquet files with footer bounds and report commit
+    messages; the driver folds them into one manifest tree +
+    put-if-absent metadata commit (shared _commit_snapshot)."""
+
+    @pytest.fixture()
+    def registered(self, spark):
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        return spark
+
+    def test_append_overwrite_time_travel_and_bounds(self, registered, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import iceberg_plan_files
+
+        spark = registered
+        path = str(tmp_path / "iw1")
+        (
+            _df(spark, 0, 60)
+            .write.format("iceberglog").mode("append")
+            .option("partitionBy", "part").save(path)
+        )
+        assert _rows(read_iceberg_table(spark, path)) == _rows(_df(spark, 0, 60))
+        _df(spark, 60, 70).write.format("iceberglog").mode("append").save(path)
+        assert read_iceberg_table(spark, path).count() == 70
+        _df(spark, 0, 5).write.format("iceberglog").mode("overwrite").save(path)
+        assert _rows(read_iceberg_table(spark, path)) == _rows(_df(spark, 0, 5))
+        assert read_iceberg_table(spark, path, version=2).count() == 70
+        assert [s["operation"] for s in iceberg_snapshots(path)] == [
+            "append", "append", "overwrite",
+        ]
+        # executor-written footer bounds drive manifest pruning
+        assert iceberg_plan_files(path, predicates={"k": (10**9, None)}) == []
+        # typed partition tuples present in the partitioned commit's
+        # manifest (later commits are unpartitioned; uuid file names
+        # sort arbitrarily, so union across all manifests)
+        meta_dir = os.path.join(path, "metadata")
+        seen = set()
+        for fn in os.listdir(meta_dir):
+            if fn.endswith("-m0.avro"):
+                _, entries = load_avro(os.path.join(meta_dir, fn))
+                seen |= {
+                    e["data_file"]["partition"].get("part") for e in entries
+                }
+        assert {"0", "1", "2"} <= seen
+
+    def test_append_schema_mismatch_refused(self, registered, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            IcebergProtocolError,
+        )
+
+        spark = registered
+        path = str(tmp_path / "iw2")
+        _df(spark, 0, 5).write.format("iceberglog").mode("append").save(path)
+        bad = _df(spark, 5, 8).withColumn("extra", F.lit(1))
+        with pytest.raises(Exception) as ei:
+            bad.write.format("iceberglog").mode("append").save(path)
+        assert "match the table schema" in str(ei.value)
+        # table unchanged and still readable
+        assert read_iceberg_table(spark, path).count() == 5
