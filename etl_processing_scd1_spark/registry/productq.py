@@ -541,7 +541,9 @@ _DELTALOG_DS_ORACLE = """
 def deltalog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Delta log as a FIRST-CLASS Spark data source (Spark-4
     Python DataSource API, ``sources/deltalog_datasource.py``):
-    nation round-trips through a partitioned Delta table and back via
+    nation round-trips through BOTH halves — written by
+    ``df.write.format("deltalog")`` (executor parquet writes folded
+    into one put-if-absent log commit) and read back via
     ``spark.read.format("deltalog")`` — planning walks the
     transaction log on the driver, each data file becomes one
     InputPartition read executor-side as Arrow RecordBatches with the
@@ -551,7 +553,6 @@ def deltalog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_delta.py::TestDeltaLogDataSource``."""
     import shutil
 
-    from ..sources.delta import write_delta_table
     from ..sources.deltalog_datasource import DeltaLogDataSource
 
     spark.dataSource.register(DeltaLogDataSource)
@@ -560,7 +561,13 @@ def deltalog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = table(spark, sf_dir, "nation").select(
         "n_name", F.col("n_nationkey").cast("string").alias("nation_part")
     )
-    write_delta_table(nat, path, partition_by=["nation_part"])
+    # the WRITE half of the DataSource: executors stream Arrow batches
+    # into parquet files + commit messages, driver makes ONE
+    # put-if-absent log commit
+    (
+        nat.write.format("deltalog").mode("append")
+        .option("partitionBy", "nation_part").save(path)
+    )
     got = spark.read.format("deltalog").load(path)
     return got.groupBy(
         F.col("nation_part").cast("long").alias("nation")
@@ -580,14 +587,14 @@ def iceberglog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``iceberglog`` Python DataSource, twin of
     ``deltalog_source_scan``): nation round-trips through a
     partitioned Iceberg table and back via
-    ``spark.read.format("iceberglog")`` — planning walks the manifest
-    tree on the driver, each data file becomes one InputPartition
+    ``spark.read.format("iceberglog")`` after a
+    ``df.write.format("iceberglog")`` commit — planning walks the
+    manifest tree on the driver, each data file becomes one InputPartition
     read executor-side as Arrow RecordBatches — then aggregates
     nations per region. The incremental streaming half is pinned by
     ``tests/test_iceberg.py::TestIcebergLogDataSource``."""
     import shutil
 
-    from ..sources.iceberg import write_iceberg_table
     from ..sources.iceberglog_datasource import IcebergLogDataSource
 
     spark.dataSource.register(IcebergLogDataSource)
@@ -596,6 +603,10 @@ def iceberglog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = table(spark, sf_dir, "nation").select(
         "n_name", F.col("n_regionkey").cast("long").alias("region")
     )
-    write_iceberg_table(nat, path, partition_by=["region"])
+    # write half: executor data files + driver manifest-tree commit
+    (
+        nat.write.format("iceberglog").mode("append")
+        .option("partitionBy", "region").save(path)
+    )
     got = spark.read.format("iceberglog").load(path)
     return got.groupBy("region").agg(F.count(F.lit(1)).alias("n_nations"))
