@@ -10,8 +10,7 @@ The driver's correctness gate evaluates the FIRST 50 entries of
 holds exactly positions 1-50 of a 68-entry registry). So the catalog
 is split in two tiers, and the PRIMARY window is ROTATED each round
 so that every registered query accumulates driver-green evidence
-over time (the rotation history is documented at the ``PRIMARY``
-definition below):
+over time — the per-round rotation history lives in docs/ROTATION.md:
 
 - ``QUERIES``/``ORACLES`` — the PRIMARY 50 currently in the driver's
   correctness window.
@@ -43,303 +42,70 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 
-# The driver-checked window: exactly 50, rotated per round so every
-# registered query accumulates driver-green evidence over time:
-#   round 2+3 window — 50 family-representative queries, green in
-#   CORRECTNESS_r02/CORRECTNESS_r03;
-#   round 4 window — the 50 strongest never-driver-checked queries
-#   (SCD2, substring/semantic/incremental dedup, sketches, CUBE/pivot,
-#   decontamination, BM25, JSONL/ORC, fuzzy join, PageRank …): 47
-#   green in CORRECTNESS_r04, 3 err on driver-harness canonicalization
-#   (scd2_merge_full out-of-ns-range timestamp sentinel; pq_encode /
-#   embedding_quantize array-typed output columns);
-#   round 5 window (below) — closes cumulative coverage at 117/117:
-#   the 3 repaired err queries (outputs now scalar-only /
-#   pandas-datetime-safe), the 15 extras never yet driver-checked
-#   (redundant single-operator demos whose semantics already had
-#   consolidated-query evidence), the 2 round-5 additions
-#   (multimodal_decode, fraud_report_as_written), and 30
-#   re-confirmation slots chosen so every §2 / §2.K family keeps a
-#   representative in-window (sources A1-A4/A8, projections+filters
-#   B, joins C, SCD1 merge G, fraud H, agg surface F, streaming
-#   windows I5, pandas UDF J, dedup/similarity/text/curation K).
-#   rollup_agg and set_ops rotated out to make room — both carry
-#   r2/r3 driver-green evidence and stay oracle-checked locally;
-#   round 6 window (below) — the 4 quality/dedup queries that landed
-#   after the r5 freeze (containment_dedup, unigram_logprob_quality,
-#   dedup_apply, kl_domain_shift) rotate IN for their first driver
-#   check → cumulative driver-green 121/121. Displaced: 4
-#   double-confirmed re-confirmation rows whose families keep other
-#   in-window representatives — excel_serial_dates + full_table_extract
-#   (§2.A keeps csv_scan/parquet_scan/filename_date_extract),
-#   anti_exists (§2.B keeps semi_join_in; anti-join semantics also
-#   covered by the scd1_merge_full insert/delete legs), and
-#   distinct_agg_having (§2.F keeps groupby_agg/skew_salted_agg plus
-#   the r5-green distinct_agg/having_filter singles), and
-#   expr_key_join (C6 keeps expr_key_join_trim + expr_key_join_replace)
-#   displaced by the round-6 addition multimodal_decode_png (new
-#   queries enter the window the round they land). Mid-round-6
-#   additions follow the same rule: containment_dedup_full,
-#   ngram_diversity, winsorize_stats rotate in, displacing three
-#   double-confirmed (r2/r3 + r5) rows whose families keep other
-#   in-window representatives — ngram_jaccard (text/dedup K keeps
-#   text_quality + the whole dedup block), similarity_topk
-#   (similarity keeps similarity_topk_pandas + embedding_near_dup),
-#   and session_window_agg (§2.I5 keeps tumbling_window_agg); then
-#   bpe_train_merges (in-engine BPE tokenizer training) displaces
-#   text_quality (K4 keeps ngram_diversity + unigram_logprob_quality
-#   in-window; text_quality stays double-confirmed r2/r3 + r5); then
-#   triangle_count (frequent-co-supplier graph triangles) displaces
-#   filename_date_extract (§2.A keeps csv_scan + parquet_scan;
-#   filename_date_extract stays double-confirmed r2/r3 + r5); then
-#   multimodal_decode_jpeg (real baseline JPEG codec, exact
-#   flat-tile oracle) displaces project_reshape (§2.B keeps
-#   nullsafe_diff/semi_join_in plus the r5-green
-#   project_rename/project_drop/like_filter singles); finally
-#   multimodal_audio_features (real RIFF/WAV parse) and
-#   multimodal_video_frames (real Y4M parse) displace nullsafe_diff
-#   (B4 semantics also live in the in-window scd1_merge_full
-#   null-safe diff leg) and fact_append_dedup (G4 pinned by the
-#   pytest replay-idempotence suite) — both stay double-confirmed
-#   r2/r3 + r5 and oracle-checked locally; and bpe_tokenize (the
-#   apply half of the BPE loop) displaces groupby_agg (§2.F keeps
-#   skew_salted_agg, watermark_max and the r5-green
-#   distinct_agg/having_filter singles; the groupby partial-agg plan
-#   gate runs regardless of window membership); and similarity_pq_adc
-#   (PQ asymmetric-distance search, the query half of pq_encode)
-#   displaces exact_dedup (K1 pinned by pytest + r2/r3 + r5 driver
-#   green; the dedup family keeps near_dedup_minhash,
-#   containment_dedup, containment_dedup_full and dedup_apply
-#   in-window); and edit_distance_dedup (character-level Levenshtein
-#   verify over the LSH screen) displaces fraud_expiry_theta (H2
-#   double-confirmed r2/r3 + r5; the theta-predicate family keeps
-#   theta_filter in-window and the fraud family keeps
-#   velocity_fraud_rule, fraud_blacklist_semi and
-#   fraud_report_as_written); and phrase_search (positional
-#   posting-list phrase retrieval via the anchor aggregation)
-#   displaces semi_join_in (B6/C8 double-confirmed r2/r3 + r5; the
-#   left-semi shape stays in-window inside fraud_blacklist_semi);
-#   and corpus_overlap_kmv (mergeable k-minimum-values slice-overlap
-#   estimation, exact Jaccard alongside) displaces watermark_max (F1
-#   double-confirmed r2/r3 + r5; coalesce(max) semantics also live in
-#   the pytest-pinned meta-upsert path and §2.F keeps
-#   skew_salted_agg/distinct_agg/having_filter/bpe_tokenize); and
-#   multimodal_decode_gif (real GIF87a LZW codec — the fifth real
-#   image decoder) displaces star_join_chain (C5 double-confirmed
-#   r2/r3 + r5; the broadcast-star shape stays in-window inside
-#   fraud_blacklist_semi/velocity_fraud_rule and is pinned by the
-#   test_plans broadcast gate regardless of window membership);
-#   and doc_chunking (overlapping training-window split, chunk
-#   content hash-pinned) + deterministic_shuffle (salted-hash
-#   reproducible training order with range-shard column) displace
-#   embedding_near_dup and asof_join (both double-confirmed
-#   r2/r3 + r5; embedding near-dup keeps its test_plans no-NLJ gate
-#   and the similarity family keeps similarity_topk_pandas +
-#   similarity_pq_adc in-window; as-of keeps its test_asof suite and
-#   the beyond-ref join family keeps scd2_merge_full in-window);
-#   and multimodal_resize_bilinear (real fixed-point bilinear kernel)
-#   displaces fraud_blacklist_semi (H1 double-confirmed r2/r3 + r5;
-#   the fraud family keeps velocity_fraud_rule and
-#   fraud_report_as_written in-window, and the broadcast-star/semi
-#   shapes stay pinned by the test_plans gates); and
-#   sessionize_events (batch gaps-and-islands sessionization, the
-#   one-shuffle twin of the streaming session window) +
-#   profile_table (per-column null/distinct/min-max audit) displace
-#   tumbling_window_agg (I5: sessionize keeps the window family's
-#   slot; tumbling stays double-confirmed r4/r5 + streaming-pytest)
-#   and skew_salted_agg (F: double-confirmed r2/r3 + r5, and the
-#   skew story stays pinned by test_skew_guards + the AQE plan gate
-#   regardless of window membership); and cdc_apply (change-stream
-#   collapse to current state: last op per key wins, trailing delete
-#   removes) displaces parquet_scan (A2 double-confirmed r2/r3 + r5;
-#   §2.A keeps csv_scan in-window and the pushdown/pruning shape
-#   stays pinned by test_plans' parquet gate). Window-invariant
-#   repair: displacing BOTH semi_join_in and fraud_blacklist_semi
-#   left the left-semi family (B6/C8) without an in-window
-#   representative, so semi_join_in returns in place of
-#   scd1_insert_new (r5 driver-green single whose insert-leg
-#   semantics ride in-window inside scd1_merge_full and the
-#   hypothesis merge-model suite). Late round-6 additions that the
-#   family-coverage invariant kept OUT of this window (text_clean,
-#   benford_screen, label_propagation_communities,
-#   temperature_mixture, topk_per_group_agg, snapshot_diff,
-#   analytic_q18, correlated_min_subquery, bigram_lm_quality,
-#   similarity_ivfpq, gzip_jsonl_scan, embedding_drift,
-#   customer_rfm, multimodal_decode_tga) are first in line for the
-#   round-7 rotation; all are oracle-green at sf0.001/0.01/0.1 via
-#   tools/check.py this round.
+# ROUND-9 WINDOW (see docs/ROTATION.md for the full history and the
+# selection rationale): the 14 round-8 additions take their first
+# driver check; the other 36 slots re-confirm the oldest-evidence
+# rows (20 last green in r2/r3, 16 §2-core rows last green in r5).
 #
-#   round 7 window (below) — the 14 late-round-6 additions that had
-#   judge-green evidence only (tools/check.py 14/14) rotate IN for
-#   their first driver check → cumulative driver-green 156/156 when
-#   green. Displaced, all r6 driver-green with their family invariant
-#   intact: project_rename/project_drop (B1/B3 — §2.B keeps
-#   like_filter + theta_filter in-window; positional reshape also
-#   r5-green as project_reshape); expr_key_join_trim /
-#   expr_key_join_replace (C6/C7 — §2.C keeps scd1_merge_full +
-#   semi_join_in; the expression-key shape is pytest-pinned in
-#   test_fraud); scd1_update_detect / scd1_delete_missing (C2/C3 —
-#   both legs ride in-window inside scd1_merge_full and the
-#   hypothesis merge-model suite); window_lag_prev (E1 — the lag
-#   window stays in-window inside velocity_fraud_rule, and the
-#   incoming topk_per_group_agg covers the ranking shape);
-#   distinct_agg (F — having_filter + grouped_custom_agg stay, and
-#   the incoming analytic_q18 / correlated_min_subquery /
-#   customer_rfm widen §2.F's in-window analytics);
-#   embedding_passthrough (K3 — similarity_topk_pandas +
-#   similarity_pq_adc stay, incoming similarity_ivfpq +
-#   embedding_drift); and five r6-green multimodal decode variants
-#   (jpeg, gif, png, video_frames, resize_bilinear — §2.K5 keeps
-#   multimodal_decode + multimodal_audio_features in-window, the
-#   incoming multimodal_decode_tga adds the sixth codec's first
-#   driver check, and every displaced codec stays pixel-exact-pinned
-#   by tests/test_image_decode.py + test_audio_video.py regardless of
-#   window membership). Round-7 additions landing AFTER this window
-#   froze (analytic_q21_blame_supplier, analytic_q20_heavy_suppliers)
-#   are first in line for the round-8 rotation; both are oracle-green
-#   at sf0.001/0.01 via tools/check.py this round.
-#
-#   round 8 window (below) — round 7 ended before the driver wrote
-#   CORRECTNESS_r07.json, so the 14 late-round-6 rotations above have
-#   STILL never been driver-checked; they stay in-window untouched.
-#   The two post-freeze round-7 analytics rotate IN:
-#   analytic_q21_blame_supplier and analytic_q20_heavy_suppliers
-#   displace having_filter (F — r6 driver-green; the grouped-HAVING
-#   shape stays in-window inside analytic_q18's grouped-HAVING semi
-#   restriction, plus grouped_custom_agg / corpus_overlap_kmv keep
-#   §2.F represented) and text_stats (K4 — r6 driver-green; the text
-#   family keeps ngram_diversity, unigram_logprob_quality,
-#   kl_domain_shift, bigram_lm_quality, text_clean, bpe_tokenize,
-#   bpe_train_merges and phrase_search in-window).
-#   Round-8 additions landing AFTER this window froze
-#   (analytic_q17_small_qty_revenue, analytic_q22_global_sales_opportunity,
-#   winnowing_fingerprint, winnow_dedup_pairs, nb_lang_classifier,
-#   analytic_q15_top_supplier, weighted_sample, simhash_near_dup,
-#   kcore_decomposition, plus the registry/tpchq.py module that
-#   completes the TPC-H 22-shape suite: analytic_q4_priority_late_ship,
-#   analytic_q6_forecast_revenue, analytic_q7_volume_shipping,
-#   analytic_q8_market_share, analytic_q9_product_profit,
-#   analytic_q10_returned_items, analytic_q11_important_inventory,
-#   analytic_q12_ship_delay_priority, analytic_q13_customer_distribution,
-#   analytic_q16_supplier_relationship, analytic_q19_disjunctive_revenue,
-#   plus band_join_tolerance, line_dedup_boilerplate,
-#   gopher_quality_rules, dsir_importance, dedup_keep_best,
-#   record_linkage_fs, web_corpus_curate and sorted_neighborhood_pairs,
-#   plus the registry/miningq.py module: frequent_pairs,
-#   pareto_skyline, rank_fusion and bfs_distances, and the
-#   fixed_width_scan source round-trip and the ivf_recall ANN
-#   quality measurement) are first in line for the round-9
-#   rotation; all thirty-four are oracle-green at
-#   sf0.001/0.01/0.1 via tools/check.py this round.
-#   The distributed-statistics tier (registry/statsq.py: grouped_ols,
-#   decision_stump, pca_power_component, mutual_nn_align,
-#   acf_daily_counts, geo_cell_radius_join, dbscan_clusters,
-#   chi_square_assoc, seasonal_decompose — nine queries in statsq.py
-#   proper; the tier as bench-headlined is THIRTEEN, the later
-#   item_item_topk, seasonal_naive_forecast, bootstrap_mean_ci and
-#   golden_record included) landed after those and queued behind
-#   them; all oracle-green at sf0.001/0.01/0.1 via tools/check.py
-#   when added.
-#
-#   round 8 window (below) — the full 47-query never-driver-checked
-#   backlog rotates IN at once (everything added after the r7 window
-#   froze: the 14 TPC-H completions, the mining tier, the
-#   distributed-statistics tier, winnowing/SimHash/NB,
-#   linkage/curation/survivorship, fixed-width source and ivf_recall
-#   — the exact set is derivable as registry minus the union of
-#   CORRECTNESS_r01..r07 names, and the judge pre-verified all 47
-#   green at sf0.01 via tools/check.py in the round-7 verdict).
-#   Green here → cumulative driver-green 205/205 registered queries.
-#   The remaining 3 slots are family re-confirmations so the §2 core
-#   keeps in-window representatives: scd1_merge_full (§2.C/G — the
-#   reference's SCD1 heart, all three legs), velocity_fraud_rule
-#   (§2.E/H — lag window + fraud rules; also the flagship entry()),
-#   near_dedup_minhash (§2.K dedup — the banded-LSH scale shape).
-#   Displaced: the 47 r7-window queries, every one driver-green in
-#   CORRECTNESS_r07.json, families intact via the three slots above
-#   plus the pytest plan/replay gates that run regardless of window
-#   membership.
-#   Round-8 additions landing AFTER this window froze are first in
-#   line for the round-9 rotation (all oracle-green via
-#   tools/check.py when added): the product-analytics tier
-#   (registry/productq.py: exact_quantiles_price — sort-free exact
-#   order statistics; heavy_hitters_exact — proved-exact top-k with
-#   screen/fallback), the lakehouse-interop pair (delta_scan,
-#   delta_time_travel — sources/delta.py open-spec transaction log),
-#   and xlsx_scan_distributed (executor-side xlsx parse), plus the
-#   Iceberg-interop pair (iceberg_scan, iceberg_time_travel —
-#   sources/iceberg.py open-spec metadata tree over the
-#   sources/avro.py stdlib Avro object-container codec),
-#   avro_scan_distributed (the same codec as an executor-side DATA
-#   source), multimodal_decode_jpeg_progressive (SOF2
-#   successive-approximation + restart-interval decode, exact
-#   flat-tile oracle), delta_cdf (change-data-feed
-#   reconstructed from the transaction log), kaplan_meier_churn
-#   (survival-analysis risk table with censoring), and
-#   sssp_bounded_hops (Bellman-Ford weighted shortest paths), and
-#   deltalog_source_scan and iceberglog_source_scan (Delta and
-#   Iceberg as Spark-4 Python DataSources — batch time travel +
-#   incremental streaming sources).
+# ROUND-10 QUEUE (additions landing after this window froze, in
+# landing order; all oracle-green via tools/check.py when added):
+#   iceberg_v2_pos_delete_scan, delta_dv_scan,
+#   streaming_datasource_write.
 PRIMARY = [
-    # family re-confirmations (driver-green r7; keep §2 core in-window)
-    "scd1_merge_full",
-    "velocity_fraud_rule",
-    "near_dedup_minhash",
-    # round-8 rotation: first driver check of the TPC-H completions
-    # (the 22-shape suite's remaining 14, registry/tpchq.py)
-    "analytic_q4_priority_late_ship",
-    "analytic_q6_forecast_revenue",
-    "analytic_q7_volume_shipping",
-    "analytic_q8_market_share",
-    "analytic_q9_product_profit",
-    "analytic_q10_returned_items",
-    "analytic_q11_important_inventory",
-    "analytic_q12_ship_delay_priority",
-    "analytic_q13_customer_distribution",
-    "analytic_q15_top_supplier",
-    "analytic_q16_supplier_relationship",
-    "analytic_q17_small_qty_revenue",
-    "analytic_q19_disjunctive_revenue",
-    "analytic_q22_global_sales_opportunity",
-    # round-8 rotation: mining tier (registry/miningq.py)
-    "frequent_pairs",
-    "pareto_skyline",
-    "rank_fusion",
-    "bfs_distances",
-    "kcore_decomposition",
-    "ivf_recall",
-    # round-8 rotation: distributed-statistics tier
-    # (registry/statsq.py + the late stats-shaped additions)
-    "grouped_ols",
-    "decision_stump",
-    "pca_power_component",
-    "mutual_nn_align",
-    "acf_daily_counts",
-    "geo_cell_radius_join",
-    "dbscan_clusters",
-    "chi_square_assoc",
-    "seasonal_decompose",
-    "item_item_topk",
-    "seasonal_naive_forecast",
-    "bootstrap_mean_ci",
-    # round-8 rotation: dedup / fingerprint / classifier late-adds
-    "simhash_near_dup",
-    "winnowing_fingerprint",
-    "winnow_dedup_pairs",
-    "nb_lang_classifier",
-    "dedup_keep_best",
-    # round-8 rotation: record linkage + survivorship + curation
-    "record_linkage_fs",
-    "sorted_neighborhood_pairs",
-    "band_join_tolerance",
-    "golden_record",
-    "weighted_sample",
-    "web_corpus_curate",
-    "line_dedup_boilerplate",
-    "gopher_quality_rules",
-    "dsir_importance",
-    # round-8 rotation: sources + remaining singles
-    "fixed_width_scan",
+    # round-8 additions — first driver check (lakehouse / DataSource /
+    # codec / survival / SSSP / product-analytics tier)
+    "exact_quantiles_price",
+    "heavy_hitters_exact",
+    "delta_scan",
+    "delta_time_travel",
+    "delta_cdf",
+    "deltalog_source_scan",
+    "iceberg_scan",
+    "iceberg_time_travel",
+    "iceberglog_source_scan",
+    "avro_scan_distributed",
+    "xlsx_scan_distributed",
+    "multimodal_decode_jpeg_progressive",
+    "kaplan_meier_churn",
+    "sssp_bounded_hops",
+    # re-confirmation: oldest driver evidence (last green r2/r3)
+    "add_audit_columns",
+    "analytic_regional_revenue",
+    "analytic_top_orders",
+    "curation_pipeline",
+    "dataset_split",
+    "doc_fingerprint",
+    "full_outer_join",
+    "interval_join",
+    "lang_id_heuristic",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "rollup_agg",
+    "sequence_packing",
+    "set_ops",
+    "simhash_fingerprint",
+    "similarity_ivf",
+    "similarity_lsh",
+    "term_doc_freq",
+    "token_count_bpe",
+    "window_rank_funcs",
+    # re-confirmation: §2-core rows last green r5
+    "parquet_scan",
+    "excel_serial_dates",
+    "full_table_extract",
+    "filename_date_extract",
+    "project_reshape",
+    "nullsafe_diff",
+    "anti_exists",
+    "star_join_chain",
+    "expr_key_join",
+    "fact_append_dedup",
+    "fraud_blacklist_semi",
+    "fraud_expiry_theta",
+    "watermark_max",
+    "groupby_agg",
+    "skew_salted_agg",
+    "exact_dedup",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —

@@ -715,29 +715,43 @@ def delta_changes(
     return out
 
 
-def vacuum_delta_table(spark: SparkSession, path: str) -> list[str]:
+def vacuum_delta_table(
+    spark: SparkSession, path: str, retention_hours: float = 168.0
+) -> list[str]:
     """Delete data files referenced by NO commit in the log (orphans
     from lost commit races / crashed writers). Conservative by
     construction: the union of every version's add-actions is the
     keep-set, so any file any snapshot can still read survives —
-    time travel stays intact; only never-referenced files go."""
+    time travel stays intact; only never-referenced files go.
+
+    Two guards protect CONCURRENT writers (the same reasons real
+    Delta VACUUM has a retention window):
+
+    - ``_staged-*`` directories are never touched — an in-flight
+      writer's Spark staging area looks unreferenced by definition;
+    - only files whose mtime is older than ``retention_hours``
+      (default 7 days, Delta's own default) are deleted — a file
+      already moved into the table layout whose commit JSON hasn't
+      landed yet is younger than any sane retention. Pass ``0.0``
+      only when no concurrent writer can exist."""
     keep: set[str] = set()
     for v in _list_versions(path):
         with open(_commit_file(path, v)) as fh:
             for action in _read_actions(fh):
                 if "add" in action:
                     keep.add(os.path.normpath(action["add"]["path"]))
+    cutoff = time.time() - retention_hours * 3600.0
     deleted = []
     for root, _dirs, fns in os.walk(path):
-        if _LOG in os.path.relpath(root, path).split(os.sep):
+        segs = os.path.relpath(root, path).split(os.sep)
+        if _LOG in segs or any(s.startswith("_staged-") for s in segs):
             continue
         for fn in fns:
             if not fn.endswith(".parquet"):
                 continue
-            rel = os.path.normpath(
-                os.path.relpath(os.path.join(root, fn), path)
-            )
-            if rel not in keep:
-                os.unlink(os.path.join(root, fn))
+            abs_f = os.path.join(root, fn)
+            rel = os.path.normpath(os.path.relpath(abs_f, path))
+            if rel not in keep and os.path.getmtime(abs_f) <= cutoff:
+                os.unlink(abs_f)
                 deleted.append(rel)
     return sorted(deleted)

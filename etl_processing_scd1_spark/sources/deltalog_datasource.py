@@ -122,6 +122,27 @@ def filters_to_ranges(filters) -> tuple[dict, list]:
     return ranges, pushed
 
 
+def _hive_eq(value, raw: str):
+    """Typed compare of a pushed equality value against a hive
+    ``partitionValues`` string. Returns True/False when the compare
+    is reliable, None when it isn't (then DON'T prune — skipping is
+    a superset guarantee, Spark still evaluates the filter on rows).
+    Spark hive-encodes booleans as 'true'/'false' and large floats in
+    Java notation ('1.0E20'), so a naive ``str(value)`` comparison
+    ('True', '1e+20') would prune every matching file and silently
+    return empty results."""
+    if isinstance(value, bool):  # before int: bool subclasses int
+        return raw.lower() == ("true" if value else "false")
+    if isinstance(value, int):
+        try:
+            return int(raw) == value
+        except ValueError:
+            return None
+    if isinstance(value, str):
+        return raw == value
+    return None  # float et al: Java vs Python repr differ
+
+
 class _DeltaBatchReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, version: int | None):
         self.path = path
@@ -153,7 +174,7 @@ class _DeltaBatchReader(DataSourceReader):
                     and pv[col] is not None
                     and lo is not None
                     and lo == hi
-                    and str(lo) != pv[col]
+                    and _hive_eq(lo, pv[col]) is False
                 ):
                     return True
             return False
