@@ -811,13 +811,26 @@ def heavy_hitters_topk(
 
     def partition_counts(batches):
         total: dict = {}
+        null_cnt = 0
         pid = 0
         for pdf in batches:
             if len(pdf):
                 pid = int(pdf["pid"].iloc[0])
-            for key, cnt in pdf["key"].value_counts().items():
+            mask = pdf["key"].isna()
+            null_cnt += int(mask.sum())
+            for key, cnt in pdf["key"][~mask].value_counts().items():
                 total[key] = total.get(key, 0) + int(cnt)
-        kept = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:c]
+        # NULL is a key like any other (the fallback's groupBy counts
+        # it), so it must compete in the screen too or a frequent null
+        # could pass the bound check yet be missing from the top-k.
+        items = list(total.items())
+        if null_cnt:
+            items.append((None, null_cnt))
+        # count desc, asc-nulls-first key tiebreak (matches the
+        # recount/fallback orderBy)
+        kept = sorted(
+            items, key=lambda kv: (-kv[1], kv[0] is not None, kv[0])
+        )[:c]
         t_p = kept[-1][1] if len(kept) == c else 0
         yield pd.DataFrame(
             [(key, cnt, pid, t_p) for key, cnt in kept],
@@ -825,7 +838,10 @@ def heavy_hitters_topk(
         )
 
     partials = tagged.mapInPandas(partition_counts, schema=schema).collect()
-    cand_keys = sorted({r["key"] for r in partials})
+    cand_keys = sorted(
+        {r["key"] for r in partials if r["key"] is not None}
+    )
+    null_is_candidate = any(r["key"] is None for r in partials)
     # B = Σ_p t_p: a key absent from EVERY partition's kept set has
     # count ≤ t_p in each, so its global count is ≤ B
     bound = sum({r["pid"]: r["tp"] for r in partials}.values())
@@ -837,9 +853,16 @@ def heavy_hitters_topk(
         keyed.join(F.broadcast(cand_df), "key", "left_semi")
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("key"))
-        .limit(k)
     )
+    if null_is_candidate:
+        # the semi join drops null keys (SQL join semantics), so the
+        # null candidate gets its own recount leg
+        exact = exact.unionByName(
+            keyed.filter(F.col("key").isNull())
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    exact = exact.orderBy(F.col("cnt").desc(), F.col("key")).limit(k)
     top = exact.collect()
     if len(top) == k and top[-1]["cnt"] > bound:
         out = keyed.sparkSession.createDataFrame(

@@ -654,17 +654,26 @@ def delta_changes(
     consumers (SCD merges, IVM sinks) ingest.
 
     File-granularity is exact for this writer (append adds whole
-    files; overwrite removes whole files): a commit's ``add`` actions
-    contribute their rows as inserts, its ``remove`` actions as
-    deletes. A file both added and removed INSIDE the window nets out
-    (its rows were never visible at either endpoint). Data stays
-    distributed — the log yields file lists; Spark scans them."""
+    files; overwrite removes whole files). Netting is decided by
+    ENDPOINT membership, which is symmetric under any add/remove
+    interleaving inside the window: a path is an insert iff it is
+    active at ``to_version`` but not at ``from_version``, a delete
+    iff the reverse — so a file added+removed inside the window nets
+    out, and a pre-existing path removed then re-added inside the
+    window (possible with foreign-written logs that reuse paths)
+    emits NEITHER instead of double-counting its rows as an insert.
+    Data stays distributed — the log yields file lists; Spark scans
+    them."""
     to_version = delta_table_version(path) if to_version is None else to_version
     if from_version > to_version:
         raise ValueError(f"from_version {from_version} > to_version {to_version}")
     snap = _replay(spark, path, to_version)  # schema + protocol gates
-    added: dict[str, int] = {}
-    removed: dict[str, int] = {}
+    end_files = set(snap.files)
+    start_files = (
+        set(_replay(None, path, from_version).files) if from_version >= 0 else set()
+    )
+    last_add: dict[str, int] = {}
+    last_remove: dict[str, int] = {}
     for v in range(from_version + 1, to_version + 1):
         f = _commit_file(path, v)
         if not os.path.exists(f):
@@ -672,16 +681,17 @@ def delta_changes(
         with open(f) as fh:
             for action in _read_actions(fh):
                 if "add" in action:
-                    p = action["add"]["path"]
-                    if p in removed:
-                        del removed[p]  # re-add after remove: net insert
-                    added[p] = v
+                    last_add[action["add"]["path"]] = v
                 elif "remove" in action:
-                    p = action["remove"]["path"]
-                    if p in added:
-                        del added[p]  # added inside window: nets out
-                    else:
-                        removed[p] = v
+                    last_remove[action["remove"]["path"]] = v
+    added = {
+        p: v for p, v in last_add.items()
+        if p in end_files and p not in start_files
+    }
+    removed = {
+        p: v for p, v in last_remove.items()
+        if p in start_files and p not in end_files
+    }
 
     from pyspark.sql import functions as F
 

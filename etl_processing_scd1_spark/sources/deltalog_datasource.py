@@ -276,8 +276,34 @@ class DeltaLogDataSource(DataSource):
         return _DeltaStreamReader(self._path(), schema, starting)
 
     def writer(self, schema: StructType, overwrite: bool):
+        from .delta import _list_versions
+
         part = self.options.get("partitionby")
         partition_by = [c.strip() for c in part.split(",")] if part else []
+        # Existing table: validate against the log BEFORE executors
+        # write a single file (mirrors _IceWriter) — append without
+        # partitionBy must inherit the table's spec, or foreign Delta
+        # readers reconstructing partition columns from
+        # partitionValues would see an unpartitioned corruption.
+        if _list_versions(self._path()):
+            snap = _replay(None, self._path(), None)
+            table_schema = StructType.fromJson(
+                json.loads(snap.metadata["schemaString"])
+            )
+            if [f.name for f in schema.fields] != \
+                    [f.name for f in table_schema.fields]:
+                raise ValueError(
+                    "deltalog write: DataFrame columns "
+                    f"{[f.name for f in schema.fields]} do not match the "
+                    f"table schema {[f.name for f in table_schema.fields]}"
+                )
+            if not partition_by:
+                partition_by = list(snap.partition_columns)
+            elif partition_by != list(snap.partition_columns):
+                raise ValueError(
+                    f"deltalog write: partitionBy {partition_by} conflicts "
+                    f"with the table's spec {list(snap.partition_columns)}"
+                )
         return _DeltaWriter(self._path(), schema, overwrite, partition_by)
 
 

@@ -325,6 +325,40 @@ class TestChangeDataFeed:
         assert ch.count() == 0
         assert "_change_type" in ch.columns
 
+    def test_preexisting_path_removed_then_readded_nets_out(
+        self, spark, tmp_path
+    ):
+        """Foreign-written logs may reuse file paths: a file active
+        BEFORE the window, removed then re-added INSIDE it, is visible
+        at both endpoints — CDC must emit NEITHER (the old asymmetric
+        netting kept the insert and double-counted the rows)."""
+        from etl_processing_scd1_spark.sources.delta import (
+            _atomic_commit,
+            _commit_file,
+            _read_actions,
+            delta_changes,
+        )
+
+        path = str(tmp_path / "cdf3")
+        write_delta_table(_df(spark, 0, 5).coalesce(1), path)  # v0
+        with open(_commit_file(path, 0)) as fh:
+            adds = [a["add"] for a in _read_actions(fh) if "add" in a]
+        assert len(adds) == 1
+        _atomic_commit(path, 1, [
+            {"remove": {"path": adds[0]["path"], "deletionTimestamp": 0,
+                        "dataChange": True}},
+        ])
+        _atomic_commit(path, 2, [{"add": adds[0]}])
+        ch = delta_changes(spark, path, 0, 2)
+        assert ch.count() == 0
+        # and the plain windows around it still behave
+        assert delta_changes(spark, path, 0, 1).filter(
+            "_change_type = 'delete'"
+        ).count() == 5
+        assert delta_changes(spark, path, 1, 2).filter(
+            "_change_type = 'insert'"
+        ).count() == 5
+
 
 class TestVacuum:
     def test_orphans_deleted_referenced_kept(self, spark, tmp_path):
@@ -341,11 +375,34 @@ class TestVacuum:
         import shutil
 
         shutil.copy(real, orphan)
-        deleted = vacuum_delta_table(spark, path)
+        # default retention (7 days) protects the fresh orphan — a
+        # concurrent writer's moved-but-uncommitted file looks exactly
+        # like this
+        assert vacuum_delta_table(spark, path) == []
+        assert os.path.exists(orphan)
+        deleted = vacuum_delta_table(spark, path, retention_hours=0.0)
         assert deleted == ["part-orphan.parquet"]
         # both snapshots still read (time travel intact)
         assert read_delta_table(spark, path, version=0).count() == 5
         assert read_delta_table(spark, path, version=1).count() == 3
+
+    def test_staged_dirs_never_touched(self, spark, tmp_path):
+        """An in-flight writer's _staged-* spark output area is
+        unreferenced by definition; vacuum must skip it even with
+        zero retention."""
+        import glob
+        import shutil
+
+        from etl_processing_scd1_spark.sources.delta import vacuum_delta_table
+
+        path = str(tmp_path / "vac2")
+        write_delta_table(_df(spark, 0, 5), path)
+        staged = os.path.join(path, "_staged-deadbeef")
+        os.makedirs(staged)
+        real = glob.glob(os.path.join(path, "*.parquet"))[0]
+        shutil.copy(real, os.path.join(staged, "part-inflight.parquet"))
+        assert vacuum_delta_table(spark, path, retention_hours=0.0) == []
+        assert os.path.exists(os.path.join(staged, "part-inflight.parquet"))
 
 
 class TestDeltaLogDataSource:
@@ -521,6 +578,55 @@ class TestDeltaLogDataSourceWriter:
         assert _rows(spark.read.format("deltalog").load(path)) == _rows(
             _df(spark, 0, 30)
         )
+
+    def test_append_inherits_partition_spec_and_checks_schema(
+        self, registered, tmp_path
+    ):
+        """Appending to a partitioned table WITHOUT partitionBy must
+        inherit the table's spec (else foreign readers reconstructing
+        partition columns from partitionValues see unpartitioned
+        corruption); mismatched column names must raise before any
+        file is written."""
+        from etl_processing_scd1_spark.sources.delta import _replay
+
+        spark = registered
+        path = str(tmp_path / "w4")
+        write_delta_table(_df(spark, 0, 10), path, partition_by=["part"])
+        _df(spark, 10, 20).write.format("deltalog").mode("append").save(path)
+        snap = _replay(None, path, None)
+        assert all(
+            set(add.get("partitionValues") or {}) == {"part"}
+            for add in snap.files.values()
+        )
+        assert _rows(spark.read.format("deltalog").load(path)) == _rows(
+            _df(spark, 0, 20)
+        )
+        with pytest.raises(Exception, match="do not match the"):
+            (
+                _df(spark, 0, 3).withColumnRenamed("v", "w")
+                .write.format("deltalog").mode("append").save(path)
+            )
+        with pytest.raises(Exception, match="conflicts with"):
+            (
+                _df(spark, 0, 3).write.format("deltalog").mode("append")
+                .option("partitionBy", "k").save(path)
+            )
+
+    def test_boolean_partition_filter_pushdown(self, registered, tmp_path):
+        """Spark hive-encodes booleans as 'true'/'false'; the pushed
+        EqualTo carries Python True. A str()-based prune compares
+        'True' != 'true' and silently returns an EMPTY result — the
+        typed compare must keep the matching files."""
+        spark = registered
+        path = str(tmp_path / "w5")
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("flag")
+        )
+        write_delta_table(df, path, partition_by=["flag"])
+        got = spark.read.format("deltalog").load(path).filter("flag = true")
+        assert sorted(r.k for r in got.collect()) == list(range(0, 40, 2))
+        got2 = spark.read.format("deltalog").load(path).filter("flag = false")
+        assert got2.count() == 20
 
     def test_writer_reader_full_loop(self, registered, tmp_path):
         """write.format('deltalog') → readStream.format('deltalog'):

@@ -735,3 +735,34 @@ def test_heavy_hitters_screen_and_fallback_agree(spark):
     assert [tuple(r) for r in wide.collect()] == [
         tuple(r) for r in narrow.collect()
     ]
+
+
+def test_heavy_hitters_null_key_in_screen_and_fallback(spark):
+    """A frequent NULL key must survive the screen path (value_counts
+    would silently drop it; the semi-join recount would drop it again)
+    and match the fallback exactly — both branches count NULL as a
+    key, like groupBy does."""
+    from etl_processing_scd1_spark.operators.stats import heavy_hitters_topk
+
+    rows = [(None,)] * 900                     # dominant null key
+    for key in range(40):
+        rows += [(key,)] * (400 // (key + 1))
+    rows += [(2000 + i,) for i in range(300)]  # singleton tail
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+
+    wide = heavy_hitters_topk(df, "k", k=3, candidates_per_partition=64)
+    narrow = heavy_hitters_topk(df, "k", k=3, candidates_per_partition=2)
+    assert wide._spark_graft_hh_path == "screen"
+    assert narrow._spark_graft_hh_path == "fallback"
+    got_wide = [(r["key"], r["cnt"]) for r in wide.collect()]
+    got_narrow = [(r["key"], r["cnt"]) for r in narrow.collect()]
+    assert got_wide == got_narrow
+    assert got_wide[0] == (None, 900)
+
+    # string keys with nulls take the same paths
+    srows = [(None,)] * 50 + [("a",)] * 30 + [("b",)] * 20 + \
+        [(f"t{i}",) for i in range(40)]
+    sdf = spark.createDataFrame(srows, "k string").repartition(4)
+    out = heavy_hitters_topk(sdf, "k", k=2, candidates_per_partition=64)
+    assert [(r["key"], r["cnt"]) for r in out.collect()] == \
+        [(None, 50), ("a", 30)]
