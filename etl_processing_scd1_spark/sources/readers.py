@@ -181,6 +181,25 @@ def read_xlsx(spark: SparkSession, path: str, columns: list[str] | None = None) 
     return spark.createDataFrame(data, schema=", ".join(f"`{c}` string" for c in header))
 
 
+def _binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """``binaryFile`` scan routed through directory + pathGlobFilter
+    when the path ends in a glob: loading a glob PATH makes Spark's
+    FileStreamSink compatibility probe log a full
+    FileNotFoundException WARN stack on every read — pure noise that
+    reads as a failure in audit logs. Filtering by basename pattern
+    over the parent directory is the same file set without the
+    probe."""
+    d, base = os.path.split(path_glob)
+    has_glob = any(ch in base for ch in "*?[")
+    if has_glob and d and not any(ch in d for ch in "*?["):
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", base)
+            .load(d)
+        )
+    return spark.read.format("binaryFile").load(path_glob)
+
+
 def read_xlsx_distributed(
     spark: SparkSession,
     path_glob: str,
@@ -222,7 +241,7 @@ def read_xlsx_distributed(
         header = list(columns)
         skip_header = False
 
-    binary = spark.read.format("binaryFile").load(path_glob)
+    binary = _binary_files(spark, path_glob)
     out_cols = (["_source_file"] if with_source_file else []) + header
     schema = ", ".join(f"`{c}` string" for c in out_cols)
 
@@ -513,7 +532,7 @@ def read_avro_distributed(
     header = read_avro_header(first[0])
     fields = avro_sql_fields(header["avro.schema"].decode())
 
-    binary = spark.read.format("binaryFile").load(path_glob)
+    binary = _binary_files(spark, path_glob)
     out_cols = (["_source_file"] if with_source_file else []) + [n for n, _ in fields]
     schema = ", ".join(
         (["`_source_file` string"] if with_source_file else [])
