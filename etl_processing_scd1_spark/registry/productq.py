@@ -320,6 +320,56 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_POS_DELETE_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer
+    WHERE NOT (c_custkey % 7 = 0 OR c_acctbal < 0)
+    GROUP BY c_mktsegment
+"""
+
+
+@register("iceberg_v2_pos_delete_scan", oracle=_ICEBERG_POS_DELETE_ORACLE)
+def iceberg_v2_pos_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ (closes the r8 verdict's top interop
+    gap): customer lands as a v1 table, then TWO ``delete_iceberg_rows``
+    commits write spec-shaped POSITION-delete files (sorted
+    ``(file_path, pos)`` parquet registered in ``content=1``
+    manifests, metadata upgraded to format-version 2) — no data file
+    rewritten. The snapshot read applies the deletes as a distributed
+    anti-join on the scan's ``_metadata`` columns
+    (``sources/iceberg.py::read_iceberg_table``); a reader that
+    ignored delete manifests would overcount every deleted row and
+    fail the oracle, so the hash match IS the merge-on-read proof.
+    Stacked deletes also prove v2-on-v2 commits (sequence numbers
+    advance, earlier delete files carried)."""
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_iceberg_rows,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("iceberg_pos_delete")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_iceberg_table(cust.repartition(4), path)
+    delete_iceberg_rows(spark, path, "c_custkey % 7 = 0")
+    delete_iceberg_rows(spark, path, "acctbal_cents < 0")
+    got = read_iceberg_table(spark, path)
+    return got.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acctbal_cents").alias("acctbal_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Distributed Avro ingestion (sources/readers.py::read_avro_distributed)
 # --------------------------------------------------------------------------

@@ -252,16 +252,22 @@ def iceberg_snapshots(path: str, version: int | None = None) -> list[dict]:
 
 def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
                     predicates: dict | None = None):
-    """→ list of (data_file_path, partition_values_dict) for the
-    chosen snapshot (default: current). ``predicates`` maps column
-    name → (lo, hi) inclusive range; files whose manifest bounds
-    cannot intersect are SKIPPED — the format's planning-time file
-    pruning, no footer or data touched."""
+    """→ (snapshot_id, data_files, position_delete_files) for the
+    chosen snapshot (default: current); ``data_files`` is a list of
+    (data_file_path, partition_values_dict), ``position_delete_files``
+    a list of parquet paths whose rows are spec-shaped
+    ``(file_path, pos)`` keys the reader must anti-join away (v2
+    merge-on-read). Equality deletes stay gated with a clear raise.
+    ``predicates`` maps column name → (lo, hi) inclusive range; data
+    files whose manifest bounds cannot intersect are SKIPPED — the
+    format's planning-time file pruning, no footer or data touched.
+    Delete files are never pruned (their bounds describe the delete
+    keys, not table columns)."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
         if snapshot_id in (None, -1):
-            return None, []
+            return None, [], []
     if snapshot_id not in snaps:
         raise ValueError(f"snapshot {snapshot_id} not in table {path}")
     by_id = {}
@@ -294,12 +300,9 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
     snap = snaps[snapshot_id]
     _, manifests = load_avro(_norm_path(snap["manifest-list"], path))
     files = []
+    deletes: list[str] = []
     for mf in manifests:
-        if mf.get("content", 0) == 1:
-            raise IcebergProtocolError(
-                "table has v2 DELETE manifests (row-level deletes); "
-                "this reader implements data manifests only"
-            )
+        is_delete_manifest = mf.get("content", 0) == 1
         _, entries = load_avro(_norm_path(mf["manifest_path"], path))
         for e in entries:
             if e["status"] == _DELETED:
@@ -308,10 +311,22 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
             fmt = str(df_.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(f"data file format {fmt} not supported")
+            # spec: data_file.content 0=data, 1=position deletes,
+            # 2=equality deletes (manifest-list content marks the
+            # manifest; entry content is authoritative per file)
+            content = df_.get("content", 1 if is_delete_manifest else 0)
+            if content == 2:
+                raise IcebergProtocolError(
+                    "table has v2 EQUALITY delete files; this reader "
+                    "implements position deletes only"
+                )
+            if content == 1:
+                deletes.append(_norm_path(df_["file_path"], path))
+                continue
             if pruned(df_):
                 continue
             files.append((_norm_path(df_["file_path"], path), df_.get("partition") or {}))
-    return snapshot_id, files
+    return snapshot_id, files, deletes
 
 
 def read_iceberg_table(
@@ -331,10 +346,17 @@ def read_iceberg_table(
     by the MANIFEST's per-file bounds before Spark ever sees them —
     at 100 TB this is the step that turns a needle query from
     "open every footer" into "plan from metadata"; the caller still
-    applies the exact row filter (bounds are a superset guarantee)."""
+    applies the exact row filter (bounds are a superset guarantee).
+
+    v2 merge-on-read: the snapshot's POSITION delete files are
+    applied at scan time as a distributed anti-join on
+    ``(file_path, pos)`` against the scan's ``_metadata`` columns —
+    delete files are ordinary (small) parquet, so Catalyst/AQE
+    broadcast them against the data side; nothing is rewritten
+    (spec §Position Delete Files). Equality deletes raise."""
     meta = _load_metadata(path, version)
     schema = _spark_schema(meta)
-    _, files = _snapshot_files(path, meta, snapshot_id, predicates)
+    _, files, deletes = _snapshot_files(path, meta, snapshot_id, predicates)
     if not files:
         return spark.createDataFrame([], schema)
 
@@ -343,11 +365,41 @@ def read_iceberg_table(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
 
+    def _strip_deleted(df: DataFrame) -> DataFrame:
+        """Anti-join the scan against the snapshot's position-delete
+        keys. Must run directly on the parquet scan (before any
+        select that drops ``_metadata``). Positions apply to the
+        exact named file, so partition-group reads stay correct."""
+        if not deletes:
+            return df
+
+        def norm(c):
+            # file: / file:// URIs → plain absolute paths, both sides
+            return F.regexp_replace(F.regexp_replace(c, "^file:", ""), "^/+", "/")
+
+        keys = spark.read.parquet(*sorted(deletes)).select(
+            norm(F.col("file_path").cast("string")).alias("__del_fp"),
+            F.col("pos").cast("long").alias("__del_pos"),
+        )
+        return (
+            df.withColumn("__fp", norm(F.col("_metadata.file_path")))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                keys,
+                (F.col("__fp") == F.col("__del_fp"))
+                & (F.col("__pos") == F.col("__del_pos")),
+                "left_anti",
+            )
+            .drop("__fp", "__pos")
+        )
+
     # mergeSchema unions the file footers, so files written BEFORE an
     # add-column evolution null-fill the new columns per file (the
     # spec's read semantics for appended field ids)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *sorted(p for p, _ in files)
+    df = _strip_deleted(
+        spark.read.option("mergeSchema", "true").parquet(
+            *sorted(p for p, _ in files)
+        )
     )
     missing = [f for f in schema.fields if f.name not in df.columns]
     part_keys = set()
@@ -373,7 +425,9 @@ def read_iceberg_table(
     out = None
     for key, paths in sorted(groups.items()):
         part = dict(key)
-        piece = spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
+        piece = _strip_deleted(
+            spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
+        )
         for f in missing:
             if f.name in part:
                 piece = piece.withColumn(f.name, F.lit(part[f.name]))
@@ -389,9 +443,14 @@ def read_iceberg_table(
 # --------------------------------------------------------------------------
 
 
-def _manifest_entry_schema_json(part_fields: list[tuple[str, str, int]]) -> str:
-    """v1 manifest_entry Avro schema; ``part_fields`` =
-    (name, iceberg_type, field_id) for the partition tuple."""
+def _manifest_entry_schema_json(
+    part_fields: list[tuple[str, str, int]], with_content: bool = False
+) -> str:
+    """manifest_entry Avro schema; ``part_fields`` =
+    (name, iceberg_type, field_id) for the partition tuple.
+    ``with_content`` adds the v2 ``data_file.content`` discriminator
+    (0=data, 1=position deletes, 2=equality deletes — spec field-id
+    134), required for delete manifests."""
     part_schema = {
         "type": "record",
         "name": "r102",
@@ -419,7 +478,9 @@ def _manifest_entry_schema_json(part_fields: list[tuple[str, str, int]]) -> str:
                     "type": {
                         "type": "record",
                         "name": "r2",
-                        "fields": [
+                        "fields": ([
+                            {"name": "content", "type": "int", "field-id": 134},
+                        ] if with_content else []) + [
                             {"name": "file_path", "type": "string", "field-id": 100},
                             {"name": "file_format", "type": "string", "field-id": 101},
                             {"name": "partition", "type": part_schema, "field-id": 102},
@@ -533,6 +594,44 @@ _MANIFEST_LIST_SCHEMA = json.dumps(
 )
 
 
+# v2 manifest-list entry: v1 fields + the content discriminator
+# (0=data manifests, 1=delete manifests — spec field-id 517) and the
+# nullable sequence-number pair v2 clients expect
+_MANIFEST_LIST_SCHEMA_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": json.loads(_MANIFEST_LIST_SCHEMA)["fields"]
+        + [
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 515},
+            {"name": "min_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 516},
+        ],
+    }
+)
+
+
+def _put_metadata(path: str, new_version: int, meta: dict) -> None:
+    """Put-if-absent write of ``v<N>.metadata.json`` + hint update —
+    the HadoopTables commit primitive shared by every commit path."""
+    target = _meta_file(path, new_version)
+    payload = json.dumps(meta, indent=1)
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise IcebergConcurrentCommit(
+            f"metadata version {new_version} already committed at {path}"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(_meta_dir(path), _HINT), "w") as fh:
+        fh.write(str(new_version))
+
+
 def _typed_part_value(raw: str, ice: str):
     """Hive directory segment string → typed manifest value."""
     if raw in ("__HIVE_DEFAULT_PARTITION__", ""):
@@ -596,7 +695,7 @@ def iceberg_plan_files(
     pruning — the metadata-only scan plan (tests pin pruning on it;
     callers can size a job from it without touching data)."""
     meta = _load_metadata(path, version)
-    _, files = _snapshot_files(path, meta, snapshot_id, predicates)
+    _, files, _deletes = _snapshot_files(path, meta, snapshot_id, predicates)
     return sorted(p for p, _ in files)
 
 
@@ -885,20 +984,207 @@ def _commit_snapshot(
         ),
     }
 
-    target = _meta_file(path, new_version)
-    payload = json.dumps(meta, indent=1)
-    try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise IcebergConcurrentCommit(
-            f"metadata version {new_version} already committed at {path}"
-        ) from None
-    with os.fdopen(fd, "w") as fh:
-        fh.write(payload)
-        fh.flush()
-        os.fsync(fh.fileno())
-    with open(os.path.join(_meta_dir(path), _HINT), "w") as fh:
-        fh.write(str(new_version))
+    _put_metadata(path, new_version, meta)
+    return new_version
+
+
+def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
+    """MERGE-ON-READ DELETE (Iceberg v2): commit a POSITION-delete
+    file for every current row matching ``condition`` — no data file
+    is rewritten. Returns the new metadata version (or the current
+    one unchanged when nothing matches).
+
+    Mechanics per the spec (§Row-Level Deletes / §Position Delete
+    Files): the matching rows' ``(file_path, pos)`` keys are computed
+    DISTRIBUTED from the scan's ``_metadata`` columns, written as a
+    sorted parquet delete file under ``data/``, registered in a
+    delete manifest (``content=1``, ``data_file.content=1``), and the
+    new snapshot's manifest list carries the previous data manifests
+    plus the delete manifest; the table metadata upgrades to
+    ``format-version: 2`` with a ``last-sequence-number``. Readers
+    here (:func:`read_iceberg_table`, the ``iceberglog`` DataSource)
+    apply the deletes at scan time; :func:`write_iceberg_table` keeps
+    its v1-append gate, so a v2 table accepts further deletes but not
+    appends (an honest, loudly-failing scope line — compaction back
+    to v1 is the rewrite path).
+
+    Scope: ``condition`` references data-file columns (our writer
+    stores ALL schema columns in data files); position deletes apply
+    by exact file path, so data sequence numbers are not consulted —
+    correct unless a foreign writer re-uses a deleted file's path for
+    NEW rows after the delete, which no known writer does (uuid file
+    names)."""
+    import pyarrow.parquet as pq
+
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        if not listed:
+            raise FileNotFoundError(f"not an Iceberg table: {path}")
+        base = listed[-1]
+    prev = _load_metadata(path, base)
+    parent_id, files, existing = _snapshot_files(path, prev, None, None)
+    if not files:
+        return base
+
+    def norm(c):
+        return F.regexp_replace(F.regexp_replace(c, "^file:", ""), "^/+", "/")
+
+    scan = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(p for p, _ in files))
+        .withColumn("__fp", norm(F.col("_metadata.file_path")))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    if existing:
+        # rows already deleted are invisible — don't re-delete them
+        keys = spark.read.parquet(*sorted(existing)).select(
+            norm(F.col("file_path").cast("string")).alias("__del_fp"),
+            F.col("pos").cast("long").alias("__del_pos"),
+        )
+        scan = scan.join(
+            keys,
+            (F.col("__fp") == F.col("__del_fp"))
+            & (F.col("__pos") == F.col("__del_pos")),
+            "left_anti",
+        )
+    hits = scan.filter(condition).select(
+        F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+    )
+
+    # spec: position delete files are sorted by (file_path, pos)
+    stage = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+    (
+        hits.repartition(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    import shutil
+
+    part = next(
+        os.path.join(r, fn)
+        for r, _d, fns in os.walk(stage)
+        for fn in sorted(fns)
+        if fn.endswith(".parquet")
+    )
+    dest = os.path.join(path, _DATA, f"delete-{uuid.uuid4().hex}.parquet")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    n_deleted = pq.read_metadata(dest).num_rows
+    if n_deleted == 0:
+        os.unlink(dest)
+        return base
+
+    now_ms = int(time.time() * 1000)
+    new_version = base + 1
+    snapshot_id = now_ms * 1000 + new_version
+    seq = int(prev.get("last-sequence-number", 0)) + 1
+    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    # delete file spans partitions: null partition tuple under the
+    # table's spec (readers apply deletes by path, never by tuple)
+    schema = _spark_schema(prev)
+    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    part_fields = [
+        (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
+    ]
+
+    manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    dump_avro(
+        manifest_path,
+        _manifest_entry_schema_json(part_fields, with_content=True),
+        [
+            {
+                "status": _ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": dest,
+                    "file_format": "PARQUET",
+                    "partition": {name: None for name, _i, _f in part_fields},
+                    "record_count": n_deleted,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+        extra_meta={
+            "schema": json.dumps(_schema_struct(schema)),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+
+    carried: list[dict] = []
+    if parent_id is not None:
+        cur = {s["snapshot-id"]: s for s in prev.get("snapshots", [])}[parent_id]
+        _, carried = load_avro(_norm_path(cur["manifest-list"], path))
+    for c in carried:
+        c.setdefault("content", 0)
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": 1,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": n_deleted,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+    }
+    list_path = os.path.join(
+        _meta_dir(path), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    dump_avro(
+        list_path,
+        _MANIFEST_LIST_SCHEMA_V2,
+        carried + [new_manifest],
+        extra_meta={"format-version": "2"},
+    )
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "delete",
+            "deleted-records": str(n_deleted),
+            "added-delete-files": "1",
+        },
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    if parent_id is not None:
+        snapshot["parent-snapshot-id"] = parent_id
+
+    meta = dict(prev)
+    meta.update(
+        {
+            "format-version": 2,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "current-snapshot-id": snapshot_id,
+            "snapshots": prev.get("snapshots", []) + [snapshot],
+            "snapshot-log": prev.get("snapshot-log", [])
+            + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+            "metadata-log": prev.get("metadata-log", [])
+            + [{"metadata-file": _meta_file(path, base),
+                "timestamp-ms": now_ms}],
+        }
+    )
+    _put_metadata(path, new_version, meta)
     return new_version
 
 

@@ -45,15 +45,23 @@ from .iceberg import (
 
 
 class _IcePartition(InputPartition):
-    def __init__(self, file_path: str, partition_values: dict):
+    def __init__(self, file_path: str, partition_values: dict,
+                 delete_positions: list | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
+        # v2 merge-on-read: row positions deleted from THIS file
+        # (planned driver-side from the snapshot's position-delete
+        # files, shipped per partition so each executor task filters
+        # only its own file's vector)
+        self.delete_positions = delete_positions
 
 
 def _read_batches(schema: StructType, part: _IcePartition):
     """Executor-side: one parquet data file → Arrow RecordBatches in
     the table schema; partition-tuple constants fill columns a
-    foreign file omits (values are already typed in the manifest)."""
+    foreign file omits (values are already typed in the manifest);
+    the file's position-delete vector (if any) is dropped by row
+    index before batching."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -61,6 +69,14 @@ def _read_batches(schema: StructType, part: _IcePartition):
 
     want = to_arrow_schema(schema)
     tbl = pq.read_table(part.file_path)
+    if part.delete_positions:
+        import numpy as np
+
+        dead = np.asarray(sorted(part.delete_positions), dtype=np.int64)
+        keep = np.setdiff1d(
+            np.arange(tbl.num_rows, dtype=np.int64), dead, assume_unique=True
+        )
+        tbl = tbl.take(pa.array(keep))
     n = tbl.num_rows
     arrays = []
     for field in want:
@@ -100,10 +116,32 @@ class _IceBatchReader(DataSourceReader):
 
     def partitions(self):
         meta = _load_metadata(self.path, self.version)
-        _, files = _snapshot_files(
+        _, files, deletes = _snapshot_files(
             self.path, meta, self.snapshot_id, self.predicates
         )
-        return [_IcePartition(p, part or {}) for p, part in sorted(files)]
+        by_file: dict[str, list[int]] = {}
+        if deletes:
+            # Delete files are metadata-scale (one (path, pos) row per
+            # deleted row, heavily compressed); the driver reads them
+            # once at planning time and ships each data file ONLY its
+            # own vector — same planning contract as native clients.
+            import pyarrow.parquet as pq
+
+            from .iceberg import _norm_path
+
+            for dp in sorted(deletes):
+                t = pq.read_table(dp, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    by_file.setdefault(
+                        _norm_path(str(fp), self.path), []
+                    ).append(int(pos))
+        return [
+            _IcePartition(p, part or {}, by_file.get(p))
+            for p, part in sorted(files)
+        ]
 
     def read(self, partition):
         yield from _read_batches(self.schema_, partition)
@@ -149,6 +187,11 @@ class _IceStreamReader(DataSourceStreamReader):
             for mf in manifests:
                 if mf.get("added_snapshot_id") != sid:
                     continue  # carried manifest from an earlier snapshot
+                if mf.get("content", 0) == 1:
+                    # v2 delete manifest: the appends-stream consumer
+                    # skips row-level deletes (same contract as
+                    # deltalog's implied ignoreDeletes)
+                    continue
                 _, entries = load_avro(
                     _norm_path(mf["manifest_path"], self.path)
                 )
@@ -156,6 +199,8 @@ class _IceStreamReader(DataSourceStreamReader):
                     if e["status"] != 0 or e.get("snapshot_id") != sid:
                         continue
                     df_ = e["data_file"]
+                    if df_.get("content", 0) != 0:
+                        continue
                     parts.append(
                         _IcePartition(
                             _norm_path(df_["file_path"], self.path),

@@ -273,21 +273,28 @@ class TestIcebergProtocol:
         with pytest.raises(IcebergProtocolError, match="format-version 3"):
             read_iceberg_table(spark, path)
 
-    def test_v2_delete_manifest_gated(self, spark, tmp_path):
+    def test_v2_equality_deletes_gated(self, spark, tmp_path):
+        """Position deletes are implemented; EQUALITY delete files
+        (data_file.content=2) stay gated with a clear raise — the
+        hand-rewritten manifest marks every file as an equality
+        delete."""
         path = str(tmp_path / "t8")
         write_iceberg_table(_df(spark, 0, 5), path)
         meta_dir = os.path.join(path, "metadata")
-        snap_list = next(f for f in os.listdir(meta_dir) if f.startswith("snap-"))
-        lp = os.path.join(meta_dir, snap_list)
-        meta_hdr, manifests = load_avro(lp)
+        mf = next(f for f in os.listdir(meta_dir) if f.endswith("-m0.avro"))
+        mp = os.path.join(meta_dir, mf)
+        meta_hdr, entries = load_avro(mp)
         schema = json.loads(meta_hdr["avro.schema"].decode())
-        schema["fields"].append(
-            {"name": "content", "type": "int", "field-id": 517}
+        df_field = next(
+            f for f in schema["fields"] if f["name"] == "data_file"
         )
-        for m in manifests:
-            m["content"] = 1
-        dump_avro(lp, json.dumps(schema), manifests)
-        with pytest.raises(IcebergProtocolError, match="DELETE manifests"):
+        df_field["type"]["fields"].insert(
+            0, {"name": "content", "type": "int", "field-id": 134}
+        )
+        for e in entries:
+            e["data_file"]["content"] = 2
+        dump_avro(mp, json.dumps(schema), entries)
+        with pytest.raises(IcebergProtocolError, match="EQUALITY"):
             read_iceberg_table(spark, path)
 
     def test_nested_schema_refused_by_writer(self, spark, tmp_path):
@@ -838,3 +845,121 @@ class TestIcebergLogDataSourceWriter:
         assert "match the table schema" in str(ei.value)
         # table unchanged and still readable
         assert read_iceberg_table(spark, path).count() == 5
+
+
+class TestPositionDeletes:
+    """Iceberg v2 merge-on-read: delete_iceberg_rows commits a
+    position-delete file (content=1 manifest); both readers apply it
+    at scan time, time travel sees pre-delete snapshots, planning is
+    unaffected, and the v1 writer gate still holds."""
+
+    def test_delete_read_time_travel(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+            iceberg_plan_files,
+        )
+
+        path = str(tmp_path / "pd1")
+        write_iceberg_table(_df(spark, 0, 60).repartition(4), path)
+        n_files = len(iceberg_plan_files(path))
+        v = delete_iceberg_rows(spark, path, "k % 5 = 0")
+        assert v == 2
+        got = read_iceberg_table(spark, path)
+        assert got.count() == 48
+        assert got.filter("k % 5 = 0").count() == 0
+        # untouched rows identical, columns intact
+        assert sorted((r.k, r.v) for r in got.collect()) == [
+            (k, k * 10) for k in range(60) if k % 5
+        ]
+        # pre-delete snapshot intact (metadata-version time travel)
+        assert read_iceberg_table(spark, path, version=1).count() == 60
+        # deletes do not change the planned data-file set
+        assert len(iceberg_plan_files(path)) == n_files
+        # stacked second delete on the (now v2) table
+        v2 = delete_iceberg_rows(spark, path, "k = 7")
+        assert v2 == 3
+        assert read_iceberg_table(spark, path).count() == 47
+        # no-match delete: no new version committed
+        assert delete_iceberg_rows(spark, path, "k = -1") == 3
+
+    def test_partitioned_table_delete(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+        )
+
+        path = str(tmp_path / "pd2")
+        write_iceberg_table(_df(spark, 0, 30), path, partition_by=["part"])
+        delete_iceberg_rows(spark, path, "part = '1'")
+        got = read_iceberg_table(spark, path)
+        assert got.count() == 20
+        assert got.filter("part = '1'").count() == 0
+        assert read_iceberg_table(spark, path, version=1).count() == 30
+
+    def test_datasource_applies_deletes(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "pd3")
+        write_iceberg_table(_df(spark, 0, 40).repartition(4), path)
+        delete_iceberg_rows(spark, path, "k < 10")
+        ds = spark.read.format("iceberglog").load(path)
+        assert ds.count() == 30
+        assert ds.filter("k < 10").count() == 0
+        assert ds.agg(F.sum("v").alias("s")).collect()[0].s == \
+            sum(k * 10 for k in range(10, 40))
+        # batch time travel through the DataSource ignores later deletes
+        tt = spark.read.format("iceberglog").option("versionAsOf", 1).load(path)
+        assert tt.count() == 40
+        # manifest-bounds pushdown still correct with deletes present
+        assert sorted(
+            r.k for r in ds.filter("k >= 35").collect()
+        ) == list(range(35, 40))
+
+    def test_streaming_source_skips_delete_snapshots(self, spark, tmp_path):
+        """The appends-stream consumer must not emit anything for a
+        delete commit (same contract as deltalog's ignoreDeletes)."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "pd4")
+        ck = str(tmp_path / "ck")
+        write_iceberg_table(_df(spark, 0, 10), path)
+
+        def drain():
+            got: list = []
+            q = (
+                spark.readStream.format("iceberglog").load(path)
+                .writeStream.foreachBatch(
+                    lambda b, bid: got.append(sorted(r.k for r in b.collect()))
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [ks for ks in got if ks]
+
+        assert drain() == [list(range(10))]
+        delete_iceberg_rows(spark, path, "k < 3")
+        assert drain() == []
+
+    def test_writer_gate_after_delete(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+        )
+
+        path = str(tmp_path / "pd5")
+        write_iceberg_table(_df(spark, 0, 10), path)
+        delete_iceberg_rows(spark, path, "k = 0")
+        with pytest.raises(IcebergProtocolError, match="format-version 1"):
+            write_iceberg_table(_df(spark, 10, 20), path, mode="append")
