@@ -238,6 +238,56 @@ def xlsx_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_DV_ORACLE = """
+    SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM supplier
+    WHERE NOT (s_suppkey % 4 = 0 OR s_acctbal < 0)
+    GROUP BY s_nationkey
+"""
+
+
+@register("delta_dv_scan", oracle=_DELTA_DV_ORACLE)
+def delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS (PROTOCOL.md §Deletion Vectors — the r8
+    verdict's remaining Delta interop gap): supplier lands as a plain
+    table, then TWO ``delete_delta_rows`` commits record dead rows in
+    RoaringBitmapArray sidecars (Z85 uuid descriptors, spec .bin
+    layout with CRC-32 framing) and upgrade the protocol to
+    minReaderVersion 3 / readerFeatures [deletionVectors] — no data
+    file rewritten; the second delete MERGES into the first file's
+    existing DV. The snapshot read drops dead rows via a distributed
+    anti-join on the scan's ``_metadata`` columns
+    (``sources/delta.py::read_delta_table``); a reader that ignored
+    the descriptors would overcount every deleted row and fail the
+    oracle, so the hash match IS the merge-on-read proof."""
+    import shutil
+
+    from ..sources.delta import (
+        delete_delta_rows,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("dv_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_delta_table(sup.repartition(4), path)
+    delete_delta_rows(spark, path, "s_suppkey % 4 = 0")
+    delete_delta_rows(spark, path, "acctbal_cents < 0")
+    got = read_delta_table(spark, path)
+    return got.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("acctbal_cents").alias("acctbal_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Apache Iceberg interop (sources/iceberg.py + sources/avro.py)
 # --------------------------------------------------------------------------

@@ -23,10 +23,14 @@ spec) directly:
   so ``StructType.fromJson`` parses it directly.
 
 Scope honestly stated: reader supports protocol
-``minReaderVersion=1`` tables (no deletion vectors, no column
-mapping — those raise with the table's actual protocol version in
-the message); writer emits ``minReaderVersion=1`` /
-``minWriterVersion=2`` tables that stock Delta readers accept.
+``minReaderVersion<=2`` plus ``minReaderVersion=3`` when the only
+reader feature is ``deletionVectors`` (merge-on-read row deletes,
+applied at scan time — see the deletion-vector section below);
+column mapping and other v3 features raise with the table's actual
+protocol in the message. Writer emits ``minReaderVersion=1`` /
+``minWriterVersion=2`` tables that stock Delta readers accept;
+``delete_delta_rows`` upgrades a table to the deletionVectors
+feature pair on first use.
 Append and overwrite modes; partitioned tables via Hive-style
 directories (Spark reconstitutes partition columns with
 ``basePath``).
@@ -194,10 +198,24 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
     if metadata is None or protocol is None:
         raise DeltaProtocolError(f"table {path} has no metaData/protocol action")
     reader_v = protocol.get("minReaderVersion", 1)
-    if reader_v > 2:
+    if reader_v == 3:
+        feats = protocol.get("readerFeatures")
+        if feats is None:
+            raise DeltaProtocolError(
+                "table declares minReaderVersion=3 without readerFeatures "
+                "(spec-invalid); refusing to guess"
+            )
+        unsupported = sorted(set(feats) - {"deletionVectors"})
+        if unsupported:
+            raise DeltaProtocolError(
+                f"table requires reader features {unsupported} "
+                "(minReaderVersion=3); this reader implements "
+                "deletionVectors only"
+            )
+    elif reader_v > 3:
         raise DeltaProtocolError(
             f"table requires minReaderVersion={reader_v}; this reader "
-            "implements <=2 (no deletion vectors / v3 reader features)"
+            "implements <=3 (deletionVectors)"
         )
     cm_mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
@@ -205,6 +223,347 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
     if cm_mode != "none":
         raise DeltaProtocolError(f"column mapping mode {cm_mode!r} not supported")
     return DeltaSnapshot(target, metadata, protocol, files, app_versions)
+
+
+# --------------------------------------------------------------------------
+# Deletion vectors (PROTOCOL.md §Deletion Vectors) — Delta's v2
+# merge-on-read: an add action may carry a ``deletionVector``
+# descriptor naming a RoaringBitmapArray of dead row indexes; readers
+# drop those rows at scan time, nothing is rewritten. All formats
+# below are from the public spec: Z85 (ZeroMQ RFC 32) for the
+# uuid/inline payload encoding, the RoaringFormatSpec portable
+# serialization for the 32-bit bitmaps, magic 1681511377 for the
+# 64-bit RoaringBitmapArray wrapper, and the sidecar .bin layout
+# (version byte, then per DV: big-endian size, data, CRC-32).
+# --------------------------------------------------------------------------
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_REV = {c: i for i, c in enumerate(_Z85)}
+_DV_MAGIC = 1681511377  # RoaringBitmapArray portable-format magic
+
+
+def _z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[n % 85])
+            n //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError("z85 input must be a multiple of 5 chars")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        n = 0
+        for c in s[i:i + 5]:
+            n = n * 85 + _Z85_REV[c]
+        out += n.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring32_serialize(values: list[int]) -> bytes:
+    """One 32-bit RoaringBitmap, RoaringFormatSpec portable layout,
+    no-run cookie (arrays + bitsets only — enough for a writer; the
+    READER below also handles run containers)."""
+    import struct
+
+    containers: dict[int, list[int]] = {}
+    for v in sorted(values):
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    out = bytearray()
+    out += struct.pack("<II", 12346, len(keys))  # SERIAL_COOKIE_NO_RUNCONTAINER
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    # offset header (always present for the no-run cookie)
+    off = len(out) + 4 * len(keys)
+    for k in keys:
+        out += struct.pack("<I", off)
+        card = len(containers[k])
+        off += 2 * card if card <= 4096 else 8192
+    for k in keys:
+        vals = containers[k]
+        if len(vals) <= 4096:
+            out += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            out += bits
+    return bytes(out)
+
+
+def _roaring32_deserialize(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """Parse one 32-bit RoaringBitmap at ``pos``; returns (values,
+    next_pos). Handles both cookies, run/array/bitset containers."""
+    import struct
+
+    cookie = struct.unpack_from("<I", buf, pos)[0]
+    pos += 4
+    run_flags = b""
+    if cookie & 0xFFFF == 12347:  # SERIAL_COOKIE (has run containers)
+        size = (cookie >> 16) + 1
+        nflag = (size + 7) // 8
+        run_flags = buf[pos:pos + nflag]
+        pos += nflag
+        has_offsets = size >= 4  # NO_OFFSET_THRESHOLD
+    elif cookie == 12346:
+        size = struct.unpack_from("<I", buf, pos)[0]
+        pos += 4
+        has_offsets = True
+    else:
+        raise DeltaProtocolError(f"unknown roaring cookie {cookie}")
+    header = []
+    for i in range(size):
+        k, cm1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        header.append((k, cm1 + 1))
+    if has_offsets:
+        pos += 4 * size  # offsets are redundant for sequential parse
+    values: list[int] = []
+    for i, (k, card) in enumerate(header):
+        base = k << 16
+        is_run = bool(run_flags) and bool(run_flags[i >> 3] & (1 << (i & 7)))
+        if is_run:
+            n_runs = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(range(base + start, base + start + length + 1))
+        elif card <= 4096:
+            values.extend(
+                base + v for v in struct.unpack_from(f"<{card}H", buf, pos)
+            )
+            pos += 2 * card
+        else:
+            bits = buf[pos:pos + 8192]
+            pos += 8192
+            for byte_i, byte in enumerate(bits):
+                while byte:
+                    low = byte & -byte
+                    values.append(base + byte_i * 8 + low.bit_length() - 1)
+                    byte ^= low
+    return values, pos
+
+
+def _rba_encode(positions: list[int]) -> bytes:
+    """RoaringBitmapArray, portable format: magic + 8-byte count +
+    per-key (4-byte high word, 32-bit bitmap)."""
+    import struct
+
+    groups: dict[int, list[int]] = {}
+    for p in sorted(set(int(p) for p in positions)):
+        if p < 0:
+            raise ValueError(f"negative row index {p}")
+        groups.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<iQ", _DV_MAGIC, len(groups)))
+    for hi in sorted(groups):
+        out += struct.pack("<I", hi)
+        out += _roaring32_serialize(groups[hi])
+    return bytes(out)
+
+
+def _rba_decode(data: bytes) -> list[int]:
+    import struct
+
+    magic, n = struct.unpack_from("<iQ", data, 0)
+    if magic != _DV_MAGIC:
+        raise DeltaProtocolError(f"bad deletion-vector magic {magic}")
+    pos = 12
+    values: list[int] = []
+    for _ in range(n):
+        hi = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        vals, pos = _roaring32_deserialize(data, pos)
+        values.extend((hi << 32) | v for v in vals)
+    return values
+
+
+def write_deletion_vectors(
+    table_path: str, per_file_positions: dict[str, list[int]]
+) -> dict[str, dict]:
+    """Write ONE deletion-vector sidecar ``.bin`` holding a DV per
+    data file (the spec's multi-DV file layout) and return
+    ``{data_file_rel_path: descriptor}`` ready to embed in add
+    actions (storageType 'u': pathOrInlineDv is the z85 uuid, the
+    sidecar name derives as ``deletion_vector_<uuid>.bin``)."""
+    import struct
+    import zlib
+
+    dv_uuid = uuid.uuid4()
+    fname = f"deletion_vector_{dv_uuid}.bin"
+    blob = bytearray(b"\x01")  # format version byte
+    descriptors: dict[str, dict] = {}
+    for rel, positions in sorted(per_file_positions.items()):
+        data = _rba_encode(positions)
+        offset = len(blob)
+        blob += struct.pack(">i", len(data))
+        blob += data
+        blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descriptors[rel] = {
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(dv_uuid.bytes),
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(set(positions)),
+        }
+    tmp = os.path.join(table_path, f"{fname}.tmp.{os.getpid()}")
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(blob))
+    os.replace(tmp, os.path.join(table_path, fname))
+    return descriptors
+
+
+def read_deletion_vector(table_path: str, dv: dict) -> list[int]:
+    """Descriptor → sorted dead row indexes. Supports all three
+    storage types: 'i' (inline z85 payload), 'u' (uuid-derived
+    sidecar under the table, optional random prefix), 'p' (absolute
+    path)."""
+    import struct
+    import zlib
+
+    st = dv.get("storageType")
+    if st == "i":
+        return sorted(_rba_decode(_z85_decode(dv["pathOrInlineDv"])))
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, z = enc[:-20], enc[-20:]
+        dv_uuid = uuid.UUID(bytes=_z85_decode(z))
+        f = os.path.join(
+            table_path, *( [prefix] if prefix else [] ),
+            f"deletion_vector_{dv_uuid}.bin",
+        )
+    elif st == "p":
+        f = dv["pathOrInlineDv"]
+        if f.startswith("file:"):
+            f = "/" + f[len("file:"):].lstrip("/")
+    else:
+        raise DeltaProtocolError(f"unknown deletion-vector storageType {st!r}")
+    with open(f, "rb") as fh:
+        raw = fh.read()
+    off = dv["offset"]
+    (size,) = struct.unpack_from(">i", raw, off)
+    data = raw[off + 4:off + 4 + size]
+    (crc,) = struct.unpack_from(">I", raw, off + 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise DeltaProtocolError(f"deletion-vector checksum mismatch in {f}")
+    return sorted(_rba_decode(data))
+
+
+def delete_delta_rows(spark: SparkSession, path: str, condition: str) -> int:
+    """MERGE-ON-READ DELETE for Delta (PROTOCOL.md §Deletion Vectors):
+    rows matching ``condition`` are recorded in a RoaringBitmapArray
+    sidecar — no data file rewritten. Each affected add action is
+    re-committed with a ``deletionVector`` descriptor (merged with
+    any existing DV); the commit upgrades the protocol to
+    minReaderVersion 3 / readerFeatures [deletionVectors] the first
+    time. Returns the new version (current version unchanged when
+    nothing matches).
+
+    The matching ``(file, pos)`` keys are computed DISTRIBUTED from
+    the scan's ``_metadata`` columns; only the keys land on the
+    driver for bitmap serialization — bitmap-scale, the same contract
+    as Delta's own DV writer."""
+    from pyspark.sql import functions as F
+
+    snap = _replay(spark, path, None)
+    if not snap.files:
+        return snap.version
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, p)): p for p in snap.files
+    }
+    reader = spark.read.option("basePath", path)
+    df = reader.parquet(*sorted(abs_to_rel))
+    df = (
+        df.withColumn(
+            "__fp",
+            F.regexp_replace(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                "^/+", "/",
+            ),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    # rows already dead are invisible — exclude them from the match
+    existing: dict[str, list[int]] = {}
+    dead_keys = []
+    for p, add in snap.files.items():
+        if add.get("deletionVector"):
+            existing[p] = read_deletion_vector(path, add["deletionVector"])
+            ap = os.path.abspath(os.path.join(path, p))
+            dead_keys.extend((ap, pos) for pos in existing[p])
+    if dead_keys:
+        kdf = spark.createDataFrame(dead_keys, "__del_fp string, __del_pos long")
+        df = df.join(
+            kdf,
+            (F.col("__fp") == F.col("__del_fp"))
+            & (F.col("__pos") == F.col("__del_pos")),
+            "left_anti",
+        )
+    hits = (
+        df.filter(condition)
+        .groupBy("__fp")
+        .agg(F.collect_list("__pos").alias("positions"))
+        .collect()
+    )
+    if not hits:
+        return snap.version
+    per_file: dict[str, list[int]] = {}
+    for r in hits:
+        rel = abs_to_rel[r["__fp"]]
+        per_file[rel] = sorted(
+            set(existing.get(rel, [])) | {int(x) for x in r["positions"]}
+        )
+    descriptors = write_deletion_vectors(path, per_file)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    proto = snap.protocol
+    if proto.get("minReaderVersion", 1) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        )
+    for rel in sorted(per_file):
+        add = dict(snap.files[rel])
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                        "dataChange": True}}
+        )
+        add["deletionVector"] = descriptors[rel]
+        add["modificationTime"] = now_ms
+        add["dataChange"] = True
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": condition},
+                "engineInfo": "etl-processing-scd1-spark delta deletion vectors",
+            }
+        }
+    )
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, actions)
+    return new_version
 
 
 def read_delta_table(
@@ -219,7 +578,13 @@ def read_delta_table(
 
     ``predicates`` = {column: (lo, hi)} inclusive ranges skip files
     whose ``stats`` cannot intersect (superset guarantee — the caller
-    still applies the exact row filter)."""
+    still applies the exact row filter; a file's stats describe its
+    PHYSICAL rows, so deletion vectors never un-prune anything).
+
+    Deletion vectors (minReaderVersion 3): each carrying file's dead
+    row indexes are dropped at scan time via an anti-join on the
+    scan's ``_metadata`` columns — DV sidecars are bitmap-scale, so
+    the keys side stays small and AQE broadcasts it."""
     snap = _replay(spark, path, version)
     files = {
         p: a for p, a in snap.files.items() if not _stats_prune(a, predicates)
@@ -231,6 +596,34 @@ def read_delta_table(
     paths = [os.path.join(path, p) for p in sorted(files)]
     reader = spark.read.option("basePath", path)
     df = reader.parquet(*paths)
+    dv_keys = [
+        (os.path.abspath(os.path.join(path, p)), pos)
+        for p, a in files.items()
+        if a.get("deletionVector")
+        for pos in read_deletion_vector(path, a["deletionVector"])
+    ]
+    if dv_keys:
+        kdf = spark.createDataFrame(
+            dv_keys, "__del_fp string, __del_pos long"
+        )
+        df = (
+            df.withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""
+                    ),
+                    "^/+", "/",
+                ),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                kdf,
+                (F.col("__fp") == F.col("__del_fp"))
+                & (F.col("__pos") == F.col("__del_pos")),
+                "left_anti",
+            )
+        )
     # column order AND types per the table schema: Spark's partition
     # directory inference types "part=0" as int, but the log's
     # schemaString is authoritative (e.g. a string partition column)
@@ -681,6 +1074,13 @@ def delta_changes(
         with open(f) as fh:
             for action in _read_actions(fh):
                 if "add" in action:
+                    if action["add"].get("deletionVector"):
+                        raise DeltaProtocolError(
+                            "CDF over deletion-vector commits is not "
+                            "supported: file-granularity change capture "
+                            "cannot express row-level DV deltas "
+                            f"(commit {v})"
+                        )
                     last_add[action["add"]["path"]] = v
                 elif "remove" in action:
                     last_remove[action["remove"]["path"]] = v

@@ -43,15 +43,20 @@ from .delta import _replay, delta_table_version
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, partition_values: dict):
+    def __init__(self, file_path: str, partition_values: dict,
+                 delete_positions: list | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
+        # deletion vector: dead row indexes of THIS file, decoded
+        # driver-side at planning, shipped per partition
+        self.delete_positions = delete_positions
 
 
 def _read_file_batches(schema: StructType, part: _FilePartition):
     """Executor-side: one data file → Arrow RecordBatches carrying
     ALL schema columns (hive partition values reattached as
-    constants, typed per the log's authoritative schema)."""
+    constants, typed per the log's authoritative schema); the file's
+    deletion-vector rows (if any) dropped by index before batching."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -59,6 +64,14 @@ def _read_file_batches(schema: StructType, part: _FilePartition):
 
     want = to_arrow_schema(schema)
     tbl = pq.read_table(part.file_path)
+    if part.delete_positions:
+        import numpy as np
+
+        dead = np.asarray(sorted(part.delete_positions), dtype=np.int64)
+        keep = np.setdiff1d(
+            np.arange(tbl.num_rows, dtype=np.int64), dead, assume_unique=True
+        )
+        tbl = tbl.take(pa.array(keep))
     n = tbl.num_rows
     arrays = []
     for field in want:
@@ -179,10 +192,14 @@ class _DeltaBatchReader(DataSourceReader):
                     return True
             return False
 
+        from .delta import read_deletion_vector
+
         return [
             _FilePartition(
                 os.path.join(self.path, p),
                 add.get("partitionValues") or {},
+                read_deletion_vector(self.path, add["deletionVector"])
+                if add.get("deletionVector") else None,
             )
             for p, add in sorted(snap.files.items())
             if not _stats_prune(add, self.predicates) and not part_prune(add)
@@ -219,6 +236,11 @@ class _DeltaStreamReader(DataSourceStreamReader):
             with open(f) as fh:
                 for action in _read_actions(fh):
                     if "add" in action:
+                        if action["add"].get("deletionVector"):
+                            # DV re-add = row-removal bookkeeping, not
+                            # an append; the appends-stream consumer
+                            # skips it (ignoreDeletes contract)
+                            continue
                         parts.append(
                             _FilePartition(
                                 os.path.join(self.path, action["add"]["path"]),

@@ -646,3 +646,173 @@ class TestDeltaLogDataSourceWriter:
         )
         q.awaitTermination(180)
         assert sum(out) == 10
+
+
+class TestDeletionVectors:
+    """PROTOCOL.md §Deletion Vectors: merge-on-read row deletes via
+    RoaringBitmapArray sidecars — codec round trips, delete commits,
+    scan-time application in both readers, protocol gating, CDF
+    guard, and the streaming skip."""
+
+    def test_roaring_codec_roundtrip_and_run_containers(self):
+        import struct
+
+        from etl_processing_scd1_spark.sources.delta import (
+            _rba_decode,
+            _rba_encode,
+            _roaring32_deserialize,
+        )
+
+        # array + bitset (>4096) containers, multiple high words
+        vals = list(range(0, 9000, 2)) + [70000, (1 << 33) + 7]
+        assert _rba_decode(_rba_encode(vals)) == sorted(vals)
+        # hand-built RUN container (cookie 12347) — foreign writers
+        # emit these; our writer doesn't, so decode is tested raw
+        raw = struct.pack("<I", ((1 - 1) << 16) | 12347)  # 1 container
+        raw += b"\x01"            # run flag bitset: container 0 is runs
+        raw += struct.pack("<HH", 0, 5 - 1)   # key 0, cardinality 5
+        raw += struct.pack("<H", 2)           # 2 runs
+        raw += struct.pack("<HH", 10, 2)      # 10,11,12
+        raw += struct.pack("<HH", 100, 1)     # 100,101
+        got, pos = _roaring32_deserialize(raw, 0)
+        assert got == [10, 11, 12, 100, 101]
+        assert pos == len(raw)
+
+    def test_delete_read_time_travel_stacked(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import delete_delta_rows
+
+        path = str(tmp_path / "dv1")
+        write_delta_table(_df(spark, 0, 100).repartition(4), path)
+        assert delete_delta_rows(spark, path, "k % 5 = 0") == 1
+        got = read_delta_table(spark, path)
+        assert got.count() == 80
+        assert got.filter("k % 5 = 0").count() == 0
+        assert sorted(r.k for r in got.collect()) == [
+            k for k in range(100) if k % 5
+        ]
+        # pre-delete snapshot intact
+        assert read_delta_table(spark, path, version=0).count() == 100
+        # second delete merges with the existing DV
+        assert delete_delta_rows(spark, path, "k = 7") == 2
+        assert read_delta_table(spark, path).count() == 79
+        # no-op: no commit
+        assert delete_delta_rows(spark, path, "k = -1") == 2
+        # appends still work after the protocol upgrade
+        write_delta_table(_df(spark, 100, 110), path, mode="append")
+        assert read_delta_table(spark, path).count() == 89
+
+    def test_partitioned_table_and_datasource(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import delete_delta_rows
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        path = str(tmp_path / "dv2")
+        write_delta_table(_df(spark, 0, 60), path, partition_by=["part"])
+        delete_delta_rows(spark, path, "part = '1' OR k = 0")
+        got = read_delta_table(spark, path)
+        assert got.count() == 39
+        assert got.filter("part = '1'").count() == 0
+        ds = spark.read.format("deltalog").load(path)
+        assert ds.count() == 39
+        assert sorted(r.k for r in ds.collect()) == sorted(
+            k for k in range(1, 60) if k % 3 != 1
+        )
+        # time travel through the DataSource ignores the later DV
+        tt = spark.read.format("deltalog").option("versionAsOf", 0).load(path)
+        assert tt.count() == 60
+
+    def test_inline_storage_type(self, spark, tmp_path):
+        """storageType 'i': the bitmap rides z85-encoded inside the
+        descriptor itself — rewrite a DV add action to inline form
+        and the reader must still apply it."""
+        import json as _json
+
+        from etl_processing_scd1_spark.sources.delta import (
+            _commit_file,
+            _rba_encode,
+            _z85_encode,
+            delete_delta_rows,
+        )
+
+        path = str(tmp_path / "dv3")
+        write_delta_table(_df(spark, 0, 20).coalesce(1), path)
+        delete_delta_rows(spark, path, "k < 5")
+        f = _commit_file(path, 1)
+        lines = [ln for ln in open(f).read().splitlines() if ln.strip()]
+        out = []
+        data = _rba_encode(list(range(5)))
+        pad = (-len(data)) % 4
+        for ln in lines:
+            a = _json.loads(ln)
+            if "add" in a and a["add"].get("deletionVector"):
+                a["add"]["deletionVector"] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": _z85_encode(data + b"\x00" * pad),
+                    "sizeInBytes": len(data),
+                    "cardinality": 5,
+                }
+            out.append(_json.dumps(a))
+        open(f, "w").write("\n".join(out) + "\n")
+        got = read_delta_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == list(range(5, 20))
+
+    def test_protocol_gate_other_v3_features(self, spark, tmp_path):
+        import json as _json
+
+        from etl_processing_scd1_spark.sources.delta import _commit_file
+
+        path = str(tmp_path / "dv4")
+        write_delta_table(_df(spark, 0, 5), path)
+        f = _commit_file(path, 0)
+        lines = [ln for ln in open(f).read().splitlines() if ln.strip()]
+        out = []
+        for ln in lines:
+            a = _json.loads(ln)
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors", "columnMapping"],
+                    "writerFeatures": [],
+                }
+            out.append(_json.dumps(a))
+        open(f, "w").write("\n".join(out) + "\n")
+        with pytest.raises(Exception, match="columnMapping"):
+            read_delta_table(spark, path)
+
+    def test_cdf_guard_and_streaming_skip(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delete_delta_rows,
+            delta_changes,
+        )
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        path = str(tmp_path / "dv5")
+        ck = str(tmp_path / "ck")
+        write_delta_table(_df(spark, 0, 10), path)
+
+        def drain():
+            got: list = []
+            q = (
+                spark.readStream.format("deltalog").load(path)
+                .writeStream.foreachBatch(
+                    lambda b, bid: got.append(b.count())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination(180)
+            return sum(got)
+
+        assert drain() == 10
+        delete_delta_rows(spark, path, "k < 3")
+        # appends-stream consumer must NOT re-emit the DV re-add
+        assert drain() == 0
+        with pytest.raises(Exception, match="deletion-vector"):
+            delta_changes(spark, path, 0, 1)
