@@ -238,6 +238,60 @@ def xlsx_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DS_WRITE_ORACLE = """
+    SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM supplier GROUP BY s_nationkey
+"""
+
+
+@register("streaming_datasource_write", oracle=_STREAM_DS_WRITE_ORACLE)
+def streaming_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class streaming lakehouse loop (r8 verdict item 8):
+    supplier lands in a source Delta table in TWO commits, then
+    ``readStream.format("deltalog")`` → ``writeStream.format(
+    "deltalog")`` drains it through Structured Streaming — the
+    incremental source's offsets are log versions, the STREAM WRITER
+    (``DataSourceStreamArrowWriter``) commits each micro-batch with
+    the spec's ``txn`` watermark so a replayed batch is dropped
+    (exactly-once). The query aggregates the TARGET table; any
+    double-delivered or lost micro-batch fails the oracle hash."""
+    import os
+    import shutil
+
+    from ..sources.delta import read_delta_table, write_delta_table
+    from ..sources.deltalog_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    base = _delta_dir("stream_ds_write")
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst, ck = (os.path.join(base, d) for d in ("src", "dst", "ck"))
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_delta_table(sup.filter(F.col("s_suppkey") % 2 == 0), src)
+    write_delta_table(
+        sup.filter(F.col("s_suppkey") % 2 == 1), src, mode="append"
+    )
+    q = (
+        spark.readStream.format("deltalog").load(src)
+        .writeStream.format("deltalog").option("path", dst)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = read_delta_table(spark, dst)
+    return got.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("acctbal_cents").alias("acctbal_cents"),
+    )
+
+
 _DELTA_DV_ORACLE = """
     SELECT CAST(s_nationkey AS BIGINT) AS nation,
            CAST(count(*) AS BIGINT) AS n_suppliers,

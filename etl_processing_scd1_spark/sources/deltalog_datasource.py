@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -297,16 +298,16 @@ class DeltaLogDataSource(DataSource):
         starting = int(self.options.get("startingversion", -1))
         return _DeltaStreamReader(self._path(), schema, starting)
 
-    def writer(self, schema: StructType, overwrite: bool):
+    def _writer_partitioning(self, schema: StructType) -> list[str]:
+        """Validate a write against the log BEFORE executors write a
+        single file (mirrors _IceWriter) — append without partitionBy
+        must inherit the table's spec, or foreign Delta readers
+        reconstructing partition columns from partitionValues would
+        see an unpartitioned corruption."""
         from .delta import _list_versions
 
         part = self.options.get("partitionby")
         partition_by = [c.strip() for c in part.split(",")] if part else []
-        # Existing table: validate against the log BEFORE executors
-        # write a single file (mirrors _IceWriter) — append without
-        # partitionBy must inherit the table's spec, or foreign Delta
-        # readers reconstructing partition columns from
-        # partitionValues would see an unpartitioned corruption.
         if _list_versions(self._path()):
             snap = _replay(None, self._path(), None)
             table_schema = StructType.fromJson(
@@ -326,7 +327,19 @@ class DeltaLogDataSource(DataSource):
                     f"deltalog write: partitionBy {partition_by} conflicts "
                     f"with the table's spec {list(snap.partition_columns)}"
                 )
-        return _DeltaWriter(self._path(), schema, overwrite, partition_by)
+        return partition_by
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _DeltaWriter(
+            self._path(), schema, overwrite, self._writer_partitioning(schema)
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _DeltaStreamWriter(
+            self._path(), schema, overwrite,
+            self._writer_partitioning(schema),
+            self.options.get("txnappid", "deltalog-stream"),
+        )
 
 
 class _DeltaCommitMessage(WriterCommitMessage):
@@ -397,6 +410,10 @@ class _DeltaWriter(DataSourceArrowWriter):
         return _DeltaCommitMessage(files)
 
     def commit(self, messages) -> None:
+        self._do_commit(messages)
+
+    def _do_commit(self, messages, txn: dict | None = None,
+                   operation: str = "WRITE") -> None:
         import time as _time
 
         from .delta import (
@@ -447,11 +464,13 @@ class _DeltaWriter(DataSourceArrowWriter):
                         }
                     }
                 )
+        if txn is not None:
+            actions.append({"txn": txn})
         actions.append(
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "WRITE",
+                    "operation": operation,
                     "operationParameters": {
                         "mode": "overwrite" if self.overwrite else "append"
                     },
@@ -467,3 +486,36 @@ class _DeltaWriter(DataSourceArrowWriter):
                 f = os.path.join(self.path, rel)
                 if os.path.exists(f):
                     os.unlink(f)
+
+
+class _DeltaStreamWriter(_DeltaWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("deltalog")`` — the EXACTLY-ONCE
+    streaming sink as a first-class stream writer: executors reuse
+    the batch writer's Arrow file path verbatim; the driver commit
+    records the spec's ``txn`` watermark ``(appId, version=batchId)``
+    in the same atomic commit, and a REPLAYED micro-batch (restart
+    between sink commit and checkpoint write) is detected via
+    ``delta_last_txn_version`` and dropped — its duplicate files are
+    deleted, nothing double-counts. ``option("txnAppId", ...)`` names
+    the writer identity (stable across restarts of one query; default
+    'deltalog-stream')."""
+
+    def __init__(self, path: str, schema: StructType,
+                 overwrite: bool, partition_by: list[str], app_id: str):
+        _DeltaWriter.__init__(self, path, schema, overwrite, partition_by)
+        self.app_id = app_id
+
+    def commit(self, messages, batchId: int) -> None:
+        from .delta import delta_last_txn_version
+
+        if delta_last_txn_version(None, self.path, self.app_id) >= batchId:
+            _DeltaWriter.abort(self, messages)  # replayed batch: drop dupes
+            return
+        self._do_commit(
+            messages,
+            txn={"appId": self.app_id, "version": batchId},
+            operation="STREAMING UPDATE",
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _DeltaWriter.abort(self, messages)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
@@ -260,6 +261,14 @@ class IcebergLogDataSource(DataSource):
         partition_by = [c.strip() for c in part.split(",")] if part else []
         return _IceWriter(self._path(), schema, overwrite, partition_by)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        part = self.options.get("partitionby")
+        partition_by = [c.strip() for c in part.split(",")] if part else []
+        return _IceStreamWriter(
+            self._path(), schema, partition_by,
+            self.options.get("appid", "iceberglog-stream"),
+        )
+
 
 class _IceCommitMessage(WriterCommitMessage):
     def __init__(self, files: list):
@@ -349,6 +358,9 @@ class _IceWriter(DataSourceArrowWriter):
         return _IceCommitMessage(files)
 
     def commit(self, messages) -> None:
+        self._do_commit(messages)
+
+    def _do_commit(self, messages, extra_summary: dict | None = None) -> None:
         import os
 
         from .iceberg import (
@@ -384,7 +396,7 @@ class _IceWriter(DataSourceArrowWriter):
             partition_by,
             "overwrite" if self.overwrite else "append",
             new_files,
-            None,
+            extra_summary,
             base,
             prev,
         )
@@ -396,3 +408,35 @@ class _IceWriter(DataSourceArrowWriter):
             for dest, *_rest in (m.files if m else []):
                 if os.path.exists(dest):
                     os.unlink(dest)
+
+
+class _IceStreamWriter(_IceWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("iceberglog")`` — exactly-once via the
+    snapshot-summary watermark (the same contract Flink's Iceberg
+    sink uses): the commit records ``streaming-app-id`` /
+    ``streaming-batch-id`` in the snapshot summary, and a REPLAYED
+    micro-batch is detected via ``iceberg_last_batch_id`` and
+    dropped, its duplicate files deleted. ``option("appId", ...)``
+    names the writer identity (default 'iceberglog-stream')."""
+
+    def __init__(self, path: str, schema: StructType,
+                 partition_by: list[str], app_id: str):
+        _IceWriter.__init__(self, path, schema, False, partition_by)
+        self.app_id = app_id
+
+    def commit(self, messages, batchId: int) -> None:
+        from .iceberg import iceberg_last_batch_id
+
+        if iceberg_last_batch_id(self.path, self.app_id) >= batchId:
+            _IceWriter.abort(self, messages)  # replayed batch: drop dupes
+            return
+        self._do_commit(
+            messages,
+            extra_summary={
+                "streaming-app-id": self.app_id,
+                "streaming-batch-id": batchId,
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _IceWriter.abort(self, messages)

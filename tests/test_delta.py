@@ -816,3 +816,81 @@ class TestDeletionVectors:
         assert drain() == 0
         with pytest.raises(Exception, match="deletion-vector"):
             delta_changes(spark, path, 0, 1)
+
+
+class TestDeltaLogStreamWriter:
+    """df.writeStream.format('deltalog'): the first-class streaming
+    write half — checkpointed resume plus the txn-watermark replay
+    guard (exactly-once across a crash between sink commit and
+    checkpoint write)."""
+
+    @pytest.fixture()
+    def registered(self, spark):
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        return spark
+
+    def test_stream_write_resume(self, registered, tmp_path):
+        spark = registered
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ck = str(tmp_path / "ck")
+        write_delta_table(_df(spark, 0, 10), src)
+
+        def drain():
+            q = (
+                spark.readStream.format("deltalog").load(src)
+                .writeStream.format("deltalog").option("path", dst)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination(240)
+
+        drain()
+        assert read_delta_table(spark, dst).count() == 10
+        write_delta_table(_df(spark, 10, 15), src, mode="append")
+        drain()
+        assert sorted(r.k for r in read_delta_table(spark, dst).collect()) \
+            == list(range(15))
+        drain()  # nothing new -> no duplicates
+        assert read_delta_table(spark, dst).count() == 15
+
+    def test_replayed_batch_is_dropped(self, registered, tmp_path):
+        """Crash between sink commit and checkpoint write replays the
+        micro-batch with the SAME batchId but fresh executor files:
+        the txn watermark must skip the commit and delete the dupes."""
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            _DeltaStreamWriter,
+        )
+
+        spark = registered
+        path = str(tmp_path / "replay")
+        schema = _df(spark, 0, 0).schema
+        w = _DeltaStreamWriter(path, schema, False, [], "app-1")
+        tbl = pa.table(
+            {"k": [1, 2], "v": [10, 20], "part": ["1", "2"]},
+            schema=to_arrow_schema(schema),
+        )
+        m1 = w.write(iter(tbl.to_batches()))
+        w.commit([m1], 0)
+        assert read_delta_table(spark, path).count() == 2
+        # replay of batch 0: new files, same id
+        m2 = w.write(iter(tbl.to_batches()))
+        w.commit([m2], 0)
+        assert read_delta_table(spark, path).count() == 2
+        # the duplicate files are gone from disk, not just unreferenced
+        dupes = [rel for rel, *_ in m2.files
+                 if os.path.exists(os.path.join(path, rel))]
+        assert dupes == []
+        # next batch id lands normally
+        m3 = w.write(iter(tbl.to_batches()))
+        w.commit([m3], 1)
+        assert read_delta_table(spark, path).count() == 4

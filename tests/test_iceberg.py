@@ -963,3 +963,72 @@ class TestPositionDeletes:
         delete_iceberg_rows(spark, path, "k = 0")
         with pytest.raises(IcebergProtocolError, match="format-version 1"):
             write_iceberg_table(_df(spark, 10, 20), path, mode="append")
+
+
+class TestIcebergLogStreamWriter:
+    """df.writeStream.format('iceberglog'): checkpointed resume plus
+    the snapshot-summary watermark replay guard."""
+
+    @pytest.fixture()
+    def registered(self, spark):
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        return spark
+
+    def test_stream_write_resume(self, registered, tmp_path):
+        spark = registered
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ck = str(tmp_path / "ck")
+        write_iceberg_table(_df(spark, 0, 10), src)
+
+        def drain():
+            q = (
+                spark.readStream.format("iceberglog").load(src)
+                .writeStream.format("iceberglog").option("path", dst)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination(240)
+
+        drain()
+        assert read_iceberg_table(spark, dst).count() == 10
+        write_iceberg_table(_df(spark, 10, 15), src, mode="append")
+        drain()
+        assert sorted(
+            r.k for r in read_iceberg_table(spark, dst).collect()
+        ) == list(range(15))
+        drain()
+        assert read_iceberg_table(spark, dst).count() == 15
+
+    def test_replayed_batch_is_dropped(self, registered, tmp_path):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            _IceStreamWriter,
+        )
+
+        spark = registered
+        path = str(tmp_path / "replay")
+        schema = _df(spark, 0, 0).schema
+        w = _IceStreamWriter(path, schema, [], "app-1")
+        tbl = pa.table(
+            {"k": [1, 2], "v": [10, 20], "part": ["1", "2"]},
+            schema=to_arrow_schema(schema),
+        )
+        m1 = w.write(iter(tbl.to_batches()))
+        w.commit([m1], 0)
+        assert read_iceberg_table(spark, path).count() == 2
+        m2 = w.write(iter(tbl.to_batches()))
+        w.commit([m2], 0)
+        assert read_iceberg_table(spark, path).count() == 2
+        assert [p for p, *_ in m2.files if os.path.exists(p)] == []
+        m3 = w.write(iter(tbl.to_batches()))
+        w.commit([m3], 1)
+        assert read_iceberg_table(spark, path).count() == 4
