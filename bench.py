@@ -118,6 +118,10 @@ HEADLINE = [
     "iceberglog_source_scan", # Iceberg as a Spark-4 Python DataSource
     "kaplan_meier_churn",     # survival risk table with censoring
     "sssp_bounded_hops",      # Bellman-Ford weighted shortest paths
+    # round-9 additions: merge-on-read + streaming lakehouse loop
+    "iceberg_v2_pos_delete_scan",  # v2 position deletes, anti-join apply
+    "delta_dv_scan",          # deletion vectors, roaring sidecar apply
+    "streaming_datasource_write",  # readStream->writeStream exactly-once
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list
@@ -175,10 +179,30 @@ def run_bench(spark, sf_dir: str, runs: int) -> dict[str, dict[str, float]]:
     return timings
 
 
-def run_oracles(sf_dir: str, runs: int) -> tuple[dict[str, float], list[str]]:
+#: Oracles whose single-run wall time has swung >3× across rounds on
+#: identical SQL (BASELINE.md:174-181 — embedding_near_dup drew
+#: 130–970 s): the quadratic LSH replay and the recursive-CTE cluster
+#: closures. These get MEDIAN-of-3 instead of adaptive single runs so
+#: one ambient-load outlier can't swing the headline ratio (r8 verdict
+#: What's-wrong #2); every other oracle keeps best-of with adaptive
+#: early-out.
+VOLATILE_ORACLES = {
+    "embedding_near_dup",
+    "dedup_apply",
+    "dedup_keep_best",
+    "golden_record",
+}
+
+
+def run_oracles(
+    sf_dir: str, runs: int
+) -> tuple[dict[str, float], dict[str, dict]]:
     """Same-session DuckDB replay of the headline queries' oracle SQL
-    over the identical parquet — best-of-``runs`` wall seconds each."""
+    over the identical parquet. Returns (seconds per query, per-query
+    meta {runs, capped}) — best-of-``runs`` with adaptive early-out
+    for stable oracles, median-of-3 for ``VOLATILE_ORACLES``."""
     import duckdb
+    import statistics
 
     from etl_processing_scd1_spark.registry import EXTRA_ORACLES, ORACLES
 
@@ -189,21 +213,24 @@ def run_oracles(sf_dir: str, runs: int) -> tuple[dict[str, float], list[str]]:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
-    # Per-query wall cap: the quadratic SQL replays (embedding
-    # near-dup, cluster closures) have drawn 130–970 s for ONE run
-    # across rounds; uncapped they put the whole bench at the mercy
-    # of the driver's per-round timeout. A capped query records its
-    # elapsed LOWER BOUND (tagged in oracle_timed_out) — conservative
-    # for the engine-vs-oracle ratio, bounded for wall-clock.
+    # Per-query wall cap: the quadratic SQL replays have drawn
+    # 130–970 s for ONE run across rounds; uncapped they put the whole
+    # bench at the mercy of the driver's per-round timeout. A capped
+    # query records its elapsed LOWER BOUND (meta "capped": true) —
+    # conservative for the engine-vs-oracle ratio, bounded for
+    # wall-clock.
     cap = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "300"))
     timings: dict[str, float] = {}
-    timed_out: list[str] = []
+    meta: dict[str, dict] = {}
     for name in HEADLINE:
         sql = all_oracles.get(name)
         if sql is None:
             continue
-        best = float("inf")
-        for i in range(runs):
+        volatile = name in VOLATILE_ORACLES
+        n_target = 3 if volatile else runs
+        samples: list[float] = []
+        capped = False
+        for _ in range(n_target):
             interrupter = None
             t0 = time.perf_counter()
             if cap > 0:
@@ -216,27 +243,35 @@ def run_oracles(sf_dir: str, runs: int) -> tuple[dict[str, float], list[str]]:
             except duckdb.Error:
                 elapsed = time.perf_counter() - t0
                 if elapsed >= cap * 0.95:
-                    best = min(best, elapsed)
-                    timed_out.append(name)
+                    samples.append(elapsed)
+                    capped = True
                     print(f"  oracle {name}: CAPPED at {elapsed:.1f}s "
                           "(lower bound)", file=sys.stderr)
-                    break
+                    break  # 3x a capped run buys nothing
                 raise
             finally:
                 if interrupter is not None:
                     interrupter.cancel()
-            best = min(best, time.perf_counter() - t0)
-            # adaptive repeats: a minutes-heavy oracle (recursive-CTE
-            # clustering, LSH replay) gets ONE run — repetition only
-            # de-noises cheap queries, and 2× of a 75 s replay would
-            # dominate the whole bench wall-clock
-            if best > 5.0:
+            samples.append(time.perf_counter() - t0)
+            # adaptive repeats for STABLE oracles only: a minutes-heavy
+            # replay gets one run — repetition only de-noises cheap
+            # queries. Volatile oracles always take their 3 samples.
+            if not volatile and min(samples) > 5.0:
                 break
-        timings[name] = round(best, 4)
-        if name not in timed_out:
-            print(f"  oracle {name}: {best:.3f}s", file=sys.stderr)
+        value = (
+            statistics.median(samples) if volatile and not capped
+            else min(samples)
+        )
+        timings[name] = round(value, 4)
+        meta[name] = {"runs": len(samples), "capped": capped}
+        if volatile:
+            meta[name]["samples"] = [round(s, 4) for s in samples]
+        if not capped:
+            kind = "median-of-%d" % len(samples) if volatile else \
+                "best-of-%d" % len(samples)
+            print(f"  oracle {name}: {value:.3f}s ({kind})", file=sys.stderr)
     con.close()
-    return timings, timed_out
+    return timings, meta
 
 
 def main() -> None:
@@ -265,8 +300,9 @@ def main() -> None:
     # are minutes-heavy at sf0.1, and 5 runs of each would dominate
     # the whole bench wall-clock).
     oracle_runs = int(os.environ.get("SPARK_GRAFT_ORACLE_RUNS", str(min(runs, 2))))
-    oracle, oracle_capped = run_oracles(sf_dir, oracle_runs)
+    oracle, oracle_meta = run_oracles(sf_dir, oracle_runs)
     oracle_total = round(sum(oracle.values()), 4)
+    oracle_capped = sorted(n for n, m in oracle_meta.items() if m["capped"])
 
     # FULL detail goes to a file: the driver records only a bounded
     # tail of stdout, and r1–r6 proved a maximal JSON line gets its
@@ -288,6 +324,13 @@ def main() -> None:
                 "oracle": {
                     "engine": "duckdb",
                     "queries": oracle,
+                    "per_query_meta": oracle_meta,
+                    "wall_cap_sec": float(
+                        os.environ.get("SPARK_GRAFT_ORACLE_CAP", "300")
+                    ),
+                    "volatile_median_of_3": sorted(
+                        n for n in oracle if n in VOLATILE_ORACLES
+                    ),
                     "capped_lower_bounds": oracle_capped,
                     "total": oracle_total,
                     "engine_vs_oracle": (
@@ -330,6 +373,9 @@ def main() -> None:
                 "oracle_total": oracle_total,
                 "engine_vs_oracle": (
                     round(total / oracle_total, 4) if oracle_total else None
+                ),
+                "engine_exec_vs_oracle": (
+                    round(exec_total / oracle_total, 4) if oracle_total else None
                 ),
                 "detail": "BENCH_full.json",
                 "queries_shown": len(top),
