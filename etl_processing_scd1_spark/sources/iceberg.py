@@ -3,8 +3,9 @@
 Companion to ``sources/delta.py`` (together they close the r7
 verdict's "no external table-format integration" gap for BOTH open
 lakehouse formats). Implements the published Iceberg table spec
-(https://iceberg.apache.org/spec/ — public) directly, v1 writer /
-v1+v2 reader:
+(https://iceberg.apache.org/spec/ — public) directly, v1+v2 writer /
+v1+v2 reader (v2 = merge-on-read position deletes; v2 commits carry
+sequence numbers and the v2 manifest-list schema):
 
 - a table is ``<path>/data`` parquet files plus ``<path>/metadata``:
   ``v<N>.metadata.json`` (schema, partition spec, snapshot list),
@@ -751,8 +752,11 @@ def write_iceberg_table(
         base = listed[-1] if listed else 0
     if base:
         prev = _load_metadata(path, base)
-        if prev.get("format-version", 1) != 1:
-            raise IcebergProtocolError("writer appends to format-version 1 tables only")
+        # v1 and v2 both writable: v2 commits carry sequence numbers
+        # and the v2 manifest-list schema (_commit_snapshot); appends
+        # to a v2 table carry its delete manifests forward, so
+        # merge-on-read deletes keep applying (they name exact file
+        # paths — new files are untouched by construction)
         schema = _spark_schema(prev)
         spec_fields = prev["partition-specs"][0]["fields"]
         partition_by = [f["name"] for f in spec_fields]
@@ -858,6 +862,13 @@ def _commit_snapshot(
     now_ms = int(time.time() * 1000)
     new_version = base + 1 if base else 1
     table_uuid = prev["table-uuid"] if prev else str(uuid.uuid4())
+    # v2 tables (merge-on-read deletes happened) keep their format:
+    # every subsequent commit advances the sequence number and writes
+    # the v2 manifest-list schema; fresh/v1 tables stay v1
+    fv = int((prev or {}).get("format-version", 1))
+    seq = (
+        int((prev or {}).get("last-sequence-number", 0)) + 1 if fv == 2 else None
+    )
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
     part_fields = [
@@ -916,6 +927,10 @@ def _commit_snapshot(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    if fv == 2:
+        new_manifest.update(
+            {"content": 0, "sequence_number": seq, "min_sequence_number": seq}
+        )
 
     # ---- manifest list: fast-append on top of the current
     # snapshot's manifests, or fresh for overwrite/first commit
@@ -932,11 +947,14 @@ def _commit_snapshot(
     list_path = os.path.join(
         _meta_dir(path), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     )
+    if fv == 2:
+        for c in carried:
+            c.setdefault("content", 0)
     dump_avro(
         list_path,
-        _MANIFEST_LIST_SCHEMA,
+        _MANIFEST_LIST_SCHEMA_V2 if fv == 2 else _MANIFEST_LIST_SCHEMA,
         carried + [new_manifest],
-        extra_meta={"format-version": "1"},
+        extra_meta={"format-version": str(fv)},
     )
 
     snapshot = {
@@ -951,12 +969,14 @@ def _commit_snapshot(
         "manifest-list": list_path,
         "schema-id": 0,
     }
+    if fv == 2:
+        snapshot["sequence-number"] = seq
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id
 
     schema_struct = _schema_struct(schema)
     meta = {
-        "format-version": 1,
+        "format-version": fv,
         "table-uuid": table_uuid,
         "location": path,
         "last-updated-ms": now_ms,
@@ -983,6 +1003,8 @@ def _commit_snapshot(
             )
         ),
     }
+    if fv == 2:
+        meta["last-sequence-number"] = seq
 
     _put_metadata(path, new_version, meta)
     return new_version
@@ -1003,10 +1025,11 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
     plus the delete manifest; the table metadata upgrades to
     ``format-version: 2`` with a ``last-sequence-number``. Readers
     here (:func:`read_iceberg_table`, the ``iceberglog`` DataSource)
-    apply the deletes at scan time; :func:`write_iceberg_table` keeps
-    its v1-append gate, so a v2 table accepts further deletes but not
-    appends (an honest, loudly-failing scope line — compaction back
-    to v1 is the rewrite path).
+    apply the deletes at scan time; :func:`write_iceberg_table`
+    continues to work on the v2 table (appends carry the delete
+    manifests forward and advance the sequence number;
+    ``compact_iceberg_table`` rewrites the rows with deletes applied,
+    leaving a clean delete-free snapshot).
 
     Scope: ``condition`` references data-file columns (our writer
     stores ALL schema columns in data files); position deletes apply

@@ -953,16 +953,43 @@ class TestPositionDeletes:
         delete_iceberg_rows(spark, path, "k < 3")
         assert drain() == []
 
-    def test_writer_gate_after_delete(self, spark, tmp_path):
+    def test_append_and_compact_after_delete(self, spark, tmp_path):
+        """The v2 table stays fully writable: appends carry the delete
+        manifests forward (old deletes keep applying, new rows are
+        untouched) with advancing sequence numbers; compaction
+        rewrites the rows with deletes applied, leaving a clean
+        delete-free snapshot."""
         from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            _snapshot_files,
+            compact_iceberg_table,
             delete_iceberg_rows,
         )
 
         path = str(tmp_path / "pd5")
         write_iceberg_table(_df(spark, 0, 10), path)
-        delete_iceberg_rows(spark, path, "k = 0")
-        with pytest.raises(IcebergProtocolError, match="format-version 1"):
-            write_iceberg_table(_df(spark, 10, 20), path, mode="append")
+        delete_iceberg_rows(spark, path, "k < 3")
+        write_iceberg_table(_df(spark, 10, 20), path, mode="append")
+        got = read_iceberg_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == list(range(3, 20))
+        meta = _load_metadata(path)
+        assert meta["format-version"] == 2
+        assert meta["last-sequence-number"] == 2
+        snaps = meta["snapshots"]
+        assert [s.get("sequence-number") for s in snaps[-2:]] == [1, 2]
+        # second delete on the appended table reaches the new rows too
+        delete_iceberg_rows(spark, path, "k = 15")
+        assert read_iceberg_table(spark, path).count() == 16
+        # compaction applies the deletes and drops the delete manifests
+        compact_iceberg_table(spark, path, target_files=2)
+        meta = _load_metadata(path)
+        _, files, deletes = _snapshot_files(path, meta, None, None)
+        assert deletes == []
+        assert len(files) <= 2
+        got = read_iceberg_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == [
+            k for k in range(3, 20) if k != 15
+        ]
 
 
 class TestIcebergLogStreamWriter:
