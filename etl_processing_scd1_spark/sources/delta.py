@@ -154,7 +154,10 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
         for row in tbl:
             action = {k: v for k, v in row.items() if v is not None}
             if "add" in action:
-                add = dict(action["add"])
+                # drop None-valued fields (absent optionals in the
+                # checkpoint schema) so re-serialized commits match the
+                # JSON-log shape
+                add = {k: v for k, v in action["add"].items() if v is not None}
                 add["partitionValues"] = _maybe_map_to_dict(
                     add.get("partitionValues")
                 ) or {}
@@ -165,7 +168,9 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
                     metadata.get("configuration")
                 ) or {}
             elif "protocol" in action:
-                protocol = action["protocol"]
+                protocol = {
+                    k: v for k, v in action["protocol"].items() if v is not None
+                }
             elif "txn" in action:
                 t = action["txn"]
                 app_versions[t["appId"]] = max(
@@ -911,6 +916,8 @@ def _checkpoint_schema():
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -944,6 +951,20 @@ def _checkpoint_schema():
                         pa.field("modificationTime", pa.int64()),
                         pa.field("stats", pa.string()),
                         pa.field("dataChange", pa.bool_()),
+                        # merge-on-read: losing this field in a
+                        # checkpoint would RESURRECT deleted rows
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int64()),
+                                    pa.field("sizeInBytes", pa.int64()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -991,12 +1012,22 @@ def write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     snap = _replay(spark, path, version)
 
     def add_row(add: dict) -> dict:
+        dv = add.get("deletionVector")
         return {
             "path": add["path"],
             "partitionValues": list((add.get("partitionValues") or {}).items()),
             "size": add.get("size"),
             "modificationTime": add.get("modificationTime"),
             "dataChange": bool(add.get("dataChange", True)),
+            "deletionVector": {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            }
+            if dv
+            else None,
         }
 
     rows = (

@@ -817,6 +817,45 @@ class TestDeletionVectors:
         with pytest.raises(Exception, match="deletion-vector"):
             delta_changes(spark, path, 0, 1)
 
+    def test_checkpoint_preserves_deletion_vectors(self, spark, tmp_path):
+        """A checkpoint written AFTER a DV delete must persist both
+        the v3 protocol readerFeatures and the per-file
+        ``deletionVector`` descriptors — replay starts at ckpt+1, so
+        losing either would resurrect deleted rows or trip the
+        spec-invalid-protocol gate."""
+        from etl_processing_scd1_spark.sources.delta import (
+            _replay,
+            delete_delta_rows,
+            write_checkpoint,
+        )
+
+        path = str(tmp_path / "dvck")
+        write_delta_table(_df(spark, 0, 50).repartition(2), path)
+        delete_delta_rows(spark, path, "k % 10 = 0")            # v1
+        write_delta_table(_df(spark, 50, 60), path, mode="append")  # v2
+        write_checkpoint(spark, path, 2)
+        assert os.path.exists(
+            os.path.join(path, "_delta_log", f"{2:020d}.checkpoint.parquet")
+        )
+        got = read_delta_table(spark, path)
+        assert got.count() == 55
+        assert got.filter("k % 10 = 0 AND k < 50").count() == 0
+        snap = _replay(spark, path, 2)
+        assert snap.protocol["minReaderVersion"] == 3
+        assert "deletionVectors" in snap.protocol["readerFeatures"]
+        # non-DV adds replayed from the checkpoint must NOT grow a
+        # literal None descriptor (JSON-log shape preserved)
+        assert all(
+            "deletionVector" not in a or a["deletionVector"]
+            for a in snap.files.values()
+        )
+        # a delete AFTER the checkpoint merges with the replayed DV
+        assert delete_delta_rows(spark, path, "k = 1 OR k = 51") == 3
+        assert read_delta_table(spark, path).count() == 53
+        # and time travel to v1 through the checkpointed log still
+        # sees exactly the first delete
+        assert read_delta_table(spark, path, version=1).count() == 45
+
 
 class TestDeltaLogStreamWriter:
     """df.writeStream.format('deltalog'): the first-class streaming
