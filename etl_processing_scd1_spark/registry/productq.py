@@ -474,6 +474,87 @@ def iceberg_v2_pos_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_UPSERT_ORACLE = """
+    WITH up1 AS (
+        SELECT c_custkey AS k, c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 111 AS cents
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT -c_custkey, c_mktsegment, CAST(77 AS BIGINT)
+        FROM customer WHERE c_custkey % 100 = 0
+    ),
+    up2 AS (
+        SELECT c_custkey AS k, c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 222 AS cents
+        FROM customer WHERE c_custkey % 30 = 3
+    ),
+    merged AS (
+        SELECT * FROM up2
+        UNION ALL
+        SELECT * FROM up1 WHERE k NOT IN (SELECT k FROM up2)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT)
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM up1)
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM merged GROUP BY segment
+"""
+
+
+@register("iceberg_upsert_scan", oracle=_ICEBERG_UPSERT_ORACLE)
+def iceberg_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes — merge-on-read UPSERT
+    (``sources/iceberg.py::upsert_iceberg_table``, the Flink-CDC
+    write pattern): customer lands as a table keyed by ``k``, then
+    TWO upsert commits each write ONE snapshot holding an
+    equality-delete file over ``k`` (``data_file.content=2`` with
+    ``equality_ids``) plus the batch's data files at the SAME
+    sequence number. Scan planning applies an equality delete only
+    to data files with a STRICTLY smaller sequence number, so batch
+    2 replaces rows written by batch 1 while each batch's own rows
+    survive their co-committed delete — the oracle's three-way
+    priority merge (up2 > up1 > base) is exactly that semantics, and
+    a reader that ignored the sequence bound (or the delete files)
+    would fail the hash. No data file is rewritten: upsert cost is
+    O(batch), never O(table)."""
+    import shutil
+
+    from ..sources.iceberg import (
+        read_iceberg_table,
+        upsert_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("iceberg_upsert")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(cust.repartition(4), path)
+    up1 = cust.filter(F.col("k") % 10 == 3).withColumn(
+        "cents", F.col("cents") + 111
+    ).unionByName(
+        cust.filter(F.col("k") % 100 == 0).select(
+            (-F.col("k")).alias("k"), "segment", F.lit(77).cast("long").alias("cents")
+        )
+    )
+    upsert_iceberg_table(up1, path, ["k"])
+    up2 = cust.filter(F.col("k") % 30 == 3).withColumn(
+        "cents", F.col("cents") + 222
+    )
+    upsert_iceberg_table(up2, path, ["k"])
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Distributed Avro ingestion (sources/readers.py::read_avro_distributed)
 # --------------------------------------------------------------------------

@@ -4,8 +4,10 @@ Companion to ``sources/delta.py`` (together they close the r7
 verdict's "no external table-format integration" gap for BOTH open
 lakehouse formats). Implements the published Iceberg table spec
 (https://iceberg.apache.org/spec/ — public) directly, v1+v2 writer /
-v1+v2 reader (v2 = merge-on-read position deletes; v2 commits carry
-sequence numbers and the v2 manifest-list schema):
+v1+v2 reader (v2 = merge-on-read POSITION and EQUALITY deletes with
+sequence-number scan planning — ``delete_iceberg_rows`` /
+``upsert_iceberg_table`` write them, both readers apply them; v2
+commits carry sequence numbers and the v2 manifest-list schema):
 
 - a table is ``<path>/data`` parquet files plus ``<path>/metadata``:
   ``v<N>.metadata.json`` (schema, partition spec, snapshot list),
@@ -23,9 +25,9 @@ sequence numbers and the v2 manifest-list schema):
 
 Scope honestly stated: identity partition transforms on scalar
 columns; flat (non-nested) schemas; parquet data files; reader gates
-on ``format-version <= 2`` and refuses v2 DELETE manifests
-(``content=1``) and non-parquet data files with the table's actual
-values in the message. Data files carry ALL schema columns (spec
+on ``format-version <= 2`` and refuses non-parquet data files and
+spec-invalid equality deletes (no ``equality_ids``) with the table's
+actual values in the message. Data files carry ALL schema columns (spec
 behavior — identity partition sources are ordinary data columns), so
 other engines' readers need no constant-filling for our tables;
 OUR reader fills identity-partition constants from the manifest when
@@ -253,12 +255,19 @@ def iceberg_snapshots(path: str, version: int | None = None) -> list[dict]:
 
 def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
                     predicates: dict | None = None):
-    """→ (snapshot_id, data_files, position_delete_files) for the
-    chosen snapshot (default: current); ``data_files`` is a list of
-    (data_file_path, partition_values_dict), ``position_delete_files``
-    a list of parquet paths whose rows are spec-shaped
-    ``(file_path, pos)`` keys the reader must anti-join away (v2
-    merge-on-read). Equality deletes stay gated with a clear raise.
+    """→ (snapshot_id, data_files, delete_files) for the chosen
+    snapshot (default: current); ``data_files`` is a list of
+    (data_file_path, partition_values_dict, data_sequence_number),
+    ``delete_files`` a list of descriptors
+    ``{"path", "content" (1|2), "seq", "equality_ids"}`` the reader
+    must apply at scan time (v2 merge-on-read): content=1 position
+    deletes are spec-shaped ``(file_path, pos)`` parquet keys;
+    content=2 EQUALITY deletes hold the values of the
+    ``equality_ids`` columns and apply to data files with a STRICTLY
+    SMALLER sequence number (spec §Scan Planning — a re-inserted key
+    in the same or a later snapshot survives). Sequence numbers come
+    from the manifest entry when explicit, else are inherited from
+    the manifest-list row (v1 manifests → 0).
     ``predicates`` maps column name → (lo, hi) inclusive range; data
     files whose manifest bounds cannot intersect are SKIPPED — the
     format's planning-time file pruning, no footer or data touched.
@@ -301,9 +310,10 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
     snap = snaps[snapshot_id]
     _, manifests = load_avro(_norm_path(snap["manifest-list"], path))
     files = []
-    deletes: list[str] = []
+    deletes: list[dict] = []
     for mf in manifests:
         is_delete_manifest = mf.get("content", 0) == 1
+        mf_seq = int(mf.get("sequence_number") or 0)
         _, entries = load_avro(_norm_path(mf["manifest_path"], path))
         for e in entries:
             if e["status"] == _DELETED:
@@ -316,18 +326,127 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
             # 2=equality deletes (manifest-list content marks the
             # manifest; entry content is authoritative per file)
             content = df_.get("content", 1 if is_delete_manifest else 0)
+            # entry sequence_number when explicit, else inherited from
+            # the manifest-list row (spec §Sequence Number Inheritance)
+            seq = e.get("sequence_number")
+            seq = mf_seq if seq is None else int(seq)
             if content == 2:
-                raise IcebergProtocolError(
-                    "table has v2 EQUALITY delete files; this reader "
-                    "implements position deletes only"
-                )
+                eq_ids = [int(i) for i in (df_.get("equality_ids") or [])]
+                if not eq_ids:
+                    raise IcebergProtocolError(
+                        "equality delete file without equality_ids "
+                        "(spec-invalid); refusing to guess the key"
+                    )
+                deletes.append({
+                    "path": _norm_path(df_["file_path"], path),
+                    "content": 2, "seq": seq, "equality_ids": eq_ids,
+                })
+                continue
             if content == 1:
-                deletes.append(_norm_path(df_["file_path"], path))
+                deletes.append({
+                    "path": _norm_path(df_["file_path"], path),
+                    "content": 1, "seq": seq, "equality_ids": None,
+                })
                 continue
             if pruned(df_):
                 continue
-            files.append((_norm_path(df_["file_path"], path), df_.get("partition") or {}))
+            files.append(
+                (_norm_path(df_["file_path"], path), df_.get("partition") or {}, seq)
+            )
     return snapshot_id, files, deletes
+
+
+def _norm_fp(c):
+    """file: / file:// URIs → plain absolute paths (both join sides)."""
+    return F.regexp_replace(F.regexp_replace(c, "^file:", ""), "^/+", "/")
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    schema = meta.get("schema")
+    if schema is None and meta.get("schemas"):
+        schemas = {s["schema-id"]: s for s in meta["schemas"]}
+        schema = schemas.get(meta.get("current-schema-id"))
+    return {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
+
+
+def _apply_deletes(spark: SparkSession, df: DataFrame, files: list,
+                   deletes: list[dict], meta: dict) -> DataFrame:
+    """Apply a snapshot's v2 merge-on-read delete files to a parquet
+    scan that still carries ``_metadata`` (shared by
+    :func:`read_iceberg_table` and :func:`delete_iceberg_rows`).
+
+    - POSITION deletes (content=1): distributed anti-join on
+      ``(file_path, pos)`` against ``_metadata`` — the delete side is
+      metadata-scale parquet, so Catalyst/AQE broadcasts it.
+    - EQUALITY deletes (content=2): each data row gets its file's
+      data sequence number (broadcast join against the metadata-scale
+      (path, seq) list), then one anti-join per distinct
+      ``equality_ids`` set with null-safe key equality AND
+      ``data_seq < delete_seq`` — the strict bound is what lets a
+      key deleted in snapshot N and re-inserted in snapshot N+1
+      survive (spec §Scan Planning). The equality keys are join keys,
+      so this stays a broadcast HASH join with the seq bound as a
+      residual condition — never a cross product."""
+    if not deletes:
+        return df
+    pos_paths = sorted(d["path"] for d in deletes if d["content"] == 1)
+    eq_dels = [d for d in deletes if d["content"] == 2]
+    df = df.withColumn("__mor_fp", _norm_fp(F.col("_metadata.file_path")))
+    if pos_paths:
+        keys = spark.read.parquet(*pos_paths).select(
+            _norm_fp(F.col("file_path").cast("string")).alias("__del_fp"),
+            F.col("pos").cast("long").alias("__del_pos"),
+        )
+        df = (
+            df.withColumn("__mor_pos", F.col("_metadata.row_index"))
+            .join(
+                keys,
+                (F.col("__mor_fp") == F.col("__del_fp"))
+                & (F.col("__mor_pos") == F.col("__del_pos")),
+                "left_anti",
+            )
+            .drop("__mor_pos")
+        )
+    if eq_dels:
+        by_id = _field_names_by_id(meta)
+        seq_df = spark.createDataFrame(
+            [(p, int(s)) for p, _part, s in files],
+            T.StructType([
+                T.StructField("__seq_fp", T.StringType(), False),
+                T.StructField("__data_seq", T.LongType(), False),
+            ]),
+        )
+        df = df.join(
+            F.broadcast(seq_df), F.col("__mor_fp") == F.col("__seq_fp"), "left"
+        ).drop("__seq_fp")
+        groups: dict[tuple, list[dict]] = {}
+        for d in eq_dels:
+            groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
+        for ids, ds in sorted(groups.items()):
+            unknown = [i for i in ids if i not in by_id]
+            if unknown:
+                raise IcebergProtocolError(
+                    f"equality delete references unknown field ids {unknown}"
+                )
+            cols = [by_id[i] for i in ids]
+            absent = [c for c in cols if c not in df.columns]
+            if absent:
+                raise IcebergProtocolError(
+                    f"equality delete on columns {absent} not present in "
+                    "the data files of this read"
+                )
+            keys = None
+            for d in sorted(ds, key=lambda d: (d["seq"], d["path"])):
+                k = spark.read.parquet(d["path"]).select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols]
+                ).withColumn("__eq_seq", F.lit(int(d["seq"])).cast("long"))
+                keys = k if keys is None else keys.unionByName(k)
+            cond = F.col("__data_seq") < F.col("__eq_seq")
+            for c in cols:
+                cond = F.col(c).eqNullSafe(F.col(f"__eq_{c}")) & cond
+            df = df.join(F.broadcast(keys), cond, "left_anti")
+        df = df.drop("__data_seq")
+    return df.drop("__mor_fp")
 
 
 def read_iceberg_table(
@@ -349,12 +468,12 @@ def read_iceberg_table(
     "open every footer" into "plan from metadata"; the caller still
     applies the exact row filter (bounds are a superset guarantee).
 
-    v2 merge-on-read: the snapshot's POSITION delete files are
-    applied at scan time as a distributed anti-join on
-    ``(file_path, pos)`` against the scan's ``_metadata`` columns —
-    delete files are ordinary (small) parquet, so Catalyst/AQE
-    broadcast them against the data side; nothing is rewritten
-    (spec §Position Delete Files). Equality deletes raise."""
+    v2 merge-on-read: the snapshot's POSITION and EQUALITY delete
+    files are applied at scan time by :func:`_apply_deletes` —
+    distributed anti-joins against the scan's ``_metadata`` columns
+    (position) and the table key columns with the sequence-number
+    bound (equality); nothing is rewritten (spec §Row-Level
+    Deletes)."""
     meta = _load_metadata(path, version)
     schema = _spark_schema(meta)
     _, files, deletes = _snapshot_files(path, meta, snapshot_id, predicates)
@@ -367,44 +486,21 @@ def read_iceberg_table(
         )
 
     def _strip_deleted(df: DataFrame) -> DataFrame:
-        """Anti-join the scan against the snapshot's position-delete
-        keys. Must run directly on the parquet scan (before any
-        select that drops ``_metadata``). Positions apply to the
-        exact named file, so partition-group reads stay correct."""
-        if not deletes:
-            return df
-
-        def norm(c):
-            # file: / file:// URIs → plain absolute paths, both sides
-            return F.regexp_replace(F.regexp_replace(c, "^file:", ""), "^/+", "/")
-
-        keys = spark.read.parquet(*sorted(deletes)).select(
-            norm(F.col("file_path").cast("string")).alias("__del_fp"),
-            F.col("pos").cast("long").alias("__del_pos"),
-        )
-        return (
-            df.withColumn("__fp", norm(F.col("_metadata.file_path")))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-            .join(
-                keys,
-                (F.col("__fp") == F.col("__del_fp"))
-                & (F.col("__pos") == F.col("__del_pos")),
-                "left_anti",
-            )
-            .drop("__fp", "__pos")
-        )
+        # must run directly on the parquet scan (before any select
+        # that drops ``_metadata``)
+        return _apply_deletes(spark, df, files, deletes, meta)
 
     # mergeSchema unions the file footers, so files written BEFORE an
     # add-column evolution null-fill the new columns per file (the
     # spec's read semantics for appended field ids)
     df = _strip_deleted(
         spark.read.option("mergeSchema", "true").parquet(
-            *sorted(p for p, _ in files)
+            *sorted(p for p, _, _ in files)
         )
     )
     missing = [f for f in schema.fields if f.name not in df.columns]
     part_keys = set()
-    for _p, part in files:
+    for _p, part, _s in files:
         part_keys.update((part or {}).keys())
     const_fill = [f for f in missing if f.name in part_keys]
     for f in missing:
@@ -420,7 +516,7 @@ def read_iceberg_table(
     # one read per distinct partition value (bounded by partition
     # count — metadata scale, not data scale).
     groups: dict[tuple, list[str]] = {}
-    for p, part in files:
+    for p, part, _s in files:
         key = tuple(sorted((k, v) for k, v in (part or {}).items()))
         groups.setdefault(key, []).append(p)
     out = None
@@ -502,7 +598,20 @@ def _manifest_entry_schema_json(
                                 "default": None,
                                 "field-id": 128,
                             },
-                        ],
+                        ] + ([
+                            # v2 equality deletes: field ids of the
+                            # delete key (spec field-id 135)
+                            {
+                                "name": "equality_ids",
+                                "type": ["null", {
+                                    "type": "array",
+                                    "items": "int",
+                                    "element-id": 136,
+                                }],
+                                "default": None,
+                                "field-id": 135,
+                            },
+                        ] if with_content else []),
                     },
                 },
             ],
@@ -697,7 +806,7 @@ def iceberg_plan_files(
     callers can size a job from it without touching data)."""
     meta = _load_metadata(path, version)
     _, files, _deletes = _snapshot_files(path, meta, snapshot_id, predicates)
-    return sorted(p for p, _ in files)
+    return sorted(p for p, _, _ in files)
 
 
 def iceberg_last_batch_id(path: str, app_id: str) -> int:
@@ -798,9 +907,20 @@ def write_iceberg_table(
         (c, ice_types[c], 1000 + i) for i, c in enumerate(partition_by)
     ]
 
-    # ---- data files: stage via Spark, move under data/. Files keep
-    # ALL schema columns (identity sources are ordinary data columns
-    # per the spec); hive-style dirs come from shadow copies.
+    new_files = _stage_data_files(df, path, partition_by, ice_types, field_ids)
+    return _commit_snapshot(
+        path, schema, partition_by, mode, new_files, extra_summary, base, prev
+    )
+
+
+def _stage_data_files(df: DataFrame, path: str, partition_by: list[str],
+                      ice_types: dict, field_ids: dict) -> list:
+    """Write ``df``'s rows as parquet under ``data/`` (distributed
+    write into a staged directory, rename-only move). Files keep ALL
+    schema columns (identity sources are ordinary data columns per
+    the spec); hive-style dirs come from shadow copies. Returns
+    ``(abs_path, partition_values, record_count, size, lower_bounds,
+    upper_bounds)`` per file."""
     stage_abs = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
     shadow = {c: f"_p_{c}" for c in partition_by}
     staged = df
@@ -815,7 +935,7 @@ def write_iceberg_table(
     import shutil
 
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
-    new_files = []  # (abs_path, partition_values, record_count, size)
+    new_files = []
     for root, _dirs, fns in os.walk(stage_abs):
         for fn in sorted(fns):
             if not fn.endswith(".parquet"):
@@ -838,10 +958,7 @@ def write_iceberg_table(
                 (dest, part_values, md.num_rows, os.path.getsize(dest), lo, hi)
             )
     shutil.rmtree(stage_abs, ignore_errors=True)
-
-    return _commit_snapshot(
-        path, schema, partition_by, mode, new_files, extra_summary, base, prev
-    )
+    return new_files
 
 
 def _commit_snapshot(
@@ -1053,27 +1170,15 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
     if not files:
         return base
 
-    def norm(c):
-        return F.regexp_replace(F.regexp_replace(c, "^file:", ""), "^/+", "/")
-
     scan = (
         spark.read.option("mergeSchema", "true")
-        .parquet(*sorted(p for p, _ in files))
-        .withColumn("__fp", norm(F.col("_metadata.file_path")))
+        .parquet(*sorted(p for p, _, _ in files))
+        .withColumn("__fp", _norm_fp(F.col("_metadata.file_path")))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
-    if existing:
-        # rows already deleted are invisible — don't re-delete them
-        keys = spark.read.parquet(*sorted(existing)).select(
-            norm(F.col("file_path").cast("string")).alias("__del_fp"),
-            F.col("pos").cast("long").alias("__del_pos"),
-        )
-        scan = scan.join(
-            keys,
-            (F.col("__fp") == F.col("__del_fp"))
-            & (F.col("__pos") == F.col("__del_pos")),
-            "left_anti",
-        )
+    # rows already deleted (position OR equality) are invisible —
+    # don't re-delete them
+    scan = _apply_deletes(spark, scan, files, existing, prev)
     hits = scan.filter(condition).select(
         F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
     )
@@ -1146,12 +1251,6 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         },
     )
 
-    carried: list[dict] = []
-    if parent_id is not None:
-        cur = {s["snapshot-id"]: s for s in prev.get("snapshots", [])}[parent_id]
-        _, carried = load_avro(_norm_path(cur["manifest-list"], path))
-    for c in carried:
-        c.setdefault("content", 0)
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -1167,13 +1266,34 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         "sequence_number": seq,
         "min_sequence_number": seq,
     }
+    return _commit_v2_tail(
+        path, base, prev, parent_id, snapshot_id, seq, now_ms,
+        [new_manifest], "delete",
+        {"deleted-records": n_deleted, "added-delete-files": 1},
+    )
+
+
+def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
+                    snapshot_id: int, seq: int, now_ms: int,
+                    new_manifests: list[dict], operation: str,
+                    summary: dict) -> int:
+    """Shared v2 commit tail (delete / upsert): carry the parent
+    snapshot's manifests forward, append ``new_manifests``, write the
+    v2 manifest list, the snapshot entry, and the put-if-absent
+    metadata version (upgrading the table to format-version 2)."""
+    carried: list[dict] = []
+    if parent_id is not None:
+        cur = {s["snapshot-id"]: s for s in prev.get("snapshots", [])}[parent_id]
+        _, carried = load_avro(_norm_path(cur["manifest-list"], path))
+    for c in carried:
+        c.setdefault("content", 0)
     list_path = os.path.join(
         _meta_dir(path), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     )
     dump_avro(
         list_path,
         _MANIFEST_LIST_SCHEMA_V2,
-        carried + [new_manifest],
+        carried + new_manifests,
         extra_meta={"format-version": "2"},
     )
 
@@ -1182,9 +1302,8 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "summary": {
-            "operation": "delete",
-            "deleted-records": str(n_deleted),
-            "added-delete-files": "1",
+            "operation": operation,
+            **{str(k): str(v) for k, v in summary.items()},
         },
         "manifest-list": list_path,
         "schema-id": 0,
@@ -1192,6 +1311,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id
 
+    new_version = base + 1
     meta = dict(prev)
     meta.update(
         {
@@ -1209,6 +1329,208 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
     )
     _put_metadata(path, new_version, meta)
     return new_version
+
+
+def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
+    """MERGE-ON-READ UPSERT (Iceberg v2, the Flink-CDC write
+    pattern): ONE snapshot carrying (a) an EQUALITY-delete file over
+    ``key_cols`` — the distinct key values of the incoming batch,
+    registered with ``data_file.content=2`` and ``equality_ids`` —
+    and (b) ``df``'s data files, both at the NEW sequence number.
+    Scan planning applies equality deletes only to data files with a
+    STRICTLY smaller sequence number (spec §Scan Planning), so the
+    delete erases every earlier row with a matching key while the
+    rows committed here survive — no data file is read or rewritten:
+    upsert cost is O(batch), never O(table). First commit on a
+    missing table degrades to a plain create. Returns the new
+    metadata version."""
+    import pyarrow.parquet as pq
+
+    spark = df.sparkSession
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        base = listed[-1] if listed else 0
+    if not base:
+        for c in key_cols:
+            if c not in df.columns:
+                raise ValueError(f"key column {c!r} not in DataFrame")
+        return write_iceberg_table(df, path)
+
+    prev = _load_metadata(path, base)
+    parent_id = prev.get("current-snapshot-id")
+    if parent_id == -1:
+        parent_id = None
+    schema = _spark_schema(prev)
+    known = {f.name for f in schema.fields}
+    for c in key_cols:
+        if c not in known or c not in df.columns:
+            raise ValueError(
+                f"key column {c!r} must exist in both the table schema "
+                "and the DataFrame"
+            )
+    extra = [c for c in df.columns if c not in known]
+    if extra:
+        raise IcebergProtocolError(
+            f"upsert with new columns {extra} not supported — evolve the "
+            "schema with a plain append first"
+        )
+    for f in schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    if [f.name for f in schema.fields] != df.columns:
+        df = df.select(*[F.col(f.name) for f in schema.fields])
+
+    seq = int(prev.get("last-sequence-number", 0)) + 1
+    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    partition_by = [f["name"] for f in spec_fields]
+    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    part_fields = [
+        (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
+    ]
+    now_ms = int(time.time() * 1000)
+    new_version = base + 1
+    snapshot_id = now_ms * 1000 + new_version
+
+    # ---- data files at the new sequence number
+    new_files = _stage_data_files(df, path, partition_by, ice_types, field_ids)
+
+    # ---- equality-delete file: distinct incoming keys (sorted —
+    # deterministic bytes; spec only asks for the key columns)
+    import shutil
+
+    stage = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+    (
+        df.select(*key_cols).distinct()
+        .repartition(1)
+        .sortWithinPartitions(*key_cols)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    part = next(
+        os.path.join(r, fn)
+        for r, _d, fns in os.walk(stage)
+        for fn in sorted(fns)
+        if fn.endswith(".parquet")
+    )
+    dest = os.path.join(path, _DATA, f"eq-delete-{uuid.uuid4().hex}.parquet")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    n_keys = pq.read_metadata(dest).num_rows
+
+    entry_schema = _manifest_entry_schema_json(part_fields, with_content=True)
+    manifest_meta = {
+        "schema": json.dumps(_schema_struct(schema)),
+        "partition-spec": json.dumps(spec_fields),
+        "partition-spec-id": "0",
+        "format-version": "2",
+    }
+    new_manifests: list[dict] = []
+
+    data_manifest = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    dump_avro(
+        data_manifest,
+        entry_schema,
+        [
+            {
+                "status": _ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": part_vals,
+                    "record_count": n,
+                    "file_size_in_bytes": size,
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                },
+            }
+            for p, part_vals, n, size, lo, hi in new_files
+        ],
+        extra_meta={**manifest_meta, "content": "data"},
+    )
+    new_manifests.append({
+        "manifest_path": data_manifest,
+        "manifest_length": os.path.getsize(data_manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(new_files),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(n for _, _, n, _, _, _ in new_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+    })
+
+    if n_keys:
+        del_manifest = os.path.join(
+            _meta_dir(path), f"{uuid.uuid4().hex}-m1.avro"
+        )
+        dump_avro(
+            del_manifest,
+            entry_schema,
+            [
+                {
+                    "status": _ADDED,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": 2,
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        # delete spans partitions: null tuple (readers
+                        # apply equality deletes by key + seq bound)
+                        "partition": {name: None for name, _i, _f in part_fields},
+                        "record_count": n_keys,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "block_size_in_bytes": 64 * 1024 * 1024,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": [field_ids[c] for c in key_cols],
+                    },
+                }
+            ],
+            extra_meta={**manifest_meta, "content": "deletes"},
+        )
+        new_manifests.append({
+            "manifest_path": del_manifest,
+            "manifest_length": os.path.getsize(del_manifest),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": n_keys,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+        })
+    else:
+        os.unlink(dest)
+
+    return _commit_v2_tail(
+        path, base, prev, parent_id, snapshot_id, seq, now_ms,
+        new_manifests, "overwrite",
+        {
+            "added-data-files": len(new_files),
+            "added-records": sum(n for _, _, n, _, _, _ in new_files),
+            "added-delete-files": 1 if n_keys else 0,
+            "upsert-keys": ",".join(key_cols),
+        },
+    )
 
 
 def compact_iceberg_table(

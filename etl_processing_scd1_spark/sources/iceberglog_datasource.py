@@ -37,6 +37,7 @@ from pyspark.sql.types import StructType
 
 from .avro import load_avro
 from .iceberg import (
+    _field_names_by_id,
     _load_metadata,
     _norm_path,
     _snapshot_files,
@@ -47,7 +48,8 @@ from .iceberg import (
 
 class _IcePartition(InputPartition):
     def __init__(self, file_path: str, partition_values: dict,
-                 delete_positions: list | None = None):
+                 delete_positions: list | None = None,
+                 eq_deletes: list | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         # v2 merge-on-read: row positions deleted from THIS file
@@ -55,6 +57,12 @@ class _IcePartition(InputPartition):
         # files, shipped per partition so each executor task filters
         # only its own file's vector)
         self.delete_positions = delete_positions
+        # v2 equality deletes that apply to THIS file (the planner
+        # ships only deletes whose sequence number is strictly
+        # greater than the file's): (delete_parquet_path, key_column
+        # names) — the executor anti-joins the small delete file
+        # against its own data file
+        self.eq_deletes = eq_deletes
 
 
 def _read_batches(schema: StructType, part: _IcePartition):
@@ -78,6 +86,24 @@ def _read_batches(schema: StructType, part: _IcePartition):
             np.arange(tbl.num_rows, dtype=np.int64), dead, assume_unique=True
         )
         tbl = tbl.take(pa.array(keep))
+    for dpath, cols in part.eq_deletes or []:
+        # equality delete: vectorized anti-join of the (small) delete
+        # file's keys against this data file. pandas merge matches
+        # NaN==NaN on join keys — Iceberg's null-equals-null delete
+        # semantics.
+        import numpy as np
+
+        keys_pd = pq.read_table(dpath, columns=list(cols)).to_pandas()
+        keys_pd = keys_pd.drop_duplicates()
+        data_pd = tbl.select(list(cols)).to_pandas()
+        data_pd["__idx"] = np.arange(len(data_pd), dtype=np.int64)
+        merged = data_pd.merge(keys_pd, on=list(cols), how="left",
+                               indicator=True)
+        keep_idx = np.sort(
+            merged.loc[merged["_merge"] == "left_only", "__idx"].to_numpy()
+        )
+        if len(keep_idx) != tbl.num_rows:
+            tbl = tbl.take(pa.array(keep_idx))
     n = tbl.num_rows
     arrays = []
     for field in want:
@@ -121,16 +147,15 @@ class _IceBatchReader(DataSourceReader):
             self.path, meta, self.snapshot_id, self.predicates
         )
         by_file: dict[str, list[int]] = {}
-        if deletes:
+        pos_paths = sorted(d["path"] for d in deletes if d["content"] == 1)
+        if pos_paths:
             # Delete files are metadata-scale (one (path, pos) row per
             # deleted row, heavily compressed); the driver reads them
             # once at planning time and ships each data file ONLY its
             # own vector — same planning contract as native clients.
             import pyarrow.parquet as pq
 
-            from .iceberg import _norm_path
-
-            for dp in sorted(deletes):
+            for dp in pos_paths:
                 t = pq.read_table(dp, columns=["file_path", "pos"])
                 for fp, pos in zip(
                     t.column("file_path").to_pylist(),
@@ -139,9 +164,23 @@ class _IceBatchReader(DataSourceReader):
                     by_file.setdefault(
                         _norm_path(str(fp), self.path), []
                     ).append(int(pos))
+        eq_dels = [d for d in deletes if d["content"] == 2]
+        by_id = _field_names_by_id(meta) if eq_dels else {}
+
+        def eq_for(file_seq: int):
+            # strict bound: an equality delete erases only rows of
+            # data files with a SMALLER sequence number
+            out = []
+            for d in sorted(eq_dels, key=lambda d: (d["seq"], d["path"])):
+                if d["seq"] > file_seq:
+                    out.append(
+                        (d["path"], [by_id[i] for i in d["equality_ids"]])
+                    )
+            return out or None
+
         return [
-            _IcePartition(p, part or {}, by_file.get(p))
-            for p, part in sorted(files)
+            _IcePartition(p, part or {}, by_file.get(p), eq_for(seq))
+            for p, part, seq in sorted(files)
         ]
 
     def read(self, partition):

@@ -273,11 +273,11 @@ class TestIcebergProtocol:
         with pytest.raises(IcebergProtocolError, match="format-version 3"):
             read_iceberg_table(spark, path)
 
-    def test_v2_equality_deletes_gated(self, spark, tmp_path):
-        """Position deletes are implemented; EQUALITY delete files
-        (data_file.content=2) stay gated with a clear raise — the
-        hand-rewritten manifest marks every file as an equality
-        delete."""
+    def test_spec_invalid_equality_delete_gated(self, spark, tmp_path):
+        """Equality deletes ARE implemented, but a spec-invalid one —
+        ``data_file.content=2`` with no ``equality_ids`` — must raise
+        rather than guess the delete key: the hand-rewritten manifest
+        marks every file as such a delete."""
         path = str(tmp_path / "t8")
         write_iceberg_table(_df(spark, 0, 5), path)
         meta_dir = os.path.join(path, "metadata")
@@ -294,7 +294,7 @@ class TestIcebergProtocol:
         for e in entries:
             e["data_file"]["content"] = 2
         dump_avro(mp, json.dumps(schema), entries)
-        with pytest.raises(IcebergProtocolError, match="EQUALITY"):
+        with pytest.raises(IcebergProtocolError, match="equality_ids"):
             read_iceberg_table(spark, path)
 
     def test_nested_schema_refused_by_writer(self, spark, tmp_path):
@@ -990,6 +990,143 @@ class TestPositionDeletes:
         assert sorted(r.k for r in got.collect()) == [
             k for k in range(3, 20) if k != 15
         ]
+
+
+class TestEqualityDeletes:
+    """v2 merge-on-read EQUALITY deletes: ``upsert_iceberg_table``
+    (the Flink-CDC write pattern — one snapshot with an equality-
+    delete file over the key columns plus the batch's data files at
+    the same sequence number) and the strict ``data_seq < delete_seq``
+    scan-planning bound in both readers (spec §Scan Planning,
+    §Equality Delete Files)."""
+
+    def test_upsert_roundtrip_reinsert_survives(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            upsert_iceberg_table,
+        )
+
+        path = str(tmp_path / "eq1")
+        write_iceberg_table(_df(spark, 0, 20).repartition(3), path)
+
+        def batch(lo, hi, bump):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10 + bump).alias("v"),
+                (F.col("id") % 3).cast("string").alias("part"),
+            )
+
+        # keys 5..19 replaced, 20..24 fresh inserts — ONE snapshot
+        assert upsert_iceberg_table(batch(5, 25, 1), path, ["k"]) == 2
+        got = {r.k: r.v for r in read_iceberg_table(spark, path).collect()}
+        assert len(got) == 25
+        assert got[3] == 30      # untouched pre-upsert row
+        assert got[7] == 71      # replaced
+        assert got[22] == 221    # inserted
+        # pre-upsert snapshot intact (time travel)
+        assert read_iceberg_table(spark, path, version=1).count() == 20
+        # second upsert: the STRICT seq bound means it replaces rows
+        # written by the FIRST upsert (same key, higher delete seq)
+        # while its own rows survive their co-committed delete
+        assert upsert_iceberg_table(batch(7, 8, 2), path, ["k"]) == 3
+        got = {r.k: r.v for r in read_iceberg_table(spark, path).collect()}
+        assert len(got) == 25
+        assert got[7] == 72 and got[8] == 81 and got[3] == 30
+
+    def test_upsert_via_datasource_and_null_keys(self, spark, tmp_path):
+        """The iceberglog DataSource applies equality deletes
+        executor-side (per-file anti-join, only deletes with a higher
+        seq than the file) — and null keys match null (the spec's
+        null-equals-null delete semantics, which Flink CDC relies
+        on)."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            upsert_iceberg_table,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "eq2")
+        base = spark.createDataFrame(
+            [(None, 1), (1, 10), (2, 20)], "k long, v long"
+        )
+        write_iceberg_table(base, path)
+        up = spark.createDataFrame([(None, 99), (2, 21)], "k long, v long")
+        upsert_iceberg_table(up, path, ["k"])
+
+        expect = {None: 99, 1: 10, 2: 21}
+        got = {r.k: r.v for r in read_iceberg_table(spark, path).collect()}
+        assert got == expect
+        ds = {r.k: r.v
+              for r in spark.read.format("iceberglog").load(path).collect()}
+        assert ds == expect
+        # time travel through the DataSource ignores the later upsert
+        tt = spark.read.format("iceberglog").option("versionAsOf", 1).load(path)
+        assert {r.k: r.v for r in tt.collect()} == {None: 1, 1: 10, 2: 20}
+
+    def test_upsert_mixed_with_position_deletes_and_compaction(
+        self, spark, tmp_path
+    ):
+        """Equality and position deletes stack on one table; appends
+        keep working; compaction rewrites ALL deletes away leaving a
+        clean snapshot."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            _snapshot_files,
+            compact_iceberg_table,
+            delete_iceberg_rows,
+            upsert_iceberg_table,
+        )
+
+        path = str(tmp_path / "eq3")
+        write_iceberg_table(_df(spark, 0, 30).repartition(2), path)
+        up = spark.range(10, 35).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 1).alias("v"),
+            (F.col("id") % 3).cast("string").alias("part"),
+        )
+        upsert_iceberg_table(up, path, ["k"])              # 35 rows live
+        delete_iceberg_rows(spark, path, "k % 5 = 0")      # drops 7
+        got = {r.k: r.v for r in read_iceberg_table(spark, path).collect()}
+        assert len(got) == 28
+        assert 10 not in got and got[11] == 111 and got[3] == 30
+        # the position delete reached rows from BOTH writes
+        assert 0 not in got and 30 not in got
+        # appends still work on the eq-delete table
+        write_iceberg_table(
+            spark.createDataFrame([(100, 1000, "1")], "k long, v long, part string"),
+            path, mode="append",
+        )
+        assert read_iceberg_table(spark, path).count() == 29
+        # compaction applies everything and drops the delete manifests
+        compact_iceberg_table(spark, path, target_files=2)
+        _, files, deletes = _snapshot_files(
+            path, _load_metadata(path), None, None
+        )
+        assert deletes == []
+        assert read_iceberg_table(spark, path).count() == 29
+
+    def test_upsert_guards(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            upsert_iceberg_table,
+        )
+
+        path = str(tmp_path / "eq4")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        with pytest.raises(ValueError, match="key column"):
+            upsert_iceberg_table(
+                spark.createDataFrame([(1, 2)], "a long, b long"), path, ["a"]
+            )
+        with pytest.raises(IcebergProtocolError, match="new columns"):
+            upsert_iceberg_table(
+                _df(spark, 0, 1).withColumn("extra", F.lit(1)), path, ["k"]
+            )
+        with pytest.raises(ValueError, match="non-empty"):
+            upsert_iceberg_table(_df(spark, 0, 1), path, [])
+        # upsert into a missing table degrades to a plain create
+        p2 = str(tmp_path / "eq5")
+        assert upsert_iceberg_table(_df(spark, 0, 5), p2, ["k"]) == 1
+        assert read_iceberg_table(spark, p2).count() == 5
 
 
 class TestIcebergLogStreamWriter:
