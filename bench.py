@@ -122,6 +122,8 @@ HEADLINE = [
     "iceberg_v2_pos_delete_scan",  # v2 position deletes, anti-join apply
     "delta_dv_scan",          # deletion vectors, roaring sidecar apply
     "streaming_datasource_write",  # readStream->writeStream exactly-once
+    "iceberg_upsert_scan",    # equality deletes, seq-bound upsert merge
+    "delta_column_mapping_scan",  # name-mode physical->logical projection
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

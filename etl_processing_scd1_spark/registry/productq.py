@@ -474,6 +474,61 @@ def iceberg_v2_pos_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_CM_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer
+    WHERE NOT c_custkey % 9 = 0
+    GROUP BY c_mktsegment
+"""
+
+
+@register("delta_column_mapping_scan", oracle=_DELTA_CM_ORACLE)
+def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING, name mode (PROTOCOL.md §Column Mapping —
+    the default layout of tables that ever renamed/dropped a column):
+    customer lands in a table created with ``column_mapping='name'``,
+    so every parquet file, partition directory, ``partitionValues``
+    key, and stats entry carries a uuid PHYSICAL name while the log's
+    schemaString keeps the logical names plus per-field mapping
+    metadata (protocol (2, 5)). An append inherits the mapping and a
+    merge-on-read DV DELETE runs with a LOGICAL predicate over the
+    physical scan (protocol upgrade lists BOTH features). A reader
+    that matched columns by their parquet names would see nothing but
+    ``col-<uuid>`` columns and fail immediately; the hash match is
+    the mapping proof end-to-end (``sources/delta.py``)."""
+    import shutil
+
+    from ..sources.delta import (
+        delete_delta_rows,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("column_mapping")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_delta_table(
+        cust.filter(F.col("c_custkey") % 2 == 0), path,
+        partition_by=["segment"], column_mapping="name",
+    )
+    write_delta_table(
+        cust.filter(F.col("c_custkey") % 2 == 1), path, mode="append"
+    )
+    delete_delta_rows(spark, path, "c_custkey % 9 = 0")
+    got = read_delta_table(spark, path)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acctbal_cents").alias("acctbal_cents"),
+    )
+
+
 _ICEBERG_UPSERT_ORACLE = """
     WITH up1 AS (
         SELECT c_custkey AS k, c_mktsegment AS segment,

@@ -51,6 +51,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG = "_delta_log"
@@ -125,6 +126,33 @@ class DeltaSnapshot:
     @property
     def partition_columns(self) -> list[str]:
         return list(self.metadata.get("partitionColumns") or [])
+
+    @property
+    def column_mapping(self) -> dict[str, str] | None:
+        """logical → physical column names when
+        ``delta.columnMapping.mode=name`` (PROTOCOL.md §Column
+        Mapping: parquet files, ``partitionValues`` keys, and stats
+        all use the physical names), else None."""
+        mode = (self.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode == "none":
+            return None
+        out = {}
+        for f in json.loads(self.metadata["schemaString"])["fields"]:
+            md = f.get("metadata") or {}
+            out[f["name"]] = md.get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+        return out
+
+    def to_physical(self, predicates: dict | None) -> dict | None:
+        """Translate logical-keyed predicate ranges to physical keys
+        for stats/partition pruning on a column-mapped table."""
+        m = self.column_mapping
+        if not predicates or not m:
+            return predicates
+        return {m.get(c, c): rng for c, rng in predicates.items()}
 
 
 def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapshot:
@@ -210,23 +238,28 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
                 "table declares minReaderVersion=3 without readerFeatures "
                 "(spec-invalid); refusing to guess"
             )
-        unsupported = sorted(set(feats) - {"deletionVectors"})
+        unsupported = sorted(set(feats) - {"deletionVectors", "columnMapping"})
         if unsupported:
             raise DeltaProtocolError(
                 f"table requires reader features {unsupported} "
                 "(minReaderVersion=3); this reader implements "
-                "deletionVectors only"
+                "deletionVectors and columnMapping only"
             )
     elif reader_v > 3:
         raise DeltaProtocolError(
             f"table requires minReaderVersion={reader_v}; this reader "
-            "implements <=3 (deletionVectors)"
+            "implements <=3 (deletionVectors, columnMapping)"
         )
     cm_mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if cm_mode != "none":
-        raise DeltaProtocolError(f"column mapping mode {cm_mode!r} not supported")
+    if cm_mode not in ("none", "name"):
+        # 'id' mode matches by parquet field id, which Spark's
+        # name-based parquet reader cannot express — gate loudly
+        raise DeltaProtocolError(
+            f"column mapping mode {cm_mode!r} not supported "
+            "(modes: none, name)"
+        )
     return DeltaSnapshot(target, metadata, protocol, files, app_versions)
 
 
@@ -516,6 +549,11 @@ def delete_delta_rows(spark: SparkSession, path: str, condition: str) -> int:
             & (F.col("__pos") == F.col("__del_pos")),
             "left_anti",
         )
+    # column-mapped table: the scan carries physical names, the
+    # caller's condition uses logical ones
+    for lg, ph in (snap.column_mapping or {}).items():
+        if ph != lg:
+            df = df.withColumnRenamed(ph, lg)
     hits = (
         df.filter(condition)
         .groupBy("__fp")
@@ -536,13 +574,18 @@ def delete_delta_rows(spark: SparkSession, path: str, condition: str) -> int:
     actions: list[dict] = []
     proto = snap.protocol
     if proto.get("minReaderVersion", 1) < 3:
+        # upgrading to table features must list every legacy feature
+        # the table already uses (spec §Table Features)
+        feats = ["deletionVectors"] + (
+            ["columnMapping"] if snap.column_mapping else []
+        )
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": sorted(feats),
+                    "writerFeatures": sorted(feats),
                 }
             }
         )
@@ -589,8 +632,15 @@ def read_delta_table(
     Deletion vectors (minReaderVersion 3): each carrying file's dead
     row indexes are dropped at scan time via an anti-join on the
     scan's ``_metadata`` columns — DV sidecars are bitmap-scale, so
-    the keys side stays small and AQE broadcasts it."""
+    the keys side stays small and AQE broadcasts it.
+
+    Column mapping (``delta.columnMapping.mode=name``): parquet
+    columns, partition directories, and stats carry PHYSICAL names;
+    the final projection renames them back to the log's logical
+    schema, and pruning predicates are translated before the stats
+    compare."""
     snap = _replay(spark, path, version)
+    predicates = snap.to_physical(predicates)
     files = {
         p: a for p, a in snap.files.items() if not _stats_prune(a, predicates)
     }
@@ -631,9 +681,12 @@ def read_delta_table(
         )
     # column order AND types per the table schema: Spark's partition
     # directory inference types "part=0" as int, but the log's
-    # schemaString is authoritative (e.g. a string partition column)
+    # schemaString is authoritative (e.g. a string partition column);
+    # column-mapped tables project physical → logical here
+    cm = snap.column_mapping or {}
     return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema.fields]
+        *[F.col(cm.get(f.name, f.name)).cast(f.dataType).alias(f.name)
+          for f in snap.schema.fields]
     )
 
 
@@ -747,6 +800,7 @@ def delta_plan_files(
     """The snapshot's file list after stats pruning — metadata-only
     scan planning (mirror of ``iceberg_plan_files``)."""
     snap = _replay(None, path, version)
+    predicates = snap.to_physical(predicates)
     return sorted(
         p for p, add in snap.files.items() if not _stats_prune(add, predicates)
     )
@@ -775,6 +829,7 @@ def write_delta_table(
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
     txn: tuple[str, int] | None = None,
+    column_mapping: str = "none",
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the new
     version. ``mode='append'`` adds files; ``mode='overwrite'`` also
@@ -788,26 +843,61 @@ def write_delta_table(
     ``txn=(app_id, version)`` records the spec's transaction
     watermark in the same commit — the exactly-once primitive for
     streaming writers: pair with :func:`delta_last_txn_version` to
-    skip replayed micro-batches (``streaming_delta_sink``)."""
+    skip replayed micro-batches (``streaming_delta_sink``).
+
+    ``column_mapping='name'`` on the FIRST commit creates the table
+    with PROTOCOL.md §Column Mapping name-mode: every field gets a
+    ``delta.columnMapping.id`` and a uuid ``physicalName``, parquet
+    files / partition directories / stats use the physical names,
+    and the protocol advances to (2, 5). Appends to a mapped table
+    inherit the mapping automatically (the incoming DataFrame keeps
+    using logical names)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
+    if column_mapping not in ("none", "name"):
+        raise ValueError(f"column_mapping must be 'none' or 'name', got {column_mapping!r}")
     spark = df.sparkSession
     versions = _list_versions(path)
     new_version = (versions[-1] + 1) if versions else 0
     now_ms = int(time.time() * 1000)
 
+    cm: dict[str, str] = {}  # logical -> physical (empty: unmapped)
     actions: list[dict] = []
     prev_meta: dict | None = None
     if not versions:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        if column_mapping == "name":
+            fields = []
+            for i, f in enumerate(df.schema.fields, start=1):
+                fj = f.jsonValue()
+                phys = f"col-{uuid.uuid4()}"
+                fj["metadata"] = {
+                    **(fj.get("metadata") or {}),
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": phys,
+                }
+                fields.append(fj)
+                cm[f.name] = phys
+            schema_string = json.dumps({"type": "struct", "fields": fields})
+            configuration = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            }
+            protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+        else:
+            schema_string = df.schema.json()
+            configuration = {}
+            protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions.append({"protocol": protocol})
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_string,
+                    # logical names here; add.partitionValues and the
+                    # directory layout use the physical ones
                     "partitionColumns": partition_by or [],
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": now_ms,
                 }
             }
@@ -816,6 +906,7 @@ def write_delta_table(
         snap = _replay(spark, path, versions[-1])
         prev_meta = snap.metadata
         partition_by = partition_by or snap.partition_columns
+        cm = snap.column_mapping or {}
         if mode == "overwrite":
             for p, add in sorted(snap.files.items()):
                 actions.append(
@@ -835,9 +926,24 @@ def write_delta_table(
     # files (Delta's own orphan semantics; no vacuum implemented)
     stage_rel = f"_staged-{uuid.uuid4().hex}"
     stage_abs = os.path.join(path, stage_rel)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    staged = df
+    if cm:
+        # column-mapped table: files and partition dirs carry the
+        # PHYSICAL names (the writer half of §Column Mapping)
+        unknown = [c for c in df.columns if c not in cm]
+        if unknown:
+            raise DeltaProtocolError(
+                f"append to a column-mapped table with columns {unknown} "
+                "not in the table schema (add-column evolution on mapped "
+                "tables is not implemented)"
+            )
+        staged = df.select(
+            *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
+        )
+    phys_parts = [cm.get(c, c) for c in (partition_by or [])]
+    writer = staged.write.mode("overwrite")
+    if phys_parts:
+        writer = writer.partitionBy(*phys_parts)
     writer.parquet(stage_abs)
 
     import shutil
@@ -1131,10 +1237,11 @@ def delta_changes(
         by_version: dict[int, list[str]] = {}
         for p, v in files.items():
             by_version.setdefault(v, []).append(os.path.join(path, p))
+        cm = snap.column_mapping or {}
         for v, paths in sorted(by_version.items()):
             df = spark.read.option("basePath", path).parquet(*sorted(paths))
             df = df.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name)
+                *[F.col(cm.get(f.name, f.name)).cast(f.dataType).alias(f.name)
                   for f in snap.schema.fields]
             )
             pieces.append(

@@ -45,25 +45,31 @@ from .delta import _replay, delta_table_version
 
 class _FilePartition(InputPartition):
     def __init__(self, file_path: str, partition_values: dict,
-                 delete_positions: list | None = None):
+                 delete_positions: list | None = None,
+                 column_mapping: dict | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         # deletion vector: dead row indexes of THIS file, decoded
         # driver-side at planning, shipped per partition
         self.delete_positions = delete_positions
+        # column mapping (name mode): logical -> physical names; the
+        # file's columns and partitionValues keys are physical
+        self.column_mapping = column_mapping
 
 
 def _read_file_batches(schema: StructType, part: _FilePartition):
     """Executor-side: one data file → Arrow RecordBatches carrying
     ALL schema columns (hive partition values reattached as
     constants, typed per the log's authoritative schema); the file's
-    deletion-vector rows (if any) dropped by index before batching."""
+    deletion-vector rows (if any) dropped by index before batching;
+    column-mapped files read by physical name, emitted logical."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     want = to_arrow_schema(schema)
+    cm = part.column_mapping or {}
     tbl = pq.read_table(part.file_path)
     if part.delete_positions:
         import numpy as np
@@ -76,13 +82,14 @@ def _read_file_batches(schema: StructType, part: _FilePartition):
     n = tbl.num_rows
     arrays = []
     for field in want:
-        if field.name in tbl.column_names:
-            col = tbl.column(field.name)
+        phys = cm.get(field.name, field.name)
+        if phys in tbl.column_names:
+            col = tbl.column(phys)
             if col.type != field.type:
                 col = col.cast(field.type)
             arrays.append(col)
         else:
-            raw = part.partition_values.get(field.name)
+            raw = part.partition_values.get(phys)
             if raw is None:
                 arrays.append(pa.nulls(n, field.type))
             else:
@@ -179,10 +186,13 @@ class _DeltaBatchReader(DataSourceReader):
         # snapshot is driver-side metadata); None keeps this planner
         # independent of an active session
         snap = _replay(None, self.path, self.version)
+        # stats and partitionValues are keyed by PHYSICAL names on a
+        # column-mapped table; pushed filters use logical ones
+        preds = snap.to_physical(self.predicates)
 
         def part_prune(add) -> bool:
             pv = add.get("partitionValues") or {}
-            for col, (lo, hi) in self.predicates.items():
+            for col, (lo, hi) in preds.items():
                 if (
                     col in pv
                     and pv[col] is not None
@@ -201,9 +211,10 @@ class _DeltaBatchReader(DataSourceReader):
                 add.get("partitionValues") or {},
                 read_deletion_vector(self.path, add["deletionVector"])
                 if add.get("deletionVector") else None,
+                snap.column_mapping,
             )
             for p, add in sorted(snap.files.items())
-            if not _stats_prune(add, self.predicates) and not part_prune(add)
+            if not _stats_prune(add, preds) and not part_prune(add)
         ]
 
     def read(self, partition):
@@ -229,6 +240,10 @@ class _DeltaStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         from .delta import _commit_file, _read_actions
 
+        if end["version"] > start["version"]:
+            cm = _replay(None, self.path, end["version"]).column_mapping
+        else:
+            cm = None
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
             f = _commit_file(self.path, v)
@@ -246,6 +261,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             _FilePartition(
                                 os.path.join(self.path, action["add"]["path"]),
                                 action["add"].get("partitionValues") or {},
+                                None,
+                                cm,
                             )
                         )
         # Structured Streaming requires >= 1 partition per batch; an
@@ -310,6 +327,16 @@ class DeltaLogDataSource(DataSource):
         partition_by = [c.strip() for c in part.split(",")] if part else []
         if _list_versions(self._path()):
             snap = _replay(None, self._path(), None)
+            if snap.column_mapping:
+                # executors write files named by the DataFrame's
+                # logical columns — physically wrong for a mapped
+                # table; write_delta_table handles the renames
+                raise ValueError(
+                    "deltalog write: column-mapped tables are not "
+                    "writable through the DataSource — use "
+                    "write_delta_table (it renames columns to their "
+                    "physicalNames)"
+                )
             table_schema = StructType.fromJson(
                 json.loads(snap.metadata["schemaString"])
             )

@@ -774,12 +774,12 @@ class TestDeletionVectors:
                 a["protocol"] = {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors", "columnMapping"],
+                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                     "writerFeatures": [],
                 }
             out.append(_json.dumps(a))
         open(f, "w").write("\n".join(out) + "\n")
-        with pytest.raises(Exception, match="columnMapping"):
+        with pytest.raises(Exception, match="v2Checkpoint"):
             read_delta_table(spark, path)
 
     def test_cdf_guard_and_streaming_skip(self, spark, tmp_path):
@@ -855,6 +855,152 @@ class TestDeletionVectors:
         # and time travel to v1 through the checkpointed log still
         # sees exactly the first delete
         assert read_delta_table(spark, path, version=1).count() == 45
+
+
+class TestColumnMapping:
+    """PROTOCOL.md §Column Mapping, name mode: parquet columns,
+    partition directories, partitionValues keys, and stats all carry
+    uuid physical names; the log's schemaString holds the logical
+    names plus the per-field mapping metadata. Writer creates/appends
+    mapped tables; both readers project back to logical; 'id' mode
+    stays gated."""
+
+    def test_roundtrip_physical_layout_append_overwrite(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_processing_scd1_spark.sources.delta import (
+            _commit_file,
+            _replay,
+        )
+
+        path = str(tmp_path / "cm1")
+        write_delta_table(
+            _df(spark, 0, 30), path, partition_by=["part"],
+            column_mapping="name",
+        )
+        snap = _replay(spark, path, None)
+        cm = snap.column_mapping
+        assert set(cm) == {"k", "v", "part"}
+        assert all(ph.startswith("col-") for ph in cm.values())
+        assert snap.protocol == {"minReaderVersion": 2, "minWriterVersion": 5}
+        # physical layout: file columns, partition dirs, and
+        # partitionValues keys are the physical names
+        rel, add = next(iter(snap.files.items()))
+        assert f"{cm['part']}=" in rel
+        assert set(add["partitionValues"]) == {cm["part"]}
+        pf = pq.read_schema(os.path.join(path, rel))
+        assert cm["k"] in pf.names and "k" not in pf.names
+        # stats keyed physically
+        assert cm["k"] in json.loads(add["stats"])["minValues"]
+        # logical read
+        got = read_delta_table(spark, path)
+        assert got.columns == ["k", "v", "part"]
+        assert sorted(r.k for r in got.collect()) == list(range(30))
+        # append inherits the mapping (logical input)
+        write_delta_table(_df(spark, 30, 40), path, mode="append")
+        assert read_delta_table(spark, path).count() == 40
+        # overwrite keeps the mapped metadata
+        write_delta_table(_df(spark, 0, 5), path, mode="overwrite")
+        assert read_delta_table(spark, path).count() == 5
+        # append with a column outside the schema is refused
+        with pytest.raises(Exception, match="column-mapped"):
+            write_delta_table(
+                _df(spark, 0, 1).withColumn("extra", F.lit(1)), path,
+                mode="append",
+            )
+
+    def test_datasource_read_pushdown_and_write_gate(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import delta_plan_files
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        path = str(tmp_path / "cm2")
+        write_delta_table(
+            _df(spark, 0, 100).repartition(4), path, column_mapping="name"
+        )
+        ds = spark.read.format("deltalog").load(path)
+        assert ds.columns == ["k", "v", "part"]
+        assert ds.filter("k >= 90").count() == 10
+        assert sorted(r.k for r in ds.collect()) == list(range(100))
+        # logical predicates prune through the physical stats
+        assert delta_plan_files(path, predicates={"k": (10**9, None)}) == []
+        assert len(delta_plan_files(path)) > 0
+        # DataSource write half is gated on mapped tables
+        with pytest.raises(Exception, match="column-mapped"):
+            (
+                _df(spark, 100, 101).write.format("deltalog")
+                .mode("append").save(path)
+            )
+
+    def test_dv_delete_cdf_checkpoint_on_mapped_table(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            _replay,
+            delete_delta_rows,
+            delta_changes,
+            write_checkpoint,
+        )
+
+        path = str(tmp_path / "cm3")
+        write_delta_table(_df(spark, 0, 40), path, column_mapping="name")
+        write_delta_table(_df(spark, 40, 50), path, mode="append")
+        # CDF comes back logical
+        ch = delta_changes(spark, path, 0, 1)
+        assert ch.columns == ["k", "v", "part", "_change_type", "_commit_version"]
+        assert ch.count() == 10
+        # DV delete with a LOGICAL condition
+        delete_delta_rows(spark, path, "k % 10 = 0")
+        got = read_delta_table(spark, path)
+        assert got.count() == 45
+        assert got.filter("k % 10 = 0").count() == 0
+        snap = _replay(spark, path, None)
+        assert snap.protocol["minReaderVersion"] == 3
+        assert set(snap.protocol["readerFeatures"]) == {
+            "deletionVectors", "columnMapping",
+        }
+        # checkpoint replay preserves mapping + DVs + features
+        write_checkpoint(spark, path, snap.version)
+        got = read_delta_table(spark, path)
+        assert got.count() == 45 and got.columns == ["k", "v", "part"]
+
+    def test_streaming_read_and_id_mode_gate(self, spark, tmp_path):
+        import json as _json
+
+        from etl_processing_scd1_spark.sources.delta import _commit_file
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        path = str(tmp_path / "cm4")
+        write_delta_table(_df(spark, 0, 10), path, column_mapping="name")
+        got: list = []
+        q = (
+            spark.readStream.format("deltalog").load(path)
+            .writeStream.foreachBatch(
+                lambda b, bid: got.append(sorted(r.k for r in b.collect()))
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(180)
+        assert [ks for ks in got if ks] == [list(range(10))]
+        # id mode: loud gate
+        p2 = str(tmp_path / "cm5")
+        write_delta_table(_df(spark, 0, 5), p2, column_mapping="name")
+        f = _commit_file(p2, 0)
+        lines = [ln for ln in open(f).read().splitlines() if ln.strip()]
+        out = []
+        for ln in lines:
+            a = _json.loads(ln)
+            if "metaData" in a:
+                a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            out.append(_json.dumps(a))
+        open(f, "w").write("\n".join(out) + "\n")
+        with pytest.raises(Exception, match="column mapping mode 'id'"):
+            read_delta_table(spark, p2)
 
 
 class TestDeltaLogStreamWriter:
