@@ -124,6 +124,7 @@ HEADLINE = [
     "streaming_datasource_write",  # readStream->writeStream exactly-once
     "iceberg_upsert_scan",    # equality deletes, seq-bound upsert merge
     "delta_column_mapping_scan",  # name-mode physical->logical projection
+    "delta_cdf_row_level",    # DV-delta row-level change data feed
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

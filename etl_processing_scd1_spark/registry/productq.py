@@ -529,6 +529,64 @@ def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_CDF_ROW_ORACLE = """
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    changes AS (
+        SELECT 'delete' AS change_type, k, cents FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT 'insert', -k, cents FROM base WHERE k % 50 = 0
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM changes GROUP BY change_type
+"""
+
+
+@register("delta_cdf_row_level", oracle=_DELTA_CDF_ROW_ORACLE)
+def delta_cdf_row_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-level change data feed over deletion-vector commits
+    (``sources/delta.py::delta_changes``): customer lands at v0, a
+    merge-on-read DV DELETE (no file rewritten) kills every ``k % 7``
+    row at v1, an append adds negated keys at v2 — the CDF window
+    (0, 2] must emit exactly the newly-dead positions as 'delete'
+    rows (``DV(v1) − DV(v0)``, read back by a distributed
+    position-semi-join on the scan's ``_metadata``) and the appended
+    file's rows as 'insert'. A CDC reader that treated the DV re-add
+    as data arrival would double-count every surviving row of the
+    re-added file; one that ignored DVs would emit no deletes at
+    all — the per-change-type hash catches both."""
+    import shutil
+
+    from ..sources.delta import (
+        delete_delta_rows,
+        delta_changes,
+        write_delta_table,
+    )
+
+    path = _delta_dir("cdf_row_level")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    write_delta_table(cust, path)
+    delete_delta_rows(spark, path, "k % 7 = 0")
+    write_delta_table(
+        cust.filter(F.col("k") % 50 == 0)
+        .select((-F.col("k")).alias("k"), "cents"),
+        path, mode="append",
+    )
+    ch = delta_changes(spark, path, 0, 2)
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )
+
+
 _ICEBERG_UPSERT_ORACLE = """
     WITH up1 AS (
         SELECT c_custkey AS k, c_mktsegment AS segment,

@@ -1183,27 +1183,48 @@ def delta_changes(
     ``_commit_version`` — the CDC shape downstream incremental
     consumers (SCD merges, IVM sinks) ingest.
 
-    File-granularity is exact for this writer (append adds whole
-    files; overwrite removes whole files). Netting is decided by
-    ENDPOINT membership, which is symmetric under any add/remove
-    interleaving inside the window: a path is an insert iff it is
-    active at ``to_version`` but not at ``from_version``, a delete
-    iff the reverse — so a file added+removed inside the window nets
-    out, and a pre-existing path removed then re-added inside the
-    window (possible with foreign-written logs that reuse paths)
-    emits NEITHER instead of double-counting its rows as an insert.
-    Data stays distributed — the log yields file lists; Spark scans
-    them."""
+    File-level netting is decided by ENDPOINT membership, which is
+    symmetric under any add/remove interleaving inside the window: a
+    path is an insert iff it is active at ``to_version`` but not at
+    ``from_version``, a delete iff the reverse — so a file
+    added+removed inside the window nets out, and a pre-existing path
+    removed then re-added inside the window (possible with
+    foreign-written logs that reuse paths) emits NEITHER instead of
+    double-counting its rows as an insert.
+
+    DELETION-VECTOR commits produce ROW-level deletes: a DV re-add is
+    row-removal bookkeeping, not data arrival, so for a file active
+    at both endpoints the positions newly dead per commit
+    (``DV(v) − DV(previous)``) are emitted as 'delete' rows at that
+    commit's version; file-level inserts subtract the END snapshot's
+    DV and file-level deletes subtract the START snapshot's DV, so a
+    row never double-counts whichever way it died. Data stays
+    distributed — the log yields file lists and bitmap-scale position
+    keys; Spark scans and joins them."""
     to_version = delta_table_version(path) if to_version is None else to_version
     if from_version > to_version:
         raise ValueError(f"from_version {from_version} > to_version {to_version}")
     snap = _replay(spark, path, to_version)  # schema + protocol gates
-    end_files = set(snap.files)
-    start_files = (
-        set(_replay(None, path, from_version).files) if from_version >= 0 else set()
+    start_snap = (
+        _replay(None, path, from_version) if from_version >= 0 else None
     )
+    end_files = set(snap.files)
+    start_files = set(start_snap.files) if start_snap else set()
+    survivors = start_files & end_files
+
+    def dv_positions(s: DeltaSnapshot | None, p: str) -> set[int]:
+        a = s.files.get(p) if s is not None else None
+        if a and a.get("deletionVector"):
+            return set(read_deletion_vector(path, a["deletionVector"]))
+        return set()
+
     last_add: dict[str, int] = {}
     last_remove: dict[str, int] = {}
+    dv_state: dict[str, set[int]] = {
+        p: dv_positions(start_snap, p) for p in start_files
+    }
+    # version -> path -> positions newly dead in that commit
+    row_dels: dict[int, dict[str, set[int]]] = {}
     for v in range(from_version + 1, to_version + 1):
         f = _commit_file(path, v)
         if not os.path.exists(f):
@@ -1211,14 +1232,21 @@ def delta_changes(
         with open(f) as fh:
             for action in _read_actions(fh):
                 if "add" in action:
-                    if action["add"].get("deletionVector"):
-                        raise DeltaProtocolError(
-                            "CDF over deletion-vector commits is not "
-                            "supported: file-granularity change capture "
-                            "cannot express row-level DV deltas "
-                            f"(commit {v})"
-                        )
-                    last_add[action["add"]["path"]] = v
+                    p = action["add"]["path"]
+                    dv = action["add"].get("deletionVector")
+                    if dv:
+                        new = set(read_deletion_vector(path, dv))
+                        fresh = new - dv_state.get(p, set())
+                        dv_state[p] = new
+                        if p in survivors and fresh:
+                            row_dels.setdefault(v, {}).setdefault(
+                                p, set()
+                            ).update(fresh)
+                        if p not in start_files and p not in last_add:
+                            # a file BORN with a DV is still data arrival
+                            last_add[p] = v
+                    else:
+                        last_add[p] = v
                 elif "remove" in action:
                     last_remove[action["remove"]["path"]] = v
     added = {
@@ -1232,22 +1260,66 @@ def delta_changes(
 
     from pyspark.sql import functions as F
 
-    pieces = []
-    for files, change in ((added, "insert"), (removed, "delete")):
-        by_version: dict[int, list[str]] = {}
-        for p, v in files.items():
-            by_version.setdefault(v, []).append(os.path.join(path, p))
-        cm = snap.column_mapping or {}
-        for v, paths in sorted(by_version.items()):
-            df = spark.read.option("basePath", path).parquet(*sorted(paths))
-            df = df.select(
+    cm = snap.column_mapping or {}
+
+    def _project(df: DataFrame, change: str, v: int) -> DataFrame:
+        return (
+            df.select(
                 *[F.col(cm.get(f.name, f.name)).cast(f.dataType).alias(f.name)
                   for f in snap.schema.fields]
             )
-            pieces.append(
-                df.withColumn("_change_type", F.lit(change))
-                .withColumn("_commit_version", F.lit(v).cast("long"))
+            .withColumn("_change_type", F.lit(change))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+
+    def _with_keys(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__fp",
+            F.regexp_replace(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                "^/+", "/",
+            ),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+
+    def _key_df(keys: list[tuple[str, int]]):
+        return spark.createDataFrame(keys, "__del_fp string, __del_pos long")
+
+    _key_cond = (F.col("__fp") == F.col("__del_fp")) & (
+        F.col("__pos") == F.col("__del_pos")
+    )
+
+    pieces = []
+    for files, change, dv_src in (
+        (added, "insert", snap), (removed, "delete", start_snap),
+    ):
+        by_version: dict[int, list[str]] = {}
+        for p, v in files.items():
+            by_version.setdefault(v, []).append(p)
+        for v, rels in sorted(by_version.items()):
+            df = spark.read.option("basePath", path).parquet(
+                *sorted(os.path.join(path, p) for p in rels)
             )
+            dead = [
+                (os.path.abspath(os.path.join(path, p)), pos)
+                for p in rels
+                for pos in dv_positions(dv_src, p)
+            ]
+            if dead:
+                # rows already dead at the relevant ENDPOINT were
+                # never visible to this window's consumer
+                df = _with_keys(df).join(_key_df(dead), _key_cond, "left_anti")
+            pieces.append(_project(df, change, v))
+    for v, per_path in sorted(row_dels.items()):
+        df = spark.read.option("basePath", path).parquet(
+            *sorted(os.path.join(path, p) for p in per_path)
+        )
+        keys = [
+            (os.path.abspath(os.path.join(path, p)), pos)
+            for p, poss in per_path.items()
+            for pos in sorted(poss)
+        ]
+        df = _with_keys(df).join(_key_df(keys), _key_cond, "left_semi")
+        pieces.append(_project(df, "delete", v))
     if not pieces:
         from pyspark.sql import types as T
 

@@ -359,6 +359,57 @@ class TestChangeDataFeed:
             "_change_type = 'insert'"
         ).count() == 5
 
+    def test_row_level_cdf_over_dv_commits(self, spark, tmp_path):
+        """DV commits emit ROW-level deletes with per-commit
+        attribution; inserts subtract the END snapshot's DV and
+        file-level deletes subtract the START snapshot's DV, so rows
+        never double-count."""
+        from etl_processing_scd1_spark.sources.delta import (
+            delete_delta_rows,
+            delta_changes,
+        )
+
+        path = str(tmp_path / "cdf4")
+        write_delta_table(_df(spark, 0, 20).coalesce(1), path)        # v0
+        delete_delta_rows(spark, path, "k < 3")                       # v1
+        delete_delta_rows(spark, path, "k >= 18")                     # v2
+        write_delta_table(_df(spark, 20, 25), path, mode="append")    # v3
+        ch = delta_changes(spark, path, 0, 3).collect()
+        dels = {(r.k, r._commit_version) for r in ch
+                if r._change_type == "delete"}
+        assert dels == {(0, 1), (1, 1), (2, 1), (18, 2), (19, 2)}
+        ins = {(r.k, r._commit_version) for r in ch
+               if r._change_type == "insert"}
+        assert ins == {(k, 3) for k in range(20, 25)}
+        # a window starting between the two DV commits sees ONLY the
+        # second delta (start snapshot's DV is the baseline)
+        ch2 = delta_changes(spark, path, 1, 2).collect()
+        assert {(r.k, r._change_type) for r in ch2} == {
+            (18, "delete"), (19, "delete"),
+        }
+
+        # insert-then-DV inside one window: the file was not visible
+        # at start, so its rows emit as inserts MINUS the end DV and
+        # no delete events
+        p2 = str(tmp_path / "cdf5")
+        write_delta_table(_df(spark, 0, 10).coalesce(1), p2)          # v0
+        write_delta_table(
+            _df(spark, 10, 20).coalesce(1), p2, mode="append"
+        )                                                             # v1
+        delete_delta_rows(spark, p2, "k = 12")                        # v2
+        ch3 = delta_changes(spark, p2, 0, 2).collect()
+        assert {r._change_type for r in ch3} == {"insert"}
+        assert sorted(r.k for r in ch3) == [k for k in range(10, 20) if k != 12]
+        # file-level delete after a DV: rows already dead at START
+        # are not re-emitted
+        write_delta_table(
+            _df(spark, 0, 1).coalesce(1), p2, mode="overwrite"
+        )                                                             # v3
+        ch4 = delta_changes(spark, p2, 2, 3).collect()
+        dels = sorted(r.k for r in ch4 if r._change_type == "delete")
+        assert dels == [k for k in range(20) if k != 12]
+        assert sorted(r.k for r in ch4 if r._change_type == "insert") == [0]
+
 
 class TestVacuum:
     def test_orphans_deleted_referenced_kept(self, spark, tmp_path):
@@ -782,7 +833,7 @@ class TestDeletionVectors:
         with pytest.raises(Exception, match="v2Checkpoint"):
             read_delta_table(spark, path)
 
-    def test_cdf_guard_and_streaming_skip(self, spark, tmp_path):
+    def test_cdf_row_level_and_streaming_skip(self, spark, tmp_path):
         from etl_processing_scd1_spark.sources.delta import (
             delete_delta_rows,
             delta_changes,
@@ -814,8 +865,11 @@ class TestDeletionVectors:
         delete_delta_rows(spark, path, "k < 3")
         # appends-stream consumer must NOT re-emit the DV re-add
         assert drain() == 0
-        with pytest.raises(Exception, match="deletion-vector"):
-            delta_changes(spark, path, 0, 1)
+        # ...but CDF turns the DV commit into ROW-level deletes
+        ch = delta_changes(spark, path, 0, 1).collect()
+        assert {(r.k, r._change_type, r._commit_version) for r in ch} == {
+            (0, "delete", 1), (1, "delete", 1), (2, "delete", 1),
+        }
 
     def test_checkpoint_preserves_deletion_vectors(self, spark, tmp_path):
         """A checkpoint written AFTER a DV delete must persist both
