@@ -125,6 +125,7 @@ HEADLINE = [
     "iceberg_upsert_scan",    # equality deletes, seq-bound upsert merge
     "delta_column_mapping_scan",  # name-mode physical->logical projection
     "delta_cdf_row_level",    # DV-delta row-level change data feed
+    "streaming_cdf_read",     # readChangeFeed streaming source
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -292,6 +292,76 @@ def streaming_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_CDF_ORACLE = """
+    WITH base AS (
+        SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nation,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        FROM supplier
+    ),
+    changes AS (
+        SELECT 'insert' AS change_type, nation, cents FROM base
+        UNION ALL
+        SELECT 'delete', nation, cents FROM base WHERE k % 6 = 0
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM changes GROUP BY change_type
+"""
+
+
+@register("streaming_cdf_read", oracle=_STREAM_CDF_ORACLE)
+def streaming_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change data feed
+    (``readStream.format("deltalog").option("readChangeFeed",
+    "true")``): supplier lands at v0 and is drained once — netting the
+    first batch to pure inserts — then a merge-on-read DV DELETE
+    commits at v1 and the SAME checkpoint drains again, so the second
+    micro-batch must carry exactly the deletion-vector delta as
+    row-level 'delete' events (``sources/deltalog_datasource.py::
+    _DeltaCdfStreamReader`` over the shared ``_plan_changes``
+    planner). The two drains land in one result table; a source that
+    re-emitted the DV re-add as inserts, skipped the delete events, or
+    replayed batch 1 on resume fails the per-change-type hash."""
+    import os
+    import shutil
+
+    from ..sources.delta import delete_delta_rows, write_delta_table
+    from ..sources.deltalog_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    base = _delta_dir("stream_cdf")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ck, out = (os.path.join(base, d) for d in ("src", "ck", "out"))
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    write_delta_table(sup, src)
+
+    def drain():
+        q = (
+            spark.readStream.format("deltalog")
+            .option("readChangeFeed", "true").load(src)
+            .writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    drain()
+    delete_delta_rows(spark, src, "k % 6 = 0")
+    drain()
+    got = spark.read.parquet(out)
+    return got.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )
+
+
 _DELTA_DV_ORACLE = """
     SELECT CAST(s_nationkey AS BIGINT) AS nation,
            CAST(count(*) AS BIGINT) AS n_suppliers,

@@ -1171,40 +1171,24 @@ def write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     os.replace(tmp2, os.path.join(_log_dir(path), _LAST_CHECKPOINT))
 
 
-def delta_changes(
-    spark: SparkSession,
-    path: str,
-    from_version: int,
-    to_version: int | None = None,
-) -> DataFrame:
-    """Change-data-feed reconstructed from the transaction log: every
-    row added or removed by commits in ``(from_version, to_version]``,
-    tagged ``_change_type`` ('insert' | 'delete') and
-    ``_commit_version`` — the CDC shape downstream incremental
-    consumers (SCD merges, IVM sinks) ingest.
+def _dv_positions(path: str, s: DeltaSnapshot | None, p: str) -> set[int]:
+    """Dead row indexes of file ``p`` in snapshot ``s`` (empty when
+    absent / no deletion vector)."""
+    a = s.files.get(p) if s is not None else None
+    if a and a.get("deletionVector"):
+        return set(read_deletion_vector(path, a["deletionVector"]))
+    return set()
 
-    File-level netting is decided by ENDPOINT membership, which is
-    symmetric under any add/remove interleaving inside the window: a
-    path is an insert iff it is active at ``to_version`` but not at
-    ``from_version``, a delete iff the reverse — so a file
-    added+removed inside the window nets out, and a pre-existing path
-    removed then re-added inside the window (possible with
-    foreign-written logs that reuse paths) emits NEITHER instead of
-    double-counting its rows as an insert.
 
-    DELETION-VECTOR commits produce ROW-level deletes: a DV re-add is
-    row-removal bookkeeping, not data arrival, so for a file active
-    at both endpoints the positions newly dead per commit
-    (``DV(v) − DV(previous)``) are emitted as 'delete' rows at that
-    commit's version; file-level inserts subtract the END snapshot's
-    DV and file-level deletes subtract the START snapshot's DV, so a
-    row never double-counts whichever way it died. Data stays
-    distributed — the log yields file lists and bitmap-scale position
-    keys; Spark scans and joins them."""
-    to_version = delta_table_version(path) if to_version is None else to_version
-    if from_version > to_version:
-        raise ValueError(f"from_version {from_version} > to_version {to_version}")
-    snap = _replay(spark, path, to_version)  # schema + protocol gates
+def _plan_changes(path: str, from_version: int, to_version: int):
+    """Driver-side CDF planning shared by :func:`delta_changes` and
+    the ``deltalog`` DataSource's change-feed readers →
+    ``(snap, start_snap, added, removed, row_dels)`` where
+    ``added``/``removed`` map rel path → commit version (endpoint
+    netting applied) and ``row_dels`` maps version → rel path →
+    positions newly dead in that commit (deletion-vector deltas for
+    files active at BOTH endpoints)."""
+    snap = _replay(None, path, to_version)  # schema + protocol gates
     start_snap = (
         _replay(None, path, from_version) if from_version >= 0 else None
     )
@@ -1212,16 +1196,10 @@ def delta_changes(
     start_files = set(start_snap.files) if start_snap else set()
     survivors = start_files & end_files
 
-    def dv_positions(s: DeltaSnapshot | None, p: str) -> set[int]:
-        a = s.files.get(p) if s is not None else None
-        if a and a.get("deletionVector"):
-            return set(read_deletion_vector(path, a["deletionVector"]))
-        return set()
-
     last_add: dict[str, int] = {}
     last_remove: dict[str, int] = {}
     dv_state: dict[str, set[int]] = {
-        p: dv_positions(start_snap, p) for p in start_files
+        p: _dv_positions(path, start_snap, p) for p in start_files
     }
     # version -> path -> positions newly dead in that commit
     row_dels: dict[int, dict[str, set[int]]] = {}
@@ -1257,8 +1235,48 @@ def delta_changes(
         p: v for p, v in last_remove.items()
         if p in start_files and p not in end_files
     }
+    return snap, start_snap, added, removed, row_dels
 
-    from pyspark.sql import functions as F
+
+def delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed reconstructed from the transaction log: every
+    row added or removed by commits in ``(from_version, to_version]``,
+    tagged ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` — the CDC shape downstream incremental
+    consumers (SCD merges, IVM sinks) ingest.
+
+    File-level netting is decided by ENDPOINT membership, which is
+    symmetric under any add/remove interleaving inside the window: a
+    path is an insert iff it is active at ``to_version`` but not at
+    ``from_version``, a delete iff the reverse — so a file
+    added+removed inside the window nets out, and a pre-existing path
+    removed then re-added inside the window (possible with
+    foreign-written logs that reuse paths) emits NEITHER instead of
+    double-counting its rows as an insert.
+
+    DELETION-VECTOR commits produce ROW-level deletes: a DV re-add is
+    row-removal bookkeeping, not data arrival, so for a file active
+    at both endpoints the positions newly dead per commit
+    (``DV(v) − DV(previous)``) are emitted as 'delete' rows at that
+    commit's version; file-level inserts subtract the END snapshot's
+    DV and file-level deletes subtract the START snapshot's DV, so a
+    row never double-counts whichever way it died. Data stays
+    distributed — the log yields file lists and bitmap-scale position
+    keys; Spark scans and joins them."""
+    to_version = delta_table_version(path) if to_version is None else to_version
+    if from_version > to_version:
+        raise ValueError(f"from_version {from_version} > to_version {to_version}")
+    snap, start_snap, added, removed, row_dels = _plan_changes(
+        path, from_version, to_version
+    )
+
+    def dv_positions(s: DeltaSnapshot | None, p: str) -> set[int]:
+        return _dv_positions(path, s, p)
 
     cm = snap.column_mapping or {}
 

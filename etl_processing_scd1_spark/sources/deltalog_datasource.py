@@ -38,7 +38,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from .delta import _replay, delta_table_version
 
@@ -221,6 +221,172 @@ class _DeltaBatchReader(DataSourceReader):
         yield from _read_file_batches(self.schema_, partition)
 
 
+class _CdfPartition(InputPartition):
+    """One data file's contribution to a change-feed window:
+    ``include_positions`` set → emit ONLY those row indexes (a
+    deletion-vector delta); else emit the file minus
+    ``exclude_positions`` (the relevant ENDPOINT's deletion vector)."""
+
+    def __init__(self, file_path: str, partition_values: dict,
+                 change_type: str, commit_version: int,
+                 include_positions: list | None = None,
+                 exclude_positions: list | None = None,
+                 column_mapping: dict | None = None):
+        self.file_path = file_path
+        self.partition_values = partition_values
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.include_positions = include_positions
+        self.exclude_positions = exclude_positions
+        self.column_mapping = column_mapping
+
+
+def _read_cdf_batches(schema: StructType, part: _CdfPartition):
+    """Executor-side change-feed read: position filter first, then the
+    same column assembly as ``_read_file_batches`` plus the two
+    constant CDF columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    want = to_arrow_schema(schema)
+    cm = part.column_mapping or {}
+    tbl = pq.read_table(part.file_path)
+    if part.include_positions is not None:
+        tbl = tbl.take(pa.array(
+            np.asarray(sorted(part.include_positions), dtype=np.int64)
+        ))
+    elif part.exclude_positions:
+        dead = np.asarray(sorted(part.exclude_positions), dtype=np.int64)
+        keep = np.setdiff1d(
+            np.arange(tbl.num_rows, dtype=np.int64), dead, assume_unique=True
+        )
+        tbl = tbl.take(pa.array(keep))
+    n = tbl.num_rows
+    arrays = []
+    for field in want:
+        if field.name == "_change_type":
+            arrays.append(pa.repeat(
+                pa.scalar(part.change_type, type=field.type), n
+            ))
+            continue
+        if field.name == "_commit_version":
+            arrays.append(pa.repeat(
+                pa.scalar(int(part.commit_version), type=field.type), n
+            ))
+            continue
+        phys = cm.get(field.name, field.name)
+        if phys in tbl.column_names:
+            col = tbl.column(phys)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            raw = part.partition_values.get(phys)
+            if raw is None:
+                arrays.append(pa.nulls(n, field.type))
+            else:
+                scalar = pa.scalar(raw, type=pa.string()).cast(field.type)
+                arrays.append(pa.repeat(scalar, n))
+    yield from pa.table(arrays, schema=want).to_batches(max_chunksize=1 << 16)
+
+
+def _cdf_partitions(path: str, from_v: int, to_v: int) -> list:
+    """Driver-side change-feed planning for one ``(from_v, to_v]``
+    window → ``_CdfPartition`` list (same semantics as
+    ``delta_changes``, partition-shaped for executor reads)."""
+    from .delta import _dv_positions, _plan_changes
+
+    snap, start_snap, added, removed, row_dels = _plan_changes(
+        path, from_v, to_v
+    )
+    cm = snap.column_mapping
+    parts = []
+    for files, change, src, dv_src in (
+        (added, "insert", snap, snap),
+        (removed, "delete", start_snap, start_snap),
+    ):
+        for p, v in sorted(files.items()):
+            add = (src.files if src is not None else {}).get(p) or {}
+            excl = _dv_positions(path, dv_src, p)
+            parts.append(_CdfPartition(
+                os.path.join(path, p),
+                add.get("partitionValues") or {},
+                change, v, None, sorted(excl) if excl else None, cm,
+            ))
+    for v, per_path in sorted(row_dels.items()):
+        for p, poss in sorted(per_path.items()):
+            add = snap.files.get(p) or {}
+            parts.append(_CdfPartition(
+                os.path.join(path, p),
+                add.get("partitionValues") or {},
+                "delete", v, sorted(poss), None, cm,
+            ))
+    return parts
+
+
+class _DeltaCdfBatchReader(DataSourceReader):
+    """Batch change feed: Delta's ``startingVersion`` (INCLUSIVE) /
+    ``endingVersion`` option pair over the shared planner."""
+
+    def __init__(self, path: str, schema: StructType,
+                 starting: int, ending: int | None):
+        self.path = path
+        self.schema_ = schema
+        self.starting = starting
+        self.ending = ending
+
+    def partitions(self):
+        to_v = (
+            self.ending if self.ending is not None
+            else delta_table_version(self.path)
+        )
+        return _cdf_partitions(self.path, self.starting - 1, to_v) \
+            or [_CdfPartition("", {}, "", -1)]
+
+    def read(self, partition):
+        if not partition.file_path:
+            return iter(())
+        return _read_cdf_batches(self.schema_, partition)
+
+
+class _DeltaCdfStreamReader(DataSourceStreamReader):
+    """Streaming change feed: offsets are log versions; each micro
+    batch carries the window's row-level changes (file adds as
+    inserts, DV deltas as row deletes) — the ``readChangeFeed``
+    stream contract, checkpoint-resumed."""
+
+    def __init__(self, path: str, schema: StructType, starting_version: int):
+        self.path = path
+        self.schema_ = schema
+        self.starting = starting_version
+
+    def initialOffset(self):
+        return {"version": self.starting}
+
+    def latestOffset(self):
+        return {"version": delta_table_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        if end["version"] <= start["version"]:
+            return [_CdfPartition("", {}, "", -1)]
+        return _cdf_partitions(self.path, start["version"], end["version"]) \
+            or [_CdfPartition("", {}, "", -1)]
+
+    def read(self, partition):
+        if not partition.file_path:
+            return iter(())
+        return _read_cdf_batches(self.schema_, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; the log is immutable
+
+    def stop(self) -> None:
+        pass
+
+
 class _DeltaStreamReader(DataSourceStreamReader):
     """Offsets are log versions: batch (start, end] = files ADDED by
     those commits. Structured Streaming persists the offsets in its
@@ -298,14 +464,32 @@ class DeltaLogDataSource(DataSource):
             raise ValueError("deltalog requires .load(<table path>)")
         return path
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readchangefeed", "false")).lower() \
+            == "true"
+
     def schema(self):
         version = self.options.get("versionasof")
         snap = _replay(
             None, self._path(), int(version) if version is not None else None
         )
-        return StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        base = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        if self._cdf():
+            return StructType(
+                list(base.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType())]
+            )
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdf():
+            return _DeltaCdfBatchReader(
+                self._path(), schema,
+                int(self.options.get("startingversion", 0)),
+                int(self.options["endingversion"])
+                if "endingversion" in self.options else None,
+            )
         version = self.options.get("versionasof")
         return _DeltaBatchReader(
             self._path(), schema, int(version) if version is not None else None
@@ -313,6 +497,8 @@ class DeltaLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         starting = int(self.options.get("startingversion", -1))
+        if self._cdf():
+            return _DeltaCdfStreamReader(self._path(), schema, starting)
         return _DeltaStreamReader(self._path(), schema, starting)
 
     def _writer_partitioning(self, schema: StructType) -> list[str]:
