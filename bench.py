@@ -126,6 +126,7 @@ HEADLINE = [
     "delta_column_mapping_scan",  # name-mode physical->logical projection
     "delta_cdf_row_level",    # DV-delta row-level change data feed
     "streaming_cdf_read",     # readChangeFeed streaming source
+    "iceberg_rename_scan",    # rename evolution, name-mapping coalesce
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

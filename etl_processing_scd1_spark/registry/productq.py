@@ -657,6 +657,57 @@ def delta_cdf_row_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_RENAME_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("iceberg_rename_scan", oracle=_ICEBERG_RENAME_ORACLE)
+def iceberg_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME-COLUMN schema evolution (spec §Schema Evolution — the
+    name changes, the field id does not; rename is a METADATA-ONLY
+    commit): half of customer lands under column ``cents``, the
+    column is renamed to ``bal`` (``rename_iceberg_column`` records
+    the ``schema.name-mapping.default`` history), and the other half
+    appends under the NEW name — so the final scan spans files whose
+    parquet columns disagree. ``read_iceberg_table`` folds the
+    historical names into the current one with a single coalesce over
+    one mergeSchema scan (no per-file branching); a reader that
+    matched strictly by current name would read NULL cents for every
+    pre-rename row and fail the sum hash."""
+    import shutil
+
+    from ..sources.iceberg import (
+        read_iceberg_table,
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("iceberg_rename")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(cust.filter(F.col("k") % 2 == 0), path)
+    rename_iceberg_column(path, "cents", "bal")
+    write_iceberg_table(
+        cust.filter(F.col("k") % 2 == 1)
+        .select("k", "segment", F.col("cents").alias("bal")),
+        path, mode="append",
+    )
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal").alias("bal_cents"),
+    )
+
+
 _ICEBERG_UPSERT_ORACLE = """
     WITH up1 AS (
         SELECT c_custkey AS k, c_mktsegment AS segment,

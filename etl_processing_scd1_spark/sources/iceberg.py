@@ -369,6 +369,21 @@ def _field_names_by_id(meta: dict) -> dict[int, str]:
     return {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
 
 
+def _unify_renamed(df: DataFrame, cands: dict[str, list[str]]) -> DataFrame:
+    """Fold historical column names into the CURRENT name: a renamed
+    column's pre-rename files carry the old parquet name (rename is
+    metadata-only), so after a mergeSchema scan each row has exactly
+    one of the names non-null — coalesce resolves it declaratively,
+    one scan, no per-file branching."""
+    for name, ns in cands.items():
+        present = [n for n in ns if n in df.columns]
+        if present and present != [name]:
+            df = df.withColumn(
+                name, F.coalesce(*[F.col(n) for n in present])
+            )
+    return df
+
+
 def _apply_deletes(spark: SparkSession, df: DataFrame, files: list,
                    deletes: list[dict], meta: dict) -> DataFrame:
     """Apply a snapshot's v2 merge-on-read delete files to a parquet
@@ -492,10 +507,15 @@ def read_iceberg_table(
 
     # mergeSchema unions the file footers, so files written BEFORE an
     # add-column evolution null-fill the new columns per file (the
-    # spec's read semantics for appended field ids)
+    # spec's read semantics for appended field ids); renamed columns
+    # coalesce their historical names (schema.name-mapping.default)
+    cands = _name_candidates(meta)
     df = _strip_deleted(
-        spark.read.option("mergeSchema", "true").parquet(
-            *sorted(p for p, _, _ in files)
+        _unify_renamed(
+            spark.read.option("mergeSchema", "true").parquet(
+                *sorted(p for p, _, _ in files)
+            ),
+            cands,
         )
     )
     missing = [f for f in schema.fields if f.name not in df.columns]
@@ -523,7 +543,12 @@ def read_iceberg_table(
     for key, paths in sorted(groups.items()):
         part = dict(key)
         piece = _strip_deleted(
-            spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
+            _unify_renamed(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *sorted(paths)
+                ),
+                cands,
+            )
         )
         for f in missing:
             if f.name in part:
@@ -1105,7 +1130,12 @@ def _commit_snapshot(
         "partition-specs": [{"spec-id": 0, "fields": json.loads(spec_json)}],
         "default-spec-id": 0,
         "last-partition-id": part_fields[-1][2] if part_fields else 999,
-        "properties": {"write.format.default": "parquet"},
+        # carry table properties forward (schema.name-mapping.default
+        # et al. — dropping them would undo rename resolution)
+        "properties": {
+            **((prev.get("properties") or {}) if prev else {}),
+            "write.format.default": "parquet",
+        },
         "current-snapshot-id": snapshot_id,
         "snapshots": (prev.get("snapshots", []) if prev else []) + [snapshot],
         "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
@@ -1176,6 +1206,9 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         .withColumn("__fp", _norm_fp(F.col("_metadata.file_path")))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
+    # renamed columns: fold historical names into the current ones so
+    # the caller's condition (current names) reaches pre-rename files
+    scan = _unify_renamed(scan, _name_candidates(prev))
     # rows already deleted (position OR equality) are invisible —
     # don't re-delete them
     scan = _apply_deletes(spark, scan, files, existing, prev)
@@ -1329,6 +1362,97 @@ def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
     )
     _put_metadata(path, new_version, meta)
     return new_version
+
+
+def rename_iceberg_column(path: str, old: str, new: str) -> int:
+    """RENAME-COLUMN schema evolution (spec §Schema Evolution:
+    renames change the name, never the field id): a METADATA-ONLY
+    commit — no snapshot, no data file touched. Data files written
+    BEFORE the rename keep the old parquet column name; readers
+    resolve them through the parquet field-id metadata when present,
+    else through the ``schema.name-mapping.default`` table property
+    this commit records (the spec's §Column Projection / name-mapping
+    fallback for files without field ids — our own writer's files).
+    Returns the new metadata version."""
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        if not listed:
+            raise FileNotFoundError(f"not an Iceberg table: {path}")
+        base = listed[-1]
+    prev = _load_metadata(path, base)
+    schema = prev.get("schema") or {}
+    fields = [dict(f) for f in schema.get("fields", [])]
+    names = [f["name"] for f in fields]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in table schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    if old in {f["name"] for f in spec_fields}:
+        raise IcebergProtocolError(
+            f"renaming identity-partition source column {old!r} is not "
+            "supported (the partition spec and directory layout name it)"
+        )
+
+    # name mapping: every field keeps its full name history keyed by
+    # field id, so files written under ANY historical name resolve
+    props = dict(prev.get("properties") or {})
+    mapping = {
+        int(m["field-id"]): list(m.get("names") or [])
+        for m in json.loads(props.get("schema.name-mapping.default", "[]"))
+    }
+    for f in fields:
+        ns = mapping.setdefault(int(f["id"]), [])
+        if f["name"] not in ns:
+            ns.append(f["name"])
+    renamed_id = None
+    for f in fields:
+        if f["name"] == old:
+            f["name"] = new
+            renamed_id = int(f["id"])
+    ns = mapping.setdefault(renamed_id, [])
+    if new not in ns:
+        ns.append(new)
+    props["schema.name-mapping.default"] = json.dumps(
+        [{"field-id": fid, "names": ns} for fid, ns in sorted(mapping.items())]
+    )
+
+    new_schema = {**schema, "fields": fields}
+    meta = dict(prev)
+    meta.update(
+        {
+            "schema": new_schema,
+            "schemas": [new_schema],
+            "properties": props,
+            "last-updated-ms": int(time.time() * 1000),
+        }
+    )
+    _put_metadata(path, base + 1, meta)
+    return base + 1
+
+
+def _name_candidates(meta: dict) -> dict[str, list[str]]:
+    """current logical name → ALL historical parquet column names
+    (current first), from ``schema.name-mapping.default``. Fields
+    never renamed map to just their own name."""
+    by_id = _field_names_by_id(meta)
+    mapping = {
+        int(m["field-id"]): list(m.get("names") or [])
+        for m in json.loads(
+            (meta.get("properties") or {}).get(
+                "schema.name-mapping.default", "[]"
+            )
+        )
+    }
+    out = {}
+    for fid, name in by_id.items():
+        hist = [n for n in mapping.get(fid, []) if n != name]
+        out[name] = [name] + hist
+    return out
 
 
 def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:

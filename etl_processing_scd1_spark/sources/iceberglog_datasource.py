@@ -39,6 +39,7 @@ from .avro import load_avro
 from .iceberg import (
     _field_names_by_id,
     _load_metadata,
+    _name_candidates,
     _norm_path,
     _snapshot_files,
     _spark_schema,
@@ -46,10 +47,21 @@ from .iceberg import (
 )
 
 
+def _resolve_map(meta: dict) -> dict:
+    """logical name → (field_id, [historical names]) for rename-safe
+    executor-side column resolution."""
+    cands = _name_candidates(meta)
+    return {
+        name: (fid, cands.get(name, [name]))
+        for fid, name in _field_names_by_id(meta).items()
+    }
+
+
 class _IcePartition(InputPartition):
     def __init__(self, file_path: str, partition_values: dict,
                  delete_positions: list | None = None,
-                 eq_deletes: list | None = None):
+                 eq_deletes: list | None = None,
+                 resolve: dict | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         # v2 merge-on-read: row positions deleted from THIS file
@@ -63,6 +75,41 @@ class _IcePartition(InputPartition):
         # names) — the executor anti-joins the small delete file
         # against its own data file
         self.eq_deletes = eq_deletes
+        # rename-safe column resolution: current logical name ->
+        # (field_id, [historical names, current first]) — the spec's
+        # match-by-field-id rule with the name-mapping fallback for
+        # files written without parquet field ids
+        self.resolve = resolve
+
+
+def _resolve_columns(tbl, res: dict | None):
+    """Rename a data file's physical columns to the CURRENT logical
+    names (spec §Column Projection): match by parquet ``field_id``
+    metadata first — files written by id-stamping engines survive ANY
+    rename — then by the ``schema.name-mapping.default`` history.
+    Files already carrying the current names pass through untouched."""
+    if not res:
+        return tbl
+    fid_to_col = {}
+    for f in tbl.schema:
+        v = (f.metadata or {}).get(b"PARQUET:field_id")
+        if v is not None:
+            try:
+                fid_to_col[int(v)] = f.name
+            except ValueError:
+                pass
+    renames = {}
+    for logical, (fid, cands) in res.items():
+        src = fid_to_col.get(fid) if fid is not None else None
+        if src is None:
+            src = next((c for c in cands if c in tbl.column_names), None)
+        if src is not None and src != logical:
+            renames[src] = logical
+    if renames:
+        tbl = tbl.rename_columns(
+            [renames.get(c, c) for c in tbl.column_names]
+        )
+    return tbl
 
 
 def _read_batches(schema: StructType, part: _IcePartition):
@@ -77,7 +124,7 @@ def _read_batches(schema: StructType, part: _IcePartition):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     want = to_arrow_schema(schema)
-    tbl = pq.read_table(part.file_path)
+    tbl = _resolve_columns(pq.read_table(part.file_path), part.resolve)
     if part.delete_positions:
         import numpy as np
 
@@ -178,8 +225,9 @@ class _IceBatchReader(DataSourceReader):
                     )
             return out or None
 
+        resolve = _resolve_map(meta)
         return [
-            _IcePartition(p, part or {}, by_file.get(p), eq_for(seq))
+            _IcePartition(p, part or {}, by_file.get(p), eq_for(seq), resolve)
             for p, part, seq in sorted(files)
         ]
 
@@ -221,6 +269,7 @@ class _IceStreamReader(DataSourceStreamReader):
             if s["snapshot-id"] not in seen
         ]
         parts = []
+        resolve = _resolve_map(end_meta)
         for s in new_snaps:
             sid = s["snapshot-id"]
             _, manifests = load_avro(_norm_path(s["manifest-list"], self.path))
@@ -245,6 +294,7 @@ class _IceStreamReader(DataSourceStreamReader):
                         _IcePartition(
                             _norm_path(df_["file_path"], self.path),
                             df_.get("partition") or {},
+                            None, None, resolve,
                         )
                     )
         return parts or [_IcePartition("", {})]

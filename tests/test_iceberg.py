@@ -1129,6 +1129,126 @@ class TestEqualityDeletes:
         assert read_iceberg_table(spark, p2).count() == 5
 
 
+class TestRenameEvolution:
+    """Rename-column schema evolution (spec §Schema Evolution: the
+    name changes, the field id does not; spec §Column Projection:
+    files resolve by parquet field id, else by the
+    ``schema.name-mapping.default`` history this writer records).
+    Rename is metadata-only — no snapshot, no data file touched."""
+
+    def test_rename_old_and_new_files_resolve(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+            rename_iceberg_column,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "rn1")
+        write_iceberg_table(_df(spark, 0, 10), path)          # files: v
+        v = rename_iceberg_column(path, "v", "val")           # metadata-only
+        assert v == 2
+        got = read_iceberg_table(spark, path)
+        assert got.columns == ["k", "val", "part"]
+        assert {r.k: r.val for r in got.collect()} == {
+            k: k * 10 for k in range(10)
+        }
+        # time travel to the pre-rename metadata keeps the old name
+        assert read_iceberg_table(spark, path, version=1).columns == \
+            ["k", "v", "part"]
+        # append AFTER the rename: new files carry the new name; both
+        # generations read in one scan
+        write_iceberg_table(
+            spark.range(10, 15).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("val"),
+                (F.col("id") % 3).cast("string").alias("part"),
+            ),
+            path, mode="append",
+        )
+        got = read_iceberg_table(spark, path)
+        assert {r.k: r.val for r in got.collect()} == {
+            k: k * 10 for k in range(15)
+        }
+        # the DataSource resolves through the name mapping too
+        ds = spark.read.format("iceberglog").load(path)
+        assert ds.columns == ["k", "val", "part"]
+        assert {r.k: r.val for r in ds.collect()} == {
+            k: k * 10 for k in range(15)
+        }
+        # merge-on-read DELETE with a condition on the NEW name must
+        # reach pre-rename files
+        delete_iceberg_rows(spark, path, "val < 30")
+        assert read_iceberg_table(spark, path).count() == 12
+        # double rename accumulates the history
+        rename_iceberg_column(path, "val", "value")
+        got = read_iceberg_table(spark, path)
+        assert got.columns == ["k", "value", "part"]
+        assert got.count() == 12
+
+    def test_foreign_file_resolves_by_parquet_field_id(
+        self, spark, tmp_path
+    ):
+        """A file written by an id-stamping engine under a name that
+        appears in NO mapping still resolves: parquet field_id wins
+        over every name heuristic."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            rename_iceberg_column,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "rn2")
+        write_iceberg_table(_df(spark, 0, 6).coalesce(1), path)
+        rename_iceberg_column(path, "v", "val")
+        # rewrite the data file as a foreign engine would: arbitrary
+        # historical column names + parquet field ids (schema order
+        # k=1, v=2, part=3 per this writer's positional ids)
+        data_dir = os.path.join(path, "data")
+        f = next(
+            os.path.join(r, fn)
+            for r, _d, fns in os.walk(data_dir)
+            for fn in fns if fn.endswith(".parquet")
+        )
+        t = pq.read_table(f)
+        fields = [
+            pa.field("c_1", t.schema.field("k").type,
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("c_2", t.schema.field("v").type,
+                     metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("c_3", t.schema.field("part").type,
+                     metadata={b"PARQUET:field_id": b"3"}),
+        ]
+        pq.write_table(
+            pa.table(t.columns, schema=pa.schema(fields)), f
+        )
+        ds = spark.read.format("iceberglog").load(path)
+        assert {r.k: r.val for r in ds.collect()} == {
+            k: k * 10 for k in range(6)
+        }
+
+    def test_rename_guards(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            rename_iceberg_column,
+        )
+
+        path = str(tmp_path / "rn3")
+        write_iceberg_table(_df(spark, 0, 3), path, partition_by=["part"])
+        with pytest.raises(ValueError, match="not in table schema"):
+            rename_iceberg_column(path, "nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            rename_iceberg_column(path, "v", "k")
+        with pytest.raises(IcebergProtocolError, match="partition"):
+            rename_iceberg_column(path, "part", "bucket")
+
+
 class TestIcebergLogStreamWriter:
     """df.writeStream.format('iceberglog'): checkpointed resume plus
     the snapshot-summary watermark replay guard."""
