@@ -127,6 +127,8 @@ HEADLINE = [
     "delta_cdf_row_level",    # DV-delta row-level change data feed
     "streaming_cdf_read",     # readChangeFeed streaming source
     "iceberg_rename_scan",    # rename evolution, name-mapping coalesce
+    "delta_merge_scd1",       # MERGE INTO via DV-kill + re-insert
+    "delta_update_scan",      # UPDATE via DV-kill + re-write
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

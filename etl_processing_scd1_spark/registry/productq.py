@@ -657,6 +657,119 @@ def delta_cdf_row_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_MERGE_ORACLE = """
+    WITH t AS (
+        SELECT c_custkey AS k, c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    s AS (
+        SELECT c_custkey AS k, c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT)
+                 + CASE WHEN c_custkey % 10 = 0 THEN 999 ELSE 0 END AS cents
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    final AS (
+        SELECT * FROM s
+        UNION ALL
+        SELECT * FROM t WHERE k NOT IN (SELECT k FROM s)
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM final GROUP BY segment
+"""
+
+
+@register("delta_merge_scd1", oracle=_DELTA_MERGE_ORACLE)
+def delta_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``MERGE INTO`` — the reference's SCD1 upsert
+    (``main.py:139-175``'s insert/update legs) on the OPEN Delta
+    format, merge-on-read (``sources/delta.py::merge_delta_table``):
+    a customer subset lands as the target, then one merge with a
+    source that UPDATES every even key whose cents changed (only
+    ``k % 10 = 0`` actually differ — the null-safe no-op leg leaves
+    identical matches untouched, the SCD1 idempotence property),
+    INSERTS the even keys the target lacked, and keeps unmatched
+    target rows. Changed rows are DV-killed and re-inserted in ONE
+    atomic commit — no data file rewritten, cost O(changed+inserted).
+    A merge that rewrote unchanged matches, missed the DV kill, or
+    double-inserted fails the per-segment hash."""
+    import shutil
+
+    from ..sources.delta import (
+        merge_delta_table,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("merge_scd1")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    write_delta_table(cust.filter(F.col("k") % 3 != 0), path)
+    src = cust.filter(F.col("k") % 2 == 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("k") % 10 == 0, F.lit(999)).otherwise(F.lit(0)),
+    )
+    merge_delta_table(spark, src, path, ["k"])
+    got = read_delta_table(spark, path)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+_DELTA_UPDATE_ORACLE = """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                    + CASE WHEN o_orderstatus = 'O' THEN 50 ELSE 0 END)
+                AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("delta_update_scan", oracle=_DELTA_UPDATE_ORACLE)
+def delta_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE (``update_delta_rows``): orders lands as
+    a Delta table, one UPDATE adds a 50-cent surcharge to every open
+    order — matched rows are DV-killed and re-written with the SET
+    expression applied over the old row, unmatched files untouched,
+    ONE atomic commit. An update that dropped the old rows without
+    re-inserting, applied the SET to the wrong leg, or left the dead
+    rows visible fails the hash."""
+    import shutil
+
+    from ..sources.delta import (
+        read_delta_table,
+        update_delta_rows,
+        write_delta_table,
+    )
+
+    path = _delta_dir("update_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    write_delta_table(orders.repartition(4), path)
+    update_delta_rows(
+        spark, path, "o_orderstatus = 'O'",
+        {"total_cents": "total_cents + 50"},
+    )
+    got = read_delta_table(spark, path)
+    return got.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_cents").alias("total_cents"),
+    )
+
+
 _ICEBERG_RENAME_ORACLE = """
     SELECT c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_rows,

@@ -513,47 +513,10 @@ def delete_delta_rows(spark: SparkSession, path: str, condition: str) -> int:
     the scan's ``_metadata`` columns; only the keys land on the
     driver for bitmap serialization — bitmap-scale, the same contract
     as Delta's own DV writer."""
-    from pyspark.sql import functions as F
-
     snap = _replay(spark, path, None)
     if not snap.files:
         return snap.version
-    abs_to_rel = {
-        os.path.abspath(os.path.join(path, p)): p for p in snap.files
-    }
-    reader = spark.read.option("basePath", path)
-    df = reader.parquet(*sorted(abs_to_rel))
-    df = (
-        df.withColumn(
-            "__fp",
-            F.regexp_replace(
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
-                "^/+", "/",
-            ),
-        )
-        .withColumn("__pos", F.col("_metadata.row_index"))
-    )
-    # rows already dead are invisible — exclude them from the match
-    existing: dict[str, list[int]] = {}
-    dead_keys = []
-    for p, add in snap.files.items():
-        if add.get("deletionVector"):
-            existing[p] = read_deletion_vector(path, add["deletionVector"])
-            ap = os.path.abspath(os.path.join(path, p))
-            dead_keys.extend((ap, pos) for pos in existing[p])
-    if dead_keys:
-        kdf = spark.createDataFrame(dead_keys, "__del_fp string, __del_pos long")
-        df = df.join(
-            kdf,
-            (F.col("__fp") == F.col("__del_fp"))
-            & (F.col("__pos") == F.col("__del_pos")),
-            "left_anti",
-        )
-    # column-mapped table: the scan carries physical names, the
-    # caller's condition uses logical ones
-    for lg, ph in (snap.column_mapping or {}).items():
-        if ph != lg:
-            df = df.withColumnRenamed(ph, lg)
+    df, abs_to_rel = _visible_scan(spark, path, snap)
     hits = (
         df.filter(condition)
         .groupBy("__fp")
@@ -562,20 +525,235 @@ def delete_delta_rows(spark: SparkSession, path: str, condition: str) -> int:
     )
     if not hits:
         return snap.version
-    per_file: dict[str, list[int]] = {}
-    for r in hits:
-        rel = abs_to_rel[r["__fp"]]
-        per_file[rel] = sorted(
-            set(existing.get(rel, [])) | {int(x) for x in r["positions"]}
-        )
-    descriptors = write_deletion_vectors(path, per_file)
+    per_file_hits = {
+        abs_to_rel[r["__fp"]]: [int(x) for x in r["positions"]] for r in hits
+    }
 
     now_ms = int(time.time() * 1000)
+    actions = _dv_actions(path, snap, per_file_hits, now_ms)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": condition},
+                "engineInfo": "etl-processing-scd1-spark delta deletion vectors",
+            }
+        }
+    )
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, actions)
+    return new_version
+
+
+def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
+    """Distributed scan of the snapshot's VISIBLE rows with ``__fp``/
+    ``__pos`` helper columns (normalized ``_metadata`` keys) and
+    LOGICAL column names: rows already dead in a deletion vector are
+    anti-joined away, column-mapped physical names renamed back.
+    → (DataFrame, {abs file path: rel path})."""
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, p)): p for p in snap.files
+    }
+    df = (
+        spark.read.option("basePath", path).parquet(*sorted(abs_to_rel))
+        .withColumn(
+            "__fp",
+            F.regexp_replace(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                "^/+", "/",
+            ),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    dead_keys = [
+        (ap, pos)
+        for p, add in snap.files.items()
+        if add.get("deletionVector")
+        for ap in [os.path.abspath(os.path.join(path, p))]
+        for pos in read_deletion_vector(path, add["deletionVector"])
+    ]
+    if dead_keys:
+        kdf = spark.createDataFrame(dead_keys, "__del_fp string, __del_pos long")
+        df = df.join(
+            kdf,
+            (F.col("__fp") == F.col("__del_fp"))
+            & (F.col("__pos") == F.col("__del_pos")),
+            "left_anti",
+        )
+    for lg, ph in (snap.column_mapping or {}).items():
+        if ph != lg:
+            df = df.withColumnRenamed(ph, lg)
+    return df, abs_to_rel
+
+
+def _commit_dml(spark: SparkSession, path: str, snap: DeltaSnapshot,
+                kill_rows: list, abs_to_rel: dict, insert_df: DataFrame | None,
+                operation: str, params: dict) -> int:
+    """Shared merge-on-read DML commit tail (UPDATE / MERGE): DV-kill
+    the collected ``(__fp, positions)`` rows, stage ``insert_df``'s
+    rows as new data files (empty output files are dropped, not
+    committed), and write ONE atomic commit."""
+    now_ms = int(time.time() * 1000)
+    per_file_hits = {
+        abs_to_rel[r["__fp"]]: [int(x) for x in r["positions"]]
+        for r in kill_rows
+    }
+    actions = (
+        _dv_actions(path, snap, per_file_hits, now_ms) if per_file_hits else []
+    )
+    if insert_df is not None:
+        adds = _stage_delta_files(
+            insert_df, path, snap.partition_columns,
+            snap.column_mapping or {}, now_ms,
+        )
+        for a in adds:
+            if json.loads(a["stats"])["numRecords"] == 0:
+                os.unlink(os.path.join(path, a["path"]))
+                continue
+            actions.append({"add": a})
+    if not actions:
+        return snap.version
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": operation,
+                "operationParameters": {
+                    str(k): str(v) for k, v in params.items()
+                },
+                "engineInfo": "etl-processing-scd1-spark delta merge-on-read",
+            }
+        }
+    )
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, actions)
+    return new_version
+
+
+def update_delta_rows(spark: SparkSession, path: str, condition: str,
+                      set_exprs: dict[str, str]) -> int:
+    """MERGE-ON-READ UPDATE: rows matching ``condition`` are DV-killed
+    in place and re-written with ``set_exprs`` applied (column → SQL
+    expression over the old row) — untouched files are never
+    rewritten, so update cost is O(matched rows), never O(table).
+    One atomic commit carries both halves. Returns the new version
+    (unchanged when nothing matches)."""
+    snap = _replay(spark, path, None)
+    if not snap.files:
+        return snap.version
+    cols = [f.name for f in snap.schema.fields]
+    unknown = [c for c in set_exprs if c not in cols]
+    if unknown:
+        raise ValueError(f"SET columns {unknown} not in table schema {cols}")
+    scan, abs_to_rel = _visible_scan(spark, path, snap)
+    hits = scan.filter(condition)
+    kill_rows = (
+        hits.groupBy("__fp")
+        .agg(F.collect_list("__pos").alias("positions"))
+        .collect()
+    )
+    if not kill_rows:
+        return snap.version
+    updated = hits.select(
+        *[
+            (F.expr(set_exprs[f.name]) if f.name in set_exprs
+             else F.col(f.name)).cast(f.dataType).alias(f.name)
+            for f in snap.schema.fields
+        ]
+    )
+    return _commit_dml(
+        spark, path, snap, kill_rows, abs_to_rel, updated, "UPDATE",
+        {"predicate": condition, "set": json.dumps(set_exprs, sort_keys=True)},
+    )
+
+
+def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
+                      keys: list[str], delete_missing: bool = False) -> int:
+    """MERGE-ON-READ MERGE (SQL ``MERGE INTO`` / SCD1 upsert on the
+    open Delta format): null-safe key match of ``source`` against the
+    table's visible rows —
+
+    - matched + any payload column differs (null-safe) → the old row
+      is DV-killed and the source row inserted;
+    - matched + identical → NO-OP (files untouched — the SCD1
+      idempotence property: re-running the same merge commits
+      nothing);
+    - source key absent from the table → insert;
+    - ``delete_missing=True`` → table keys absent from the source are
+      DV-killed (the reference pipeline's SCD1 delete leg).
+
+    No data file is rewritten: cost is O(changed + inserted rows) +
+    one shuffle-side join, never O(table). ONE atomic commit carries
+    the DV re-adds and the new data files. Returns the new version
+    (unchanged on a fully-idempotent replay)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    snap = _replay(spark, path, None)
+    cols = [f.name for f in snap.schema.fields]
+    for k in keys:
+        if k not in cols:
+            raise ValueError(f"key column {k!r} not in table schema {cols}")
+    missing_src = [c for c in cols if c not in source.columns]
+    if missing_src:
+        raise ValueError(f"source is missing table columns {missing_src}")
+    source = source.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name)
+          for f in snap.schema.fields]
+    )
+    if not snap.files:
+        return write_delta_table(source, path, mode="append")
+    payload = [c for c in cols if c not in keys]
+
+    scan, abs_to_rel = _visible_scan(spark, path, snap)
+    t = scan.select(*cols, "__fp", "__pos").alias("t")
+    s = source.alias("s")
+    key_cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        key_cond = c if key_cond is None else (key_cond & c)
+    j = t.join(s, key_cond, "inner")
+    if payload:
+        diff = None
+        for c in payload:
+            d = ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+            diff = d if diff is None else (diff | d)
+        changed = j.filter(diff)
+    else:
+        changed = j.filter(F.lit(False))
+    kills = changed.select(F.col("t.__fp").alias("__fp"),
+                           F.col("t.__pos").alias("__pos"))
+    if delete_missing:
+        gone = t.join(s, key_cond, "left_anti").select("__fp", "__pos")
+        kills = kills.unionByName(gone)
+    kill_rows = (
+        kills.groupBy("__fp")
+        .agg(F.collect_list("__pos").alias("positions"))
+        .collect()
+    )
+    upserts = changed.select(*[F.col(f"s.{c}").alias(c) for c in cols])
+    inserts = s.join(t, key_cond, "left_anti").select(*cols)
+    return _commit_dml(
+        spark, path, snap, kill_rows, abs_to_rel,
+        upserts.unionByName(inserts), "MERGE",
+        {"keys": ",".join(keys), "deleteMissing": delete_missing},
+    )
+
+
+def _dv_actions(path: str, snap: DeltaSnapshot,
+                per_file_hits: dict[str, list[int]], now_ms: int) -> list[dict]:
+    """remove+add action pairs re-committing each hit file with the
+    NEW dead positions merged into its existing deletion vector, plus
+    the protocol upgrade when the table is not yet on table features
+    (the upgrade must list every legacy feature the table already
+    uses — spec §Table Features)."""
+    per_file = {
+        rel: sorted(_dv_positions(path, snap, rel) | {int(x) for x in hits})
+        for rel, hits in per_file_hits.items()
+    }
+    descriptors = write_deletion_vectors(path, per_file)
     actions: list[dict] = []
-    proto = snap.protocol
-    if proto.get("minReaderVersion", 1) < 3:
-        # upgrading to table features must list every legacy feature
-        # the table already uses (spec §Table Features)
+    if snap.protocol.get("minReaderVersion", 1) < 3:
         feats = ["deletionVectors"] + (
             ["columnMapping"] if snap.column_mapping else []
         )
@@ -599,19 +777,7 @@ def delete_delta_rows(spark: SparkSession, path: str, condition: str) -> int:
         add["modificationTime"] = now_ms
         add["dataChange"] = True
         actions.append({"add": add})
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "DELETE",
-                "operationParameters": {"predicate": condition},
-                "engineInfo": "etl-processing-scd1-spark delta deletion vectors",
-            }
-        }
-    )
-    new_version = snap.version + 1
-    _atomic_commit(path, new_version, actions)
-    return new_version
+    return actions
 
 
 def read_delta_table(
@@ -919,68 +1085,9 @@ def write_delta_table(
                     }
                 )
 
-    # stage with Spark's distributed writer under a unique prefix,
-    # then MOVE the parquet files into the table's standard layout
-    # (partition dirs at the root, unique file names) — rename-only
-    # metadata ops, and a lost commit race leaves only unreferenced
-    # files (Delta's own orphan semantics; no vacuum implemented)
-    stage_rel = f"_staged-{uuid.uuid4().hex}"
-    stage_abs = os.path.join(path, stage_rel)
-    staged = df
-    if cm:
-        # column-mapped table: files and partition dirs carry the
-        # PHYSICAL names (the writer half of §Column Mapping)
-        unknown = [c for c in df.columns if c not in cm]
-        if unknown:
-            raise DeltaProtocolError(
-                f"append to a column-mapped table with columns {unknown} "
-                "not in the table schema (add-column evolution on mapped "
-                "tables is not implemented)"
-            )
-        staged = df.select(
-            *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
-        )
-    phys_parts = [cm.get(c, c) for c in (partition_by or [])]
-    writer = staged.write.mode("overwrite")
-    if phys_parts:
-        writer = writer.partitionBy(*phys_parts)
-    writer.parquet(stage_abs)
-
-    import shutil
-
-    for root, _dirs, fns in os.walk(stage_abs):
-        for fn in sorted(fns):
-            if not fn.endswith(".parquet"):
-                continue
-            abs_f = os.path.join(root, fn)
-            part_rel = os.path.relpath(root, stage_abs)
-            part_values = {}
-            for seg in () if part_rel == "." else part_rel.split(os.sep):
-                if "=" in seg:
-                    k, _, val = seg.partition("=")
-                    part_values[k] = val
-            final_name = f"part-{uuid.uuid4().hex}.parquet"
-            rel_f = (
-                final_name
-                if part_rel == "."
-                else os.path.join(part_rel, final_name)
-            )
-            dest = os.path.join(path, rel_f)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.replace(abs_f, dest)
-            actions.append(
-                {
-                    "add": {
-                        "path": rel_f.replace(os.sep, "/"),
-                        "partitionValues": part_values,
-                        "size": os.path.getsize(dest),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                        "stats": _file_stats_json(dest),
-                    }
-                }
-            )
-    shutil.rmtree(stage_abs, ignore_errors=True)
+    actions.extend(
+        {"add": a} for a in _stage_delta_files(df, path, partition_by, cm, now_ms)
+    )
     if txn is not None:
         actions.append(
             {
@@ -1006,6 +1113,73 @@ def write_delta_table(
     if checkpoint_interval and new_version > 0 and new_version % checkpoint_interval == 0:
         write_checkpoint(spark, path, new_version)
     return new_version
+
+
+def _stage_delta_files(df: DataFrame, path: str,
+                       partition_by: list[str] | None,
+                       cm: dict[str, str], now_ms: int) -> list[dict]:
+    """Stage ``df`` with Spark's distributed writer under a unique
+    prefix, then MOVE the parquet files into the table's standard
+    layout (partition dirs at the root, unique file names) —
+    rename-only metadata ops, and a lost commit race leaves only
+    unreferenced files (Delta's own orphan semantics). Returns one
+    add-action dict per written file (partitionValues + footer
+    stats). Column-mapped tables (``cm`` non-empty) write PHYSICAL
+    column names and directory keys."""
+    stage_abs = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+    staged = df
+    if cm:
+        unknown = [c for c in df.columns if c not in cm]
+        if unknown:
+            raise DeltaProtocolError(
+                f"write to a column-mapped table with columns {unknown} "
+                "not in the table schema (add-column evolution on mapped "
+                "tables is not implemented)"
+            )
+        staged = df.select(
+            *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
+        )
+    phys_parts = [cm.get(c, c) for c in (partition_by or [])]
+    writer = staged.write.mode("overwrite")
+    if phys_parts:
+        writer = writer.partitionBy(*phys_parts)
+    writer.parquet(stage_abs)
+
+    import shutil
+
+    adds: list[dict] = []
+    for root, _dirs, fns in os.walk(stage_abs):
+        for fn in sorted(fns):
+            if not fn.endswith(".parquet"):
+                continue
+            abs_f = os.path.join(root, fn)
+            part_rel = os.path.relpath(root, stage_abs)
+            part_values = {}
+            for seg in () if part_rel == "." else part_rel.split(os.sep):
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    part_values[k] = val
+            final_name = f"part-{uuid.uuid4().hex}.parquet"
+            rel_f = (
+                final_name
+                if part_rel == "."
+                else os.path.join(part_rel, final_name)
+            )
+            dest = os.path.join(path, rel_f)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(abs_f, dest)
+            adds.append(
+                {
+                    "path": rel_f.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(dest),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": _file_stats_json(dest),
+                }
+            )
+    shutil.rmtree(stage_abs, ignore_errors=True)
+    return adds
 
 
 def _checkpoint_schema():

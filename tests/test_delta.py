@@ -911,6 +911,101 @@ class TestDeletionVectors:
         assert read_delta_table(spark, path, version=1).count() == 45
 
 
+class TestMergeOnReadDml:
+    """update_delta_rows / merge_delta_table: DV-kill + re-insert in
+    ONE commit — SQL UPDATE and MERGE INTO (SCD1 upsert) on the open
+    Delta format, O(changed rows), no file rewritten."""
+
+    def test_update_rows(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            update_delta_rows,
+        )
+
+        path = str(tmp_path / "up1")
+        write_delta_table(_df(spark, 0, 20).repartition(2), path)
+        v = update_delta_rows(spark, path, "k < 5", {"v": "v + 1000"})
+        assert v == 1
+        got = read_delta_table(spark, path)
+        assert got.count() == 20
+        rows = {r.k: r.v for r in got.collect()}
+        assert rows[0] == 1000 and rows[4] == 1040 and rows[5] == 50
+        # the pre-update snapshot is intact
+        assert {r.k: r.v for r in
+                read_delta_table(spark, path, version=0).collect()}[0] == 0
+        # no match -> no commit
+        assert update_delta_rows(spark, path, "k = -1", {"v": "0"}) == 1
+        with pytest.raises(ValueError, match="SET columns"):
+            update_delta_rows(spark, path, "k = 0", {"nope": "1"})
+
+    def test_merge_scd1_upsert_and_idempotence(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delta_table_version,
+            merge_delta_table,
+        )
+
+        path = str(tmp_path / "mg1")
+        write_delta_table(_df(spark, 0, 10).repartition(2), path)
+        # keys 5..9 changed payload, 10..14 fresh inserts
+        src = spark.range(5, 15).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 1).alias("v"),
+            (F.col("id") % 3).cast("string").alias("part"),
+        )
+        assert merge_delta_table(spark, src, path, ["k"]) == 1
+        got = {r.k: r.v for r in read_delta_table(spark, path).collect()}
+        assert len(got) == 15
+        assert got[3] == 30 and got[7] == 71 and got[12] == 121
+        # SCD1 idempotence: replaying the SAME merge commits NOTHING
+        assert merge_delta_table(spark, src, path, ["k"]) == 1
+        assert delta_table_version(path) == 1
+        # a second real merge stacks DVs on the first
+        src2 = spark.createDataFrame([(7, 72, "1")], "k long, v long, part string")
+        assert merge_delta_table(spark, src2, path, ["k"]) == 2
+        got = {r.k: r.v for r in read_delta_table(spark, path).collect()}
+        assert len(got) == 15 and got[7] == 72 and got[8] == 81
+
+    def test_merge_delete_missing_full_sync(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            merge_delta_table,
+        )
+
+        path = str(tmp_path / "mg2")
+        write_delta_table(_df(spark, 0, 10), path)
+        # full-sync SCD1: source = keys 0..4 unchanged -> 5..9 deleted
+        merge_delta_table(
+            spark, _df(spark, 0, 5), path, ["k"], delete_missing=True
+        )
+        got = read_delta_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == list(range(5))
+        # merge into an EMPTY-snapshot table degrades to insert
+        p2 = str(tmp_path / "mg3")
+        write_delta_table(_df(spark, 0, 0), p2)
+        merge_delta_table(spark, _df(spark, 0, 3), p2, ["k"])
+        assert read_delta_table(spark, p2).count() == 3
+
+    def test_merge_on_column_mapped_table_with_dvs(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delete_delta_rows,
+            merge_delta_table,
+        )
+
+        path = str(tmp_path / "mg4")
+        write_delta_table(
+            _df(spark, 0, 12), path, partition_by=["part"],
+            column_mapping="name",
+        )
+        delete_delta_rows(spark, path, "k = 1")
+        src = spark.range(2, 4).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 5).alias("v"),
+            (F.col("id") % 3).cast("string").alias("part"),
+        )
+        merge_delta_table(spark, src, path, ["k"])
+        got = {r.k: r.v for r in read_delta_table(spark, path).collect()}
+        assert len(got) == 11 and 1 not in got
+        assert got[2] == 25 and got[3] == 35 and got[4] == 40
+
+
 class TestColumnMapping:
     """PROTOCOL.md §Column Mapping, name mode: parquet columns,
     partition directories, partitionValues keys, and stats all carry
