@@ -129,6 +129,7 @@ HEADLINE = [
     "iceberg_rename_scan",    # rename evolution, name-mapping coalesce
     "delta_merge_scd1",       # MERGE INTO via DV-kill + re-insert
     "delta_update_scan",      # UPDATE via DV-kill + re-write
+    "iceberg_update_scan",    # UPDATE via pos-delete + re-write
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -770,6 +770,54 @@ def delta_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_UPDATE_ORACLE = """
+    SELECT p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)
+                    + CASE WHEN p_size < 10 THEN 7 ELSE 0 END)
+                AS BIGINT) AS price_cents
+    FROM part GROUP BY p_brand
+"""
+
+
+@register("iceberg_update_scan", oracle=_ICEBERG_UPDATE_ORACLE)
+def iceberg_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ UPDATE (``update_iceberg_rows``):
+    part lands as a table, one UPDATE adds 7 cents to every small
+    part — ONE snapshot carries a position-delete file for the
+    matched rows plus new data files with the SET expression applied
+    over the old row (both at the same sequence number; position
+    deletes apply by exact file path, so the new files survive their
+    co-committed delete). Untouched files never rewritten. An update
+    that left the old rows visible, lost unmatched rows, or applied
+    the SET to the wrong leg fails the per-brand hash."""
+    import shutil
+
+    from ..sources.iceberg import (
+        read_iceberg_table,
+        update_iceberg_rows,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("iceberg_update")
+    shutil.rmtree(path, ignore_errors=True)
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    write_iceberg_table(parts.repartition(4), path)
+    update_iceberg_rows(
+        spark, path, "p_size < 10", {"price_cents": "price_cents + 7"}
+    )
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("price_cents").alias("price_cents"),
+    )
+
+
 _ICEBERG_RENAME_ORACLE = """
     SELECT c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_rows,

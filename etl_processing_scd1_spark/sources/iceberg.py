@@ -1216,6 +1216,33 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
     )
 
+    now_ms = int(time.time() * 1000)
+    new_version = base + 1
+    snapshot_id = now_ms * 1000 + new_version
+    seq = int(prev.get("last-sequence-number", 0)) + 1
+    new_manifest, n_deleted = _pos_delete_manifest(
+        hits, path, prev, snapshot_id, seq
+    )
+    if new_manifest is None:
+        return base
+    return _commit_v2_tail(
+        path, base, prev, parent_id, snapshot_id, seq, now_ms,
+        [new_manifest], "delete",
+        {"deleted-records": n_deleted, "added-delete-files": 1},
+    )
+
+
+def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
+                         snapshot_id: int, seq: int):
+    """Write ``hits`` (``file_path``, ``pos`` rows) as a spec-sorted
+    POSITION-delete parquet + its ``content=1`` manifest →
+    (manifest-list row, n_deleted), or (None, 0) when nothing
+    matched. The delete file spans partitions: null partition tuple
+    (readers apply position deletes by exact path, never by tuple)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
     # spec: position delete files are sorted by (file_path, pos)
     stage = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
     (
@@ -1224,8 +1251,6 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         .write.mode("overwrite")
         .parquet(stage)
     )
-    import shutil
-
     part = next(
         os.path.join(r, fn)
         for r, _d, fns in os.walk(stage)
@@ -1239,21 +1264,14 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
     n_deleted = pq.read_metadata(dest).num_rows
     if n_deleted == 0:
         os.unlink(dest)
-        return base
+        return None, 0
 
-    now_ms = int(time.time() * 1000)
-    new_version = base + 1
-    snapshot_id = now_ms * 1000 + new_version
-    seq = int(prev.get("last-sequence-number", 0)) + 1
     spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
-    # delete file spans partitions: null partition tuple under the
-    # table's spec (readers apply deletes by path, never by tuple)
     schema = _spark_schema(prev)
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     part_fields = [
         (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
     ]
-
     manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
     dump_avro(
         manifest_path,
@@ -1283,8 +1301,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
             "content": "deletes",
         },
     )
-
-    new_manifest = {
+    return {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
         "partition_spec_id": 0,
@@ -1298,12 +1315,141 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         "content": 1,
         "sequence_number": seq,
         "min_sequence_number": seq,
-    }
+    }, n_deleted
+
+
+def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
+                        set_exprs: dict[str, str]) -> int:
+    """MERGE-ON-READ UPDATE for Iceberg v2: ONE snapshot carrying a
+    POSITION-delete file for every visible row matching ``condition``
+    plus new data files holding those rows with ``set_exprs``
+    (column → SQL expression over the old row) applied — untouched
+    files never rewritten, cost O(matched), sequence number shared by
+    both halves (position deletes apply by exact file path, so the
+    new files are untouched by construction). Returns the new
+    metadata version (unchanged when nothing matches)."""
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        if not listed:
+            raise FileNotFoundError(f"not an Iceberg table: {path}")
+        base = listed[-1]
+    prev = _load_metadata(path, base)
+    parent_id, files, existing = _snapshot_files(path, prev, None, None)
+    if not files:
+        return base
+    schema = _spark_schema(prev)
+    cols = [f.name for f in schema.fields]
+    unknown = [c for c in set_exprs if c not in cols]
+    if unknown:
+        raise ValueError(f"SET columns {unknown} not in table schema {cols}")
+
+    scan = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(p for p, _, _ in files))
+        .withColumn("__fp", _norm_fp(F.col("_metadata.file_path")))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    scan = _unify_renamed(scan, _name_candidates(prev))
+    scan = _apply_deletes(spark, scan, files, existing, prev)
+    hits = scan.filter(condition)
+
+    now_ms = int(time.time() * 1000)
+    new_version = base + 1
+    snapshot_id = now_ms * 1000 + new_version
+    seq = int(prev.get("last-sequence-number", 0)) + 1
+    del_manifest, n_updated = _pos_delete_manifest(
+        hits.select(F.col("__fp").alias("file_path"),
+                    F.col("__pos").alias("pos")),
+        path, prev, snapshot_id, seq,
+    )
+    if del_manifest is None:
+        return base
+
+    updated = hits.select(
+        *[
+            (F.expr(set_exprs[f.name]) if f.name in set_exprs
+             else F.col(f.name)).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    partition_by = [f["name"] for f in spec_fields]
+    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    part_fields = [
+        (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
+    ]
+    new_files = _stage_data_files(updated, path, partition_by, ice_types,
+                                  field_ids)
+    data_manifest = _data_manifest_row(
+        path, new_files, snapshot_id, seq, schema, spec_fields, part_fields
+    )
     return _commit_v2_tail(
         path, base, prev, parent_id, snapshot_id, seq, now_ms,
-        [new_manifest], "delete",
-        {"deleted-records": n_deleted, "added-delete-files": 1},
+        [data_manifest, del_manifest], "overwrite",
+        {
+            "updated-records": n_updated,
+            "added-data-files": len(new_files),
+            "added-delete-files": 1,
+            "update-predicate": condition,
+        },
     )
+
+
+def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
+                       seq: int, schema: T.StructType, spec_fields: list,
+                       part_fields: list) -> dict:
+    """Write a v2 DATA manifest (entry content=0) for already-staged
+    files → its manifest-list row."""
+    manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    dump_avro(
+        manifest_path,
+        _manifest_entry_schema_json(part_fields, with_content=True),
+        [
+            {
+                "status": _ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": part_vals,
+                    "record_count": n,
+                    "file_size_in_bytes": size,
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                },
+            }
+            for p, part_vals, n, size, lo, hi in new_files
+        ],
+        extra_meta={
+            "schema": json.dumps(_schema_struct(schema)),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    return {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(new_files),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(n for _, _, n, _, _, _ in new_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+    }
 
 
 def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
@@ -1556,47 +1702,11 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
         "partition-spec-id": "0",
         "format-version": "2",
     }
-    new_manifests: list[dict] = []
-
-    data_manifest = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
-    dump_avro(
-        data_manifest,
-        entry_schema,
-        [
-            {
-                "status": _ADDED,
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": part_vals,
-                    "record_count": n,
-                    "file_size_in_bytes": size,
-                    "block_size_in_bytes": 64 * 1024 * 1024,
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                },
-            }
-            for p, part_vals, n, size, lo, hi in new_files
-        ],
-        extra_meta={**manifest_meta, "content": "data"},
-    )
-    new_manifests.append({
-        "manifest_path": data_manifest,
-        "manifest_length": os.path.getsize(data_manifest),
-        "partition_spec_id": 0,
-        "added_snapshot_id": snapshot_id,
-        "added_data_files_count": len(new_files),
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": sum(n for _, _, n, _, _, _ in new_files),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-    })
+    new_manifests: list[dict] = [
+        _data_manifest_row(
+            path, new_files, snapshot_id, seq, schema, spec_fields, part_fields
+        )
+    ]
 
     if n_keys:
         del_manifest = os.path.join(

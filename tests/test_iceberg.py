@@ -1129,6 +1129,46 @@ class TestEqualityDeletes:
         assert read_iceberg_table(spark, p2).count() == 5
 
 
+class TestIcebergUpdate:
+    """update_iceberg_rows: ONE v2 snapshot = position-delete file
+    for the matched rows + new data files with the SET expressions
+    applied — the merge-on-read UPDATE, cost O(matched)."""
+
+    def test_update_rows_one_snapshot(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+            update_iceberg_rows,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "upd1")
+        write_iceberg_table(_df(spark, 0, 20).repartition(2), path)
+        assert update_iceberg_rows(
+            spark, path, "k < 5", {"v": "v + 1000"}
+        ) == 2
+        got = read_iceberg_table(spark, path)
+        assert got.count() == 20
+        rows = {r.k: r.v for r in got.collect()}
+        assert rows[0] == 1000 and rows[4] == 1040 and rows[5] == 50
+        # the pre-update snapshot is intact (ONE snapshot per update)
+        assert {r.k: r.v for r in
+                read_iceberg_table(spark, path, version=1).collect()}[0] == 0
+        # no match -> no commit
+        assert update_iceberg_rows(spark, path, "k = -1", {"v": "0"}) == 2
+        # stacks with deletes; the DataSource agrees
+        delete_iceberg_rows(spark, path, "k = 7")
+        update_iceberg_rows(spark, path, "k = 8", {"v": "0"})
+        got = {r.k: r.v
+               for r in spark.read.format("iceberglog").load(path).collect()}
+        assert len(got) == 19 and 7 not in got and got[8] == 0
+        assert got[0] == 1000
+        with pytest.raises(ValueError, match="SET columns"):
+            update_iceberg_rows(spark, path, "k = 0", {"nope": "1"})
+
+
 class TestRenameEvolution:
     """Rename-column schema evolution (spec §Schema Evolution: the
     name changes, the field id does not; spec §Column Projection:
