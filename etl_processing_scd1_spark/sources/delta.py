@@ -575,8 +575,10 @@ def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
     ]
     if dead_keys:
         kdf = spark.createDataFrame(dead_keys, "__del_fp string, __del_pos long")
+        # dead keys are bitmap-scale by contract; hint it (a local
+        # relation has no size stats for the auto-broadcast threshold)
         df = df.join(
-            kdf,
+            F.broadcast(kdf),
             (F.col("__fp") == F.col("__del_fp"))
             & (F.col("__pos") == F.col("__del_pos")),
             "left_anti",
@@ -839,7 +841,7 @@ def read_delta_table(
             )
             .withColumn("__pos", F.col("_metadata.row_index"))
             .join(
-                kdf,
+                F.broadcast(kdf),
                 (F.col("__fp") == F.col("__del_fp"))
                 & (F.col("__pos") == F.col("__del_pos")),
                 "left_anti",
@@ -1499,7 +1501,9 @@ def delta_changes(
             if dead:
                 # rows already dead at the relevant ENDPOINT were
                 # never visible to this window's consumer
-                df = _with_keys(df).join(_key_df(dead), _key_cond, "left_anti")
+                df = _with_keys(df).join(
+                    F.broadcast(_key_df(dead)), _key_cond, "left_anti"
+                )
             pieces.append(_project(df, change, v))
     for v, per_path in sorted(row_dels.items()):
         df = spark.read.option("basePath", path).parquet(
@@ -1510,7 +1514,9 @@ def delta_changes(
             for p, poss in per_path.items()
             for pos in sorted(poss)
         ]
-        df = _with_keys(df).join(_key_df(keys), _key_cond, "left_semi")
+        df = _with_keys(df).join(
+            F.broadcast(_key_df(keys)), _key_cond, "left_semi"
+        )
         pieces.append(_project(df, "delete", v))
     if not pieces:
         from pyspark.sql import types as T
