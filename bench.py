@@ -130,6 +130,7 @@ HEADLINE = [
     "delta_merge_scd1",       # MERGE INTO via DV-kill + re-insert
     "delta_update_scan",      # UPDATE via DV-kill + re-write
     "iceberg_update_scan",    # UPDATE via pos-delete + re-write
+    "iceberg_changelog_scan", # per-snapshot changelog reads
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

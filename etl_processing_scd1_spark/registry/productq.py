@@ -818,6 +818,74 @@ def iceberg_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_CHANGELOG_ORACLE = """
+    WITH base AS (
+        SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nation,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        FROM supplier
+    ),
+    changes AS (
+        SELECT 'insert' AS change_type, nation, cents FROM base
+        UNION ALL
+        SELECT 'delete', nation, cents FROM base WHERE k % 6 = 0
+        UNION ALL
+        SELECT 'delete', nation, cents FROM base
+        WHERE k % 9 = 0 AND k % 6 <> 0
+        UNION ALL
+        SELECT 'insert', nation, cents + 1 FROM base
+        WHERE k % 9 = 0 AND k % 6 <> 0
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM changes GROUP BY change_type
+"""
+
+
+@register("iceberg_changelog_scan", oracle=_ICEBERG_CHANGELOG_ORACLE)
+def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG scan through the ``iceberglog`` DataSource
+    (``option("readChangeFeed", "true")`` — per-snapshot changes, the
+    format's changelog-scan semantics): supplier lands at v1, a
+    merge-on-read position DELETE commits at v2, and a merge-on-read
+    UPDATE at v3 — so the window must emit v1's rows as inserts,
+    v2's dead positions as row-level deletes, and v3's one-snapshot
+    update as a delete AND an insert of the re-written row
+    (``sources/iceberg.py::_plan_ice_changes``). A changelog that
+    re-emitted carried manifests, treated the update's delete half as
+    data arrival, or missed the DV rows fails the per-change-type
+    hash."""
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_iceberg_rows,
+        update_iceberg_rows,
+        write_iceberg_table,
+    )
+    from ..sources.iceberglog_datasource import IcebergLogDataSource
+
+    spark.dataSource.register(IcebergLogDataSource)
+    path = _delta_dir("iceberg_changelog")
+    shutil.rmtree(path, ignore_errors=True)
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(sup, path)
+    delete_iceberg_rows(spark, path, "k % 6 = 0")
+    update_iceberg_rows(spark, path, "k % 9 = 0", {"cents": "cents + 1"})
+    got = (
+        spark.read.format("iceberglog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(path)
+    )
+    return got.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )
+
+
 _ICEBERG_RENAME_ORACLE = """
     SELECT c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_rows,

@@ -1767,6 +1767,119 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
     )
 
 
+def _plan_ice_changes(path: str, from_version: int,
+                      to_version: int) -> list[dict]:
+    """Driver-side CHANGELOG planning for metadata versions
+    ``(from_version, to_version]`` — the format's changelog-scan
+    semantics: each snapshot's changes emit at that version, NO
+    cross-version netting (unlike the Delta CDF's documented
+    endpoint netting). Per version:
+
+    - data files added → 'insert' events (rows minus any position
+      deletes already targeting the file at that version);
+    - data files removed → 'delete' events (rows minus the position
+      deletes at the PREVIOUS version);
+    - fresh position-delete rows targeting still-present files →
+      'row_delete' events with the exact positions;
+    - ``replace`` snapshots (compaction) and metadata-only commits
+      (renames) are NOT logical changes → skipped;
+    - equality deletes gate with a raise: emitting their row images
+      would require a full matching scan (the same scope statement
+      Iceberg's own changelog scan makes).
+
+    Event dicts: {type, version, path, partition, include?, exclude?}
+    — positions are bitmap-scale, the data stays in executor reads."""
+    import pyarrow.parquet as pq
+
+    pos_cache: dict[str, list[tuple[str, int]]] = {}
+
+    def pos_rows(dp: str) -> list[tuple[str, int]]:
+        if dp not in pos_cache:
+            t = pq.read_table(dp, columns=["file_path", "pos"])
+            pos_cache[dp] = [
+                (_norm_path(str(fp), path), int(p))
+                for fp, p in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                )
+            ]
+        return pos_cache[dp]
+
+    def by_target(dels: list[dict]) -> dict[str, set[int]]:
+        out: dict[str, set[int]] = {}
+        for d in dels:
+            if d["content"] == 1:
+                for fp, p in pos_rows(d["path"]):
+                    out.setdefault(fp, set()).add(p)
+        return out
+
+    def state(v: int):
+        if v < 1:
+            return None, {}, []
+        meta = _load_metadata(path, v)
+        _sid, files, deletes = _snapshot_files(path, meta, None, None)
+        return meta, {p: (part, seq) for p, part, seq in files}, deletes
+
+    events: list[dict] = []
+    prev_meta, prev_files, prev_deletes = state(from_version)
+    for v in range(from_version + 1, to_version + 1):
+        meta, files, deletes = state(v)
+        cur_sid = meta.get("current-snapshot-id")
+        prev_sid = (prev_meta or {}).get("current-snapshot-id")
+        if cur_sid == prev_sid or cur_sid in (None, -1):
+            # metadata-only commit (rename, property change)
+            prev_meta, prev_files, prev_deletes = meta, files, deletes
+            continue
+        snap = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}[cur_sid]
+        op = (snap.get("summary") or {}).get("operation", "")
+        prev_del_paths = {d["path"] for d in prev_deletes}
+        if any(
+            d["content"] == 2 and d["path"] not in prev_del_paths
+            for d in deletes
+        ):
+            raise IcebergProtocolError(
+                f"changelog over an equality-delete commit (version {v}) "
+                "is not supported: emitting row images would require a "
+                "matching scan — read the windows on either side"
+            )
+        if op == "replace":
+            # compaction: row content invariant, no logical change
+            prev_meta, prev_files, prev_deletes = meta, files, deletes
+            continue
+        cur_pos = by_target(deletes)
+        prev_pos = by_target(prev_deletes)
+        for p in sorted(files.keys() - prev_files.keys()):
+            part, _seq = files[p]
+            excl = sorted(cur_pos.get(p, ()))
+            events.append({
+                "type": "insert", "version": v, "path": p,
+                "partition": part or {}, "exclude": excl or None,
+            })
+        for p in sorted(prev_files.keys() - files.keys()):
+            part, fseq = prev_files[p]
+            if any(d["content"] == 2 and d["seq"] > fseq
+                   for d in prev_deletes):
+                raise IcebergProtocolError(
+                    f"changelog delete of a file under equality deletes "
+                    f"(version {v}) is not supported — compact first"
+                )
+            events.append({
+                "type": "delete", "version": v, "path": p,
+                "partition": part or {},
+                "exclude": sorted(prev_pos.get(p, ())) or None,
+            })
+        for tgt in sorted(cur_pos):
+            fresh = cur_pos[tgt] - prev_pos.get(tgt, set())
+            if fresh and tgt in files:
+                part, _seq = files[tgt]
+                events.append({
+                    "type": "row_delete", "version": v, "path": tgt,
+                    "partition": part or {}, "include": sorted(fresh),
+                })
+        prev_meta, prev_files, prev_deletes = meta, files, deletes
+    return events
+
+
 def compact_iceberg_table(
     spark: SparkSession, path: str, target_files: int
 ) -> int:

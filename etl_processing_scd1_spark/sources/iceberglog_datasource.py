@@ -235,6 +235,151 @@ class _IceBatchReader(DataSourceReader):
         yield from _read_batches(self.schema_, partition)
 
 
+class _IceCdfPartition(InputPartition):
+    """One data file's contribution to a changelog window:
+    ``include_positions`` set → emit ONLY those rows (a
+    position-delete delta); else the file minus
+    ``exclude_positions``."""
+
+    def __init__(self, file_path: str, partition_values: dict,
+                 change_type: str, commit_version: int,
+                 include_positions: list | None = None,
+                 exclude_positions: list | None = None,
+                 resolve: dict | None = None):
+        self.file_path = file_path
+        self.partition_values = partition_values
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.include_positions = include_positions
+        self.exclude_positions = exclude_positions
+        self.resolve = resolve
+
+
+def _read_ice_cdf_batches(schema: StructType, part: _IceCdfPartition):
+    """Executor-side changelog read: rename-safe column resolution,
+    position filter, table-schema assembly, plus the two constant CDF
+    columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    want = to_arrow_schema(schema)
+    tbl = _resolve_columns(pq.read_table(part.file_path), part.resolve)
+    if part.include_positions is not None:
+        tbl = tbl.take(pa.array(
+            np.asarray(sorted(part.include_positions), dtype=np.int64)
+        ))
+    elif part.exclude_positions:
+        dead = np.asarray(sorted(part.exclude_positions), dtype=np.int64)
+        keep = np.setdiff1d(
+            np.arange(tbl.num_rows, dtype=np.int64), dead, assume_unique=True
+        )
+        tbl = tbl.take(pa.array(keep))
+    n = tbl.num_rows
+    arrays = []
+    for field in want:
+        if field.name == "_change_type":
+            arrays.append(pa.repeat(
+                pa.scalar(part.change_type, type=field.type), n
+            ))
+            continue
+        if field.name == "_commit_version":
+            arrays.append(pa.repeat(
+                pa.scalar(int(part.commit_version), type=field.type), n
+            ))
+            continue
+        if field.name in tbl.column_names:
+            col = tbl.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            raw = part.partition_values.get(field.name)
+            if raw is None:
+                arrays.append(pa.nulls(n, field.type))
+            else:
+                arrays.append(pa.repeat(pa.scalar(raw).cast(field.type), n))
+    yield from pa.table(arrays, schema=want).to_batches(max_chunksize=1 << 16)
+
+
+def _ice_cdf_partitions(path: str, from_v: int, to_v: int) -> list:
+    from .iceberg import _plan_ice_changes
+
+    if to_v < 1:
+        return []
+    end_meta = _load_metadata(path, to_v)
+    resolve = _resolve_map(end_meta)
+    kind = {"insert": "insert", "delete": "delete", "row_delete": "delete"}
+    return [
+        _IceCdfPartition(
+            e["path"], e["partition"], kind[e["type"]], e["version"],
+            e.get("include"), e.get("exclude"), resolve,
+        )
+        for e in _plan_ice_changes(path, from_v, to_v)
+    ]
+
+
+class _IceCdfBatchReader(DataSourceReader):
+    """Batch changelog: ``startingVersion`` (INCLUSIVE metadata
+    version) / ``endingVersion``."""
+
+    def __init__(self, path: str, schema: StructType,
+                 starting: int, ending: int | None):
+        self.path = path
+        self.schema_ = schema
+        self.starting = starting
+        self.ending = ending
+
+    def partitions(self):
+        to_v = (
+            self.ending if self.ending is not None
+            else iceberg_table_version(self.path)
+        )
+        return _ice_cdf_partitions(self.path, self.starting - 1, to_v) \
+            or [_IceCdfPartition("", {}, "", -1)]
+
+    def read(self, partition):
+        if not partition.file_path:
+            return iter(())
+        return _read_ice_cdf_batches(self.schema_, partition)
+
+
+class _IceCdfStreamReader(DataSourceStreamReader):
+    """Streaming changelog: offsets are metadata versions; each micro
+    batch carries its window's per-snapshot changes."""
+
+    def __init__(self, path: str, schema: StructType, starting_version: int):
+        self.path = path
+        self.schema_ = schema
+        self.starting = starting_version
+
+    def initialOffset(self):
+        return {"version": self.starting}
+
+    def latestOffset(self):
+        return {"version": iceberg_table_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        if end["version"] <= start["version"]:
+            return [_IceCdfPartition("", {}, "", -1)]
+        return _ice_cdf_partitions(
+            self.path, start["version"], end["version"]
+        ) or [_IceCdfPartition("", {}, "", -1)]
+
+    def read(self, partition):
+        if not partition.file_path:
+            return iter(())
+        return _read_ice_cdf_batches(self.schema_, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
 class _IceStreamReader(DataSourceStreamReader):
     """Offsets are metadata versions; batch (start, end] = files whose
     manifest entries were ADDED by the snapshots those commits
@@ -331,10 +476,32 @@ class IcebergLogDataSource(DataSource):
         v = self.options.get("versionasof")
         return int(v) if v is not None else None
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readchangefeed", "false")).lower() \
+            == "true"
+
     def schema(self):
-        return _spark_schema(_load_metadata(self._path(), self._version()))
+        base = _spark_schema(_load_metadata(self._path(), self._version()))
+        if self._cdf():
+            from pyspark.sql.types import (
+                LongType, StringType, StructField,
+            )
+
+            return StructType(
+                list(base.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType())]
+            )
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdf():
+            return _IceCdfBatchReader(
+                self._path(), schema,
+                int(self.options.get("startingversion", 1)),
+                int(self.options["endingversion"])
+                if "endingversion" in self.options else None,
+            )
         sid = self.options.get("snapshotid")
         return _IceBatchReader(
             self._path(), schema, self._version(),
@@ -343,6 +510,8 @@ class IcebergLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         starting = int(self.options.get("startingversion", 0))
+        if self._cdf():
+            return _IceCdfStreamReader(self._path(), schema, starting)
         return _IceStreamReader(self._path(), schema, starting)
 
     def writer(self, schema: StructType, overwrite: bool):
