@@ -1533,6 +1533,43 @@ def delta_changes(
     return out
 
 
+def expire_delta_log(spark: SparkSession, path: str, keep_last: int) -> int:
+    """Log retention (Delta's ``logRetentionDuration`` maintenance,
+    version-count flavored): keep the newest ``keep_last`` commit
+    JSONs, make sure a CHECKPOINT captures everything older (written
+    here if absent — the checkpoint replays the full log BEFORE
+    anything is deleted), then delete the older commit JSONs and any
+    now-superseded older checkpoints. Readers of retained versions
+    replay checkpoint + tail exactly as before; TIME TRAVEL TO
+    EXPIRED VERSIONS IS GONE BY DESIGN (that is the storage-reclaim
+    contract — same as Delta's own log cleanup). Returns the number
+    of commit files removed.
+
+    ``vacuum_delta_table`` stays safe after expiry: its keep-set
+    reads checkpoint add paths, so files referenced only through the
+    checkpointed snapshot survive."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(path)
+    if len(versions) <= keep_last:
+        return 0
+    cutoff = versions[-keep_last]  # oldest RETAINED version
+    if _latest_checkpoint_at_or_before(path, cutoff) != cutoff:
+        write_checkpoint(spark, path, cutoff)
+    removed = 0
+    for v in versions:
+        if v < cutoff:
+            os.unlink(_commit_file(path, v))
+            removed += 1
+    # older checkpoints are superseded by the cutoff checkpoint
+    d = _log_dir(path)
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".checkpoint.parquet") and fn[:20].isdigit() \
+                and int(fn[:20]) < cutoff:
+            os.unlink(os.path.join(d, fn))
+    return removed
+
+
 def vacuum_delta_table(
     spark: SparkSession, path: str, retention_hours: float = 168.0
 ) -> list[str]:
@@ -1558,6 +1595,21 @@ def vacuum_delta_table(
             for action in _read_actions(fh):
                 if "add" in action:
                     keep.add(os.path.normpath(action["add"]["path"]))
+    # checkpoints are part of the log: after expire_delta_log the
+    # JSON commits before a checkpoint are GONE, so files referenced
+    # only by the checkpointed snapshot would look unreferenced and
+    # be deleted — read their add paths into the keep-set too
+    log_d = _log_dir(path)
+    if os.path.isdir(log_d):
+        import pyarrow.parquet as pq
+
+        for fn in sorted(os.listdir(log_d)):
+            if not fn.endswith(".checkpoint.parquet"):
+                continue
+            t = pq.read_table(os.path.join(log_d, fn), columns=["add"])
+            for row in t.column("add").to_pylist():
+                if row is not None and row.get("path"):
+                    keep.add(os.path.normpath(row["path"]))
     cutoff = time.time() - retention_hours * 3600.0
     deleted = []
     for root, _dirs, fns in os.walk(path):

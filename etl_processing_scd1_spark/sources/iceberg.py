@@ -1894,6 +1894,52 @@ def compact_iceberg_table(
     return write_iceberg_table(df.coalesce(target_files), path, mode="replace")
 
 
+def vacuum_iceberg_table(path: str, retention_hours: float = 168.0) -> list[str]:
+    """Orphan-file removal (the format's remove_orphan_files
+    maintenance): delete ``data/`` files referenced by NO manifest of
+    ANY snapshot of ANY metadata version — losers of commit races and
+    crashed writers' leftovers. Conservative by construction: the
+    keep-set is the union over every metadata version's every
+    snapshot's data AND delete files (every status), so anything any
+    retained or time-travelable snapshot can read survives. Two
+    writer guards (the reason the real operation has a retention
+    default): ``_staged-*`` directories are never touched, and only
+    files older than ``retention_hours`` (default 7 days) go — an
+    in-flight writer's just-moved file is younger than any sane
+    retention."""
+    keep: set[str] = set()
+    for v in _list_meta_versions(path):
+        meta = json.load(open(_meta_file(path, v)))
+        for snap in meta.get("snapshots", []):
+            ml = _norm_path(snap["manifest-list"], path)
+            if not os.path.exists(ml):
+                continue  # expired-snapshot leftovers in old metadata
+            _, manifests = load_avro(ml)
+            for mf in manifests:
+                mp = _norm_path(mf["manifest_path"], path)
+                if not os.path.exists(mp):
+                    continue
+                _, entries = load_avro(mp)
+                for e in entries:
+                    keep.add(os.path.normpath(
+                        _norm_path(e["data_file"]["file_path"], path)
+                    ))
+    cutoff = time.time() - retention_hours * 3600.0
+    deleted = []
+    for root, _dirs, fns in os.walk(path):
+        segs = os.path.relpath(root, path).split(os.sep)
+        if _META in segs or any(s.startswith("_staged-") for s in segs):
+            continue
+        for fn in fns:
+            if not fn.endswith(".parquet"):
+                continue
+            abs_f = os.path.normpath(os.path.join(root, fn))
+            if abs_f not in keep and os.path.getmtime(abs_f) <= cutoff:
+                os.unlink(abs_f)
+                deleted.append(os.path.relpath(abs_f, path))
+    return sorted(deleted)
+
+
 def expire_snapshots(path: str, keep_last: int) -> int:
     """Snapshot expiry (the maintenance half compaction needs): keep
     the newest ``keep_last`` snapshots, commit a new metadata version

@@ -455,6 +455,49 @@ class TestVacuum:
         assert vacuum_delta_table(spark, path, retention_hours=0.0) == []
         assert os.path.exists(os.path.join(staged, "part-inflight.parquet"))
 
+    def test_log_expiry_then_vacuum_keeps_checkpoint_files(
+        self, spark, tmp_path
+    ):
+        """expire_delta_log removes old commit JSONs behind a
+        checkpoint; vacuum afterwards must NOT delete files whose only
+        remaining reference is that checkpoint (the keep-set reads
+        checkpoint add paths)."""
+        from etl_processing_scd1_spark.sources.delta import (
+            _list_versions,
+            expire_delta_log,
+            vacuum_delta_table,
+        )
+
+        path = str(tmp_path / "exp")
+        for i in range(8):
+            write_delta_table(
+                _df(spark, i * 5, i * 5 + 5), path,
+                mode="append", checkpoint_interval=0,
+            )
+        assert expire_delta_log(spark, path, keep_last=3) == 5
+        assert _list_versions(path) == [5, 6, 7]
+        assert os.path.exists(
+            os.path.join(path, "_delta_log", f"{5:020d}.checkpoint.parquet")
+        )
+        # retained versions replay checkpoint + tail
+        assert read_delta_table(spark, path).count() == 40
+        assert read_delta_table(spark, path, version=5).count() == 30
+        # expired versions are gone by design
+        with pytest.raises(ValueError, match="not in table"):
+            read_delta_table(spark, path, version=2)
+        # the critical interaction: vacuum keep-set must include the
+        # checkpoint's adds — files from commits 0..4 have no JSON
+        # reference anymore
+        assert vacuum_delta_table(spark, path, retention_hours=0.0) == []
+        assert read_delta_table(spark, path).count() == 40
+        # expiry is idempotent / no-op under the threshold
+        assert expire_delta_log(spark, path, keep_last=3) == 0
+        # appends keep working after expiry
+        write_delta_table(_df(spark, 40, 42), path, mode="append")
+        assert read_delta_table(spark, path).count() == 42
+        with pytest.raises(ValueError, match=">= 1"):
+            expire_delta_log(spark, path, keep_last=0)
+
 
 class TestDeltaLogDataSource:
     """Spark-4 Python DataSource API (format('deltalog')) over the

@@ -1129,6 +1129,42 @@ class TestEqualityDeletes:
         assert read_iceberg_table(spark, p2).count() == 5
 
 
+class TestIcebergVacuum:
+    def test_orphans_deleted_referenced_kept(self, spark, tmp_path):
+        """Orphan removal is metadata-reachability based: a planted
+        never-referenced file goes (past retention), every file any
+        snapshot of any metadata version references stays — time
+        travel intact, delete files included."""
+        import glob
+        import shutil
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+            vacuum_iceberg_table,
+        )
+
+        path = str(tmp_path / "ivac")
+        write_iceberg_table(_df(spark, 0, 10), path)
+        write_iceberg_table(_df(spark, 10, 15), path, mode="overwrite")
+        delete_iceberg_rows(spark, path, "k = 11")  # adds a delete file
+        orphan = os.path.join(path, "data", "part-orphan.parquet")
+        real = glob.glob(os.path.join(path, "data", "*.parquet"))[0]
+        shutil.copy(real, orphan)
+        staged = os.path.join(path, "_staged-deadbeef")
+        os.makedirs(staged)
+        shutil.copy(real, os.path.join(staged, "inflight.parquet"))
+        # default retention protects the fresh orphan
+        assert vacuum_iceberg_table(path) == []
+        deleted = vacuum_iceberg_table(path, retention_hours=0.0)
+        assert deleted == [os.path.join("data", "part-orphan.parquet")]
+        assert os.path.exists(os.path.join(staged, "inflight.parquet"))
+        # every snapshot still reads: overwrite's files, v1's files,
+        # and the position-delete file all survived
+        assert read_iceberg_table(spark, path).count() == 4
+        assert read_iceberg_table(spark, path, version=1).count() == 10
+        assert read_iceberg_table(spark, path, version=2).count() == 5
+
+
 class TestIcebergUpdate:
     """update_iceberg_rows: ONE v2 snapshot = position-delete file
     for the matched rows + new data files with the SET expressions
