@@ -131,6 +131,8 @@ HEADLINE = [
     "delta_update_scan",      # UPDATE via DV-kill + re-write
     "iceberg_update_scan",    # UPDATE via pos-delete + re-write
     "iceberg_changelog_scan", # per-snapshot changelog reads
+    "delta_restore_scan",     # RESTORE TO VERSION, DV-aware re-adds
+    "iceberg_rollback_scan",  # rollback_to_snapshot metadata re-point
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

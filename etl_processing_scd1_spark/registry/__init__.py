@@ -53,7 +53,8 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 #   streaming_datasource_write, iceberg_upsert_scan,
 #   delta_column_mapping_scan, delta_cdf_row_level,
 #   streaming_cdf_read, iceberg_rename_scan, delta_merge_scd1,
-#   delta_update_scan, iceberg_update_scan, iceberg_changelog_scan.
+#   delta_update_scan, iceberg_update_scan, iceberg_changelog_scan,
+#   delta_restore_scan, iceberg_rollback_scan.
 PRIMARY = [
     # round-8 additions — first driver check (lakehouse / DataSource /
     # codec / survival / SSSP / product-analytics tier)

@@ -886,6 +886,96 @@ def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_RESTORE_ORACLE = """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE NOT o_orderkey % 11 = 0
+    GROUP BY o_orderpriority
+"""
+
+
+@register("delta_restore_scan", oracle=_DELTA_RESTORE_ORACLE)
+def delta_restore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (``restore_delta_table``): orders
+    lands at v0, a merge-on-read DV DELETE kills every 11th order at
+    v1, an overwrite replaces everything with a tiny subset at v2 —
+    then RESTORE to v1 re-points the file set metadata-only (the
+    re-added file carries v1's deletion vector, no data rewritten).
+    A restore that re-added the files WITHOUT their DVs would
+    resurrect the deleted orders; one that missed the overwrite's
+    removes would union both generations — either fails the hash."""
+    import shutil
+
+    from ..sources.delta import (
+        delete_delta_rows,
+        read_delta_table,
+        restore_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("restore_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    write_delta_table(orders.repartition(2), path)
+    delete_delta_rows(spark, path, "o_orderkey % 11 = 0")
+    write_delta_table(
+        orders.filter(F.col("o_orderkey") % 1000 == 0), path,
+        mode="overwrite",
+    )
+    restore_delta_table(spark, path, 1)
+    got = read_delta_table(spark, path)
+    return got.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_cents").alias("total_cents"),
+    )
+
+
+_ICEBERG_ROLLBACK_ORACLE = """
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("iceberg_rollback_scan", oracle=_ICEBERG_ROLLBACK_ORACLE)
+def iceberg_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK to an earlier snapshot (``rollback_iceberg_table`` —
+    the format's rollback_to_snapshot): nation lands at v1, an
+    overwrite replaces it with one row at v2, then a METADATA-ONLY
+    commit points ``current-snapshot-id`` back at the first snapshot.
+    A reader that planned from the latest snapshot regardless of the
+    rollback (or from a directory listing) would see the one-row
+    overwrite — the per-region hash catches it."""
+    import shutil
+
+    from ..sources.iceberg import (
+        iceberg_snapshots,
+        read_iceberg_table,
+        rollback_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("iceberg_rollback")
+    shutil.rmtree(path, ignore_errors=True)
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_regionkey").cast("long").alias("region")
+    )
+    write_iceberg_table(nation, path)
+    write_iceberg_table(nation.limit(1), path, mode="overwrite")
+    first = iceberg_snapshots(path)[0]["snapshot-id"]
+    rollback_iceberg_table(path, first)
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
 _ICEBERG_RENAME_ORACLE = """
     SELECT c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_rows,

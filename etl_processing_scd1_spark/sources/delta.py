@@ -1533,6 +1533,65 @@ def delta_changes(
     return out
 
 
+def restore_delta_table(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF (Delta's RESTORE command): a
+    NEW commit whose net effect is the target snapshot's file set —
+    removes for files active now but not then, re-adds for files
+    active then but not now (original stats and deletion vectors
+    carried), and remove+re-add where only the DV differs. Metadata-
+    only: no data file is read or written; the restore is itself a
+    version, so history (including the restored-over commits) stays
+    time-travelable. Raises if a target file was already vacuumed.
+    Returns the new version (unchanged when already identical)."""
+    snap_now = _replay(spark, path, None)
+    snap_tgt = _replay(None, path, version)
+    missing = [
+        p for p in snap_tgt.files
+        if not os.path.exists(os.path.join(path, p))
+    ]
+    if missing:
+        raise DeltaProtocolError(
+            f"restore to version {version} references files already "
+            f"vacuumed: {sorted(missing)[:3]}..."
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for p in sorted(set(snap_now.files) - set(snap_tgt.files)):
+        actions.append(
+            {"remove": {"path": p, "deletionTimestamp": now_ms,
+                        "dataChange": True}}
+        )
+    re_add = sorted(set(snap_tgt.files) - set(snap_now.files))
+    for p in sorted(set(snap_tgt.files) & set(snap_now.files)):
+        if snap_now.files[p].get("deletionVector") != \
+                snap_tgt.files[p].get("deletionVector"):
+            actions.append(
+                {"remove": {"path": p, "deletionTimestamp": now_ms,
+                            "dataChange": True}}
+            )
+            re_add.append(p)
+    for p in sorted(re_add):
+        add = dict(snap_tgt.files[p])
+        add["modificationTime"] = now_ms
+        add["dataChange"] = True
+        actions.append({"add": add})
+    if not actions:
+        return snap_now.version
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "engineInfo": "etl-processing-scd1-spark delta restore",
+            }
+        }
+    )
+    new_version = snap_now.version + 1
+    _atomic_commit(path, new_version, actions)
+    return new_version
+
+
 def expire_delta_log(spark: SparkSession, path: str, keep_last: int) -> int:
     """Log retention (Delta's ``logRetentionDuration`` maintenance,
     version-count flavored): keep the newest ``keep_last`` commit

@@ -1894,6 +1894,47 @@ def compact_iceberg_table(
     return write_iceberg_table(df.coalesce(target_files), path, mode="replace")
 
 
+def rollback_iceberg_table(path: str, snapshot_id: int) -> int:
+    """ROLLBACK to an earlier snapshot (the format's
+    rollback_to_snapshot): a METADATA-ONLY commit that points
+    ``current-snapshot-id`` back at ``snapshot_id`` — no manifest or
+    data file touched, every snapshot (including the rolled-over
+    ones) stays in the log and time-travelable; the next append
+    parents off the restored snapshot and carries its manifests.
+    Returns the new metadata version."""
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        if not listed:
+            raise FileNotFoundError(f"not an Iceberg table: {path}")
+        base = listed[-1]
+    prev = _load_metadata(path, base)
+    snaps = {s["snapshot-id"] for s in prev.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table {path} "
+            f"(have {sorted(snaps)})"
+        )
+    now_ms = int(time.time() * 1000)
+    meta = dict(prev)
+    meta.update(
+        {
+            "current-snapshot-id": snapshot_id,
+            "last-updated-ms": now_ms,
+            "snapshot-log": prev.get("snapshot-log", [])
+            + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+            "metadata-log": prev.get("metadata-log", [])
+            + [{"metadata-file": _meta_file(path, base),
+                "timestamp-ms": now_ms}],
+        }
+    )
+    _put_metadata(path, base + 1, meta)
+    return base + 1
+
+
 def vacuum_iceberg_table(path: str, retention_hours: float = 168.0) -> list[str]:
     """Orphan-file removal (the format's remove_orphan_files
     maintenance): delete ``data/`` files referenced by NO manifest of

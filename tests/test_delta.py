@@ -499,6 +499,38 @@ class TestVacuum:
             expire_delta_log(spark, path, keep_last=0)
 
 
+class TestRestore:
+    def test_restore_across_overwrite_and_dv(self, spark, tmp_path):
+        """RESTORE re-points the file set metadata-only: across an
+        overwrite AND across a DV delete (the re-added file carries
+        the TARGET's deletion vector, not the current one); history
+        stays time-travelable and writes continue."""
+        from etl_processing_scd1_spark.sources.delta import (
+            delete_delta_rows,
+            restore_delta_table,
+        )
+
+        path = str(tmp_path / "rst")
+        write_delta_table(_df(spark, 0, 10), path)                    # v0
+        delete_delta_rows(spark, path, "k < 2")                      # v1: 8 rows
+        write_delta_table(_df(spark, 100, 103), path, mode="overwrite")  # v2
+        # restore to the DV state
+        assert restore_delta_table(spark, path, 1) == 3
+        got = read_delta_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == list(range(2, 10))
+        # restore to the pre-delete state: same file, DIFFERENT DV
+        assert restore_delta_table(spark, path, 0) == 4
+        assert read_delta_table(spark, path).count() == 10
+        # the restored-over states remain time-travelable
+        assert read_delta_table(spark, path, version=2).count() == 3
+        assert read_delta_table(spark, path, version=3).count() == 8
+        # no-op restore commits nothing
+        assert restore_delta_table(spark, path, 0) == 4
+        # writing continues on the restored state
+        write_delta_table(_df(spark, 10, 12), path, mode="append")
+        assert read_delta_table(spark, path).count() == 12
+
+
 class TestDeltaLogDataSource:
     """Spark-4 Python DataSource API (format('deltalog')) over the
     transaction log: batch snapshot reads with time travel, partition

@@ -1129,6 +1129,30 @@ class TestEqualityDeletes:
         assert read_iceberg_table(spark, p2).count() == 5
 
 
+class TestIcebergRollback:
+    def test_rollback_and_continue(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            iceberg_snapshots,
+            rollback_iceberg_table,
+        )
+
+        path = str(tmp_path / "rb")
+        write_iceberg_table(_df(spark, 0, 10), path)                  # v1
+        write_iceberg_table(_df(spark, 10, 15), path, mode="append")  # v2
+        write_iceberg_table(_df(spark, 100, 102), path, mode="overwrite")  # v3
+        first = iceberg_snapshots(path)[0]["snapshot-id"]
+        assert rollback_iceberg_table(path, first) == 4
+        got = read_iceberg_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == list(range(10))
+        # rolled-over snapshots stay time-travelable by version
+        assert read_iceberg_table(spark, path, version=3).count() == 2
+        # the next append parents off the restored snapshot
+        write_iceberg_table(_df(spark, 50, 52), path, mode="append")
+        assert read_iceberg_table(spark, path).count() == 12
+        with pytest.raises(ValueError, match="not in table"):
+            rollback_iceberg_table(path, 12345)
+
+
 class TestIcebergVacuum:
     def test_orphans_deleted_referenced_kept(self, spark, tmp_path):
         """Orphan removal is metadata-reachability based: a planted
