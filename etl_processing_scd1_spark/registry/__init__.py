@@ -42,74 +42,71 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 
-# ROUND-9 WINDOW (see docs/ROTATION.md for the full history and the
-# selection rationale): the 14 round-8 additions take their first
-# driver check; the other 36 slots re-confirm the oldest-evidence
-# rows (20 last green in r2/r3, 16 §2-core rows last green in r5).
-#
-# ROUND-10 QUEUE (additions landing after this window froze, in
-# landing order; all oracle-green via tools/check.py when added):
-#   iceberg_v2_pos_delete_scan, delta_dv_scan,
-#   streaming_datasource_write, iceberg_upsert_scan,
-#   delta_column_mapping_scan, delta_cdf_row_level,
-#   streaming_cdf_read, iceberg_rename_scan, delta_merge_scd1,
-#   delta_update_scan, iceberg_update_scan, iceberg_changelog_scan,
-#   delta_restore_scan, iceberg_rollback_scan.
+# ROUND-10 WINDOW (see docs/ROTATION.md for the full history and the
+# selection rationale): the 16 never-driver-checked rows take their
+# first check — the 14-query round-9 queue plus the two DataSource
+# scans whose r9 rows erred on the (now fixed) pushFilters
+# session-portability regression. Green here → cumulative
+# driver-green 233/233. The other 34 slots re-confirm the
+# oldest-evidence rows: the full r5 group (9), the full r6 group
+# (16), and the alphabetically-first 9 of the 47-row r4 backlog
+# (the rest of that backlog queues for round 11).
 PRIMARY = [
-    # round-8 additions — first driver check (lakehouse / DataSource /
-    # codec / survival / SSSP / product-analytics tier)
-    "exact_quantiles_price",
-    "heavy_hitters_exact",
-    "delta_scan",
-    "delta_time_travel",
-    "delta_cdf",
+    # first driver check — lakehouse DML / CDF / evolution tier
+    # (round-9 queue, landing order) + the 2 repaired DataSource scans
     "deltalog_source_scan",
-    "iceberg_scan",
-    "iceberg_time_travel",
     "iceberglog_source_scan",
-    "avro_scan_distributed",
-    "xlsx_scan_distributed",
-    "multimodal_decode_jpeg_progressive",
-    "kaplan_meier_churn",
-    "sssp_bounded_hops",
-    # re-confirmation: oldest driver evidence (last green r2/r3)
-    "add_audit_columns",
-    "analytic_regional_revenue",
-    "analytic_top_orders",
-    "curation_pipeline",
-    "dataset_split",
-    "doc_fingerprint",
-    "full_outer_join",
-    "interval_join",
-    "lang_id_heuristic",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "rollup_agg",
-    "sequence_packing",
-    "set_ops",
-    "simhash_fingerprint",
-    "similarity_ivf",
-    "similarity_lsh",
-    "term_doc_freq",
-    "token_count_bpe",
-    "window_rank_funcs",
-    # re-confirmation: §2-core rows last green r5
-    "parquet_scan",
-    "excel_serial_dates",
-    "full_table_extract",
-    "filename_date_extract",
-    "project_reshape",
-    "nullsafe_diff",
-    "anti_exists",
-    "star_join_chain",
-    "expr_key_join",
-    "fact_append_dedup",
-    "fraud_blacklist_semi",
-    "fraud_expiry_theta",
-    "watermark_max",
-    "groupby_agg",
-    "skew_salted_agg",
-    "exact_dedup",
+    "iceberg_v2_pos_delete_scan",
+    "delta_dv_scan",
+    "streaming_datasource_write",
+    "iceberg_upsert_scan",
+    "delta_column_mapping_scan",
+    "delta_cdf_row_level",
+    "streaming_cdf_read",
+    "iceberg_rename_scan",
+    "delta_merge_scd1",
+    "delta_update_scan",
+    "iceberg_update_scan",
+    "iceberg_changelog_scan",
+    "delta_restore_scan",
+    "iceberg_rollback_scan",
+    # re-confirmation: last green r5
+    "asof_join",
+    "distinct_agg_having",
+    "embedding_near_dup",
+    "ngram_jaccard",
+    "scd1_insert_new",
+    "session_window_agg",
+    "similarity_topk",
+    "text_quality",
+    "tumbling_window_agg",
+    # re-confirmation: last green r6
+    "distinct_agg",
+    "embedding_passthrough",
+    "expr_key_join_replace",
+    "expr_key_join_trim",
+    "having_filter",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_png",
+    "multimodal_resize_bilinear",
+    "multimodal_video_frames",
+    "project_drop",
+    "project_rename",
+    "scd1_delete_missing",
+    "scd1_update_detect",
+    "text_stats",
+    "window_lag_prev",
+    # re-confirmation: first 9 of the r4 backlog
+    "anomaly_zscore",
+    "bloom_membership",
+    "bm25_score",
+    "cardinality_sketch",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "corpus_mixture",
+    "cube_agg",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —

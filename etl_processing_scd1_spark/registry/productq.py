@@ -1344,6 +1344,11 @@ def deltalog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.deltalog_datasource import DeltaLogDataSource
 
     spark.dataSource.register(DeltaLogDataSource)
+    # Defense-in-depth for bare sessions (the driver's): opt in to
+    # Python DataSource pushdown so file-skipping is active here; the
+    # reader() factory ALSO gates pushFilters on this conf, so the
+    # read stays correct even if this set is ever removed.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     path = _delta_dir("ds_scan")
     shutil.rmtree(path, ignore_errors=True)
     nat = table(spark, sf_dir, "nation").select(
@@ -1386,6 +1391,10 @@ def iceberglog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.iceberglog_datasource import IcebergLogDataSource
 
     spark.dataSource.register(IcebergLogDataSource)
+    # Same defense-in-depth as deltalog_source_scan: pushdown is an
+    # opt-in conf; reader() independently degrades to a no-pushdown
+    # reader when it's off.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     path = _delta_dir("ice_ds_scan")
     shutil.rmtree(path, ignore_errors=True)
     nat = table(spark, sf_dir, "nation").select(

@@ -703,6 +703,23 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in snap.schema.fields]
     )
+    # SQL MERGE INTO raises when one target row matches several source
+    # rows; without this probe two same-key source rows would DV-kill
+    # the target row once and insert BOTH, silently duplicating the
+    # key. groupBy treats NULL keys as equal — the same equivalence as
+    # the eqNullSafe match below. Cost: one agg on the (small,
+    # changed-rows-sized) source, short-circuited by limit(1).
+    dup = (
+        source.groupBy(*keys).count().filter(F.col("count") > 1)
+        .limit(1).collect()
+    )
+    if dup:
+        dup_key = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"merge source has duplicate rows for key {dup_key} — "
+            "MERGE requires key-unique sources (dedupe upstream, e.g. "
+            "keep the latest row per key)"
+        )
     if not snap.files:
         return write_delta_table(source, path, mode="append")
     payload = [c for c in cols if c not in keys]
@@ -742,6 +759,29 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
     )
 
 
+def _remove_action(rel: str, add: dict | None, now_ms: int) -> dict:
+    """Spec-compliant ``remove`` for a currently-live add action. The
+    Delta protocol reconciles LOGICAL files by (path,
+    deletionVector.uniqueId) — a remove that names only the path does
+    not retire an add carrying a DV descriptor, so a stock reader
+    would see the old (path, dv1) entry as still live after a second
+    delete/update/merge touches the same file and double-count its
+    surviving rows. Carry the prior add's descriptor (plus the spec's
+    extendedFileMetadata fields) whenever one exists."""
+    remove: dict = {
+        "path": rel,
+        "deletionTimestamp": now_ms,
+        "dataChange": True,
+    }
+    if add and add.get("deletionVector"):
+        remove["extendedFileMetadata"] = True
+        remove["partitionValues"] = add.get("partitionValues") or {}
+        if add.get("size") is not None:
+            remove["size"] = add["size"]
+        remove["deletionVector"] = add["deletionVector"]
+    return remove
+
+
 def _dv_actions(path: str, snap: DeltaSnapshot,
                 per_file_hits: dict[str, list[int]], now_ms: int) -> list[dict]:
     """remove+add action pairs re-committing each hit file with the
@@ -771,10 +811,7 @@ def _dv_actions(path: str, snap: DeltaSnapshot,
         )
     for rel in sorted(per_file):
         add = dict(snap.files[rel])
-        actions.append(
-            {"remove": {"path": rel, "deletionTimestamp": now_ms,
-                        "dataChange": True}}
-        )
+        actions.append({"remove": _remove_action(rel, snap.files[rel], now_ms)})
         add["deletionVector"] = descriptors[rel]
         add["modificationTime"] = now_ms
         add["dataChange"] = True
@@ -1077,15 +1114,7 @@ def write_delta_table(
         cm = snap.column_mapping or {}
         if mode == "overwrite":
             for p, add in sorted(snap.files.items()):
-                actions.append(
-                    {
-                        "remove": {
-                            "path": p,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
+                actions.append({"remove": _remove_action(p, add, now_ms)})
 
     actions.extend(
         {"add": a} for a in _stage_delta_files(df, path, partition_by, cm, now_ms)
@@ -1365,6 +1394,24 @@ def _plan_changes(path: str, from_version: int, to_version: int):
     positions newly dead in that commit (deletion-vector deltas for
     files active at BOTH endpoints)."""
     snap = _replay(None, path, to_version)  # schema + protocol gates
+    # The feed is reconstructed by replaying the window's commit
+    # JSONs; if log retention (expire_delta_log) has removed any of
+    # them, replay would SILENTLY omit those commits' events while
+    # looking like a complete feed — the from_version=-1 (full
+    # history) default is the dangerous path, since _replay satisfies
+    # it from the checkpoint without touching the expired JSONs.
+    # Raise instead (delta-spark likewise refuses CDF past retention).
+    versions = _list_versions(path)
+    first_needed = max(from_version + 1, 0)
+    oldest_retained = versions[0] if versions else 0
+    if first_needed < oldest_retained and to_version >= first_needed:
+        raise DeltaProtocolError(
+            f"change feed from version {from_version} needs commit "
+            f"{first_needed}, but log retention has expired commits "
+            f"below {oldest_retained} — read from "
+            f"startingVersion >= {oldest_retained} or re-baseline from "
+            "a snapshot read"
+        )
     start_snap = (
         _replay(None, path, from_version) if from_version >= 0 else None
     )
@@ -1558,16 +1605,14 @@ def restore_delta_table(spark: SparkSession, path: str, version: int) -> int:
     actions: list[dict] = []
     for p in sorted(set(snap_now.files) - set(snap_tgt.files)):
         actions.append(
-            {"remove": {"path": p, "deletionTimestamp": now_ms,
-                        "dataChange": True}}
+            {"remove": _remove_action(p, snap_now.files[p], now_ms)}
         )
     re_add = sorted(set(snap_tgt.files) - set(snap_now.files))
     for p in sorted(set(snap_tgt.files) & set(snap_now.files)):
         if snap_now.files[p].get("deletionVector") != \
                 snap_tgt.files[p].get("deletionVector"):
             actions.append(
-                {"remove": {"path": p, "deletionTimestamp": now_ms,
-                            "dataChange": True}}
+                {"remove": _remove_action(p, snap_now.files[p], now_ms)}
             )
             re_add.append(p)
     for p in sorted(re_add):

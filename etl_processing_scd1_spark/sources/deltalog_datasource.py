@@ -143,6 +143,30 @@ def filters_to_ranges(filters) -> tuple[dict, list]:
     return ranges, pushed
 
 
+def pushdown_enabled() -> bool:
+    """True iff the ACTIVE session allows Python DataSource filter
+    pushdown. pyspark hard-fails planning with
+    ``[DATA_SOURCE_PUSHDOWN_DISABLED]`` whenever a reader merely
+    OVERRIDES ``DataSourceReader.pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false — and false
+    is the default, so a plain SparkSession (the driver's) would
+    error on the read. Pushdown is an optimization; correctness must
+    never depend on a session conf, so ``reader()`` consults this and
+    hands back a reader class that does NOT override ``pushFilters``
+    when the conf is off (file-skipping is skipped, every file is
+    read, Spark still filters rows — same answer, more IO)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        val = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    except Exception:
+        return False
+    return str(val).lower() == "true"
+
+
 def _hive_eq(value, raw: str):
     """Typed compare of a pushed equality value against a hive
     ``partitionValues`` string. Returns True/False when the compare
@@ -165,19 +189,17 @@ def _hive_eq(value, raw: str):
 
 
 class _DeltaBatchReader(DataSourceReader):
+    """Plain snapshot reader — deliberately does NOT override
+    ``pushFilters``, so it plans on any session regardless of
+    ``spark.sql.python.filterPushdown.enabled`` (see
+    ``pushdown_enabled``). ``_DeltaBatchPushdownReader`` adds the
+    file-skipping path for opted-in sessions."""
+
     def __init__(self, path: str, schema: StructType, version: int | None):
         self.path = path
         self.schema_ = schema
         self.version = version
         self.predicates: dict = {}
-
-    def pushFilters(self, filters):
-        """File-skipping pushdown: comparison filters become stat
-        ranges evaluated against each add-action's ``stats`` and
-        partitionValues at planning time. All filters are returned —
-        skipping is a superset guarantee, Spark still filters rows."""
-        self.predicates, _ = filters_to_ranges(filters)
-        return filters
 
     def partitions(self):
         from .delta import _stats_prune
@@ -219,6 +241,21 @@ class _DeltaBatchReader(DataSourceReader):
 
     def read(self, partition):
         yield from _read_file_batches(self.schema_, partition)
+
+
+class _DeltaBatchPushdownReader(_DeltaBatchReader):
+    """Snapshot reader + planning-time file skipping — only handed
+    out when the active session sets
+    ``spark.sql.python.filterPushdown.enabled`` (overriding
+    ``pushFilters`` on a session without it is a planning ERROR)."""
+
+    def pushFilters(self, filters):
+        """File-skipping pushdown: comparison filters become stat
+        ranges evaluated against each add-action's ``stats`` and
+        partitionValues at planning time. All filters are returned —
+        skipping is a superset guarantee, Spark still filters rows."""
+        self.predicates, _ = filters_to_ranges(filters)
+        return filters
 
 
 class _CdfPartition(InputPartition):
@@ -491,7 +528,11 @@ class DeltaLogDataSource(DataSource):
                 if "endingversion" in self.options else None,
             )
         version = self.options.get("versionasof")
-        return _DeltaBatchReader(
+        cls = (
+            _DeltaBatchPushdownReader if pushdown_enabled()
+            else _DeltaBatchReader
+        )
+        return cls(
             self._path(), schema, int(version) if version is not None else None
         )
 
@@ -657,11 +698,12 @@ class _DeltaWriter(DataSourceArrowWriter):
                 }
             )
         elif self.overwrite:
+            from .delta import _remove_action
+
             snap = _replay(None, self.path, versions[-1])
             for p in sorted(snap.files):
                 actions.append(
-                    {"remove": {"path": p, "deletionTimestamp": now_ms,
-                                "dataChange": True}}
+                    {"remove": _remove_action(p, snap.files[p], now_ms)}
                 )
         for m in messages:
             for rel, size, part, stats in (m.files if m else []):

@@ -1543,6 +1543,25 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
             f"renaming identity-partition source column {old!r} is not "
             "supported (the partition spec and directory layout name it)"
         )
+    # Live EQUALITY-DELETE files store their key columns under the
+    # write-time names, and the readers resolve equality_ids to
+    # CURRENT names before opening them — renaming a live delete key
+    # would make every subsequent scan fail to find the column (the
+    # table becomes unreadable until compaction). Refuse up front;
+    # metadata-scale cost (one manifest walk, no data files touched).
+    old_id = next(int(f["id"]) for f in fields if f["name"] == old)
+    _, _, live_deletes = _snapshot_files(path, prev, None)
+    blockers = sorted(
+        d["path"] for d in live_deletes
+        if d["content"] == 2 and old_id in (d["equality_ids"] or [])
+    )
+    if blockers:
+        raise IcebergProtocolError(
+            f"column {old!r} (field id {old_id}) is an equality-delete "
+            f"key of {len(blockers)} live delete file(s) (e.g. "
+            f"{blockers[0]}); compact the table (rewrite data, drop the "
+            "delete files) before renaming it"
+        )
 
     # name mapping: every field keeps its full name history keyed by
     # field id, so files written under ANY historical name resolve

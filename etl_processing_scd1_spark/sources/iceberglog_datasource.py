@@ -169,6 +169,14 @@ def _read_batches(schema: StructType, part: _IcePartition):
 
 
 class _IceBatchReader(DataSourceReader):
+    """Plain snapshot reader — deliberately does NOT override
+    ``pushFilters`` so it plans on sessions without
+    ``spark.sql.python.filterPushdown.enabled`` (overriding the
+    method there is a planning error — see
+    ``deltalog_datasource.pushdown_enabled``).
+    ``_IceBatchPushdownReader`` adds manifest-bounds skipping for
+    opted-in sessions."""
+
     def __init__(self, path: str, schema: StructType,
                  version: int | None, snapshot_id: int | None):
         self.path = path
@@ -176,17 +184,6 @@ class _IceBatchReader(DataSourceReader):
         self.version = version
         self.snapshot_id = snapshot_id
         self.predicates: dict = {}
-
-    def pushFilters(self, filters):
-        """File-skipping pushdown through the MANIFEST bounds (the
-        format's planning-time pruning): comparison filters become
-        the same ``{col: (lo, hi)}`` ranges ``iceberg_plan_files``
-        takes. All filters are returned for exact row evaluation —
-        bounds skipping is a superset guarantee."""
-        from .deltalog_datasource import filters_to_ranges
-
-        self.predicates, _ = filters_to_ranges(filters)
-        return filters
 
     def partitions(self):
         meta = _load_metadata(self.path, self.version)
@@ -233,6 +230,22 @@ class _IceBatchReader(DataSourceReader):
 
     def read(self, partition):
         yield from _read_batches(self.schema_, partition)
+
+
+class _IceBatchPushdownReader(_IceBatchReader):
+    """Snapshot reader + manifest-bounds file skipping — only handed
+    out when the active session enables Python DataSource pushdown."""
+
+    def pushFilters(self, filters):
+        """File-skipping pushdown through the MANIFEST bounds (the
+        format's planning-time pruning): comparison filters become
+        the same ``{col: (lo, hi)}`` ranges ``iceberg_plan_files``
+        takes. All filters are returned for exact row evaluation —
+        bounds skipping is a superset guarantee."""
+        from .deltalog_datasource import filters_to_ranges
+
+        self.predicates, _ = filters_to_ranges(filters)
+        return filters
 
 
 class _IceCdfPartition(InputPartition):
@@ -503,7 +516,10 @@ class IcebergLogDataSource(DataSource):
                 if "endingversion" in self.options else None,
             )
         sid = self.options.get("snapshotid")
-        return _IceBatchReader(
+        from .deltalog_datasource import pushdown_enabled
+
+        cls = _IceBatchPushdownReader if pushdown_enabled() else _IceBatchReader
+        return cls(
             self._path(), schema, self._version(),
             int(sid) if sid is not None else None,
         )

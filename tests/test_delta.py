@@ -325,6 +325,47 @@ class TestChangeDataFeed:
         assert ch.count() == 0
         assert "_change_type" in ch.columns
 
+    def test_expired_log_window_raises_not_silently_truncates(
+        self, spark, tmp_path
+    ):
+        """CDF over a log head removed by expire_delta_log must raise:
+        replaying from the checkpoint would silently omit the expired
+        commits' insert events while looking like a full-history feed
+        (the from_version=-1 DataSource default was the trap)."""
+        from etl_processing_scd1_spark.sources.delta import (
+            delta_changes,
+            expire_delta_log,
+        )
+
+        path = str(tmp_path / "cdfexp")
+        for i in range(8):
+            write_delta_table(
+                _df(spark, i * 5, i * 5 + 5), path,
+                mode="append", checkpoint_interval=0,
+            )
+        assert expire_delta_log(spark, path, keep_last=3) == 5
+        for bad_start in (-1, 0, 2):
+            with pytest.raises(DeltaProtocolError, match="expired"):
+                delta_changes(spark, path, bad_start)
+        # the retained window still reads fine
+        ch = delta_changes(spark, path, 5)
+        assert sorted(r.k for r in ch.collect()) == list(range(30, 40))
+        assert {r._change_type for r in ch.collect()} == {"insert"}
+        # and the DataSource CDF reader shares the guard
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        with pytest.raises(Exception, match="expired"):
+            (
+                spark.read.format("deltalog")
+                .option("readChangeFeed", "true")
+                .option("startingVersion", 0)
+                .load(path)
+                .collect()
+            )
+
     def test_preexisting_path_removed_then_readded_nets_out(
         self, spark, tmp_path
     ):
@@ -615,7 +656,7 @@ class TestDeltaStatsPruning:
         from etl_processing_scd1_spark.sources.delta import delta_plan_files
         from etl_processing_scd1_spark.sources.deltalog_datasource import (
             DeltaLogDataSource,
-            _DeltaBatchReader,
+            _DeltaBatchPushdownReader,
         )
 
         spark.dataSource.register(DeltaLogDataSource)
@@ -627,7 +668,7 @@ class TestDeltaStatsPruning:
         assert len(delta_plan_files(path)) == 8
         pruned = delta_plan_files(path, predicates={"k": (100, 150)})
         assert 1 <= len(pruned) < 8
-        r = _DeltaBatchReader(path, df.schema, None)
+        r = _DeltaBatchPushdownReader(path, df.schema, None)
         r.pushFilters([GreaterThanOrEqual(("k",), 100),
                        LessThanOrEqual(("k",), 150)])
         assert len(r.partitions()) == len(pruned)
@@ -645,9 +686,9 @@ class TestDeltaStatsPruning:
         # partitionValues equality pruning (no stats for hive columns)
         path2 = str(tmp_path / "pf2")
         write_delta_table(df, path2, partition_by=["part"])
-        r_all = _DeltaBatchReader(path2, df.schema, None)
+        r_all = _DeltaBatchPushdownReader(path2, df.schema, None)
         n_all = len(r_all.partitions())
-        r_eq = _DeltaBatchReader(path2, df.schema, None)
+        r_eq = _DeltaBatchPushdownReader(path2, df.schema, None)
         r_eq.pushFilters([EqualTo(("part",), "2")])
         assert 1 <= len(r_eq.partitions()) < n_all
         got3 = spark.read.format("deltalog").load(path2).filter("part = '2'")
@@ -985,6 +1026,54 @@ class TestDeletionVectors:
         # sees exactly the first delete
         assert read_delta_table(spark, path, version=1).count() == 45
 
+    def test_dv_recommit_remove_carries_prior_descriptor(
+        self, spark, tmp_path
+    ):
+        """Protocol interop: logical files reconcile by (path,
+        deletionVector.uniqueId), so when a second DML touches a file
+        that already carries a DV, the remove action must name the OLD
+        descriptor — a path-only remove leaves the (path, dv1) add
+        live for a stock reader, double-counting its surviving rows."""
+        from etl_processing_scd1_spark.sources.delta import (
+            _commit_file,
+            _read_actions,
+            delete_delta_rows,
+            restore_delta_table,
+        )
+
+        path = str(tmp_path / "dvre")
+        write_delta_table(_df(spark, 0, 20).coalesce(1), path)   # v0
+        assert delete_delta_rows(spark, path, "k < 3") == 1      # v1: dv1
+        with open(_commit_file(path, 1)) as fh:
+            acts = list(_read_actions(fh))
+        dv1 = next(a["add"]["deletionVector"] for a in acts if "add" in a)
+        # v1's remove retires the DV-less v0 add: path-only is correct
+        rem0 = next(a["remove"] for a in acts if "remove" in a)
+        assert "deletionVector" not in rem0
+
+        assert delete_delta_rows(spark, path, "k >= 3 AND k < 5") == 2
+        with open(_commit_file(path, 2)) as fh:
+            acts = list(_read_actions(fh))
+        rem = next(a["remove"] for a in acts if "remove" in a)
+        assert rem["deletionVector"] == dv1
+        assert rem["extendedFileMetadata"] is True
+        assert rem["size"] > 0 and "partitionValues" in rem
+        dv2 = next(a["add"]["deletionVector"] for a in acts if "add" in a)
+        assert sorted(r.k for r in read_delta_table(spark, path).collect()) \
+            == list(range(5, 20))
+
+        # RESTORE's DV-differs leg: the remove retires the CURRENT
+        # (path, dv2) entry, the re-add restores dv1
+        assert restore_delta_table(spark, path, 1) == 3
+        with open(_commit_file(path, 3)) as fh:
+            acts = list(_read_actions(fh))
+        rem = next(a["remove"] for a in acts if "remove" in a)
+        assert rem["deletionVector"] == dv2
+        add = next(a["add"] for a in acts if "add" in a)
+        assert add["deletionVector"] == dv1
+        assert sorted(r.k for r in read_delta_table(spark, path).collect()) \
+            == list(range(3, 20))
+
 
 class TestMergeOnReadDml:
     """update_delta_rows / merge_delta_table: DV-kill + re-insert in
@@ -1057,6 +1146,33 @@ class TestMergeOnReadDml:
         write_delta_table(_df(spark, 0, 0), p2)
         merge_delta_table(spark, _df(spark, 0, 3), p2, ["k"])
         assert read_delta_table(spark, p2).count() == 3
+
+    def test_merge_rejects_duplicate_source_keys(self, spark, tmp_path):
+        """MERGE INTO semantics: multiple source rows matching one
+        target row is an error, not a silent key duplication (two
+        same-key source rows would DV-kill the target once and insert
+        both)."""
+        from etl_processing_scd1_spark.sources.delta import (
+            merge_delta_table,
+        )
+
+        path = str(tmp_path / "mgdup")
+        write_delta_table(_df(spark, 0, 10), path)
+        dup_src = spark.createDataFrame(
+            [(3, 31, "0"), (3, 32, "0"), (4, 41, "1")],
+            "k long, v long, part string",
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            merge_delta_table(spark, dup_src, path, ["k"])
+        # nothing committed, table untouched
+        assert delta_table_version(path) == 0
+        assert read_delta_table(spark, path).count() == 10
+        # NULL keys are one equivalence class too (matches eqNullSafe)
+        null_dup = spark.createDataFrame(
+            [(None, 1, "0"), (None, 2, "0")], "k long, v long, part string"
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            merge_delta_table(spark, null_dup, path, ["k"])
 
     def test_merge_on_column_mapped_table_with_dvs(self, spark, tmp_path):
         from etl_processing_scd1_spark.sources.delta import (

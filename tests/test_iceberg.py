@@ -674,7 +674,7 @@ class TestIcebergSourcePushdown:
 
         from etl_processing_scd1_spark.sources.iceberglog_datasource import (
             IcebergLogDataSource,
-            _IceBatchReader,
+            _IceBatchPushdownReader,
         )
 
         spark.dataSource.register(IcebergLogDataSource)
@@ -683,9 +683,9 @@ class TestIcebergSourcePushdown:
             F.col("id").alias("k"), (F.col("id") * 2).alias("v")
         )
         write_iceberg_table(df.repartitionByRange(8, "k"), path)
-        r_all = _IceBatchReader(path, df.schema, None, None)
+        r_all = _IceBatchPushdownReader(path, df.schema, None, None)
         assert len(r_all.partitions()) == 8
-        r = _IceBatchReader(path, df.schema, None, None)
+        r = _IceBatchPushdownReader(path, df.schema, None, None)
         r.pushFilters([GreaterThanOrEqual(("k",), 100),
                        LessThanOrEqual(("k",), 150)])
         assert 1 <= len(r.partitions()) < 8
@@ -1287,6 +1287,42 @@ class TestRenameEvolution:
         got = read_iceberg_table(spark, path)
         assert got.columns == ["k", "value", "part"]
         assert got.count() == 12
+
+    def test_rename_blocked_on_live_equality_delete_key(
+        self, spark, tmp_path
+    ):
+        """Equality-delete parquet stores key columns under their
+        WRITE-TIME names; renaming a live delete key would make every
+        subsequent scan fail to resolve the delete file. The rename
+        must refuse up front — and work again once compaction retires
+        the delete files."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            compact_iceberg_table,
+            rename_iceberg_column,
+            upsert_iceberg_table,
+        )
+
+        path = str(tmp_path / "rneq")
+        write_iceberg_table(_df(spark, 0, 10), path)
+        src = spark.createDataFrame(
+            [(3, 31, "0"), (10, 100, "1")], "k long, v long, part string"
+        )
+        upsert_iceberg_table(src, path, ["k"])   # live eq-delete on k
+        with pytest.raises(IcebergProtocolError, match="equality-delete"):
+            rename_iceberg_column(path, "k", "key")
+        # non-key columns rename fine with the delete still live
+        v = rename_iceberg_column(path, "v", "val")
+        got = read_iceberg_table(spark, path)
+        assert {r.k: r.val for r in got.collect()}[3] == 31
+        # compaction rewrites data and retires the delete files;
+        # the key rename is legal again
+        compact_iceberg_table(spark, path, 2)
+        v2 = rename_iceberg_column(path, "k", "key")
+        assert v2 > v
+        got = read_iceberg_table(spark, path)
+        assert "key" in got.columns
+        assert {r.key: r.val for r in got.collect()}[10] == 100
+        assert got.count() == 11
 
     def test_foreign_file_resolves_by_parquet_field_id(
         self, spark, tmp_path

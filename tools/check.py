@@ -61,6 +61,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--bare",
+        action="store_true",
+        help="run on a PLAIN SparkSession (no ENGINE_CONF) — the "
+        "driver's exact environment; any query that only passes "
+        "under session.py defaults is a driver-contract bug",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -73,7 +80,22 @@ def main() -> int:
     QUERIES = {**registry.QUERIES, **registry.EXTRA_QUERIES}
     ORACLES = {**registry.ORACLES, **registry.EXTRA_ORACLES}
 
-    spark = get_spark("check")
+    if args.bare:
+        # The driver's environment: a stock builder, nothing from
+        # ENGINE_CONF (no AQE/Arrow/pushdown/timeZone overrides). The
+        # round-9 regression — pushFilters hard-failing without
+        # spark.sql.python.filterPushdown.enabled — only reproduces
+        # here, never under get_spark().
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+        spark = (
+            SparkSession.builder.appName("check-bare").master(master)
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         # driver-generated SFs are single parquet FILES; synthesized
