@@ -389,24 +389,77 @@ class _DeltaCdfBatchReader(DataSourceReader):
         return _read_cdf_batches(self.schema_, partition)
 
 
-class _DeltaCdfStreamReader(DataSourceStreamReader):
+class _RateLimitedOffsets:
+    """``maxVersionsPerBatch`` rate limiting (the ``maxFilesPerTrigger``
+    analog for version-offset sources): ``latestOffset`` advances at
+    most N versions past the newest offset Spark has shown us, so a
+    drain splits into incremental micro-batches instead of one giant
+    batch.
+
+    This is also the supported stand-in for ``Trigger.AvailableNow``:
+    Spark 4.1.2's JVM wrapper for EVERY Python DataSource
+    (``PythonMicroBatchStream``) implements only ``MicroBatchStream``
+    + ``AcceptsLatestSeenOffset`` — not
+    ``SupportsTriggerAvailableNow`` — so availableNow ALWAYS falls
+    back to a single batch up to the start-time latest offset (still
+    exactly-once, just coarse); no Python-side code can change that.
+    Incremental drains here use a short processingTime trigger with
+    this cap and stop when caught up.
+
+    Restart safety: capping from a base BELOW the checkpointed
+    offset would re-plan already-committed versions and replay data,
+    and the runner protocol never calls ``initialOffset`` on restart.
+    But ``PythonMicroBatchStream`` implements
+    ``AcceptsLatestSeenOffset`` by forwarding the restored offset as
+    a degenerate ``partitions(restored, restored)`` call before the
+    first ``latestOffset`` — so ``partitions`` ratchets the base to
+    the restored offset (the base only ever moves FORWARD), and the
+    construction-time seed of ``startingVersion`` is safe on both
+    fresh starts and restarts."""
+
+    def _init_rate_limit(self, max_per_batch: int | None,
+                         starting: int) -> None:
+        if max_per_batch is not None and int(max_per_batch) < 1:
+            raise ValueError("maxVersionsPerBatch must be >= 1")
+        self._max_per_batch = (
+            int(max_per_batch) if max_per_batch is not None else None
+        )
+        self._offset_base: int | None = int(starting)
+
+    def _advance_base(self, version: int) -> None:
+        if self._offset_base is None or version > self._offset_base:
+            self._offset_base = int(version)
+
+    def _capped(self, current: int) -> int:
+        if self._max_per_batch is None or self._offset_base is None:
+            return current
+        return min(current, self._offset_base + self._max_per_batch)
+
+
+class _DeltaCdfStreamReader(_RateLimitedOffsets, DataSourceStreamReader):
     """Streaming change feed: offsets are log versions; each micro
     batch carries the window's row-level changes (file adds as
     inserts, DV deltas as row deletes) — the ``readChangeFeed``
     stream contract, checkpoint-resumed."""
 
-    def __init__(self, path: str, schema: StructType, starting_version: int):
+    def __init__(self, path: str, schema: StructType, starting_version: int,
+                 max_per_batch: int | None = None):
         self.path = path
         self.schema_ = schema
         self.starting = starting_version
+        self._init_rate_limit(max_per_batch, starting_version)
 
     def initialOffset(self):
+        self._advance_base(self.starting)
         return {"version": self.starting}
 
     def latestOffset(self):
-        return {"version": delta_table_version(self.path)}
+        v = self._capped(delta_table_version(self.path))
+        self._advance_base(v)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
+        self._advance_base(end["version"])
         if end["version"] <= start["version"]:
             return [_CdfPartition("", {}, "", -1)]
         return _cdf_partitions(self.path, start["version"], end["version"]) \
@@ -424,25 +477,31 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
         pass
 
 
-class _DeltaStreamReader(DataSourceStreamReader):
+class _DeltaStreamReader(_RateLimitedOffsets, DataSourceStreamReader):
     """Offsets are log versions: batch (start, end] = files ADDED by
     those commits. Structured Streaming persists the offsets in its
     checkpoint, which is what makes restart/replay exactly-once."""
 
-    def __init__(self, path: str, schema: StructType, starting_version: int):
+    def __init__(self, path: str, schema: StructType, starting_version: int,
+                 max_per_batch: int | None = None):
         self.path = path
         self.schema_ = schema
         self.starting = starting_version
+        self._init_rate_limit(max_per_batch, starting_version)
 
     def initialOffset(self):
+        self._advance_base(self.starting)
         return {"version": self.starting}
 
     def latestOffset(self):
-        return {"version": delta_table_version(self.path)}
+        v = self._capped(delta_table_version(self.path))
+        self._advance_base(v)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         from .delta import _commit_file, _read_actions
 
+        self._advance_base(end["version"])
         if end["version"] > start["version"]:
             cm = _replay(None, self.path, end["version"]).column_mapping
         else:
@@ -489,7 +548,10 @@ class DeltaLogDataSource(DataSource):
     ``path`` (required), ``versionAsOf`` (batch time travel),
     ``startingVersion`` (stream start; default −1 = from the
     beginning, i.e. the first batch carries the current snapshot's
-    whole history of adds)."""
+    whole history of adds), ``maxVersionsPerBatch`` (stream rate
+    limit — see ``_RateLimitedOffsets``; also the incremental-drain
+    stand-in for availableNow, which Spark's Python DataSource
+    wrapper downgrades to a single batch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -538,9 +600,11 @@ class DeltaLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         starting = int(self.options.get("startingversion", -1))
+        mvb = self.options.get("maxversionsperbatch")
+        mvb = int(mvb) if mvb is not None else None
         if self._cdf():
-            return _DeltaCdfStreamReader(self._path(), schema, starting)
-        return _DeltaStreamReader(self._path(), schema, starting)
+            return _DeltaCdfStreamReader(self._path(), schema, starting, mvb)
+        return _DeltaStreamReader(self._path(), schema, starting, mvb)
 
     def _writer_partitioning(self, schema: StructType) -> list[str]:
         """Validate a write against the log BEFORE executors write a

@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from .avro import load_avro
+from .deltalog_datasource import _RateLimitedOffsets
 from .iceberg import (
     _field_names_by_id,
     _load_metadata,
@@ -359,22 +360,28 @@ class _IceCdfBatchReader(DataSourceReader):
         return _read_ice_cdf_batches(self.schema_, partition)
 
 
-class _IceCdfStreamReader(DataSourceStreamReader):
+class _IceCdfStreamReader(_RateLimitedOffsets, DataSourceStreamReader):
     """Streaming changelog: offsets are metadata versions; each micro
     batch carries its window's per-snapshot changes."""
 
-    def __init__(self, path: str, schema: StructType, starting_version: int):
+    def __init__(self, path: str, schema: StructType, starting_version: int,
+                 max_per_batch: int | None = None):
         self.path = path
         self.schema_ = schema
         self.starting = starting_version
+        self._init_rate_limit(max_per_batch, starting_version)
 
     def initialOffset(self):
+        self._advance_base(self.starting)
         return {"version": self.starting}
 
     def latestOffset(self):
-        return {"version": iceberg_table_version(self.path)}
+        v = self._capped(iceberg_table_version(self.path))
+        self._advance_base(v)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
+        self._advance_base(end["version"])
         if end["version"] <= start["version"]:
             return [_IceCdfPartition("", {}, "", -1)]
         return _ice_cdf_partitions(
@@ -393,24 +400,30 @@ class _IceCdfStreamReader(DataSourceStreamReader):
         pass
 
 
-class _IceStreamReader(DataSourceStreamReader):
+class _IceStreamReader(_RateLimitedOffsets, DataSourceStreamReader):
     """Offsets are metadata versions; batch (start, end] = files whose
     manifest entries were ADDED by the snapshots those commits
     created. Structured Streaming's checkpoint persists the offsets —
     restart resumes at the committed version."""
 
-    def __init__(self, path: str, schema: StructType, starting_version: int):
+    def __init__(self, path: str, schema: StructType, starting_version: int,
+                 max_per_batch: int | None = None):
         self.path = path
         self.schema_ = schema
         self.starting = starting_version
+        self._init_rate_limit(max_per_batch, starting_version)
 
     def initialOffset(self):
+        self._advance_base(self.starting)
         return {"version": self.starting}
 
     def latestOffset(self):
-        return {"version": iceberg_table_version(self.path)}
+        v = self._capped(iceberg_table_version(self.path))
+        self._advance_base(v)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
+        self._advance_base(end["version"])
         if end["version"] <= start["version"]:
             return [_IcePartition("", {})]
         end_meta = _load_metadata(self.path, end["version"])
@@ -473,7 +486,10 @@ class IcebergLogDataSource(DataSource):
     """``format("iceberglog")`` — see module docstring. Options:
     ``path`` (required); batch: ``versionAsOf`` (metadata version),
     ``snapshotId``; streaming: ``startingVersion`` (default 0 = from
-    the beginning — the first batch carries every snapshot's adds)."""
+    the beginning — the first batch carries every snapshot's adds)
+    and ``maxVersionsPerBatch`` (rate limit / incremental-drain
+    stand-in for availableNow — see
+    ``deltalog_datasource._RateLimitedOffsets``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -526,9 +542,11 @@ class IcebergLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         starting = int(self.options.get("startingversion", 0))
+        mvb = self.options.get("maxversionsperbatch")
+        mvb = int(mvb) if mvb is not None else None
         if self._cdf():
-            return _IceCdfStreamReader(self._path(), schema, starting)
-        return _IceStreamReader(self._path(), schema, starting)
+            return _IceCdfStreamReader(self._path(), schema, starting, mvb)
+        return _IceStreamReader(self._path(), schema, starting, mvb)
 
     def writer(self, schema: StructType, overwrite: bool):
         part = self.options.get("partitionby")

@@ -639,6 +639,82 @@ class TestDeltaLogDataSource:
         drain(got3)
         assert [ks for ks in got3 if ks] == []
 
+    def test_rate_limited_drain_one_micro_batch_per_version(
+        self, registered, tmp_path
+    ):
+        """maxVersionsPerBatch=1 splits a drain into one micro-batch
+        per commit — the incremental-batching contract availableNow
+        cannot provide for Python DataSources (Spark's
+        PythonMicroBatchStream lacks SupportsTriggerAvailableNow, so
+        availableNow always downgrades to a single batch)."""
+        import time
+
+        spark = registered
+        path = str(tmp_path / "rl")
+        write_delta_table(_df(spark, 0, 5).coalesce(1), path)              # v0
+        write_delta_table(
+            _df(spark, 5, 10).coalesce(1), path, mode="append"
+        )                                                                  # v1
+        batches: list = []
+        q = (
+            spark.readStream.format("deltalog")
+            .option("maxVersionsPerBatch", "1")
+            .load(path)
+            .writeStream.foreachBatch(
+                lambda b, bid: batches.append(
+                    (bid, sorted(r.k for r in b.collect()))
+                )
+            )
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", str(tmp_path / "rlck"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and \
+                    sum(len(ks) for _, ks in batches) < 10:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        fed = [(bid, ks) for bid, ks in batches if ks]
+        # TWO micro-batches, one commit each, in commit order
+        assert [ks for _, ks in fed] == [list(range(5)), list(range(5, 10))]
+        assert fed[0][0] < fed[1][0]
+
+        # RESTART under the cap: the restored offset reaches the
+        # reader as a degenerate partitions(restored, restored) call
+        # (PythonMicroBatchStream.setLatestSeenOffset), re-seeding the
+        # cap base — no committed version is re-planned, no replay.
+        write_delta_table(
+            _df(spark, 10, 15).coalesce(1), path, mode="append"
+        )                                                              # v2
+        write_delta_table(
+            _df(spark, 15, 20).coalesce(1), path, mode="append"
+        )                                                              # v3
+        batches2: list = []
+        q = (
+            spark.readStream.format("deltalog")
+            .option("maxVersionsPerBatch", "1")
+            .load(path)
+            .writeStream.foreachBatch(
+                lambda b, bid: batches2.append(
+                    (bid, sorted(r.k for r in b.collect()))
+                )
+            )
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", str(tmp_path / "rlck"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and \
+                    sum(len(ks) for _, ks in batches2) < 10:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        fed2 = [ks for _, ks in batches2 if ks]
+        assert fed2 == [list(range(10, 15)), list(range(15, 20))]
+
 
 class TestDeltaStatsPruning:
     def test_plan_files_and_reader_pushdown(self, spark, tmp_path):

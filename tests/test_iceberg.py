@@ -661,6 +661,46 @@ class TestIcebergLogDataSource:
         assert sorted(k for ks in drain() for k in ks) == list(range(10, 18))
         assert drain() == []
 
+    def test_rate_limited_drain_one_micro_batch_per_version(
+        self, registered, tmp_path
+    ):
+        """maxVersionsPerBatch=1: one micro-batch per metadata version
+        — the incremental-drain stand-in for availableNow (Spark's
+        Python DataSource wrapper downgrades availableNow to a single
+        batch; see deltalog_datasource._RateLimitedOffsets)."""
+        import time
+
+        spark = registered
+        path = str(tmp_path / "irl")
+        write_iceberg_table(_df(spark, 0, 5).coalesce(1), path)       # v1
+        write_iceberg_table(
+            _df(spark, 5, 10).coalesce(1), path, mode="append"
+        )                                                             # v2
+        batches: list = []
+        q = (
+            spark.readStream.format("iceberglog")
+            .option("maxVersionsPerBatch", "1")
+            .load(path)
+            .writeStream.foreachBatch(
+                lambda b, bid: batches.append(
+                    (bid, sorted(r.k for r in b.collect()))
+                )
+            )
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", str(tmp_path / "irlck"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and \
+                    sum(len(ks) for _, ks in batches) < 10:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        fed = [(bid, ks) for bid, ks in batches if ks]
+        assert [ks for _, ks in fed] == [list(range(5)), list(range(5, 10))]
+        assert fed[0][0] < fed[1][0]
+
 
 class TestIcebergSourcePushdown:
     def test_manifest_bounds_pushdown(self, spark, tmp_path):
