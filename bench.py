@@ -133,6 +133,8 @@ HEADLINE = [
     "iceberg_changelog_scan", # per-snapshot changelog reads
     "delta_restore_scan",     # RESTORE TO VERSION, DV-aware re-adds
     "iceberg_rollback_scan",  # rollback_to_snapshot metadata re-point
+    # round-10 additions
+    "delta_column_mapping_id_scan",  # id-mode mapping, field-id reads
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -599,6 +599,64 @@ def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_CM_ID_ORACLE = """
+    SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(
+               CAST(round(s_acctbal * 100) AS BIGINT)
+               + CASE WHEN s_suppkey % 7 = 0 THEN 1000 ELSE 0 END
+           ) AS BIGINT) AS acctbal_cents
+    FROM supplier
+    WHERE NOT s_suppkey % 11 = 0
+    GROUP BY s_nationkey
+"""
+
+
+@register("delta_column_mapping_id_scan", oracle=_DELTA_CM_ID_ORACLE)
+def delta_column_mapping_id_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING, id mode (PROTOCOL.md §Column Mapping —
+    the mode foreign writers default to on evolved tables): supplier
+    lands in a table created with ``column_mapping='id'``, so besides
+    the uuid physical names every parquet footer carries the field's
+    ``delta.columnMapping.id`` as its parquet field id (stamped
+    through Spark's ``parquet.field.id`` column metadata). A
+    merge-on-read UPDATE and a DV DELETE run with logical predicates,
+    then the read goes through ``format("deltalog")`` whose executor
+    tasks resolve each file's columns BY FOOTER FIELD ID — the spec's
+    id-mode match rule, proven against foreign-named files in
+    ``tests/test_delta.py::TestColumnMappingIdMode``
+    (``sources/delta.py``, ``sources/deltalog_datasource.py``)."""
+    import shutil
+
+    from ..sources.delta import (
+        delete_delta_rows,
+        update_delta_rows,
+        write_delta_table,
+    )
+    from ..sources.deltalog_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    path = _delta_dir("column_mapping_id")
+    shutil.rmtree(path, ignore_errors=True)
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_delta_table(sup, path, column_mapping="id")
+    update_delta_rows(
+        spark, path, "s_suppkey % 7 = 0",
+        {"acctbal_cents": "acctbal_cents + 1000"},
+    )
+    delete_delta_rows(spark, path, "s_suppkey % 11 = 0")
+    got = spark.read.format("deltalog").load(path)
+    return got.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("acctbal_cents").alias("acctbal_cents"),
+    )
+
+
 _DELTA_CDF_ROW_ORACLE = """
     WITH base AS (
         SELECT c_custkey AS k,

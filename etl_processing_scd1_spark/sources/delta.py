@@ -130,9 +130,11 @@ class DeltaSnapshot:
     @property
     def column_mapping(self) -> dict[str, str] | None:
         """logical → physical column names when
-        ``delta.columnMapping.mode=name`` (PROTOCOL.md §Column
-        Mapping: parquet files, ``partitionValues`` keys, and stats
-        all use the physical names), else None."""
+        ``delta.columnMapping.mode`` is ``name`` or ``id``
+        (PROTOCOL.md §Column Mapping: parquet files,
+        ``partitionValues`` keys, and stats all use the physical
+        names in BOTH modes — the mode changes which key a reader
+        must MATCH files by, name vs parquet field id), else None."""
         mode = (self.metadata.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
@@ -144,6 +146,20 @@ class DeltaSnapshot:
             out[f["name"]] = md.get(
                 "delta.columnMapping.physicalName", f["name"]
             )
+        return out
+
+    @property
+    def column_mapping_ids(self) -> dict[str, int] | None:
+        """logical name → ``delta.columnMapping.id`` (the field id
+        stamped into parquet footers; the authoritative match key in
+        id mode), else None when unmapped."""
+        if self.column_mapping is None:
+            return None
+        out = {}
+        for f in json.loads(self.metadata["schemaString"])["fields"]:
+            md = f.get("metadata") or {}
+            if "delta.columnMapping.id" in md:
+                out[f["name"]] = int(md["delta.columnMapping.id"])
         return out
 
     def to_physical(self, predicates: dict | None) -> dict | None:
@@ -253,12 +269,10 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
     cm_mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if cm_mode not in ("none", "name"):
-        # 'id' mode matches by parquet field id, which Spark's
-        # name-based parquet reader cannot express — gate loudly
+    if cm_mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
             f"column mapping mode {cm_mode!r} not supported "
-            "(modes: none, name)"
+            "(modes: none, name, id)"
         )
     return DeltaSnapshot(target, metadata, protocol, files, app_versions)
 
@@ -605,9 +619,13 @@ def _commit_dml(spark: SparkSession, path: str, snap: DeltaSnapshot,
         _dv_actions(path, snap, per_file_hits, now_ms) if per_file_hits else []
     )
     if insert_df is not None:
+        id_mode = (snap.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "id"
         adds = _stage_delta_files(
             insert_df, path, snap.partition_columns,
             snap.column_mapping or {}, now_ms,
+            (snap.column_mapping_ids or {}) if id_mode else None,
         )
         for a in adds:
             if json.loads(a["stats"])["numRecords"] == 0:
@@ -1054,23 +1072,32 @@ def write_delta_table(
     with PROTOCOL.md §Column Mapping name-mode: every field gets a
     ``delta.columnMapping.id`` and a uuid ``physicalName``, parquet
     files / partition directories / stats use the physical names,
-    and the protocol advances to (2, 5). Appends to a mapped table
-    inherit the mapping automatically (the incoming DataFrame keeps
-    using logical names)."""
+    and the protocol advances to (2, 5). ``column_mapping='id'``
+    additionally stamps each field's mapping id into the parquet
+    footers as the field id (Spark's writer does this from the
+    ``parquet.field.id`` column metadata), the match key id-mode
+    readers resolve columns by — the mode foreign Delta writers
+    default to on evolved tables. Appends to a mapped table inherit
+    the mapping automatically (the incoming DataFrame keeps using
+    logical names)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
-    if column_mapping not in ("none", "name"):
-        raise ValueError(f"column_mapping must be 'none' or 'name', got {column_mapping!r}")
+    if column_mapping not in ("none", "name", "id"):
+        raise ValueError(
+            f"column_mapping must be 'none', 'name' or 'id', "
+            f"got {column_mapping!r}"
+        )
     spark = df.sparkSession
     versions = _list_versions(path)
     new_version = (versions[-1] + 1) if versions else 0
     now_ms = int(time.time() * 1000)
 
     cm: dict[str, str] = {}  # logical -> physical (empty: unmapped)
+    cm_ids: dict[str, int] = {}  # logical -> field id (id mode stamps)
     actions: list[dict] = []
     prev_meta: dict | None = None
     if not versions:
-        if column_mapping == "name":
+        if column_mapping in ("name", "id"):
             fields = []
             for i, f in enumerate(df.schema.fields, start=1):
                 fj = f.jsonValue()
@@ -1082,12 +1109,15 @@ def write_delta_table(
                 }
                 fields.append(fj)
                 cm[f.name] = phys
+                cm_ids[f.name] = i
             schema_string = json.dumps({"type": "struct", "fields": fields})
             configuration = {
-                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.mode": column_mapping,
                 "delta.columnMapping.maxColumnId": str(len(fields)),
             }
             protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+            if column_mapping != "id":
+                cm_ids = {}
         else:
             schema_string = df.schema.json()
             configuration = {}
@@ -1112,12 +1142,17 @@ def write_delta_table(
         prev_meta = snap.metadata
         partition_by = partition_by or snap.partition_columns
         cm = snap.column_mapping or {}
+        if (snap.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "id":
+            cm_ids = snap.column_mapping_ids or {}
         if mode == "overwrite":
             for p, add in sorted(snap.files.items()):
                 actions.append({"remove": _remove_action(p, add, now_ms)})
 
     actions.extend(
-        {"add": a} for a in _stage_delta_files(df, path, partition_by, cm, now_ms)
+        {"add": a} for a in
+        _stage_delta_files(df, path, partition_by, cm, now_ms, cm_ids)
     )
     if txn is not None:
         actions.append(
@@ -1148,7 +1183,8 @@ def write_delta_table(
 
 def _stage_delta_files(df: DataFrame, path: str,
                        partition_by: list[str] | None,
-                       cm: dict[str, str], now_ms: int) -> list[dict]:
+                       cm: dict[str, str], now_ms: int,
+                       cm_ids: dict[str, int] | None = None) -> list[dict]:
     """Stage ``df`` with Spark's distributed writer under a unique
     prefix, then MOVE the parquet files into the table's standard
     layout (partition dirs at the root, unique file names) —
@@ -1156,7 +1192,11 @@ def _stage_delta_files(df: DataFrame, path: str,
     unreferenced files (Delta's own orphan semantics). Returns one
     add-action dict per written file (partitionValues + footer
     stats). Column-mapped tables (``cm`` non-empty) write PHYSICAL
-    column names and directory keys."""
+    column names and directory keys; id-mode tables (``cm_ids``)
+    additionally stamp each column's mapping id into the parquet
+    footer via the ``parquet.field.id`` metadata Spark's writer
+    honors (``spark.sql.parquet.fieldId.write.enabled``, default
+    on) — the match key the spec requires id-mode readers to use."""
     stage_abs = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
     staged = df
     if cm:
@@ -1168,7 +1208,15 @@ def _stage_delta_files(df: DataFrame, path: str,
                 "tables is not implemented)"
             )
         staged = df.select(
-            *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
+            *[
+                F.col(c).alias(
+                    cm.get(c, c),
+                    metadata={"parquet.field.id": cm_ids[c]},
+                )
+                if cm_ids and c in cm_ids
+                else F.col(c).alias(cm.get(c, c))
+                for c in df.columns
+            ]
         )
     phys_parts = [cm.get(c, c) for c in (partition_by or [])]
     writer = staged.write.mode("overwrite")

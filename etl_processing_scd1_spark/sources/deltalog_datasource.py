@@ -46,15 +46,55 @@ from .delta import _replay, delta_table_version
 class _FilePartition(InputPartition):
     def __init__(self, file_path: str, partition_values: dict,
                  delete_positions: list | None = None,
-                 column_mapping: dict | None = None):
+                 column_mapping: dict | None = None,
+                 field_ids: dict | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         # deletion vector: dead row indexes of THIS file, decoded
         # driver-side at planning, shipped per partition
         self.delete_positions = delete_positions
-        # column mapping (name mode): logical -> physical names; the
-        # file's columns and partitionValues keys are physical
+        # column mapping (name/id mode): logical -> physical names;
+        # the file's columns and partitionValues keys are physical
         self.column_mapping = column_mapping
+        # id mode only: logical -> delta.columnMapping.id — files are
+        # matched by parquet footer field id FIRST (the spec's id-mode
+        # rule; physicalName is the fallback for id-less files)
+        self.field_ids = field_ids
+
+
+def _snap_field_ids(snap) -> dict | None:
+    """logical -> field id, ONLY for id-mode tables (the spec scopes
+    field-id matching to mode=id; name mode matches physical names
+    even when ids are present in the footers)."""
+    mode = (snap.metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    return snap.column_mapping_ids if mode == "id" else None
+
+
+def _fid_to_column(tbl) -> dict[int, str]:
+    """parquet field id → column name from an Arrow table's schema
+    metadata (pyarrow surfaces the footer ids as
+    ``PARQUET:field_id``)."""
+    out: dict[int, str] = {}
+    for f in tbl.schema:
+        v = (f.metadata or {}).get(b"PARQUET:field_id")
+        if v is not None:
+            try:
+                out[int(v)] = f.name
+            except ValueError:
+                pass
+    return out
+
+
+def _physical_column(field_name: str, part, fid_to_col: dict) -> str:
+    """The file column holding logical ``field_name``: field-id match
+    first (id mode), then the mapped physical name, then the logical
+    name itself."""
+    fids = getattr(part, "field_ids", None)
+    if fids and field_name in fids and fids[field_name] in fid_to_col:
+        return fid_to_col[fids[field_name]]
+    return (part.column_mapping or {}).get(field_name, field_name)
 
 
 def _read_file_batches(schema: StructType, part: _FilePartition):
@@ -69,8 +109,9 @@ def _read_file_batches(schema: StructType, part: _FilePartition):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     want = to_arrow_schema(schema)
-    cm = part.column_mapping or {}
     tbl = pq.read_table(part.file_path)
+    fid_to_col = _fid_to_column(tbl) if getattr(part, "field_ids", None) \
+        else {}
     if part.delete_positions:
         import numpy as np
 
@@ -82,7 +123,7 @@ def _read_file_batches(schema: StructType, part: _FilePartition):
     n = tbl.num_rows
     arrays = []
     for field in want:
-        phys = cm.get(field.name, field.name)
+        phys = _physical_column(field.name, part, fid_to_col)
         if phys in tbl.column_names:
             col = tbl.column(phys)
             if col.type != field.type:
@@ -234,6 +275,7 @@ class _DeltaBatchReader(DataSourceReader):
                 read_deletion_vector(self.path, add["deletionVector"])
                 if add.get("deletionVector") else None,
                 snap.column_mapping,
+                _snap_field_ids(snap),
             )
             for p, add in sorted(snap.files.items())
             if not _stats_prune(add, preds) and not part_prune(add)
@@ -268,7 +310,8 @@ class _CdfPartition(InputPartition):
                  change_type: str, commit_version: int,
                  include_positions: list | None = None,
                  exclude_positions: list | None = None,
-                 column_mapping: dict | None = None):
+                 column_mapping: dict | None = None,
+                 field_ids: dict | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         self.change_type = change_type
@@ -276,6 +319,7 @@ class _CdfPartition(InputPartition):
         self.include_positions = include_positions
         self.exclude_positions = exclude_positions
         self.column_mapping = column_mapping
+        self.field_ids = field_ids
 
 
 def _read_cdf_batches(schema: StructType, part: _CdfPartition):
@@ -289,8 +333,9 @@ def _read_cdf_batches(schema: StructType, part: _CdfPartition):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     want = to_arrow_schema(schema)
-    cm = part.column_mapping or {}
     tbl = pq.read_table(part.file_path)
+    fid_to_col = _fid_to_column(tbl) if getattr(part, "field_ids", None) \
+        else {}
     if part.include_positions is not None:
         tbl = tbl.take(pa.array(
             np.asarray(sorted(part.include_positions), dtype=np.int64)
@@ -314,7 +359,7 @@ def _read_cdf_batches(schema: StructType, part: _CdfPartition):
                 pa.scalar(int(part.commit_version), type=field.type), n
             ))
             continue
-        phys = cm.get(field.name, field.name)
+        phys = _physical_column(field.name, part, fid_to_col)
         if phys in tbl.column_names:
             col = tbl.column(phys)
             if col.type != field.type:
@@ -340,6 +385,7 @@ def _cdf_partitions(path: str, from_v: int, to_v: int) -> list:
         path, from_v, to_v
     )
     cm = snap.column_mapping
+    fids = _snap_field_ids(snap)
     parts = []
     for files, change, src, dv_src in (
         (added, "insert", snap, snap),
@@ -351,7 +397,7 @@ def _cdf_partitions(path: str, from_v: int, to_v: int) -> list:
             parts.append(_CdfPartition(
                 os.path.join(path, p),
                 add.get("partitionValues") or {},
-                change, v, None, sorted(excl) if excl else None, cm,
+                change, v, None, sorted(excl) if excl else None, cm, fids,
             ))
     for v, per_path in sorted(row_dels.items()):
         for p, poss in sorted(per_path.items()):
@@ -359,7 +405,7 @@ def _cdf_partitions(path: str, from_v: int, to_v: int) -> list:
             parts.append(_CdfPartition(
                 os.path.join(path, p),
                 add.get("partitionValues") or {},
-                "delete", v, sorted(poss), None, cm,
+                "delete", v, sorted(poss), None, cm, fids,
             ))
     return parts
 
@@ -503,9 +549,10 @@ class _DeltaStreamReader(_RateLimitedOffsets, DataSourceStreamReader):
 
         self._advance_base(end["version"])
         if end["version"] > start["version"]:
-            cm = _replay(None, self.path, end["version"]).column_mapping
+            snap = _replay(None, self.path, end["version"])
+            cm, fids = snap.column_mapping, _snap_field_ids(snap)
         else:
-            cm = None
+            cm, fids = None, None
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
             f = _commit_file(self.path, v)
@@ -525,6 +572,7 @@ class _DeltaStreamReader(_RateLimitedOffsets, DataSourceStreamReader):
                                 action["add"].get("partitionValues") or {},
                                 None,
                                 cm,
+                                fids,
                             )
                         )
         # Structured Streaming requires >= 1 partition per batch; an

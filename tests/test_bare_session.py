@@ -42,6 +42,7 @@ DATASOURCE_QUERIES = [
     "streaming_datasource_write",
     "streaming_cdf_read",
     "iceberg_changelog_scan",
+    "delta_column_mapping_id_scan",
 ]
 
 

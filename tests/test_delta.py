@@ -1278,8 +1278,8 @@ class TestColumnMapping:
     partition directories, partitionValues keys, and stats all carry
     uuid physical names; the log's schemaString holds the logical
     names plus the per-field mapping metadata. Writer creates/appends
-    mapped tables; both readers project back to logical; 'id' mode
-    stays gated."""
+    mapped tables; both readers project back to logical. Id mode is
+    covered by TestColumnMappingIdMode."""
 
     def test_roundtrip_physical_layout_append_overwrite(self, spark, tmp_path):
         import pyarrow.parquet as pq
@@ -1403,7 +1403,9 @@ class TestColumnMapping:
         )
         q.awaitTermination(180)
         assert [ks for ks in got if ks] == [list(range(10))]
-        # id mode: loud gate
+        # a table flipped to id mode whose files carry NO footer field
+        # ids (written under name mode) reads via the spec's
+        # physicalName fallback — formerly a loud gate, now supported
         p2 = str(tmp_path / "cm5")
         write_delta_table(_df(spark, 0, 5), p2, column_mapping="name")
         f = _commit_file(p2, 0)
@@ -1415,8 +1417,115 @@ class TestColumnMapping:
                 a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
             out.append(_json.dumps(a))
         open(f, "w").write("\n".join(out) + "\n")
-        with pytest.raises(Exception, match="column mapping mode 'id'"):
-            read_delta_table(spark, p2)
+        assert _rows(read_delta_table(spark, p2)) == _rows(_df(spark, 0, 5))
+
+
+class TestColumnMappingIdMode:
+    """PROTOCOL.md §Column Mapping, id mode — the mode foreign Delta
+    writers default to on evolved tables: files are matched by the
+    parquet footer FIELD ID (``delta.columnMapping.id``), with
+    physicalName as the fallback for id-less files. Our writer stamps
+    the ids via Spark's ``parquet.field.id`` column metadata; the
+    ``deltalog`` DataSource resolves per file by true field id, so
+    even foreign files with arbitrary column names read correctly."""
+
+    def test_id_mode_write_read_dml_roundtrip(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_processing_scd1_spark.sources.delta import (
+            _replay,
+            delete_delta_rows,
+            merge_delta_table,
+        )
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        path = str(tmp_path / "id1")
+        write_delta_table(
+            _df(spark, 0, 12), path, partition_by=["part"],
+            column_mapping="id",
+        )
+        snap = _replay(spark, path, None)
+        conf = snap.metadata["configuration"]
+        assert conf["delta.columnMapping.mode"] == "id"
+        assert snap.column_mapping_ids == {"k": 1, "v": 2, "part": 3}
+        # footer field ids match the mapping ids (the id-mode contract)
+        rel = next(iter(snap.files))
+        sch = pq.read_schema(os.path.join(path, rel))
+        ids = {
+            f.name: int(f.metadata[b"PARQUET:field_id"])
+            for f in sch if f.metadata and b"PARQUET:field_id" in f.metadata
+        }
+        cm = snap.column_mapping
+        assert ids == {cm["k"]: 1, cm["v"]: 2}  # part lives in the dir
+        # both readers project back to logical names
+        assert _rows(read_delta_table(spark, path)) == _rows(_df(spark, 0, 12))
+        got = spark.read.format("deltalog").load(path)
+        assert _rows(got) == _rows(_df(spark, 0, 12))
+        # merge-on-read DML stacks on id tables like name tables
+        assert delete_delta_rows(spark, path, "k = 1") == 1
+        src = spark.createDataFrame(
+            [(2, 25, "2"), (12, 120, "0")], "k long, v long, part string"
+        )
+        merge_delta_table(spark, src, path, ["k"])
+        rows = {r.k: r.v for r in read_delta_table(spark, path).collect()}
+        assert len(rows) == 12 and 1 not in rows
+        assert rows[2] == 25 and rows[12] == 120
+        # appends inherit the id stamps
+        write_delta_table(_df(spark, 20, 22), path, mode="append")
+        sch2 = pq.read_schema(os.path.join(
+            path, sorted(_replay(spark, path, None).files)[-1]
+        ))
+        assert any(
+            f.metadata and b"PARQUET:field_id" in f.metadata for f in sch2
+        )
+
+    def test_foreign_file_resolves_by_parquet_field_id(
+        self, spark, tmp_path
+    ):
+        """A file written by a foreign id-stamping engine under column
+        names that match NEITHER the logical nor the physical names
+        still reads through format('deltalog'): in id mode the footer
+        field id wins over every name."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from etl_processing_scd1_spark.sources.delta import (
+            _atomic_commit,
+            _replay,
+        )
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        path = str(tmp_path / "id2")
+        write_delta_table(
+            _df(spark, 0, 4).select("k", "v"), path, column_mapping="id"
+        )
+        # foreign file: arbitrary names, correct field ids
+        foreign = pa.table({"weird_a": [100, 101], "weird_b": [7, 8]})
+        sch = pa.schema([
+            pa.field("weird_a", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("weird_b", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ])
+        dest = os.path.join(path, "part-foreign.parquet")
+        pq.write_table(foreign.cast(sch), dest)
+        _atomic_commit(path, 1, [
+            {"add": {"path": "part-foreign.parquet", "partitionValues": {},
+                     "size": os.path.getsize(dest),
+                     "modificationTime": 0, "dataChange": True}},
+        ])
+        got = spark.read.format("deltalog").load(path)
+        rows = sorted((r.k, r.v) for r in got.collect())
+        assert rows == sorted(
+            [(k, k * 10) for k in range(4)] + [(100, 7), (101, 8)]
+        )
+        assert _replay(spark, path, None).column_mapping_ids == {"k": 1, "v": 2}
 
 
 class TestDeltaLogStreamWriter:
