@@ -135,6 +135,7 @@ HEADLINE = [
     "iceberg_rollback_scan",  # rollback_to_snapshot metadata re-point
     # round-10 additions
     "delta_column_mapping_id_scan",  # id-mode mapping, field-id reads
+    "iceberg_drop_column_scan",      # DROP COLUMN on real field ids
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

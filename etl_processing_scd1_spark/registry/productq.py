@@ -657,6 +657,59 @@ def delta_column_mapping_id_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICE_DROP_ORACLE = """
+    SELECT p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM part GROUP BY p_brand
+"""
+
+
+@register("iceberg_drop_column_scan", oracle=_ICE_DROP_ORACLE)
+def iceberg_drop_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg DROP COLUMN evolution (spec §Schema Evolution) on REAL
+    field-id plumbing: part lands with an extra ``ptype`` column, a
+    metadata-only ``drop_iceberg_column`` retires its field id (ids
+    are threaded from table metadata, never re-derived positionally —
+    survivors keep theirs, so manifest bounds keys stay valid across
+    the drop), then a post-drop generation appends WITHOUT the
+    column. One scan reads both generations: pre-drop files simply
+    stop projecting the dropped column, post-drop files never had it.
+    Re-adding the dropped name is refused (name-mapping history gate)
+    — pinned with rename interplay in
+    ``tests/test_iceberg.py::TestDropColumnEvolution``
+    (``sources/iceberg.py``)."""
+    import shutil
+
+    from ..sources.iceberg import (
+        drop_iceberg_column,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_drop_column")
+    shutil.rmtree(path, ignore_errors=True)
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_cents"),
+        F.col("p_type").alias("ptype"),
+    )
+    write_iceberg_table(parts.filter(F.col("p_partkey") % 2 == 0), path)
+    drop_iceberg_column(path, "ptype")
+    write_iceberg_table(
+        parts.filter(F.col("p_partkey") % 2 == 1).drop("ptype"),
+        path, mode="append",
+    )
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("price_cents").alias("price_cents"),
+    )
+
+
 _DELTA_CDF_ROW_ORACLE = """
     WITH base AS (
         SELECT c_custkey AS k,

@@ -138,20 +138,50 @@ _ICE_TO_AVRO = {
 }
 
 
-def _schema_struct(schema: T.StructType) -> dict:
+def _schema_struct(schema: T.StructType,
+                   field_ids: dict[str, int] | None = None) -> dict:
+    ids = field_ids or {f.name: i + 1 for i, f in enumerate(schema.fields)}
     return {
         "type": "struct",
         "schema-id": 0,
         "fields": [
             {
-                "id": i + 1,
+                "id": ids[f.name],
                 "name": f.name,
                 "required": False,
                 "type": _spark_to_iceberg(f.dataType),
             }
-            for i, f in enumerate(schema.fields)
+            for f in schema.fields
         ],
     }
+
+
+def _resolved_field_ids(prev: dict | None,
+                        schema: T.StructType) -> dict[str, int]:
+    """name → field id THREADED from the table metadata — the spec's
+    §Schema Evolution invariant: ids are assigned once and NEVER
+    reused. Existing columns keep their current-schema ids (renames
+    and drops leave survivors' ids untouched), new columns get fresh
+    ids after ``last-column-id``, and only table CREATION assigns
+    positionally. The old positional ``{name: i+1}`` derivation
+    renumbered survivors after any drop, corrupting manifest bounds
+    keys and equality_ids — this is the prerequisite for DROP
+    COLUMN."""
+    if not prev:
+        return {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    current = {name: fid for fid, name in _field_names_by_id(prev).items()}
+    next_id = int(
+        prev.get("last-column-id")
+        or (max(current.values()) if current else 0)
+    )
+    out = {}
+    for f in schema.fields:
+        if f.name in current:
+            out[f.name] = current[f.name]
+        else:
+            next_id += 1
+            out[f.name] = next_id
+    return out
 
 
 def _spark_schema(meta: dict) -> T.StructType:
@@ -897,6 +927,31 @@ def write_iceberg_table(
         known = {f.name for f in schema.fields}
         extra = [c for c in df.columns if c not in known]
         if extra:
+            # Reusing a DROPPED column's name would silently resurrect
+            # the old files' values for rows matched by NAME (our
+            # pre-drop files carry no parquet field ids, so the
+            # name-mapping fallback would bind them to the new
+            # column). Ids are never reused; names must not be either
+            # while id-less files may exist.
+            current_ids = set(_field_names_by_id(prev))
+            retired = {
+                n
+                for m in json.loads(
+                    (prev.get("properties") or {}).get(
+                        "schema.name-mapping.default", "[]"
+                    )
+                )
+                if int(m["field-id"]) not in current_ids
+                for n in (m.get("names") or [])
+            }
+            clash = sorted(set(extra) & retired)
+            if clash:
+                raise IcebergProtocolError(
+                    f"column name(s) {clash} were previously dropped "
+                    "(field id retired); re-adding the name would "
+                    "resurrect old file data via name matching — pick "
+                    "a new name or compact first"
+                )
             # ADD-COLUMN schema evolution (the spec's core evolution
             # case): new columns get fresh ids APPENDED after
             # last-column-id — ids are never reused, so old data
@@ -927,7 +982,7 @@ def write_iceberg_table(
             raise IcebergProtocolError(
                 f"identity partition on {ice_types[c]} column {c!r} not supported"
             )
-    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    field_ids = _resolved_field_ids(prev, schema)
     part_fields = [
         (c, ice_types[c], 1000 + i) for i, c in enumerate(partition_by)
     ]
@@ -947,8 +1002,20 @@ def _stage_data_files(df: DataFrame, path: str, partition_by: list[str],
     ``(abs_path, partition_values, record_count, size, lower_bounds,
     upper_bounds)`` per file."""
     stage_abs = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+    # Stamp each column's REAL field id into the parquet footer
+    # (Spark honors parquet.field.id column metadata;
+    # spark.sql.parquet.fieldId.write.enabled defaults on). Readers
+    # then resolve by field id — immune to renames and to name reuse,
+    # the spec's primary match rule; pre-existing id-less files keep
+    # the name-mapping fallback.
+    staged = df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": field_ids[c]})
+            if c in field_ids else F.col(c)
+            for c in df.columns
+        ]
+    )
     shadow = {c: f"_p_{c}" for c in partition_by}
-    staged = df
     for c, s in shadow.items():
         staged = staged.withColumn(s, F.col(c).cast("string"))
     writer = staged.write.mode("overwrite")
@@ -1012,7 +1079,7 @@ def _commit_snapshot(
         int((prev or {}).get("last-sequence-number", 0)) + 1 if fv == 2 else None
     )
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
-    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    field_ids = _resolved_field_ids(prev, schema)
     part_fields = [
         (c, ice_types[c], 1000 + i) for i, c in enumerate(partition_by)
     ]
@@ -1050,7 +1117,7 @@ def _commit_snapshot(
         _manifest_entry_schema_json(part_fields),
         entries,
         extra_meta={
-            "schema": json.dumps(_schema_struct(schema)),
+            "schema": json.dumps(_schema_struct(schema, field_ids)),
             "partition-spec": spec_json,
             "partition-spec-id": "0",
             "format-version": "1",
@@ -1116,13 +1183,16 @@ def _commit_snapshot(
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id
 
-    schema_struct = _schema_struct(schema)
+    schema_struct = _schema_struct(schema, field_ids)
     meta = {
         "format-version": fv,
         "table-uuid": table_uuid,
         "location": path,
         "last-updated-ms": now_ms,
-        "last-column-id": len(schema.fields),
+        "last-column-id": max(
+            int((prev or {}).get("last-column-id") or 0),
+            max(field_ids.values(), default=0),
+        ),
         "schema": schema_struct,
         "schemas": [schema_struct],
         "current-schema-id": 0,
@@ -1294,7 +1364,9 @@ def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
             }
         ],
         extra_meta={
-            "schema": json.dumps(_schema_struct(schema)),
+            "schema": json.dumps(
+                _schema_struct(schema, _resolved_field_ids(prev, schema))
+            ),
             "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": "0",
             "format-version": "2",
@@ -1379,14 +1451,15 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
     spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
     partition_by = [f["name"] for f in spec_fields]
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
-    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    field_ids = _resolved_field_ids(prev, schema)
     part_fields = [
         (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
     ]
     new_files = _stage_data_files(updated, path, partition_by, ice_types,
                                   field_ids)
     data_manifest = _data_manifest_row(
-        path, new_files, snapshot_id, seq, schema, spec_fields, part_fields
+        path, new_files, snapshot_id, seq, schema, spec_fields, part_fields,
+        field_ids,
     )
     return _commit_v2_tail(
         path, base, prev, parent_id, snapshot_id, seq, now_ms,
@@ -1402,7 +1475,8 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
 
 def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
                        seq: int, schema: T.StructType, spec_fields: list,
-                       part_fields: list) -> dict:
+                       part_fields: list,
+                       field_ids: dict[str, int] | None = None) -> dict:
     """Write a v2 DATA manifest (entry content=0) for already-staged
     files → its manifest-list row."""
     manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
@@ -1428,7 +1502,7 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
             for p, part_vals, n, size, lo, hi in new_files
         ],
         extra_meta={
-            "schema": json.dumps(_schema_struct(schema)),
+            "schema": json.dumps(_schema_struct(schema, field_ids)),
             "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": "0",
             "format-version": "2",
@@ -1600,6 +1674,94 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
     return base + 1
 
 
+def drop_iceberg_column(path: str, name: str) -> int:
+    """DROP-COLUMN schema evolution (spec §Schema Evolution): a
+    METADATA-ONLY commit removing the field from the current schema —
+    no snapshot, no data file touched. The field's id is RETIRED
+    (``last-column-id`` never decreases, ids are never reused), and
+    its name-history stays in ``schema.name-mapping.default`` so
+    :func:`write_iceberg_table` can refuse re-adding the name while
+    id-less files may still carry the old values. Old data files keep
+    the dropped column's bytes; readers project the current schema,
+    so it simply disappears from every scan, including time-travel
+    reads AT OR AFTER this version (earlier versions still show it).
+
+    Refuses to drop: the last remaining column, an identity-partition
+    source column (the directory layout names it), or a column
+    referenced by any LIVE equality-delete file's ``equality_ids``
+    (the delete would become unresolvable — compact first). This is
+    the evolution case the old positional field-id writer could not
+    support: survivors keep their ids, so manifest bounds keys and
+    ``equality_ids`` stay valid across the drop
+    (:func:`_resolved_field_ids`)."""
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        if not listed:
+            raise FileNotFoundError(f"not an Iceberg table: {path}")
+        base = listed[-1]
+    prev = _load_metadata(path, base)
+    schema = prev.get("schema") or {}
+    fields = [dict(f) for f in schema.get("fields", [])]
+    names = [f["name"] for f in fields]
+    if name not in names:
+        raise ValueError(f"column {name!r} not in table schema {names}")
+    if len(fields) == 1:
+        raise IcebergProtocolError("cannot drop the only column")
+    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    if name in {f["name"] for f in spec_fields}:
+        raise IcebergProtocolError(
+            f"dropping identity-partition source column {name!r} is not "
+            "supported (the partition spec and directory layout name it)"
+        )
+    dropped_id = next(int(f["id"]) for f in fields if f["name"] == name)
+    _, _, live_deletes = _snapshot_files(path, prev, None)
+    blockers = sorted(
+        d["path"] for d in live_deletes
+        if d["content"] == 2 and dropped_id in (d["equality_ids"] or [])
+    )
+    if blockers:
+        raise IcebergProtocolError(
+            f"column {name!r} (field id {dropped_id}) is an "
+            f"equality-delete key of {len(blockers)} live delete "
+            f"file(s) (e.g. {blockers[0]}); compact the table before "
+            "dropping it"
+        )
+
+    # retire the id but KEEP its name history in the mapping — the
+    # add-column reuse gate reads it
+    props = dict(prev.get("properties") or {})
+    mapping = {
+        int(m["field-id"]): list(m.get("names") or [])
+        for m in json.loads(props.get("schema.name-mapping.default", "[]"))
+    }
+    for f in fields:
+        ns = mapping.setdefault(int(f["id"]), [])
+        if f["name"] not in ns:
+            ns.append(f["name"])
+    props["schema.name-mapping.default"] = json.dumps(
+        [{"field-id": fid, "names": ns} for fid, ns in sorted(mapping.items())]
+    )
+
+    new_schema = {
+        **schema, "fields": [f for f in fields if f["name"] != name]
+    }
+    meta = dict(prev)
+    meta.update(
+        {
+            "schema": new_schema,
+            "schemas": [new_schema],
+            "properties": props,
+            "last-updated-ms": int(time.time() * 1000),
+        }
+    )
+    _put_metadata(path, base + 1, meta)
+    return base + 1
+
+
 def _name_candidates(meta: dict) -> dict[str, list[str]]:
     """current logical name → ALL historical parquet column names
     (current first), from ``schema.name-mapping.default``. Fields
@@ -1679,7 +1841,7 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
     spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
     partition_by = [f["name"] for f in spec_fields]
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
-    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    field_ids = _resolved_field_ids(prev, schema)
     part_fields = [
         (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
     ]
@@ -1716,14 +1878,15 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
 
     entry_schema = _manifest_entry_schema_json(part_fields, with_content=True)
     manifest_meta = {
-        "schema": json.dumps(_schema_struct(schema)),
+        "schema": json.dumps(_schema_struct(schema, field_ids)),
         "partition-spec": json.dumps(spec_fields),
         "partition-spec-id": "0",
         "format-version": "2",
     }
     new_manifests: list[dict] = [
         _data_manifest_row(
-            path, new_files, snapshot_id, seq, schema, spec_fields, part_fields
+            path, new_files, snapshot_id, seq, schema, spec_fields,
+            part_fields, field_ids,
         )
     ]
 

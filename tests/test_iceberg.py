@@ -1229,6 +1229,181 @@ class TestIcebergVacuum:
         assert read_iceberg_table(spark, path, version=2).count() == 5
 
 
+class TestDropColumnEvolution:
+    """DROP COLUMN (spec §Schema Evolution) on real field-id plumbing:
+    survivors keep their ids across the drop (the old positional
+    writer renumbered them), the dropped id is retired forever, and
+    name reuse is refused while id-less files may exist."""
+
+    def test_drop_read_timetravel_and_append(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            drop_iceberg_column,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "dc1")
+        write_iceberg_table(_df(spark, 0, 10), path)            # v1: k,v,part
+        v = drop_iceberg_column(path, "v")                      # v2
+        assert v == 2
+        got = read_iceberg_table(spark, path)
+        assert got.columns == ["k", "part"]
+        assert sorted(r.k for r in got.collect()) == list(range(10))
+        # time travel BEFORE the drop still shows the column
+        assert read_iceberg_table(spark, path, version=1).columns == \
+            ["k", "v", "part"]
+        # survivors keep their ORIGINAL ids; the dropped id is retired
+        meta = _load_metadata(path, None)
+        ids = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+        assert ids == {"k": 1, "part": 3}
+        assert meta["last-column-id"] == 3
+        # append after the drop: two-generation scan, ids stable
+        write_iceberg_table(
+            spark.range(10, 13).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("part"),
+            ),
+            path, mode="append",
+        )
+        got = read_iceberg_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == list(range(13))
+        meta = _load_metadata(path, None)
+        assert {f["name"]: f["id"] for f in meta["schema"]["fields"]} == \
+            {"k": 1, "part": 3}
+        assert meta["last-column-id"] == 3
+        # the DataSource reads the dropped-column table too
+        ds = spark.read.format("iceberglog").load(path)
+        assert ds.columns == ["k", "part"] and ds.count() == 13
+        # re-adding the dropped NAME is refused (old files would
+        # resurrect by name matching); a FRESH name gets a FRESH id
+        with pytest.raises(IcebergProtocolError, match="previously dropped"):
+            write_iceberg_table(
+                spark.range(13, 14).select(
+                    F.col("id").alias("k"), F.col("id").alias("v"),
+                    (F.col("id") % 3).cast("string").alias("part"),
+                ),
+                path, mode="append",
+            )
+        write_iceberg_table(
+            spark.range(13, 14).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("part"),
+                (F.col("id") * 2).alias("w"),
+            ),
+            path, mode="append",
+        )
+        meta = _load_metadata(path, None)
+        ids = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+        assert ids == {"k": 1, "part": 3, "w": 4}
+        assert meta["last-column-id"] == 4
+        got = read_iceberg_table(spark, path)
+        rows = {r.k: r.w for r in got.collect()}
+        assert len(rows) == 14 and rows[13] == 26 and rows[0] is None
+
+    def test_drop_interacts_with_rename_and_dml(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+            drop_iceberg_column,
+            rename_iceberg_column,
+        )
+
+        path = str(tmp_path / "dc2")
+        write_iceberg_table(_df(spark, 0, 10), path)
+        rename_iceberg_column(path, "v", "val")
+        drop_iceberg_column(path, "val")
+        got = read_iceberg_table(spark, path)
+        assert got.columns == ["k", "part"]
+        # merge-on-read DELETE still works on the surviving columns
+        delete_iceberg_rows(spark, path, "k < 3")
+        assert sorted(r.k for r in read_iceberg_table(spark, path).collect()) \
+            == list(range(3, 10))
+        # neither the old nor the renamed name may return
+        for bad in ("v", "val"):
+            with pytest.raises(
+                IcebergProtocolError, match="previously dropped"
+            ):
+                write_iceberg_table(
+                    spark.range(0, 1).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") % 3).cast("string").alias("part"),
+                        F.col("id").alias(bad),
+                    ),
+                    path, mode="append",
+                )
+
+    def test_drop_gates(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            drop_iceberg_column,
+            upsert_iceberg_table,
+        )
+
+        path = str(tmp_path / "dc3")
+        write_iceberg_table(_df(spark, 0, 6), path, partition_by=["part"])
+        with pytest.raises(IcebergProtocolError, match="identity-partition"):
+            drop_iceberg_column(path, "part")
+        with pytest.raises(ValueError, match="not in table schema"):
+            drop_iceberg_column(path, "nope")
+        # live equality-delete key blocks the drop
+        p2 = str(tmp_path / "dc4")
+        write_iceberg_table(_df(spark, 0, 6), p2)
+        upsert_iceberg_table(
+            spark.createDataFrame([(1, 11, "1")], "k long, v long, part string"),
+            p2, ["k"],
+        )
+        with pytest.raises(IcebergProtocolError, match="equality-delete"):
+            drop_iceberg_column(p2, "k")
+
+    def test_new_files_carry_footer_field_ids(self, spark, tmp_path):
+        """Data files stamped with real field ids: resolution becomes
+        id-first (rename/name-reuse immune), matching foreign
+        id-stamping engines."""
+        import pyarrow.parquet as pq
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            rename_iceberg_column,
+        )
+
+        path = str(tmp_path / "dc5")
+        write_iceberg_table(_df(spark, 0, 4), path)
+        rename_iceberg_column(path, "v", "val")
+        write_iceberg_table(
+            spark.range(4, 6).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("val"),
+                (F.col("id") % 3).cast("string").alias("part"),
+            ),
+            path, mode="append",
+        )
+        meta = _load_metadata(path, None)
+        data_dir = os.path.join(path, "data")
+        stamped = 0
+        for root, _d, fns in os.walk(data_dir):
+            for fn in fns:
+                if not fn.endswith(".parquet") or "delete" in fn:
+                    continue
+                sch = pq.read_schema(os.path.join(root, fn))
+                ids = {
+                    f.name: int(f.metadata[b"PARQUET:field_id"])
+                    for f in sch
+                    if f.metadata and b"PARQUET:field_id" in f.metadata
+                }
+                if ids:
+                    stamped += 1
+                    # the renamed column keeps id 2 under either name
+                    assert ids.get("v", ids.get("val")) == 2
+                    assert ids["k"] == 1
+        assert stamped >= 2  # both generations stamped
+        assert {f["name"]: f["id"] for f in meta["schema"]["fields"]} == \
+            {"k": 1, "val": 2, "part": 3}
+        got = read_iceberg_table(spark, path)
+        assert {r.k: r.val for r in got.collect()} == {
+            k: k * 10 for k in range(6)
+        }
+
+
 class TestIcebergUpdate:
     """update_iceberg_rows: ONE v2 snapshot = position-delete file
     for the matched rows + new data files with the SET expressions
