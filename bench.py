@@ -136,6 +136,7 @@ HEADLINE = [
     # round-10 additions
     "delta_column_mapping_id_scan",  # id-mode mapping, field-id reads
     "iceberg_drop_column_scan",      # DROP COLUMN on real field ids
+    "iceberg_eq_changelog_scan",     # eq-delete changelog, deferred match
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

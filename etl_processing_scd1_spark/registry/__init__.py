@@ -47,12 +47,12 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 # first check — the 14-query round-9 queue plus the two DataSource
 # scans whose r9 rows erred on the (now fixed) pushFilters
 # session-portability regression. Green here → cumulative
-# driver-green 233/233 (235 with the two mid-round additions below,
-# which enter the window the round they land). The other 32 slots
+# driver-green 233/233 (236 with the three mid-round additions below,
+# which enter the window the round they land). The other 31 slots
 # re-confirm the oldest-evidence rows: the full r5 group (9), the
-# full r6 group (16), and the alphabetically-first 7 of the 47-row
-# r4 backlog (the rest queues for round 11; cube_agg and
-# corpus_mixture were displaced by the two additions).
+# full r6 group (16), and the alphabetically-first 6 of the 47-row
+# r4 backlog (the rest queues for round 11; cube_agg, corpus_mixture
+# and cohort_retention were displaced by the three additions).
 PRIMARY = [
     # first driver check — lakehouse DML / CDF / evolution tier
     # (round-9 queue, landing order) + the 2 repaired DataSource scans
@@ -74,10 +74,12 @@ PRIMARY = [
     "iceberg_rollback_scan",
     # round-10 additions (new queries enter the window the round they
     # land): id-mode column mapping through the field-id-resolving
-    # DataSource read, and DROP COLUMN on real Iceberg field-id
-    # plumbing; displaced cube_agg and corpus_mixture to the r4 backlog
+    # DataSource read, DROP COLUMN on real Iceberg field-id plumbing,
+    # and changelog windows over equality-delete commits; displaced
+    # cube_agg, corpus_mixture and cohort_retention to the r4 backlog
     "delta_column_mapping_id_scan",
     "iceberg_drop_column_scan",
+    "iceberg_eq_changelog_scan",
     # re-confirmation: last green r5
     "asof_join",
     "distinct_agg_having",
@@ -112,7 +114,6 @@ PRIMARY = [
     "cardinality_sketch",
     "chunk_documents",
     "cms_heavy_hitters",
-    "cohort_retention",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —

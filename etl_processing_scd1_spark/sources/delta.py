@@ -52,7 +52,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -560,6 +560,22 @@ def delete_delta_rows(spark: SparkSession, path: str, condition: str) -> int:
     return new_version
 
 
+def _physical_read_schema(snap: DeltaSnapshot) -> StructType:
+    """Explicit PHYSICAL schema for the Spark parquet scan of a
+    snapshot's files: the log's schemaString is authoritative — never
+    sample a file. Sampling breaks two ways: after ADD-COLUMN
+    evolution the sampled file may predate the column (analysis error
+    on the projection), and partition directory inference may type
+    "part=0" as int where the log says string."""
+    return StructType([
+        StructField(
+            (snap.column_mapping or {}).get(f.name, f.name),
+            f.dataType, True,
+        )
+        for f in snap.schema.fields
+    ])
+
+
 def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
     """Distributed scan of the snapshot's VISIBLE rows with ``__fp``/
     ``__pos`` helper columns (normalized ``_metadata`` keys) and
@@ -570,7 +586,9 @@ def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
         os.path.abspath(os.path.join(path, p)): p for p in snap.files
     }
     df = (
-        spark.read.option("basePath", path).parquet(*sorted(abs_to_rel))
+        spark.read.option("basePath", path)
+        .schema(_physical_read_schema(snap))
+        .parquet(*sorted(abs_to_rel))
         .withColumn(
             "__fp",
             F.regexp_replace(
@@ -872,7 +890,9 @@ def read_delta_table(
     from pyspark.sql import functions as F
 
     paths = [os.path.join(path, p) for p in sorted(files)]
-    reader = spark.read.option("basePath", path)
+    reader = spark.read.option("basePath", path).schema(
+        _physical_read_schema(snap)
+    )
     df = reader.parquet(*paths)
     dv_keys = [
         (os.path.abspath(os.path.join(path, p)), pos)
@@ -1142,10 +1162,49 @@ def write_delta_table(
         prev_meta = snap.metadata
         partition_by = partition_by or snap.partition_columns
         cm = snap.column_mapping or {}
-        if (snap.metadata.get("configuration") or {}).get(
-            "delta.columnMapping.mode"
-        ) == "id":
+        cm_mode = (snap.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if cm_mode == "id":
             cm_ids = snap.column_mapping_ids or {}
+        known = {f.name for f in snap.schema.fields}
+        extra = [c for c in df.columns if c not in known]
+        if extra:
+            # ADD-COLUMN schema evolution (Delta's mergeSchema): one
+            # metaData action appends the new fields to schemaString;
+            # on a MAPPED table each gets a fresh mapping id past
+            # maxColumnId and a uuid physicalName (ids never reused —
+            # the same invariant as Iceberg evolution). Files written
+            # before this commit simply read NULL for the new columns.
+            fields = json.loads(snap.metadata["schemaString"])["fields"]
+            configuration = dict(snap.metadata.get("configuration") or {})
+            max_id = int(
+                configuration.get("delta.columnMapping.maxColumnId")
+                or len(fields)
+            )
+            for c in extra:
+                fj = df.schema[c].jsonValue()
+                fj["nullable"] = True  # pre-evolution files lack it
+                if cm_mode in ("name", "id"):
+                    max_id += 1
+                    phys = f"col-{uuid.uuid4()}"
+                    fj["metadata"] = {
+                        **(fj.get("metadata") or {}),
+                        "delta.columnMapping.id": max_id,
+                        "delta.columnMapping.physicalName": phys,
+                    }
+                    cm[c] = phys
+                    if cm_mode == "id":
+                        cm_ids[c] = max_id
+                fields.append(fj)
+            if cm_mode in ("name", "id"):
+                configuration["delta.columnMapping.maxColumnId"] = str(max_id)
+            new_meta = dict(snap.metadata)
+            new_meta["schemaString"] = json.dumps(
+                {"type": "struct", "fields": fields}
+            )
+            new_meta["configuration"] = configuration
+            actions.append({"metaData": new_meta})
         if mode == "overwrite":
             for p, add in sorted(snap.files.items()):
                 actions.append({"remove": _remove_action(p, add, now_ms)})
@@ -1202,10 +1261,14 @@ def _stage_delta_files(df: DataFrame, path: str,
     if cm:
         unknown = [c for c in df.columns if c not in cm]
         if unknown:
+            # backstop for non-evolving callers (merge/update insert
+            # legs must match the table schema); write_delta_table
+            # evolves the schema BEFORE staging, so cm already maps
+            # any added column by the time we get here
             raise DeltaProtocolError(
-                f"write to a column-mapped table with columns {unknown} "
-                "not in the table schema (add-column evolution on mapped "
-                "tables is not implemented)"
+                f"stage to a column-mapped table with columns {unknown} "
+                "not in the mapping — evolve the schema via "
+                "write_delta_table first"
             )
         staged = df.select(
             *[

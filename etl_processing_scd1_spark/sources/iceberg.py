@@ -1960,17 +1960,28 @@ def _plan_ice_changes(path: str, from_version: int,
     - data files added → 'insert' events (rows minus any position
       deletes already targeting the file at that version);
     - data files removed → 'delete' events (rows minus the position
-      deletes at the PREVIOUS version);
+      deletes at the PREVIOUS version, minus rows already erased by
+      the previous version's equality deletes — applied
+      executor-side);
     - fresh position-delete rows targeting still-present files →
       'row_delete' events with the exact positions;
+    - fresh EQUALITY-delete files → 'eq_row_delete' events: one per
+      pre-existing data file the delete applies to (strictly smaller
+      sequence number), carrying the delete file's path + key columns.
+      The row images require a key-matching scan, which is exactly
+      what the planner must NOT do — so matching is DEFERRED to the
+      executor read: each task semi-joins ITS OWN file against the
+      (small) delete file, after re-establishing which rows were
+      still alive at the previous version (position deletes + older
+      equality deletes). Planning stays metadata-only, matching stays
+      distributed — the same division of labor as the snapshot scan.
     - ``replace`` snapshots (compaction) and metadata-only commits
-      (renames) are NOT logical changes → skipped;
-    - equality deletes gate with a raise: emitting their row images
-      would require a full matching scan (the same scope statement
-      Iceberg's own changelog scan makes).
+      (renames) are NOT logical changes → skipped.
 
-    Event dicts: {type, version, path, partition, include?, exclude?}
-    — positions are bitmap-scale, the data stays in executor reads."""
+    Event dicts: {type, version, path, partition, include?, exclude?,
+    eq_prior?, eq_new?} — positions are bitmap-scale, eq descriptors
+    are (delete_path, [key column names]) pairs, the data stays in
+    executor reads."""
     import pyarrow.parquet as pq
 
     pos_cache: dict[str, list[tuple[str, int]]] = {}
@@ -2014,20 +2025,30 @@ def _plan_ice_changes(path: str, from_version: int,
             continue
         snap = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}[cur_sid]
         op = (snap.get("summary") or {}).get("operation", "")
-        prev_del_paths = {d["path"] for d in prev_deletes}
-        if any(
-            d["content"] == 2 and d["path"] not in prev_del_paths
-            for d in deletes
-        ):
-            raise IcebergProtocolError(
-                f"changelog over an equality-delete commit (version {v}) "
-                "is not supported: emitting row images would require a "
-                "matching scan — read the windows on either side"
-            )
         if op == "replace":
             # compaction: row content invariant, no logical change
             prev_meta, prev_files, prev_deletes = meta, files, deletes
             continue
+        by_id = _field_names_by_id(meta)
+
+        def eq_cols(d: dict) -> list[str]:
+            return [by_id[i] for i in (d["equality_ids"] or [])]
+
+        def eq_after(dels: list[dict], fseq: int) -> list | None:
+            # equality deletes that erase rows of a file with a
+            # STRICTLY smaller sequence number (spec §Scan Planning)
+            out = [
+                (d["path"], eq_cols(d))
+                for d in sorted(dels, key=lambda d: (d["seq"], d["path"]))
+                if d["content"] == 2 and d["seq"] > fseq
+            ]
+            return out or None
+
+        prev_del_paths = {d["path"] for d in prev_deletes}
+        new_eq = [
+            d for d in deletes
+            if d["content"] == 2 and d["path"] not in prev_del_paths
+        ]
         cur_pos = by_target(deletes)
         prev_pos = by_target(prev_deletes)
         for p in sorted(files.keys() - prev_files.keys()):
@@ -2039,17 +2060,28 @@ def _plan_ice_changes(path: str, from_version: int,
             })
         for p in sorted(prev_files.keys() - files.keys()):
             part, fseq = prev_files[p]
-            if any(d["content"] == 2 and d["seq"] > fseq
-                   for d in prev_deletes):
-                raise IcebergProtocolError(
-                    f"changelog delete of a file under equality deletes "
-                    f"(version {v}) is not supported — compact first"
-                )
             events.append({
                 "type": "delete", "version": v, "path": p,
                 "partition": part or {},
                 "exclude": sorted(prev_pos.get(p, ())) or None,
+                "eq_prior": eq_after(prev_deletes, fseq),
             })
+        if new_eq:
+            # fresh equality deletes: emit the erased row images of
+            # every SURVIVING pre-existing file they apply to; the
+            # key match runs in the executor task that reads the file
+            for p in sorted(files.keys() & prev_files.keys()):
+                part, fseq = prev_files[p]
+                hits = eq_after(new_eq, fseq)
+                if not hits:
+                    continue
+                events.append({
+                    "type": "eq_row_delete", "version": v, "path": p,
+                    "partition": part or {},
+                    "exclude": sorted(prev_pos.get(p, ())) or None,
+                    "eq_prior": eq_after(prev_deletes, fseq),
+                    "eq_new": hits,
+                })
         for tgt in sorted(cur_pos):
             fresh = cur_pos[tgt] - prev_pos.get(tgt, set())
             if fresh and tgt in files:

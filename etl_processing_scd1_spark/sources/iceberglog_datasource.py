@@ -253,13 +253,20 @@ class _IceCdfPartition(InputPartition):
     """One data file's contribution to a changelog window:
     ``include_positions`` set → emit ONLY those rows (a
     position-delete delta); else the file minus
-    ``exclude_positions``."""
+    ``exclude_positions``. Equality-delete interplay is deferred
+    here from the planner (metadata-only) to the executor task:
+    ``eq_prior`` (delete_path, key_cols) pairs re-establish which
+    rows were still ALIVE at the window start (anti-join), and
+    ``eq_new`` — set only for 'eq_row_delete' events — selects the
+    rows the commit's fresh equality delete erased (semi-join)."""
 
     def __init__(self, file_path: str, partition_values: dict,
                  change_type: str, commit_version: int,
                  include_positions: list | None = None,
                  exclude_positions: list | None = None,
-                 resolve: dict | None = None):
+                 resolve: dict | None = None,
+                 eq_prior: list | None = None,
+                 eq_new: list | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         self.change_type = change_type
@@ -267,6 +274,48 @@ class _IceCdfPartition(InputPartition):
         self.include_positions = include_positions
         self.exclude_positions = exclude_positions
         self.resolve = resolve
+        self.eq_prior = eq_prior
+        self.eq_new = eq_new
+
+
+def _eq_match_idx(tbl, dpath: str, cols: list[str]):
+    """Row indexes of ``tbl`` whose key columns appear in the
+    equality-delete parquet at ``dpath``. pandas merge matches
+    NaN==NaN on join keys — Iceberg's null-equals-null delete rule."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    keys_pd = pq.read_table(dpath, columns=list(cols)).to_pandas()
+    keys_pd = keys_pd.drop_duplicates()
+    data_pd = tbl.select(list(cols)).to_pandas()
+    data_pd["__idx"] = np.arange(len(data_pd), dtype=np.int64)
+    merged = data_pd.merge(keys_pd, on=list(cols), how="left",
+                           indicator=True)
+    return merged.loc[merged["_merge"] == "both", "__idx"].to_numpy()
+
+
+def _eq_filter(tbl, descriptors: list, keep_matches: bool):
+    """Filter by the UNION of the delete files' key matches:
+    ``keep_matches=False`` drops every matched row (anti — the
+    snapshot-scan semantics), ``True`` keeps only matched rows (semi
+    — the changelog's erased-row images)."""
+    import numpy as np
+    import pyarrow as pa
+
+    matched = np.unique(np.concatenate(
+        [_eq_match_idx(tbl, dpath, cols) for dpath, cols in descriptors]
+    )) if descriptors else np.empty(0, dtype=np.int64)
+    if keep_matches:
+        keep = matched.astype(np.int64)
+    else:
+        keep = np.setdiff1d(
+            np.arange(tbl.num_rows, dtype=np.int64),
+            matched.astype(np.int64),
+            assume_unique=True,
+        )
+    if len(keep) == tbl.num_rows:
+        return tbl
+    return tbl.take(pa.array(np.sort(keep)))
 
 
 def _read_ice_cdf_batches(schema: StructType, part: _IceCdfPartition):
@@ -291,6 +340,14 @@ def _read_ice_cdf_batches(schema: StructType, part: _IceCdfPartition):
             np.arange(tbl.num_rows, dtype=np.int64), dead, assume_unique=True
         )
         tbl = tbl.take(pa.array(keep))
+    if getattr(part, "eq_prior", None):
+        # rows erased by equality deletes BEFORE the window: not part
+        # of any change this window emits
+        tbl = _eq_filter(tbl, part.eq_prior, keep_matches=False)
+    if getattr(part, "eq_new", None):
+        # 'eq_row_delete': only rows the commit's fresh equality
+        # delete actually erased
+        tbl = _eq_filter(tbl, part.eq_new, keep_matches=True)
     n = tbl.num_rows
     arrays = []
     for field in want:
@@ -325,11 +382,17 @@ def _ice_cdf_partitions(path: str, from_v: int, to_v: int) -> list:
         return []
     end_meta = _load_metadata(path, to_v)
     resolve = _resolve_map(end_meta)
-    kind = {"insert": "insert", "delete": "delete", "row_delete": "delete"}
+    kind = {
+        "insert": "insert",
+        "delete": "delete",
+        "row_delete": "delete",
+        "eq_row_delete": "delete",
+    }
     return [
         _IceCdfPartition(
             e["path"], e["partition"], kind[e["type"]], e["version"],
             e.get("include"), e.get("exclude"), resolve,
+            e.get("eq_prior"), e.get("eq_new"),
         )
         for e in _plan_ice_changes(path, from_v, to_v)
     ]

@@ -1318,12 +1318,17 @@ class TestColumnMapping:
         # overwrite keeps the mapped metadata
         write_delta_table(_df(spark, 0, 5), path, mode="overwrite")
         assert read_delta_table(spark, path).count() == 5
-        # append with a column outside the schema is refused
-        with pytest.raises(Exception, match="column-mapped"):
-            write_delta_table(
-                _df(spark, 0, 1).withColumn("extra", F.lit(1)), path,
-                mode="append",
-            )
+        # append with a column outside the schema EVOLVES the mapping
+        # (add-column evolution — TestAddColumnEvolution pins details)
+        write_delta_table(
+            _df(spark, 100, 101).withColumn("extra", F.lit(1)), path,
+            mode="append",
+        )
+        snap2 = _replay(spark, path, None)
+        assert "extra" in snap2.column_mapping
+        got = read_delta_table(spark, path)
+        assert {r.k: r.extra for r in got.collect()}[100] == 1
+        assert got.filter("extra IS NULL").count() == 5
 
     def test_datasource_read_pushdown_and_write_gate(self, spark, tmp_path):
         from etl_processing_scd1_spark.sources.delta import delta_plan_files
@@ -1526,6 +1531,76 @@ class TestColumnMappingIdMode:
             [(k, k * 10) for k in range(4)] + [(100, 7), (101, 8)]
         )
         assert _replay(spark, path, None).column_mapping_ids == {"k": 1, "v": 2}
+
+
+class TestAddColumnEvolution:
+    """write_delta_table add-column evolution (mergeSchema): one
+    metaData action appends the new fields; mapped tables assign
+    fresh mapping ids past maxColumnId and uuid physicalNames.
+    Pre-evolution files read NULL for the new columns."""
+
+    @pytest.mark.parametrize("cm_mode", ["none", "name", "id"])
+    def test_append_with_new_column(self, spark, tmp_path, cm_mode):
+        from etl_processing_scd1_spark.sources.delta import _replay
+
+        path = str(tmp_path / f"ev_{cm_mode}")
+        write_delta_table(_df(spark, 0, 6), path, column_mapping=cm_mode)
+        evolved = spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            (F.col("id") % 3).cast("string").alias("part"),
+            (F.col("id") * 2).alias("w"),
+        )
+        write_delta_table(evolved, path, mode="append")
+        snap = _replay(spark, path, None)
+        assert [f.name for f in snap.schema.fields] == ["k", "v", "part", "w"]
+        got = read_delta_table(spark, path)
+        rows = {r.k: (r.v, r.w) for r in got.collect()}
+        assert len(rows) == 9
+        assert rows[2] == (20, None)      # pre-evolution file: NULL
+        assert rows[7] == (70, 14)
+        if cm_mode != "none":
+            cm = snap.column_mapping
+            assert set(cm) == {"k", "v", "part", "w"}
+            assert cm["w"].startswith("col-")
+            conf = snap.metadata["configuration"]
+            assert conf["delta.columnMapping.maxColumnId"] == "4"
+            assert (snap.column_mapping_ids or {}).get("w") == 4
+        # the DataSource reader resolves the evolved table too
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        ds = spark.read.format("deltalog").load(path)
+        assert sorted(ds.columns) == ["k", "part", "v", "w"]
+        assert ds.filter("w IS NOT NULL").count() == 3
+        # time travel to the pre-evolution version keeps the old schema
+        assert read_delta_table(spark, path, version=0).columns == \
+            ["k", "v", "part"]
+
+    def test_evolution_then_dml_on_mapped_table(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delete_delta_rows,
+            merge_delta_table,
+        )
+
+        path = str(tmp_path / "ev_dml")
+        write_delta_table(_df(spark, 0, 6), path, column_mapping="name")
+        evolved = spark.range(6, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            (F.col("id") % 3).cast("string").alias("part"),
+            F.lit("x").alias("tag"),
+        )
+        write_delta_table(evolved, path, mode="append")
+        delete_delta_rows(spark, path, "k = 1")
+        src = spark.createDataFrame(
+            [(2, 25, "2", "y")], "k long, v long, part string, tag string"
+        )
+        merge_delta_table(spark, src, path, ["k"])
+        got = {r.k: (r.v, r.tag) for r in read_delta_table(spark, path).collect()}
+        assert len(got) == 7 and 1 not in got
+        assert got[2] == (25, "y") and got[6] == (60, "x")
+        assert got[0] == (0, None)
 
 
 class TestDeltaLogStreamWriter:

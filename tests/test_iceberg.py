@@ -1169,6 +1169,120 @@ class TestEqualityDeletes:
         assert read_iceberg_table(spark, p2).count() == 5
 
 
+class TestEqualityDeleteChangelog:
+    """Changelog windows over EQUALITY-delete commits (formerly a
+    gated raise): the planner emits 'eq_row_delete' events carrying
+    the delete file's path + key columns, and each executor task
+    key-matches ITS OWN data file — planning stays metadata-only,
+    the matching scan stays distributed."""
+
+    @pytest.fixture()
+    def registered(self, spark):
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        return spark
+
+    def _changes(self, spark, path, start, end=None):
+        r = (
+            spark.read.format("iceberglog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", start)
+        )
+        if end is not None:
+            r = r.option("endingVersion", end)
+        return sorted(
+            (r_._change_type, r_.k, r_.v, r_._commit_version)
+            for r_ in r.load(path).collect()
+        )
+
+    def test_upsert_window_emits_erased_row_images(
+        self, registered, tmp_path
+    ):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            upsert_iceberg_table,
+        )
+
+        spark = registered
+        path = str(tmp_path / "eqc1")
+        write_iceberg_table(_df(spark, 0, 10).coalesce(1), path)   # v1
+        src = spark.createDataFrame(
+            [(3, 31, "0"), (10, 100, "1")], "k long, v long, part string"
+        )
+        upsert_iceberg_table(src, path, ["k"])                     # v2
+        assert self._changes(spark, path, 2) == [
+            ("delete", 3, 30, 2),
+            ("insert", 3, 31, 2),
+            ("insert", 10, 100, 2),
+        ]
+        # the whole-history window emits v1's inserts too
+        ch = self._changes(spark, path, 1)
+        assert ("insert", 3, 30, 1) in ch and ("delete", 3, 30, 2) in ch
+        assert len(ch) == 13  # 10 v1 inserts + 1 delete + 2 upserts
+
+    def test_second_upsert_respects_prior_equality_deletes(
+        self, registered, tmp_path
+    ):
+        """eq_prior interplay: a key already erased by an EARLIER
+        equality delete must not re-emit when a LATER delete matches
+        it again; the later window's erased image is the UPSERTED
+        value, not the original."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            upsert_iceberg_table,
+        )
+
+        spark = registered
+        path = str(tmp_path / "eqc2")
+        write_iceberg_table(_df(spark, 0, 6).coalesce(1), path)    # v1
+        upsert_iceberg_table(
+            spark.createDataFrame([(2, 21, "2")], "k long, v long, part string"),
+            path, ["k"],
+        )                                                          # v2
+        upsert_iceberg_table(
+            spark.createDataFrame([(2, 22, "2"), (4, 41, "1")],
+                                  "k long, v long, part string"),
+            path, ["k"],
+        )                                                          # v3
+        assert self._changes(spark, path, 3) == [
+            ("delete", 2, 21, 3),   # the v2 value, NOT the v1 original
+            ("delete", 4, 40, 3),
+            ("insert", 2, 22, 3),
+            ("insert", 4, 41, 3),
+        ]
+        # current state consistent with the changes
+        got = {r.k: r.v for r in read_iceberg_table(spark, path).collect()}
+        assert got[2] == 22 and got[4] == 41 and len(got) == 6
+
+    def test_overwrite_after_upsert_excludes_eq_dead_rows(
+        self, registered, tmp_path
+    ):
+        """File-removal events under live equality deletes (formerly
+        the second gate): the delete images are the rows still ALIVE
+        at the window start — eq-erased rows must not re-emit."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            upsert_iceberg_table,
+        )
+
+        spark = registered
+        path = str(tmp_path / "eqc3")
+        write_iceberg_table(_df(spark, 0, 5).coalesce(1), path)    # v1
+        upsert_iceberg_table(
+            spark.createDataFrame([(1, 11, "1")], "k long, v long, part string"),
+            path, ["k"],
+        )                                                          # v2
+        write_iceberg_table(
+            _df(spark, 100, 102).coalesce(1), path, mode="overwrite"
+        )                                                          # v3
+        ch = self._changes(spark, path, 3)
+        dels = [(k, v) for t, k, v, _ in ch if t == "delete"]
+        ins = [(k, v) for t, k, v, _ in ch if t == "insert"]
+        # (1, 10) was eq-erased at v2 — only its upserted image dies
+        assert sorted(dels) == [(0, 0), (1, 11), (2, 20), (3, 30), (4, 40)]
+        assert sorted(ins) == [(100, 1000), (101, 1010)]
+
+
 class TestIcebergRollback:
     def test_rollback_and_continue(self, spark, tmp_path):
         from etl_processing_scd1_spark.sources.iceberg import (

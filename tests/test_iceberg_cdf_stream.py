@@ -134,9 +134,15 @@ class TestIcebergCdf:
         )
         assert got.count() == 0
 
-    def test_equality_delete_window_gates(self, registered, tmp_path):
+    def test_equality_delete_window_emits_row_images(
+        self, registered, tmp_path
+    ):
+        """Formerly a gated raise: the eq-delete window now emits the
+        matched keys' old row images as deletes plus the upsert batch
+        as inserts (TestEqualityDeleteChangelog in test_iceberg.py
+        pins the full semantics — this pins the STREAM-facing reader
+        path used by the CDF tests)."""
         from etl_processing_scd1_spark.sources.iceberg import (
-            IcebergProtocolError,
             upsert_iceberg_table,
         )
 
@@ -144,14 +150,21 @@ class TestIcebergCdf:
         path = str(tmp_path / "eq")
         write_iceberg_table(_df(spark, 0, 5), path)                   # v1
         upsert_iceberg_table(_df(spark, 3, 7), path, ["k"])           # v2
-        with pytest.raises(Exception, match="equality"):
-            (
+        ch = sorted(
+            (r._change_type, r.k)
+            for r in (
                 spark.read.format("iceberglog")
                 .option("readChangeFeed", "true")
                 .option("startingVersion", 2)
                 .load(path)
                 .collect()
             )
+        )
+        # keys 3,4 existed -> old images die; 3..6 insert
+        assert ch == [
+            ("delete", 3), ("delete", 4),
+            ("insert", 3), ("insert", 4), ("insert", 5), ("insert", 6),
+        ]
         # a window BEFORE the upsert still reads
         got = (
             spark.read.format("iceberglog")
