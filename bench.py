@@ -137,6 +137,7 @@ HEADLINE = [
     "delta_column_mapping_id_scan",  # id-mode mapping, field-id reads
     "iceberg_drop_column_scan",      # DROP COLUMN on real field ids
     "iceberg_eq_changelog_scan",     # eq-delete changelog, deferred match
+    "iceberg_bucket_partition_scan", # spec murmur3 bucket layout + DML
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -47,12 +47,13 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 # first check — the 14-query round-9 queue plus the two DataSource
 # scans whose r9 rows erred on the (now fixed) pushFilters
 # session-portability regression. Green here → cumulative
-# driver-green 233/233 (236 with the three mid-round additions below,
-# which enter the window the round they land). The other 31 slots
+# driver-green 233/233 (237 with the four mid-round additions below,
+# which enter the window the round they land). The other 30 slots
 # re-confirm the oldest-evidence rows: the full r5 group (9), the
-# full r6 group (16), and the alphabetically-first 6 of the 47-row
-# r4 backlog (the rest queues for round 11; cube_agg, corpus_mixture
-# and cohort_retention were displaced by the three additions).
+# full r6 group (16), and the alphabetically-first 5 of the 47-row
+# r4 backlog (the rest queues for round 11; cube_agg, corpus_mixture,
+# cohort_retention and cms_heavy_hitters were displaced by the four
+# additions).
 PRIMARY = [
     # first driver check — lakehouse DML / CDF / evolution tier
     # (round-9 queue, landing order) + the 2 repaired DataSource scans
@@ -80,6 +81,7 @@ PRIMARY = [
     "delta_column_mapping_id_scan",
     "iceberg_drop_column_scan",
     "iceberg_eq_changelog_scan",
+    "iceberg_bucket_partition_scan",
     # re-confirmation: last green r5
     "asof_join",
     "distinct_agg_having",
@@ -113,7 +115,6 @@ PRIMARY = [
     "bm25_score",
     "cardinality_sketch",
     "chunk_documents",
-    "cms_heavy_hitters",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —

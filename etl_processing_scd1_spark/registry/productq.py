@@ -1060,6 +1060,58 @@ def iceberg_eq_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICE_BUCKET_ORACLE = """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE NOT o_orderkey % 10 = 0
+    GROUP BY o_orderpriority
+"""
+
+
+@register("iceberg_bucket_partition_scan", oracle=_ICE_BUCKET_ORACLE)
+def iceberg_bucket_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BUCKET partition transform (spec §Partition Transforms
+    — the hash layout real tables use for high-cardinality keys):
+    orders lands in a table partitioned ``bucket(16, o_custkey)`` —
+    the writer computes the tuple with the SPEC's murmur3 bucket hash
+    (Appendix-B vectors pinned in tests), manifests carry
+    ``transform=bucket[16]`` + source-id, and a merge-on-read DELETE
+    then runs against the transformed layout. The correctness hash
+    covers the whole table; the SCALE property — a key-equality scan
+    plans ~1/16 of the files from the manifest TUPLE before bounds
+    are consulted — is asserted in
+    ``tests/test_iceberg.py::TestPartitionTransforms``
+    (``sources/iceberg.py::_transform_column``, ``_bucket_int``)."""
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_iceberg_rows,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_bucket")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(
+        orders, path, partition_by=["bucket(16, o_custkey)"]
+    )
+    delete_iceberg_rows(spark, path, "o_orderkey % 10 = 0")
+    got = read_iceberg_table(spark, path)
+    return got.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+
+
 _DELTA_RESTORE_ORACLE = """
     SELECT o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS n_orders,

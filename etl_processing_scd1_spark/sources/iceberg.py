@@ -23,15 +23,19 @@ commits carry sequence numbers and the v2 manifest-list schema):
   nothing corrupted, its staged files unreferenced);
 - time travel = read an older metadata version or pin a snapshot id.
 
-Scope honestly stated: identity partition transforms on scalar
-columns; flat (non-nested) schemas; parquet data files; reader gates
-on ``format-version <= 2`` and refuses non-parquet data files and
-spec-invalid equality deletes (no ``equality_ids``) with the table's
-actual values in the message. Data files carry ALL schema columns (spec
-behavior — identity partition sources are ordinary data columns), so
-other engines' readers need no constant-filling for our tables;
-OUR reader fills identity-partition constants from the manifest when
-a foreign table's files omit them.
+Scope honestly stated: partition transforms identity / bucket[N]
+(spec murmur3 hash, Appendix-B test vectors pinned) / truncate[W] /
+year / month / day / hour on scalar columns; flat (non-nested)
+schemas; parquet data files; reader gates on ``format-version <= 2``
+and refuses non-parquet data files and spec-invalid equality deletes
+(no ``equality_ids``) with the table's actual values in the message.
+Data files carry ALL schema columns (spec behavior — transform
+sources are ordinary data columns), so other engines' readers need no
+constant-filling for our tables; OUR reader fills identity-partition
+constants from the manifest when a foreign table's files omit them.
+Equality predicates prune transform-partitioned files by the
+partition TUPLE (transform(value) vs the manifest tuple) before
+bounds are consulted — the 1/N scan bucketing exists for.
 
 Scale: the metadata tree is O(files) and driver-side by design (the
 same contract as Iceberg's own client; manifest lists exist
@@ -283,6 +287,253 @@ def iceberg_snapshots(path: str, version: int | None = None) -> list[dict]:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# Partition transforms (spec §Partition Transforms + Appendix B)
+# --------------------------------------------------------------------------
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) — the spec's bucket hash
+    (Appendix B). Pure stdlib; signed 32-bit result like the Java
+    reference. Spec test vectors pinned in tests: hashLong(34) =
+    2017239379, hashBytes(b"iceberg") = 1210000089."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - 3, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = n & ~3
+    k = 0
+    rem = n & 3
+    if rem == 3:
+        k ^= data[tail + 2] << 16
+    if rem >= 2:
+        k ^= data[tail + 1] << 8
+    if rem >= 1:
+        k ^= data[tail]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_int(value, n: int, src_ice: str) -> int | None:
+    """Scalar bucket transform: spec hashes int/long/date/timestamp
+    as the 8-byte little-endian LONG, strings as UTF-8 bytes; bucket
+    = (hash & Integer.MAX_VALUE) % N."""
+    if value is None:
+        return None
+    if src_ice in ("int", "long"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif src_ice == "date":
+        import datetime
+
+        days = value if isinstance(value, int) else \
+            (value - datetime.date(1970, 1, 1)).days
+        data = int(days).to_bytes(8, "little", signed=True)
+    elif src_ice == "string":
+        data = str(value).encode("utf-8")
+    else:
+        raise IcebergProtocolError(
+            f"bucket transform over {src_ice!r} not supported"
+        )
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+_TEMPORAL = ("year", "month", "day", "hour")
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    """Spec transform string → (kind, parameter): "identity",
+    "bucket[8]", "truncate[4]", "year"/"month"/"day"/"hour"."""
+    t = t.strip()
+    if t == "identity" or t in _TEMPORAL or t == "void":
+        return t, None
+    m = re.match(r"^(bucket|truncate)\[(\d+)\]$", t)
+    if m:
+        return m.group(1), int(m.group(2))
+    raise IcebergProtocolError(f"unsupported partition transform {t!r}")
+
+
+def _parse_partition_by(cols: list[str]) -> list[tuple[str, str, str]]:
+    """User partition_by syntax → (field_name, transform_str, source):
+    plain ``"col"`` (identity), ``"bucket(8, col)"``,
+    ``"truncate(4, col)"``, ``"year(col)"`` / ``"years(col)"`` …
+    Field names follow the Java library's defaults
+    (``col_bucket``, ``col_trunc``, ``col_year`` …)."""
+    out = []
+    for c in cols:
+        c = c.strip()
+        m = re.match(r"^(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)$", c)
+        if m:
+            kind, n, src = m.group(1), int(m.group(2)), m.group(3)
+            suffix = "bucket" if kind == "bucket" else "trunc"
+            out.append((f"{src}_{suffix}", f"{kind}[{n}]", src))
+            continue
+        m = re.match(r"^(year|month|day|hour)s?\(\s*(\w+)\s*\)$", c)
+        if m:
+            kind, src = m.group(1), m.group(2)
+            out.append((f"{src}_{kind}", kind, src))
+            continue
+        if re.match(r"^\w+$", c):
+            out.append((c, "identity", c))
+            continue
+        raise IcebergProtocolError(f"cannot parse partition spec {c!r}")
+    return out
+
+
+def _transform_result_ice(transform: str, src_ice: str) -> str:
+    kind, _n = _parse_transform(transform)
+    if kind == "identity":
+        return src_ice
+    if kind == "bucket":
+        return "int"
+    if kind == "truncate":
+        if src_ice not in ("int", "long", "string"):
+            raise IcebergProtocolError(
+                f"truncate transform over {src_ice!r} not supported"
+            )
+        return src_ice
+    if kind in _TEMPORAL:
+        if src_ice not in ("date", "timestamp"):
+            raise IcebergProtocolError(
+                f"{kind} transform over {src_ice!r} not supported"
+            )
+        return "int"
+    raise IcebergProtocolError(f"unsupported transform {transform!r}")
+
+
+def _transform_column(transform: str, source: str, src_ice: str):
+    """Spark Column computing the transform of ``source`` — built-in
+    expressions for everything except bucket, whose spec hash
+    (murmur3 of the encoded value) runs as an Arrow-batched
+    pandas_udf (the one Python-side hop; it feeds the WRITE-side
+    grouping only, reads never pay it)."""
+    kind, n = _parse_transform(transform)
+    col = F.col(source)
+    if kind == "identity":
+        return col
+    if kind == "truncate":
+        if src_ice == "string":
+            return F.substring(col, 1, n)
+        # spec: v - (((v % W) + W) % W) — floored toward -inf
+        return (col - F.pmod(col, F.lit(n))).cast(
+            "long" if src_ice == "long" else "int"
+        )
+    if kind == "year":
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if kind == "month":
+        return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
+    if kind == "day":
+        return F.datediff(col, F.to_date(F.lit("1970-01-01"))).cast("int")
+    if kind == "hour":
+        return F.floor(
+            F.unix_timestamp(col) / F.lit(3600)
+        ).cast("int")
+    # bucket: spec murmur3 over the encoded value, vectorized per
+    # Arrow batch (ints via numpy fixed-8-byte fast path)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _bucket(s):
+        import numpy as np
+        import pandas as pd
+
+        if src_ice in ("int", "long", "date"):
+            if src_ice == "date":
+                vals = pd.to_datetime(s)
+                iv = (
+                    (vals - pd.Timestamp("1970-01-01")).dt.days
+                ).astype("float64")
+            else:
+                iv = s.astype("float64")
+            out = np.full(len(s), np.nan, dtype="float64")
+            mask = ~pd.isna(iv)
+            if mask.any():
+                v = iv[mask].astype("int64").to_numpy()
+                out[np.asarray(mask)] = [
+                    (murmur3_32(int(x).to_bytes(8, "little", signed=True))
+                     & 0x7FFFFFFF) % n
+                    for x in v
+                ]
+            return pd.Series(out).astype("Int32")
+        return pd.Series(
+            [
+                None if v is None or v is pd.NA
+                else (murmur3_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n
+                for v in s
+            ],
+            dtype="Int32",
+        )
+
+    return _bucket(col)
+
+
+def _transform_scalar(transform: str, value, src_ice: str):
+    """Planner-side scalar transform (for partition-tuple pruning of
+    EQUALITY predicates). Returns NotImplemented when the transform
+    can't evaluate the value reliably — then don't prune."""
+    kind, n = _parse_transform(transform)
+    if value is None:
+        return NotImplemented
+    try:
+        if kind == "identity":
+            return value
+        if kind == "bucket":
+            return _bucket_int(value, n, src_ice)
+        if kind == "truncate":
+            if src_ice == "string":
+                return str(value)[:n]
+            v = int(value)
+            return v - (((v % n) + n) % n)
+        import datetime
+
+        d = value if isinstance(value, datetime.date) else \
+            datetime.date.fromisoformat(str(value)[:10])
+        if kind == "year":
+            return d.year - 1970
+        if kind == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        if kind == "day":
+            return (d - datetime.date(1970, 1, 1)).days
+    except Exception:
+        return NotImplemented
+    return NotImplemented
+
+
+def _spec_entries_from_meta(meta: dict) -> list[dict]:
+    """Partition-spec fields of ``meta`` resolved to
+    ``{"name", "transform", "source", "fid", "ice"}`` (result type).
+    Legacy identity specs without source-id resolve by name."""
+    by_id = _field_names_by_id(meta)
+    schema = meta.get("schema") or {}
+    src_ice = {f["name"]: f["type"] for f in schema.get("fields", [])}
+    entries = []
+    for f in (meta.get("partition-specs") or [{"fields": []}])[0]["fields"]:
+        transform = f.get("transform", "identity")
+        source = by_id.get(f.get("source-id")) or f["name"]
+        entries.append({
+            "name": f["name"],
+            "transform": transform,
+            "source": source,
+            "fid": int(f.get("field-id", 1000)),
+            "ice": _transform_result_ice(transform, src_ice[source]),
+        })
+    return entries
+
+
 def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
                     predicates: dict | None = None):
     """→ (snapshot_id, data_files, delete_files) for the chosen
@@ -318,9 +569,44 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
     for f in (schema or {}).get("fields", []):
         by_id[f["id"]] = (f["name"], f["type"])
 
+    # transform-aware partition-tuple pruning for EQUALITY predicates:
+    # bucket/truncate/temporal/identity fields skip files whose tuple
+    # value differs from transform(predicate value) — the scale win
+    # bucketing exists for (a bucket[N] spec turns a key-equality scan
+    # into 1/N of the files before bounds are even consulted).
+    # Restricted to exactly-representable source types; superset
+    # guarantee preserved (Spark still filters rows).
+    _prune_entries: dict[str, list] = {}
+    if predicates:
+        src_types = {name: ice for name, ice in by_id.values()}
+        for e in _spec_entries_from_meta(meta):
+            if src_types.get(e["source"]) in ("int", "long", "string", "date"):
+                _prune_entries.setdefault(e["source"], []).append(
+                    (e["name"], e["transform"], src_types[e["source"]])
+                )
+
+    def part_pruned(df_: dict) -> bool:
+        if not predicates or not _prune_entries:
+            return False
+        part = df_.get("partition") or {}
+        for col, (lo, hi) in predicates.items():
+            if lo is None or lo != hi:
+                continue
+            for name, transform, src_ice in _prune_entries.get(col, ()):
+                if part.get(name) is None:
+                    continue
+                want = _transform_scalar(transform, lo, src_ice)
+                if want is NotImplemented:
+                    continue
+                if part[name] != want:
+                    return True
+        return False
+
     def pruned(df_: dict) -> bool:
         if not predicates:
             return False
+        if part_pruned(df_):
+            return True
         lo_map = {b["key"]: b["value"] for b in (df_.get("lower_bounds") or [])}
         hi_map = {b["key"]: b["value"] for b in (df_.get("upper_bounds") or [])}
         for fid, (name, ice) in by_id.items():
@@ -922,8 +1208,7 @@ def write_iceberg_table(
         # merge-on-read deletes keep applying (they name exact file
         # paths — new files are untouched by construction)
         schema = _spark_schema(prev)
-        spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = [f["name"] for f in spec_fields]
+        spec_entries = _spec_entries_from_meta(prev)
         known = {f.name for f in schema.fields}
         extra = [c for c in df.columns if c not in known]
         if extra:
@@ -970,37 +1255,66 @@ def write_iceberg_table(
     else:
         prev = None
         schema = df.schema
-        for c in partition_by or []:
-            if c not in df.columns:
-                raise ValueError(f"partition column {c!r} not in DataFrame")
+        ice0 = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+        parsed = _parse_partition_by(list(partition_by or []))
+        for name, transform, src in parsed:
+            if src not in df.columns:
+                raise ValueError(f"partition column {src!r} not in DataFrame")
+        spec_entries = [
+            {
+                "name": name, "transform": transform, "source": src,
+                "fid": 1000 + i,
+                "ice": _transform_result_ice(transform, ice0[src]),
+            }
+            for i, (name, transform, src) in enumerate(parsed)
+        ]
         new_version = 1
         table_uuid = str(uuid.uuid4())
-    partition_by = list(partition_by or [])
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
-    for c in partition_by:
-        if ice_types[c] not in _ICE_TO_AVRO:
+    for e in spec_entries:
+        if e["ice"] not in _ICE_TO_AVRO:
             raise IcebergProtocolError(
-                f"identity partition on {ice_types[c]} column {c!r} not supported"
+                f"partition tuple type {e['ice']} for field "
+                f"{e['name']!r} not supported"
             )
     field_ids = _resolved_field_ids(prev, schema)
-    part_fields = [
-        (c, ice_types[c], 1000 + i) for i, c in enumerate(partition_by)
-    ]
 
-    new_files = _stage_data_files(df, path, partition_by, ice_types, field_ids)
+    new_files = _stage_data_files(df, path, spec_entries, ice_types, field_ids)
     return _commit_snapshot(
-        path, schema, partition_by, mode, new_files, extra_summary, base, prev
+        path, schema, spec_entries, mode, new_files, extra_summary, base, prev
     )
 
 
-def _stage_data_files(df: DataFrame, path: str, partition_by: list[str],
+def _coerce_entries(spec_entries: list, ice_types: dict) -> list[dict]:
+    """Accept plain column-name lists (identity specs — the DataSource
+    writer and legacy callers) alongside parsed spec-entry dicts."""
+    out = []
+    for i, e in enumerate(spec_entries or []):
+        if isinstance(e, str):
+            out.append({
+                "name": e, "transform": "identity", "source": e,
+                "fid": 1000 + i, "ice": ice_types[e],
+            })
+        else:
+            out.append(e)
+    return out
+
+
+def _stage_data_files(df: DataFrame, path: str, spec_entries: list,
                       ice_types: dict, field_ids: dict) -> list:
     """Write ``df``'s rows as parquet under ``data/`` (distributed
     write into a staged directory, rename-only move). Files keep ALL
-    schema columns (identity sources are ordinary data columns per
-    the spec); hive-style dirs come from shadow copies. Returns
+    schema columns (transform sources are ordinary data columns per
+    the spec); hive-style dirs come from shadow columns carrying the
+    TRANSFORMED values (identity/bucket/truncate/temporal — the
+    transform expressions are Spark built-ins except bucket's spec
+    murmur3, a vectorized pandas_udf). ``spec_entries`` is the parsed
+    partition spec ({"name","transform","source","fid","ice"}); plain
+    column-name lists are accepted for identity callers. Returns
     ``(abs_path, partition_values, record_count, size, lower_bounds,
-    upper_bounds)`` per file."""
+    upper_bounds)`` per file — partition values typed per the
+    transform's RESULT type."""
+    spec_entries = _coerce_entries(spec_entries, ice_types)
     stage_abs = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
     # Stamp each column's REAL field id into the parquet footer
     # (Spark honors parquet.field.id column metadata;
@@ -1015,9 +1329,15 @@ def _stage_data_files(df: DataFrame, path: str, partition_by: list[str],
             for c in df.columns
         ]
     )
-    shadow = {c: f"_p_{c}" for c in partition_by}
-    for c, s in shadow.items():
-        staged = staged.withColumn(s, F.col(c).cast("string"))
+    part_types = {e["name"]: e["ice"] for e in spec_entries}
+    shadow = {e["name"]: f"_p_{e['name']}" for e in spec_entries}
+    for e in spec_entries:
+        staged = staged.withColumn(
+            shadow[e["name"]],
+            _transform_column(
+                e["transform"], e["source"], ice_types[e["source"]]
+            ).cast("string"),
+        )
     writer = staged.write.mode("overwrite")
     if shadow:
         writer = writer.partitionBy(*shadow.values())
@@ -1039,7 +1359,9 @@ def _stage_data_files(df: DataFrame, path: str, partition_by: list[str],
                 if "=" in seg:
                     k, _, val = seg.partition("=")
                     col = k[len("_p_"):] if k.startswith("_p_") else k
-                    part_values[col] = _typed_part_value(val, ice_types[col])
+                    part_values[col] = _typed_part_value(
+                        val, part_types.get(col, ice_types.get(col, "string"))
+                    )
             rel_dir = os.path.join(_DATA, *(() if part_rel == "." else (part_rel,)))
             dest = os.path.join(path, rel_dir, f"part-{uuid.uuid4().hex}.parquet")
             os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -1056,7 +1378,7 @@ def _stage_data_files(df: DataFrame, path: str, partition_by: list[str],
 def _commit_snapshot(
     path: str,
     schema: T.StructType,
-    partition_by: list[str],
+    spec_entries: list,
     mode: str,
     new_files: list,
     extra_summary: dict | None,
@@ -1067,7 +1389,9 @@ def _commit_snapshot(
     the ``iceberglog`` DataSource writer: turn a list of already-
     written data files ``(abs_path, partition_values, record_count,
     size, lower_bounds, upper_bounds)`` into a manifest + manifest
-    list + snapshot + put-if-absent metadata version."""
+    list + snapshot + put-if-absent metadata version.
+    ``spec_entries`` = parsed partition spec (dicts) or plain column
+    names (identity)."""
     now_ms = int(time.time() * 1000)
     new_version = base + 1 if base else 1
     table_uuid = prev["table-uuid"] if prev else str(uuid.uuid4())
@@ -1080,8 +1404,9 @@ def _commit_snapshot(
     )
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     field_ids = _resolved_field_ids(prev, schema)
+    spec_entries = _coerce_entries(spec_entries, ice_types)
     part_fields = [
-        (c, ice_types[c], 1000 + i) for i, c in enumerate(partition_by)
+        (e["name"], e["ice"], e["fid"]) for e in spec_entries
     ]
 
     # ---- manifest for the new files
@@ -1107,9 +1432,9 @@ def _commit_snapshot(
     ]
     spec_json = json.dumps(
         [
-            {"name": c, "transform": "identity",
-             "source-id": field_ids[c], "field-id": fid}
-            for c, _ice, fid in part_fields
+            {"name": e["name"], "transform": e["transform"],
+             "source-id": field_ids[e["source"]], "field-id": e["fid"]}
+            for e in spec_entries
         ]
     )
     dump_avro(
@@ -1340,7 +1665,7 @@ def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
     schema = _spark_schema(prev)
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     part_fields = [
-        (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
+        (e["name"], e["ice"], e["fid"]) for e in _spec_entries_from_meta(prev)
     ]
     manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
     dump_avro(
@@ -1449,13 +1774,11 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
         ]
     )
     spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
-    partition_by = [f["name"] for f in spec_fields]
+    spec_entries = _spec_entries_from_meta(prev)
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     field_ids = _resolved_field_ids(prev, schema)
-    part_fields = [
-        (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
-    ]
-    new_files = _stage_data_files(updated, path, partition_by, ice_types,
+    part_fields = [(e["name"], e["ice"], e["fid"]) for e in spec_entries]
+    new_files = _stage_data_files(updated, path, spec_entries, ice_types,
                                   field_ids)
     data_manifest = _data_manifest_row(
         path, new_files, snapshot_id, seq, schema, spec_fields, part_fields,
@@ -1839,18 +2162,16 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
 
     seq = int(prev.get("last-sequence-number", 0)) + 1
     spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
-    partition_by = [f["name"] for f in spec_fields]
+    spec_entries = _spec_entries_from_meta(prev)
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     field_ids = _resolved_field_ids(prev, schema)
-    part_fields = [
-        (f["name"], ice_types[f["name"]], f["field-id"]) for f in spec_fields
-    ]
+    part_fields = [(e["name"], e["ice"], e["fid"]) for e in spec_entries]
     now_ms = int(time.time() * 1000)
     new_version = base + 1
     snapshot_id = now_ms * 1000 + new_version
 
     # ---- data files at the new sequence number
-    new_files = _stage_data_files(df, path, partition_by, ice_types, field_ids)
+    new_files = _stage_data_files(df, path, spec_entries, ice_types, field_ids)
 
     # ---- equality-delete file: distinct incoming keys (sorted —
     # deterministic bytes; spec only asks for the key columns)

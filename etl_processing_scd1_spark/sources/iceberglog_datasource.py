@@ -611,10 +611,23 @@ class IcebergLogDataSource(DataSource):
             return _IceCdfStreamReader(self._path(), schema, starting, mvb)
         return _IceStreamReader(self._path(), schema, starting, mvb)
 
+    def _resolved_ids(self, schema: StructType) -> dict | None:
+        """Resolve field ids from the table metadata (driver-side) so
+        executor-computed footer bounds key correctly on evolved
+        tables; None (positional) only for a first commit."""
+        from .iceberg import _list_meta_versions, _resolved_field_ids
+
+        if not _list_meta_versions(self._path()):
+            return None
+        return _resolved_field_ids(_load_metadata(self._path(), None), schema)
+
     def writer(self, schema: StructType, overwrite: bool):
         part = self.options.get("partitionby")
         partition_by = [c.strip() for c in part.split(",")] if part else []
-        return _IceWriter(self._path(), schema, overwrite, partition_by)
+        return _IceWriter(
+            self._path(), schema, overwrite, partition_by,
+            self._resolved_ids(schema),
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         part = self.options.get("partitionby")
@@ -622,6 +635,7 @@ class IcebergLogDataSource(DataSource):
         return _IceStreamWriter(
             self._path(), schema, partition_by,
             self.options.get("appid", "iceberglog-stream"),
+            self._resolved_ids(schema),
         )
 
 
@@ -643,11 +657,18 @@ class _IceWriter(DataSourceArrowWriter):
     evolution path lives in ``write_iceberg_table``)."""
 
     def __init__(self, path: str, schema: StructType,
-                 overwrite: bool, partition_by: list[str]):
+                 overwrite: bool, partition_by: list[str],
+                 field_ids: dict | None = None):
         self.path = path
         self.schema_ = schema
         self.overwrite = overwrite
         self.partition_by = partition_by
+        # resolved DRIVER-SIDE from table metadata: footer bounds are
+        # keyed by field id, and a positional executor-side derivation
+        # would mis-key them on an evolved table (wrong pruning)
+        self.field_ids = field_ids or {
+            f.name: i + 1 for i, f in enumerate(schema.fields)
+        }
 
     def write(self, iterator):
         import os
@@ -666,7 +687,7 @@ class _IceWriter(DataSourceArrowWriter):
         ice_types = {
             f.name: _spark_to_iceberg(f.dataType) for f in self.schema_.fields
         }
-        field_ids = {f.name: i + 1 for i, f in enumerate(self.schema_.fields)}
+        field_ids = self.field_ids
         batches = list(iterator)
         files: list = []
         if batches:
@@ -737,9 +758,21 @@ class _IceWriter(DataSourceArrowWriter):
                     "to match the table schema (use write_iceberg_table for "
                     "add-column evolution)"
                 )
-            partition_by = [
-                f["name"] for f in prev["partition-specs"][0]["fields"]
-            ]
+            spec_fields = prev["partition-specs"][0]["fields"]
+            if any(
+                f.get("transform", "identity") != "identity"
+                for f in spec_fields
+            ):
+                # the executor write-half groups Arrow batches by the
+                # partition COLUMNS; transformed tuples (bucket/
+                # truncate/temporal) need the transform expressions —
+                # write_iceberg_table computes them
+                raise ValueError(
+                    "iceberglog write: transform-partitioned tables are "
+                    "not writable through the DataSource — use "
+                    "write_iceberg_table"
+                )
+            partition_by = [f["name"] for f in spec_fields]
         else:
             base = 0
             prev = None
@@ -775,8 +808,9 @@ class _IceStreamWriter(_IceWriter, DataSourceStreamArrowWriter):
     names the writer identity (default 'iceberglog-stream')."""
 
     def __init__(self, path: str, schema: StructType,
-                 partition_by: list[str], app_id: str):
-        _IceWriter.__init__(self, path, schema, False, partition_by)
+                 partition_by: list[str], app_id: str,
+                 field_ids: dict | None = None):
+        _IceWriter.__init__(self, path, schema, False, partition_by, field_ids)
         self.app_id = app_id
 
     def commit(self, messages, batchId: int) -> None:

@@ -43,6 +43,7 @@ DATASOURCE_QUERIES = [
     "streaming_cdf_read",
     "iceberg_changelog_scan",
     "delta_column_mapping_id_scan",
+    "iceberg_eq_changelog_scan",
 ]
 
 

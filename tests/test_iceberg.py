@@ -1343,6 +1343,145 @@ class TestIcebergVacuum:
         assert read_iceberg_table(spark, path, version=2).count() == 5
 
 
+class TestPartitionTransforms:
+    """Spec §Partition Transforms: bucket[N] (murmur3, Appendix-B
+    vectors), truncate[W], year/month/day — writer computes the
+    partition tuple with Spark expressions (bucket via a vectorized
+    pandas_udf of the spec hash), manifests carry transform +
+    source-id, equality predicates prune files by the TUPLE, and
+    DML/appends inherit the spec."""
+
+    def test_murmur3_spec_vectors(self):
+        import struct
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _bucket_int,
+            _transform_scalar,
+            murmur3_32,
+        )
+
+        # Appendix B reference values
+        assert murmur3_32(struct.pack("<q", 34)) == 2017239379
+        assert murmur3_32(b"iceberg") == 1210000089
+        import datetime
+
+        days = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+        assert murmur3_32(struct.pack("<q", days)) == -653330422
+        assert _bucket_int(34, 16, "long") == (2017239379 & 0x7FFFFFFF) % 16
+        assert _bucket_int("iceberg", 16, "string") == \
+            (1210000089 & 0x7FFFFFFF) % 16
+        # truncate floors toward -inf (spec)
+        assert _transform_scalar("truncate[4]", -7, "long") == -8
+        assert _transform_scalar("truncate[3]", "iceberg", "string") == "ice"
+        assert _transform_scalar("month", datetime.date(2017, 11, 16),
+                                 "date") == (2017 - 1970) * 12 + 10
+        assert _transform_scalar("year", datetime.date(2017, 11, 16),
+                                 "date") == 47
+
+    def test_write_read_prune_dml(self, spark, tmp_path):
+        import datetime
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _bucket_int,
+            _load_metadata,
+            _snapshot_files,
+            delete_iceberg_rows,
+            upsert_iceberg_table,
+        )
+
+        path = str(tmp_path / "pt1")
+        df = spark.range(0, 120).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("n-"), F.col("id")).alias("name"),
+            F.date_add(
+                F.to_date(F.lit("2020-01-01")), (F.col("id") % 90).cast("int")
+            ).alias("d"),
+            (F.col("id") * 10).alias("v"),
+        )
+        write_iceberg_table(
+            df, path,
+            partition_by=["bucket(8, k)", "truncate(3, name)", "month(d)"],
+        )
+        meta = _load_metadata(path, None)
+        spec = meta["partition-spec"]
+        assert [(f["name"], f["transform"], f["source-id"]) for f in spec] == [
+            ("k_bucket", "bucket[8]", 1),
+            ("name_trunc", "truncate[3]", 2),
+            ("d_month", "month", 3),
+        ]
+        # manifest tuples carry the spec-hash bucket of the source key
+        _, files, _ = _snapshot_files(path, meta, None, None)
+        for _p, part, _s in files:
+            assert set(part) == {"k_bucket", "name_trunc", "d_month"}
+            assert 0 <= part["k_bucket"] < 8
+        got = read_iceberg_table(spark, path)
+        assert got.columns == ["k", "name", "d", "v"]
+        rows = {r.k: (r.name, r.d, r.v) for r in got.collect()}
+        assert len(rows) == 120
+        assert rows[7] == ("n-7", datetime.date(2020, 1, 8), 70)
+        # bucket-tuple pruning: a key-equality predicate plans ~1/8 of
+        # the files and still returns the row
+        _, allf, _ = _snapshot_files(path, meta, None, None)
+        _, pruned, _ = _snapshot_files(path, meta, None, {"k": (7, 7)})
+        assert len(pruned) < len(allf)
+        want_bucket = _bucket_int(7, 8, "long")
+        assert all(p["k_bucket"] == want_bucket for _f, p, _s in pruned)
+        assert read_iceberg_table(
+            spark, path, predicates={"k": (7, 7)}
+        ).filter("k = 7").count() == 1
+        # append inherits the transform spec; DML works on the table
+        write_iceberg_table(
+            df.withColumn("k", F.col("k") + 1000), path, mode="append"
+        )
+        delete_iceberg_rows(spark, path, "k = 3")
+        upsert_iceberg_table(
+            spark.createDataFrame(
+                [(5, "n-5", datetime.date(2020, 1, 6), 555)],
+                "k long, name string, d date, v long",
+            ),
+            path, ["k"],
+        )
+        final = {r.k: r.v for r in read_iceberg_table(spark, path).collect()}
+        assert len(final) == 239 and 3 not in final and final[5] == 555
+        meta2 = _load_metadata(path, None)
+        assert meta2["partition-spec"] == spec  # spec untouched by DML
+
+    def test_datasource_reads_transformed_write_gated(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "pt2")
+        write_iceberg_table(
+            _df(spark, 0, 20), path, partition_by=["bucket(4, k)"]
+        )
+        ds = spark.read.format("iceberglog").load(path)
+        assert sorted(r.k for r in ds.collect()) == list(range(20))
+        # the DataSource write half groups by COLUMNS — transformed
+        # tuples need write_iceberg_table
+        with pytest.raises(Exception, match="transform-partitioned"):
+            (
+                _df(spark, 20, 25).write.format("iceberglog")
+                .mode("append").save(path)
+            )
+
+    def test_bad_specs_raise(self, spark, tmp_path):
+        path = str(tmp_path / "pt3")
+        with pytest.raises(IcebergProtocolError, match="cannot parse"):
+            write_iceberg_table(
+                _df(spark, 0, 5), path, partition_by=["bucket(4 k)"]
+            )
+        with pytest.raises(IcebergProtocolError, match="not supported"):
+            write_iceberg_table(
+                _df(spark, 0, 5), path, partition_by=["year(k)"]
+            )
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            write_iceberg_table(
+                _df(spark, 0, 5), path, partition_by=["bucket(4, nope)"]
+            )
+
+
 class TestDropColumnEvolution:
     """DROP COLUMN (spec §Schema Evolution) on real field-id plumbing:
     survivors keep their ids across the drop (the old positional
