@@ -109,7 +109,8 @@ PRIMARY = [
     "scd1_update_detect",
     "text_stats",
     "window_lag_prev",
-    # re-confirmation: first 9 of the r4 backlog
+    # re-confirmation: alphabetically-first 5 of the r4 backlog
+    # (4 more were displaced by the mid-round additions above)
     "anomaly_zscore",
     "bloom_membership",
     "bm25_score",

@@ -746,7 +746,8 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
     # the eqNullSafe match below. Cost: one agg on the (small,
     # changed-rows-sized) source, short-circuited by limit(1).
     dup = (
-        source.groupBy(*keys).count().filter(F.col("count") > 1)
+        source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__dup_n"))
+        .filter(F.col("__dup_n") > 1)
         .limit(1).collect()
     )
     if dup:

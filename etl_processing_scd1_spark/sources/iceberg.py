@@ -398,6 +398,11 @@ def _transform_result_ice(transform: str, src_ice: str) -> str:
     kind, _n = _parse_transform(transform)
     if kind == "identity":
         return src_ice
+    if kind == "void":
+        # spec: void always yields null; result type = source type.
+        # Appears in foreign specs after REPLACE/DROP PARTITION FIELD
+        # evolution — must plan, never prune, never raise.
+        return src_ice
     if kind == "bucket":
         return "int"
     if kind == "truncate":
@@ -407,9 +412,17 @@ def _transform_result_ice(transform: str, src_ice: str) -> str:
             )
         return src_ice
     if kind in _TEMPORAL:
-        if src_ice not in ("date", "timestamp"):
+        # DATE sources only: the spec derives year/month/day/hour in
+        # UTC, but Spark's year()/month()/datediff() over TIMESTAMP
+        # read the SESSION timezone — on a bare session (no UTC conf)
+        # the tuple would disagree with a spec-conformant engine.
+        # Dates are timezone-free, so they are exact; timestamp
+        # sources gate until a UTC-exact derivation is wired.
+        if kind == "hour" or src_ice != "date":
             raise IcebergProtocolError(
-                f"{kind} transform over {src_ice!r} not supported"
+                f"{kind} transform over {src_ice!r} not supported "
+                "(temporal transforms: date sources only; hour needs "
+                "a timestamp source and is gated)"
             )
         return "int"
     raise IcebergProtocolError(f"unsupported transform {transform!r}")
@@ -425,6 +438,8 @@ def _transform_column(transform: str, source: str, src_ice: str):
     col = F.col(source)
     if kind == "identity":
         return col
+    if kind == "void":
+        return F.lit(None).cast("string")
     if kind == "truncate":
         if src_ice == "string":
             return F.substring(col, 1, n)
@@ -438,47 +453,35 @@ def _transform_column(transform: str, source: str, src_ice: str):
         return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
     if kind == "day":
         return F.datediff(col, F.to_date(F.lit("1970-01-01"))).cast("int")
-    if kind == "hour":
-        return F.floor(
-            F.unix_timestamp(col) / F.lit(3600)
-        ).cast("int")
-    # bucket: spec murmur3 over the encoded value, vectorized per
-    # Arrow batch (ints via numpy fixed-8-byte fast path)
+    # bucket: spec murmur3 over the encoded value. The UDF input is
+    # the value CAST TO STRING so nulls can never demote an int
+    # column to float64 inside pandas — a float64 round-trip computes
+    # the wrong hash for |v| > 2^53 (snowflake-style IDs), silently
+    # disagreeing with the planner's exact _bucket_int pruning.
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def _bucket(s):
-        import numpy as np
+        import datetime as _dt
+
         import pandas as pd
 
-        if src_ice in ("int", "long", "date"):
-            if src_ice == "date":
-                vals = pd.to_datetime(s)
-                iv = (
-                    (vals - pd.Timestamp("1970-01-01")).dt.days
-                ).astype("float64")
+        def one(v):
+            if v is None or v is pd.NA or (isinstance(v, float) and v != v):
+                return None
+            if src_ice in ("int", "long"):
+                data = int(v).to_bytes(8, "little", signed=True)
+            elif src_ice == "date":
+                days = (_dt.date.fromisoformat(str(v)[:10])
+                        - _dt.date(1970, 1, 1)).days
+                data = days.to_bytes(8, "little", signed=True)
             else:
-                iv = s.astype("float64")
-            out = np.full(len(s), np.nan, dtype="float64")
-            mask = ~pd.isna(iv)
-            if mask.any():
-                v = iv[mask].astype("int64").to_numpy()
-                out[np.asarray(mask)] = [
-                    (murmur3_32(int(x).to_bytes(8, "little", signed=True))
-                     & 0x7FFFFFFF) % n
-                    for x in v
-                ]
-            return pd.Series(out).astype("Int32")
-        return pd.Series(
-            [
-                None if v is None or v is pd.NA
-                else (murmur3_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n
-                for v in s
-            ],
-            dtype="Int32",
-        )
+                data = str(v).encode("utf-8")
+            return (murmur3_32(data) & 0x7FFFFFFF) % n
 
-    return _bucket(col)
+        return pd.Series([one(v) for v in s], dtype="Int32")
+
+    return _bucket(col.cast("string"))
 
 
 def _transform_scalar(transform: str, value, src_ice: str):
@@ -490,6 +493,15 @@ def _transform_scalar(transform: str, value, src_ice: str):
         return NotImplemented
     try:
         if kind == "identity":
+            if src_ice == "date":
+                import datetime
+
+                d = value if isinstance(value, datetime.date) else \
+                    datetime.date.fromisoformat(str(value)[:10])
+                # manifest tuples store dates as epoch-day ints (the
+                # avro reader surfaces the raw int) — compare in that
+                # encoding, not as datetime.date
+                return (d - datetime.date(1970, 1, 1)).days
             return value
         if kind == "bucket":
             return _bucket_int(value, n, src_ice)
@@ -613,6 +625,19 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
             if name not in predicates or fid not in lo_map or fid not in hi_map:
                 continue
             want_lo, want_hi = predicates[name]
+            if ice == "date":
+                # bounds decode to epoch-day ints; normalize
+                # datetime.date predicate values to the same encoding
+                import datetime
+
+                def _days(v):
+                    if v is None or isinstance(v, int):
+                        return v
+                    d = v if isinstance(v, datetime.date) else \
+                        datetime.date.fromisoformat(str(v)[:10])
+                    return (d - datetime.date(1970, 1, 1)).days
+
+                want_lo, want_hi = _days(want_lo), _days(want_hi)
             f_lo = _decode_bound(lo_map[fid], ice)
             f_hi = _decode_bound(hi_map[fid], ice)
             if f_lo is None or f_hi is None:
@@ -2035,12 +2060,20 @@ def drop_iceberg_column(path: str, name: str) -> int:
     if len(fields) == 1:
         raise IcebergProtocolError("cannot drop the only column")
     spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
-    if name in {f["name"] for f in spec_fields}:
-        raise IcebergProtocolError(
-            f"dropping identity-partition source column {name!r} is not "
-            "supported (the partition spec and directory layout name it)"
-        )
     dropped_id = next(int(f["id"]) for f in fields if f["name"] == name)
+    # guard by SOURCE-ID, not spec-field name: a bucket/truncate/
+    # temporal field is named e.g. "k_bucket" while its source is
+    # "k" — a name-only check would let the drop commit and brick
+    # every subsequent plan (the spec resolver could no longer
+    # resolve the source column)
+    spec_sources = {
+        int(f["source-id"]) for f in spec_fields if "source-id" in f
+    } | {f["name"] for f in spec_fields}
+    if name in spec_sources or dropped_id in spec_sources:
+        raise IcebergProtocolError(
+            f"dropping partition source column {name!r} is not "
+            "supported (the partition spec derives its tuple from it)"
+        )
     _, _, live_deletes = _snapshot_files(path, prev, None)
     blockers = sorted(
         d["path"] for d in live_deletes

@@ -48,6 +48,25 @@ from .iceberg import (
 )
 
 
+def _exact_pd(tbl):
+    """Arrow → pandas with integer columns as NULLABLE extension
+    dtypes: the default null-promotion to float64 silently
+    mis-compares join keys beyond 2^53 (two distinct snowflake-scale
+    ids collide after rounding). pandas merge matches NA==NA on
+    extension-dtype keys — Iceberg's null-equals-null delete rule —
+    verified alongside the 2^53+1 vs 2^53 distinction."""
+    import pandas as pd
+    import pyarrow as pa
+
+    mapper = {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+    }.get
+    return tbl.to_pandas(types_mapper=mapper)
+
+
 def _resolve_map(meta: dict) -> dict:
     """logical name → (field_id, [historical names]) for rename-safe
     executor-side column resolution."""
@@ -141,9 +160,9 @@ def _read_batches(schema: StructType, part: _IcePartition):
         # semantics.
         import numpy as np
 
-        keys_pd = pq.read_table(dpath, columns=list(cols)).to_pandas()
+        keys_pd = _exact_pd(pq.read_table(dpath, columns=list(cols)))
         keys_pd = keys_pd.drop_duplicates()
-        data_pd = tbl.select(list(cols)).to_pandas()
+        data_pd = _exact_pd(tbl.select(list(cols)))
         data_pd["__idx"] = np.arange(len(data_pd), dtype=np.int64)
         merged = data_pd.merge(keys_pd, on=list(cols), how="left",
                                indicator=True)
@@ -285,9 +304,9 @@ def _eq_match_idx(tbl, dpath: str, cols: list[str]):
     import numpy as np
     import pyarrow.parquet as pq
 
-    keys_pd = pq.read_table(dpath, columns=list(cols)).to_pandas()
+    keys_pd = _exact_pd(pq.read_table(dpath, columns=list(cols)))
     keys_pd = keys_pd.drop_duplicates()
-    data_pd = tbl.select(list(cols)).to_pandas()
+    data_pd = _exact_pd(tbl.select(list(cols)))
     data_pd["__idx"] = np.arange(len(data_pd), dtype=np.int64)
     merged = data_pd.merge(keys_pd, on=list(cols), how="left",
                            indicator=True)

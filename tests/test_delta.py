@@ -1249,6 +1249,17 @@ class TestMergeOnReadDml:
         )
         with pytest.raises(ValueError, match="duplicate"):
             merge_delta_table(spark, null_dup, path, ["k"])
+        # a key column literally named "count" must not trip the probe
+        # (groupBy().count() would make the reference ambiguous)
+        p2 = str(tmp_path / "mgcount")
+        cdf = spark.createDataFrame(
+            [(1, 10), (2, 20)], "count long, v long"
+        )
+        write_delta_table(cdf, p2)
+        src = spark.createDataFrame([(2, 21), (3, 30)], "count long, v long")
+        merge_delta_table(spark, src, p2, ["count"])
+        got = {r["count"]: r.v for r in read_delta_table(spark, p2).collect()}
+        assert got == {1: 10, 2: 21, 3: 30}
 
     def test_merge_on_column_mapped_table_with_dvs(self, spark, tmp_path):
         from etl_processing_scd1_spark.sources.delta import (

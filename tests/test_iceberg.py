@@ -1466,6 +1466,95 @@ class TestPartitionTransforms:
                 .mode("append").save(path)
             )
 
+    def test_bucket_exact_beyond_float53(self, spark, tmp_path):
+        """Writer UDF and planner pruning must agree on the spec hash
+        for snowflake-scale keys: a float64 round-trip of 2^53+1
+        computes the WRONG bucket and a key-equality scan would prune
+        the file holding the row."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _bucket_int,
+            _load_metadata,
+            _snapshot_files,
+        )
+
+        big = 2 ** 53 + 1
+        path = str(tmp_path / "pt53")
+        df = spark.createDataFrame(
+            [(big, 1), (2 ** 53, 2), (7, 3)], "k long, v long"
+        )
+        write_iceberg_table(df, path, partition_by=["bucket(16, k)"])
+        meta = _load_metadata(path, None)
+        _, files, _ = _snapshot_files(path, meta, None, None)
+        tuples = {}
+        import pyarrow.parquet as pq
+
+        for p, part, _s in files:
+            for kv in pq.read_table(p, columns=["k"]).column("k").to_pylist():
+                tuples[kv] = part["k_bucket"]
+        assert tuples[big] == _bucket_int(big, 16, "long")
+        assert tuples[2 ** 53] == _bucket_int(2 ** 53, 16, "long")
+        assert tuples[big] != tuples[2 ** 53] or \
+            _bucket_int(big, 16, "long") == _bucket_int(2 ** 53, 16, "long")
+        # the pruned read finds the row
+        got = read_iceberg_table(
+            spark, path, predicates={"k": (big, big)}
+        ).filter(f"k = {big}")
+        assert got.count() == 1
+
+    def test_identity_date_partition_pruning(self, spark, tmp_path):
+        """Identity-date tuples are stored as epoch-day ints; an
+        equality predicate carrying a datetime.date must compare in
+        that encoding (a raw compare pruned EVERY file)."""
+        import datetime
+
+        path = str(tmp_path / "ptd")
+        df = spark.createDataFrame(
+            [(1, datetime.date(2020, 1, 1)), (2, datetime.date(2020, 1, 2))],
+            "k long, d date",
+        )
+        write_iceberg_table(df, path, partition_by=["d"])
+        want = datetime.date(2020, 1, 2)
+        got = read_iceberg_table(
+            spark, path, predicates={"d": (want, want)}
+        )
+        assert [r.k for r in got.collect()] == [2]
+
+    def test_drop_gate_covers_transform_sources(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            drop_iceberg_column,
+        )
+
+        path = str(tmp_path / "ptdrop")
+        write_iceberg_table(
+            _df(spark, 0, 6), path, partition_by=["bucket(4, k)"]
+        )
+        with pytest.raises(IcebergProtocolError, match="partition source"):
+            drop_iceberg_column(path, "k")
+        # non-source columns still droppable
+        assert drop_iceberg_column(path, "v") == 2
+        assert read_iceberg_table(spark, path).columns == ["k", "part"]
+
+    def test_void_transform_in_foreign_spec_is_benign(self):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _spec_entries_from_meta,
+            _transform_result_ice,
+            _transform_scalar,
+        )
+
+        # spec evolution (REPLACE/DROP PARTITION FIELD) leaves void
+        # fields behind — plan, never prune, never raise
+        assert _transform_result_ice("void", "long") == "long"
+        assert _transform_scalar("void", 5, "long") is NotImplemented
+        meta = {
+            "schema": {"fields": [{"id": 1, "name": "k", "type": "long"}]},
+            "partition-specs": [{"fields": [
+                {"name": "k_bucket", "transform": "void",
+                 "source-id": 1, "field-id": 1000},
+            ]}],
+        }
+        entries = _spec_entries_from_meta(meta)
+        assert entries[0]["transform"] == "void"
+
     def test_bad_specs_raise(self, spark, tmp_path):
         path = str(tmp_path / "pt3")
         with pytest.raises(IcebergProtocolError, match="cannot parse"):
@@ -1595,7 +1684,7 @@ class TestDropColumnEvolution:
 
         path = str(tmp_path / "dc3")
         write_iceberg_table(_df(spark, 0, 6), path, partition_by=["part"])
-        with pytest.raises(IcebergProtocolError, match="identity-partition"):
+        with pytest.raises(IcebergProtocolError, match="partition source"):
             drop_iceberg_column(path, "part")
         with pytest.raises(ValueError, match="not in table schema"):
             drop_iceberg_column(path, "nope")
