@@ -138,6 +138,7 @@ HEADLINE = [
     "iceberg_drop_column_scan",      # DROP COLUMN on real field ids
     "iceberg_eq_changelog_scan",     # eq-delete changelog, deferred match
     "iceberg_bucket_partition_scan", # spec murmur3 bucket layout + DML
+    "delta_v2_checkpoint_scan",      # v2 manifest + sidecar replay
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

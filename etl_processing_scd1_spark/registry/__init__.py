@@ -47,13 +47,13 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
 # first check — the 14-query round-9 queue plus the two DataSource
 # scans whose r9 rows erred on the (now fixed) pushFilters
 # session-portability regression. Green here → cumulative
-# driver-green 233/233 (237 with the four mid-round additions below,
-# which enter the window the round they land). The other 30 slots
+# driver-green 233/233 (238 with the five mid-round additions below,
+# which enter the window the round they land). The other 29 slots
 # re-confirm the oldest-evidence rows: the full r5 group (9), the
-# full r6 group (16), and the alphabetically-first 5 of the 47-row
+# full r6 group (16), and the alphabetically-first 4 of the 47-row
 # r4 backlog (the rest queues for round 11; cube_agg, corpus_mixture,
-# cohort_retention and cms_heavy_hitters were displaced by the four
-# additions).
+# cohort_retention, cms_heavy_hitters and chunk_documents were
+# displaced by the five additions).
 PRIMARY = [
     # first driver check — lakehouse DML / CDF / evolution tier
     # (round-9 queue, landing order) + the 2 repaired DataSource scans
@@ -82,6 +82,7 @@ PRIMARY = [
     "iceberg_drop_column_scan",
     "iceberg_eq_changelog_scan",
     "iceberg_bucket_partition_scan",
+    "delta_v2_checkpoint_scan",
     # re-confirmation: last green r5
     "asof_join",
     "distinct_agg_having",
@@ -109,13 +110,12 @@ PRIMARY = [
     "scd1_update_detect",
     "text_stats",
     "window_lag_prev",
-    # re-confirmation: alphabetically-first 5 of the r4 backlog
-    # (4 more were displaced by the mid-round additions above)
+    # re-confirmation: alphabetically-first 4 of the r4 backlog
+    # (5 more were displaced by the mid-round additions above)
     "anomaly_zscore",
     "bloom_membership",
     "bm25_score",
     "cardinality_sketch",
-    "chunk_documents",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —

@@ -1112,6 +1112,67 @@ def iceberg_bucket_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_DELTA_V2CKPT_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer
+    WHERE NOT c_custkey % 7 = 0
+    GROUP BY c_mktsegment
+"""
+
+
+@register("delta_v2_checkpoint_scan", oracle=_DELTA_V2CKPT_ORACLE)
+def delta_v2_checkpoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2 CHECKPOINTS end to end (PROTOCOL.md §V2 Checkpoints —
+    the layout newer writers default to, and the parallel-read answer
+    to giant single-file checkpoints at 100 TB): customer lands over
+    three appends, a merge-on-read DV DELETE commits, then
+    ``write_checkpoint(v2=True)`` materializes the snapshot as a
+    uuid-named MANIFEST + SIDECAR parquets under
+    ``_delta_log/_sidecars/`` and ``expire_delta_log`` removes every
+    pre-checkpoint commit JSON — so the subsequent
+    ``format("deltalog")`` read can only plan by resolving the v2
+    manifest, expanding the sidecars, and applying the checkpointed
+    deletion vector (``sources/delta.py::_load_checkpoint_actions``;
+    foreign-written fixtures pinned in
+    ``tests/test_delta.py::TestV2Checkpoints``)."""
+    import shutil
+
+    from ..sources.delta import (
+        delete_delta_rows,
+        delta_table_version,
+        expire_delta_log,
+        write_checkpoint,
+        write_delta_table,
+    )
+    from ..sources.deltalog_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    path = _delta_dir("v2_checkpoint")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    for r in range(3):
+        write_delta_table(
+            cust.filter(F.col("c_custkey") % 3 == r), path, mode="append",
+            checkpoint_interval=0,
+        )
+    delete_delta_rows(spark, path, "c_custkey % 7 = 0")
+    v = delta_table_version(path)
+    write_checkpoint(spark, path, v, v2=True)
+    expire_delta_log(spark, path, keep_last=1)
+    got = spark.read.format("deltalog").load(path)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acctbal_cents").alias("acctbal_cents"),
+    )
+
+
 _DELTA_RESTORE_ORACLE = """
     SELECT o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS n_orders,

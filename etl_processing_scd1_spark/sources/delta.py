@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -78,6 +79,68 @@ def _checkpoint_file(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
 
 
+# Every checkpoint naming the spec defines (PROTOCOL.md §Checkpoints):
+# classic single-file, classic multi-part, and V2 uuid-named manifests
+# (parquet or json) whose actions may be split into sidecar files
+# under _delta_log/_sidecars/.
+_CKPT_RE = re.compile(
+    r"^(\d{20})\.checkpoint"
+    r"(?:\.parquet"
+    r"|\.\d{10}\.\d{10}\.parquet"
+    r"|\.[0-9a-zA-Z-]+\.(?:parquet|json)"
+    r")$"
+)
+
+
+def _checkpoint_parts(path: str, version: int) -> list[str]:
+    """The file(s) making up the checkpoint at ``version``, in read
+    order: the classic single file, else the sorted multi-part set,
+    else the v2 uuid manifest."""
+    d = _log_dir(path)
+    prefix = f"{version:020d}.checkpoint"
+    names = sorted(fn for fn in os.listdir(d) if _CKPT_RE.match(fn)
+                   and fn.startswith(prefix))
+    classic = f"{prefix}.parquet"
+    if classic in names:
+        return [os.path.join(d, classic)]
+    multi = [fn for fn in names
+             if re.match(rf"^{re.escape(prefix)}\.\d{{10}}\.\d{{10}}\.parquet$", fn)]
+    if multi:
+        return [os.path.join(d, fn) for fn in multi]
+    return [os.path.join(d, fn) for fn in names[:1]]
+
+
+def _load_checkpoint_actions(path: str, version: int) -> list[dict]:
+    """All action rows of the checkpoint at ``version`` — any spec
+    naming (classic / multi-part / V2 manifest): V2 ``sidecar``
+    actions are expanded from ``_delta_log/_sidecars/`` and the
+    ``checkpointMetadata`` marker is dropped; everything else comes
+    back row-shaped exactly like a classic checkpoint."""
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for f in _checkpoint_parts(path, version):
+        if f.endswith(".json"):
+            with open(f) as fh:
+                rows.extend(json.loads(ln) for ln in fh if ln.strip())
+        else:
+            rows.extend(pq.read_table(f).to_pylist())
+    out: list[dict] = []
+    for row in rows:
+        action = {k: v for k, v in row.items() if v is not None}
+        if "checkpointMetadata" in action:
+            continue  # v2 marker row, no table state
+        if "sidecar" in action:
+            sp = action["sidecar"]["path"]
+            abs_sp = sp if os.path.isabs(sp) else os.path.join(
+                _log_dir(path), "_sidecars", sp
+            )
+            out.extend(pq.read_table(abs_sp).to_pylist())
+            continue
+        out.append(row)
+    return out
+
+
 def _list_versions(path: str) -> list[int]:
     d = _log_dir(path)
     if not os.path.isdir(d):
@@ -95,8 +158,9 @@ def _latest_checkpoint_at_or_before(path: str, version: int) -> int | None:
         return None
     best = None
     for fn in os.listdir(d):
-        if fn.endswith(".checkpoint.parquet") and fn[:20].isdigit():
-            v = int(fn[:20])
+        m = _CKPT_RE.match(fn)
+        if m:
+            v = int(m.group(1))
             if v <= version and (best is None or v > best):
                 best = v
     return best
@@ -192,9 +256,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
         # checkpoint rows carry the same action structure, one action
         # per row; read driver-side via pyarrow (the checkpoint is
         # bounded state, not data)
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(_checkpoint_file(path, ckpt)).to_pylist()
+        tbl = _load_checkpoint_actions(path, ckpt)
         for row in tbl:
             action = {k: v for k, v in row.items() if v is not None}
             if "add" in action:
@@ -254,12 +316,14 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
                 "table declares minReaderVersion=3 without readerFeatures "
                 "(spec-invalid); refusing to guess"
             )
-        unsupported = sorted(set(feats) - {"deletionVectors", "columnMapping"})
+        unsupported = sorted(
+            set(feats) - {"deletionVectors", "columnMapping", "v2Checkpoint"}
+        )
         if unsupported:
             raise DeltaProtocolError(
                 f"table requires reader features {unsupported} "
                 "(minReaderVersion=3); this reader implements "
-                "deletionVectors and columnMapping only"
+                "deletionVectors, columnMapping and v2Checkpoint only"
             )
     elif reader_v > 3:
         raise DeltaProtocolError(
@@ -1425,10 +1489,20 @@ def _maybe_map_to_dict(v):
     return v
 
 
-def write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
-    """Materialize the replayed snapshot at ``version`` as
-    ``<version>.checkpoint.parquet`` + ``_last_checkpoint`` so readers
-    replay O(commits since checkpoint) instead of the whole log."""
+def write_checkpoint(spark: SparkSession, path: str, version: int,
+                     v2: bool = False) -> None:
+    """Materialize the replayed snapshot at ``version`` as a
+    checkpoint + ``_last_checkpoint`` so readers replay O(commits
+    since checkpoint) instead of the whole log.
+
+    ``v2=True`` writes the spec's V2 layout instead of the classic
+    single parquet: a uuid-named MANIFEST
+    (``<version>.checkpoint.<uuid>.parquet`` — protocol/metaData/txn
+    rows, a ``checkpointMetadata`` marker, and ``sidecar``
+    references) with the file actions split into SIDECAR parquets
+    under ``_delta_log/_sidecars/``. At 100 TB this is why the layout
+    exists: a snapshot's add-action set can be written and read as
+    many sidecars in parallel instead of one giant file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1477,10 +1551,53 @@ def write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             for app, v in sorted(snap.app_versions.items())
         ]
     )
-    tbl = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
-    tmp = _checkpoint_file(path, version) + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, _checkpoint_file(path, version))
+    if v2:
+        log = _log_dir(path)
+        os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+        add_rows = [r for r in rows if r["add"] is not None]
+        other = [r for r in rows if r["add"] is None]
+        side_names: list[str] = []
+        # one sidecar per up-to-50k adds: parallel-readable shards
+        # (real writers size by bytes; the shard COUNT is the point)
+        shard = 50_000
+        for i in range(0, max(len(add_rows), 1), shard):
+            chunk = add_rows[i:i + shard]
+            if not chunk:
+                break
+            name = f"{uuid.uuid4().hex}.parquet"
+            sp = os.path.join(log, "_sidecars", name)
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=_checkpoint_schema()), sp
+            )
+            side_names.append(name)
+        manifest = {
+            "protocol": [r["protocol"] for r in other]
+            + [None] * (len(side_names) + 1),
+            "metaData": [r["metaData"] for r in other]
+            + [None] * (len(side_names) + 1),
+            "txn": [r["txn"] for r in other]
+            + [None] * (len(side_names) + 1),
+            "sidecar": [None] * len(other)
+            + [
+                {"path": n, "sizeInBytes":
+                 os.path.getsize(os.path.join(log, "_sidecars", n))}
+                for n in side_names
+            ]
+            + [None],
+            "checkpointMetadata": [None] * (len(other) + len(side_names))
+            + [{"version": version}],
+        }
+        mf = os.path.join(
+            log, f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+        )
+        tmp = mf + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(pa.table(manifest), tmp)
+        os.replace(tmp, mf)
+    else:
+        tbl = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
+        tmp = _checkpoint_file(path, version) + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _checkpoint_file(path, version))
     last = {"version": version, "size": len(rows)}
     tmp2 = os.path.join(_log_dir(path), f"{_LAST_CHECKPOINT}.tmp-{uuid.uuid4().hex}")
     with open(tmp2, "w") as fh:
@@ -1780,8 +1897,8 @@ def expire_delta_log(spark: SparkSession, path: str, keep_last: int) -> int:
     # older checkpoints are superseded by the cutoff checkpoint
     d = _log_dir(path)
     for fn in sorted(os.listdir(d)):
-        if fn.endswith(".checkpoint.parquet") and fn[:20].isdigit() \
-                and int(fn[:20]) < cutoff:
+        m = _CKPT_RE.match(fn)
+        if m and int(m.group(1)) < cutoff:
             os.unlink(os.path.join(d, fn))
     return removed
 
@@ -1817,15 +1934,17 @@ def vacuum_delta_table(
     # be deleted — read their add paths into the keep-set too
     log_d = _log_dir(path)
     if os.path.isdir(log_d):
-        import pyarrow.parquet as pq
-
-        for fn in sorted(os.listdir(log_d)):
-            if not fn.endswith(".checkpoint.parquet"):
-                continue
-            t = pq.read_table(os.path.join(log_d, fn), columns=["add"])
-            for row in t.column("add").to_pylist():
-                if row is not None and row.get("path"):
-                    keep.add(os.path.normpath(row["path"]))
+        ckpt_versions = sorted({
+            int(m.group(1))
+            for fn in os.listdir(log_d)
+            for m in (_CKPT_RE.match(fn),)
+            if m
+        })
+        for v in ckpt_versions:
+            for row in _load_checkpoint_actions(path, v):
+                add = row.get("add")
+                if add is not None and add.get("path"):
+                    keep.add(os.path.normpath(add["path"]))
     cutoff = time.time() - retention_hours * 3600.0
     deleted = []
     for root, _dirs, fns in os.walk(path):

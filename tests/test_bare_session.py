@@ -44,6 +44,7 @@ DATASOURCE_QUERIES = [
     "iceberg_changelog_scan",
     "delta_column_mapping_id_scan",
     "iceberg_eq_changelog_scan",
+    "delta_v2_checkpoint_scan",
 ]
 
 

@@ -1017,12 +1017,22 @@ class TestDeletionVectors:
                 a["protocol"] = {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
+                    # v2Checkpoint is SUPPORTED since round 10; an
+                    # unknown feature still gates loudly
                     "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                     "writerFeatures": [],
                 }
             out.append(_json.dumps(a))
         open(f, "w").write("\n".join(out) + "\n")
-        with pytest.raises(Exception, match="v2Checkpoint"):
+        assert _rows(read_delta_table(spark, path)) == _rows(_df(spark, 0, 5))
+        out2 = []
+        for ln in open(f).read().splitlines():
+            a = _json.loads(ln)
+            if "protocol" in a:
+                a["protocol"]["readerFeatures"] = ["typeWidening"]
+            out2.append(_json.dumps(a))
+        open(f, "w").write("\n".join(out2) + "\n")
+        with pytest.raises(Exception, match="typeWidening"):
             read_delta_table(spark, path)
 
     def test_cdf_row_level_and_streaming_skip(self, spark, tmp_path):
@@ -1434,6 +1444,154 @@ class TestColumnMapping:
             out.append(_json.dumps(a))
         open(f, "w").write("\n".join(out) + "\n")
         assert _rows(read_delta_table(spark, p2)) == _rows(_df(spark, 0, 5))
+
+
+class TestV2Checkpoints:
+    """PROTOCOL.md §V2 Checkpoints (read side): uuid-named manifest
+    (parquet or json) + sidecar action files under
+    ``_delta_log/_sidecars/`` — the layout newer foreign writers
+    produce. The manifest's checkpointMetadata row is a marker, the
+    sidecars hold the file actions."""
+
+    def _make_v2(self, spark, path, manifest_fmt: str):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from etl_processing_scd1_spark.sources.delta import (
+            _checkpoint_file,
+            _commit_file,
+            write_checkpoint,
+        )
+
+        for i in range(6):
+            write_delta_table(
+                _df(spark, i * 5, i * 5 + 5).select("k", "v"), path,
+                mode="append" if i else "append",
+            )
+        write_checkpoint(spark, path, 5)
+        log = os.path.join(path, "_delta_log")
+        rows = pq.read_table(_checkpoint_file(path, 5)).to_pylist()
+        adds = [
+            {"add": {k: v for k, v in r["add"].items() if v is not None}}
+            for r in rows if r.get("add") is not None
+        ]
+        others = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in rows if r.get("add") is None
+        ]
+        # declare the feature like a real v2 writer would
+        for o in others:
+            if "protocol" in o:
+                o["protocol"] = {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+        os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+        side_names = []
+        half = max(1, len(adds) // 2)
+        for i, chunk in enumerate((adds[:half], adds[half:])):
+            if not chunk:
+                continue
+            name = f"sc-{i}.parquet"
+            pq.write_table(
+                pa.Table.from_pylist(chunk),
+                os.path.join(log, "_sidecars", name),
+            )
+            side_names.append(name)
+        manifest_rows = others + [
+            {"sidecar": {"path": n, "sizeInBytes": 1}} for n in side_names
+        ] + [{"checkpointMetadata": {"version": 5}}]
+        os.unlink(_checkpoint_file(path, 5))
+        if manifest_fmt == "parquet":
+            mf = os.path.join(
+                log, f"{5:020d}.checkpoint.aaaa-bbbb-cccc.parquet"
+            )
+            # column-wise build: from_pylist infers the schema from
+            # the FIRST row only and would null out the other actions
+            keys = sorted({k for r in manifest_rows for k in r})
+            pq.write_table(
+                pa.table({k: [r.get(k) for r in manifest_rows]
+                          for k in keys}),
+                mf,
+            )
+        else:
+            mf = os.path.join(log, f"{5:020d}.checkpoint.aaaa-bbbb.json")
+            with open(mf, "w") as fh:
+                for r in manifest_rows:
+                    fh.write(json.dumps(r) + "\n")
+        # simulate log retention: only the checkpointed tail remains
+        for v in range(5):
+            os.unlink(_commit_file(path, v))
+
+    def test_write_v2_checkpoint_roundtrip(self, spark, tmp_path):
+        """The WRITE half: write_checkpoint(v2=True) produces a
+        uuid-named manifest + sidecars that our own replay, the
+        DataSource, log expiry and vacuum all consume — including a
+        deletion-vector-carrying snapshot."""
+        import glob
+
+        from etl_processing_scd1_spark.sources.delta import (
+            _commit_file,
+            delete_delta_rows,
+            expire_delta_log,
+            vacuum_delta_table,
+            write_checkpoint,
+        )
+
+        path = str(tmp_path / "v2w")
+        for i in range(6):
+            write_delta_table(
+                _df(spark, i * 5, i * 5 + 5).select("k", "v"), path,
+                mode="append",
+            )
+        delete_delta_rows(spark, path, "k = 2")                 # v6, DV
+        write_checkpoint(spark, path, 6, v2=True)
+        for v in range(6):
+            os.unlink(_commit_file(path, v))
+        assert glob.glob(
+            os.path.join(path, "_delta_log", "_sidecars", "*.parquet")
+        )
+        got = read_delta_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == \
+            [k for k in range(30) if k != 2]
+        # the DataSource replays the same v2 layout
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        assert spark.read.format("deltalog").load(path).count() == 29
+        # maintenance on top: expiry keeps the v2 checkpoint, vacuum
+        # keeps sidecar-referenced files
+        write_delta_table(_df(spark, 30, 32).select("k", "v"), path,
+                          mode="append")
+        assert vacuum_delta_table(spark, path, retention_hours=0.0) == []
+        assert read_delta_table(spark, path).count() == 31
+        assert expire_delta_log(spark, path, keep_last=1) >= 0
+        assert read_delta_table(spark, path).count() == 31
+
+    @pytest.mark.parametrize("fmt", ["parquet", "json"])
+    def test_read_append_vacuum_through_v2_checkpoint(
+        self, spark, tmp_path, fmt
+    ):
+        from etl_processing_scd1_spark.sources.delta import (
+            vacuum_delta_table,
+        )
+
+        path = str(tmp_path / f"v2{fmt}")
+        self._make_v2(spark, path, fmt)
+        got = read_delta_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == list(range(30))
+        # appends on top of the v2 checkpoint replay correctly
+        write_delta_table(
+            _df(spark, 30, 33).select("k", "v"), path, mode="append"
+        )
+        assert read_delta_table(spark, path).count() == 33
+        # vacuum keep-set reads the sidecar adds — nothing referenced
+        # only through the v2 checkpoint may be deleted
+        assert vacuum_delta_table(spark, path, retention_hours=0.0) == []
+        assert read_delta_table(spark, path).count() == 33
 
 
 class TestColumnMappingIdMode:
