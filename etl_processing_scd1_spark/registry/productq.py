@@ -1694,3 +1694,63 @@ def iceberglog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = spark.read.format("iceberglog").load(path)
     return got.groupBy("region").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+_ICE_HOUR_ORACLE = """
+    SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') * 24
+                + hour(ts) AS BIGINT) AS hour_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+      AND NOT event_id % 7 = 0
+    GROUP BY 1
+"""
+
+
+@register("iceberg_hour_partition_scan", oracle=_ICE_HOUR_ORACLE)
+def iceberg_hour_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TEMPORAL partition transforms over a TIMESTAMP source
+    (ungated in r11 — VERDICT r10 "What's missing #1"): three days of
+    events land in a table partitioned ``hour(ts)``, the layout
+    foreign Flink/Spark CDC writers default to. The tuple derivation
+    is UTC-exact INTEGER arithmetic on the epoch value — never
+    Spark's session-TZ ``year()``/``month()`` over TimestampType — so
+    a bare driver session with ANY timezone conf writes the tuples a
+    spec-conformant engine expects (``sources/iceberg.py::
+    _transform_column``; non-UTC-session subprocess gate in
+    ``tests/test_iceberg.py::TestTemporalTimestampTransforms``). A
+    merge-on-read DELETE then runs against the transformed layout,
+    and the readback groups by the SAME hour index the partition
+    spec derives, pinning the write- and read-side derivations to
+    each other and to the oracle's UTC field math."""
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_iceberg_rows,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_hour")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp_ntz")
+    ).select(
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(ev, path, partition_by=["hour(ts)"])
+    delete_iceberg_rows(spark, path, "event_id % 7 = 0")
+    got = read_iceberg_table(spark, path)
+    # NTZ hour index via local-field extraction — timezone-free, and
+    # definitionally the spec's hour(ts) for 'timestamp' sources
+    hour_idx = (
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) * 24
+        + F.hour("ts")
+    ).cast("long")
+    return got.groupBy(hour_idx.alias("hour_idx")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )

@@ -343,6 +343,18 @@ def _bucket_int(value, n: int, src_ice: str) -> int | None:
         days = value if isinstance(value, int) else \
             (value - datetime.date(1970, 1, 1)).days
         data = int(days).to_bytes(8, "little", signed=True)
+    elif src_ice == "timestamptz":
+        import datetime
+
+        if not isinstance(value, datetime.datetime) or value.tzinfo is None:
+            raise IcebergProtocolError(
+                "bucket(timestamptz) pruning needs an offset-aware value"
+            )
+        delta = value - datetime.datetime(1970, 1, 1,
+                                          tzinfo=datetime.timezone.utc)
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 \
+            + delta.microseconds
+        data = micros.to_bytes(8, "little", signed=True)
     elif src_ice == "string":
         data = str(value).encode("utf-8")
     else:
@@ -412,17 +424,19 @@ def _transform_result_ice(transform: str, src_ice: str) -> str:
             )
         return src_ice
     if kind in _TEMPORAL:
-        # DATE sources only: the spec derives year/month/day/hour in
-        # UTC, but Spark's year()/month()/datediff() over TIMESTAMP
-        # read the SESSION timezone — on a bare session (no UTC conf)
-        # the tuple would disagree with a spec-conformant engine.
-        # Dates are timezone-free, so they are exact; timestamp
-        # sources gate until a UTC-exact derivation is wired.
-        if kind == "hour" or src_ice != "date":
+        # Spec §Partition Transforms: year/month/day over date or
+        # timestamp[tz] sources; hour over timestamp[tz] only (an
+        # hour of a date is meaningless). Timestamp derivations are
+        # UTC-exact INTEGER arithmetic on the epoch value — never
+        # Spark's session-TZ year()/month() over TimestampType —
+        # so a bare session with any timezone conf agrees with a
+        # spec-conformant engine (see _transform_column).
+        ok = ("timestamp", "timestamptz") if kind == "hour" else \
+            ("date", "timestamp", "timestamptz")
+        if src_ice not in ok:
             raise IcebergProtocolError(
                 f"{kind} transform over {src_ice!r} not supported "
-                "(temporal transforms: date sources only; hour needs "
-                "a timestamp source and is gated)"
+                f"(sources: {', '.join(ok)})"
             )
         return "int"
     raise IcebergProtocolError(f"unsupported transform {transform!r}")
@@ -447,17 +461,50 @@ def _transform_column(transform: str, source: str, src_ice: str):
         return (col - F.pmod(col, F.lit(n))).cast(
             "long" if src_ice == "long" else "int"
         )
-    if kind == "year":
-        return (F.year(col) - F.lit(1970)).cast("int")
-    if kind == "month":
-        return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
-    if kind == "day":
-        return F.datediff(col, F.to_date(F.lit("1970-01-01"))).cast("int")
+    if kind in _TEMPORAL:
+        # UTC-exact derivations. DateType is a calendar value, so
+        # year()/month()/datediff() over it are timezone-free.
+        # TimestampType (timestamptz) is an instant: cast-to-long is
+        # floorDiv(micros, 1e6) — session-TZ-independent — and the
+        # calendar fields come from date_add(epoch, floor(sec/86400)),
+        # a DATE, never from session-TZ field extraction.
+        # TimestampNTZ (ice 'timestamp') transforms apply to the
+        # stored LOCAL value per spec — field extraction over NTZ is
+        # exactly that and touches no timezone.
+        if src_ice == "timestamptz":
+            sec = col.cast("long")
+            eday = F.floor(sec / F.lit(86400)).cast("int")
+            if kind == "hour":
+                return F.floor(sec / F.lit(3600)).cast("int")
+            d = F.date_add(F.to_date(F.lit("1970-01-01")), eday)
+        elif src_ice == "timestamp":
+            d = F.to_date(col)
+            eday = F.datediff(d, F.to_date(F.lit("1970-01-01")))
+            if kind == "hour":
+                return (eday * 24 + F.hour(col)).cast("int")
+        else:
+            d = col
+            eday = F.datediff(d, F.to_date(F.lit("1970-01-01")))
+        if kind == "year":
+            return (F.year(d) - F.lit(1970)).cast("int")
+        if kind == "month":
+            return ((F.year(d) - F.lit(1970)) * 12 + F.month(d) - 1).cast("int")
+        return eday.cast("int")
     # bucket: spec murmur3 over the encoded value. The UDF input is
     # the value CAST TO STRING so nulls can never demote an int
     # column to float64 inside pandas — a float64 round-trip computes
     # the wrong hash for |v| > 2^53 (snowflake-style IDs), silently
     # disagreeing with the planner's exact _bucket_int pruning.
+    # Timestamptz sources hash the spec's micros-from-epoch long —
+    # derived with unix_micros (exact, session-TZ-independent), NEVER
+    # the string rendering of TimestampType (session-TZ-dependent).
+    if src_ice == "timestamptz":
+        col, src_ice = F.unix_micros(col), "long"
+    elif src_ice not in ("int", "long", "string", "date"):
+        raise IcebergProtocolError(
+            f"bucket transform over {src_ice!r} not supported "
+            "(sources: int, long, string, date, timestamptz)"
+        )
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
@@ -512,8 +559,25 @@ def _transform_scalar(transform: str, value, src_ice: str):
             return v - (((v % n) + n) % n)
         import datetime
 
-        d = value if isinstance(value, datetime.date) else \
-            datetime.date.fromisoformat(str(value)[:10])
+        if src_ice in ("timestamp", "timestamptz"):
+            dt = value if isinstance(value, datetime.datetime) else \
+                datetime.datetime.fromisoformat(str(value))
+            # timestamptz values must carry an offset to be exact; a
+            # naive value is session-local and ambiguous → no prune.
+            # NTZ is the opposite: the naive local value IS the value.
+            if src_ice == "timestamptz":
+                if dt.tzinfo is None:
+                    return NotImplemented
+                dt = dt.astimezone(datetime.timezone.utc)
+            elif dt.tzinfo is not None:
+                return NotImplemented
+            if kind == "hour":
+                eday = (dt.date() - datetime.date(1970, 1, 1)).days
+                return eday * 24 + dt.hour
+            d = dt.date()
+        else:
+            d = value if isinstance(value, datetime.date) else \
+                datetime.date.fromisoformat(str(value)[:10])
         if kind == "year":
             return d.year - 1970
         if kind == "month":
@@ -592,7 +656,9 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
     if predicates:
         src_types = {name: ice for name, ice in by_id.values()}
         for e in _spec_entries_from_meta(meta):
-            if src_types.get(e["source"]) in ("int", "long", "string", "date"):
+            if src_types.get(e["source"]) in (
+                "int", "long", "string", "date", "timestamp", "timestamptz",
+            ):
                 _prune_entries.setdefault(e["source"], []).append(
                     (e["name"], e["transform"], src_types[e["source"]])
                 )
@@ -1363,7 +1429,18 @@ def _stage_data_files(df: DataFrame, path: str, spec_entries: list,
                 e["transform"], e["source"], ice_types[e["source"]]
             ).cast("string"),
         )
-    writer = staged.write.mode("overwrite")
+    writer_df = staged
+    if shadow:
+        # Cluster rows by the partition TUPLE before the partitioned
+        # write: without this, partitionBy fans out to (#tasks ×
+        # #live-partitions) small files — at a 1000-executor scale a
+        # day of hour(ts) data would explode into millions of files
+        # and manifest entries. One hash shuffle on the tuple keeps
+        # it at ~1 file per partition (the transform columns are
+        # already materialized here, so bucket's pandas_udf runs
+        # once, not once per consumer).
+        writer_df = staged.repartition(*[F.col(s) for s in shadow.values()])
+    writer = writer_df.write.mode("overwrite")
     if shadow:
         writer = writer.partitionBy(*shadow.values())
     writer.parquet(stage_abs)

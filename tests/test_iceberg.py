@@ -2009,3 +2009,209 @@ class TestIcebergLogStreamWriter:
         m3 = w.write(iter(tbl.to_batches()))
         w.commit([m3], 1)
         assert read_iceberg_table(spark, path).count() == 4
+
+
+class TestTemporalTimestampTransforms:
+    """Spec §Partition Transforms over TIMESTAMP sources (ungated in
+    r11): year/month/day/hour derive from the epoch value with
+    UTC-exact INTEGER arithmetic — never Spark's session-TZ
+    year()/month() over TimestampType — so the manifest tuple agrees
+    with a spec-conformant engine on ANY session timezone. NTZ
+    ('timestamp') transforms apply to the stored local value."""
+
+    ROWS = [
+        (1, "2024-03-15T07:45:00+00:00"),
+        (2, "2024-03-15T08:05:00+00:00"),
+        (3, "1969-12-31T23:30:00+00:00"),   # pre-epoch: floor, not trunc
+        (4, "2023-12-31T23:59:59+00:00"),
+    ]
+
+    @staticmethod
+    def _df(spark):
+        import datetime
+
+        return spark.createDataFrame(
+            [(k, datetime.datetime.fromisoformat(t))
+             for k, t in TestTemporalTimestampTransforms.ROWS],
+            "k int, ts timestamp",
+        )
+
+    @staticmethod
+    def _tuples(path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            _snapshot_files,
+        )
+
+        _, dfs, _ = _snapshot_files(path, _load_metadata(path), None)
+        return sorted(tuple(sorted(d[1].items())) for d in dfs)
+
+    def test_scalar_transforms_timestamp(self):
+        import datetime
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _bucket_int,
+            _transform_scalar,
+            murmur3_32,
+        )
+
+        utc = datetime.timezone.utc
+        ts = datetime.datetime(2017, 11, 16, 22, 31, 8, tzinfo=utc)
+        # 2017-11-16 is epoch day 17486 → hour 17486*24 + 22 = 419686
+        assert _transform_scalar("hour", ts, "timestamptz") == 419686
+        assert _transform_scalar("month", ts, "timestamptz") == \
+            (2017 - 1970) * 12 + 10
+        assert _transform_scalar("year", ts, "timestamptz") == 47
+        assert _transform_scalar("day", ts, "timestamptz") == \
+            (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+        # pre-epoch floors toward -inf
+        pre = datetime.datetime(1969, 12, 31, 23, 30, tzinfo=utc)
+        assert _transform_scalar("hour", pre, "timestamptz") == -1
+        assert _transform_scalar("month", pre, "timestamptz") == -1
+        # a NAIVE value is session-local/ambiguous for timestamptz →
+        # no prune; for NTZ the naive local value IS the value.
+        naive = ts.replace(tzinfo=None)
+        assert _transform_scalar("hour", naive, "timestamptz") \
+            is NotImplemented
+        assert _transform_scalar("hour", naive, "timestamp") == 419686
+        assert _transform_scalar("hour", ts, "timestamp") is NotImplemented
+        # timestamptz buckets hash the spec's micros-from-epoch long
+        micros = int(ts.timestamp()) * 1_000_000
+        assert _bucket_int(ts, 16, "timestamptz") == \
+            (murmur3_32(micros.to_bytes(8, "little", signed=True))
+             & 0x7FFFFFFF) % 16
+
+    def test_write_tuples_prune_utc_exact(self, spark, tmp_path):
+        import datetime
+        import math
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            _snapshot_files,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "ts_hour")
+        df = self._df(spark)
+        write_iceberg_table(df, path, partition_by=["hour(ts)", "month(ts)"])
+        want = sorted(
+            (
+                ("ts_hour",
+                 math.floor(datetime.datetime.fromisoformat(t).timestamp()
+                            / 3600)),
+                ("ts_month",
+                 (datetime.datetime.fromisoformat(t).year - 1970) * 12
+                 + datetime.datetime.fromisoformat(t).month - 1),
+            )
+            for _, t in self.ROWS
+        )
+        assert self._tuples(path) == want
+        # equality pruning on the timestamp plans 1 of 4 files
+        meta = _load_metadata(path)
+        v = datetime.datetime.fromisoformat(self.ROWS[0][1])
+        _, planned, _ = _snapshot_files(path, meta, None,
+                                        predicates={"ts": (v, v)})
+        assert len(planned) == 1
+
+    def test_bucket_timestamptz_spec_hash(self, spark, tmp_path):
+        import datetime
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _bucket_int,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "ts_bucket")
+        write_iceberg_table(self._df(spark), path,
+                            partition_by=["bucket(4, ts)"])
+        # one file per DISTINCT tuple (the write clusters on it)
+        want = sorted({
+            (("ts_bucket",
+              _bucket_int(datetime.datetime.fromisoformat(t), 4,
+                          "timestamptz")),)
+            for _, t in self.ROWS
+        })
+        assert self._tuples(path) == want
+
+    def test_gates(self, spark):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            IcebergProtocolError,
+            _transform_column,
+            _transform_result_ice,
+        )
+
+        with pytest.raises(IcebergProtocolError, match="hour"):
+            _transform_result_ice("hour", "date")
+        with pytest.raises(IcebergProtocolError, match="bucket"):
+            _transform_column("bucket[4]", "ts", "timestamp")
+        with pytest.raises(IcebergProtocolError, match="bucket"):
+            _transform_column("bucket[4]", "x", "double")
+
+    def test_ntz_local_value_semantics(self, spark, tmp_path):
+        """NTZ transforms use the stored LOCAL datetime fields."""
+        import datetime
+
+        from pyspark.sql import types as T
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            write_iceberg_table,
+        )
+
+        if not hasattr(T, "TimestampNTZType"):
+            pytest.skip("no NTZ type")
+        path = str(tmp_path / "ntz")
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 3, 15, 7, 45)),
+             (2, datetime.datetime(1969, 12, 31, 23, 30))],
+            T.StructType([
+                T.StructField("k", T.IntegerType()),
+                T.StructField("ts", T.TimestampNTZType()),
+            ]),
+        )
+        write_iceberg_table(df, path, partition_by=["hour(ts)"])
+        eday = (datetime.date(2024, 3, 15) - datetime.date(1970, 1, 1)).days
+        assert self._tuples(path) == sorted(
+            [(("ts_hour", eday * 24 + 7),), (("ts_hour", -1),)]
+        )
+
+    def test_non_utc_session_subprocess(self, tmp_path):
+        """The r10 gate's reason was session-TZ divergence: a BARE
+        session with a deliberately non-UTC timezone conf must write
+        the SAME spec tuples the UTC math predicts."""
+        import subprocess
+        import sys
+        import textwrap
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = textwrap.dedent(f"""
+            import datetime, sys
+            from pyspark.sql import SparkSession
+            spark = (SparkSession.builder.master("local[2]")
+                     .appName("tz-gate")
+                     .config("spark.sql.session.timeZone", "Asia/Kolkata")
+                     .getOrCreate())
+            from etl_processing_scd1_spark.sources.iceberg import (
+                write_iceberg_table, read_iceberg_table,
+                _load_metadata, _snapshot_files)
+            utc = datetime.timezone.utc
+            rows = [(1, datetime.datetime(2024, 3, 15, 7, 45, tzinfo=utc)),
+                    (2, datetime.datetime(1969, 12, 31, 23, 30, tzinfo=utc))]
+            df = spark.createDataFrame(rows, "k int, ts timestamp")
+            path = {str(tmp_path / 'tz')!r}
+            write_iceberg_table(df, path,
+                                partition_by=["hour(ts)", "month(ts)"])
+            _, dfs, _ = _snapshot_files(path, _load_metadata(path), None)
+            got = sorted(tuple(sorted(d[1].items())) for d in dfs)
+            want = sorted([(("ts_hour", 475135), ("ts_month", 650)),
+                           (("ts_hour", -1), ("ts_month", -1))])
+            assert got == want, got
+            assert read_iceberg_table(spark, path).count() == 2
+            spark.stop()
+            print("TZ-GATE-OK")
+        """)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], cwd=repo,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "TZ-GATE-OK" in proc.stdout
