@@ -160,6 +160,32 @@ def _schema_struct(schema: T.StructType,
     }
 
 
+def _gate_retired_names(prev: dict, extra: list[str]) -> None:
+    """Refuse re-adding a column name whose field id was RETIRED by a
+    drop: name-matching readers would resurrect the dropped column's
+    old file data under the new field (spec ids are never reused, but
+    id-less legacy files match by name)."""
+    current_ids = set(_field_names_by_id(prev))
+    retired = {
+        n
+        for m in json.loads(
+            (prev.get("properties") or {}).get(
+                "schema.name-mapping.default", "[]"
+            )
+        )
+        if int(m["field-id"]) not in current_ids
+        for n in (m.get("names") or [])
+    }
+    clash = sorted(set(extra) & retired)
+    if clash:
+        raise IcebergProtocolError(
+            f"column name(s) {clash} were previously dropped "
+            "(field id retired); re-adding the name would "
+            "resurrect old file data via name matching — pick "
+            "a new name or compact first"
+        )
+
+
 def _resolved_field_ids(prev: dict | None,
                         schema: T.StructType) -> dict[str, int]:
     """name → field id THREADED from the table metadata — the spec's
@@ -791,6 +817,59 @@ def _unify_renamed(df: DataFrame, cands: dict[str, list[str]]) -> DataFrame:
     return df
 
 
+def _mapping_names_by_id(meta: dict) -> dict[int, list[str]]:
+    """field id → historical name list from
+    ``schema.name-mapping.default`` (empty when the property is
+    absent — fields that were never renamed)."""
+    return {
+        int(m["field-id"]): list(m.get("names") or [])
+        for m in json.loads(
+            (meta.get("properties") or {}).get(
+                "schema.name-mapping.default", "[]"
+            )
+        )
+    }
+
+
+def _resolve_delete_file_columns(d_path: str, ids: list[int],
+                                 by_id: dict[int, str],
+                                 meta: dict) -> dict[str, str]:
+    """current logical name → PHYSICAL column name inside the delete
+    file ``d_path``, resolved exactly like data files are (spec
+    §Column Projection): parquet footer field ids first, then the
+    table's name mapping, then the current name. One footer read —
+    delete files are metadata-scale. Raises when an equality id can't
+    be located in the file (a foreign file written under names the
+    table has never carried)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(d_path)
+    phys_by_fid: dict[int, str] = {}
+    for f in sch:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            phys_by_fid[int(fid)] = f.name
+    phys_names = set(sch.names)
+    mapping = _mapping_names_by_id(meta)
+    out = {}
+    for i in ids:
+        cur = by_id[i]
+        if i in phys_by_fid:
+            out[cur] = phys_by_fid[i]
+            continue
+        hit = next(
+            (n for n in [cur] + mapping.get(i, []) if n in phys_names), None
+        )
+        if hit is None:
+            raise IcebergProtocolError(
+                f"equality delete file {d_path} has no column for field "
+                f"id {i} ({cur!r}): no footer field ids and none of the "
+                "table's historical names match"
+            )
+        out[cur] = hit
+    return out
+
+
 def _apply_deletes(spark: SparkSession, df: DataFrame, files: list,
                    deletes: list[dict], meta: dict) -> DataFrame:
     """Apply a snapshot's v2 merge-on-read delete files to a parquet
@@ -859,8 +938,14 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, files: list,
                 )
             keys = None
             for d in sorted(ds, key=lambda d: (d["seq"], d["path"])):
+                # the delete file's key columns resolve through field
+                # ids / name-mapping exactly like data files do, so a
+                # rename of a live upsert key never orphans them
+                sel = _resolve_delete_file_columns(
+                    d["path"], list(ids), by_id, meta
+                )
                 k = spark.read.parquet(d["path"]).select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in cols]
+                    *[F.col(sel[c]).alias(f"__eq_{c}") for c in cols]
                 ).withColumn("__eq_seq", F.lit(int(d["seq"])).cast("long"))
                 keys = k if keys is None else keys.unionByName(k)
             cond = F.col("__data_seq") < F.col("__eq_seq")
@@ -1309,25 +1394,7 @@ def write_iceberg_table(
             # name-mapping fallback would bind them to the new
             # column). Ids are never reused; names must not be either
             # while id-less files may exist.
-            current_ids = set(_field_names_by_id(prev))
-            retired = {
-                n
-                for m in json.loads(
-                    (prev.get("properties") or {}).get(
-                        "schema.name-mapping.default", "[]"
-                    )
-                )
-                if int(m["field-id"]) not in current_ids
-                for n in (m.get("names") or [])
-            }
-            clash = sorted(set(extra) & retired)
-            if clash:
-                raise IcebergProtocolError(
-                    f"column name(s) {clash} were previously dropped "
-                    "(field id retired); re-adding the name would "
-                    "resurrect old file data via name matching — pick "
-                    "a new name or compact first"
-                )
+            _gate_retired_names(prev, extra)
             # ADD-COLUMN schema evolution (the spec's core evolution
             # case): new columns get fresh ids APPENDED after
             # last-column-id — ids are never reused, so old data
@@ -2043,24 +2110,36 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
             "supported (the partition spec and directory layout name it)"
         )
     # Live EQUALITY-DELETE files store their key columns under the
-    # write-time names, and the readers resolve equality_ids to
-    # CURRENT names before opening them — renaming a live delete key
-    # would make every subsequent scan fail to find the column (the
-    # table becomes unreadable until compaction). Refuse up front;
-    # metadata-scale cost (one manifest walk, no data files touched).
+    # write-time names; readers resolve equality_ids through the
+    # file's footer field ids or the table name mapping (exactly like
+    # data files — _resolve_delete_file_columns), and this commit
+    # records the pre-rename name in the mapping, so renaming a live
+    # delete key is safe for every file the table could already read.
+    # The one unresolvable case is a LEGACY/foreign file with neither
+    # footer field ids nor a historically-mapped physical name —
+    # refuse only that, up front (one footer read per live delete
+    # file; metadata-scale, no data files touched).
     old_id = next(int(f["id"]) for f in fields if f["name"] == old)
     _, _, live_deletes = _snapshot_files(path, prev, None)
-    blockers = sorted(
-        d["path"] for d in live_deletes
-        if d["content"] == 2 and old_id in (d["equality_ids"] or [])
-    )
-    if blockers:
-        raise IcebergProtocolError(
-            f"column {old!r} (field id {old_id}) is an equality-delete "
-            f"key of {len(blockers)} live delete file(s) (e.g. "
-            f"{blockers[0]}); compact the table (rewrite data, drop the "
-            "delete files) before renaming it"
+    pre_mapping = _mapping_names_by_id(prev)
+    for d in live_deletes:
+        if d["content"] != 2 or old_id not in (d["equality_ids"] or []):
+            continue
+        import pyarrow.parquet as _pq
+
+        sch = _pq.read_schema(d["path"])
+        has_fid = any(
+            int((f.metadata or {}).get(b"PARQUET:field_id", -1)) == old_id
+            for f in sch
         )
+        cands = [old] + pre_mapping.get(old_id, [])
+        if not has_fid and not any(n in sch.names for n in cands):
+            raise IcebergProtocolError(
+                f"column {old!r} (field id {old_id}) is an equality-"
+                f"delete key of live delete file {d['path']}, which has "
+                "no footer field ids and no historically-mapped column "
+                "name; compact the table before renaming it"
+            )
 
     # name mapping: every field keeps its full name history keyed by
     # field id, so files written under ANY historical name resolve
@@ -2260,9 +2339,15 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
             )
     extra = [c for c in df.columns if c not in known]
     if extra:
-        raise IcebergProtocolError(
-            f"upsert with new columns {extra} not supported — evolve the "
-            "schema with a plain append first"
+        # ADD-COLUMN schema evolution in the same commit (spec §Schema
+        # Evolution; twin of the append path): fresh ids APPENDED
+        # after last-column-id, old data files read NULL. Same
+        # retired-name reuse gate as append — re-adding a dropped
+        # name would resurrect old file data via name matching.
+        _gate_retired_names(prev, extra)
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(c, df.schema[c].dataType, True) for c in extra]
         )
     for f in schema.fields:
         if f.name not in df.columns:
@@ -2275,6 +2360,19 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
     spec_entries = _spec_entries_from_meta(prev)
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     field_ids = _resolved_field_ids(prev, schema)
+    if extra:
+        # thread the EVOLVED schema into the commit tail: new fields
+        # with their fresh ids, last-column-id bumped (never reused)
+        evolved = _schema_struct(schema, field_ids)
+        prev = {
+            **prev,
+            "schema": evolved,
+            "schemas": [evolved],
+            "last-column-id": max(
+                int(prev.get("last-column-id") or 0),
+                max(field_ids.values(), default=0),
+            ),
+        }
     part_fields = [(e["name"], e["ice"], e["fid"]) for e in spec_entries]
     now_ms = int(time.time() * 1000)
     new_version = base + 1
@@ -2289,7 +2387,12 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
 
     stage = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
     (
-        df.select(*key_cols).distinct()
+        # field ids in the footer: the delete file's keys then resolve
+        # by id after any future rename, same as data files
+        df.select(*[
+            F.col(c).alias(c, metadata={"parquet.field.id": field_ids[c]})
+            for c in key_cols
+        ]).distinct()
         .repartition(1)
         .sortWithinPartitions(*key_cols)
         .write.mode("overwrite")
@@ -2445,6 +2548,26 @@ def _plan_ice_changes(path: str, from_version: int,
         return meta, {p: (part, seq) for p, part, seq in files}, deletes
 
     events: list[dict] = []
+    # Delete-descriptor key columns resolve against the WINDOW-END
+    # schema: the changelog executor renames every data file's
+    # columns to end-of-window logical names (_ice_cdf_partitions
+    # passes _resolve_map(end_meta)), so the merge keys must match
+    # those — and end meta's name-mapping is a superset of every
+    # in-window version's, so physical resolution covers all files.
+    end_meta = _load_metadata(path, to_version)
+    end_by_id = _field_names_by_id(end_meta)
+    _eq_sel_cache: dict[str, dict] = {}
+
+    def eq_cols(d: dict) -> dict:
+        # logical → physical key columns of the delete file,
+        # footer-field-id/name-mapping resolved (once per file,
+        # driver-side) so renames never orphan a live delete
+        if d["path"] not in _eq_sel_cache:
+            _eq_sel_cache[d["path"]] = _resolve_delete_file_columns(
+                d["path"], d["equality_ids"] or [], end_by_id, end_meta
+            )
+        return _eq_sel_cache[d["path"]]
+
     prev_meta, prev_files, prev_deletes = state(from_version)
     for v in range(from_version + 1, to_version + 1):
         meta, files, deletes = state(v)
@@ -2460,11 +2583,6 @@ def _plan_ice_changes(path: str, from_version: int,
             # compaction: row content invariant, no logical change
             prev_meta, prev_files, prev_deletes = meta, files, deletes
             continue
-        by_id = _field_names_by_id(meta)
-
-        def eq_cols(d: dict) -> list[str]:
-            return [by_id[i] for i in (d["equality_ids"] or [])]
-
         def eq_after(dels: list[dict], fseq: int) -> list | None:
             # equality deletes that erase rows of a file with a
             # STRICTLY smaller sequence number (spec §Scan Planning)

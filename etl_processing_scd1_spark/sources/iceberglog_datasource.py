@@ -153,14 +153,19 @@ def _read_batches(schema: StructType, part: _IcePartition):
             np.arange(tbl.num_rows, dtype=np.int64), dead, assume_unique=True
         )
         tbl = tbl.take(pa.array(keep))
-    for dpath, cols in part.eq_deletes or []:
+    for dpath, sel in part.eq_deletes or []:
         # equality delete: vectorized anti-join of the (small) delete
         # file's keys against this data file. pandas merge matches
         # NaN==NaN on join keys — Iceberg's null-equals-null delete
-        # semantics.
+        # semantics. ``sel`` maps current logical key name → the
+        # file's PHYSICAL column (resolved by the planner through
+        # footer field ids / name-mapping, like data files).
         import numpy as np
 
-        keys_pd = _exact_pd(pq.read_table(dpath, columns=list(cols)))
+        cols = list(sel)
+        keys_pd = _exact_pd(
+            pq.read_table(dpath, columns=list(sel.values()))
+        ).rename(columns={p: c for c, p in sel.items()})
         keys_pd = keys_pd.drop_duplicates()
         data_pd = _exact_pd(tbl.select(list(cols)))
         data_pd["__idx"] = np.arange(len(data_pd), dtype=np.int64)
@@ -230,16 +235,26 @@ class _IceBatchReader(DataSourceReader):
                     ).append(int(pos))
         eq_dels = [d for d in deletes if d["content"] == 2]
         by_id = _field_names_by_id(meta) if eq_dels else {}
+        # column resolution (field ids / name-mapping → the file's
+        # physical names) happens HERE on the driver, once per delete
+        # file, so renames never orphan a live delete
+        from .iceberg import _resolve_delete_file_columns
+
+        eq_sel = {
+            d["path"]: _resolve_delete_file_columns(
+                d["path"], d["equality_ids"], by_id, meta
+            )
+            for d in eq_dels
+        }
 
         def eq_for(file_seq: int):
             # strict bound: an equality delete erases only rows of
             # data files with a SMALLER sequence number
-            out = []
-            for d in sorted(eq_dels, key=lambda d: (d["seq"], d["path"])):
-                if d["seq"] > file_seq:
-                    out.append(
-                        (d["path"], [by_id[i] for i in d["equality_ids"]])
-                    )
+            out = [
+                (d["path"], eq_sel[d["path"]])
+                for d in sorted(eq_dels, key=lambda d: (d["seq"], d["path"]))
+                if d["seq"] > file_seq
+            ]
             return out or None
 
         resolve = _resolve_map(meta)
@@ -297,14 +312,19 @@ class _IceCdfPartition(InputPartition):
         self.eq_new = eq_new
 
 
-def _eq_match_idx(tbl, dpath: str, cols: list[str]):
+def _eq_match_idx(tbl, dpath: str, sel: dict):
     """Row indexes of ``tbl`` whose key columns appear in the
-    equality-delete parquet at ``dpath``. pandas merge matches
-    NaN==NaN on join keys — Iceberg's null-equals-null delete rule."""
+    equality-delete parquet at ``dpath`` (``sel``: current logical
+    name → the file's physical column, planner-resolved). pandas
+    merge matches NaN==NaN on join keys — Iceberg's null-equals-null
+    delete rule."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    keys_pd = _exact_pd(pq.read_table(dpath, columns=list(cols)))
+    cols = list(sel)
+    keys_pd = _exact_pd(
+        pq.read_table(dpath, columns=list(sel.values()))
+    ).rename(columns={p: c for c, p in sel.items()})
     keys_pd = keys_pd.drop_duplicates()
     data_pd = _exact_pd(tbl.select(list(cols)))
     data_pd["__idx"] = np.arange(len(data_pd), dtype=np.int64)

@@ -1157,16 +1157,52 @@ class TestEqualityDeletes:
             upsert_iceberg_table(
                 spark.createDataFrame([(1, 2)], "a long, b long"), path, ["a"]
             )
-        with pytest.raises(IcebergProtocolError, match="new columns"):
-            upsert_iceberg_table(
-                _df(spark, 0, 1).withColumn("extra", F.lit(1)), path, ["k"]
-            )
         with pytest.raises(ValueError, match="non-empty"):
             upsert_iceberg_table(_df(spark, 0, 1), path, [])
         # upsert into a missing table degrades to a plain create
         p2 = str(tmp_path / "eq5")
         assert upsert_iceberg_table(_df(spark, 0, 5), p2, ["k"]) == 1
         assert read_iceberg_table(spark, p2).count() == 5
+
+    def test_upsert_with_new_columns_evolves_schema(self, spark, tmp_path):
+        """Upsert carrying NEW columns evolves the schema in the same
+        commit (spec §Schema Evolution; the r10 gate removed): fresh
+        field ids past last-column-id, old data files read NULL for
+        the added column, the upsert's delete/insert semantics are
+        unchanged, and a SECOND upsert over the evolved schema works."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            drop_iceberg_column,
+            upsert_iceberg_table,
+        )
+
+        path = str(tmp_path / "eqevo")
+        write_iceberg_table(_df(spark, 0, 6), path)
+        src = spark.createDataFrame(
+            [(2, 22, "0", "gold"), (6, 66, "0", "silver")],
+            "k long, v long, part string, tier string",
+        )
+        upsert_iceberg_table(src, path, ["k"])
+        meta = _load_metadata(path)
+        fields = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+        assert fields["tier"] == meta["last-column-id"] == 4
+        got = {r.k: (r.v, r.tier)
+               for r in read_iceberg_table(spark, path).collect()}
+        assert got[2] == (22, "gold") and got[6] == (66, "silver")
+        assert got[1][1] is None and len(got) == 7
+        # second upsert under the evolved schema
+        upsert_iceberg_table(
+            spark.createDataFrame([(1, 11, "1", "bronze")],
+                                  "k long, v long, part string, tier string"),
+            path, ["k"],
+        )
+        got = {r.k: r.tier
+               for r in read_iceberg_table(spark, path).collect()}
+        assert got[1] == "bronze" and got[2] == "gold"
+        # retired-name reuse still refuses through the upsert path
+        drop_iceberg_column(path, "tier")
+        with pytest.raises(IcebergProtocolError, match="previously dropped"):
+            upsert_iceberg_table(src, path, ["k"])
 
 
 class TestEqualityDeleteChangelog:
@@ -1845,16 +1881,16 @@ class TestRenameEvolution:
         assert got.columns == ["k", "value", "part"]
         assert got.count() == 12
 
-    def test_rename_blocked_on_live_equality_delete_key(
+    def test_rename_live_equality_delete_key_reads_and_upserts(
         self, spark, tmp_path
     ):
-        """Equality-delete parquet stores key columns under their
-        WRITE-TIME names; renaming a live delete key would make every
-        subsequent scan fail to resolve the delete file. The rename
-        must refuse up front — and work again once compaction retires
-        the delete files."""
+        """Renaming a LIVE equality-delete key column works (the r10
+        VERDICT's 'real fix'): readers resolve the delete file's key
+        columns through footer field ids / name-mapping exactly like
+        data files, so the rename is metadata-only and nothing
+        orphans. Sequence: upsert → rename the key → read → SECOND
+        upsert under the new name → read."""
         from etl_processing_scd1_spark.sources.iceberg import (
-            compact_iceberg_table,
             rename_iceberg_column,
             upsert_iceberg_table,
         )
@@ -1865,21 +1901,70 @@ class TestRenameEvolution:
             [(3, 31, "0"), (10, 100, "1")], "k long, v long, part string"
         )
         upsert_iceberg_table(src, path, ["k"])   # live eq-delete on k
-        with pytest.raises(IcebergProtocolError, match="equality-delete"):
-            rename_iceberg_column(path, "k", "key")
-        # non-key columns rename fine with the delete still live
-        v = rename_iceberg_column(path, "v", "val")
-        got = read_iceberg_table(spark, path)
-        assert {r.k: r.val for r in got.collect()}[3] == 31
-        # compaction rewrites data and retires the delete files;
-        # the key rename is legal again
-        compact_iceberg_table(spark, path, 2)
-        v2 = rename_iceberg_column(path, "k", "key")
-        assert v2 > v
+        rename_iceberg_column(path, "k", "key")
         got = read_iceberg_table(spark, path)
         assert "key" in got.columns
-        assert {r.key: r.val for r in got.collect()}[10] == 100
-        assert got.count() == 11
+        vals = {r.key: r.v for r in got.collect()}
+        assert vals[3] == 31 and vals[10] == 100 and len(vals) == 11
+        # second upsert under the NEW key name: its eq-delete applies
+        # over data files written under the OLD name and vice versa
+        src2 = spark.createDataFrame(
+            [(3, 32, "0"), (11, 110, "2")], "key long, v long, part string"
+        )
+        upsert_iceberg_table(src2, path, ["key"])
+        vals = {r.key: r.v for r in read_iceberg_table(spark, path).collect()}
+        assert vals[3] == 32 and vals[11] == 110 and len(vals) == 12
+        # changelog over the whole history still replays cleanly —
+        # both upserts' erased images resolve through the rename
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        ch = (
+            spark.read.format("iceberglog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 2)
+            .load(path)
+        )
+        assert ch.filter("_change_type = 'delete'").count() >= 2
+
+    def test_rename_refuses_unresolvable_legacy_delete_file(
+        self, spark, tmp_path
+    ):
+        """The narrow residual gate: a delete file with NO footer
+        field ids whose physical key column matches no historical
+        name (a truly foreign legacy file) still blocks the rename
+        with a descriptive error instead of bricking reads later."""
+        import pyarrow.parquet as pq
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            rename_iceberg_column,
+            upsert_iceberg_table,
+        )
+
+        path = str(tmp_path / "rneq2")
+        write_iceberg_table(_df(spark, 0, 6), path)
+        upsert_iceberg_table(
+            spark.createDataFrame([(1, 11, "1")],
+                                  "k long, v long, part string"),
+            path, ["k"],
+        )
+        # mangle the live delete file: strip field ids AND rename its
+        # physical column to something no mapping has ever carried
+        dels = [
+            os.path.join(r, fn)
+            for r, _d, fns in os.walk(os.path.join(path, "data"))
+            for fn in fns if fn.startswith("eq-delete-")
+        ]
+        assert dels
+        import pyarrow as pa
+
+        t = pq.read_table(dels[0])
+        # fresh field: no PARQUET:field_id metadata survives
+        pq.write_table(pa.table({"alien_name": t.column(0)}), dels[0])
+        with pytest.raises(IcebergProtocolError, match="compact"):
+            rename_iceberg_column(path, "k", "key")
 
     def test_foreign_file_resolves_by_parquet_field_id(
         self, spark, tmp_path
