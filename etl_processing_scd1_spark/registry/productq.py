@@ -262,9 +262,9 @@ def streaming_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources.delta import read_delta_table, write_delta_table
-    from ..sources.deltalog_datasource import DeltaLogDataSource
+    from ..sources import ensure_datasources
 
-    spark.dataSource.register(DeltaLogDataSource)
+    ensure_datasources(spark)
     base = _delta_dir("stream_ds_write")
     shutil.rmtree(base, ignore_errors=True)
     src, dst, ck = (os.path.join(base, d) for d in ("src", "dst", "ck"))
@@ -326,9 +326,9 @@ def streaming_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources.delta import delete_delta_rows, write_delta_table
-    from ..sources.deltalog_datasource import DeltaLogDataSource
+    from ..sources import ensure_datasources
 
-    spark.dataSource.register(DeltaLogDataSource)
+    ensure_datasources(spark)
     base = _delta_dir("stream_cdf")
     shutil.rmtree(base, ignore_errors=True)
     src, ck, out = (os.path.join(base, d) for d in ("src", "ck", "out"))
@@ -633,9 +633,9 @@ def delta_column_mapping_id_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_delta_rows,
         write_delta_table,
     )
-    from ..sources.deltalog_datasource import DeltaLogDataSource
+    from ..sources import ensure_datasources
 
-    spark.dataSource.register(DeltaLogDataSource)
+    ensure_datasources(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     path = _delta_dir("column_mapping_id")
     shutil.rmtree(path, ignore_errors=True)
@@ -972,9 +972,9 @@ def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_iceberg_rows,
         write_iceberg_table,
     )
-    from ..sources.iceberglog_datasource import IcebergLogDataSource
+    from ..sources import ensure_datasources
 
-    spark.dataSource.register(IcebergLogDataSource)
+    ensure_datasources(spark)
     path = _delta_dir("iceberg_changelog")
     shutil.rmtree(path, ignore_errors=True)
     sup = table(spark, sf_dir, "supplier").select(
@@ -1034,9 +1034,9 @@ def iceberg_eq_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources.iceberg import upsert_iceberg_table, write_iceberg_table
-    from ..sources.iceberglog_datasource import IcebergLogDataSource
+    from ..sources import ensure_datasources
 
-    spark.dataSource.register(IcebergLogDataSource)
+    ensure_datasources(spark)
     path = _delta_dir("ice_eq_changelog")
     shutil.rmtree(path, ignore_errors=True)
     cust = table(spark, sf_dir, "customer").select(
@@ -1147,9 +1147,9 @@ def delta_v2_checkpoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_checkpoint,
         write_delta_table,
     )
-    from ..sources.deltalog_datasource import DeltaLogDataSource
+    from ..sources import ensure_datasources
 
-    spark.dataSource.register(DeltaLogDataSource)
+    ensure_datasources(spark)
     path = _delta_dir("v2_checkpoint")
     shutil.rmtree(path, ignore_errors=True)
     cust = table(spark, sf_dir, "customer").select(
@@ -1628,9 +1628,9 @@ def deltalog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_delta.py::TestDeltaLogDataSource``."""
     import shutil
 
-    from ..sources.deltalog_datasource import DeltaLogDataSource
+    from ..sources import ensure_datasources
 
-    spark.dataSource.register(DeltaLogDataSource)
+    ensure_datasources(spark)
     # Defense-in-depth for bare sessions (the driver's): opt in to
     # Python DataSource pushdown so file-skipping is active here; the
     # reader() factory ALSO gates pushFilters on this conf, so the
@@ -1675,9 +1675,9 @@ def iceberglog_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_iceberg.py::TestIcebergLogDataSource``."""
     import shutil
 
-    from ..sources.iceberglog_datasource import IcebergLogDataSource
+    from ..sources import ensure_datasources
 
-    spark.dataSource.register(IcebergLogDataSource)
+    ensure_datasources(spark)
     # Same defense-in-depth as deltalog_source_scan: pushdown is an
     # opt-in conf; reader() independently degrades to a no-pushdown
     # reader when it's off.
