@@ -139,6 +139,8 @@ HEADLINE = [
     "iceberg_eq_changelog_scan",     # eq-delete changelog, deferred match
     "iceberg_bucket_partition_scan", # spec murmur3 bucket layout + DML
     "delta_v2_checkpoint_scan",      # v2 manifest + sidecar replay
+    "iceberg_hour_partition_scan",   # hour(ts) transform layout + DML
+    "iceberg_add_column_scan",       # ADD COLUMN evolution in an upsert
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

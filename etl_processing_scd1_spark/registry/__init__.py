@@ -42,80 +42,71 @@ for _m in (core, scd1q, extensions, streamingq, curationq, advancedq, analyticsq
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 
-# ROUND-10 WINDOW (see docs/ROTATION.md for the full history and the
-# selection rationale): the 16 never-driver-checked rows take their
-# first check — the 14-query round-9 queue plus the two DataSource
-# scans whose r9 rows erred on the (now fixed) pushFilters
-# session-portability regression. Green here → cumulative
-# driver-green 233/233 (238 with the five mid-round additions below,
-# which enter the window the round they land). The other 29 slots
-# re-confirm the oldest-evidence rows: the full r5 group (9), the
-# full r6 group (16), and the alphabetically-first 4 of the 47-row
-# r4 backlog (the rest queues for round 11; cube_agg, corpus_mixture,
-# cohort_retention, cms_heavy_hitters and chunk_documents were
-# displaced by the five additions).
+# ROUND-11 WINDOW (see docs/ROTATION.md for the full history and the
+# selection rationale): the ENTIRE 43-row r4-evidence backlog takes
+# its re-confirmation — these rows' newest driver evidence is 7
+# rounds old, the oldest in the catalog (VERDICT r10 "Next #2"), and
+# clearing the whole backlog in one window resets every query's
+# evidence to r7+. The remaining 7 slots: the two round-11 additions
+# (temporal partition transforms over timestamp sources; ADD-COLUMN
+# evolution inside an upsert — new queries enter the window the
+# round they land) and the alphabetically-first 5 of the 47 rows
+# whose latest evidence is r7 (next round's queue: the other 42 r7
+# rows, then the r8 group).
 PRIMARY = [
-    # first driver check — lakehouse DML / CDF / evolution tier
-    # (round-9 queue, landing order) + the 2 repaired DataSource scans
-    "deltalog_source_scan",
-    "iceberglog_source_scan",
-    "iceberg_v2_pos_delete_scan",
-    "delta_dv_scan",
-    "streaming_datasource_write",
-    "iceberg_upsert_scan",
-    "delta_column_mapping_scan",
-    "delta_cdf_row_level",
-    "streaming_cdf_read",
-    "iceberg_rename_scan",
-    "delta_merge_scd1",
-    "delta_update_scan",
-    "iceberg_update_scan",
-    "iceberg_changelog_scan",
-    "delta_restore_scan",
-    "iceberg_rollback_scan",
-    # round-10 additions (new queries enter the window the round they
-    # land): id-mode column mapping through the field-id-resolving
-    # DataSource read, DROP COLUMN on real Iceberg field-id plumbing,
-    # and changelog windows over equality-delete commits; displaced
-    # cube_agg, corpus_mixture and cohort_retention to the r4 backlog
-    "delta_column_mapping_id_scan",
-    "iceberg_drop_column_scan",
-    "iceberg_eq_changelog_scan",
-    "iceberg_bucket_partition_scan",
-    "delta_v2_checkpoint_scan",
-    # re-confirmation: last green r5
-    "asof_join",
-    "distinct_agg_having",
-    "embedding_near_dup",
-    "ngram_jaccard",
-    "scd1_insert_new",
-    "session_window_agg",
-    "similarity_topk",
-    "text_quality",
-    "tumbling_window_agg",
-    # re-confirmation: last green r6
-    "distinct_agg",
-    "embedding_passthrough",
-    "expr_key_join_replace",
-    "expr_key_join_trim",
-    "having_filter",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_png",
-    "multimodal_resize_bilinear",
-    "multimodal_video_frames",
-    "project_drop",
-    "project_rename",
-    "scd1_delete_missing",
-    "scd1_update_detect",
-    "text_stats",
-    "window_lag_prev",
-    # re-confirmation: alphabetically-first 4 of the r4 backlog
-    # (5 more were displaced by the mid-round additions above)
-    "anomaly_zscore",
-    "bloom_membership",
-    "bm25_score",
-    "cardinality_sketch",
+    # round-11 additions
+    "iceberg_hour_partition_scan",
+    "iceberg_add_column_scan",
+    # re-confirmation: the full 43-row r4-evidence backlog
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "corpus_mixture",
+    "cube_agg",
+    "decontaminate",
+    "dedup_clusters",
+    "dq_checks",
+    "ewma_smooth",
+    "funnel_analysis",
+    "fuzzy_join_levenshtein",
+    "gap_fill_interpolate",
+    "group_quantiles",
+    "histogram_quantiles",
+    "hll_cardinality",
+    "hll_merge_proof",
+    "incremental_agg_merge",
+    "inverted_index",
+    "json_extract_props",
+    "jsonl_scan",
+    "markov_transitions",
+    "median_agg",
+    "moving_window_agg",
+    "multimodal_resize",
+    "near_dedup_incremental",
+    "orc_scan",
+    "order_streaks",
+    "orderby_limit",
+    "pagerank",
+    "pandas_scalar_udf",
+    "pii_scrub",
+    "pivot_agg",
+    "promo_revenue_share",
+    "repetition_stats",
+    "scd2_point_in_time",
+    "semantic_dedup",
+    "similarity_ivf_kmeans",
+    "similarity_ivf_multiprobe",
+    "sliding_window_agg",
+    "stratified_sample",
+    "substring_dedup",
+    "tfidf_top_terms",
+    "token_entropy",
+    # re-confirmation: alphabetically-first 5 of the r7 group
+    "analytic_q18",
+    "analytic_q20_heavy_suppliers",
+    "analytic_q21_blame_supplier",
+    "benford_screen",
+    "bigram_lm_quality",
 ]
 
 # Driver-critical invariants: raise explicitly, NOT via assert —
