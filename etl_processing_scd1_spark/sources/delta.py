@@ -1809,6 +1809,59 @@ def delta_changes(
     return out
 
 
+def rename_delta_column(spark: SparkSession, path: str,
+                        old: str, new: str) -> int:
+    """RENAME COLUMN (PROTOCOL.md §Column Mapping — the operation the
+    mapping exists for): a METADATA-ONLY commit that changes the
+    LOGICAL name in ``schemaString``; the parquet physical name and
+    ``delta.columnMapping.id`` never change, so no data file is
+    touched and every existing file keeps resolving. Requires the
+    table to have column mapping ``name`` or ``id`` — on an unmapped
+    table the parquet columns carry the logical name, and a logical
+    rename would orphan every file (stock Delta enforces the same
+    precondition). Partition columns rename cleanly too: directory
+    layout and ``partitionValues`` keys use physical names in mapped
+    tables. Returns the new table version."""
+    snap = _replay(spark, path, None)
+    meta = dict(snap.metadata)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("name", "id"):
+        raise DeltaProtocolError(
+            f"RENAME COLUMN requires column mapping (mode is {mode!r}); "
+            "create the table with column_mapping='name' or 'id'"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in table schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    meta["schemaString"] = json.dumps(schema)
+    # partitionColumns list holds LOGICAL names in metaData
+    meta["partitionColumns"] = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
+    now_ms = int(time.time() * 1000)
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
+                "engineInfo": "etl-processing-scd1-spark delta rename",
+            }
+        },
+    ])
+    return new_version
+
+
 def restore_delta_table(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE TO VERSION AS OF (Delta's RESTORE command): a
     NEW commit whose net effect is the target snapshot's file set —

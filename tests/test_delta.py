@@ -1848,3 +1848,64 @@ class TestDeltaLogStreamWriter:
         m3 = w.write(iter(tbl.to_batches()))
         w.commit([m3], 1)
         assert read_delta_table(spark, path).count() == 4
+
+
+class TestRenameColumn:
+    """rename_delta_column (PROTOCOL.md §Column Mapping): a
+    metadata-only logical rename — physical parquet names and mapping
+    ids never change, every pre-rename file keeps resolving, appends
+    and merge-on-read DML work under the new name, and unmapped
+    tables refuse (a logical rename would orphan their files)."""
+
+    @pytest.mark.parametrize("mode", ["name", "id"])
+    def test_rename_read_append_dml(self, spark, tmp_path, mode):
+        from etl_processing_scd1_spark.sources.delta import (
+            delete_delta_rows,
+            rename_delta_column,
+        )
+
+        path = str(tmp_path / f"rn{mode}")
+        write_delta_table(
+            _df(spark, 0, 12), path,
+            partition_by=["part"], column_mapping=mode,
+        )
+        v = rename_delta_column(spark, path, "v", "val")
+        got = read_delta_table(spark, path)
+        assert "val" in got.columns and "v" not in got.columns
+        assert sorted((r.k, r.val) for r in got.collect()) == \
+            [(k, k * 10) for k in range(12)]
+        # append under the new logical name
+        write_delta_table(
+            spark.range(12, 15).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("val"),
+                (F.col("id") % 3).cast("string").alias("part"),
+            ),
+            path, mode="append",
+        )
+        # DV delete with a predicate over BOTH renamed and key cols
+        delete_delta_rows(spark, path, "val >= 130 OR k = 0")
+        assert sorted(r.k for r in
+                      read_delta_table(spark, path).collect()) == \
+            list(range(1, 13))
+        # partition-column rename is legal too (physical dirs)
+        v2 = rename_delta_column(spark, path, "part", "bucket")
+        got = read_delta_table(spark, path)
+        assert "bucket" in got.columns and v2 > v
+        assert got.filter("bucket = '1'").count() > 0
+
+    def test_rename_guards(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            rename_delta_column,
+        )
+
+        plain = str(tmp_path / "plain")
+        write_delta_table(_df(spark, 0, 3), plain)
+        with pytest.raises(DeltaProtocolError, match="column mapping"):
+            rename_delta_column(spark, plain, "v", "val")
+        mapped = str(tmp_path / "mapped")
+        write_delta_table(_df(spark, 0, 3), mapped, column_mapping="name")
+        with pytest.raises(ValueError, match="not in table schema"):
+            rename_delta_column(spark, mapped, "nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            rename_delta_column(spark, mapped, "v", "k")

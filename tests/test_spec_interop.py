@@ -594,6 +594,10 @@ class TestDeltaInterop:
             write_delta_table,
         )
 
+        from etl_processing_scd1_spark.sources.delta import (
+            rename_delta_column,
+        )
+
         path = str(tmp_path / f"d2{mode}")
         df = spark.range(0, 90).selectExpr(
             "id AS k", "id * 2 AS v", "CAST(id % 3 AS STRING) AS part"
@@ -601,9 +605,10 @@ class TestDeltaInterop:
         write_delta_table(
             df, path, column_mapping=mode, partition_by=["part"]
         )
+        rename_delta_column(spark, path, "v", "val")
         write_delta_table(
             spark.range(90, 140).selectExpr(
-                "id AS k", "id * 2 AS v", "CAST(id % 3 AS STRING) AS part"
+                "id AS k", "id * 2 AS val", "CAST(id % 3 AS STRING) AS part"
             ),
             path, mode="append",
         )
