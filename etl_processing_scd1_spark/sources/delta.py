@@ -923,9 +923,13 @@ def _dv_actions(path: str, snap: DeltaSnapshot,
 def read_delta_table(
     spark: SparkSession, path: str, version: int | None = None,
     predicates: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table at ``version`` (default:
-    latest). Returns a distributed DataFrame over exactly the
+    latest); ``timestamp_ms`` resolves TIMESTAMP AS OF time travel to
+    the newest version committed at or before that instant
+    (:func:`delta_version_at_timestamp`) — mutually exclusive with
+    ``version``. Returns a distributed DataFrame over exactly the
     snapshot's active files; partition columns come back via Spark's
     Hive-style directory reconstruction (``basePath``). Empty
     snapshot → empty DataFrame with the table schema.
@@ -945,6 +949,10 @@ def read_delta_table(
     the final projection renames them back to the log's logical
     schema, and pruning predicates are translated before the stats
     compare."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("version and timestamp_ms are exclusive")
+        version = delta_version_at_timestamp(path, timestamp_ms)
     snap = _replay(spark, path, version)
     predicates = snap.to_physical(predicates)
     files = {
@@ -1655,6 +1663,12 @@ def _plan_changes(path: str, from_version: int, to_version: int):
     }
     # version -> path -> positions newly dead in that commit
     row_dels: dict[int, dict[str, set[int]]] = {}
+    # pure-rewrite bookkeeping (OPTIMIZE: every add/remove carries
+    # dataChange=false — content identical, layout different)
+    rw_adds: dict[int, set] = {}
+    rw_removes: dict[int, set] = {}
+    rw_pure: dict[int, bool] = {}
+    dv_fresh_paths: set[str] = set()
     for v in range(from_version + 1, to_version + 1):
         f = _commit_file(path, v)
         if not os.path.exists(f):
@@ -1663,11 +1677,18 @@ def _plan_changes(path: str, from_version: int, to_version: int):
             for action in _read_actions(fh):
                 if "add" in action:
                     p = action["add"]["path"]
+                    rw_adds.setdefault(v, set()).add(p)
+                    if action["add"].get("dataChange", True):
+                        rw_pure[v] = False
+                    else:
+                        rw_pure.setdefault(v, True)
                     dv = action["add"].get("deletionVector")
                     if dv:
                         new = set(read_deletion_vector(path, dv))
                         fresh = new - dv_state.get(p, set())
                         dv_state[p] = new
+                        if fresh:
+                            dv_fresh_paths.add(p)
                         if p in survivors and fresh:
                             row_dels.setdefault(v, {}).setdefault(
                                 p, set()
@@ -1678,7 +1699,37 @@ def _plan_changes(path: str, from_version: int, to_version: int):
                     else:
                         last_add[p] = v
                 elif "remove" in action:
-                    last_remove[action["remove"]["path"]] = v
+                    p = action["remove"]["path"]
+                    rw_removes.setdefault(v, set()).add(p)
+                    if action["remove"].get("dataChange", True):
+                        rw_pure[v] = False
+                    else:
+                        rw_pure.setdefault(v, True)
+                    last_remove[p] = v
+    # Suppress PURE REWRITES (spec: dataChange=false means the rows
+    # are unchanged — a change feed must not present compaction as
+    # churn): when a commit's adds/removes all carry dataChange=false,
+    # its removed files were already in the window-start snapshot, its
+    # outputs are still in the window-end snapshot, and none of the
+    # replaced files took an in-window DV delta (a delete the feed
+    # must still report), drop that commit's entries — net content
+    # change is zero by construction. Any other shape falls through
+    # to endpoint netting, which stays net-correct (noisier: the
+    # rewrite outputs emit as inserts and replaced in-window files
+    # simply never surface).
+    for v, pure in rw_pure.items():
+        adds_v = rw_adds.get(v, set())
+        removes_v = rw_removes.get(v, set())
+        if not pure or not (adds_v or removes_v):
+            continue
+        if removes_v <= start_files and adds_v <= end_files \
+                and not removes_v & dv_fresh_paths:
+            for p in adds_v:
+                if last_add.get(p) == v:
+                    del last_add[p]
+            for p in removes_v:
+                if last_remove.get(p) == v:
+                    del last_remove[p]
     added = {
         p: v for p, v in last_add.items()
         if p in end_files and p not in start_files
@@ -1807,6 +1858,138 @@ def delta_changes(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def optimize_delta_table(spark: SparkSession, path: str,
+                         target_files: int = 1) -> int:
+    """OPTIMIZE (bin-pack compaction — Delta's small-file maintenance
+    command): rewrite the current snapshot's LOGICAL rows into
+    ``target_files`` files per partition-grain and commit one
+    remove+add batch with ``dataChange=false`` (streams reading the
+    table's CDF must not see compaction as new data — same contract
+    as Iceberg's ``replace`` snapshot). Files carrying deletion
+    vectors are materialized — their dead rows disappear physically,
+    so OPTIMIZE doubles as the DV garbage pass the spec recommends.
+    History stays time-travelable; vacuum is the separate pass that
+    reclaims the replaced files after retention. At 100 TB this is
+    the scheduled maintenance job that keeps per-file row counts in
+    the scan-efficient range after many small streaming commits.
+    ``coalesce`` keeps the rewrite shuffle-free."""
+    snap = _replay(spark, path, None)
+    if not snap.files:
+        return snap.version
+    now_ms = int(time.time() * 1000)
+    id_mode = (snap.metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "id"
+    adds = _stage_delta_files(
+        read_delta_table(spark, path).coalesce(target_files),
+        path, snap.partition_columns, snap.column_mapping or {}, now_ms,
+        (snap.column_mapping_ids or {}) if id_mode else None,
+    )
+    actions: list[dict] = []
+    for a in adds:
+        if json.loads(a["stats"])["numRecords"] == 0:
+            os.unlink(os.path.join(path, a["path"]))
+            continue
+        actions.append({"add": {**a, "dataChange": False}})
+    for p in sorted(snap.files):
+        rm = _remove_action(p, snap.files[p], now_ms)
+        rm["dataChange"] = False
+        actions.append({"remove": rm})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetFiles": str(target_files),
+                    "filesRemoved": str(len(snap.files)),
+                },
+                "engineInfo": "etl-processing-scd1-spark delta optimize",
+            }
+        }
+    )
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, actions)
+    return new_version
+
+
+def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
+    """DROP COLUMN (PROTOCOL.md §Column Mapping): metadata-only — the
+    field leaves ``schemaString``, its physical parquet column stays
+    in every existing file but is simply never projected again
+    (including by time-travel reads AT OR AFTER this version; earlier
+    versions still show it). Requires column mapping, like rename —
+    on an unmapped table the physical name IS the logical name, and a
+    later re-add of the same name would resurrect the old bytes.
+    Mapped tables are immune: a re-added name gets a FRESH mapping id
+    and physical uuid (write_delta_table's evolution path allocates
+    past maxColumnId), so old file data can never leak back. Refuses
+    partition columns (the directory layout names them) and the last
+    remaining column."""
+    snap = _replay(spark, path, None)
+    meta = dict(snap.metadata)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("name", "id"):
+        raise DeltaProtocolError(
+            f"DROP COLUMN requires column mapping (mode is {mode!r}); "
+            "create the table with column_mapping='name' or 'id'"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"column {name!r} not in table schema {names}")
+    if len(names) == 1:
+        raise DeltaProtocolError("cannot drop the last remaining column")
+    if name in (meta.get("partitionColumns") or []):
+        raise DeltaProtocolError(
+            f"cannot drop partition column {name!r} (the directory "
+            "layout and partitionValues name it)"
+        )
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+    meta["schemaString"] = json.dumps(schema)
+    now_ms = int(time.time() * 1000)
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DROP COLUMNS",
+                "operationParameters": {"column": name},
+                "engineInfo": "etl-processing-scd1-spark delta drop",
+            }
+        },
+    ])
+    return new_version
+
+
+def delta_version_at_timestamp(path: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution (Delta's time-travel-by-timestamp):
+    the LATEST version whose commit timestamp is <= ``ts_ms`` —
+    commitInfo's ``timestamp`` when present, else the commit file's
+    mtime (the spec's stated fallback). Raises on a timestamp before
+    the first commit, like stock Delta."""
+    best = None
+    for v in _list_versions(path):
+        t = None
+        with open(_commit_file(path, v)) as fh:
+            for action in _read_actions(fh):
+                if "commitInfo" in action:
+                    t = action["commitInfo"].get("timestamp")
+                    break
+        if t is None:
+            t = int(os.path.getmtime(_commit_file(path, v)) * 1000)
+        if int(t) <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} is before the table's first commit"
+        )
+    return best
 
 
 def rename_delta_column(spark: SparkSession, path: str,

@@ -1909,3 +1909,138 @@ class TestRenameColumn:
             rename_delta_column(spark, mapped, "nope", "x")
         with pytest.raises(ValueError, match="already exists"):
             rename_delta_column(spark, mapped, "v", "k")
+
+
+class TestOptimizeDropTimestamp:
+    """Round-11 Delta command surface: OPTIMIZE bin-pack compaction
+    (dataChange=false rewrite, invisible to CDF, materializes DVs),
+    DROP COLUMN under column mapping, and TIMESTAMP AS OF
+    time-travel resolution."""
+
+    def test_optimize_compacts_and_materializes_dvs(
+        self, spark, tmp_path
+    ):
+        from etl_processing_scd1_spark.sources.delta import (
+            _replay,
+            delete_delta_rows,
+            optimize_delta_table,
+        )
+
+        path = str(tmp_path / "opt")
+        for lo in (0, 10, 20, 30):
+            write_delta_table(
+                _df(spark, lo, lo + 10), path,
+                mode="append" if lo else "overwrite",
+            )
+        delete_delta_rows(spark, path, "k % 5 = 0")
+        before = _rows(read_delta_table(spark, path))
+        v_pre = delta_table_version(path)
+        v = optimize_delta_table(spark, path, target_files=2)
+        snap = _replay(spark, path, None)
+        assert _rows(read_delta_table(spark, path)) == before
+        assert len(snap.files) <= 2 < 4
+        # DVs are materialized away by the rewrite
+        assert not any(a.get("deletionVector") for a in snap.files.values())
+        # history stays time-travelable
+        assert _rows(read_delta_table(spark, path, version=v_pre)) == before
+        assert v == v_pre + 1
+
+    def test_optimize_invisible_to_cdf(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delta_changes,
+            delete_delta_rows,
+            optimize_delta_table,
+        )
+
+        path = str(tmp_path / "optcdf")
+        write_delta_table(_df(spark, 0, 20), path)            # v0
+        delete_delta_rows(spark, path, "k >= 18")             # v1
+        v1 = delta_table_version(path)
+        optimize_delta_table(spark, path, target_files=1)     # v2
+        write_delta_table(_df(spark, 20, 23), path, mode="append")  # v3
+        # window covering ONLY the optimize: zero events
+        assert delta_changes(spark, path, v1, v1 + 1).count() == 0
+        # window across the optimize: just the append's inserts
+        ch = delta_changes(spark, path, v1)
+        got = sorted((r.k, r._change_type) for r in ch.collect())
+        assert got == [(20, "insert"), (21, "insert"), (22, "insert")]
+        # a DV delete in-window followed by optimize STILL reports
+        # the deleted rows (the rewrite merely changes layout)
+        delete_delta_rows(spark, path, "k = 21")              # v4
+        v3 = delta_table_version(path) - 1
+        optimize_delta_table(spark, path, target_files=1)     # v5
+        ch2 = delta_changes(spark, path, v3)
+        kinds = sorted((r.k, r._change_type) for r in ch2.collect())
+        assert (21, "delete") in kinds
+
+    def test_drop_column_and_guards(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+            drop_delta_column,
+        )
+
+        path = str(tmp_path / "dropc")
+        write_delta_table(
+            _df(spark, 0, 9), path,
+            partition_by=["part"], column_mapping="name",
+        )
+        v = drop_delta_column(spark, path, "v")
+        got = read_delta_table(spark, path)
+        assert sorted(got.columns) == ["k", "part"]
+        assert got.count() == 9
+        # time travel BEFORE the drop still shows the column
+        assert "v" in read_delta_table(spark, path, version=v - 1).columns
+        # re-adding the same name is safe under mapping: fresh id +
+        # fresh physical name, old bytes can't resurrect
+        write_delta_table(
+            spark.range(9, 12).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("part"),
+                F.lit(777).alias("v"),
+            ),
+            path, mode="append",
+        )
+        rows = {r.k: r.v for r in read_delta_table(spark, path).collect()}
+        assert rows[10] == 777 and rows[0] is None
+        with pytest.raises(DeltaProtocolError, match="partition column"):
+            drop_delta_column(spark, path, "part")
+        plain = str(tmp_path / "dropplain")
+        write_delta_table(_df(spark, 0, 3), plain)
+        with pytest.raises(DeltaProtocolError, match="column mapping"):
+            drop_delta_column(spark, plain, "v")
+
+    def test_timestamp_as_of(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from etl_processing_scd1_spark.sources.delta import (
+            _commit_file,
+            delta_version_at_timestamp,
+        )
+
+        path = str(tmp_path / "tsof")
+        write_delta_table(_df(spark, 0, 5), path)                    # v0
+        write_delta_table(_df(spark, 5, 8), path, mode="append")     # v1
+        write_delta_table(_df(spark, 8, 10), path, mode="append")    # v2
+        # pin distinct commit timestamps (same-ms commits are real;
+        # the resolver takes the newest <= ts)
+        stamps = {}
+        for v, t in ((0, 1000), (1, 2000), (2, 3000)):
+            f = _commit_file(path, v)
+            lines = [_json.loads(ln) for ln in open(f)]
+            for a in lines:
+                if "commitInfo" in a:
+                    a["commitInfo"]["timestamp"] = t
+            with open(f, "w") as fh:
+                for a in lines:
+                    fh.write(_json.dumps(a) + "\n")
+            stamps[v] = t
+        assert delta_version_at_timestamp(path, 1000) == 0
+        assert delta_version_at_timestamp(path, 2999) == 1
+        assert delta_version_at_timestamp(path, 99999) == 2
+        with pytest.raises(ValueError, match="before"):
+            delta_version_at_timestamp(path, 999)
+        got = read_delta_table(spark, path, timestamp_ms=2500)
+        assert got.count() == 8
+        with pytest.raises(ValueError, match="exclusive"):
+            read_delta_table(spark, path, version=1, timestamp_ms=2500)
