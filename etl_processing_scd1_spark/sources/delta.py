@@ -1860,8 +1860,42 @@ def delta_changes(
     return out
 
 
+def _zorder_column(df: DataFrame, cols: list[str]):
+    """Z-ORDER key: equi-depth bucket each column into 256 ranks
+    (boundaries from one approxQuantile — a bounded 255-value driver
+    collect per column), then bit-interleave the 8-bit ranks so rows
+    close in EVERY dimension land close in the sort. All row-level
+    work is vectorized JVM expressions (an F.aggregate fold over the
+    boundary array literal), never Python."""
+    n_bits = 8
+    parts = []
+    for j, c in enumerate(cols):
+        bounds = [
+            b for b in df.stat.approxQuantile(
+                c, [i / 256 for i in range(1, 256)], 0.01
+            )
+        ]
+        bucket = F.aggregate(
+            F.lit(bounds),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(c) >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        bucket = F.coalesce(bucket, F.lit(0))
+        parts.append((j, bucket))
+    z = F.lit(0).cast("long")
+    for bit in range(n_bits):
+        for j, bucket in parts:
+            z = z + F.shiftleft(
+                (F.shiftright(bucket, bit).cast("long") % 2),
+                bit * len(parts) + j,
+            )
+    return z
+
+
 def optimize_delta_table(spark: SparkSession, path: str,
-                         target_files: int = 1) -> int:
+                         target_files: int = 1,
+                         zorder_by: list[str] | None = None) -> int:
     """OPTIMIZE (bin-pack compaction — Delta's small-file maintenance
     command): rewrite the current snapshot's LOGICAL rows into
     ``target_files`` files per partition-grain and commit one
@@ -1874,7 +1908,15 @@ def optimize_delta_table(spark: SparkSession, path: str,
     reclaims the replaced files after retention. At 100 TB this is
     the scheduled maintenance job that keeps per-file row counts in
     the scan-efficient range after many small streaming commits.
-    ``coalesce`` keeps the rewrite shuffle-free."""
+    ``coalesce`` keeps the plain rewrite shuffle-free.
+
+    ``zorder_by`` (OPTIMIZE ZORDER BY): cluster the rewrite on the
+    bit-interleave of the named columns' equi-depth ranks
+    (``_zorder_column``), range-partitioned into ``target_files`` —
+    every output file then carries TIGHT min/max footer stats on ALL
+    the named dimensions simultaneously, so stats pruning skips files
+    for predicates on any of them. One range shuffle; the multi-
+    dimensional analog of sorting by a single column."""
     snap = _replay(spark, path, None)
     if not snap.files:
         return snap.version
@@ -1882,8 +1924,33 @@ def optimize_delta_table(spark: SparkSession, path: str,
     id_mode = (snap.metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode"
     ) == "id"
+    df = read_delta_table(spark, path)
+    if zorder_by:
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder_by columns {missing} not in table")
+        from pyspark.sql import types as _T
+
+        bad = [
+            c for c in zorder_by
+            if not isinstance(df.schema[c].dataType, _T.NumericType)
+        ]
+        if bad:
+            raise ValueError(
+                f"zorder_by supports numeric columns only, got {bad} "
+                "(equi-depth ranks come from approxQuantile)"
+            )
+        z = _zorder_column(df, zorder_by)
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.coalesce(target_files)
     adds = _stage_delta_files(
-        read_delta_table(spark, path).coalesce(target_files),
+        df,
         path, snap.partition_columns, snap.column_mapping or {}, now_ms,
         (snap.column_mapping_ids or {}) if id_mode else None,
     )

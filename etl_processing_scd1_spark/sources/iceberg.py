@@ -956,15 +956,37 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, files: list,
     return df.drop("__mor_fp")
 
 
+def iceberg_snapshot_at_timestamp(path: str, ts_ms: int) -> int:
+    """FOR TIMESTAMP AS OF resolution (the spec's time-travel by
+    instant): the snapshot-id of the LATEST ``snapshot-log`` entry at
+    or before ``ts_ms``. Rollbacks append a new log entry pointing at
+    the restored snapshot, so the log — not the snapshots list — is
+    the authoritative current-at-time record. Raises on a timestamp
+    before the table's first snapshot, like the Java library."""
+    meta = _load_metadata(path)
+    best = None
+    for e in meta.get("snapshot-log", []):
+        if int(e["timestamp-ms"]) <= ts_ms:
+            best = int(e["snapshot-id"])
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} is before the table's first snapshot"
+        )
+    return best
+
+
 def read_iceberg_table(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     version: int | None = None,
     predicates: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot read: ``version`` pins a metadata file (time travel
-    across commits), ``snapshot_id`` pins a snapshot within the
+    across commits), ``timestamp_ms`` resolves FOR TIMESTAMP AS OF
+    via the snapshot log (:func:`iceberg_snapshot_at_timestamp`),
+    and ``snapshot_id`` pins a snapshot within the
     metadata's log. Returns a distributed DataFrame over exactly the
     snapshot's data files, column order and types per the table
     schema. Empty snapshot → empty DataFrame with the schema.
@@ -981,6 +1003,12 @@ def read_iceberg_table(
     (position) and the table key columns with the sequence-number
     bound (equality); nothing is rewritten (spec §Row-Level
     Deletes)."""
+    if timestamp_ms is not None:
+        if snapshot_id is not None or version is not None:
+            raise ValueError(
+                "timestamp_ms is exclusive with snapshot_id/version"
+            )
+        snapshot_id = iceberg_snapshot_at_timestamp(path, timestamp_ms)
     meta = _load_metadata(path, version)
     schema = _spark_schema(meta)
     _, files, deletes = _snapshot_files(path, meta, snapshot_id, predicates)

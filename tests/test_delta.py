@@ -2044,3 +2044,49 @@ class TestOptimizeDropTimestamp:
         assert got.count() == 8
         with pytest.raises(ValueError, match="exclusive"):
             read_delta_table(spark, path, version=1, timestamp_ms=2500)
+
+
+class TestZOrder:
+    def test_zorder_tightens_pruning_on_both_dims(self, spark, tmp_path):
+        """OPTIMIZE ZORDER BY (x, y): after the clustered rewrite, a
+        point-range predicate on EITHER dimension stats-prunes to a
+        strict subset of the files — the multi-dimensional locality
+        a single-column sort can't give (sorting by x leaves y
+        min/max spanning every file)."""
+        from etl_processing_scd1_spark.sources.delta import (
+            delta_plan_files,
+            optimize_delta_table,
+        )
+
+        path = str(tmp_path / "zord")
+        # x and y deliberately uncorrelated (y = reversed x)
+        df = spark.range(0, 4096).selectExpr(
+            "id AS x", "4095 - id AS y", "id % 7 AS v"
+        )
+        write_delta_table(df.repartition(8), path)
+        optimize_delta_table(spark, path, target_files=8,
+                             zorder_by=["x", "y"])
+        total = len(delta_plan_files(path))
+        assert total >= 4
+        for col in ("x", "y"):
+            pruned = len(delta_plan_files(
+                path, predicates={col: (100, 130)}
+            ))
+            assert pruned < total, f"no pruning on {col}"
+        # content identical
+        got = read_delta_table(spark, path)
+        assert got.count() == 4096
+        assert got.selectExpr("sum(x)", "sum(y)").collect()[0] == \
+            df.selectExpr("sum(x)", "sum(y)").collect()[0]
+
+    def test_zorder_guards(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            optimize_delta_table,
+        )
+
+        path = str(tmp_path / "zg")
+        write_delta_table(_df(spark, 0, 10), path)
+        with pytest.raises(ValueError, match="not in table"):
+            optimize_delta_table(spark, path, zorder_by=["nope"])
+        with pytest.raises(ValueError, match="numeric"):
+            optimize_delta_table(spark, path, zorder_by=["part"])

@@ -2300,3 +2300,40 @@ class TestTemporalTimestampTransforms:
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "TZ-GATE-OK" in proc.stdout
+
+
+class TestTimestampAsOf:
+    def test_snapshot_log_resolution(self, spark, tmp_path):
+        """FOR TIMESTAMP AS OF reads resolve through the snapshot
+        LOG (rollbacks re-log the restored snapshot, so the log is
+        the current-at-time record, not the snapshots list)."""
+        import json as _json
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _list_meta_versions,
+            _load_metadata,
+            _meta_file,
+            _put_metadata,
+            iceberg_snapshot_at_timestamp,
+        )
+
+        path = str(tmp_path / "tsof")
+        write_iceberg_table(_df(spark, 0, 5), path)
+        write_iceberg_table(_df(spark, 5, 8), path, mode="append")
+        write_iceberg_table(_df(spark, 8, 10), path, mode="append")
+        # pin deterministic, distinct log timestamps
+        base = _list_meta_versions(path)[-1]
+        meta = _load_metadata(path, base)
+        for i, e in enumerate(meta["snapshot-log"]):
+            e["timestamp-ms"] = 1000 * (i + 1)
+        _put_metadata(path, base + 1, meta)
+        sids = [e["snapshot-id"] for e in meta["snapshot-log"]]
+        assert iceberg_snapshot_at_timestamp(path, 1000) == sids[0]
+        assert iceberg_snapshot_at_timestamp(path, 2999) == sids[1]
+        assert iceberg_snapshot_at_timestamp(path, 10**9) == sids[2]
+        with pytest.raises(ValueError, match="before"):
+            iceberg_snapshot_at_timestamp(path, 999)
+        got = read_iceberg_table(spark, path, timestamp_ms=2500)
+        assert got.count() == 8
+        with pytest.raises(ValueError, match="exclusive"):
+            read_iceberg_table(spark, path, version=1, timestamp_ms=1)
