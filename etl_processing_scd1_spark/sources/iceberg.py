@@ -2672,17 +2672,37 @@ def _plan_ice_changes(path: str, from_version: int,
 
 
 def compact_iceberg_table(
-    spark: SparkSession, path: str, target_files: int
+    spark: SparkSession, path: str, target_files: int,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Bin-pack compaction (the format's OPTIMIZE/rewrite operation):
     coalesce the current snapshot's rows into ``target_files`` data
     files and commit a ``replace`` snapshot — row content identical,
     file count reduced, every older snapshot still time-travelable
     (rewrites never destroy history; expiry is a separate concern).
-    ``coalesce`` keeps the rewrite shuffle-free — at 100 TB this is
-    the scheduled small-file maintenance job, not a per-ingest step."""
+    ``coalesce`` keeps the plain rewrite shuffle-free — at 100 TB this
+    is the scheduled small-file maintenance job, not a per-ingest
+    step. ``zorder_by`` clusters the rewrite on the bit-interleaved
+    equi-depth ranks of the named numeric columns (the sort_order the
+    Java library's rewrite_data_files takes): every output file then
+    carries tight manifest bounds on ALL named dimensions, so bounds
+    pruning skips files for predicates on any of them."""
     df = read_iceberg_table(spark, path)
-    return write_iceberg_table(df.coalesce(target_files), path, mode="replace")
+    if zorder_by:
+        from .delta import _zorder_column
+
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder_by columns {missing} not in table")
+        df = (
+            df.withColumn("__z", _zorder_column(df, zorder_by))
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.coalesce(target_files)
+    return write_iceberg_table(df, path, mode="replace")
 
 
 def rollback_iceberg_table(path: str, snapshot_id: int) -> int:

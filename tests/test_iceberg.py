@@ -2337,3 +2337,31 @@ class TestTimestampAsOf:
         assert got.count() == 8
         with pytest.raises(ValueError, match="exclusive"):
             read_iceberg_table(spark, path, version=1, timestamp_ms=1)
+
+
+class TestZOrderCompaction:
+    def test_zorder_tightens_manifest_bounds_pruning(
+        self, spark, tmp_path
+    ):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            compact_iceberg_table,
+            iceberg_plan_files,
+        )
+
+        path = str(tmp_path / "zord")
+        df = spark.range(0, 4096).selectExpr(
+            "id AS x", "4095 - id AS y", "CAST(id % 7 AS STRING) AS s"
+        )
+        write_iceberg_table(df.repartition(8), path)
+        compact_iceberg_table(spark, path, 8, zorder_by=["x", "y"])
+        total = len(iceberg_plan_files(path))
+        assert total >= 4
+        for col in ("x", "y"):
+            pruned = len(
+                iceberg_plan_files(path, predicates={col: (100, 130)})
+            )
+            assert pruned < total, f"no pruning on {col}"
+        got = read_iceberg_table(spark, path)
+        assert got.count() == 4096
+        assert got.selectExpr("sum(x)", "sum(y)").collect() == \
+            df.selectExpr("sum(x)", "sum(y)").collect()

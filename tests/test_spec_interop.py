@@ -585,6 +585,15 @@ class TestDeltaInterop:
         assert _norm(delta_snapshot_rows(path)) == _spark_rows(
             read_delta_table(spark, path)
         )
+        # OPTIMIZE (dataChange=false rewrite) must replay identically
+        from etl_processing_scd1_spark.sources.delta import (
+            optimize_delta_table,
+        )
+
+        optimize_delta_table(spark, path, target_files=2)
+        assert _norm(delta_snapshot_rows(path)) == _spark_rows(
+            read_delta_table(spark, path)
+        )
 
     @pytest.mark.parametrize("mode", ["name", "id"])
     def test_column_mapping_partitioned_dv(self, spark, tmp_path, mode):
