@@ -615,15 +615,36 @@ def _transform_scalar(transform: str, value, src_ice: str):
     return NotImplemented
 
 
-def _spec_entries_from_meta(meta: dict) -> list[dict]:
-    """Partition-spec fields of ``meta`` resolved to
-    ``{"name", "transform", "source", "fid", "ice"}`` (result type).
-    Legacy identity specs without source-id resolve by name."""
+def _default_spec_id(meta: dict) -> int:
+    return int(meta.get("default-spec-id") or 0)
+
+
+def _spec_fields(meta: dict, spec_id: int | None = None) -> list[dict]:
+    """Raw partition-spec field dicts for ``spec_id`` (default: the
+    table's default-spec-id). Spec EVOLUTION appends new specs under
+    fresh spec-ids and re-points default-spec-id — every manifest
+    written under an older spec keeps carrying that spec's id, so
+    readers must resolve per manifest, never assume ``[0]``."""
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    sid = _default_spec_id(meta) if spec_id is None else int(spec_id)
+    for s in specs:
+        if int(s.get("spec-id", 0)) == sid:
+            return s.get("fields") or []
+    # foreign metadata omitting the id (legacy single-spec v1 files)
+    return specs[0].get("fields") or []
+
+
+def _spec_entries_from_meta(meta: dict,
+                            spec_id: int | None = None) -> list[dict]:
+    """Partition-spec fields of ``meta`` (default spec unless
+    ``spec_id`` names another) resolved to ``{"name", "transform",
+    "source", "fid", "ice"}`` (result type). Legacy identity specs
+    without source-id resolve by name."""
     by_id = _field_names_by_id(meta)
     schema = meta.get("schema") or {}
     src_ice = {f["name"]: f["type"] for f in schema.get("fields", [])}
     entries = []
-    for f in (meta.get("partition-specs") or [{"fields": []}])[0]["fields"]:
+    for f in _spec_fields(meta, spec_id):
         transform = f.get("transform", "identity")
         source = by_id.get(f.get("source-id")) or f["name"]
         entries.append({
@@ -678,25 +699,38 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
     # into 1/N of the files before bounds are even consulted).
     # Restricted to exactly-representable source types; superset
     # guarantee preserved (Spark still filters rows).
-    _prune_entries: dict[str, list] = {}
-    if predicates:
-        src_types = {name: ice for name, ice in by_id.values()}
-        for e in _spec_entries_from_meta(meta):
-            if src_types.get(e["source"]) in (
-                "int", "long", "string", "date", "timestamp", "timestamptz",
-            ):
-                _prune_entries.setdefault(e["source"], []).append(
-                    (e["name"], e["transform"], src_types[e["source"]])
-                )
+    _prune_by_spec: dict[int, dict[str, list]] = {}
 
-    def part_pruned(df_: dict) -> bool:
-        if not predicates or not _prune_entries:
+    def _prune_entries_for(spec_id: int) -> dict[str, list]:
+        # per-SPEC prune entries: files written under an older spec
+        # carry that spec's tuple, so transform(predicate) must use
+        # the matching spec's transforms (superset guarantee holds
+        # per spec — Spark still filters rows exactly)
+        if spec_id not in _prune_by_spec:
+            src_types = {name: ice for name, ice in by_id.values()}
+            out: dict[str, list] = {}
+            for e in _spec_entries_from_meta(meta, spec_id):
+                if src_types.get(e["source"]) in (
+                    "int", "long", "string", "date",
+                    "timestamp", "timestamptz",
+                ):
+                    out.setdefault(e["source"], []).append(
+                        (e["name"], e["transform"], src_types[e["source"]])
+                    )
+            _prune_by_spec[spec_id] = out
+        return _prune_by_spec[spec_id]
+
+    def part_pruned(df_: dict, spec_id: int) -> bool:
+        if not predicates:
+            return False
+        entries_by_src = _prune_entries_for(spec_id)
+        if not entries_by_src:
             return False
         part = df_.get("partition") or {}
         for col, (lo, hi) in predicates.items():
             if lo is None or lo != hi:
                 continue
-            for name, transform, src_ice in _prune_entries.get(col, ()):
+            for name, transform, src_ice in entries_by_src.get(col, ()):
                 if part.get(name) is None:
                     continue
                 want = _transform_scalar(transform, lo, src_ice)
@@ -706,10 +740,10 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
                     return True
         return False
 
-    def pruned(df_: dict) -> bool:
+    def pruned(df_: dict, spec_id: int) -> bool:
         if not predicates:
             return False
-        if part_pruned(df_):
+        if part_pruned(df_, spec_id):
             return True
         lo_map = {b["key"]: b["value"] for b in (df_.get("lower_bounds") or [])}
         hi_map = {b["key"]: b["value"] for b in (df_.get("upper_bounds") or [])}
@@ -747,6 +781,7 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
     for mf in manifests:
         is_delete_manifest = mf.get("content", 0) == 1
         mf_seq = int(mf.get("sequence_number") or 0)
+        mf_spec_id = int(mf.get("partition_spec_id") or 0)
         _, entries = load_avro(_norm_path(mf["manifest_path"], path))
         for e in entries:
             if e["status"] == _DELETED:
@@ -781,7 +816,7 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
                     "content": 1, "seq": seq, "equality_ids": None,
                 })
                 continue
-            if pruned(df_):
+            if pruned(df_, mf_spec_id):
                 continue
             files.append(
                 (_norm_path(df_["file_path"], path), df_.get("partition") or {}, seq)
@@ -1634,6 +1669,7 @@ def _commit_snapshot(
             for e in spec_entries
         ]
     )
+    cur_spec_id = _default_spec_id(prev) if prev else 0
     dump_avro(
         manifest_path,
         _manifest_entry_schema_json(part_fields),
@@ -1641,7 +1677,7 @@ def _commit_snapshot(
         extra_meta={
             "schema": json.dumps(_schema_struct(schema, field_ids)),
             "partition-spec": spec_json,
-            "partition-spec-id": "0",
+            "partition-spec-id": str(cur_spec_id),
             "format-version": "1",
             "content": "data",
         },
@@ -1649,7 +1685,7 @@ def _commit_snapshot(
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": cur_spec_id,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(new_files),
         "existing_data_files_count": 0,
@@ -1719,9 +1755,19 @@ def _commit_snapshot(
         "schemas": [schema_struct],
         "current-schema-id": 0,
         "partition-spec": json.loads(spec_json),
-        "partition-specs": [{"spec-id": 0, "fields": json.loads(spec_json)}],
-        "default-spec-id": 0,
-        "last-partition-id": part_fields[-1][2] if part_fields else 999,
+        # spec EVOLUTION: a table that evolved its partition spec
+        # keeps EVERY spec in the list (old manifests reference old
+        # spec-ids) — rebuild only on creation
+        "partition-specs": (
+            prev["partition-specs"]
+            if prev and prev.get("partition-specs")
+            else [{"spec-id": 0, "fields": json.loads(spec_json)}]
+        ),
+        "default-spec-id": _default_spec_id(prev) if prev else 0,
+        "last-partition-id": max(
+            int((prev or {}).get("last-partition-id") or 0),
+            part_fields[-1][2] if part_fields else 999,
+        ),
         # carry table properties forward (schema.name-mapping.default
         # et al. — dropping them would undo rename resolution)
         "properties": {
@@ -1858,7 +1904,7 @@ def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
         os.unlink(dest)
         return None, 0
 
-    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    spec_fields = _spec_fields(prev)
     schema = _spark_schema(prev)
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     part_fields = [
@@ -1890,7 +1936,7 @@ def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
                 _schema_struct(schema, _resolved_field_ids(prev, schema))
             ),
             "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(_default_spec_id(prev)),
             "format-version": "2",
             "content": "deletes",
         },
@@ -1898,7 +1944,7 @@ def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
     return {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": _default_spec_id(prev),
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": 1,
         "existing_data_files_count": 0,
@@ -1970,7 +2016,7 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
             for f in schema.fields
         ]
     )
-    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    spec_fields = _spec_fields(prev)
     spec_entries = _spec_entries_from_meta(prev)
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     field_ids = _resolved_field_ids(prev, schema)
@@ -1979,7 +2025,7 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
                                   field_ids)
     data_manifest = _data_manifest_row(
         path, new_files, snapshot_id, seq, schema, spec_fields, part_fields,
-        field_ids,
+        field_ids, spec_id=_default_spec_id(prev),
     )
     return _commit_v2_tail(
         path, base, prev, parent_id, snapshot_id, seq, now_ms,
@@ -1996,7 +2042,8 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
 def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
                        seq: int, schema: T.StructType, spec_fields: list,
                        part_fields: list,
-                       field_ids: dict[str, int] | None = None) -> dict:
+                       field_ids: dict[str, int] | None = None,
+                       spec_id: int = 0) -> dict:
     """Write a v2 DATA manifest (entry content=0) for already-staged
     files → its manifest-list row."""
     manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
@@ -2024,7 +2071,7 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
         extra_meta={
             "schema": json.dumps(_schema_struct(schema, field_ids)),
             "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": "2",
             "content": "data",
         },
@@ -2032,7 +2079,7 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
     return {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(new_files),
         "existing_data_files_count": 0,
@@ -2104,6 +2151,88 @@ def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
     return new_version
 
 
+def evolve_iceberg_partition_spec(path: str,
+                                  partition_by: list[str]) -> int:
+    """PARTITION SPEC EVOLUTION (spec §Partition Evolution): a
+    METADATA-ONLY commit appending a NEW spec under a fresh spec-id
+    and re-pointing ``default-spec-id`` — no snapshot, no data file
+    touched. Files already written stay under their original spec
+    (their manifests keep carrying its id; the reader resolves
+    per-manifest), only FUTURE writes use the new layout — exactly
+    how a 100 TB table changes from day-grain to hour-grain
+    partitioning without a rewrite. Partition field ids are reused
+    for an identical (source column, transform) pair from ANY earlier
+    spec and otherwise continue past ``last-partition-id`` (ids are
+    never reused for different meanings). ``partition_by`` takes the
+    writer's syntax: ``"col"``, ``"bucket(16, col)"``,
+    ``"truncate(4, col)"``, ``"hour(col)"`` …; ``[]`` evolves to an
+    unpartitioned spec."""
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        if not listed:
+            raise FileNotFoundError(f"not an Iceberg table: {path}")
+        base = listed[-1]
+    prev = _load_metadata(path, base)
+    schema = prev.get("schema") or {}
+    src_types = {f["name"]: f["type"] for f in schema.get("fields", [])}
+    src_ids = {f["name"]: int(f["id"]) for f in schema.get("fields", [])}
+    parsed = _parse_partition_by(partition_by)
+    # validate sources + transform/source-type compatibility up front
+    for fname, transform, source in parsed:
+        if source not in src_types:
+            raise ValueError(
+                f"partition source column {source!r} not in table schema "
+                f"{sorted(src_types)}"
+            )
+        _transform_result_ice(transform, src_types[source])
+
+    specs = [dict(s) for s in (prev.get("partition-specs")
+                               or [{"spec-id": 0, "fields": []}])]
+    # id reuse map: (source-id, transform) → field-id across ALL specs
+    reuse: dict[tuple, int] = {}
+    max_fid = int(prev.get("last-partition-id") or 999)
+    for s in specs:
+        for f in s.get("fields") or []:
+            fid = int(f.get("field-id", 1000))
+            max_fid = max(max_fid, fid)
+            reuse[(f.get("source-id"), f.get("transform", "identity"))] = fid
+    new_fields = []
+    for fname, transform, source in parsed:
+        key = (src_ids[source], transform)
+        if key in reuse:
+            fid = reuse[key]
+        else:
+            max_fid += 1
+            fid = max_fid
+            reuse[key] = fid
+        new_fields.append({
+            "name": fname, "transform": transform,
+            "source-id": src_ids[source], "field-id": fid,
+        })
+    new_spec_id = max(int(s.get("spec-id", 0)) for s in specs) + 1
+    specs.append({"spec-id": new_spec_id, "fields": new_fields})
+    now_ms = int(time.time() * 1000)
+    meta = dict(prev)
+    meta.update(
+        {
+            "partition-spec": new_fields,      # legacy v1 mirror
+            "partition-specs": specs,
+            "default-spec-id": new_spec_id,
+            "last-partition-id": max_fid,
+            "last-updated-ms": now_ms,
+            "metadata-log": prev.get("metadata-log", [])
+            + [{"metadata-file": _meta_file(path, base),
+                "timestamp-ms": now_ms}],
+        }
+    )
+    _put_metadata(path, base + 1, meta)
+    return base + 1
+
+
 def rename_iceberg_column(path: str, old: str, new: str) -> int:
     """RENAME-COLUMN schema evolution (spec §Schema Evolution:
     renames change the name, never the field id): a METADATA-ONLY
@@ -2131,7 +2260,7 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
         raise ValueError(f"column {old!r} not in table schema {names}")
     if new in names:
         raise ValueError(f"column {new!r} already exists")
-    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    spec_fields = _spec_fields(prev)
     if old in {f["name"] for f in spec_fields}:
         raise IcebergProtocolError(
             f"renaming identity-partition source column {old!r} is not "
@@ -2243,7 +2372,7 @@ def drop_iceberg_column(path: str, name: str) -> int:
         raise ValueError(f"column {name!r} not in table schema {names}")
     if len(fields) == 1:
         raise IcebergProtocolError("cannot drop the only column")
-    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    spec_fields = _spec_fields(prev)
     dropped_id = next(int(f["id"]) for f in fields if f["name"] == name)
     # guard by SOURCE-ID, not spec-field name: a bucket/truncate/
     # temporal field is named e.g. "k_bucket" while its source is
@@ -2384,7 +2513,7 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
         df = df.select(*[F.col(f.name) for f in schema.fields])
 
     seq = int(prev.get("last-sequence-number", 0)) + 1
-    spec_fields = (prev.get("partition-specs") or [{"fields": []}])[0]["fields"]
+    spec_fields = _spec_fields(prev)
     spec_entries = _spec_entries_from_meta(prev)
     ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
     field_ids = _resolved_field_ids(prev, schema)
@@ -2442,13 +2571,13 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
     manifest_meta = {
         "schema": json.dumps(_schema_struct(schema, field_ids)),
         "partition-spec": json.dumps(spec_fields),
-        "partition-spec-id": "0",
+        "partition-spec-id": str(_default_spec_id(prev)),
         "format-version": "2",
     }
     new_manifests: list[dict] = [
         _data_manifest_row(
             path, new_files, snapshot_id, seq, schema, spec_fields,
-            part_fields, field_ids,
+            part_fields, field_ids, spec_id=_default_spec_id(prev),
         )
     ]
 
@@ -2484,7 +2613,7 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
         new_manifests.append({
             "manifest_path": del_manifest,
             "manifest_length": os.path.getsize(del_manifest),
-            "partition_spec_id": 0,
+            "partition_spec_id": _default_spec_id(prev),
             "added_snapshot_id": snapshot_id,
             "added_data_files_count": 1,
             "existing_data_files_count": 0,

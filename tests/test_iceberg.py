@@ -2365,3 +2365,72 @@ class TestZOrderCompaction:
         assert got.count() == 4096
         assert got.selectExpr("sum(x)", "sum(y)").collect() == \
             df.selectExpr("sum(x)", "sum(y)").collect()
+
+
+class TestPartitionSpecEvolution:
+    """Spec §Partition Evolution: evolving the spec is metadata-only;
+    old files stay under their original spec (manifests carry its
+    spec-id, readers resolve per manifest), future writes use the new
+    default, and pruning applies each file's OWN spec's transforms."""
+
+    def test_evolve_append_read_prune_dml(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            delete_iceberg_rows,
+            evolve_iceberg_partition_spec,
+            iceberg_plan_files,
+        )
+
+        path = str(tmp_path / "pevo")
+        write_iceberg_table(_df(spark, 0, 60), path, partition_by=["part"])
+        v = evolve_iceberg_partition_spec(path, ["bucket(4, k)"])
+        meta = _load_metadata(path)
+        assert meta["default-spec-id"] == 1
+        assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+        # metadata-only: same snapshot, rows unchanged
+        assert read_iceberg_table(spark, path).count() == 60
+        # future writes use the new layout
+        write_iceberg_table(_df(spark, 60, 120), path, mode="append")
+        got = read_iceberg_table(spark, path)
+        assert sorted(r.k for r in got.collect()) == list(range(120))
+        total = len(iceberg_plan_files(path))
+        # equality on k prunes bucket-spec files only (old-spec files
+        # can't be tuple-pruned on k — superset guarantee holds)
+        by_k = len(iceberg_plan_files(path, predicates={"k": (70, 70)}))
+        assert by_k < total
+        # equality on part prunes the identity-spec generation
+        by_part = len(
+            iceberg_plan_files(path, predicates={"part": ("1", "1")})
+        )
+        assert by_part < total
+        # merge-on-read DML spans both generations
+        delete_iceberg_rows(spark, path, "k % 10 = 0")
+        assert read_iceberg_table(spark, path).count() == 108
+        # evolve to UNPARTITIONED and append
+        evolve_iceberg_partition_spec(path, [])
+        write_iceberg_table(_df(spark, 120, 130), path, mode="append")
+        assert read_iceberg_table(spark, path).count() == 118
+        assert v == 2
+
+    def test_field_id_reuse_and_guards(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            evolve_iceberg_partition_spec,
+        )
+
+        path = str(tmp_path / "pevo2")
+        write_iceberg_table(_df(spark, 0, 6), path, partition_by=["part"])
+        orig_fid = _load_metadata(path)["partition-specs"][0]["fields"][0][
+            "field-id"
+        ]
+        evolve_iceberg_partition_spec(path, ["bucket(8, k)"])
+        evolve_iceberg_partition_spec(path, ["part"])
+        specs = _load_metadata(path)["partition-specs"]
+        # identical (source, transform) reuses the ORIGINAL field id
+        assert specs[2]["fields"][0]["field-id"] == orig_fid
+        # distinct transforms got a fresh id
+        assert specs[1]["fields"][0]["field-id"] != orig_fid
+        with pytest.raises(ValueError, match="not in table schema"):
+            evolve_iceberg_partition_spec(path, ["nope"])
+        with pytest.raises(IcebergProtocolError, match="hour"):
+            evolve_iceberg_partition_spec(path, ["hour(part)"])
