@@ -1017,6 +1017,7 @@ def read_iceberg_table(
     version: int | None = None,
     predicates: dict | None = None,
     timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot read: ``version`` pins a metadata file (time travel
     across commits), ``timestamp_ms`` resolves FOR TIMESTAMP AS OF
@@ -1044,6 +1045,13 @@ def read_iceberg_table(
                 "timestamp_ms is exclusive with snapshot_id/version"
             )
         snapshot_id = iceberg_snapshot_at_timestamp(path, timestamp_ms)
+    if ref is not None:
+        if snapshot_id is not None or version is not None \
+                or timestamp_ms is not None:
+            raise ValueError(
+                "ref is exclusive with snapshot_id/version/timestamp_ms"
+            )
+        snapshot_id = iceberg_ref_snapshot(path, ref)
     meta = _load_metadata(path, version)
     schema = _spark_schema(meta)
     _, files, deletes = _snapshot_files(path, meta, snapshot_id, predicates)
@@ -1768,6 +1776,9 @@ def _commit_snapshot(
             int((prev or {}).get("last-partition-id") or 0),
             part_fields[-1][2] if part_fields else 999,
         ),
+        # named snapshot refs survive every commit (tags pin
+        # retention; dropping them here would silently un-pin)
+        "refs": (prev.get("refs") or {}) if prev else {},
         # carry table properties forward (schema.name-mapping.default
         # et al. — dropping them would undo rename resolution)
         "properties": {
@@ -2149,6 +2160,73 @@ def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
     )
     _put_metadata(path, new_version, meta)
     return new_version
+
+
+def _load_latest(path: str) -> tuple[int, dict]:
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        if not listed:
+            raise FileNotFoundError(f"not an Iceberg table: {path}")
+        base = listed[-1]
+    return base, _load_metadata(path, base)
+
+
+def set_iceberg_ref(path: str, name: str, snapshot_id: int | None = None,
+                    ref_type: str = "tag") -> int:
+    """Named snapshot REF (spec §Snapshot References — tags pin a
+    snapshot for retention/audits, branches are movable pointers, the
+    write-audit-publish workflow's handle): a metadata-only commit
+    writing ``refs[name] = {snapshot-id, type}``. Default snapshot:
+    the current one. ``expire_snapshots`` keeps every ref'd snapshot
+    alive regardless of keep_last — that is what tags are FOR."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be 'tag' or 'branch', not {ref_type!r}")
+    if name == "main":
+        raise ValueError("'main' is the implicit current-snapshot branch")
+    base, prev = _load_latest(path)
+    sid = snapshot_id if snapshot_id is not None \
+        else prev.get("current-snapshot-id")
+    known = {s["snapshot-id"] for s in prev.get("snapshots", [])}
+    if sid not in known:
+        raise ValueError(f"snapshot {sid} not in table {path}")
+    refs = dict(prev.get("refs") or {})
+    refs[name] = {"snapshot-id": int(sid), "type": ref_type}
+    meta = dict(prev)
+    meta.update({"refs": refs, "last-updated-ms": int(time.time() * 1000)})
+    _put_metadata(path, base + 1, meta)
+    return base + 1
+
+
+def drop_iceberg_ref(path: str, name: str) -> int:
+    """Remove a named ref (metadata-only); the snapshot itself stays
+    until expiry chooses it."""
+    base, prev = _load_latest(path)
+    refs = dict(prev.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not in table (have {sorted(refs)})")
+    del refs[name]
+    meta = dict(prev)
+    meta.update({"refs": refs, "last-updated-ms": int(time.time() * 1000)})
+    _put_metadata(path, base + 1, meta)
+    return base + 1
+
+
+def iceberg_ref_snapshot(path: str, name: str) -> int:
+    """ref name → snapshot-id ('main' resolves to the current one)."""
+    _, meta = _load_latest(path)
+    if name == "main":
+        sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise ValueError("table has no current snapshot")
+        return int(sid)
+    refs = meta.get("refs") or {}
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not in table (have {sorted(refs)})")
+    return int(refs[name]["snapshot-id"])
 
 
 def evolve_iceberg_partition_spec(path: str,
@@ -2936,8 +3014,17 @@ def expire_snapshots(path: str, keep_last: int) -> int:
         raise ValueError("keep_last must be >= 1")
     if len(snaps) <= keep_last:
         return iceberg_table_version(path)
-    keep = snaps[-keep_last:]
-    drop = snaps[:-keep_last]
+    # named refs PIN their snapshots regardless of keep_last — a
+    # tagged audit snapshot must survive routine expiry (spec
+    # §Snapshot References retention semantics)
+    ref_ids = {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
+    keep_set = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+    keep = [s for s in snaps if s["snapshot-id"] in keep_set]
+    drop = [s for s in snaps if s["snapshot-id"] not in keep_set]
+    if not drop:
+        return iceberg_table_version(path)
 
     def tree(snap_list):
         lists, manifests, datafiles = set(), set(), set()

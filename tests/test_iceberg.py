@@ -2434,3 +2434,52 @@ class TestPartitionSpecEvolution:
             evolve_iceberg_partition_spec(path, ["nope"])
         with pytest.raises(IcebergProtocolError, match="hour"):
             evolve_iceberg_partition_spec(path, ["hour(part)"])
+
+
+class TestSnapshotRefs:
+    def test_tag_read_expiry_protection(self, spark, tmp_path):
+        """Spec §Snapshot References: tags pin snapshots — readable
+        by name, immune to expire_snapshots(keep_last)."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            drop_iceberg_ref,
+            expire_snapshots,
+            iceberg_ref_snapshot,
+            set_iceberg_ref,
+        )
+
+        path = str(tmp_path / "refs")
+        write_iceberg_table(_df(spark, 0, 5), path)          # snap 1
+        set_iceberg_ref(path, "audit-v1")                    # tag snap 1
+        write_iceberg_table(_df(spark, 5, 8), path, mode="append")
+        write_iceberg_table(_df(spark, 8, 12), path, mode="append")
+        assert read_iceberg_table(spark, path, ref="audit-v1").count() == 5
+        assert read_iceberg_table(spark, path, ref="main").count() == 12
+        # expiry keeps the tagged snapshot alive
+        expire_snapshots(path, keep_last=1)
+        meta = _load_metadata(path)
+        assert len(meta["snapshots"]) == 2  # newest + tagged
+        assert read_iceberg_table(spark, path, ref="audit-v1").count() == 5
+        assert read_iceberg_table(spark, path).count() == 12
+        # drop the ref; the next expiry reclaims it
+        drop_iceberg_ref(path, "audit-v1")
+        expire_snapshots(path, keep_last=1)
+        assert len(_load_metadata(path)["snapshots"]) == 1
+        with pytest.raises(ValueError, match="not in table"):
+            iceberg_ref_snapshot(path, "audit-v1")
+
+    def test_ref_guards(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            set_iceberg_ref,
+        )
+
+        path = str(tmp_path / "refs2")
+        write_iceberg_table(_df(spark, 0, 3), path)
+        with pytest.raises(ValueError, match="main"):
+            set_iceberg_ref(path, "main")
+        with pytest.raises(ValueError, match="snapshot"):
+            set_iceberg_ref(path, "t", snapshot_id=42)
+        with pytest.raises(ValueError, match="tag"):
+            set_iceberg_ref(path, "t", ref_type="nope")
+        with pytest.raises(ValueError, match="exclusive"):
+            read_iceberg_table(spark, path, version=1, ref="main")
