@@ -2059,6 +2059,59 @@ def delta_version_at_timestamp(path: str, ts_ms: int) -> int:
     return best
 
 
+def delta_metadata_table(spark: SparkSession, path: str,
+                         kind: str) -> DataFrame:
+    """Inspection surface (DESCRIBE HISTORY / DETAIL / the files
+    listing): log-replay metadata as a typed DataFrame — commit
+    stamps, live files with partition values and DV cardinality,
+    per-partition rollups. Metadata-scale; no data file is opened."""
+    if kind == "history":
+        rows = [
+            (
+                int(h["version"]), int(h.get("timestamp") or 0),
+                str(h.get("operation", "")),
+                json.dumps(h.get("operationParameters") or {},
+                           sort_keys=True),
+            )
+            for h in delta_history(path)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, timestamp_ms long, operation string, "
+            "operation_parameters string",
+        )
+    if kind in ("files", "partitions"):
+        snap = _replay(spark, path, None)
+        rows = []
+        for rel, add in sorted(snap.files.items()):
+            stats = json.loads(add.get("stats") or "{}")
+            dv = add.get("deletionVector") or {}
+            rows.append((
+                rel,
+                json.dumps(add.get("partitionValues") or {},
+                           sort_keys=True),
+                int(stats.get("numRecords") or 0),
+                int(add.get("size") or 0),
+                int(dv.get("cardinality") or 0),
+            ))
+        df = spark.createDataFrame(
+            rows,
+            "path string, partition string, num_records long, "
+            "size_bytes long, dv_cardinality long",
+        )
+        if kind == "files":
+            return df
+        return df.groupBy("partition").agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("num_records").alias("num_records"),
+            F.sum("size_bytes").alias("total_size_bytes"),
+            F.sum("dv_cardinality").alias("dv_dead_rows"),
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} (history, files, partitions)"
+    )
+
+
 def rename_delta_column(spark: SparkSession, path: str,
                         old: str, new: str) -> int:
     """RENAME COLUMN (PROTOCOL.md §Column Mapping — the operation the

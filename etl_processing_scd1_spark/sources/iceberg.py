@@ -2175,6 +2175,116 @@ def _load_latest(path: str) -> tuple[int, dict]:
     return base, _load_metadata(path, base)
 
 
+def iceberg_metadata_table(spark: SparkSession, path: str,
+                           kind: str) -> DataFrame:
+    """Metadata tables (the library's ``table$snapshots`` /
+    ``$files`` / ``$history`` / ``$manifests`` / ``$refs`` /
+    ``$partitions`` inspection surface): driver-side metadata — the
+    same tree scan planning walks — surfaced as a typed DataFrame.
+    Metadata-scale rows (snapshots, manifests, live files), never a
+    data read."""
+    _, meta = _load_latest(path)
+    if kind == "history":
+        rows = [
+            (int(e["timestamp-ms"]), int(e["snapshot-id"]))
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long"
+        )
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["timestamp-ms"]), int(s["snapshot-id"]),
+                int(s.get("parent-snapshot-id") or -1),
+                str((s.get("summary") or {}).get("operation", "")),
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "committed_at_ms long, snapshot_id long, parent_id long, "
+            "operation string",
+        )
+    if kind == "refs":
+        rows = [
+            (name, str(r["type"]), int(r["snapshot-id"]))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        cur = meta.get("current-snapshot-id")
+        if cur not in (None, -1):
+            rows.insert(0, ("main", "branch", int(cur)))
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if kind == "manifests":
+        sid = meta.get("current-snapshot-id")
+        rows = []
+        if sid not in (None, -1):
+            snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == sid
+            )
+            for m in load_avro(_norm_path(snap["manifest-list"], path))[1]:
+                rows.append((
+                    str(m["manifest_path"]),
+                    int(m.get("manifest_length") or 0),
+                    int(m.get("partition_spec_id") or 0),
+                    int(m.get("content") or 0),
+                    int(m.get("added_data_files_count") or 0),
+                ))
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "content int, added_data_files_count int",
+        )
+    if kind in ("files", "partitions"):
+        # manifest-tree walk only — record counts and sizes come from
+        # the manifest entries, no parquet footer is opened (a files
+        # listing of a 100 TB table must stay metadata-scale)
+        sid = meta.get("current-snapshot-id")
+        rows = []
+        if sid not in (None, -1):
+            snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == sid
+            )
+            for m in load_avro(_norm_path(snap["manifest-list"], path))[1]:
+                m_seq = int(m.get("sequence_number") or 0)
+                for e in load_avro(
+                    _norm_path(m["manifest_path"], path)
+                )[1]:
+                    if e["status"] == _DELETED:
+                        continue
+                    d = e["data_file"]
+                    if int(d.get("content") or 0) != 0:
+                        continue
+                    seq = e.get("sequence_number")
+                    rows.append((
+                        _norm_path(d["file_path"], path),
+                        json.dumps(d.get("partition") or {},
+                                   sort_keys=True, default=str),
+                        int(d.get("record_count") or 0),
+                        int(d.get("file_size_in_bytes") or 0),
+                        m_seq if seq is None else int(seq),
+                    ))
+        rows.sort()
+        df = spark.createDataFrame(
+            rows,
+            "file_path string, partition string, record_count long, "
+            "file_size_in_bytes long, data_sequence_number long",
+        )
+        if kind == "files":
+            return df
+        return df.groupBy("partition").agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_in_bytes").alias("total_size_bytes"),
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} (history, snapshots, refs, "
+        "manifests, files, partitions)"
+    )
+
+
 def set_iceberg_ref(path: str, name: str, snapshot_id: int | None = None,
                     ref_type: str = "tag") -> int:
     """Named snapshot REF (spec §Snapshot References — tags pin a

@@ -2090,3 +2090,27 @@ class TestZOrder:
             optimize_delta_table(spark, path, zorder_by=["nope"])
         with pytest.raises(ValueError, match="numeric"):
             optimize_delta_table(spark, path, zorder_by=["part"])
+
+
+class TestMetadataTables:
+    def test_inspection_surface(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delete_delta_rows,
+            delta_metadata_table,
+        )
+
+        path = str(tmp_path / "meta")
+        write_delta_table(_df(spark, 0, 20), path, partition_by=["part"])
+        write_delta_table(_df(spark, 20, 30), path, mode="append")
+        delete_delta_rows(spark, path, "k < 2")
+        hist = delta_metadata_table(spark, path, "history")
+        assert hist.count() == 3
+        assert [r.operation for r in hist.orderBy("version").collect()][-1] \
+            == "DELETE"
+        files = delta_metadata_table(spark, path, "files")
+        assert files.selectExpr("sum(num_records)").collect()[0][0] == 30
+        assert files.selectExpr("sum(dv_cardinality)").collect()[0][0] == 2
+        parts = delta_metadata_table(spark, path, "partitions")
+        assert parts.count() == 3
+        with pytest.raises(ValueError, match="unknown metadata"):
+            delta_metadata_table(spark, path, "nope")

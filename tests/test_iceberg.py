@@ -2483,3 +2483,34 @@ class TestSnapshotRefs:
             set_iceberg_ref(path, "t", ref_type="nope")
         with pytest.raises(ValueError, match="exclusive"):
             read_iceberg_table(spark, path, version=1, ref="main")
+
+
+class TestMetadataTables:
+    def test_inspection_surface(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+            iceberg_metadata_table,
+            set_iceberg_ref,
+        )
+
+        path = str(tmp_path / "meta")
+        write_iceberg_table(_df(spark, 0, 20), path, partition_by=["part"])
+        write_iceberg_table(_df(spark, 20, 30), path, mode="append")
+        set_iceberg_ref(path, "t1")
+        delete_iceberg_rows(spark, path, "k < 2")
+        hist = iceberg_metadata_table(spark, path, "history")
+        assert hist.count() == 3
+        snaps = iceberg_metadata_table(spark, path, "snapshots")
+        ops = [r.operation for r in snaps.orderBy("committed_at_ms").collect()]
+        assert ops[0] == "append" and ops[-1] in ("delete", "overwrite")
+        refs = iceberg_metadata_table(spark, path, "refs")
+        assert {r.name for r in refs.collect()} == {"main", "t1"}
+        files = iceberg_metadata_table(spark, path, "files")
+        assert files.count() >= 3
+        assert files.selectExpr("sum(record_count)").collect()[0][0] == 30
+        parts = iceberg_metadata_table(spark, path, "partitions")
+        assert parts.count() == 3  # part in {0,1,2}
+        mans = iceberg_metadata_table(spark, path, "manifests")
+        assert mans.filter("content = 1").count() >= 1  # delete manifest
+        with pytest.raises(ValueError, match="unknown metadata"):
+            iceberg_metadata_table(spark, path, "nope")
