@@ -701,6 +701,7 @@ def _commit_dml(spark: SparkSession, path: str, snap: DeltaSnapshot,
         _dv_actions(path, snap, per_file_hits, now_ms) if per_file_hits else []
     )
     if insert_df is not None:
+        _enforce_constraints(insert_df, snap.metadata)
         id_mode = (snap.metadata.get("configuration") or {}).get(
             "delta.columnMapping.mode"
         ) == "id"
@@ -1233,6 +1234,7 @@ def write_delta_table(
     else:
         snap = _replay(spark, path, versions[-1])
         prev_meta = snap.metadata
+        _enforce_constraints(df, snap.metadata)
         partition_by = partition_by or snap.partition_columns
         cm = snap.column_mapping or {}
         cm_mode = (snap.metadata.get("configuration") or {}).get(
@@ -2057,6 +2059,97 @@ def delta_version_at_timestamp(path: str, ts_ms: int) -> int:
             f"timestamp {ts_ms} is before the table's first commit"
         )
     return best
+
+
+def _enforce_constraints(df: DataFrame, metadata: dict) -> None:
+    """CHECK-constraint enforcement (PROTOCOL.md §CHECK Constraints:
+    ``delta.constraints.<name>`` configuration entries; WRITERS must
+    reject rows the expression evaluates FALSE for — NULL passes, the
+    SQL CHECK convention). One bounded limit(1) probe per constraint."""
+    cfg = metadata.get("configuration") or {}
+    for key in sorted(cfg):
+        if not key.startswith("delta.constraints."):
+            continue
+        name = key[len("delta.constraints."):]
+        expr = cfg[key]
+        bad = df.filter(
+            F.expr(expr).eqNullSafe(F.lit(False))
+        ).limit(1).collect()
+        if bad:
+            raise DeltaProtocolError(
+                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
+                f"row {bad[0].asDict()}"
+            )
+
+
+def add_delta_constraint(spark: SparkSession, path: str,
+                         name: str, expr: str) -> int:
+    """ADD CONSTRAINT ... CHECK (expr): validates EXISTING rows first
+    (a constraint that present data violates must not be added), then
+    commits the ``delta.constraints.<name>`` configuration entry with
+    the protocol's minWriterVersion 3 floor. Every subsequent append
+    / merge / update insert leg enforces it."""
+    snap = _replay(spark, path, None)
+    key = f"delta.constraints.{name}"
+    cfg = dict(snap.metadata.get("configuration") or {})
+    if key in cfg:
+        raise ValueError(f"constraint {name!r} already exists")
+    bad = read_delta_table(spark, path).filter(
+        F.expr(expr).eqNullSafe(F.lit(False))
+    ).limit(1).collect()
+    if bad:
+        raise DeltaProtocolError(
+            f"existing rows violate CHECK ({expr}), e.g. "
+            f"{bad[0].asDict()} — clean the data first"
+        )
+    cfg[key] = expr
+    meta = dict(snap.metadata)
+    meta["configuration"] = cfg
+    now_ms = int(time.time() * 1000)
+    proto = dict(snap.protocol or {})
+    proto["minWriterVersion"] = max(int(proto.get("minWriterVersion") or 2), 3)
+    proto.setdefault("minReaderVersion", 1)
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, [
+        {"protocol": proto},
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+                "engineInfo": "etl-processing-scd1-spark delta constraint",
+            }
+        },
+    ])
+    return new_version
+
+
+def drop_delta_constraint(spark: SparkSession, path: str,
+                          name: str) -> int:
+    """DROP CONSTRAINT: removes the configuration entry
+    (metadata-only commit)."""
+    snap = _replay(spark, path, None)
+    key = f"delta.constraints.{name}"
+    cfg = dict(snap.metadata.get("configuration") or {})
+    if key not in cfg:
+        raise ValueError(f"constraint {name!r} not found")
+    del cfg[key]
+    meta = dict(snap.metadata)
+    meta["configuration"] = cfg
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+                "engineInfo": "etl-processing-scd1-spark delta constraint",
+            }
+        },
+    ])
+    return new_version
 
 
 def delta_metadata_table(spark: SparkSession, path: str,

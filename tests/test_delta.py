@@ -2114,3 +2114,43 @@ class TestMetadataTables:
         assert parts.count() == 3
         with pytest.raises(ValueError, match="unknown metadata"):
             delta_metadata_table(spark, path, "nope")
+
+
+class TestCheckConstraints:
+    def test_add_enforce_drop(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            add_delta_constraint,
+            drop_delta_constraint,
+            merge_delta_table,
+        )
+
+        path = str(tmp_path / "ck")
+        write_delta_table(_df(spark, 1, 10), path)
+        add_delta_constraint(spark, path, "pos_k", "k > 0")
+        # appends violating the constraint refuse, clean ones commit
+        with pytest.raises(DeltaProtocolError, match="pos_k"):
+            write_delta_table(_df(spark, -2, 0), path, mode="append")
+        write_delta_table(_df(spark, 10, 12), path, mode="append")
+        assert read_delta_table(spark, path).count() == 11
+        # MERGE insert legs enforce too
+        bad_src = spark.createDataFrame(
+            [(-5, 1, "0")], "k long, v long, part string"
+        )
+        with pytest.raises(DeltaProtocolError, match="pos_k"):
+            merge_delta_table(spark, bad_src, path, ["k"])
+        # NULL passes (SQL CHECK convention)
+        write_delta_table(
+            spark.createDataFrame([(None, 7, "0")],
+                                  "k long, v long, part string"),
+            path, mode="append",
+        )
+        # adding a constraint existing data violates refuses
+        with pytest.raises(DeltaProtocolError, match="existing rows"):
+            add_delta_constraint(spark, path, "small", "v < 5")
+        with pytest.raises(ValueError, match="already exists"):
+            add_delta_constraint(spark, path, "pos_k", "k > 0")
+        drop_delta_constraint(spark, path, "pos_k")
+        write_delta_table(_df(spark, -2, 0), path, mode="append")
+        assert read_delta_table(spark, path).count() == 14
+        with pytest.raises(ValueError, match="not found"):
+            drop_delta_constraint(spark, path, "pos_k")
