@@ -1869,22 +1869,40 @@ def _zorder_column(df: DataFrame, cols: list[str]):
     close in EVERY dimension land close in the sort. All row-level
     work is vectorized JVM expressions (an F.aggregate fold over the
     boundary array literal), never Python."""
-    n_bits = 8
-    parts = []
-    for j, c in enumerate(cols):
-        bounds = [
-            b for b in df.stat.approxQuantile(
-                c, [i / 256 for i in range(1, 256)], 0.01
-            )
-        ]
-        bucket = F.aggregate(
-            F.lit(bounds),
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(c) >= b, F.lit(1)).otherwise(F.lit(0)),
+    from pyspark.sql import types as _T
+
+    bad = [
+        c for c in cols
+        if not isinstance(df.schema[c].dataType, _T.NumericType)
+    ]
+    if bad:
+        raise ValueError(
+            f"zorder_by supports numeric columns only, got {bad} "
+            "(equi-depth ranks come from approxQuantile)"
         )
-        bucket = F.coalesce(bucket, F.lit(0))
-        parts.append((j, bucket))
+    n_bits = 8
+    # ONE quantile pass for every column — approxQuantile takes the
+    # whole list; per-column calls would re-scan the table N times
+    all_bounds = df.stat.approxQuantile(
+        list(cols), [i / 256 for i in range(1, 256)], 0.01
+    )
+    def _bucket_expr(c: str, bounds: list):
+        # separate function: F.aggregate introspects the lambda's
+        # parameter count, so a default-arg closure trick breaks it
+        return F.coalesce(
+            F.aggregate(
+                F.lit(list(bounds)),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(c) >= b, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+        )
+
+    parts = [
+        (j, _bucket_expr(c, bounds))
+        for j, (c, bounds) in enumerate(zip(cols, all_bounds))
+    ]
     z = F.lit(0).cast("long")
     for bit in range(n_bits):
         for j, bucket in parts:
@@ -1931,17 +1949,6 @@ def optimize_delta_table(spark: SparkSession, path: str,
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
             raise ValueError(f"zorder_by columns {missing} not in table")
-        from pyspark.sql import types as _T
-
-        bad = [
-            c for c in zorder_by
-            if not isinstance(df.schema[c].dataType, _T.NumericType)
-        ]
-        if bad:
-            raise ValueError(
-                f"zorder_by supports numeric columns only, got {bad} "
-                "(equi-depth ranks come from approxQuantile)"
-            )
         z = _zorder_column(df, zorder_by)
         df = (
             df.withColumn("__z", z)
@@ -1984,6 +1991,20 @@ def optimize_delta_table(spark: SparkSession, path: str,
     return new_version
 
 
+def _constraints_referencing(metadata: dict, column: str) -> list[str]:
+    """Names of CHECK constraints whose expression mentions
+    ``column`` (word-boundary text match — conservative: a false
+    positive refuses a rename/drop that MIGHT be safe, never the
+    reverse). Stock Delta likewise refuses dropping/renaming
+    constrained columns."""
+    return sorted(
+        k[len("delta.constraints."):]
+        for k, v in (metadata.get("configuration") or {}).items()
+        if k.startswith("delta.constraints.")
+        and re.search(rf"\b{re.escape(column)}\b", v)
+    )
+
+
 def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
     """DROP COLUMN (PROTOCOL.md §Column Mapping): metadata-only — the
     field leaves ``schemaString``, its physical parquet column stays
@@ -2017,6 +2038,13 @@ def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
         raise DeltaProtocolError(
             f"cannot drop partition column {name!r} (the directory "
             "layout and partitionValues name it)"
+        )
+    ck = _constraints_referencing(meta, name)
+    if ck:
+        raise DeltaProtocolError(
+            f"column {name!r} is referenced by CHECK constraint(s) {ck}; "
+            "drop them first (a dangling constraint would make every "
+            "subsequent write fail to resolve)"
         )
     schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
     meta["schemaString"] = json.dumps(schema)
@@ -2234,6 +2262,13 @@ def rename_delta_column(spark: SparkSession, path: str,
         raise ValueError(f"column {old!r} not in table schema {names}")
     if new in names:
         raise ValueError(f"column {new!r} already exists")
+    ck = _constraints_referencing(meta, old)
+    if ck:
+        raise DeltaProtocolError(
+            f"column {old!r} is referenced by CHECK constraint(s) {ck}; "
+            "drop them first (the stored expression names the old "
+            "column and would fail to resolve after the rename)"
+        )
     for f in schema["fields"]:
         if f["name"] == old:
             f["name"] = new

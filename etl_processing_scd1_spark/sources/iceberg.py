@@ -575,6 +575,25 @@ def _transform_scalar(transform: str, value, src_ice: str):
                 # avro reader surfaces the raw int) — compare in that
                 # encoding, not as datetime.date
                 return (d - datetime.date(1970, 1, 1)).days
+            if src_ice in ("timestamp", "timestamptz"):
+                # foreign identity-partitioned timestamp tuples store
+                # MICROS-from-epoch longs; comparing a datetime object
+                # against that long is always unequal and would
+                # wrongly prune every file
+                import datetime
+
+                dt = value if isinstance(value, datetime.datetime) else \
+                    datetime.datetime.fromisoformat(str(value))
+                if src_ice == "timestamptz":
+                    if dt.tzinfo is None:
+                        return NotImplemented
+                    dt = dt.astimezone(datetime.timezone.utc)
+                elif dt.tzinfo is not None:
+                    return NotImplemented
+                delta = dt.replace(tzinfo=None) - \
+                    datetime.datetime(1970, 1, 1)
+                return (delta.days * 86400 + delta.seconds) * 1_000_000 \
+                    + delta.microseconds
             return value
         if kind == "bucket":
             return _bucket_int(value, n, src_ice)
@@ -878,6 +897,22 @@ def _resolve_delete_file_columns(d_path: str, ids: list[int],
     table has never carried)."""
     import pyarrow.parquet as pq
 
+    mapping = _mapping_names_by_id(meta)
+    dropped = [i for i in ids if i not in by_id]
+    if dropped:
+        # the key column was DROPPED after this delete was written
+        # (reachable only through changelog windows — live scans are
+        # protected by drop_iceberg_column's blocker): fail loud
+        # BEFORE touching the file, never KeyError
+        hist = mapping.get(dropped[0]) or []
+        raise IcebergProtocolError(
+            f"equality delete file {d_path} is keyed on field id "
+            f"{dropped[0]}"
+            + (f" (historically {hist[-1]!r})" if hist else "")
+            + ", which the current schema no longer carries — read "
+            "the changelog from a later startingVersion or "
+            "time-travel to a pre-drop metadata version"
+        )
     sch = pq.read_schema(d_path)
     phys_by_fid: dict[int, str] = {}
     for f in sch:
@@ -885,7 +920,6 @@ def _resolve_delete_file_columns(d_path: str, ids: list[int],
         if fid is not None:
             phys_by_fid[int(fid)] = f.name
     phys_names = set(sch.names)
-    mapping = _mapping_names_by_id(meta)
     out = {}
     for i in ids:
         cur = by_id[i]
@@ -2355,28 +2389,36 @@ def evolve_iceberg_partition_spec(path: str,
     writer's syntax: ``"col"``, ``"bucket(16, col)"``,
     ``"truncate(4, col)"``, ``"hour(col)"`` …; ``[]`` evolves to an
     unpartitioned spec."""
-    hint = os.path.join(_meta_dir(path), _HINT)
-    if os.path.exists(hint):
-        with open(hint) as fh:
-            base = int(fh.read().strip())
-    else:
-        listed = _list_meta_versions(path)
-        if not listed:
-            raise FileNotFoundError(f"not an Iceberg table: {path}")
-        base = listed[-1]
-    prev = _load_metadata(path, base)
+    base, prev = _load_latest(path)
     schema = prev.get("schema") or {}
     src_types = {f["name"]: f["type"] for f in schema.get("fields", [])}
     src_ids = {f["name"]: int(f["id"]) for f in schema.get("fields", [])}
     parsed = _parse_partition_by(partition_by)
-    # validate sources + transform/source-type compatibility up front
+    # validate with the WRITE path's full gates, not just transform
+    # compatibility: a metadata-only evolve that the next write would
+    # refuse (tuple type not avro-representable, bucket over an
+    # unsupported source) would leave the table unwritable
     for fname, transform, source in parsed:
         if source not in src_types:
             raise ValueError(
                 f"partition source column {source!r} not in table schema "
                 f"{sorted(src_types)}"
             )
-        _transform_result_ice(transform, src_types[source])
+        ice = _transform_result_ice(transform, src_types[source])
+        kind, _n = _parse_transform(transform)
+        if kind == "bucket" and src_types[source] not in (
+            "int", "long", "string", "date", "timestamptz",
+        ):
+            raise IcebergProtocolError(
+                f"bucket transform over {src_types[source]!r} not "
+                "supported (sources: int, long, string, date, timestamptz)"
+            )
+        if ice not in _ICE_TO_AVRO:
+            raise IcebergProtocolError(
+                f"partition tuple type {ice!r} (field {fname!r}) is not "
+                "representable in manifests — writes after this evolve "
+                "would refuse; pick a transform with a scalar result"
+            )
 
     specs = [dict(s) for s in (prev.get("partition-specs")
                                or [{"spec-id": 0, "fields": []}])]
@@ -2560,7 +2602,14 @@ def drop_iceberg_column(path: str, name: str) -> int:
         raise ValueError(f"column {name!r} not in table schema {names}")
     if len(fields) == 1:
         raise IcebergProtocolError("cannot drop the only column")
-    spec_fields = _spec_fields(prev)
+    # guard across EVERY spec, not just the default: after partition
+    # evolution older specs stay live on existing manifests, and a
+    # dropped source column of ANY spec would brick per-manifest
+    # tuple resolution on the next predicated read
+    spec_fields = [
+        f for s in (prev.get("partition-specs") or [])
+        for f in (s.get("fields") or [])
+    ] or _spec_fields(prev)
     dropped_id = next(int(f["id"]) for f in fields if f["name"] == name)
     # guard by SOURCE-ID, not spec-field name: a bucket/truncate/
     # temporal field is named e.g. "k_bucket" while its source is

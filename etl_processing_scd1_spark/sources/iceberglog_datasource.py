@@ -167,7 +167,16 @@ def _read_batches(schema: StructType, part: _IcePartition):
             pq.read_table(dpath, columns=list(sel.values()))
         ).rename(columns={p: c for c, p in sel.items()})
         keys_pd = keys_pd.drop_duplicates()
-        data_pd = _exact_pd(tbl.select(list(cols)))
+        # a pre-evolution data file may LACK a key column added
+        # later: its rows carry NULL there (spec read semantics),
+        # and NULL matches a NULL delete key
+        present = [c for c in cols if c in tbl.column_names]
+        data_pd = _exact_pd(tbl.select(present))
+        for c in cols:
+            if c not in present:
+                data_pd[c] = keys_pd[c].iloc[0:0].reindex(
+                    range(len(data_pd))
+                )
         data_pd["__idx"] = np.arange(len(data_pd), dtype=np.int64)
         merged = data_pd.merge(keys_pd, on=list(cols), how="left",
                                indicator=True)
@@ -326,7 +335,12 @@ def _eq_match_idx(tbl, dpath: str, sel: dict):
         pq.read_table(dpath, columns=list(sel.values()))
     ).rename(columns={p: c for c, p in sel.items()})
     keys_pd = keys_pd.drop_duplicates()
-    data_pd = _exact_pd(tbl.select(list(cols)))
+    present = [c for c in cols if c in tbl.column_names]
+    data_pd = _exact_pd(tbl.select(present))
+    for c in cols:
+        if c not in present:
+            # pre-evolution file: the key column reads NULL per spec
+            data_pd[c] = keys_pd[c].iloc[0:0].reindex(range(len(data_pd)))
     data_pd["__idx"] = np.arange(len(data_pd), dtype=np.int64)
     merged = data_pd.merge(keys_pd, on=list(cols), how="left",
                            indicator=True)

@@ -2154,3 +2154,26 @@ class TestCheckConstraints:
         assert read_delta_table(spark, path).count() == 14
         with pytest.raises(ValueError, match="not found"):
             drop_delta_constraint(spark, path, "pos_k")
+
+
+class TestReviewFixesR11:
+    def test_constraint_blocks_drop_and_rename(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            add_delta_constraint,
+            drop_delta_column,
+            drop_delta_constraint,
+            rename_delta_column,
+        )
+
+        path = str(tmp_path / "rfck")
+        write_delta_table(_df(spark, 1, 5), path, column_mapping="name")
+        add_delta_constraint(spark, path, "pos", "v > 0")
+        with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
+            drop_delta_column(spark, path, "v")
+        with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
+            rename_delta_column(spark, path, "v", "val")
+        # unrelated columns still rename/drop fine
+        rename_delta_column(spark, path, "part", "bucket")
+        drop_delta_constraint(spark, path, "pos")
+        rename_delta_column(spark, path, "v", "val")
+        assert "val" in read_delta_table(spark, path).columns

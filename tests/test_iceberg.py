@@ -2514,3 +2514,115 @@ class TestMetadataTables:
         assert mans.filter("content = 1").count() >= 1  # delete manifest
         with pytest.raises(ValueError, match="unknown metadata"):
             iceberg_metadata_table(spark, path, "nope")
+
+
+class TestReviewFixesR11:
+    """Regression pins for the round-11 self-review findings."""
+
+    def test_drop_guard_covers_old_specs(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            drop_iceberg_column,
+            evolve_iceberg_partition_spec,
+        )
+
+        path = str(tmp_path / "rf1")
+        write_iceberg_table(_df(spark, 0, 6), path,
+                            partition_by=["bucket(8, k)"])
+        evolve_iceberg_partition_spec(path, [])   # default now empty
+        # k is still a live source of spec 0's manifests
+        with pytest.raises(IcebergProtocolError, match="partition source"):
+            drop_iceberg_column(path, "k")
+
+    def test_identity_timestamp_prune_encoding(self):
+        import datetime
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _transform_scalar,
+        )
+
+        utc = datetime.timezone.utc
+        ts = datetime.datetime(2024, 3, 15, 7, 45, 1, 250, tzinfo=utc)
+        micros = int(ts.timestamp() * 1_000_000)
+        assert _transform_scalar("identity", ts, "timestamptz") == micros
+        assert _transform_scalar(
+            "identity", ts.replace(tzinfo=None), "timestamptz"
+        ) is NotImplemented
+        assert _transform_scalar(
+            "identity", ts.replace(tzinfo=None), "timestamp"
+        ) == micros
+
+    def test_evolve_refuses_unwritable_specs(self, spark, tmp_path):
+        import datetime
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            evolve_iceberg_partition_spec,
+        )
+
+        path = str(tmp_path / "rf2")
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1), 1.5)],
+            "k long, ts timestamp, v double",
+        )
+        write_iceberg_table(df, path)
+        # identity over a timestamp: tuple not avro-representable
+        with pytest.raises(IcebergProtocolError, match="representable"):
+            evolve_iceberg_partition_spec(path, ["ts"])
+        with pytest.raises(IcebergProtocolError, match="bucket"):
+            evolve_iceberg_partition_spec(path, ["bucket(4, v)"])
+        # hour over a timestamp IS writable
+        evolve_iceberg_partition_spec(path, ["hour(ts)"])
+        write_iceberg_table(
+            spark.createDataFrame(
+                [(2, datetime.datetime(2024, 1, 2), 2.5)],
+                "k long, ts timestamp, v double",
+            ),
+            path, mode="append",
+        )
+        assert read_iceberg_table(spark, path).count() == 2
+
+    def test_datasource_eq_delete_over_pre_evolution_file(
+        self, spark, tmp_path
+    ):
+        """An eq-delete keyed on a LATER-ADDED column must treat
+        pre-evolution files' rows as NULL keys, not crash."""
+        from etl_processing_scd1_spark.sources.iceberg import (
+            upsert_iceberg_table,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "rf3")
+        write_iceberg_table(_df(spark, 0, 6), path)
+        # evolve-in-upsert adds 'tag'
+        upsert_iceberg_table(
+            spark.createDataFrame([(1, 11, "1", "x")],
+                                  "k long, v long, part string, tag string"),
+            path, ["k"],
+        )
+        # second upsert keyed on the NEW column
+        upsert_iceberg_table(
+            spark.createDataFrame([(7, 77, "1", "x")],
+                                  "k long, v long, part string, tag string"),
+            path, ["tag"],
+        )
+        got = spark.read.format("iceberglog").load(path)
+        rows = {r.k: r.tag for r in got.collect()}
+        # the tag='x' delete erased upsert #1's (k=1, tag='x') row —
+        # its sequence is strictly smaller; pre-evolution rows read
+        # tag NULL and survive (NULL != 'x')
+        assert 1 not in rows
+        assert rows[7] == "x"
+        assert sorted(rows) == [0, 2, 3, 4, 5, 7]
+        assert all(rows[k] is None for k in (0, 2, 3, 4, 5))
+
+    def test_changelog_dropped_key_fails_loud(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _resolve_delete_file_columns,
+        )
+
+        with pytest.raises(IcebergProtocolError, match="no longer"):
+            _resolve_delete_file_columns(
+                "/nonexistent.parquet", [42], {1: "k"}, {"properties": {}}
+            )
