@@ -1819,3 +1819,515 @@ def iceberg_add_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11 command surfaces, oracle-paired (sources/delta.py OPTIMIZE /
+# constraints / rename / TIMESTAMP AS OF; sources/iceberg.py refs /
+# partition-spec evolution / z-order compaction / metadata tables).
+# Each fixture is rebuilt from scratch per run so versions and file
+# counts are deterministic; every wall-clock-dependent value (commit
+# timestamps) is read back from the table's own log, never asserted.
+# --------------------------------------------------------------------------
+
+_DELTA_OPTIMIZE_ORACLE = """
+    SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(1 AS BIGINT) AS live_files
+    FROM supplier WHERE s_suppkey % 5 <> 0
+    GROUP BY s_nationkey
+"""
+
+
+@register("delta_optimize_scan", oracle=_DELTA_OPTIMIZE_ORACLE)
+def delta_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as maintenance (``optimize_delta_table``): supplier
+    lands in 8 files, a DELETE leaves deletion vectors on every file,
+    then one bin-pack OPTIMIZE rewrites the survivors into ONE file
+    with ``dataChange=false`` — DVs are materialized away (the dead
+    rows disappear physically) and CDF readers see no new data. The
+    result carries BOTH the content hash (per-nation exact cents —
+    an OPTIMIZE that dropped or resurrected a DV'd row fails) and the
+    live-file count straight from the log (an OPTIMIZE that forgot
+    the removes leaves 9 live files and fails the literal 1)."""
+    import shutil
+
+    from ..sources.delta import (
+        delete_delta_rows,
+        delta_metadata_table,
+        optimize_delta_table,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("optimize_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    write_delta_table(sup.repartition(8), path)
+    delete_delta_rows(spark, path, "s_suppkey % 5 = 0")
+    optimize_delta_table(spark, path, target_files=1)
+    live = delta_metadata_table(spark, path, "files").count()  # metadata-scale
+    got = read_delta_table(spark, path)
+    return got.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").alias("cents"),
+    ).withColumn("live_files", F.lit(int(live)).cast("long"))
+
+
+_DELTA_ZORDER_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS suppkey_sum,
+           CAST(4 AS BIGINT) AS live_files
+    FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+"""
+
+
+@register("delta_zorder_scan", oracle=_DELTA_ZORDER_ORACLE)
+def delta_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (``optimize_delta_table(zorder_by=...)``):
+    lineitem is rewritten into 4 files clustered on the bit-
+    interleave of (l_orderkey, l_suppkey) equi-depth ranks, then a
+    range scan on l_orderkey goes through the stats-pruned read path
+    (``predicates=``) — the z-order layout is what makes the file
+    skips effective on BOTH dimensions at once. Content hash over
+    the survivors plus the literal 4-file layout; the exact row
+    filter is still applied after pruning (stats are a superset
+    guarantee)."""
+    import shutil
+
+    from ..sources.delta import (
+        delta_metadata_table,
+        optimize_delta_table,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("zorder_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    write_delta_table(li, path)
+    optimize_delta_table(
+        spark, path, target_files=4, zorder_by=["l_orderkey", "l_suppkey"]
+    )
+    live = delta_metadata_table(spark, path, "files").count()
+    got = read_delta_table(
+        spark, path, predicates={"l_orderkey": (1000, 2000)}
+    ).filter(F.col("l_orderkey").between(1000, 2000))
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+        F.sum(F.col("l_suppkey").cast("long")).alias("suppkey_sum"),
+    ).withColumn("live_files", F.lit(int(live)).cast("long"))
+
+
+_DELTA_CONSTRAINT_ORACLE = """
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(1 AS BIGINT) AS violations_refused
+    FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("delta_constraint_scan", oracle=_DELTA_CONSTRAINT_ORACLE)
+def delta_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints end-to-end (``add_delta_constraint`` +
+    append-path enforcement): half of nation lands, a constraint
+    ``region >= 0`` is added (validating the existing rows), the
+    other half appends cleanly, and an append carrying region = -1
+    is REFUSED with ``DeltaProtocolError`` before any commit — the
+    ``violations_refused`` literal only becomes 1 on that raise, and
+    the per-region hash fails if the bad row leaked in anyway."""
+    import shutil
+
+    from ..sources.delta import (
+        DeltaProtocolError,
+        add_delta_constraint,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("constraint_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    nat = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_regionkey").cast("long").alias("region")
+    )
+    write_delta_table(nat.filter(F.col("n_nationkey") < 13), path)
+    add_delta_constraint(spark, path, "region_nonneg", "region >= 0")
+    write_delta_table(
+        nat.filter(F.col("n_nationkey") >= 13), path, mode="append"
+    )
+    refused = 0
+    try:
+        write_delta_table(
+            nat.limit(1).withColumn("region", F.lit(-1).cast("long")),
+            path, mode="append",
+        )
+    except DeltaProtocolError:
+        refused = 1
+    got = read_delta_table(spark, path)
+    return got.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+    ).withColumn("violations_refused", F.lit(refused).cast("long"))
+
+
+_DELTA_RENAME_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("delta_rename_column_scan", oracle=_DELTA_RENAME_ORACLE)
+def delta_rename_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN under column mapping (``rename_delta_column``):
+    even-key customers land in a name-mode mapped table, ``bal`` is
+    logically renamed to ``balance_cents`` (metadata-only — physical
+    parquet names and mapping ids never change, no file rewritten),
+    and the odd-key half appends under the NEW logical name. The
+    final scan must stitch pre-rename files (old physical name) and
+    post-rename files into one logical column — per-segment exact
+    cents over the whole customer table catch a resolution miss on
+    either side."""
+    import shutil
+
+    from ..sources.delta import (
+        read_delta_table,
+        rename_delta_column,
+        write_delta_table,
+    )
+
+    path = _delta_dir("rename_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    write_delta_table(
+        cust.filter(F.col("c_custkey") % 2 == 0), path,
+        column_mapping="name",
+    )
+    rename_delta_column(spark, path, "bal", "balance_cents")
+    write_delta_table(
+        cust.filter(F.col("c_custkey") % 2 == 1)
+        .withColumnRenamed("bal", "balance_cents"),
+        path, mode="append",
+    )
+    got = read_delta_table(spark, path)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("balance_cents").alias("balance_cents"),
+    )
+
+
+_DELTA_TS_TRAVEL_ORACLE = """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 3 <> 2
+    GROUP BY o_orderstatus
+"""
+
+
+@register("delta_timestamp_travel", oracle=_DELTA_TS_TRAVEL_ORACLE)
+def delta_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF (``delta_version_at_timestamp`` via
+    ``read_delta_table(timestamp_ms=...)``): three commits land with
+    distinct commitInfo timestamps; the query reads the table AS OF
+    version 1's own committed timestamp — resolution must pick the
+    LATEST version at-or-before the instant, i.e. exactly version 1,
+    never version 2 (whose rows would break the hash) and never
+    version 0 (missing rows likewise). The probe timestamp comes
+    from the table's own history, so nothing wall-clock-dependent is
+    asserted."""
+    import shutil
+    import time as _time
+
+    from ..sources.delta import (
+        delta_history,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("ts_travel")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    for r in range(3):
+        write_delta_table(
+            orders.filter(F.col("o_orderkey") % 3 == r), path,
+            mode="append",
+        )
+        _time.sleep(0.005)  # commitInfo stamps are ms-resolution
+    ts_v1 = next(
+        int(h["timestamp"]) for h in delta_history(path)
+        if h["version"] == 1
+    )
+    got = read_delta_table(spark, path, timestamp_ms=ts_v1)
+    return got.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+_ICEBERG_TAG_ORACLE = """
+    SELECT 'audit' AS src,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'main' AS src,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+"""
+
+
+@register("iceberg_tag_scan", oracle=_ICEBERG_TAG_ORACLE)
+def iceberg_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot refs (``set_iceberg_ref`` + ``read_iceberg_table(
+    ref=...)``): the even-key half of orders lands and is TAGGED
+    ``audit``; the odd half appends on top; then ``expire_snapshots``
+    with keep_last=1 runs — and the tag read must STILL return the
+    audit-time content, because expiry pins every ref'd snapshot
+    (that is what tags are for). One row per branch: the tag sees
+    only the first snapshot, ``main`` sees both. An expiry that
+    dropped the tagged snapshot raises; a ref resolving to the wrong
+    snapshot fails the hash."""
+    import shutil
+
+    from ..sources.iceberg import (
+        expire_snapshots,
+        read_iceberg_table,
+        set_iceberg_ref,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_tag")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+    set_iceberg_ref(path, "audit", ref_type="tag")
+    write_iceberg_table(
+        orders.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+    )
+    expire_snapshots(path, keep_last=1)
+
+    def _agg(df: DataFrame, src: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        ).select(F.lit(src).alias("src"), "n_orders", "cents")
+
+    return _agg(read_iceberg_table(spark, path, ref="audit"), "audit").unionAll(
+        _agg(read_iceberg_table(spark, path), "main")
+    )
+
+
+_ICEBERG_SPEC_EVO_ORACLE = """
+    SELECT p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM part WHERE p_partkey BETWEEN 100 AND 5000
+    GROUP BY p_brand
+"""
+
+
+@register("iceberg_spec_evolution_scan", oracle=_ICEBERG_SPEC_EVO_ORACLE)
+def iceberg_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition spec evolution (``evolve_iceberg_partition_spec``):
+    even-key parts land under an identity ``p_brand`` spec, the
+    default spec evolves to ``bucket(4, p_partkey)`` (metadata-only —
+    no rewrite, no snapshot), and odd-key parts append under the NEW
+    layout. The bounded scan then plans across BOTH generations —
+    each manifest prunes by the spec its files were written under —
+    and the exact row filter runs on top. A reader that applied the
+    new spec to old files (or vice versa) drops or duplicates files
+    and fails the per-brand hash."""
+    import shutil
+
+    from ..sources.iceberg import (
+        evolve_iceberg_partition_spec,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_spec_evo")
+    shutil.rmtree(path, ignore_errors=True)
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(
+        part.filter(F.col("p_partkey") % 2 == 0), path,
+        partition_by=["brand"],
+    )
+    evolve_iceberg_partition_spec(path, ["bucket(4, p_partkey)"])
+    write_iceberg_table(
+        part.filter(F.col("p_partkey") % 2 == 1), path, mode="append"
+    )
+    got = read_iceberg_table(
+        spark, path, predicates={"p_partkey": (100, 5000)}
+    ).filter(F.col("p_partkey").between(100, 5000))
+    return got.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+_ICEBERG_PARTITIONS_META_ORACLE = """
+    SELECT '{"nation": ' || CAST(CAST(s_nationkey AS BIGINT) AS VARCHAR)
+             || '}' AS part_json,
+           CAST(1 AS BIGINT) AS file_count,
+           CAST(count(*) AS BIGINT) AS record_count
+    FROM supplier GROUP BY s_nationkey
+"""
+
+
+@register("iceberg_partitions_metadata", oracle=_ICEBERG_PARTITIONS_META_ORACLE)
+def iceberg_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$partitions`` inspection table (``iceberg_metadata_table``):
+    supplier lands identity-partitioned by nation — the writer
+    CLUSTERS rows by the partition tuple first, so each live
+    partition is exactly ONE data file — and the per-partition
+    rollup (tuple, file count, record count) is derived purely from
+    the manifest tree: no parquet footer or data page is opened.
+    The oracle recomputes the same rollup relationally from the raw
+    rows; the literal file_count=1 pins the clustered-write layout
+    contract."""
+    import shutil
+
+    from ..sources.iceberg import iceberg_metadata_table, write_iceberg_table
+
+    path = _delta_dir("ice_partmeta")
+    shutil.rmtree(path, ignore_errors=True)
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("nation")
+    )
+    write_iceberg_table(sup, path, partition_by=["nation"])
+    pt = iceberg_metadata_table(spark, path, "partitions")
+    return pt.select(
+        F.col("partition").alias("part_json"),
+        F.col("file_count").cast("long").alias("file_count"),
+        F.col("record_count").cast("long").alias("record_count"),
+    )
+
+
+_ICEBERG_ZORDER_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(CAST(l_partkey AS BIGINT)) AS BIGINT) AS partkey_sum,
+           CAST(4 AS BIGINT) AS live_files
+    FROM lineitem WHERE l_orderkey BETWEEN 500 AND 1500
+"""
+
+
+@register("iceberg_zorder_scan", oracle=_ICEBERG_ZORDER_ORACLE)
+def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered compaction (``compact_iceberg_table(zorder_by=...)``
+    — the Java library's rewrite_data_files with a z-order sort
+    strategy): lineitem is rewritten into 4 files clustered on the
+    bit-interleaved (l_orderkey, l_partkey) ranks via a ``replace``
+    snapshot (row content identical, history intact), then a bounded
+    scan on l_orderkey plans from the now-tight manifest bounds. The
+    hash covers content; the literal 4 pins the rewrite layout; the
+    replace snapshot keeps the original snapshot time-travelable
+    (pinned by the pytest twin)."""
+    import shutil
+
+    from ..sources.iceberg import (
+        compact_iceberg_table,
+        iceberg_metadata_table,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_zorder")
+    shutil.rmtree(path, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(li.repartition(8), path)
+    compact_iceberg_table(
+        spark, path, target_files=4, zorder_by=["l_orderkey", "l_partkey"]
+    )
+    live = iceberg_metadata_table(spark, path, "files").count()
+    got = read_iceberg_table(
+        spark, path, predicates={"l_orderkey": (500, 1500)}
+    ).filter(F.col("l_orderkey").between(500, 1500))
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+        F.sum(F.col("l_partkey").cast("long")).alias("partkey_sum"),
+    ).withColumn("live_files", F.lit(int(live)).cast("long"))
+
+
+_ICEBERG_TS_TRAVEL_ORACLE = """
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation WHERE n_nationkey % 3 <> 2
+    GROUP BY n_regionkey
+"""
+
+
+@register("iceberg_timestamp_travel", oracle=_ICEBERG_TS_TRAVEL_ORACLE)
+def iceberg_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR TIMESTAMP AS OF (``iceberg_snapshot_at_timestamp`` via
+    ``read_iceberg_table(timestamp_ms=...)``): three appends commit
+    with distinct snapshot-log timestamps; reading AS OF the second
+    snapshot's own committed instant must resolve to exactly that
+    snapshot — latest at-or-before, per the spec's snapshot-log
+    semantics. The probe timestamp comes from the table's own
+    ``$history`` metadata, so nothing wall-clock-dependent is
+    asserted."""
+    import shutil
+    import time as _time
+
+    from ..sources.iceberg import (
+        iceberg_snapshots,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_ts_travel")
+    shutil.rmtree(path, ignore_errors=True)
+    nat = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_regionkey").cast("long").alias("region")
+    )
+    for r in range(3):
+        write_iceberg_table(
+            nat.filter(F.col("n_nationkey") % 3 == r), path, mode="append"
+        )
+        _time.sleep(0.005)  # snapshot-log stamps are ms-resolution
+    snaps = iceberg_snapshots(path)
+    ts_v2 = int(snaps[1]["timestamp-ms"])
+    got = read_iceberg_table(spark, path, timestamp_ms=ts_v2)
+    return got.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+    )
