@@ -1862,13 +1862,19 @@ def delta_changes(
     return out
 
 
-def _zorder_column(df: DataFrame, cols: list[str]):
-    """Z-ORDER key: equi-depth bucket each column into 256 ranks
-    (boundaries from one approxQuantile — a bounded 255-value driver
-    collect per column), then bit-interleave the 8-bit ranks so rows
-    close in EVERY dimension land close in the sort. All row-level
-    work is vectorized JVM expressions (an F.aggregate fold over the
-    boundary array literal), never Python."""
+def _with_zorder(df: DataFrame, cols: list[str], out: str = "__z"):
+    """Adds an ``out`` Z-ORDER key column: equi-depth bucket each
+    column into 256 ranks (boundaries from one approxQuantile — a
+    bounded 255-value driver collect per column), then bit-interleave
+    the 8-bit ranks so rows close in EVERY dimension land close in
+    the sort. All row-level work is vectorized JVM expressions (an
+    F.aggregate fold over the boundary array literal), never Python.
+
+    The bucket rank is MATERIALIZED as one projected column per
+    dimension before the interleave: a Column-expression version that
+    inlined the 255-step fold at every one of the 8 bit references
+    produced an ~8k-node expression tree whose optimizer/codegen pass
+    alone cost ~20 s regardless of data size."""
     from pyspark.sql import types as _T
 
     bad = [
@@ -1899,18 +1905,22 @@ def _zorder_column(df: DataFrame, cols: list[str]):
             F.lit(0),
         )
 
-    parts = [
-        (j, _bucket_expr(c, bounds))
-        for j, (c, bounds) in enumerate(zip(cols, all_bounds))
-    ]
+    tmp = [f"__zb_{j}" for j in range(len(cols))]
+    df = df.select(
+        "*",
+        *[
+            _bucket_expr(c, bounds).alias(t)
+            for t, (c, bounds) in zip(tmp, zip(cols, all_bounds))
+        ],
+    )
     z = F.lit(0).cast("long")
     for bit in range(n_bits):
-        for j, bucket in parts:
+        for j, t in enumerate(tmp):
             z = z + F.shiftleft(
-                (F.shiftright(bucket, bit).cast("long") % 2),
-                bit * len(parts) + j,
+                (F.shiftright(F.col(t), bit).cast("long") % 2),
+                bit * len(cols) + j,
             )
-    return z
+    return df.withColumn(out, z).drop(*tmp)
 
 
 def optimize_delta_table(spark: SparkSession, path: str,
@@ -1932,7 +1942,7 @@ def optimize_delta_table(spark: SparkSession, path: str,
 
     ``zorder_by`` (OPTIMIZE ZORDER BY): cluster the rewrite on the
     bit-interleave of the named columns' equi-depth ranks
-    (``_zorder_column``), range-partitioned into ``target_files`` —
+    (``_with_zorder``), range-partitioned into ``target_files`` —
     every output file then carries TIGHT min/max footer stats on ALL
     the named dimensions simultaneously, so stats pruning skips files
     for predicates on any of them. One range shuffle; the multi-
@@ -1949,9 +1959,8 @@ def optimize_delta_table(spark: SparkSession, path: str,
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
             raise ValueError(f"zorder_by columns {missing} not in table")
-        z = _zorder_column(df, zorder_by)
         df = (
-            df.withColumn("__z", z)
+            _with_zorder(df, zorder_by)
             .repartitionByRange(target_files, F.col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")

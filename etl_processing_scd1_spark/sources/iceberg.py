@@ -3055,13 +3055,13 @@ def compact_iceberg_table(
     pruning skips files for predicates on any of them."""
     df = read_iceberg_table(spark, path)
     if zorder_by:
-        from .delta import _zorder_column
+        from .delta import _with_zorder
 
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
             raise ValueError(f"zorder_by columns {missing} not in table")
         df = (
-            df.withColumn("__z", _zorder_column(df, zorder_by))
+            _with_zorder(df, zorder_by)
             .repartitionByRange(target_files, F.col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")
