@@ -687,17 +687,22 @@ def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
 
 def _commit_dml(spark: SparkSession, path: str, snap: DeltaSnapshot,
                 kill_rows: list, abs_to_rel: dict, insert_df: DataFrame | None,
-                operation: str, params: dict) -> int:
+                operation: str, params: dict,
+                extra_actions: list[dict] | None = None) -> int:
     """Shared merge-on-read DML commit tail (UPDATE / MERGE): DV-kill
     the collected ``(__fp, positions)`` rows, stage ``insert_df``'s
     rows as new data files (empty output files are dropped, not
-    committed), and write ONE atomic commit."""
+    committed), and write ONE atomic commit. ``extra_actions`` lead
+    the commit (a schema-evolving MERGE's metaData action rides the
+    same commit as its data — and is committed even when no row
+    changed, matching stock autoMerge)."""
     now_ms = int(time.time() * 1000)
     per_file_hits = {
         abs_to_rel[r["__fp"]]: [int(x) for x in r["positions"]]
         for r in kill_rows
     }
-    actions = (
+    actions = list(extra_actions or [])
+    actions += (
         _dv_actions(path, snap, per_file_hits, now_ms) if per_file_hits else []
     )
     if insert_df is not None:
@@ -771,8 +776,47 @@ def update_delta_rows(spark: SparkSession, path: str, condition: str,
     )
 
 
+def _evolved_metadata(metadata: dict, df_schema: StructType,
+                      extra: list[str]) -> dict:
+    """ADD-COLUMN schema evolution (Delta's mergeSchema / autoMerge):
+    a new metaData dict whose schemaString appends the ``extra``
+    fields from ``df_schema``; on a MAPPED table each gets a fresh
+    mapping id past maxColumnId and a uuid physicalName (ids never
+    reused — the same invariant as Iceberg evolution). Files written
+    before the evolving commit simply read NULL for the new
+    columns. Shared by the append and MERGE paths."""
+    cm_mode = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    fields = json.loads(metadata["schemaString"])["fields"]
+    configuration = dict(metadata.get("configuration") or {})
+    max_id = int(
+        configuration.get("delta.columnMapping.maxColumnId") or len(fields)
+    )
+    for c in extra:
+        fj = df_schema[c].jsonValue()
+        fj["nullable"] = True  # pre-evolution files lack it
+        if cm_mode in ("name", "id"):
+            max_id += 1
+            fj["metadata"] = {
+                **(fj.get("metadata") or {}),
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+            }
+        fields.append(fj)
+    if cm_mode in ("name", "id"):
+        configuration["delta.columnMapping.maxColumnId"] = str(max_id)
+    new_meta = dict(metadata)
+    new_meta["schemaString"] = json.dumps(
+        {"type": "struct", "fields": fields}
+    )
+    new_meta["configuration"] = configuration
+    return new_meta
+
+
 def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
-                      keys: list[str], delete_missing: bool = False) -> int:
+                      keys: list[str], delete_missing: bool = False,
+                      evolve_schema: bool = False) -> int:
     """MERGE-ON-READ MERGE (SQL ``MERGE INTO`` / SCD1 upsert on the
     open Delta format): null-safe key match of ``source`` against the
     table's visible rows —
@@ -785,6 +829,17 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
     - source key absent from the table → insert;
     - ``delete_missing=True`` → table keys absent from the source are
       DV-killed (the reference pipeline's SCD1 delete leg).
+
+    Source columns the table lacks RAISE by default (this merge is
+    UPDATE SET * / INSERT * shaped — stock Delta refuses unresolvable
+    assignments too, and silently dropping a column would lose data);
+    ``evolve_schema=True`` is the autoMerge switch: the same commit
+    first evolves the table schema with the new columns
+    (``_evolved_metadata`` — metadata-only, mapped tables get fresh
+    ids), existing rows read NULL for them, and the merge's
+    changed-row comparison treats the target's missing column as
+    NULL (so a source row whose new column is non-NULL counts as
+    changed).
 
     No data file is rewritten: cost is O(changed + inserted rows) +
     one shuffle-side join, never O(table). ONE atomic commit carries
@@ -800,6 +855,20 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
     missing_src = [c for c in cols if c not in source.columns]
     if missing_src:
         raise ValueError(f"source is missing table columns {missing_src}")
+    new_cols = [c for c in source.columns if c not in cols]
+    evolve_action: list[dict] = []
+    if new_cols:
+        if not evolve_schema:
+            raise ValueError(
+                f"merge source carries columns {new_cols} the table "
+                "lacks — pass evolve_schema=True to add them (old rows "
+                "read NULL), or drop them from the source"
+            )
+        snap.metadata = _evolved_metadata(
+            snap.metadata, source.schema, new_cols
+        )
+        evolve_action = [{"metaData": snap.metadata}]
+        cols = [f.name for f in snap.schema.fields]
     source = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in snap.schema.fields]
@@ -827,7 +896,18 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
     payload = [c for c in cols if c not in keys]
 
     scan, abs_to_rel = _visible_scan(spark, path, snap)
-    t = scan.select(*cols, "__fp", "__pos").alias("t")
+    # pre-evolution files read NULL for freshly-added columns: the
+    # scan projection is the OLD column set, the diff below compares
+    # against a typed NULL so any non-NULL source value marks the row
+    # changed
+    t = scan.select(
+        *[c for c in cols if c not in new_cols],
+        *[
+            F.lit(None).cast(source.schema[c].dataType).alias(c)
+            for c in new_cols
+        ],
+        "__fp", "__pos",
+    ).alias("t")
     s = source.alias("s")
     key_cond = None
     for k in keys:
@@ -858,6 +938,7 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
         spark, path, snap, kill_rows, abs_to_rel,
         upserts.unionByName(inserts), "MERGE",
         {"keys": ",".join(keys), "deleteMissing": delete_missing},
+        extra_actions=evolve_action,
     )
 
 
@@ -1245,40 +1326,11 @@ def write_delta_table(
         known = {f.name for f in snap.schema.fields}
         extra = [c for c in df.columns if c not in known]
         if extra:
-            # ADD-COLUMN schema evolution (Delta's mergeSchema): one
-            # metaData action appends the new fields to schemaString;
-            # on a MAPPED table each gets a fresh mapping id past
-            # maxColumnId and a uuid physicalName (ids never reused —
-            # the same invariant as Iceberg evolution). Files written
-            # before this commit simply read NULL for the new columns.
-            fields = json.loads(snap.metadata["schemaString"])["fields"]
-            configuration = dict(snap.metadata.get("configuration") or {})
-            max_id = int(
-                configuration.get("delta.columnMapping.maxColumnId")
-                or len(fields)
-            )
-            for c in extra:
-                fj = df.schema[c].jsonValue()
-                fj["nullable"] = True  # pre-evolution files lack it
-                if cm_mode in ("name", "id"):
-                    max_id += 1
-                    phys = f"col-{uuid.uuid4()}"
-                    fj["metadata"] = {
-                        **(fj.get("metadata") or {}),
-                        "delta.columnMapping.id": max_id,
-                        "delta.columnMapping.physicalName": phys,
-                    }
-                    cm[c] = phys
-                    if cm_mode == "id":
-                        cm_ids[c] = max_id
-                fields.append(fj)
-            if cm_mode in ("name", "id"):
-                configuration["delta.columnMapping.maxColumnId"] = str(max_id)
-            new_meta = dict(snap.metadata)
-            new_meta["schemaString"] = json.dumps(
-                {"type": "struct", "fields": fields}
-            )
-            new_meta["configuration"] = configuration
+            new_meta = _evolved_metadata(snap.metadata, df.schema, extra)
+            snap.metadata = new_meta
+            cm = snap.column_mapping or {}
+            if cm_mode == "id":
+                cm_ids = snap.column_mapping_ids or {}
             actions.append({"metaData": new_meta})
         if mode == "overwrite":
             for p, add in sorted(snap.files.items()):
@@ -1819,7 +1871,13 @@ def delta_changes(
         for p, v in files.items():
             by_version.setdefault(v, []).append(p)
         for v, rels in sorted(by_version.items()):
-            df = spark.read.option("basePath", path).parquet(
+            # explicit END-snapshot physical schema, never sampled:
+            # files written before an ADD-COLUMN evolution lack the
+            # new columns and must read NULL for them (sampling one
+            # of those files would fail the projection instead)
+            df = spark.read.option("basePath", path).schema(
+                _physical_read_schema(snap)
+            ).parquet(
                 *sorted(os.path.join(path, p) for p in rels)
             )
             dead = [
@@ -1835,7 +1893,9 @@ def delta_changes(
                 )
             pieces.append(_project(df, change, v))
     for v, per_path in sorted(row_dels.items()):
-        df = spark.read.option("basePath", path).parquet(
+        df = spark.read.option("basePath", path).schema(
+            _physical_read_schema(snap)
+        ).parquet(
             *sorted(os.path.join(path, p) for p in per_path)
         )
         keys = [

@@ -2177,3 +2177,90 @@ class TestReviewFixesR11:
         drop_delta_constraint(spark, path, "pos")
         rename_delta_column(spark, path, "v", "val")
         assert "val" in read_delta_table(spark, path).columns
+
+
+class TestMergeSchemaEvolution:
+    """merge_delta_table(evolve_schema=...) — the autoMerge switch:
+    extra source columns RAISE by default (this merge is
+    UPDATE SET * / INSERT * shaped; silently dropping would lose
+    data), and with evolve_schema=True the SAME commit carries the
+    evolving metaData action plus the DML — old rows read NULL, a
+    non-NULL new-column value alone marks a matched row changed."""
+
+    def test_extra_source_column_raises_by_default(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import merge_delta_table
+
+        path = str(tmp_path / "mev_raise")
+        write_delta_table(_df(spark, 0, 6), path)
+        src = spark.createDataFrame(
+            [(1, 10, "1", "x")], "k long, v long, part string, tag string"
+        )
+        with pytest.raises(ValueError, match="evolve_schema"):
+            merge_delta_table(spark, src, path, ["k"])
+        # nothing committed by the refused merge
+        assert delta_table_version(path) == 0
+
+    @pytest.mark.parametrize("cm_mode", ["none", "name"])
+    def test_evolving_merge_one_commit(self, spark, tmp_path, cm_mode):
+        from etl_processing_scd1_spark.sources.delta import (
+            _replay,
+            merge_delta_table,
+        )
+
+        path = str(tmp_path / f"mev_{cm_mode}")
+        write_delta_table(_df(spark, 0, 6), path, column_mapping=cm_mode)
+        src = spark.createDataFrame(
+            [
+                (1, 10, "1", "upd"),   # same v: changed ONLY via new col
+                (7, 70, "1", "ins"),   # fresh key: insert
+            ],
+            "k long, v long, part string, tag string",
+        )
+        v = merge_delta_table(spark, src, path, ["k"], evolve_schema=True)
+        assert v == 1  # metaData + DV + adds in ONE commit
+        snap = _replay(spark, path, None)
+        assert [f.name for f in snap.schema.fields] == ["k", "v", "part", "tag"]
+        got = {r.k: (r.v, r.tag) for r in read_delta_table(spark, path).collect()}
+        assert len(got) == 7
+        assert got[1] == (10, "upd")   # NULL -> 'upd' counted as changed
+        assert got[7] == (70, "ins")
+        assert got[2] == (20, None)    # untouched pre-evolution row
+        if cm_mode == "name":
+            assert (snap.column_mapping or {})["tag"].startswith("col-")
+            assert (
+                snap.metadata["configuration"]["delta.columnMapping.maxColumnId"]
+                == "4"
+            )
+
+    def test_evolving_merge_replay_is_idempotent(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import merge_delta_table
+
+        path = str(tmp_path / "mev_idem")
+        write_delta_table(_df(spark, 0, 6), path)
+        src = spark.createDataFrame(
+            [(1, 10, "1", "x")], "k long, v long, part string, tag string"
+        )
+        v1 = merge_delta_table(spark, src, path, ["k"], evolve_schema=True)
+        # replay: schema already evolved, payload identical -> no-op
+        v2 = merge_delta_table(spark, src, path, ["k"], evolve_schema=True)
+        assert v2 == v1
+        got = {r.k: r.tag for r in read_delta_table(spark, path).collect()}
+        assert got[1] == "x" and got[0] is None
+
+    def test_cdf_sees_evolving_merge_changes(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delta_changes,
+            merge_delta_table,
+        )
+
+        path = str(tmp_path / "mev_cdf")
+        write_delta_table(_df(spark, 0, 4), path)
+        src = spark.createDataFrame(
+            [(2, 20, "2", "t"), (9, 90, "0", "t")],
+            "k long, v long, part string, tag string",
+        )
+        merge_delta_table(spark, src, path, ["k"], evolve_schema=True)
+        ch = delta_changes(spark, path, 0, 1)
+        kinds = {(r.k, r._change_type) for r in ch.collect()}
+        assert (2, "delete") in kinds and (2, "insert") in kinds
+        assert (9, "insert") in kinds
