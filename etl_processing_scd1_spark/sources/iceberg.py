@@ -1454,6 +1454,7 @@ def write_iceberg_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
     extra_summary: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` to the Iceberg table at ``path``; returns the
     new metadata version. First commit creates the table (v1
@@ -1465,7 +1466,13 @@ def write_iceberg_table(
     moved under ``data/`` — rename-only); the commit itself is
     put-if-absent on the next ``v<N>.metadata.json``, so a loser of a
     concurrent race raises ``IcebergConcurrentCommit`` with nothing
-    corrupted."""
+    corrupted.
+
+    ``branch='audit'`` commits to a NAMED BRANCH instead of main
+    (created from the current snapshot on first use): plain readers
+    and time travel see nothing until :func:`fast_forward_iceberg_main`
+    publishes it — the write-audit-publish pattern. Appends stack on
+    the BRANCH head; ``read_iceberg_table(ref='audit')`` audits it."""
     if mode not in ("append", "overwrite", "replace"):
         raise ValueError(mode)
     spark = df.sparkSession
@@ -1542,9 +1549,15 @@ def write_iceberg_table(
             )
     field_ids = _resolved_field_ids(prev, schema)
 
+    if branch and prev is None:
+        raise ValueError(
+            f"cannot write branch {branch!r} on a table that does not "
+            "exist yet — create the table (main) first"
+        )
     new_files = _stage_data_files(df, path, spec_entries, ice_types, field_ids)
     return _commit_snapshot(
-        path, schema, spec_entries, mode, new_files, extra_summary, base, prev
+        path, schema, spec_entries, mode, new_files, extra_summary, base,
+        prev, branch=branch,
     )
 
 
@@ -1658,6 +1671,7 @@ def _commit_snapshot(
     extra_summary: dict | None,
     base: int,
     prev: dict | None,
+    branch: str | None = None,
 ) -> int:
     """Driver-side commit shared by :func:`write_iceberg_table` and
     the ``iceberglog`` DataSource writer: turn a list of already-
@@ -1665,10 +1679,35 @@ def _commit_snapshot(
     size, lower_bounds, upper_bounds)`` into a manifest + manifest
     list + snapshot + put-if-absent metadata version.
     ``spec_entries`` = parsed partition spec (dicts) or plain column
-    names (identity)."""
+    names (identity).
+
+    ``branch`` (spec §Snapshot References — the write-audit-publish
+    workflow): the commit's parent is the BRANCH head (created from
+    the current snapshot if the ref doesn't exist yet), the new
+    snapshot is reachable only through ``refs[branch]``, and
+    ``current-snapshot-id`` / ``snapshot-log`` — what plain readers
+    and the main history see — do NOT move. Publishing is a separate
+    :func:`fast_forward_iceberg_main` commit."""
     now_ms = int(time.time() * 1000)
     new_version = base + 1 if base else 1
     table_uuid = prev["table-uuid"] if prev else str(uuid.uuid4())
+    if branch == "main":
+        branch = None  # the implicit current-snapshot branch
+    head_id = None
+    if prev is not None:
+        head_id = prev.get("current-snapshot-id")
+        head_id = None if head_id == -1 else head_id
+        if branch:
+            ref = (prev.get("refs") or {}).get(branch)
+            if ref is not None:
+                if ref.get("type") != "branch":
+                    raise IcebergProtocolError(
+                        f"ref {branch!r} is a {ref.get('type')}, not a "
+                        "branch — tags are immutable"
+                    )
+                head_id = int(ref["snapshot-id"])
+            # else: first write to the branch forks it off the
+            # current snapshot (Iceberg's wap.branch behavior)
     # v2 tables (merge-on-read deletes happened) keep their format:
     # every subsequent commit advances the sequence number and writes
     # the v2 manifest-list schema; fresh/v1 tables stay v1
@@ -1744,15 +1783,10 @@ def _commit_snapshot(
     # ---- manifest list: fast-append on top of the current
     # snapshot's manifests, or fresh for overwrite/first commit
     carried: list[dict] = []
-    parent_id = None
-    if prev is not None and mode == "append":
-        parent_id = prev.get("current-snapshot-id")
-        if parent_id not in (None, -1):
-            cur = {s["snapshot-id"]: s for s in prev.get("snapshots", [])}[parent_id]
-            _, carried = load_avro(_norm_path(cur["manifest-list"], path))
-    elif prev is not None:
-        parent_id = prev.get("current-snapshot-id")
-        parent_id = None if parent_id == -1 else parent_id
+    parent_id = head_id
+    if prev is not None and mode == "append" and parent_id is not None:
+        cur = {s["snapshot-id"]: s for s in prev.get("snapshots", [])}[parent_id]
+        _, carried = load_avro(_norm_path(cur["manifest-list"], path))
     list_path = os.path.join(
         _meta_dir(path), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     )
@@ -1811,18 +1845,36 @@ def _commit_snapshot(
             part_fields[-1][2] if part_fields else 999,
         ),
         # named snapshot refs survive every commit (tags pin
-        # retention; dropping them here would silently un-pin)
-        "refs": (prev.get("refs") or {}) if prev else {},
+        # retention; dropping them here would silently un-pin); a
+        # branch write advances its own ref here instead of
+        # current-snapshot-id below
+        "refs": {
+            **((prev.get("refs") or {}) if prev else {}),
+            **(
+                {branch: {"snapshot-id": snapshot_id, "type": "branch"}}
+                if branch else {}
+            ),
+        },
         # carry table properties forward (schema.name-mapping.default
         # et al. — dropping them would undo rename resolution)
         "properties": {
             **((prev.get("properties") or {}) if prev else {}),
             "write.format.default": "parquet",
         },
-        "current-snapshot-id": snapshot_id,
+        # a branch write leaves the main pointer and its history
+        # untouched — the snapshot is reachable only via refs[branch]
+        "current-snapshot-id": (
+            (prev.get("current-snapshot-id", -1) if prev else -1)
+            if branch else snapshot_id
+        ),
         "snapshots": (prev.get("snapshots", []) if prev else []) + [snapshot],
-        "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
-        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+        "snapshot-log": (
+            (prev.get("snapshot-log", []) if prev else [])
+            + (
+                [] if branch
+                else [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
+            )
+        ),
         "metadata-log": (
             (prev.get("metadata-log", []) if prev else [])
             + (
@@ -2341,6 +2393,54 @@ def set_iceberg_ref(path: str, name: str, snapshot_id: int | None = None,
     refs[name] = {"snapshot-id": int(sid), "type": ref_type}
     meta = dict(prev)
     meta.update({"refs": refs, "last-updated-ms": int(time.time() * 1000)})
+    _put_metadata(path, base + 1, meta)
+    return base + 1
+
+
+def fast_forward_iceberg_main(path: str, branch: str) -> int:
+    """PUBLISH a branch (the fastForward procedure — the write-audit-
+    publish workflow's final step): move ``current-snapshot-id`` to
+    the branch head and stamp the snapshot-log, REQUIRING main's
+    current snapshot to be an ancestor of the head (otherwise the
+    branch and main diverged and a fast-forward would silently drop
+    main's commits — stock Iceberg refuses the same way; rebase by
+    re-writing the branch). The branch ref survives the publish. A
+    metadata-only commit; returns the new metadata version."""
+    base, prev = _load_latest(path)
+    ref = (prev.get("refs") or {}).get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise ValueError(
+            f"{branch!r} is not a branch ref on {path} "
+            f"(have {sorted(prev.get('refs') or {})})"
+        )
+    head = int(ref["snapshot-id"])
+    cur = prev.get("current-snapshot-id")
+    cur = None if cur in (None, -1) else int(cur)
+    by_id = {int(s["snapshot-id"]): s for s in prev.get("snapshots", [])}
+    # ancestry walk: head -> parents must reach main's current
+    if cur is not None:
+        node, seen, is_ancestor = head, set(), False
+        while node is not None and node not in seen:
+            if node == cur:
+                is_ancestor = True
+                break
+            seen.add(node)
+            parent = by_id.get(node, {}).get("parent-snapshot-id")
+            node = None if parent is None else int(parent)
+        if not is_ancestor:
+            raise IcebergProtocolError(
+                f"cannot fast-forward main to branch {branch!r}: main's "
+                f"current snapshot {cur} is not an ancestor of the branch "
+                f"head {head} (histories diverged — rebase the branch)"
+            )
+    now_ms = int(time.time() * 1000)
+    meta = dict(prev)
+    meta.update({
+        "current-snapshot-id": head,
+        "snapshot-log": list(prev.get("snapshot-log") or [])
+        + [{"snapshot-id": head, "timestamp-ms": now_ms}],
+        "last-updated-ms": now_ms,
+    })
     _put_metadata(path, base + 1, meta)
     return base + 1
 

@@ -2626,3 +2626,95 @@ class TestReviewFixesR11:
             _resolve_delete_file_columns(
                 "/nonexistent.parquet", [42], {1: "k"}, {"properties": {}}
             )
+
+
+class TestBranchWrites:
+    """Branch writes + fast-forward publish (spec §Snapshot
+    References — the write-audit-publish workflow): a branch commit's
+    parent is the BRANCH head, main's pointer and snapshot-log never
+    move until fast_forward_iceberg_main, tags refuse writes, and a
+    diverged main refuses the fast-forward."""
+
+    def test_wap_write_audit_publish(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+            fast_forward_iceberg_main,
+            read_iceberg_table,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "wap")
+        write_iceberg_table(_df(spark, 0, 4), path)          # main v1
+        write_iceberg_table(_df(spark, 4, 7), path, branch="audit")
+        write_iceberg_table(_df(spark, 7, 9), path, branch="audit")
+        # main is untouched: plain read + history
+        assert len(_rows(read_iceberg_table(spark, path))) == 4
+        meta = _load_metadata(path)
+        assert len(meta["snapshot-log"]) == 1
+        # branch stacks both commits
+        assert len(_rows(read_iceberg_table(spark, path, ref="audit"))) == 9
+        # branch parent chain: head -> first branch commit -> main
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        head = meta["refs"]["audit"]["snapshot-id"]
+        p1 = by_id[head]["parent-snapshot-id"]
+        assert by_id[p1]["parent-snapshot-id"] == meta["current-snapshot-id"]
+        # publish: main fast-forwards to the branch head
+        fast_forward_iceberg_main(path, "audit")
+        assert len(_rows(read_iceberg_table(spark, path))) == 9
+        meta2 = _load_metadata(path)
+        assert meta2["current-snapshot-id"] == head
+        assert meta2["snapshot-log"][-1]["snapshot-id"] == head
+        assert "audit" in meta2["refs"]  # ref survives the publish
+
+    def test_branch_write_rejects_tags_and_missing_table(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            IcebergProtocolError,
+            set_iceberg_ref,
+            write_iceberg_table,
+        )
+
+        with pytest.raises(ValueError, match="does not exist"):
+            write_iceberg_table(
+                _df(spark, 0, 2), str(tmp_path / "nope"), branch="b"
+            )
+        path = str(tmp_path / "tagw")
+        write_iceberg_table(_df(spark, 0, 2), path)
+        set_iceberg_ref(path, "pin", ref_type="tag")
+        with pytest.raises(IcebergProtocolError, match="tags are immutable"):
+            write_iceberg_table(_df(spark, 2, 4), path, branch="pin")
+
+    def test_fast_forward_refuses_diverged_main(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            IcebergProtocolError,
+            fast_forward_iceberg_main,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "diverge")
+        write_iceberg_table(_df(spark, 0, 2), path)
+        write_iceberg_table(_df(spark, 2, 4), path, branch="b")
+        write_iceberg_table(_df(spark, 4, 6), path)  # main moves on
+        with pytest.raises(IcebergProtocolError, match="diverged"):
+            fast_forward_iceberg_main(path, "b")
+
+    def test_branch_survives_expiry_and_overwrite_isolates(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            expire_snapshots,
+            read_iceberg_table,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "bexp")
+        write_iceberg_table(_df(spark, 0, 3), path)
+        # overwrite ON THE BRANCH replaces branch content only
+        write_iceberg_table(_df(spark, 10, 12), path, branch="b")
+        write_iceberg_table(_df(spark, 20, 22), path, branch="b",
+                            mode="overwrite")
+        assert [r[0] for r in _rows(read_iceberg_table(spark, path, ref="b"))] \
+            == [20, 21]
+        assert len(_rows(read_iceberg_table(spark, path))) == 3
+        # more main commits, then expiry: the branch head is pinned
+        write_iceberg_table(_df(spark, 3, 6), path)
+        expire_snapshots(path, keep_last=1)
+        assert [r[0] for r in _rows(read_iceberg_table(spark, path, ref="b"))] \
+            == [20, 21]
