@@ -1163,13 +1163,18 @@ def read_iceberg_table(
 
 
 def _manifest_entry_schema_json(
-    part_fields: list[tuple[str, str, int]], with_content: bool = False
+    part_fields: list[tuple[str, str, int]], with_content: bool = False,
+    with_seq: bool = False,
 ) -> str:
     """manifest_entry Avro schema; ``part_fields`` =
     (name, iceberg_type, field_id) for the partition tuple.
     ``with_content`` adds the v2 ``data_file.content`` discriminator
     (0=data, 1=position deletes, 2=equality deletes — spec field-id
-    134), required for delete manifests."""
+    134), required for delete manifests. ``with_seq`` adds the
+    per-entry ``sequence_number`` (spec field-id 3) that EXISTING
+    entries in a rewritten manifest must carry explicitly — they
+    predate the rewriting snapshot, so manifest-list inheritance
+    would assign them the wrong (newer) sequence number."""
     part_schema = {
         "type": "record",
         "name": "r102",
@@ -1191,6 +1196,10 @@ def _manifest_entry_schema_json(
                 {"name": "status", "type": "int", "field-id": 0},
                 {"name": "snapshot_id", "type": ["null", "long"],
                  "default": None, "field-id": 1},
+            ] + ([
+                {"name": "sequence_number", "type": ["null", "long"],
+                 "default": None, "field-id": 3},
+            ] if with_seq else []) + [
                 {
                     "name": "data_file",
                     "field-id": 2,
@@ -3169,6 +3178,150 @@ def compact_iceberg_table(
     else:
         df = df.coalesce(target_files)
     return write_iceberg_table(df, path, mode="replace")
+
+
+def rewrite_iceberg_manifests(path: str) -> int:
+    """REWRITE MANIFESTS (the library's rewrite_manifests maintenance
+    procedure): merge the current snapshot's DATA manifests into ONE
+    manifest per partition-spec generation — the data files
+    themselves are untouched; only the metadata tree is reorganized.
+    After thousands of small appends a table carries one manifest per
+    commit and every scan plan walks them all; at 100 TB this is the
+    job that keeps planning metadata-scale. Delete manifests are
+    carried as-is (their sequence-number bounds gate how deletes
+    apply — rewriting them is a separate concern, as in stock
+    Iceberg).
+
+    Every rewritten entry becomes EXISTING with an EXPLICIT
+    snapshot_id and (v2) sequence_number — they predate the rewriting
+    snapshot, so manifest-list inheritance would stamp them with the
+    wrong, newer sequence number and break equality-delete ordering.
+    Commits a ``replace`` snapshot (changelog readers skip it — row
+    content is identical); time travel to older snapshots keeps
+    working through their own manifest lists. Returns the new
+    metadata version (unchanged when already minimal)."""
+    base, prev = _load_latest(path)
+    sid = prev.get("current-snapshot-id")
+    if sid in (None, -1):
+        raise ValueError(f"table {path} has no current snapshot")
+    snap = next(s for s in prev["snapshots"] if s["snapshot-id"] == sid)
+    _, manifests = load_avro(_norm_path(snap["manifest-list"], path))
+    fv = int(prev.get("format-version", 1))
+    keep_rows: list[dict] = []      # delete manifests, untouched
+    groups: dict[int, list[dict]] = {}
+    group_seqs: dict[int, list[int]] = {}
+    n_data_manifests = 0
+    for mf in manifests:
+        if mf.get("content", 0) == 1:
+            keep_rows.append(mf)
+            continue
+        n_data_manifests += 1
+        mf_seq = int(mf.get("sequence_number") or 0)
+        mf_snap = int(mf.get("added_snapshot_id") or sid)
+        spec_id = int(mf.get("partition_spec_id") or 0)
+        _, entries = load_avro(_norm_path(mf["manifest_path"], path))
+        for e in entries:
+            if e["status"] == _DELETED:
+                continue
+            eseq = e.get("sequence_number")
+            eseq = mf_seq if eseq is None else int(eseq)
+            esnap = e.get("snapshot_id")
+            esnap = mf_snap if esnap is None else int(esnap)
+            rec = {"status": _EXISTING, "snapshot_id": esnap,
+                   "data_file": e["data_file"]}
+            if fv == 2:
+                rec["sequence_number"] = eseq
+            groups.setdefault(spec_id, []).append(rec)
+            group_seqs.setdefault(spec_id, []).append(eseq)
+    if n_data_manifests <= len(groups):
+        return base  # one manifest per live spec already
+    now_ms = int(time.time() * 1000)
+    new_version = base + 1
+    snapshot_id = now_ms * 1000 + new_version
+    seq = int(prev.get("last-sequence-number", 0)) + 1 if fv == 2 else None
+    new_rows: list[dict] = []
+    for spec_id in sorted(groups):
+        entries = groups[spec_id]
+        spec_entries = _spec_entries_from_meta(prev, spec_id)
+        part_fields = [(e["name"], e["ice"], e["fid"]) for e in spec_entries]
+        mpath = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+        dump_avro(
+            mpath,
+            _manifest_entry_schema_json(part_fields, with_seq=(fv == 2)),
+            entries,
+            extra_meta={
+                "schema": json.dumps(prev["schema"]),
+                "partition-spec": json.dumps(
+                    [
+                        {"name": e["name"], "transform": e["transform"],
+                         "source-id": f.get("source-id", 0),
+                         "field-id": e["fid"]}
+                        for e, f in zip(
+                            spec_entries, _spec_fields(prev, spec_id)
+                        )
+                    ]
+                ),
+                "partition-spec-id": str(spec_id),
+                "format-version": "1",
+                "content": "data",
+            },
+        )
+        row = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": spec_id,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": 0,
+            "existing_data_files_count": len(entries),
+            "deleted_data_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": sum(
+                int(e["data_file"].get("record_count") or 0) for e in entries
+            ),
+            "deleted_rows_count": 0,
+        }
+        if fv == 2:
+            row.update({
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(group_seqs[spec_id], default=seq),
+            })
+        new_rows.append(row)
+    list_path = os.path.join(
+        _meta_dir(path), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    dump_avro(
+        list_path,
+        _MANIFEST_LIST_SCHEMA_V2 if fv == 2 else _MANIFEST_LIST_SCHEMA,
+        new_rows + keep_rows,
+        extra_meta={"format-version": str(fv)},
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": sid,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "replace",
+            "manifests-replaced": str(n_data_manifests),
+            "manifests-created": str(len(new_rows)),
+        },
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    if fv == 2:
+        snapshot["sequence-number"] = seq
+    meta = dict(prev)
+    meta.update({
+        "current-snapshot-id": snapshot_id,
+        "snapshots": list(prev.get("snapshots", [])) + [snapshot],
+        "snapshot-log": list(prev.get("snapshot-log") or [])
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+        "last-updated-ms": now_ms,
+    })
+    if fv == 2:
+        meta["last-sequence-number"] = seq
+    _put_metadata(path, new_version, meta)
+    return new_version
 
 
 def rollback_iceberg_table(path: str, snapshot_id: int) -> int:

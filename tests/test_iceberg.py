@@ -2718,3 +2718,112 @@ class TestBranchWrites:
         expire_snapshots(path, keep_last=1)
         assert [r[0] for r in _rows(read_iceberg_table(spark, path, ref="b"))] \
             == [20, 21]
+
+
+class TestRewriteManifests:
+    """rewrite_iceberg_manifests: metadata-tree maintenance — one
+    manifest per live spec generation, data files untouched, EXISTING
+    entries carry explicit snapshot_id / sequence_number so v2
+    equality-delete ordering survives the rewrite."""
+
+    def test_merges_append_manifests_content_identical(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            iceberg_metadata_table,
+            read_iceberg_table,
+            rewrite_iceberg_manifests,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "rw")
+        for i in range(4):
+            write_iceberg_table(_df(spark, i * 3, i * 3 + 3), path)
+        before = _rows(read_iceberg_table(spark, path))
+        pre_version = 4
+        v = rewrite_iceberg_manifests(path)
+        assert v == 5
+        assert _rows(read_iceberg_table(spark, path)) == before
+        mf = iceberg_metadata_table(spark, path, "manifests")
+        assert mf.filter("content = 0").count() == 1
+        # time travel to the pre-rewrite snapshot still plans its own tree
+        assert _rows(
+            read_iceberg_table(spark, path, version=pre_version)
+        ) == before
+        # already minimal: second rewrite is a no-op
+        assert rewrite_iceberg_manifests(path) == v
+
+    def test_v2_equality_delete_ordering_survives(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            read_iceberg_table,
+            rewrite_iceberg_manifests,
+            upsert_iceberg_table,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "rw_v2")
+        write_iceberg_table(_df(spark, 0, 6), path)
+        # two upsert batches: each eq-delete outranks EARLIER data only
+        up1 = spark.createDataFrame(
+            [(2, 200, "x"), (6, 600, "x")], "k long, v long, part string"
+        )
+        upsert_iceberg_table(up1, path, ["k"])
+        up2 = spark.createDataFrame(
+            [(2, 222, "y"), (7, 700, "y")], "k long, v long, part string"
+        )
+        upsert_iceberg_table(up2, path, ["k"])
+        before = _rows(read_iceberg_table(spark, path))
+        rewrite_iceberg_manifests(path)
+        after = _rows(read_iceberg_table(spark, path))
+        assert after == before
+        got = {r[0]: r[1] for r in after}
+        assert got[2] == 222 and got[6] == 600 and got[7] == 700
+        # a post-rewrite upsert still replaces rewritten-manifest rows
+        up3 = spark.createDataFrame(
+            [(6, 666, "z")], "k long, v long, part string"
+        )
+        upsert_iceberg_table(up3, path, ["k"])
+        got = {r[0]: r[1] for r in _rows(read_iceberg_table(spark, path))}
+        assert got[6] == 666 and got[2] == 222
+
+    def test_one_manifest_per_spec_generation(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            evolve_iceberg_partition_spec,
+            iceberg_metadata_table,
+            read_iceberg_table,
+            rewrite_iceberg_manifests,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "rw_spec")
+        write_iceberg_table(_df(spark, 0, 4), path, partition_by=["part"])
+        write_iceberg_table(_df(spark, 4, 8), path)
+        evolve_iceberg_partition_spec(path, ["bucket(4, k)"])
+        write_iceberg_table(_df(spark, 8, 12), path)
+        before = _rows(read_iceberg_table(spark, path))
+        rewrite_iceberg_manifests(path)
+        assert _rows(read_iceberg_table(spark, path)) == before
+        mf = iceberg_metadata_table(spark, path, "manifests")
+        specs = sorted(
+            r.partition_spec_id for r in mf.filter("content = 0").collect()
+        )
+        assert specs == [0, 1]  # one manifest per spec generation
+
+    def test_independent_spec_replay_reads_rewritten_table(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            read_iceberg_table,
+            rewrite_iceberg_manifests,
+            upsert_iceberg_table,
+            write_iceberg_table,
+        )
+        from tests.test_spec_interop import _norm, _spark_rows, \
+            iceberg_snapshot_rows
+
+        path = str(tmp_path / "rw_interop")
+        write_iceberg_table(_df(spark, 0, 5), path, partition_by=["part"])
+        up = spark.createDataFrame(
+            [(1, 111, "a"), (9, 900, "b")], "k long, v long, part string"
+        )
+        upsert_iceberg_table(up, path, ["k"])
+        rewrite_iceberg_manifests(path)
+        engine = _spark_rows(read_iceberg_table(spark, path))
+        foreign = _norm(iceberg_snapshot_rows(path))
+        assert foreign == engine
