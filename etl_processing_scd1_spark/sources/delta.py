@@ -53,7 +53,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -640,19 +640,27 @@ def _physical_read_schema(snap: DeltaSnapshot) -> StructType:
     ])
 
 
-def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
-    """Distributed scan of the snapshot's VISIBLE rows with ``__fp``/
-    ``__pos`` helper columns (normalized ``_metadata`` keys) and
-    LOGICAL column names: rows already dead in a deletion vector are
-    anti-joined away, column-mapped physical names renamed back.
-    → (DataFrame, {abs file path: rel path})."""
-    abs_to_rel = {
-        os.path.abspath(os.path.join(path, p)): p for p in snap.files
-    }
+def _external_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
+                   files: dict[str, dict]) -> DataFrame:
+    """Parquet scan when any active file lives OUTSIDE the table root
+    (spec: ``add.path`` may be absolute — how a shallow CLONE
+    references the source's files): no ``basePath``/directory
+    inference is possible across roots, so partition columns are
+    attached from the log's ``partitionValues`` — the authoritative
+    source — via one broadcast file→tuple map (metadata-scale, one
+    row per file). Returns PHYSICAL column names plus materialized
+    ``__fp``/``__pos`` keys (derived from ``_metadata`` on the raw
+    scan, BEFORE any join — downstream DV anti-joins reuse them;
+    partition values arrive as strings for the caller's schema
+    cast)."""
+    part_phys = [
+        (snap.column_mapping or {}).get(c, c) for c in snap.partition_columns
+    ]
+    full = _physical_read_schema(snap)
+    data_fields = [f for f in full.fields if f.name not in part_phys]
+    paths = sorted(os.path.abspath(os.path.join(path, p)) for p in files)
     df = (
-        spark.read.option("basePath", path)
-        .schema(_physical_read_schema(snap))
-        .parquet(*sorted(abs_to_rel))
+        spark.read.schema(StructType(data_fields)).parquet(*paths)
         .withColumn(
             "__fp",
             F.regexp_replace(
@@ -662,6 +670,54 @@ def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
         )
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
+    if not part_phys:
+        return df
+    pv_rows = [
+        tuple(
+            [os.path.abspath(os.path.join(path, p))]
+            + [(a.get("partitionValues") or {}).get(c) for c in part_phys]
+        )
+        for p, a in files.items()
+    ]
+    pv_df = spark.createDataFrame(
+        pv_rows,
+        StructType(
+            [StructField("__pv_key", StringType())]
+            + [StructField(c, StringType()) for c in part_phys]
+        ),
+    )
+    return df.join(
+        F.broadcast(pv_df), F.col("__fp") == F.col("__pv_key"), "left"
+    ).drop("__pv_key")
+
+
+def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
+    """Distributed scan of the snapshot's VISIBLE rows with ``__fp``/
+    ``__pos`` helper columns (normalized ``_metadata`` keys) and
+    LOGICAL column names: rows already dead in a deletion vector are
+    anti-joined away, column-mapped physical names renamed back.
+    → (DataFrame, {abs file path: rel path})."""
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, p)): p for p in snap.files
+    }
+    if any(os.path.isabs(p) for p in snap.files):
+        df = _external_scan(spark, path, snap, snap.files)  # has __fp/__pos
+    else:
+        df = (
+            spark.read.option("basePath", path)
+            .schema(_physical_read_schema(snap))
+            .parquet(*sorted(abs_to_rel))
+            .withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""
+                    ),
+                    "^/+", "/",
+                ),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
     dead_keys = [
         (ap, pos)
         for p, add in snap.files.items()
@@ -1044,11 +1100,16 @@ def read_delta_table(
         return spark.createDataFrame([], snap.schema)
     from pyspark.sql import functions as F
 
-    paths = [os.path.join(path, p) for p in sorted(files)]
-    reader = spark.read.option("basePath", path).schema(
-        _physical_read_schema(snap)
-    )
-    df = reader.parquet(*paths)
+    if any(os.path.isabs(p) for p in files):
+        # shallow-clone / absolute add paths: partition values attach
+        # from the log, not from directory inference
+        df = _external_scan(spark, path, snap, files)
+    else:
+        paths = [os.path.join(path, p) for p in sorted(files)]
+        reader = spark.read.option("basePath", path).schema(
+            _physical_read_schema(snap)
+        )
+        df = reader.parquet(*paths)
     dv_keys = [
         (os.path.abspath(os.path.join(path, p)), pos)
         for p, a in files.items()
@@ -1059,8 +1120,8 @@ def read_delta_table(
         kdf = spark.createDataFrame(
             dv_keys, "__del_fp string, __del_pos long"
         )
-        df = (
-            df.withColumn(
+        if "__fp" not in df.columns:  # external scans carry them already
+            df = df.withColumn(
                 "__fp",
                 F.regexp_replace(
                     F.regexp_replace(
@@ -1068,9 +1129,9 @@ def read_delta_table(
                     ),
                     "^/+", "/",
                 ),
-            )
-            .withColumn("__pos", F.col("_metadata.row_index"))
-            .join(
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+        df = (
+            df.join(
                 F.broadcast(kdf),
                 (F.col("__fp") == F.col("__del_fp"))
                 & (F.col("__pos") == F.col("__del_pos")),
@@ -1848,6 +1909,8 @@ def delta_changes(
         )
 
     def _with_keys(df: DataFrame) -> DataFrame:
+        if "__fp" in df.columns:  # external scans carry them already
+            return df
         return df.withColumn(
             "__fp",
             F.regexp_replace(
@@ -1855,6 +1918,24 @@ def delta_changes(
                 "^/+", "/",
             ),
         ).withColumn("__pos", F.col("_metadata.row_index"))
+
+    def _scan(rels, action_src: DeltaSnapshot | None) -> DataFrame:
+        # absolute add paths (shallow clones): no basePath across
+        # roots — partition values attach from the owning snapshot's
+        # add actions instead of directory inference
+        if any(os.path.isabs(p) for p in rels):
+            sub = {
+                p: (
+                    (action_src.files.get(p) if action_src else None)
+                    or snap.files.get(p)
+                    or {}
+                )
+                for p in rels
+            }
+            return _external_scan(spark, path, snap, sub)
+        return spark.read.option("basePath", path).schema(
+            _physical_read_schema(snap)
+        ).parquet(*sorted(os.path.join(path, p) for p in rels))
 
     def _key_df(keys: list[tuple[str, int]]):
         return spark.createDataFrame(keys, "__del_fp string, __del_pos long")
@@ -1875,11 +1956,7 @@ def delta_changes(
             # files written before an ADD-COLUMN evolution lack the
             # new columns and must read NULL for them (sampling one
             # of those files would fail the projection instead)
-            df = spark.read.option("basePath", path).schema(
-                _physical_read_schema(snap)
-            ).parquet(
-                *sorted(os.path.join(path, p) for p in rels)
-            )
+            df = _scan(rels, dv_src)
             dead = [
                 (os.path.abspath(os.path.join(path, p)), pos)
                 for p in rels
@@ -1893,11 +1970,7 @@ def delta_changes(
                 )
             pieces.append(_project(df, change, v))
     for v, per_path in sorted(row_dels.items()):
-        df = spark.read.option("basePath", path).schema(
-            _physical_read_schema(snap)
-        ).parquet(
-            *sorted(os.path.join(path, p) for p in per_path)
-        )
+        df = _scan(sorted(per_path), snap)
         keys = [
             (os.path.abspath(os.path.join(path, p)), pos)
             for p, poss in per_path.items()
@@ -2360,6 +2433,76 @@ def rename_delta_column(spark: SparkSession, path: str,
         },
     ])
     return new_version
+
+
+def clone_delta_table(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW CLONE (Delta's CLONE command, shallow form): creates a
+    NEW table at ``dst`` whose version-0 commit re-registers the
+    source snapshot's active files by ABSOLUTE path (spec:
+    ``add.path`` may be an absolute URI) — zero data copied, metadata
+    (schema, partitioning, column mapping, constraints, properties)
+    carried over under a fresh table id. The clone is immediately
+    independent: appends land under the clone root, DML DV-kills
+    source-owned files with clone-local deletion vectors, OPTIMIZE
+    materializes clone-local copies — the source is NEVER written,
+    and source commits after the clone point are invisible to it.
+    At 100 TB this is the zero-copy dev/test-sandbox primitive.
+
+    Source deletion vectors with uuid sidecars ('u') are re-pointed
+    as absolute-path descriptors ('p') into the SOURCE root —
+    resolved against the clone's root they would dangle. Stats carry
+    over, so file skipping on the clone prunes exactly like the
+    source. ``vacuum_delta_table`` on the clone only walks the clone
+    root, so it cannot reclaim source files; vacuum on the SOURCE is
+    the documented operational hazard for clones (same as stock
+    shallow clones)."""
+    snap = _replay(spark, src, None)
+    if os.path.isdir(_log_dir(dst)) and _list_versions(dst):
+        raise ValueError(f"clone destination {dst!r} already has a table")
+    src_abs = os.path.abspath(src)
+    now_ms = int(time.time() * 1000)
+    meta = dict(snap.metadata)
+    meta["id"] = str(uuid.uuid4())
+    meta["createdTime"] = now_ms
+    actions: list[dict] = [
+        {"protocol": snap.protocol
+         or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+    ]
+    for rel in sorted(snap.files):
+        add = dict(snap.files[rel])
+        add["path"] = (
+            rel if os.path.isabs(rel)
+            else os.path.abspath(os.path.join(src_abs, rel))
+        )
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, z = enc[:-20], enc[-20:]
+            sidecar = os.path.join(
+                src_abs, *([prefix] if prefix else []),
+                f"deletion_vector_{uuid.UUID(bytes=_z85_decode(z))}.bin",
+            )
+            add["deletionVector"] = {
+                **dv, "storageType": "p", "pathOrInlineDv": sidecar,
+            }
+        add["dataChange"] = False
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_abs,
+                    "sourceVersion": str(snap.version),
+                },
+                "engineInfo": "etl-processing-scd1-spark delta clone",
+            }
+        }
+    )
+    _atomic_commit(dst, 0, actions)
+    return 0
 
 
 def restore_delta_table(spark: SparkSession, path: str, version: int) -> int:

@@ -2264,3 +2264,118 @@ class TestMergeSchemaEvolution:
         kinds = {(r.k, r._change_type) for r in ch.collect()}
         assert (2, "delete") in kinds and (2, "insert") in kinds
         assert (9, "insert") in kinds
+
+
+class TestShallowClone:
+    """clone_delta_table: zero-copy table at a new root referencing
+    the source's files by absolute path; immediately independent in
+    both directions; partition values come from the log, not
+    directory inference."""
+
+    def test_clone_reads_equal_and_is_independent(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import clone_delta_table
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        write_delta_table(_df(spark, 0, 8), src)
+        clone_delta_table(spark, src, dst)
+        assert _rows(read_delta_table(spark, dst)) == \
+            _rows(read_delta_table(spark, src))
+        # zero data copied: no parquet under the clone root
+        copied = [
+            f for root, _, names in os.walk(dst) for f in names
+            if f.endswith(".parquet")
+        ]
+        assert copied == []
+        # source moves on; the clone is pinned at the clone point
+        write_delta_table(_df(spark, 8, 12), src, mode="append")
+        assert len(_rows(read_delta_table(spark, dst))) == 8
+        # clone moves on; the source never sees it
+        write_delta_table(_df(spark, 100, 103), dst, mode="append")
+        assert len(_rows(read_delta_table(spark, dst))) == 11
+        assert len(_rows(read_delta_table(spark, src))) == 12
+        with pytest.raises(ValueError, match="already has a table"):
+            clone_delta_table(spark, src, dst)
+
+    def test_partitioned_dv_clone_and_dml(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            clone_delta_table,
+            delete_delta_rows,
+            update_delta_rows,
+        )
+
+        src = str(tmp_path / "psrc")
+        dst = str(tmp_path / "pdst")
+        write_delta_table(_df(spark, 0, 12), src, partition_by=["part"])
+        delete_delta_rows(spark, src, "k % 4 = 0")      # DVs on source files
+        clone_delta_table(spark, src, dst)
+        got = read_delta_table(spark, dst)
+        # partition values from the LOG (no directory inference possible)
+        assert sorted(set(r.part for r in got.collect())) == ["0", "1", "2"]
+        assert sorted(r.k for r in got.collect()) == \
+            [k for k in range(12) if k % 4 != 0]
+        assert dict(
+            (r.k, r.part) for r in got.collect()
+        )[5] == str(5 % 3)
+        # DML on the clone DV-kills SOURCE-owned files clone-locally
+        update_delta_rows(spark, dst, "k = 5", {"v": "999"})
+        assert {r.k: r.v for r in read_delta_table(spark, dst).collect()}[5] \
+            == 999
+        assert {r.k: r.v for r in read_delta_table(spark, src).collect()}[5] \
+            == 50  # source untouched
+        # source deletes AFTER the clone point stay invisible to it
+        delete_delta_rows(spark, src, "k = 7")
+        assert 7 in {r.k for r in read_delta_table(spark, dst).collect()}
+
+    def test_clone_cdf_and_optimize_materialize(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            clone_delta_table,
+            delete_delta_rows,
+            delta_changes,
+            optimize_delta_table,
+        )
+
+        src = str(tmp_path / "csrc")
+        dst = str(tmp_path / "cdst")
+        write_delta_table(_df(spark, 0, 9), src, partition_by=["part"])
+        clone_delta_table(spark, src, dst)
+        # CDF: the clone commit itself is dataChange=false (no events);
+        # a clone-local delete emits row-level deletes from the
+        # EXTERNAL source files with correct partition values
+        delete_delta_rows(spark, dst, "k % 3 = 1")
+        ch = delta_changes(spark, dst, 0, 1)
+        rows = {(r.k, r.part, r._change_type) for r in ch.collect()}
+        assert rows == {(1, "1", "delete"), (4, "1", "delete"),
+                        (7, "1", "delete")}
+        # OPTIMIZE materializes clone-local files; source files intact
+        optimize_delta_table(spark, dst, target_files=1)
+        local = [
+            f for root, _, names in os.walk(dst) for f in names
+            if f.endswith(".parquet") and "_delta_log" not in root
+        ]
+        assert local, "optimize should write clone-local files"
+        assert len(_rows(read_delta_table(spark, dst))) == 6
+        assert len(_rows(read_delta_table(spark, src))) == 9
+
+    def test_clone_carries_mapping_and_constraints(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            add_delta_constraint,
+            clone_delta_table,
+            rename_delta_column,
+        )
+
+        src = str(tmp_path / "msrc")
+        dst = str(tmp_path / "mdst")
+        write_delta_table(_df(spark, 0, 5), src, column_mapping="name")
+        add_delta_constraint(spark, src, "v_pos", "v >= 0")
+        clone_delta_table(spark, src, dst)
+        # constraint enforced on the CLONE
+        bad = spark.createDataFrame(
+            [(50, -1, "0")], "k long, v long, part string"
+        )
+        with pytest.raises(DeltaProtocolError, match="v_pos"):
+            write_delta_table(bad, dst, mode="append")
+        # rename on the clone (mapping carried over); source keeps 'v'
+        rename_delta_column(spark, dst, "part", "bucket3")
+        assert "bucket3" in read_delta_table(spark, dst).columns
+        assert "part" in read_delta_table(spark, src).columns
