@@ -826,10 +826,63 @@ def update_delta_rows(spark: SparkSession, path: str, condition: str,
             for f in snap.schema.fields
         ]
     )
+    gen = _generated_exprs(snap.metadata)
+    if gen:
+        # an UPDATE whose SET touches a generation input must not
+        # leave the generated column stale: recompute every generated
+        # column over the POST-SET row (stock Delta's behavior);
+        # explicitly-SET generated columns are validated instead
+        updated = updated.select(
+            *[
+                (
+                    F.expr(gen[f.name])
+                    if f.name in gen and f.name not in set_exprs
+                    else F.col(f.name)
+                ).cast(f.dataType).alias(f.name)
+                for f in snap.schema.fields
+            ]
+        )
+        explicit = {c: gen[c] for c in set_exprs if c in gen}
+        if explicit:
+            updated = _apply_generated(updated, explicit)
     return _commit_dml(
         spark, path, snap, kill_rows, abs_to_rel, updated, "UPDATE",
         {"predicate": condition, "set": json.dumps(set_exprs, sort_keys=True)},
     )
+
+
+def _generated_exprs(metadata: dict) -> dict[str, str]:
+    """column → SQL generation expression for every field whose
+    schemaString metadata carries ``delta.generationExpression``
+    (PROTOCOL.md §Generated Columns)."""
+    out = {}
+    for f in json.loads(metadata["schemaString"])["fields"]:
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+    """Writer obligation for generated columns: a column the writer
+    did not provide is COMPUTED from its expression over the same
+    row; a provided column is VALIDATED against it (one bounded
+    limit(1) probe, null-safe — the spec requires writers to never
+    commit a value the expression disagrees with)."""
+    for name, expr in sorted(gen.items()):
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            bad = df.filter(
+                ~F.col(name).eqNullSafe(F.expr(expr))
+            ).limit(1).collect()
+            if bad:
+                raise DeltaProtocolError(
+                    f"generated column {name!r} value disagrees with its "
+                    f"expression ({expr}), e.g. row {bad[0].asDict()} — "
+                    "omit the column to have it computed"
+                )
+    return df
 
 
 def _evolved_metadata(metadata: dict, df_schema: StructType,
@@ -908,6 +961,11 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
     for k in keys:
         if k not in cols:
             raise ValueError(f"key column {k!r} not in table schema {cols}")
+    gen = _generated_exprs(snap.metadata)
+    if gen:
+        # a merge source may omit generated columns (computed here);
+        # provided values are validated against their expressions
+        source = _apply_generated(source, gen)
     missing_src = [c for c in cols if c not in source.columns]
     if missing_src:
         raise ValueError(f"source is missing table columns {missing_src}")
@@ -1289,6 +1347,7 @@ def write_delta_table(
     checkpoint_interval: int = 10,
     txn: tuple[str, int] | None = None,
     column_mapping: str = "none",
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the new
     version. ``mode='append'`` adds files; ``mode='overwrite'`` also
@@ -1315,7 +1374,16 @@ def write_delta_table(
     readers resolve columns by — the mode foreign Delta writers
     default to on evolved tables. Appends to a mapped table inherit
     the mapping automatically (the incoming DataFrame keeps using
-    logical names)."""
+    logical names).
+
+    ``generated_columns={'col': 'sql expr'}`` (creation only,
+    PROTOCOL.md §Generated Columns, minWriterVersion 4): the
+    expression is stored in the field metadata as
+    ``delta.generationExpression``; every subsequent write COMPUTES
+    the column when absent and VALIDATES it when provided, UPDATE
+    recomputes it over the post-SET row, and a MERGE source may omit
+    it. The canonical use is partitioning derived columns — e.g.
+    ``{'day': 'CAST(ts AS DATE)'}`` with ``partition_by=['day']``."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
     if column_mapping not in ("none", "name", "id"):
@@ -1327,6 +1395,16 @@ def write_delta_table(
     versions = _list_versions(path)
     new_version = (versions[-1] + 1) if versions else 0
     now_ms = int(time.time() * 1000)
+    if generated_columns:
+        # creation-time only (PROTOCOL.md §Generated Columns: the
+        # expression lives in the field metadata from the start;
+        # retrofitting existing rows is a backfill job, not a flag)
+        if versions:
+            raise ValueError(
+                "generated_columns can only be set when the table is "
+                "created"
+            )
+        df = _apply_generated(df, generated_columns)
 
     cm: dict[str, str] = {}  # logical -> physical (empty: unmapped)
     cm_ids: dict[str, int] = {}  # logical -> field id (id mode stamps)
@@ -1358,6 +1436,25 @@ def write_delta_table(
             schema_string = df.schema.json()
             configuration = {}
             protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if generated_columns:
+            unknown_gen = [
+                c for c in generated_columns if c not in df.columns
+            ]
+            if unknown_gen:  # expression produced no column? impossible
+                raise ValueError(f"generated columns {unknown_gen} missing")
+            sj = json.loads(schema_string)
+            for f in sj["fields"]:
+                if f["name"] in generated_columns:
+                    f["metadata"] = {
+                        **(f.get("metadata") or {}),
+                        "delta.generationExpression":
+                            generated_columns[f["name"]],
+                    }
+            schema_string = json.dumps(sj)
+            # §Writer Version Requirements: generated columns need 4+
+            protocol["minWriterVersion"] = max(
+                int(protocol["minWriterVersion"]), 4
+            )
         actions.append({"protocol": protocol})
         actions.append(
             {
@@ -1376,6 +1473,9 @@ def write_delta_table(
     else:
         snap = _replay(spark, path, versions[-1])
         prev_meta = snap.metadata
+        gen = _generated_exprs(snap.metadata)
+        if gen:
+            df = _apply_generated(df, gen)
         _enforce_constraints(df, snap.metadata)
         partition_by = partition_by or snap.partition_columns
         cm = snap.column_mapping or {}

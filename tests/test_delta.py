@@ -2379,3 +2379,74 @@ class TestShallowClone:
         rename_delta_column(spark, dst, "part", "bucket3")
         assert "bucket3" in read_delta_table(spark, dst).columns
         assert "part" in read_delta_table(spark, src).columns
+
+
+class TestGeneratedColumns:
+    """PROTOCOL.md §Generated Columns (delta.generationExpression,
+    minWriterVersion 4): computed when absent, validated when
+    provided, recomputed by UPDATE over the post-SET row, omittable
+    in MERGE sources; canonical use = derived partition columns."""
+
+    def test_create_compute_validate_append(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import _replay
+
+        path = str(tmp_path / "gen")
+        base = spark.range(0, 6).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        write_delta_table(
+            base, path, generated_columns={"v2x": "v * 2"},
+            partition_by=["v2x"],
+        )
+        snap = _replay(spark, path, None)
+        assert snap.protocol["minWriterVersion"] >= 4
+        fields = {
+            f["name"]: f for f in
+            __import__("json").loads(snap.metadata["schemaString"])["fields"]
+        }
+        assert fields["v2x"]["metadata"]["delta.generationExpression"] == "v * 2"
+        got = {r.k: r.v2x for r in read_delta_table(spark, path).collect()}
+        assert got[3] == 60
+        # append WITHOUT the column: computed
+        write_delta_table(
+            spark.range(6, 8).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            path, mode="append",
+        )
+        got = {r.k: r.v2x for r in read_delta_table(spark, path).collect()}
+        assert got[7] == 140
+        # append WITH a consistent value: accepted
+        ok = spark.createDataFrame([(8, 80, 160)], "k long, v long, v2x long")
+        write_delta_table(ok, path, mode="append")
+        # append WITH a lying value: refused
+        bad = spark.createDataFrame([(9, 90, 7)], "k long, v long, v2x long")
+        with pytest.raises(DeltaProtocolError, match="v2x"):
+            write_delta_table(bad, path, mode="append")
+        with pytest.raises(ValueError, match="created"):
+            write_delta_table(ok, path, mode="append",
+                              generated_columns={"z": "v"})
+
+    def test_update_recomputes_merge_may_omit(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            merge_delta_table,
+            update_delta_rows,
+        )
+
+        path = str(tmp_path / "gen_dml")
+        base = spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        write_delta_table(base, path, generated_columns={"v2x": "v * 2"})
+        # UPDATE touches the generation input -> generated col follows
+        update_delta_rows(spark, path, "k = 2", {"v": "v + 5"})
+        got = {r.k: (r.v, r.v2x) for r in read_delta_table(spark, path).collect()}
+        assert got[2] == (25, 50)
+        # explicit SET of a generated column must stay consistent
+        with pytest.raises(DeltaProtocolError, match="v2x"):
+            update_delta_rows(spark, path, "k = 1", {"v2x": "123"})
+        # MERGE source omits the generated column -> computed
+        src = spark.createDataFrame([(0, 100), (9, 90)], "k long, v long")
+        merge_delta_table(spark, src, path, ["k"])
+        got = {r.k: (r.v, r.v2x) for r in read_delta_table(spark, path).collect()}
+        assert got[0] == (100, 200) and got[9] == (90, 180)
