@@ -2331,3 +2331,223 @@ def iceberg_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.groupBy("region").agg(
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+_DELTA_CLONE_ORACLE = """
+    WITH at_clone AS (
+        SELECT c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    added AS (
+        SELECT 'CLONED' AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM (SELECT * FROM at_clone UNION ALL SELECT * FROM added)
+    GROUP BY segment
+"""
+
+
+@register("delta_clone_scan", oracle=_DELTA_CLONE_ORACLE)
+def delta_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (``clone_delta_table``): a partitioned customer
+    table with deletion vectors is cloned ZERO-COPY (the clone's v0
+    re-registers the source's files by absolute path; partition
+    values attach from the LOG, since directory inference can't cross
+    roots), then BOTH tables diverge — a post-clone DELETE on the
+    source must stay invisible to the clone, and a clone-local append
+    must stay invisible to the source. The per-segment hash pins the
+    clone at exactly (source-at-clone-point + its own appends); a
+    reader that dropped the source's pre-clone DVs, picked up its
+    post-clone delete, or mis-attached partition values fails it."""
+    import shutil
+
+    from ..sources.delta import (
+        clone_delta_table,
+        delete_delta_rows,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    src = _delta_dir("clone_src")
+    dst = _delta_dir("clone_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    write_delta_table(cust, src, partition_by=["segment"])
+    delete_delta_rows(spark, src, "c_custkey % 7 = 0")   # DVs at clone point
+    clone_delta_table(spark, src, dst)
+    delete_delta_rows(spark, src, "c_custkey % 5 = 0")   # post-clone: invisible
+    write_delta_table(
+        cust.filter(F.col("c_custkey") % 100 == 0)
+        .withColumn("segment", F.lit("CLONED")),
+        dst, mode="append",
+    )
+    got = read_delta_table(spark, dst)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+_ICEBERG_WAP_ORACLE = """
+    SELECT 'before_publish' AS stage,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'after_publish' AS stage,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+"""
+
+
+@register("iceberg_wap_publish", oracle=_ICEBERG_WAP_ORACLE)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (``write_iceberg_table(branch=...)`` +
+    ``fast_forward_iceberg_main``): a third of orders lands on main;
+    the other two thirds arrive as TWO stacked commits on branch
+    ``staging`` — the 'before_publish' row proves plain readers still
+    see only main while the branch carries unpublished data; then the
+    fast-forward publishes and 'after_publish' must see everything.
+    A branch write that leaked into main, or a publish that dropped a
+    stacked branch commit, fails the stage hashes."""
+    import shutil
+
+    from ..sources.iceberg import (
+        fast_forward_iceberg_main,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_wap")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    write_iceberg_table(
+        orders.filter(F.col("o_orderkey") % 3 == 1), path, branch="staging"
+    )
+    write_iceberg_table(
+        orders.filter(F.col("o_orderkey") % 3 == 2), path, branch="staging"
+    )
+
+    def _agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        ).select(F.lit(stage).alias("stage"), "n_orders", "cents")
+
+    before = _agg(read_iceberg_table(spark, path), "before_publish")
+    before = spark.createDataFrame(before.collect(), before.schema)
+    fast_forward_iceberg_main(path, "staging")
+    after = _agg(read_iceberg_table(spark, path), "after_publish")
+    return before.unionAll(after)
+
+
+_ICEBERG_REWRITE_MANIFESTS_ORACLE = """
+    SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(1 AS BIGINT) AS data_manifests
+    FROM supplier GROUP BY s_nationkey
+"""
+
+
+@register("iceberg_rewrite_manifests_scan",
+          oracle=_ICEBERG_REWRITE_MANIFESTS_ORACLE)
+def iceberg_rewrite_manifests_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REWRITE MANIFESTS (``rewrite_iceberg_manifests``): six small
+    appends leave six manifests — the metadata shape that makes every
+    scan plan walk one manifest per historical commit — then one
+    rewrite merges them into ONE manifest of EXISTING entries without
+    touching any data file. The literal data_manifests=1 pins the
+    tree shape from the ``$manifests`` metadata table; the per-nation
+    hash proves the rewritten tree plans exactly the same rows."""
+    import shutil
+
+    from ..sources.iceberg import (
+        iceberg_metadata_table,
+        read_iceberg_table,
+        rewrite_iceberg_manifests,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_rwm")
+    shutil.rmtree(path, ignore_errors=True)
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    for r in range(6):
+        write_iceberg_table(
+            sup.filter(F.col("s_suppkey") % 6 == r), path, mode="append"
+        )
+    rewrite_iceberg_manifests(path)
+    n_data = (
+        iceberg_metadata_table(spark, path, "manifests")
+        .filter("content = 0").count()
+    )
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").alias("cents"),
+    ).withColumn("data_manifests", F.lit(int(n_data)).cast("long"))
+
+
+_DELTA_GENERATED_ORACLE = """
+    SELECT CAST(o_orderkey % 7 AS BIGINT) AS k7,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderkey % 7
+"""
+
+
+@register("delta_generated_partition_scan", oracle=_DELTA_GENERATED_ORACLE)
+def delta_generated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns as derived partitioning (PROTOCOL.md
+    §Generated Columns): the table is created with
+    ``k7 = o_orderkey % 7`` as a GENERATED partition column; the
+    creating write and a second append both OMIT the column — the
+    writer computes it per row from the stored expression — and the
+    scan reconstructs it from the partition layout. A writer that
+    skipped the computation (NULL partition) or computed it wrong
+    lands rows in the wrong group and fails the hash."""
+    import shutil
+
+    from ..sources.delta import read_delta_table, write_delta_table
+
+    path = _delta_dir("generated_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_delta_table(
+        orders.filter(F.col("o_orderkey") % 2 == 0), path,
+        generated_columns={"k7": "CAST(o_orderkey % 7 AS BIGINT)"},
+        partition_by=["k7"],
+    )
+    write_delta_table(
+        orders.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+    )
+    got = read_delta_table(spark, path)
+    return got.groupBy("k7").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
