@@ -141,6 +141,21 @@ HEADLINE = [
     "delta_v2_checkpoint_scan",      # v2 manifest + sidecar replay
     "iceberg_hour_partition_scan",   # hour(ts) transform layout + DML
     "iceberg_add_column_scan",       # ADD COLUMN evolution in an upsert
+    # round-11 additions (late round): command + lifecycle surfaces
+    "delta_optimize_scan",           # OPTIMIZE bin-pack, DV materialize
+    "delta_zorder_scan",             # OPTIMIZE ZORDER BY + pruned scan
+    "delta_constraint_scan",         # CHECK constraint enforce/refuse
+    "delta_rename_column_scan",      # RENAME under mapping, two generations
+    "delta_timestamp_travel",        # TIMESTAMP AS OF resolution
+    "delta_clone_scan",              # shallow clone, log-attached partitions
+    "delta_generated_partition_scan",  # generated partition column
+    "iceberg_tag_scan",              # tag read survives expiry
+    "iceberg_spec_evolution_scan",   # two spec generations, one scan
+    "iceberg_wap_publish",           # branch write-audit-publish
+    "iceberg_rewrite_manifests_scan",  # manifest-tree maintenance
+    "iceberg_timestamp_travel",      # FOR TIMESTAMP AS OF
+    "iceberg_partitions_metadata",   # $partitions manifest rollup
+    "iceberg_zorder_scan",           # z-ordered replace compaction
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list
