@@ -676,6 +676,30 @@ class DeltaLogDataSource(DataSource):
                     "write_delta_table (it renames columns to their "
                     "physicalNames)"
                 )
+            # executor-side Arrow tasks can't evaluate the table's SQL
+            # enforcement expressions; committing unvalidated rows would
+            # silently break the CHECK / generation contract — refuse
+            # loudly and point at the enforcing writer
+            from .delta import _generated_exprs
+
+            cfg = snap.metadata.get("configuration") or {}
+            ck = sorted(
+                k.split("delta.constraints.", 1)[1]
+                for k in cfg if k.startswith("delta.constraints.")
+            )
+            if ck:
+                raise ValueError(
+                    f"deltalog write: table carries CHECK constraint(s) "
+                    f"{ck}, which this writer cannot enforce — use "
+                    "write_delta_table"
+                )
+            gen = _generated_exprs(snap.metadata)
+            if gen:
+                raise ValueError(
+                    f"deltalog write: table has generated column(s) "
+                    f"{sorted(gen)}, which this writer cannot compute or "
+                    "validate — use write_delta_table"
+                )
             table_schema = StructType.fromJson(
                 json.loads(snap.metadata["schemaString"])
             )

@@ -3215,11 +3215,21 @@ def rewrite_iceberg_manifests(path: str) -> int:
         if mf.get("content", 0) == 1:
             keep_rows.append(mf)
             continue
-        n_data_manifests += 1
         mf_seq = int(mf.get("sequence_number") or 0)
         mf_snap = int(mf.get("added_snapshot_id") or sid)
         spec_id = int(mf.get("partition_spec_id") or 0)
         _, entries = load_avro(_norm_path(mf["manifest_path"], path))
+        if any(
+            int((e["data_file"] or {}).get("content") or 0) != 0
+            for e in entries
+        ):
+            # a content=0 manifest carrying delete entries is
+            # spec-ambiguous foreign output: re-dumping it with the
+            # data-entry schema would silently drop the content
+            # discriminator — carry it untouched instead
+            keep_rows.append(mf)
+            continue
+        n_data_manifests += 1
         for e in entries:
             if e["status"] == _DELETED:
                 continue

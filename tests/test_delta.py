@@ -2450,3 +2450,37 @@ class TestGeneratedColumns:
         merge_delta_table(spark, src, path, ["k"])
         got = {r.k: (r.v, r.v2x) for r in read_delta_table(spark, path).collect()}
         assert got[0] == (100, 200) and got[9] == (90, 180)
+
+
+class TestDataSourceWriterEnforcementGates:
+    """format('deltalog') writes refuse tables whose write contract
+    the executor-side Arrow path cannot enforce (CHECK constraints,
+    generated columns) — the same fail-loud pattern as the
+    column-mapping refusal; write_delta_table is the enforcing
+    writer."""
+
+    def test_refuses_constrained_and_generated_tables(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            add_delta_constraint,
+        )
+        from etl_processing_scd1_spark.sources.deltalog_datasource import (
+            DeltaLogDataSource,
+        )
+
+        spark.dataSource.register(DeltaLogDataSource)
+        ck = str(tmp_path / "ck")
+        write_delta_table(_df(spark, 0, 4), ck)
+        add_delta_constraint(spark, ck, "v_pos", "v >= 0")
+        with pytest.raises(Exception, match="CHECK constraint"):
+            _df(spark, 4, 6).write.format("deltalog").mode("append").save(ck)
+
+        gen = str(tmp_path / "gen")
+        base = spark.range(0, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        write_delta_table(base, gen, generated_columns={"v2x": "v * 2"})
+        lying = spark.createDataFrame(
+            [(9, 90, 1)], "k long, v long, v2x long"
+        )
+        with pytest.raises(Exception, match="generated column"):
+            lying.write.format("deltalog").mode("append").save(gen)
