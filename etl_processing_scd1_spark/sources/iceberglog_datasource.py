@@ -648,6 +648,18 @@ class IcebergLogDataSource(DataSource):
                 if "endingversion" in self.options else None,
             )
         sid = self.options.get("snapshotid")
+        ref = self.options.get("ref")
+        if ref is not None:
+            # .option("ref", "audit"): tag/branch reads (spec §Snapshot
+            # References) — resolved driver-side to a snapshot id once
+            if sid is not None or self._version() is not None:
+                raise ValueError(
+                    "iceberglog: 'ref' is exclusive with 'snapshotId' "
+                    "and 'versionAsOf'"
+                )
+            from .iceberg import iceberg_ref_snapshot
+
+            sid = iceberg_ref_snapshot(self._path(), ref)
         from .deltalog_datasource import pushdown_enabled
 
         cls = _IceBatchPushdownReader if pushdown_enabled() else _IceBatchReader

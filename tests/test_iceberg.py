@@ -2827,3 +2827,35 @@ class TestRewriteManifests:
         engine = _spark_rows(read_iceberg_table(spark, path))
         foreign = _norm(iceberg_snapshot_rows(path))
         assert foreign == engine
+
+
+class TestDataSourceRefReads:
+    """format('iceberglog').option('ref', ...) — tag/branch reads
+    through the Spark-native DataSource, resolved driver-side to a
+    snapshot id; exclusive with snapshotId / versionAsOf."""
+
+    def test_ref_option_reads_branch_and_tag(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            set_iceberg_ref,
+            write_iceberg_table,
+        )
+        from etl_processing_scd1_spark.sources.iceberglog_datasource import (
+            IcebergLogDataSource,
+        )
+
+        spark.dataSource.register(IcebergLogDataSource)
+        path = str(tmp_path / "refds")
+        write_iceberg_table(_df(spark, 0, 4), path)
+        set_iceberg_ref(path, "pin", ref_type="tag")
+        write_iceberg_table(_df(spark, 4, 9), path, branch="wip")
+        write_iceberg_table(_df(spark, 9, 11), path)  # main moves on
+
+        tag = spark.read.format("iceberglog").option("ref", "pin").load(path)
+        assert sorted(r.k for r in tag.collect()) == [0, 1, 2, 3]
+        br = spark.read.format("iceberglog").option("ref", "wip").load(path)
+        assert sorted(r.k for r in br.collect()) == list(range(9))
+        main = spark.read.format("iceberglog").load(path)
+        assert sorted(r.k for r in main.collect()) == [0, 1, 2, 3, 9, 10]
+        with pytest.raises(Exception, match="exclusive"):
+            spark.read.format("iceberglog").option("ref", "pin") \
+                .option("versionAsOf", 1).load(path).collect()
