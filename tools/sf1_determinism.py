@@ -172,7 +172,19 @@ def main() -> int:
     if not args.skip_oracle:
         report["oracle_probe"] = oracle_probe(args.sf, names, cap)
 
-    with open(os.path.join(REPO, "SF1_DETERMINISM.json"), "w") as fh:
+    out_path = os.path.join(REPO, "SF1_DETERMINISM.json")
+    if args.names and os.path.exists(out_path):
+        # explicit-subset run: MERGE into the standing report instead
+        # of clobbering the other queries' evidence
+        with open(out_path) as fh:
+            standing = json.load(fh)
+        standing["queries"].update(report["queries"])
+        if "oracle_probe" in report:
+            standing.setdefault("oracle_probe", {}).update(
+                report["oracle_probe"]
+            )
+        report = standing
+    with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(
         {
