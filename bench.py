@@ -156,6 +156,9 @@ HEADLINE = [
     "iceberg_timestamp_travel",      # FOR TIMESTAMP AS OF
     "iceberg_partitions_metadata",   # $partitions manifest rollup
     "iceberg_zorder_scan",           # z-ordered replace compaction
+    # round-11 additions (continued): nested types (struct/array/map)
+    "delta_nested_scan",             # nested round trip + DV delete
+    "iceberg_nested_scan",           # nested ids + upsert over nested
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

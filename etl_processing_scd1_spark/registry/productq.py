@@ -2551,3 +2551,129 @@ def delta_generated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+_DELTA_NESTED_ORACLE = """
+    SELECT CAST(vec_id % 5 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(SUM(label) AS BIGINT) AS lbl_sum,
+           CAST(SUM(CAST(round(embedding[1] * 1000) AS BIGINT)) AS BIGINT)
+             AS e1_milli
+    FROM embeddings
+    WHERE vec_id % 11 <> 0
+    GROUP BY 1
+"""
+
+
+@register("delta_nested_scan", oracle=_DELTA_NESTED_ORACLE)
+def delta_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED TYPES through the Delta writer/reader: the embeddings
+    table — ``array<float>`` plus a derived struct and a map column —
+    committed, DV-deleted, and read back. The per-group hash pins (a)
+    array elements surviving the parquet round trip bit-exact
+    (``e1_milli`` quantizes the first element), (b) struct members
+    readable via dotted paths after the DV anti-join, (c) map values
+    via ``element_at``, and (d) the delete actually erasing the
+    nested rows. Stats in the log must stay top-level-scalar (spec
+    shape) — asserted in tests/test_nested_types.py."""
+    import shutil
+
+    from ..sources.delta import (
+        delete_delta_rows,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("nested_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.struct(
+            F.col("vec_id").alias("id"),
+            (F.col("vec_id") % 5).alias("grp"),
+        ).alias("meta"),
+        F.create_map(
+            F.lit("lbl"), F.col("label").cast("long")
+        ).alias("tags"),
+    )
+    write_delta_table(emb, path)
+    delete_delta_rows(spark, path, "vec_id % 11 = 0")
+    got = read_delta_table(spark, path)
+    return got.groupBy(F.col("meta.grp").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("meta.id")).alias("id_sum"),
+        F.sum(F.element_at("tags", F.lit("lbl"))).alias("lbl_sum"),
+        F.sum(
+            F.round(F.element_at("embedding", 1) * 1000).cast("long")
+        ).alias("e1_milli"),
+    )
+
+
+_ICEBERG_NESTED_ORACLE = """
+    SELECT CAST(vec_id % 4 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN vec_id % 9 = 0 THEN -1 ELSE label END)
+                AS BIGINT) AS lbl_sum,
+           CAST(SUM(CAST(round(embedding[1] * 1000) AS BIGINT)) AS BIGINT)
+             AS e1_milli
+    FROM embeddings
+    GROUP BY 1
+"""
+
+
+@register("iceberg_nested_scan", oracle=_ICEBERG_NESTED_ORACLE)
+def iceberg_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED TYPES through the Iceberg writer/reader (spec §Schemas:
+    list/struct/map nodes with unique element/key/value field ids):
+    the embeddings table plus a struct and a map column committed,
+    then UPSERTED (equality deletes on the scalar key; the nested
+    payload of replaced rows comes from the source batch), then read
+    back. The per-group hash pins the nested round trip AND the
+    upsert's sequence-number semantics over nested payloads; id
+    stability across the two commits is pinned in
+    tests/test_nested_types.py."""
+    import shutil
+
+    from ..sources.iceberg import (
+        read_iceberg_table,
+        upsert_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_nested_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.struct(
+            F.col("vec_id").alias("id"),
+            (F.col("vec_id") % 4).alias("grp"),
+        ).alias("meta"),
+        F.create_map(
+            F.lit("lbl"), F.col("label").cast("long")
+        ).alias("tags"),
+    )
+    write_iceberg_table(emb, path)
+    upsert_iceberg_table(
+        emb.filter(F.col("vec_id") % 9 == 0)
+        .withColumn("label", F.lit(-1))
+        .withColumn(
+            "tags", F.create_map(F.lit("lbl"), F.lit(-1).cast("long"))
+        ),
+        path,
+        ["vec_id"],
+    )
+    got = read_iceberg_table(spark, path)
+    return got.groupBy(F.col("meta.grp").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("meta.id")).alias("id_sum"),
+        F.sum("label").alias("lbl_sum"),
+        F.sum(
+            F.round(F.element_at("embedding", 1) * 1000).cast("long")
+        ).alias("e1_milli"),
+    )

@@ -53,7 +53,13 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -166,6 +172,35 @@ def _latest_checkpoint_at_or_before(path: str, version: int) -> int | None:
     return best
 
 
+def _as_nullable(dt):
+    """Recursively relax nullability (struct fields, array elements,
+    map values). The log's schemaString may declare nested fields NOT
+    NULL (e.g. built from ``F.lit``), but Spark's parquet scan always
+    returns nullable nested types, and a nullable→non-nullable cast
+    is an analysis error — so every READ materializes the relaxed
+    form. The schemaString in the log keeps the writer's declaration.
+    Field metadata (generation expressions, mapping ids) is kept."""
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+            for f in dt.fields
+        ])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _as_nullable(dt.keyType), _as_nullable(dt.valueType), True
+        )
+    return dt
+
+
+def _has_nested(schema: StructType) -> bool:
+    return any(
+        isinstance(f.dataType, (StructType, ArrayType, MapType))
+        for f in schema.fields
+    )
+
+
 def _read_actions(fh_lines) -> list[dict]:
     return [json.loads(ln) for ln in fh_lines if ln.strip()]
 
@@ -185,7 +220,9 @@ class DeltaSnapshot:
 
     @property
     def schema(self) -> StructType:
-        return StructType.fromJson(json.loads(self.metadata["schemaString"]))
+        return _as_nullable(
+            StructType.fromJson(json.loads(self.metadata["schemaString"]))
+        )
 
     @property
     def partition_columns(self) -> list[str]:
@@ -905,6 +942,14 @@ def _evolved_metadata(metadata: dict, df_schema: StructType,
     for c in extra:
         fj = df_schema[c].jsonValue()
         fj["nullable"] = True  # pre-evolution files lack it
+        if cm_mode in ("name", "id") and isinstance(
+            df_schema[c].dataType, (StructType, ArrayType, MapType)
+        ):
+            raise DeltaProtocolError(
+                f"cannot evolve mapped table with nested column {c!r}: "
+                "column mapping requires a mapping id on every nested "
+                "field, which this writer does not assign"
+            )
         if cm_mode in ("name", "id"):
             max_id += 1
             fj["metadata"] = {
@@ -961,6 +1006,12 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
     for k in keys:
         if k not in cols:
             raise ValueError(f"key column {k!r} not in table schema {cols}")
+        if isinstance(snap.schema[k].dataType, MapType):
+            raise ValueError(
+                f"key column {k!r} is a map — maps have no equality in "
+                "Spark (groupBy/eqNullSafe both reject them); merge on a "
+                "scalar, struct, or array key"
+            )
     gen = _generated_exprs(snap.metadata)
     if gen:
         # a merge source may omit generated columns (computed here);
@@ -1029,9 +1080,19 @@ def merge_delta_table(spark: SparkSession, source: DataFrame, path: str,
         key_cond = c if key_cond is None else (key_cond & c)
     j = t.join(s, key_cond, "inner")
     if payload:
+        types = {f.name: f.dataType for f in snap.schema.fields}
+
+        def cmp_form(side: str, c: str):
+            # maps have no equality in Spark: compare the canonical
+            # sorted entry list instead (entry structs sort by key —
+            # map keys are always orderable scalars)
+            if isinstance(types.get(c), MapType):
+                return F.array_sort(F.map_entries(F.col(f"{side}.{c}")))
+            return F.col(f"{side}.{c}")
+
         diff = None
         for c in payload:
-            d = ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+            d = ~cmp_form("t", c).eqNullSafe(cmp_form("s", c))
             diff = d if diff is None else (diff | d)
         changed = j.filter(diff)
     else:
@@ -1257,6 +1318,12 @@ def _file_stats_json(dest: str) -> str:
         for c in range(g.num_columns):
             col = g.column(c)
             name = col.path_in_schema
+            if "." in name:
+                # nested leaf (struct member / list element / map
+                # entry): the spec's stats shape nests minValues by
+                # struct — a dotted flat key would be off-spec, and
+                # range pruning only consults top-level scalars
+                continue
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
@@ -1411,6 +1478,14 @@ def write_delta_table(
     actions: list[dict] = []
     prev_meta: dict | None = None
     if not versions:
+        if column_mapping in ("name", "id") and _has_nested(df.schema):
+            raise DeltaProtocolError(
+                "column mapping over nested schemas is not implemented: "
+                "PROTOCOL.md §Column Mapping requires a mapping id and "
+                "physicalName on EVERY nested field, which this writer "
+                "does not assign — use column_mapping='none' for nested "
+                "schemas"
+            )
         if column_mapping in ("name", "id"):
             fields = []
             for i, f in enumerate(df.schema.fields, start=1):

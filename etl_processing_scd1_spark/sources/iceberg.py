@@ -91,7 +91,16 @@ _SPARK_TO_ICE = {
 }
 
 
+def _is_nested_spark(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.StructType, T.ArrayType, T.MapType))
+
+
 def _spark_to_iceberg(dt: T.DataType) -> str:
+    """Primitive Spark type → Iceberg type STRING. Nested types raise
+    here on purpose: the callers that use type strings (bounds
+    encoding, partition-tuple values, equality-delete keys) are
+    scalar-only by spec; nested schema nodes come from
+    :func:`_spark_to_iceberg_node`."""
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision}, {dt.scale})"
     if isinstance(dt, T.TimestampType):
@@ -101,13 +110,74 @@ def _spark_to_iceberg(dt: T.DataType) -> str:
     ice = _SPARK_TO_ICE.get(type(dt))
     if ice is None:
         raise IcebergProtocolError(
-            f"unsupported column type for Iceberg v1 writer: {dt.simpleString()}"
-            " (flat scalar schemas only)"
+            f"unsupported scalar column type for the Iceberg writer: "
+            f"{dt.simpleString()}"
         )
     return ice
 
 
-def _iceberg_to_spark(ice: str) -> T.DataType:
+def _spark_to_iceberg_node(dt: T.DataType, alloc):
+    """Spark type → Iceberg schema JSON node (spec §Schemas):
+    primitives are type strings; struct/list/map are nested node
+    dicts, with ``alloc()`` assigning a FRESH unique field id to
+    every nested struct field / list element / map key / map value —
+    the spec requires ids on all nested fields, unique table-wide and
+    never reused."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = alloc()
+            fields.append({
+                "id": fid,
+                "name": f.name,
+                "required": False,
+                "type": _spark_to_iceberg_node(f.dataType, alloc),
+            })
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element-required": False,
+            "element": _spark_to_iceberg_node(dt.elementType, alloc),
+        }
+    if isinstance(dt, T.MapType):
+        kid = alloc()
+        vid = alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _spark_to_iceberg_node(dt.keyType, alloc),
+            "value-id": vid,
+            "value-required": False,
+            "value": _spark_to_iceberg_node(dt.valueType, alloc),
+        }
+    return _spark_to_iceberg(dt)
+
+
+def _iceberg_to_spark(ice) -> T.DataType:
+    """Iceberg schema node (type string or nested node dict) → Spark
+    type. Nested output is all-nullable — parquet scans return
+    nullable regardless, and the reader casts to this form."""
+    if isinstance(ice, dict):
+        t = ice.get("type")
+        if t == "struct":
+            return T.StructType([
+                T.StructField(
+                    f["name"], _iceberg_to_spark(f["type"]), True
+                )
+                for f in ice.get("fields", [])
+            ])
+        if t == "list":
+            return T.ArrayType(_iceberg_to_spark(ice["element"]), True)
+        if t == "map":
+            return T.MapType(
+                _iceberg_to_spark(ice["key"]),
+                _iceberg_to_spark(ice["value"]),
+                True,
+            )
+        raise IcebergProtocolError(f"unsupported Iceberg type node {t!r}")
     m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", ice)
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
@@ -129,6 +199,110 @@ def _iceberg_to_spark(ice: str) -> T.DataType:
     return table[ice]
 
 
+def _max_field_id(node) -> int:
+    """Largest field id anywhere in a schema node tree — what
+    ``last-column-id`` must cover (nested element/key/value ids
+    included, spec §Table Metadata)."""
+    if not isinstance(node, dict):
+        return 0
+    t = node.get("type")
+    if t == "struct":
+        return max(
+            [0]
+            + [
+                max(int(f["id"]), _max_field_id(f["type"]))
+                for f in node.get("fields", [])
+            ]
+        )
+    if t == "list":
+        return max(int(node["element-id"]), _max_field_id(node["element"]))
+    if t == "map":
+        return max(
+            int(node["key-id"]),
+            int(node["value-id"]),
+            _max_field_id(node["key"]),
+            _max_field_id(node["value"]),
+        )
+    return 0
+
+
+def _write_castable(src: T.DataType, dst: T.DataType) -> bool:
+    """True when writing ``src``-typed values into a ``dst``-typed
+    column is LOSSLESS (the spec's §Schema Evolution promotion set:
+    int→long, float→double, decimal precision widening at the same
+    scale — recursively through nested types). Anything else must
+    raise: Spark's non-ANSI cast would otherwise null out
+    incompatible values silently."""
+    from .delta import _as_nullable
+
+    if _as_nullable(src) == _as_nullable(dst):
+        return True
+    if isinstance(src, T.IntegerType) and isinstance(dst, T.LongType):
+        return True
+    if isinstance(src, T.FloatType) and isinstance(dst, T.DoubleType):
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return dst.scale == src.scale and dst.precision >= src.precision
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        return [f.name for f in src.fields] == [
+            f.name for f in dst.fields
+        ] and all(
+            _write_castable(a.dataType, b.dataType)
+            for a, b in zip(src.fields, dst.fields)
+        )
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return _write_castable(src.elementType, dst.elementType)
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        return _write_castable(src.keyType, dst.keyType) and _write_castable(
+            src.valueType, dst.valueType
+        )
+    return False
+
+
+def _align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Column ORDER and TYPES per the table schema before staging
+    files: a source column of a narrower type (int where the table
+    says long) would otherwise stage a parquet file whose physical
+    type disagrees with every other file's, breaking schema-merge
+    reads of the very snapshot being committed. Only lossless
+    promotions are cast (:func:`_write_castable`); anything lossy
+    raises instead of silently nulling values."""
+    from .delta import _as_nullable
+
+    needs = [f.name for f in schema.fields] != df.columns
+    for f in schema.fields:
+        src = df.schema[f.name].dataType
+        if _as_nullable(src) != _as_nullable(f.dataType):
+            if not _write_castable(src, f.dataType):
+                raise IcebergProtocolError(
+                    f"column {f.name!r}: cannot write "
+                    f"{src.simpleString()} values into a "
+                    f"{f.dataType.simpleString()} table column — only "
+                    "lossless promotions (int→long, float→double, "
+                    "decimal widening) are applied automatically; cast "
+                    "explicitly upstream"
+                )
+            needs = True
+    if not needs:
+        return df
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name)
+          for f in schema.fields]
+    )
+
+
+def _scalar_ice_types(schema: T.StructType) -> dict[str, str]:
+    """name → Iceberg type string for the SCALAR top-level columns
+    only. Nested columns are simply absent: they get no footer
+    bounds, cannot source a partition transform, and cannot key an
+    equality delete — the three consumers of this dict."""
+    return {
+        f.name: _spark_to_iceberg(f.dataType)
+        for f in schema.fields
+        if not _is_nested_spark(f.dataType)
+    }
+
+
 # Avro schema node for a partition-tuple field (identity transform ⇒
 # the source column's type; nullable per spec)
 _ICE_TO_AVRO = {
@@ -142,22 +316,62 @@ _ICE_TO_AVRO = {
 }
 
 
+def _prev_schema_node(prev: dict | None) -> dict | None:
+    if not prev:
+        return None
+    schema = prev.get("schema")
+    if schema is None and prev.get("schemas"):
+        schemas = {s["schema-id"]: s for s in prev["schemas"]}
+        schema = schemas.get(prev.get("current-schema-id"))
+    return schema
+
+
 def _schema_struct(schema: T.StructType,
-                   field_ids: dict[str, int] | None = None) -> dict:
+                   field_ids: dict[str, int] | None = None,
+                   prev: dict | None = None) -> dict:
+    """Iceberg schema JSON for a Spark schema. ``field_ids`` carries
+    the TOP-LEVEL name → id map (:func:`_resolved_field_ids`);
+    nested node ids are REUSED verbatim from ``prev``'s current
+    schema when the column's name and Spark type are unchanged (ids
+    are assigned once, spec §Schema Evolution), and freshly allocated
+    PAST every id the table has ever used otherwise (new nested
+    columns, or creation)."""
     ids = field_ids or {f.name: i + 1 for i, f in enumerate(schema.fields)}
-    return {
-        "type": "struct",
-        "schema-id": 0,
-        "fields": [
-            {
-                "id": ids[f.name],
-                "name": f.name,
-                "required": False,
-                "type": _spark_to_iceberg(f.dataType),
-            }
-            for f in schema.fields
-        ],
+    prev_node = _prev_schema_node(prev)
+    prev_types = {
+        f["name"]: f["type"] for f in (prev_node or {}).get("fields", [])
     }
+    next_id = max(
+        max(ids.values(), default=0),
+        int((prev or {}).get("last-column-id") or 0),
+        _max_field_id(prev_node) if prev_node else 0,
+    )
+
+    def alloc() -> int:
+        nonlocal next_id
+        next_id += 1
+        return next_id
+
+    from .delta import _as_nullable
+
+    fields = []
+    for f in schema.fields:
+        if _is_nested_spark(f.dataType):
+            node = prev_types.get(f.name)
+            if not (
+                isinstance(node, dict)
+                and _iceberg_to_spark(node) == _as_nullable(f.dataType)
+            ):
+                node = _spark_to_iceberg_node(f.dataType, alloc)
+        else:
+            node = _spark_to_iceberg(f.dataType)
+        fields.append({
+            "id": ids[f.name],
+            "name": f.name,
+            "required": False,
+            "type": node,
+        })
+    return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
 def _gate_retired_names(prev: dict, extra: list[str]) -> None:
@@ -1527,18 +1741,23 @@ def write_iceberg_table(
         missing = [f for f in schema.fields if f.name not in df.columns]
         for f in missing:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        if [f.name for f in schema.fields] != df.columns:
-            df = df.select(*[F.col(f.name) for f in schema.fields])
+        df = _align_to_schema(df, schema)
         new_version = base + 1
         table_uuid = prev["table-uuid"]
     else:
         prev = None
         schema = df.schema
-        ice0 = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+        ice0 = _scalar_ice_types(schema)
         parsed = _parse_partition_by(list(partition_by or []))
         for name, transform, src in parsed:
             if src not in df.columns:
                 raise ValueError(f"partition column {src!r} not in DataFrame")
+            if src not in ice0:
+                raise ValueError(
+                    f"partition source column {src!r} is nested "
+                    f"({df.schema[src].dataType.simpleString()}) — "
+                    "partition transforms apply to scalar columns only"
+                )
         spec_entries = [
             {
                 "name": name, "transform": transform, "source": src,
@@ -1549,7 +1768,7 @@ def write_iceberg_table(
         ]
         new_version = 1
         table_uuid = str(uuid.uuid4())
-    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    ice_types = _scalar_ice_types(schema)
     for e in spec_entries:
         if e["ice"] not in _ICE_TO_AVRO:
             raise IcebergProtocolError(
@@ -1576,6 +1795,12 @@ def _coerce_entries(spec_entries: list, ice_types: dict) -> list[dict]:
     out = []
     for i, e in enumerate(spec_entries or []):
         if isinstance(e, str):
+            if e not in ice_types:
+                raise ValueError(
+                    f"partition column {e!r} is not a scalar table "
+                    "column — partition transforms apply to scalar "
+                    "columns only"
+                )
             out.append({
                 "name": e, "transform": "identity", "source": e,
                 "fid": 1000 + i, "ice": ice_types[e],
@@ -1724,7 +1949,7 @@ def _commit_snapshot(
     seq = (
         int((prev or {}).get("last-sequence-number", 0)) + 1 if fv == 2 else None
     )
-    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    ice_types = _scalar_ice_types(schema)
     field_ids = _resolved_field_ids(prev, schema)
     spec_entries = _coerce_entries(spec_entries, ice_types)
     part_fields = [
@@ -1765,7 +1990,7 @@ def _commit_snapshot(
         _manifest_entry_schema_json(part_fields),
         entries,
         extra_meta={
-            "schema": json.dumps(_schema_struct(schema, field_ids)),
+            "schema": json.dumps(_schema_struct(schema, field_ids, prev)),
             "partition-spec": spec_json,
             "partition-spec-id": str(cur_spec_id),
             "format-version": "1",
@@ -1826,7 +2051,7 @@ def _commit_snapshot(
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id
 
-    schema_struct = _schema_struct(schema, field_ids)
+    schema_struct = _schema_struct(schema, field_ids, prev)
     meta = {
         "format-version": fv,
         "table-uuid": table_uuid,
@@ -1835,6 +2060,7 @@ def _commit_snapshot(
         "last-column-id": max(
             int((prev or {}).get("last-column-id") or 0),
             max(field_ids.values(), default=0),
+            _max_field_id(schema_struct),
         ),
         "schema": schema_struct,
         "schemas": [schema_struct],
@@ -2012,7 +2238,7 @@ def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
 
     spec_fields = _spec_fields(prev)
     schema = _spark_schema(prev)
-    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    ice_types = _scalar_ice_types(schema)
     part_fields = [
         (e["name"], e["ice"], e["fid"]) for e in _spec_entries_from_meta(prev)
     ]
@@ -2039,7 +2265,7 @@ def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
         ],
         extra_meta={
             "schema": json.dumps(
-                _schema_struct(schema, _resolved_field_ids(prev, schema))
+                _schema_struct(schema, _resolved_field_ids(prev, schema), prev)
             ),
             "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": str(_default_spec_id(prev)),
@@ -2124,14 +2350,14 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
     )
     spec_fields = _spec_fields(prev)
     spec_entries = _spec_entries_from_meta(prev)
-    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    ice_types = _scalar_ice_types(schema)
     field_ids = _resolved_field_ids(prev, schema)
     part_fields = [(e["name"], e["ice"], e["fid"]) for e in spec_entries]
     new_files = _stage_data_files(updated, path, spec_entries, ice_types,
                                   field_ids)
     data_manifest = _data_manifest_row(
         path, new_files, snapshot_id, seq, schema, spec_fields, part_fields,
-        field_ids, spec_id=_default_spec_id(prev),
+        field_ids, spec_id=_default_spec_id(prev), prev=prev,
     )
     return _commit_v2_tail(
         path, base, prev, parent_id, snapshot_id, seq, now_ms,
@@ -2149,7 +2375,7 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
                        seq: int, schema: T.StructType, spec_fields: list,
                        part_fields: list,
                        field_ids: dict[str, int] | None = None,
-                       spec_id: int = 0) -> dict:
+                       spec_id: int = 0, prev: dict | None = None) -> dict:
     """Write a v2 DATA manifest (entry content=0) for already-staged
     files → its manifest-list row."""
     manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
@@ -2175,7 +2401,7 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
             for p, part_vals, n, size, lo, hi in new_files
         ],
         extra_meta={
-            "schema": json.dumps(_schema_struct(schema, field_ids)),
+            "schema": json.dumps(_schema_struct(schema, field_ids, prev)),
             "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": str(spec_id),
             "format-version": "2",
@@ -2513,6 +2739,11 @@ def evolve_iceberg_partition_spec(path: str,
                 f"partition source column {source!r} not in table schema "
                 f"{sorted(src_types)}"
             )
+        if isinstance(src_types[source], dict):
+            raise IcebergProtocolError(
+                f"partition source column {source!r} is nested — "
+                "partition transforms apply to scalar columns only"
+            )
         ice = _transform_result_ice(transform, src_types[source])
         kind, _n = _parse_transform(transform)
         if kind == "bucket" and src_types[source] not in (
@@ -2826,6 +3057,12 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
         for c in key_cols:
             if c not in df.columns:
                 raise ValueError(f"key column {c!r} not in DataFrame")
+            if _is_nested_spark(df.schema[c].dataType):
+                raise ValueError(
+                    f"key column {c!r} is nested "
+                    f"({df.schema[c].dataType.simpleString()}) — "
+                    "equality-delete keys must be scalar columns"
+                )
         return write_iceberg_table(df, path)
 
     prev = _load_metadata(path, base)
@@ -2839,6 +3076,13 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
             raise ValueError(
                 f"key column {c!r} must exist in both the table schema "
                 "and the DataFrame"
+            )
+        if _is_nested_spark(schema[c].dataType):
+            raise ValueError(
+                f"key column {c!r} is nested "
+                f"({schema[c].dataType.simpleString()}) — equality-"
+                "delete keys must be scalar columns (spec §Equality "
+                "Delete Files)"
             )
     extra = [c for c in df.columns if c not in known]
     if extra:
@@ -2855,18 +3099,17 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
     for f in schema.fields:
         if f.name not in df.columns:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    if [f.name for f in schema.fields] != df.columns:
-        df = df.select(*[F.col(f.name) for f in schema.fields])
+    df = _align_to_schema(df, schema)
 
     seq = int(prev.get("last-sequence-number", 0)) + 1
     spec_fields = _spec_fields(prev)
     spec_entries = _spec_entries_from_meta(prev)
-    ice_types = {f.name: _spark_to_iceberg(f.dataType) for f in schema.fields}
+    ice_types = _scalar_ice_types(schema)
     field_ids = _resolved_field_ids(prev, schema)
     if extra:
         # thread the EVOLVED schema into the commit tail: new fields
         # with their fresh ids, last-column-id bumped (never reused)
-        evolved = _schema_struct(schema, field_ids)
+        evolved = _schema_struct(schema, field_ids, prev)
         prev = {
             **prev,
             "schema": evolved,
@@ -2874,6 +3117,7 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
             "last-column-id": max(
                 int(prev.get("last-column-id") or 0),
                 max(field_ids.values(), default=0),
+                _max_field_id(evolved),
             ),
         }
     part_fields = [(e["name"], e["ice"], e["fid"]) for e in spec_entries]
@@ -2915,7 +3159,7 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
 
     entry_schema = _manifest_entry_schema_json(part_fields, with_content=True)
     manifest_meta = {
-        "schema": json.dumps(_schema_struct(schema, field_ids)),
+        "schema": json.dumps(_schema_struct(schema, field_ids, prev)),
         "partition-spec": json.dumps(spec_fields),
         "partition-spec-id": str(_default_spec_id(prev)),
         "format-version": "2",
@@ -2923,7 +3167,7 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
     new_manifests: list[dict] = [
         _data_manifest_row(
             path, new_files, snapshot_id, seq, schema, spec_fields,
-            part_fields, field_ids, spec_id=_default_spec_id(prev),
+            part_fields, field_ids, spec_id=_default_spec_id(prev), prev=prev,
         )
     ]
 

@@ -686,17 +686,35 @@ class IcebergLogDataSource(DataSource):
             return None
         return _resolved_field_ids(_load_metadata(self._path(), None), schema)
 
-    def writer(self, schema: StructType, overwrite: bool):
-        part = self.options.get("partitionby")
+    @staticmethod
+    def _parse_partition_by(options, schema: StructType) -> list[str]:
+        part = options.get("partitionby")
         partition_by = [c.strip() for c in part.split(",")] if part else []
+        from .iceberg import _scalar_ice_types
+
+        scalars = _scalar_ice_types(schema)
+        for c in partition_by:
+            # validated DRIVER-SIDE: an executor-side KeyError on a
+            # nested/unknown partition column would surface as an
+            # opaque task failure after data was already staged
+            if c not in scalars:
+                raise ValueError(
+                    f"partitionBy column {c!r} is not a scalar column "
+                    f"of the write schema {schema.fieldNames()} — "
+                    "identity partitioning applies to scalar columns "
+                    "only"
+                )
+        return partition_by
+
+    def writer(self, schema: StructType, overwrite: bool):
+        partition_by = self._parse_partition_by(self.options, schema)
         return _IceWriter(
             self._path(), schema, overwrite, partition_by,
             self._resolved_ids(schema),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
-        part = self.options.get("partitionby")
-        partition_by = [c.strip() for c in part.split(",")] if part else []
+        partition_by = self._parse_partition_by(self.options, schema)
         return _IceStreamWriter(
             self._path(), schema, partition_by,
             self.options.get("appid", "iceberglog-stream"),
@@ -745,13 +763,14 @@ class _IceWriter(DataSourceArrowWriter):
 
         from .iceberg import (
             _footer_bounds,
-            _spark_to_iceberg,
+            _scalar_ice_types,
             _typed_part_value,
         )
 
-        ice_types = {
-            f.name: _spark_to_iceberg(f.dataType) for f in self.schema_.fields
-        }
+        # scalar columns only: nested columns get no footer bounds and
+        # cannot be identity-partition sources (same contract as the
+        # batch writer's _stage_data_files)
+        ice_types = _scalar_ice_types(self.schema_)
         field_ids = self.field_ids
         batches = list(iterator)
         files: list = []

@@ -297,10 +297,17 @@ class TestIcebergProtocol:
         with pytest.raises(IcebergProtocolError, match="equality_ids"):
             read_iceberg_table(spark, path)
 
-    def test_nested_schema_refused_by_writer(self, spark, tmp_path):
-        df = spark.range(3).select(F.struct(F.col("id")).alias("s"))
-        with pytest.raises(IcebergProtocolError, match="flat scalar"):
-            write_iceberg_table(df, str(tmp_path / "t9"))
+    def test_nested_schema_round_trips(self, spark, tmp_path):
+        # formerly a "flat scalar schemas only" writer gate; nested
+        # types are now first-class (full coverage in
+        # tests/test_nested_types.py)
+        df = spark.range(3).select(
+            F.col("id").alias("k"), F.struct(F.col("id")).alias("s")
+        )
+        path = str(tmp_path / "t9")
+        write_iceberg_table(df, path)
+        got = read_iceberg_table(spark, path)
+        assert sorted(r.s.id for r in got.collect()) == [0, 1, 2]
 
 
 class TestForeignTable:

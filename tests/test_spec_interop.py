@@ -553,6 +553,22 @@ def _norm(rows) -> list[tuple]:
             return round(v, 9)
         if isinstance(v, (datetime.date, datetime.datetime)):
             return v.isoformat()
+        if hasattr(v, "asDict"):  # pyspark Row (struct value)
+            return tuple(
+                sorted((n, one(x)) for n, x in v.asDict().items())
+            )
+        if isinstance(v, dict):  # arrow struct / Spark map
+            return tuple(sorted((one(k), one(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            items = tuple(one(x) for x in v)
+            # arrow MAP values arrive as a list of (key, value) pairs
+            # while Spark maps arrive as dicts — canonicalize both to
+            # key-sorted pair tuples
+            if items and all(
+                isinstance(x, tuple) and len(x) == 2 for x in items
+            ):
+                return tuple(sorted(items))
+            return items
         return v
 
     return sorted((tuple(one(v) for v in r) for r in rows), key=repr)
@@ -741,3 +757,65 @@ class TestIcebergInterop:
             (k, str(t)[:19], v) for k, t, v in want
         )
         assert norm_got == norm_want
+
+
+class TestNestedInterop:
+    """Nested struct/array/map fixtures read through the independent
+    spec-replay path: the engine's writers claim stock-reader
+    compatibility, and nested schema nodes (element-id/key-id/
+    value-id, struct-member ids) are exactly where a non-spec-shaped
+    schema JSON or a mis-resolved column would surface."""
+
+    @staticmethod
+    def _nested(spark, lo, hi):
+        from pyspark.sql import functions as F
+
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.array(
+                (F.col("id") * 0.5).cast("double"),
+                (F.col("id") * 2.0).cast("double"),
+            ).alias("emb"),
+            F.struct(
+                F.col("id").alias("id"),
+                F.concat(F.lit("t"), (F.col("id") % 3)).alias("tag"),
+            ).alias("meta"),
+            F.create_map(F.lit("a"), F.col("id")).alias("m"),
+        )
+
+    def test_delta_nested_dv_delete(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delete_delta_rows,
+            read_delta_table,
+            write_delta_table,
+        )
+
+        path = str(tmp_path / "dn")
+        write_delta_table(self._nested(spark, 0, 80), path)
+        write_delta_table(
+            self._nested(spark, 80, 100), path, mode="append"
+        )
+        delete_delta_rows(spark, path, "k % 5 = 0")
+        assert _norm(delta_snapshot_rows(path)) == _spark_rows(
+            read_delta_table(spark, path)
+        )
+
+    def test_iceberg_nested_upsert(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            read_iceberg_table,
+            upsert_iceberg_table,
+            write_iceberg_table,
+        )
+
+        path = str(tmp_path / "in")
+        write_iceberg_table(self._nested(spark, 0, 80), path)
+        upsert_iceberg_table(
+            self._nested(spark, 40, 90).withColumn("v", F.lit(-1).cast("long")),
+            path, ["k"],
+        )
+        assert _norm(iceberg_snapshot_rows(path)) == _spark_rows(
+            read_iceberg_table(spark, path)
+        )
