@@ -159,6 +159,7 @@ HEADLINE = [
     # round-11 additions (continued): nested types (struct/array/map)
     "delta_nested_scan",             # nested round trip + DV delete
     "iceberg_nested_scan",           # nested ids + upsert over nested
+    "delta_identity_scan",           # GENERATED ALWAYS id allocation
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -2677,3 +2677,51 @@ def iceberg_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("embedding", 1) * 1000).cast("long")
         ).alias("e1_milli"),
     )
+
+
+_DELTA_IDENTITY_ORACLE = """
+    WITH n AS (SELECT count(*) AS c FROM orders)
+    SELECT CAST(c AS BIGINT) AS n_rows,
+           CAST(c AS BIGINT) AS n_ids,
+           CAST(10 AS BIGINT) AS min_id,
+           CAST(10 + 3 * (c - 1) AS BIGINT) AS max_id,
+           CAST(0 AS BIGINT) AS lattice_rem
+    FROM n
+"""
+
+
+@register("delta_identity_scan", oracle=_DELTA_IDENTITY_ORACLE)
+def delta_identity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS (PROTOCOL.md §Identity Columns,
+    minWriterVersion 6): the table is created with ``rid`` GENERATED
+    ALWAYS (start 10, step 3); the creating write and a second append
+    both OMIT the column — the writer assigns CONTIGUOUS lattice
+    values from the stored high water mark (per-partition counts +
+    offsets, no global sort) and advances the watermark in the same
+    commit. Contiguity makes the whole allocation ORACLE-CHECKABLE:
+    n distinct ids == n rows, min == start, max == start + step*(n-1),
+    and every id on the start/step lattice (``lattice_rem`` must be
+    exactly 0). A generator that reused a value, skipped the
+    watermark, or drifted off the lattice fails the hash."""
+    import shutil
+
+    from ..sources.delta import read_delta_table, write_delta_table
+
+    path = _delta_dir("identity_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    write_delta_table(
+        orders.filter(F.col("o_orderkey") % 2 == 0), path,
+        identity_columns={"rid": (10, 3)},
+    )
+    write_delta_table(
+        orders.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+    )
+    got = read_delta_table(spark, path)
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("rid").alias("n_ids"),
+        F.min("rid").alias("min_id"),
+        F.max("rid").alias("max_id"),
+        F.sum((F.col("rid") - 10) % 3).alias("lattice_rem"),
+    )

@@ -847,6 +847,12 @@ def update_delta_rows(spark: SparkSession, path: str, condition: str,
     unknown = [c for c in set_exprs if c not in cols]
     if unknown:
         raise ValueError(f"SET columns {unknown} not in table schema {cols}")
+    ident = sorted(set(set_exprs) & set(_identity_specs(snap.metadata)))
+    if ident:
+        raise DeltaProtocolError(
+            f"cannot UPDATE identity column(s) {ident} — they are "
+            "GENERATED ALWAYS (PROTOCOL.md §Identity Columns)"
+        )
     scan, abs_to_rel = _visible_scan(spark, path, snap)
     hits = scan.filter(condition)
     kill_rows = (
@@ -920,6 +926,106 @@ def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
                     "omit the column to have it computed"
                 )
     return df
+
+
+def _identity_specs(metadata: dict) -> dict[str, dict]:
+    """column → {start, step, highWaterMark} for every field whose
+    schemaString metadata carries the PROTOCOL.md §Identity Columns
+    keys (``delta.identity.start`` / ``.step`` / ``.highWaterMark``).
+    highWaterMark is absent until the first generating write."""
+    out = {}
+    for f in json.loads(metadata["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.identity.start" in md:
+            out[f["name"]] = {
+                "start": int(md["delta.identity.start"]),
+                "step": int(md["delta.identity.step"]),
+                "highWaterMark": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md else None
+                ),
+            }
+    return out
+
+
+def _assign_identity(df: DataFrame, name: str, base: int,
+                     step: int) -> tuple[DataFrame, int | None]:
+    """CONTIGUOUS identity values ``base, base+step, …`` without a
+    global sort or a one-partition funnel: per-partition counts (one
+    metadata-scale job, collect bounded by the partition count) →
+    cumulative offsets → ``offset + intra-partition row_number``.
+    The only shuffle is the row_number window's hash on the partition
+    id — balanced by construction. Returns (df, new highWaterMark);
+    None when the frame is empty (the watermark must not move).
+
+    Precondition (same as Spark's own zipWithIndex): the input's
+    partitioning is deterministic between the count job and the write
+    job — true for file scans and deterministic shuffles, which is
+    what a write sees."""
+    from pyspark.sql.window import Window
+
+    tagged = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["n"]
+        for r in tagged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    if not counts:
+        return df.withColumn(name, F.lit(None).cast("long")), None
+    offsets, run = {}, 0
+    for p in sorted(counts):
+        offsets[p] = run
+        run += counts[p]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    out = (
+        tagged.withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn(
+            name,
+            (
+                F.lit(base)
+                + (F.col("__rn") + omap[F.col("__pid")]) * F.lit(step)
+            ).cast("long"),
+        )
+        .drop("__pid", "__rn")
+    )
+    return out, base + step * (run - 1)
+
+
+def _apply_identity(df: DataFrame, metadata: dict) -> tuple[DataFrame, dict]:
+    """Writer obligation for identity columns (GENERATED ALWAYS):
+    the writer must never accept explicit values, and each generating
+    write advances ``delta.identity.highWaterMark`` in the SAME
+    commit's metaData. Returns (df with generated columns, updated
+    metadata — identical object when no identity columns exist)."""
+    specs = _identity_specs(metadata)
+    if not specs:
+        return df, metadata
+    explicit = [c for c in specs if c in df.columns]
+    if explicit:
+        raise DeltaProtocolError(
+            f"identity column(s) {explicit} are GENERATED ALWAYS — "
+            "omit them from the DataFrame; the writer assigns values "
+            "(PROTOCOL.md §Identity Columns)"
+        )
+    sj = json.loads(metadata["schemaString"])
+    for name, spec in sorted(specs.items()):
+        hwm = spec["highWaterMark"]
+        base = spec["start"] if hwm is None else hwm + spec["step"]
+        df, new_hwm = _assign_identity(df, name, base, spec["step"])
+        if new_hwm is not None:
+            for f in sj["fields"]:
+                if f["name"] == name:
+                    f["metadata"] = {
+                        **(f.get("metadata") or {}),
+                        "delta.identity.highWaterMark": new_hwm,
+                    }
+    new_meta = dict(metadata)
+    new_meta["schemaString"] = json.dumps(sj)
+    return df, new_meta
 
 
 def _evolved_metadata(metadata: dict, df_schema: StructType,
@@ -1415,6 +1521,7 @@ def write_delta_table(
     txn: tuple[str, int] | None = None,
     column_mapping: str = "none",
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the new
     version. ``mode='append'`` adds files; ``mode='overwrite'`` also
@@ -1442,6 +1549,16 @@ def write_delta_table(
     default to on evolved tables. Appends to a mapped table inherit
     the mapping automatically (the incoming DataFrame keeps using
     logical names).
+
+    ``identity_columns={'col': (start, step)}`` (creation only,
+    PROTOCOL.md §Identity Columns, minWriterVersion 6): the column is
+    appended to the schema as a GENERATED ALWAYS long — writes must
+    OMIT it; the writer assigns CONTIGUOUS values from the stored
+    high water mark (per-partition counts + offsets — no global sort,
+    :func:`_assign_identity`) and advances
+    ``delta.identity.highWaterMark`` in the same commit. Explicit
+    values raise. MERGE is the one exception: its sources carry
+    read-back rows whose ids are already table values.
 
     ``generated_columns={'col': 'sql expr'}`` (creation only,
     PROTOCOL.md §Generated Columns, minWriterVersion 4): the
@@ -1472,6 +1589,23 @@ def write_delta_table(
                 "created"
             )
         df = _apply_generated(df, generated_columns)
+    if identity_columns:
+        if versions:
+            raise ValueError(
+                "identity_columns can only be set when the table is "
+                "created (retrofitting existing rows is a backfill)"
+            )
+        if column_mapping != "none":
+            raise DeltaProtocolError(
+                "identity_columns with column mapping is not "
+                "implemented — create the table unmapped"
+            )
+        clash = [c for c in identity_columns if c in df.columns]
+        if clash:
+            raise DeltaProtocolError(
+                f"identity column(s) {clash} are GENERATED ALWAYS — "
+                "omit them from the creating DataFrame"
+            )
 
     cm: dict[str, str] = {}  # logical -> physical (empty: unmapped)
     cm_ids: dict[str, int] = {}  # logical -> field id (id mode stamps)
@@ -1530,6 +1664,27 @@ def write_delta_table(
             protocol["minWriterVersion"] = max(
                 int(protocol["minWriterVersion"]), 4
             )
+        if identity_columns:
+            sj = json.loads(schema_string)
+            for name, spec in sorted(identity_columns.items()):
+                start, step = int(spec[0]), int(spec[1])
+                if step == 0:
+                    raise ValueError("identity step must be non-zero")
+                sj["fields"].append({
+                    "name": name,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.identity.start": start,
+                        "delta.identity.step": step,
+                        "delta.identity.allowExplicitInsert": False,
+                    },
+                })
+            schema_string = json.dumps(sj)
+            # §Writer Version Requirements: identity columns need 6+
+            protocol["minWriterVersion"] = max(
+                int(protocol["minWriterVersion"]), 6
+            )
         actions.append({"protocol": protocol})
         actions.append(
             {
@@ -1545,6 +1700,11 @@ def write_delta_table(
                 }
             }
         )
+        if identity_columns:
+            # generate the creating batch's values and stamp the high
+            # water mark into the SAME commit's metaData
+            df, gen_meta = _apply_identity(df, actions[-1]["metaData"])
+            actions[-1] = {"metaData": gen_meta}
     else:
         snap = _replay(spark, path, versions[-1])
         prev_meta = snap.metadata
@@ -1552,6 +1712,10 @@ def write_delta_table(
         if gen:
             df = _apply_generated(df, gen)
         _enforce_constraints(df, snap.metadata)
+        df, ident_meta = _apply_identity(df, snap.metadata)
+        meta_dirty = ident_meta is not snap.metadata
+        if meta_dirty:
+            snap.metadata = ident_meta
         partition_by = partition_by or snap.partition_columns
         cm = snap.column_mapping or {}
         cm_mode = (snap.metadata.get("configuration") or {}).get(
@@ -1568,6 +1732,9 @@ def write_delta_table(
             if cm_mode == "id":
                 cm_ids = snap.column_mapping_ids or {}
             actions.append({"metaData": new_meta})
+        elif meta_dirty:
+            # identity high-water-mark advance rides the same commit
+            actions.append({"metaData": snap.metadata})
         if mode == "overwrite":
             for p, add in sorted(snap.files.items()):
                 actions.append({"remove": _remove_action(p, add, now_ms)})

@@ -700,6 +700,16 @@ class DeltaLogDataSource(DataSource):
                     f"{sorted(gen)}, which this writer cannot compute or "
                     "validate — use write_delta_table"
                 )
+            from .delta import _identity_specs
+
+            ident = _identity_specs(snap.metadata)
+            if ident:
+                raise ValueError(
+                    f"deltalog write: table has identity column(s) "
+                    f"{sorted(ident)} (GENERATED ALWAYS) — executor-side "
+                    "tasks cannot allocate high-water-mark-correct "
+                    "values; use write_delta_table"
+                )
             table_schema = StructType.fromJson(
                 json.loads(snap.metadata["schemaString"])
             )

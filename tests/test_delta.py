@@ -2484,3 +2484,108 @@ class TestDataSourceWriterEnforcementGates:
         )
         with pytest.raises(Exception, match="generated column"):
             lying.write.format("deltalog").mode("append").save(gen)
+
+
+class TestIdentityColumns:
+    """PROTOCOL.md §Identity Columns (minWriterVersion 6): GENERATED
+    ALWAYS long columns the writer assigns from a stored high water
+    mark, advanced in the same commit's metaData."""
+
+    def test_generation_contiguous_and_watermark(self, spark, tmp_path):
+        path = str(tmp_path / "ident")
+        df = spark.range(0, 50).selectExpr("id * 2 AS k").repartition(4)
+        write_delta_table(df, path, identity_columns={"rid": (10, 3)})
+        ids = sorted(r.rid for r in read_delta_table(spark, path).collect())
+        # contiguous lattice from start, one value per row
+        assert ids == list(range(10, 10 + 3 * 50, 3))
+        # appends continue past the stored watermark — never reuse
+        write_delta_table(
+            spark.range(50, 80).selectExpr("id * 2 AS k"), path,
+            mode="append",
+        )
+        ids2 = sorted(r.rid for r in read_delta_table(spark, path).collect())
+        assert len(set(ids2)) == 80 and ids2[-1] == 10 + 3 * 79
+        # protocol requires writer 6
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "_delta_log", "0" * 20 + ".json")) as fh:
+            proto = next(
+                _json.loads(ln)["protocol"] for ln in fh
+                if '"protocol"' in ln
+            )
+        assert proto["minWriterVersion"] >= 6
+
+    def test_generated_always_gates(self, spark, tmp_path):
+        path = str(tmp_path / "ident")
+        df = spark.range(0, 10).selectExpr("id AS k")
+        write_delta_table(df, path, identity_columns={"rid": (1, 1)})
+        # explicit values refused on append
+        with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+            write_delta_table(
+                read_delta_table(spark, path), path, mode="append"
+            )
+        # UPDATE of the identity column refused
+        from etl_processing_scd1_spark.sources.delta import (
+            update_delta_rows,
+        )
+
+        with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+            update_delta_rows(spark, path, "k = 1", {"rid": "999"})
+        # creation with the column already present refused
+        with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+            write_delta_table(
+                spark.range(3).selectExpr("id AS k", "id AS rid"),
+                str(tmp_path / "other"),
+                identity_columns={"rid": (1, 1)},
+            )
+        # creation-only flag
+        with pytest.raises(ValueError, match="created"):
+            write_delta_table(
+                df, path, mode="append", identity_columns={"x": (1, 1)}
+            )
+
+    def test_overwrite_never_reuses_values(self, spark, tmp_path):
+        path = str(tmp_path / "ident")
+        write_delta_table(
+            spark.range(0, 20).selectExpr("id AS k"), path,
+            identity_columns={"rid": (1, 1)},
+        )
+        write_delta_table(
+            spark.range(0, 5).selectExpr("id AS k"), path,
+            mode="overwrite",
+        )
+        ids = sorted(r.rid for r in read_delta_table(spark, path).collect())
+        # the overwrite's rows continue PAST the old watermark (the
+        # spec's watermark never decreases — ids are never recycled)
+        assert ids == [21, 22, 23, 24, 25]
+
+    def test_empty_append_keeps_watermark(self, spark, tmp_path):
+        path = str(tmp_path / "ident")
+        write_delta_table(
+            spark.range(0, 7).selectExpr("id AS k"), path,
+            identity_columns={"rid": (1, 1)},
+        )
+        empty = spark.range(0, 0).selectExpr("id AS k")
+        write_delta_table(empty, path, mode="append")
+        write_delta_table(
+            spark.range(7, 9).selectExpr("id AS k"), path, mode="append"
+        )
+        ids = sorted(r.rid for r in read_delta_table(spark, path).collect())
+        assert ids == list(range(1, 10))
+
+    def test_datasource_writer_refuses_identity_tables(
+        self, spark, tmp_path
+    ):
+        from etl_processing_scd1_spark.sources import ensure_datasources
+
+        ensure_datasources(spark)
+        path = str(tmp_path / "ident")
+        write_delta_table(
+            spark.range(0, 5).selectExpr("id AS k"), path,
+            identity_columns={"rid": (1, 1)},
+        )
+        with pytest.raises(Exception, match="identity"):
+            spark.range(5, 8).selectExpr("id AS k").write.format(
+                "deltalog"
+            ).mode("append").save(path)
