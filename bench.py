@@ -160,6 +160,8 @@ HEADLINE = [
     "delta_nested_scan",             # nested round trip + DV delete
     "iceberg_nested_scan",           # nested ids + upsert over nested
     "delta_identity_scan",           # GENERATED ALWAYS id allocation
+    "delta_convert_scan",            # CONVERT TO DELTA in place
+    "iceberg_add_files_scan",        # snapshot/add_files migration
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -2725,3 +2725,118 @@ def delta_identity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rid").alias("max_id"),
         F.sum((F.col("rid") - 10) % 3).alias("lattice_rem"),
     )
+
+
+_DELTA_CONVERT_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM customer
+    WHERE c_custkey % 6 <> 0
+    GROUP BY 1
+"""
+
+
+@register("delta_convert_scan", oracle=_DELTA_CONVERT_ORACLE)
+def delta_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA (``convert_parquet_to_delta``): a plain
+    hive-partitioned parquet directory — written by anything — is
+    registered IN PLACE as a Delta table (v0 = protocol + metaData +
+    one add per discovered file, footer stats read EXECUTOR-side; no
+    data is read or moved), then immediately treated as a full
+    citizen: a DV DELETE lands on the migrated files and the
+    per-segment hash pins the combined result. partition_schema types
+    the directory column as string — directory inference alone would
+    type it from the values (the stock CONVERT's PARTITIONED BY
+    clause)."""
+    import shutil
+
+    from ..sources.delta import (
+        convert_parquet_to_delta,
+        delete_delta_rows,
+        read_delta_table,
+    )
+
+    path = _delta_dir("convert_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    cust.write.partitionBy("segment").parquet(path)
+    convert_parquet_to_delta(spark, path, partition_schema={"segment": "string"})
+    delete_delta_rows(spark, path, "c_custkey % 6 = 0")
+    got = read_delta_table(spark, path)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+_ICEBERG_ADD_FILES_ORACLE = """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 0
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                    END) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@register("iceberg_add_files_scan", oracle=_ICEBERG_ADD_FILES_ORACLE)
+def iceberg_add_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot + add_files (``add_parquet_files_iceberg``): two
+    foreign hive-layout parquet directories are registered into one
+    Iceberg table across two commits — absolute-path manifest entries
+    with footer bounds, NO data movement — then an UPSERT zeroes
+    every 10th order. The migrated files carry no parquet field ids,
+    so the upsert's equality deletes must erase their rows through
+    the ``schema.name-mapping.default`` this commit records (§Column
+    Projection) — a reader that resolves foreign columns wrong
+    either keeps the replaced rows or nulls the column, and fails
+    the per-status hash either way."""
+    import shutil
+
+    from ..sources.iceberg import (
+        add_parquet_files_iceberg,
+        read_iceberg_table,
+        upsert_iceberg_table,
+    )
+
+    s1 = _delta_dir("addfiles_src1")
+    s2 = _delta_dir("addfiles_src2")
+    path = _delta_dir("ice_add_files")
+    for d in (s1, s2, path):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.partitionBy(
+        "status"
+    ).parquet(s1)
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.partitionBy(
+        "status"
+    ).parquet(s2)
+    add_parquet_files_iceberg(
+        spark, s1, path, partition_schema={"status": "string"}
+    )
+    add_parquet_files_iceberg(
+        spark, s2, path, partition_schema={"status": "string"}
+    )
+    upsert_iceberg_table(
+        orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "cents", F.lit(0).cast("long")
+        ),
+        path,
+        ["o_orderkey"],
+    )
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )

@@ -1405,17 +1405,13 @@ def delta_history(path: str) -> list[dict]:
     return out
 
 
-def _file_stats_json(dest: str) -> str:
-    """Per-file statistics from the parquet FOOTER (no data read) in
-    the spec's ``stats`` shape — numRecords + minValues/maxValues/
-    nullCount for scalar columns. The reader's predicate pruning and
-    the ``deltalog`` data source's filter pushdown both plan from
-    these, which is the spec's file-skipping mechanism."""
+def _footer_stats_dict(md) -> dict:
+    """Pure footer → spec-shaped stats dict (numRecords + minValues/
+    maxValues/nullCount over top-level scalar columns). Executor-safe:
+    the distributed footer scan (:func:`_scan_footers_distributed`)
+    calls it inside mapInPandas."""
     import datetime
 
-    import pyarrow.parquet as pq
-
-    md = pq.read_metadata(dest)
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
@@ -1448,14 +1444,24 @@ def _file_stats_json(dest: str) -> str:
             if name not in maxs or mx > maxs[name]:
                 maxs[name] = mx
             nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
+def _file_stats_json(dest: str) -> str:
+    """Per-file statistics from the parquet FOOTER (no data read) in
+    the spec's ``stats`` shape — numRecords + minValues/maxValues/
+    nullCount for scalar columns. The reader's predicate pruning and
+    the ``deltalog`` data source's filter pushdown both plan from
+    these, which is the spec's file-skipping mechanism."""
+    import pyarrow.parquet as pq
+
     return json.dumps(
-        {
-            "numRecords": md.num_rows,
-            "minValues": mins,
-            "maxValues": maxs,
-            "nullCount": nulls,
-        },
-        separators=(",", ":"),
+        _footer_stats_dict(pq.read_metadata(dest)), separators=(",", ":")
     )
 
 
@@ -3030,3 +3036,171 @@ def vacuum_delta_table(
                 os.unlink(abs_f)
                 deleted.append(rel)
     return sorted(deleted)
+
+
+# --------------------------------------------------------------------------
+# CONVERT TO DELTA (in-place migration of an existing parquet layout)
+# --------------------------------------------------------------------------
+
+def _walk_hive_parquet(path: str) -> list[tuple[str, dict[str, str | None]]]:
+    """Discover a hive-layout parquet directory: (relative file path,
+    {partition column: string value or None}) per data file, skipping
+    log/metadata/staging directories and hidden files. Partition
+    directory names are URL-unescaped the way Spark writes them;
+    ``__HIVE_DEFAULT_PARTITION__`` maps to None. Raises when files
+    disagree on the partition column set — a mixed layout cannot be
+    registered as one table."""
+    from urllib.parse import unquote
+
+    out: list[tuple[str, dict[str, str | None]]] = []
+    part_keys: list[str] | None = None
+    for root, _dirs, fns in os.walk(path):
+        segs = (
+            [] if os.path.abspath(root) == os.path.abspath(path)
+            else os.path.relpath(root, path).split(os.sep)
+        )
+        if any(
+            s.startswith(("_", ".")) for s in segs
+        ):
+            continue
+        pv: dict[str, str | None] = {}
+        for s in segs:
+            if "=" not in s:
+                raise ValueError(
+                    f"non-hive directory {s!r} under {path} — CONVERT "
+                    "expects a flat or hive-partitioned parquet layout"
+                )
+            k, _, v = s.partition("=")
+            v = unquote(v)
+            pv[unquote(k)] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        for fn in sorted(fns):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            keys = list(pv)
+            if part_keys is None:
+                part_keys = keys
+            elif keys != part_keys:
+                raise ValueError(
+                    f"inconsistent partition layout: {keys} vs "
+                    f"{part_keys} under {path}"
+                )
+            out.append((
+                os.path.join(*segs, fn) if segs else fn, dict(pv)
+            ))
+    return sorted(out)
+
+
+def _scan_footers_distributed(
+    spark: SparkSession, paths: list[str]
+) -> dict[str, tuple[int, int, dict]]:
+    """abs path → (num_rows, size_bytes, stats dict) with the footer
+    reads running ON EXECUTORS via Arrow ``mapInPandas`` — a 100 TB
+    convert has 1e5–1e6 files, and the driver must only collect one
+    metadata-scale row per file, never open a million footers
+    serially."""
+    import pandas as pd
+
+    def scan(batches):
+        import json as _json
+        import os as _os
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = _pq.read_metadata(p)
+                rows.append((
+                    p,
+                    md.num_rows,
+                    _os.path.getsize(p),
+                    _json.dumps(
+                        _footer_stats_dict(md), separators=(",", ":")
+                    ),
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["path", "num_rows", "size", "stats"]
+            )
+
+    src = spark.createDataFrame(
+        pd.DataFrame({"path": paths})
+    ).repartition(max(1, min(len(paths), 64)))
+    got = src.mapInPandas(
+        scan, "path string, num_rows long, size long, stats string"
+    ).collect()
+    return {
+        r["path"]: (int(r["num_rows"]), int(r["size"]), json.loads(r["stats"]))
+        for r in got
+    }
+
+
+def convert_parquet_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_schema: dict[str, str] | None = None,
+) -> int:
+    """``CONVERT TO DELTA parquet.`path``` — register an existing
+    (optionally hive-partitioned) parquet directory as a Delta table
+    IN PLACE: no data file is read, moved, or rewritten. Version 0
+    carries protocol + metaData + one ``add`` per discovered file,
+    with spec-shaped ``stats`` from the parquet FOOTERS (read
+    executor-side, :func:`_scan_footers_distributed`) so predicate
+    pruning works from the first commit.
+
+    Schema comes from Spark's own parquet+directory inference;
+    ``partition_schema`` ({column: spark type string, e.g. 'string'})
+    overrides the inferred partition column types — directory
+    inference types ``part=0`` as int where the writer may have meant
+    string (the log's schemaString is what every later read casts
+    by). Returns the created version (always 0).
+
+    cf. reference `main.py` full-reload tables: the same data can
+    instead be REGISTERED once and evolved transactionally."""
+    if _list_versions(path):
+        raise ValueError(f"{path} is already a Delta table")
+    files = _walk_hive_parquet(path)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    part_cols = list(files[0][1])
+
+    inferred = spark.read.option("basePath", path).parquet(path).schema
+    fields = []
+    for f in inferred.fields:
+        fj = f.jsonValue()
+        if f.name in (partition_schema or {}):
+            fj["type"] = partition_schema[f.name]
+        fields.append(fj)
+    schema_string = json.dumps({"type": "struct", "fields": fields})
+
+    stats = _scan_footers_distributed(
+        spark, [os.path.join(path, rel) for rel, _ in files]
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for rel, pv in files:
+        n, size, st = stats[os.path.join(path, rel)]
+        actions.append({
+            "add": {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": pv,
+                "size": size,
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "stats": json.dumps(st, separators=(",", ":")),
+            }
+        })
+    _atomic_commit(path, 0, actions)
+    return 0

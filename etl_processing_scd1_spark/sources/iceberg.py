@@ -1062,6 +1062,15 @@ def _norm_fp(c):
     return F.regexp_replace(F.regexp_replace(c, "^file:", ""), "^/+", "/")
 
 
+def _norm_fp_py(p: str) -> str:
+    """Python twin of :func:`_norm_fp` for driver-built key maps."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    while p.startswith("//"):
+        p = p[1:]
+    return p
+
+
 def _field_names_by_id(meta: dict) -> dict[int, str]:
     schema = meta.get("schema")
     if schema is None and meta.get("schemas"):
@@ -1239,6 +1248,25 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, files: list,
     return df.drop("__mor_fp")
 
 
+def _merged_scan(spark: SparkSession, paths: list[str]):
+    """mergeSchema parquet scan that tolerates a MIX of field-id-
+    stamped files (engine-written) and id-less files (migrated via
+    add_files, pre-drop legacy): plain mergeSchema inference carries
+    ``parquet.field.id`` into the read schema, and Spark then refuses
+    every id-less file ("read schema expects field Ids"). Inference
+    runs once (footers only), the id metadata is stripped, and the
+    actual scan resolves columns BY NAME — correct for both kinds of
+    file, with rename history handled by ``_unify_renamed`` above
+    this."""
+    inferred = spark.read.option("mergeSchema", "true").parquet(
+        *paths
+    ).schema
+    cleaned = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in inferred.fields]
+    )
+    return spark.read.schema(cleaned).parquet(*paths)
+
+
 def iceberg_snapshot_at_timestamp(path: str, ts_ms: int) -> int:
     """FOR TIMESTAMP AS OF resolution (the spec's time-travel by
     instant): the snapshot-id of the LATEST ``snapshot-log`` entry at
@@ -1323,52 +1351,72 @@ def read_iceberg_table(
     cands = _name_candidates(meta)
     df = _strip_deleted(
         _unify_renamed(
-            spark.read.option("mergeSchema", "true").parquet(
-                *sorted(p for p, _, _ in files)
-            ),
+            _merged_scan(spark, sorted(p for p, _, _ in files)),
             cands,
         )
     )
-    missing = [f for f in schema.fields if f.name not in df.columns]
     part_keys = set()
     for _p, part, _s in files:
         part_keys.update((part or {}).keys())
-    const_fill = [f for f in missing if f.name in part_keys]
-    for f in missing:
-        if f.name not in part_keys:
-            # column in NO data file and not a partition source:
-            # evolution added it after every present file was written
+    for f in schema.fields:
+        if f.name not in df.columns:
+            # column in NO data file: either evolution added it after
+            # every present file was written (reads NULL), or it is an
+            # identity-partition source every file omits (the
+            # coalesce below fills it from the manifest tuple)
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    if not const_fill:
-        return _cast(df)
 
-    # Foreign table whose files omit identity-partition source
-    # columns: fill constants from the manifest partition tuples,
-    # one read per distinct partition value (bounded by partition
-    # count — metadata scale, not data scale).
-    groups: dict[tuple, list[str]] = {}
-    for p, part, _s in files:
-        key = tuple(sorted((k, v) for k, v in (part or {}).items()))
-        groups.setdefault(key, []).append(p)
-    out = None
-    for key, paths in sorted(groups.items()):
-        part = dict(key)
-        piece = _strip_deleted(
-            _unify_renamed(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *sorted(paths)
-                ),
-                cands,
+    # Identity-partition source columns may be ABSENT from any SUBSET
+    # of the data files: hive-migrated foreign files (add_files) omit
+    # them, engine-written files keep them, and one table holds both
+    # after any post-migrate write. Attach the manifest's typed
+    # partition tuple per file via ONE broadcast map (metadata-scale,
+    # a row per file) and COALESCE — a row can only sit in a
+    # directory whose tuple matches its own value, so the coalesce is
+    # exact. Replaces the old per-partition-group scan union (which
+    # was also wrong for the mixed case: it only triggered when the
+    # column was missing from EVERY file).
+    fill = sorted(k for k in part_keys if k in {f.name for f in schema.fields})
+    if fill and any(
+        (part or {}).get(c) is not None for _p, part, _s in files for c in fill
+    ):
+        from pyspark.sql.types import StringType as _Str
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+
+        pv_rows = [
+            tuple(
+                [_norm_fp_py(p)]
+                + [
+                    None if (part or {}).get(c) is None
+                    else str((part or {}).get(c))
+                    for c in fill
+                ]
             )
+            for p, part, _s in files
+        ]
+        pv_df = spark.createDataFrame(
+            pv_rows,
+            _ST(
+                [_SF("__pv_key", _Str())]
+                + [_SF(f"__pv_{c}", _Str()) for c in fill]
+            ),
         )
-        for f in missing:
-            if f.name in part:
-                piece = piece.withColumn(f.name, F.lit(part[f.name]))
-            elif f.name not in piece.columns:
-                piece = piece.withColumn(f.name, F.lit(None).cast(f.dataType))
-        piece = _cast(piece)
-        out = piece if out is None else out.unionByName(piece)
-    return out
+        df = df.withColumn("__pv_fp", _norm_fp(F.col("_metadata.file_path")))
+        df = df.join(
+            F.broadcast(pv_df),
+            F.col("__pv_fp") == F.col("__pv_key"),
+            "left",
+        ).drop("__pv_key", "__pv_fp")
+        types = {f.name: f.dataType for f in schema.fields}
+        for c in fill:
+            df = df.withColumn(
+                c,
+                F.coalesce(
+                    F.col(c), F.col(f"__pv_{c}").cast(types[c])
+                ),
+            ).drop(f"__pv_{c}")
+    return _cast(df)
 
 
 # --------------------------------------------------------------------------
@@ -1906,6 +1954,7 @@ def _commit_snapshot(
     base: int,
     prev: dict | None,
     branch: str | None = None,
+    extra_properties: dict | None = None,
 ) -> int:
     """Driver-side commit shared by :func:`write_iceberg_table` and
     the ``iceberglog`` DataSource writer: turn a list of already-
@@ -2095,6 +2144,7 @@ def _commit_snapshot(
         "properties": {
             **((prev.get("properties") or {}) if prev else {}),
             "write.format.default": "parquet",
+            **(extra_properties or {}),
         },
         # a branch write leaves the main pointer and its history
         # untouched — the snapshot is reachable only via refs[branch]
@@ -2171,8 +2221,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         return base
 
     scan = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*sorted(p for p, _, _ in files))
+        _merged_scan(spark, sorted(p for p, _, _ in files))
         .withColumn("__fp", _norm_fp(F.col("_metadata.file_path")))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
@@ -2320,8 +2369,7 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
         raise ValueError(f"SET columns {unknown} not in table schema {cols}")
 
     scan = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*sorted(p for p, _, _ in files))
+        _merged_scan(spark, sorted(p for p, _, _ in files))
         .withColumn("__fp", _norm_fp(F.col("_metadata.file_path")))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
@@ -3734,3 +3782,157 @@ def expire_snapshots(path: str, keep_last: int) -> int:
         if os.path.exists(f):
             os.unlink(f)
     return base + 1
+
+
+# --------------------------------------------------------------------------
+# add_files / snapshot (in-place migration of an existing parquet layout)
+# --------------------------------------------------------------------------
+
+def add_parquet_files_iceberg(
+    spark: SparkSession,
+    src_dir: str,
+    path: str,
+    partition_schema: dict[str, str] | None = None,
+) -> int:
+    """The library's ``snapshot`` / ``add_files`` procedures:
+    register an existing (optionally hive-partitioned) parquet
+    directory's files in an Iceberg table WITHOUT reading, moving, or
+    rewriting them. Creates the table when ``path`` has none
+    (snapshot); appends to it otherwise (add_files — the incoming
+    layout's schema must match). Manifest entries reference the files
+    by ABSOLUTE path with record counts and typed column bounds from
+    the parquet FOOTERS (read executor-side — a 100 TB migrate has
+    1e5–1e6 files and the driver only collects one metadata row per
+    file). The commit also records every column in
+    ``schema.name-mapping.default``: foreign files carry no parquet
+    field ids, so spec readers must resolve their columns by mapped
+    name (§Column Projection).
+
+    ``partition_schema`` overrides directory-inferred partition
+    column types (inference types ``part=0`` as int where the writer
+    may have meant string)."""
+    from .delta import _scan_footers_distributed, _walk_hive_parquet
+
+    files = _walk_hive_parquet(src_dir)
+    if not files:
+        raise ValueError(f"no parquet files under {src_dir}")
+    part_cols = list(files[0][1])
+
+    inferred = spark.read.option("basePath", src_dir).parquet(src_dir).schema
+    fields = []
+    for f in inferred.fields:
+        dt = f.dataType
+        if f.name in (partition_schema or {}):
+            dt = T._parse_datatype_string(partition_schema[f.name])
+        fields.append(T.StructField(f.name, dt, True))
+    schema = T.StructType(fields)
+
+    hint = os.path.join(_meta_dir(path), _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            base = int(fh.read().strip())
+    else:
+        listed = _list_meta_versions(path)
+        base = listed[-1] if listed else 0
+    if base:
+        prev = _load_metadata(path, base)
+        existing = _spark_schema(prev)
+        if sorted(f.name for f in existing.fields) != sorted(
+            f.name for f in schema.fields
+        ):
+            raise IcebergProtocolError(
+                f"add_files layout columns "
+                f"{sorted(f.name for f in schema.fields)} do not match "
+                f"the table schema "
+                f"{sorted(f.name for f in existing.fields)}"
+            )
+        schema = existing
+        spec_entries = _spec_entries_from_meta(prev)
+        spec_sources = [e["source"] for e in spec_entries]
+        if spec_sources != part_cols or any(
+            e["transform"] != "identity" for e in spec_entries
+        ):
+            raise IcebergProtocolError(
+                f"add_files partition layout {part_cols} does not match "
+                f"the table's identity spec over {spec_sources}"
+            )
+    else:
+        prev = None
+        ice0 = _scalar_ice_types(schema)
+        for c in part_cols:
+            if c not in ice0:
+                raise ValueError(
+                    f"partition directory column {c!r} is not a scalar "
+                    "column of the inferred schema"
+                )
+        spec_entries = [
+            {
+                "name": c, "transform": "identity", "source": c,
+                "fid": 1000 + i, "ice": ice0[c],
+            }
+            for i, c in enumerate(part_cols)
+        ]
+
+    ice_types = _scalar_ice_types(schema)
+    field_ids = _resolved_field_ids(prev, schema)
+    stats = _scan_footers_distributed(
+        spark, [os.path.join(src_dir, rel) for rel, _ in files]
+    )
+
+    import datetime
+
+    def typed_bound(v, ice: str):
+        if isinstance(v, str) and ice == "date":
+            return datetime.date.fromisoformat(v)
+        return v
+
+    new_files = []
+    for rel, pv in files:
+        abs_p = os.path.join(src_dir, rel)
+        n, size, st = stats[abs_p]
+        lo, hi = [], []
+        for name, fid in field_ids.items():
+            ice = ice_types.get(name)
+            if ice is None or name not in (st.get("minValues") or {}):
+                continue
+            b_lo = _encode_bound(typed_bound(st["minValues"][name], ice), ice)
+            b_hi = _encode_bound(typed_bound(st["maxValues"][name], ice), ice)
+            if b_lo is not None and b_hi is not None:
+                lo.append({"key": fid, "value": b_lo})
+                hi.append({"key": fid, "value": b_hi})
+        part_vals = {
+            c: (None if pv[c] is None
+                else _typed_part_value(pv[c], ice_types[c]))
+            for c in part_cols
+        }
+        new_files.append(
+            (abs_p, part_vals, n, size, lo or None, hi or None)
+        )
+
+    # name-mapping: REQUIRED for the added files — they carry no
+    # parquet field ids, so id-first readers fall back to these names
+    mapping = {
+        int(m["field-id"]): list(m.get("names") or [])
+        for m in json.loads(
+            ((prev or {}).get("properties") or {}).get(
+                "schema.name-mapping.default", "[]"
+            )
+        )
+    }
+    for name, fid in field_ids.items():
+        ns = mapping.setdefault(fid, [])
+        if name not in ns:
+            ns.append(name)
+    props = {
+        "schema.name-mapping.default": json.dumps(
+            [
+                {"field-id": fid, "names": ns}
+                for fid, ns in sorted(mapping.items())
+            ]
+        )
+    }
+    return _commit_snapshot(
+        path, schema, spec_entries, "append", new_files,
+        {"added-files-via": "add_files", "source-dir": src_dir},
+        base, prev, extra_properties=props,
+    )

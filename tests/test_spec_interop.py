@@ -458,7 +458,7 @@ def iceberg_snapshot_rows(table: str) -> list[tuple]:
     snap = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
     )
-    data_files: list[tuple[str, int]] = []        # (path, data_seq)
+    data_files: list[tuple] = []   # (path, data_seq, partition tuple)
     pos_delete_files: list[str] = []
     eq_delete_files: list[tuple[str, int, list[int]]] = []
     for m in avro_records(_ice_norm(snap["manifest-list"], table)):
@@ -473,7 +473,7 @@ def iceberg_snapshot_rows(table: str) -> list[tuple]:
             fpath = _ice_norm(df["file_path"], table)
             fcontent = int(df.get("content") or 0)
             if content == 0 and fcontent == 0:
-                data_files.append((fpath, seq))
+                data_files.append((fpath, seq, dict(df.get("partition") or {})))
             elif fcontent == 1:
                 pos_delete_files.append(fpath)
             elif fcontent == 2:
@@ -512,16 +512,22 @@ def iceberg_snapshot_rows(table: str) -> list[tuple]:
         eq_keys.append((seq, tuple(ids), set(zip(*cols))))
 
     out_rows: list[tuple] = []
-    for fpath, fseq in data_files:
+    for fpath, fseq, part in data_files:
         t = pq.read_table(fpath)
         sel = resolve(t, [int(f["id"]) for f in fields])
         cols = {}
         for f in fields:
             phys = sel[int(f["id"])]
-            cols[f["name"]] = (
-                t.column(phys).to_pylist() if phys is not None
-                else [None] * t.num_rows
-            )
+            if phys is not None:
+                cols[f["name"]] = t.column(phys).to_pylist()
+            elif f["name"] in part:
+                # spec §Column Projection: a column absent from the
+                # data file whose id is an IDENTITY partition source
+                # reads the manifest's partition tuple value
+                # (hive-migrated add_files layouts omit the column)
+                cols[f["name"]] = [part[f["name"]]] * t.num_rows
+            else:
+                cols[f["name"]] = [None] * t.num_rows
         dead = dead_by_file.get(fpath, set())
         for i in range(t.num_rows):
             if i in dead:
