@@ -1358,6 +1358,7 @@ def read_iceberg_table(
     part_keys = set()
     for _p, part, _s in files:
         part_keys.update((part or {}).keys())
+    scanned_cols = set(df.columns)
     for f in schema.fields:
         if f.name not in df.columns:
             # column in NO data file: either evolution added it after
@@ -1375,8 +1376,20 @@ def read_iceberg_table(
     # directory whose tuple matches its own value, so the coalesce is
     # exact. Replaces the old per-partition-group scan union (which
     # was also wrong for the mixed case: it only triggered when the
-    # column was missing from EVERY file).
-    fill = sorted(k for k in part_keys if k in {f.name for f in schema.fields})
+    # column was missing from EVERY file). GATED so pure engine-
+    # written tables (every file carries every column) pay no extra
+    # join: runs only when a source column is absent from the merged
+    # footprint, or the table is marked migrated (add_files sets the
+    # property — its foreign files may omit columns that OTHER files
+    # carry, invisible to merged-schema inference).
+    migrated = (meta.get("properties") or {}).get(
+        "spark-graft.migrated"
+    ) == "true"
+    fill = sorted(
+        k for k in part_keys
+        if k in {f.name for f in schema.fields}
+        and (migrated or k not in scanned_cols)
+    )
     if fill and any(
         (part or {}).get(c) is not None for _p, part, _s in files for c in fill
     ):
@@ -3929,7 +3942,11 @@ def add_parquet_files_iceberg(
                 {"field-id": fid, "names": ns}
                 for fid, ns in sorted(mapping.items())
             ]
-        )
+        ),
+        # read-side marker: migrated files may omit identity-partition
+        # source columns that OTHER files carry — the reader's
+        # manifest-tuple coalesce must stay on for this table
+        "spark-graft.migrated": "true",
     }
     return _commit_snapshot(
         path, schema, spec_entries, "append", new_files,
