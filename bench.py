@@ -162,6 +162,7 @@ HEADLINE = [
     "delta_identity_scan",           # GENERATED ALWAYS id allocation
     "delta_convert_scan",            # CONVERT TO DELTA in place
     "iceberg_add_files_scan",        # snapshot/add_files migration
+    "delta_uniform_iceberg_scan",    # UniForm: Iceberg metadata over Delta
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

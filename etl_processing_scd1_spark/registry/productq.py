@@ -2840,3 +2840,57 @@ def iceberg_add_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+_DELTA_UNIFORM_ORACLE = """
+    SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM supplier
+    WHERE s_suppkey % 4 <> 0
+    GROUP BY s_nationkey
+"""
+
+
+@register("delta_uniform_iceberg_scan", oracle=_DELTA_UNIFORM_ORACLE)
+def delta_uniform_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta UNIFORM (``uniform_iceberg_metadata``): a partitioned
+    Delta table gets Iceberg metadata generated at the SAME root —
+    ``metadata/`` beside ``_delta_log/``, both formats reading the
+    same parquet files; no data is read, moved, or duplicated
+    (manifest record counts + bounds come from the Delta log's own
+    per-file stats). The query syncs after each of two Delta commits
+    and aggregates through the ICEBERG reader — partition columns are
+    absent from the data files (hive layout), so the manifest-tuple
+    coalesce must attach them, and a drifted sync (missing second
+    commit, stale removed files) fails the per-nation hash."""
+    import shutil
+
+    from ..sources.delta import write_delta_table
+    from ..sources.iceberg import (
+        read_iceberg_table,
+        uniform_iceberg_metadata,
+    )
+
+    path = _delta_dir("uniform_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    ).filter(F.col("s_suppkey") % 4 != 0)
+    write_delta_table(
+        supp.filter(F.col("s_suppkey") % 2 == 1), path,
+        partition_by=["nation"],
+    )
+    uniform_iceberg_metadata(spark, path)
+    write_delta_table(
+        supp.filter(F.col("s_suppkey") % 2 == 0), path, mode="append"
+    )
+    uniform_iceberg_metadata(spark, path)
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").alias("cents"),
+    )

@@ -3953,3 +3953,126 @@ def add_parquet_files_iceberg(
         {"added-files-via": "add_files", "source-dir": src_dir},
         base, prev, extra_properties=props,
     )
+
+
+def uniform_iceberg_metadata(spark: SparkSession, delta_path: str) -> int:
+    """Delta UNIFORM (Universal Format): generate Iceberg metadata
+    for the Delta table's CURRENT snapshot at the same root — both
+    formats then read the SAME parquet files (``metadata/`` grows
+    beside ``_delta_log/``; no data is read, moved, or duplicated).
+    Metadata-only: manifest record counts and column bounds come from
+    the Delta log's per-file ``stats``, partition tuples from
+    ``add.partitionValues``. Re-running after more Delta commits
+    appends a fresh overwrite snapshot (the sync loop). Returns the
+    Iceberg metadata version.
+
+    Gated loudly: deletion vectors (Iceberg readers would resurrect
+    the dead rows — compact/OPTIMIZE the Delta table first, which
+    materializes DVs away) and column mapping (physical-name files
+    need per-field mapping this sync does not emit yet)."""
+    import datetime
+
+    from .delta import _replay
+
+    snap = _replay(spark, delta_path, None)
+    if snap.column_mapping:
+        raise IcebergProtocolError(
+            "uniform: column-mapped Delta tables are not supported "
+            "(physical parquet names need a per-field name mapping)"
+        )
+    dv_files = sorted(
+        p for p, a in snap.files.items() if a.get("deletionVector")
+    )
+    if dv_files:
+        raise IcebergProtocolError(
+            f"uniform: {len(dv_files)} file(s) carry deletion vectors "
+            f"(e.g. {dv_files[0]}) — an Iceberg reader would resurrect "
+            "the deleted rows; OPTIMIZE the Delta table first to "
+            "materialize them away"
+        )
+
+    schema = snap.schema
+    ice_types = _scalar_ice_types(schema)
+    part_cols = snap.partition_columns
+    for c in part_cols:
+        if c not in ice_types:
+            raise IcebergProtocolError(
+                f"uniform: partition column {c!r} is not a scalar"
+            )
+    spec_entries = [
+        {
+            "name": c, "transform": "identity", "source": c,
+            "fid": 1000 + i, "ice": ice_types[c],
+        }
+        for i, c in enumerate(part_cols)
+    ]
+
+    listed = _list_meta_versions(delta_path)
+    base = listed[-1] if listed else 0
+    prev = _load_metadata(delta_path, base) if base else None
+    field_ids = _resolved_field_ids(prev, schema)
+
+    def typed_bound(v, ice: str):
+        if isinstance(v, str) and ice == "date":
+            return datetime.date.fromisoformat(v)
+        return v
+
+    new_files = []
+    for rel, add in sorted(snap.files.items()):
+        st = json.loads(add.get("stats") or "{}")
+        lo, hi = [], []
+        for name, fid in field_ids.items():
+            ice = ice_types.get(name)
+            if ice is None or name not in (st.get("minValues") or {}):
+                continue
+            b_lo = _encode_bound(typed_bound(st["minValues"][name], ice), ice)
+            b_hi = _encode_bound(typed_bound(st["maxValues"][name], ice), ice)
+            if b_lo is not None and b_hi is not None:
+                lo.append({"key": fid, "value": b_lo})
+                hi.append({"key": fid, "value": b_hi})
+        pv = add.get("partitionValues") or {}
+        part_vals = {
+            c: (None if pv.get(c) is None
+                else _typed_part_value(pv[c], ice_types[c]))
+            for c in part_cols
+        }
+        new_files.append((
+            os.path.abspath(os.path.join(delta_path, rel)),
+            part_vals,
+            int(st.get("numRecords") or 0),
+            int(add.get("size") or 0),
+            lo or None,
+            hi or None,
+        ))
+
+    # Delta data files carry no Iceberg field ids, and partitioned
+    # layouts omit the partition source columns from the files —
+    # exactly the add_files read contract (name mapping + the
+    # manifest-tuple coalesce marker)
+    mapping = {
+        int(m["field-id"]): list(m.get("names") or [])
+        for m in json.loads(
+            ((prev or {}).get("properties") or {}).get(
+                "schema.name-mapping.default", "[]"
+            )
+        )
+    }
+    for name, fid in field_ids.items():
+        ns = mapping.setdefault(fid, [])
+        if name not in ns:
+            ns.append(name)
+    props = {
+        "schema.name-mapping.default": json.dumps(
+            [
+                {"field-id": fid, "names": ns}
+                for fid, ns in sorted(mapping.items())
+            ]
+        ),
+        "spark-graft.migrated": "true",
+        "delta.universalFormat.enabledFormats": "iceberg",
+    }
+    return _commit_snapshot(
+        delta_path, schema, spec_entries, "overwrite", new_files,
+        {"uniform-delta-version": snap.version},
+        base, prev, extra_properties=props,
+    )

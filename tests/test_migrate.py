@@ -183,3 +183,86 @@ class TestIcebergAddFiles:
         got = _norm(iceberg_snapshot_rows(t))
         want = _spark_rows(read_iceberg_table(spark, t))
         assert got == want
+
+
+class TestUniform:
+    """Delta UNIFORM: Iceberg metadata generated over the Delta
+    table's current snapshot at the same root — both formats read the
+    SAME parquet files."""
+
+    def test_both_formats_read_identically(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            uniform_iceberg_metadata,
+        )
+
+        p = str(tmp_path / "t")
+        write_delta_table(_orders(spark), p, partition_by=["part"])
+        uniform_iceberg_metadata(spark, p)
+        want = read_delta_table(spark, p)
+        got = read_iceberg_table(spark, p)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # bounds came from the Delta stats: impossible range prunes
+        assert iceberg_plan_files(p, predicates={"k": (10**9, None)}) == []
+
+    def test_resync_tracks_delta_commits(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            uniform_iceberg_metadata,
+        )
+
+        p = str(tmp_path / "t")
+        write_delta_table(_orders(spark, 0), p)
+        v1 = uniform_iceberg_metadata(spark, p)
+        write_delta_table(_orders(spark, 1), p, mode="append")
+        v2 = uniform_iceberg_metadata(spark, p)
+        assert v2 == v1 + 1
+        assert read_iceberg_table(spark, p).count() == 300
+        # Iceberg time travel still sees the first sync
+        assert read_iceberg_table(spark, p, version=v1).count() == 150
+
+    def test_dv_gate_and_optimize_recovery(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            optimize_delta_table,
+        )
+        from etl_processing_scd1_spark.sources.iceberg import (
+            uniform_iceberg_metadata,
+        )
+
+        p = str(tmp_path / "t")
+        write_delta_table(_orders(spark), p)
+        delete_delta_rows(spark, p, "k % 10 = 0")
+        with pytest.raises(IcebergProtocolError, match="deletion vector"):
+            uniform_iceberg_metadata(spark, p)
+        optimize_delta_table(spark, p)
+        uniform_iceberg_metadata(spark, p)
+        assert read_iceberg_table(spark, p).count() == 270
+
+    def test_column_mapping_gate(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            uniform_iceberg_metadata,
+        )
+
+        p = str(tmp_path / "t")
+        write_delta_table(
+            _orders(spark).drop("part"), p, column_mapping="name"
+        )
+        with pytest.raises(IcebergProtocolError, match="column-mapped"):
+            uniform_iceberg_metadata(spark, p)
+
+    def test_independent_spec_replay_reads_uniform(self, spark, tmp_path):
+        from tests.test_spec_interop import (
+            _norm,
+            _spark_rows,
+            iceberg_snapshot_rows,
+        )
+        from etl_processing_scd1_spark.sources.iceberg import (
+            uniform_iceberg_metadata,
+        )
+
+        p = str(tmp_path / "t")
+        write_delta_table(_orders(spark), p, partition_by=["part"])
+        uniform_iceberg_metadata(spark, p)
+        assert _norm(iceberg_snapshot_rows(p)) == _spark_rows(
+            read_iceberg_table(spark, p)
+        )
