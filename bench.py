@@ -163,6 +163,7 @@ HEADLINE = [
     "delta_convert_scan",            # CONVERT TO DELTA in place
     "iceberg_add_files_scan",        # snapshot/add_files migration
     "delta_uniform_iceberg_scan",    # UniForm: Iceberg metadata over Delta
+    "iceberg_sorted_scan",           # sort orders: range files + pruning
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

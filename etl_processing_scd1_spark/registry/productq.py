@@ -2894,3 +2894,50 @@ def delta_uniform_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("cents").alias("cents"),
     )
+
+
+_ICEBERG_SORTED_ORACLE = """
+    SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 1100
+    GROUP BY 1
+"""
+
+
+@register("iceberg_sorted_scan", oracle=_ICEBERG_SORTED_ORACLE)
+def iceberg_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT ORDERS (spec §Sort Orders): the table is created with
+    ``sort_by=['l_orderkey']`` — order-id 1 recorded in the metadata,
+    the write range-distributes + sorts within partitions so each
+    file's footer bounds cover a DISJOINT key range, and a second
+    (unsorted-input) append re-applies the stored order. The narrow
+    key-range read then plans a strict subset of files from the
+    manifest bounds (pruning counts pinned in
+    tests/test_iceberg.py::TestSortOrders); the per-order hash pins
+    that sorting never changes results."""
+    import shutil
+
+    from ..sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    path = _delta_dir("ice_sorted_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(
+        li.filter(F.col("okey") % 2 == 0), path, sort_by=["okey"]
+    )
+    write_iceberg_table(
+        li.filter(F.col("okey") % 2 == 1), path, mode="append"
+    )
+    got = read_iceberg_table(
+        spark, path, predicates={"okey": (1000, 1100)}
+    ).filter(F.col("okey").between(1000, 1100))
+    return got.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("cents"),
+    )

@@ -2885,16 +2885,27 @@ def clone_delta_table(spark: SparkSession, src: str, dst: str) -> int:
     return 0
 
 
-def restore_delta_table(spark: SparkSession, path: str, version: int) -> int:
-    """RESTORE TABLE TO VERSION AS OF (Delta's RESTORE command): a
-    NEW commit whose net effect is the target snapshot's file set —
-    removes for files active now but not then, re-adds for files
-    active then but not now (original stats and deletion vectors
-    carried), and remove+re-add where only the DV differs. Metadata-
-    only: no data file is read or written; the restore is itself a
-    version, so history (including the restored-over commits) stays
-    time-travelable. Raises if a target file was already vacuumed.
-    Returns the new version (unchanged when already identical)."""
+def restore_delta_table(spark: SparkSession, path: str,
+                        version: int | None = None,
+                        timestamp_ms: int | None = None) -> int:
+    """RESTORE TABLE TO VERSION/TIMESTAMP AS OF (Delta's RESTORE
+    command): a NEW commit whose net effect is the target snapshot's
+    file set — removes for files active now but not then, re-adds for
+    files active then but not now (original stats and deletion
+    vectors carried), and remove+re-add where only the DV differs.
+    ``timestamp_ms`` resolves to the newest version committed at or
+    before that instant (mutually exclusive with ``version``).
+    Metadata-only: no data file is read or written; the restore is
+    itself a version, so history (including the restored-over
+    commits) stays time-travelable. Raises if a target file was
+    already vacuumed. Returns the new version (unchanged when already
+    identical)."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("version and timestamp_ms are exclusive")
+        version = delta_version_at_timestamp(path, timestamp_ms)
+    if version is None:
+        raise ValueError("one of version / timestamp_ms is required")
     snap_now = _replay(spark, path, None)
     snap_tgt = _replay(None, path, version)
     missing = [

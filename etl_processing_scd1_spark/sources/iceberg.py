@@ -1732,6 +1732,29 @@ def iceberg_last_batch_id(path: str, app_id: str) -> int:
     return best
 
 
+def _sort_columns(meta: dict | None) -> list[str]:
+    """Column names of the table's default sort order (identity
+    fields only — what this writer records). Empty when unsorted."""
+    if not meta:
+        return []
+    oid = meta.get("default-sort-order-id")
+    if oid in (None, 0):
+        return []
+    order = next(
+        (o for o in meta.get("sort-orders", []) if o.get("order-id") == oid),
+        None,
+    )
+    if not order:
+        return []
+    names = _field_names_by_id(meta)
+    return [
+        names[int(f["source-id"])]
+        for f in order.get("fields", [])
+        if f.get("transform") == "identity"
+        and int(f["source-id"]) in names
+    ]
+
+
 def write_iceberg_table(
     df: DataFrame,
     path: str,
@@ -1739,6 +1762,7 @@ def write_iceberg_table(
     partition_by: list[str] | None = None,
     extra_summary: dict | None = None,
     branch: str | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Iceberg table at ``path``; returns the
     new metadata version. First commit creates the table (v1
@@ -1838,15 +1862,36 @@ def write_iceberg_table(
             )
     field_ids = _resolved_field_ids(prev, schema)
 
+    if sort_by is not None:
+        if prev is not None:
+            raise ValueError(
+                "sort_by can only be set when the table is created — "
+                "appends apply the table's stored sort order"
+            )
+        for c in sort_by:
+            if c not in ice_types:
+                raise ValueError(
+                    f"sort column {c!r} is not a scalar table column"
+                )
+        sort_cols = list(sort_by)
+    else:
+        # spec §Sorting: writers SHOULD sort incoming rows by the
+        # table's default sort order — tighter per-file bounds, so
+        # range predicates prune more files at plan time
+        sort_cols = _sort_columns(prev)
+
     if branch and prev is None:
         raise ValueError(
             f"cannot write branch {branch!r} on a table that does not "
             "exist yet — create the table (main) first"
         )
-    new_files = _stage_data_files(df, path, spec_entries, ice_types, field_ids)
+    new_files = _stage_data_files(
+        df, path, spec_entries, ice_types, field_ids, sort_cols=sort_cols
+    )
     return _commit_snapshot(
         path, schema, spec_entries, mode, new_files, extra_summary, base,
         prev, branch=branch,
+        sort_fields=(list(sort_by) if sort_by is not None else None),
     )
 
 
@@ -1872,7 +1917,8 @@ def _coerce_entries(spec_entries: list, ice_types: dict) -> list[dict]:
 
 
 def _stage_data_files(df: DataFrame, path: str, spec_entries: list,
-                      ice_types: dict, field_ids: dict) -> list:
+                      ice_types: dict, field_ids: dict,
+                      sort_cols: list[str] | None = None) -> list:
     """Write ``df``'s rows as parquet under ``data/`` (distributed
     write into a staged directory, rename-only move). Files keep ALL
     schema columns (transform sources are ordinary data columns per
@@ -1920,6 +1966,21 @@ def _stage_data_files(df: DataFrame, path: str, spec_entries: list,
         # already materialized here, so bucket's pandas_udf runs
         # once, not once per consumer).
         writer_df = staged.repartition(*[F.col(s) for s in shadow.values()])
+    elif sort_cols:
+        # unpartitioned sorted table: RANGE-distribute on the sort
+        # keys (write.distribution-mode=range) so files cover
+        # DISJOINT ranges — within-file sorting alone leaves every
+        # file spanning the whole domain and prunes nothing
+        writer_df = staged.repartitionByRange(
+            *[F.col(c) for c in sort_cols]
+        )
+    if sort_cols:
+        # WITHIN-partition sort (no global sort): each staged file's
+        # rows are ordered on the sort keys, so its footer min/max
+        # bounds are tight — the point of a table sort order at 100 TB
+        writer_df = writer_df.sortWithinPartitions(
+            *[F.col(c) for c in sort_cols]
+        )
     writer = writer_df.write.mode("overwrite")
     if shadow:
         writer = writer.partitionBy(*shadow.values())
@@ -1968,6 +2029,7 @@ def _commit_snapshot(
     prev: dict | None,
     branch: str | None = None,
     extra_properties: dict | None = None,
+    sort_fields: list[str] | None = None,
 ) -> int:
     """Driver-side commit shared by :func:`write_iceberg_table` and
     the ``iceberglog`` DataSource writer: turn a list of already-
@@ -2114,6 +2176,33 @@ def _commit_snapshot(
         snapshot["parent-snapshot-id"] = parent_id
 
     schema_struct = _schema_struct(schema, field_ids, prev)
+    # spec §Sort Orders: order-id 0 is the unsorted order; a table
+    # created with sort_by records order-id 1 (identity asc,
+    # nulls-first — what the staged writes apply) and every later
+    # commit carries it forward
+    if sort_fields:
+        sort_orders = [
+            {"order-id": 0, "fields": []},
+            {
+                "order-id": 1,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": field_ids[c],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in sort_fields
+                ],
+            },
+        ]
+        default_sort = 1
+    elif prev is not None and prev.get("sort-orders"):
+        sort_orders = prev["sort-orders"]
+        default_sort = int(prev.get("default-sort-order-id") or 0)
+    else:
+        sort_orders = [{"order-id": 0, "fields": []}]
+        default_sort = 0
     meta = {
         "format-version": fv,
         "table-uuid": table_uuid,
@@ -2127,6 +2216,8 @@ def _commit_snapshot(
         "schema": schema_struct,
         "schemas": [schema_struct],
         "current-schema-id": 0,
+        "sort-orders": sort_orders,
+        "default-sort-order-id": default_sort,
         "partition-spec": json.loads(spec_json),
         # spec EVOLUTION: a table that evolved its partition spec
         # keeps EVERY spec in the list (old manifests reference old
@@ -2661,9 +2752,64 @@ def iceberg_metadata_table(spark: SparkSession, path: str,
             F.sum("record_count").alias("record_count"),
             F.sum("file_size_in_bytes").alias("total_size_bytes"),
         )
+    if kind == "metadata_log":
+        rows = [
+            (int(e["timestamp-ms"]), str(e["metadata-file"]))
+            for e in meta.get("metadata-log", [])
+        ]
+        return spark.createDataFrame(
+            rows, "timestamp_ms long, metadata_file string"
+        )
+    if kind == "all_manifests":
+        # every snapshot's manifest list, deduped by path — the
+        # maintenance view expire/rewrite plan from
+        seen: dict[str, tuple] = {}
+        for s in meta.get("snapshots", []):
+            for m in load_avro(_norm_path(s["manifest-list"], path))[1]:
+                seen.setdefault(str(m["manifest_path"]), (
+                    str(m["manifest_path"]),
+                    int(m.get("manifest_length") or 0),
+                    int(m.get("partition_spec_id") or 0),
+                    int(m.get("content") or 0),
+                    int(m.get("added_snapshot_id") or 0),
+                ))
+        return spark.createDataFrame(
+            sorted(seen.values()),
+            "path string, length long, partition_spec_id int, "
+            "content int, added_snapshot_id long",
+        )
+    if kind == "entries":
+        sid = meta.get("current-snapshot-id")
+        rows = []
+        if sid not in (None, -1):
+            snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == sid
+            )
+            for m in load_avro(_norm_path(snap["manifest-list"], path))[1]:
+                m_seq = int(m.get("sequence_number") or 0)
+                for e in load_avro(
+                    _norm_path(m["manifest_path"], path)
+                )[1]:
+                    d = e["data_file"]
+                    seq = e.get("sequence_number")
+                    rows.append((
+                        int(e["status"]),
+                        int(e.get("snapshot_id") or 0),
+                        m_seq if seq is None else int(seq),
+                        int(d.get("content") or 0),
+                        _norm_path(d["file_path"], path),
+                        int(d.get("record_count") or 0),
+                    ))
+        rows.sort()
+        return spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "content int, file_path string, record_count long",
+        )
     raise ValueError(
         f"unknown metadata table {kind!r} (history, snapshots, refs, "
-        "manifests, files, partitions)"
+        "manifests, files, partitions, entries, all_manifests, "
+        "metadata_log)"
     )
 
 

@@ -2589,3 +2589,29 @@ class TestIdentityColumns:
             spark.range(5, 8).selectExpr("id AS k").write.format(
                 "deltalog"
             ).mode("append").save(path)
+
+
+class TestRestoreByTimestamp:
+    def test_restore_timestamp_resolution(self, spark, tmp_path):
+        import time as _time
+
+        from etl_processing_scd1_spark.sources.delta import (
+            restore_delta_table,
+        )
+
+        path = str(tmp_path / "rst")
+        write_delta_table(_df(spark, 0, 5), path)           # v0
+        _time.sleep(0.01)
+        write_delta_table(_df(spark, 5, 8), path, mode="append")  # v1
+        _time.sleep(0.01)
+        write_delta_table(_df(spark, 100, 102), path, mode="overwrite")
+        # v1's own commit instant resolves to v1 (latest at-or-before)
+        ts_v1 = delta_history(path)[1]["timestamp"]
+        restore_delta_table(spark, path, timestamp_ms=ts_v1)
+        assert _rows(read_delta_table(spark, path)) == _rows(
+            _df(spark, 0, 8)
+        )
+        with pytest.raises(ValueError, match="exclusive"):
+            restore_delta_table(spark, path, version=0, timestamp_ms=ts_v1)
+        with pytest.raises(ValueError, match="required"):
+            restore_delta_table(spark, path)

@@ -2866,3 +2866,116 @@ class TestDataSourceRefReads:
         with pytest.raises(Exception, match="exclusive"):
             spark.read.format("iceberglog").option("ref", "pin") \
                 .option("versionAsOf", 1).load(path).collect()
+
+
+class TestSortOrders:
+    """spec §Sort Orders: creation records order-id 1 (identity asc,
+    nulls-first), every commit carries it forward, and writes apply
+    it — range-distributed + within-partition sorted, so file bounds
+    are tight and range predicates prune."""
+
+    def test_metadata_shape_and_carry_forward(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            _load_metadata,
+        )
+
+        path = str(tmp_path / "s1")
+        write_iceberg_table(_df(spark, 0, 50), path, sort_by=["k"])
+        meta = _load_metadata(path, None)
+        assert meta["default-sort-order-id"] == 1
+        order = next(
+            o for o in meta["sort-orders"] if o["order-id"] == 1
+        )
+        k_id = next(
+            f["id"] for f in meta["schema"]["fields"] if f["name"] == "k"
+        )
+        assert order["fields"] == [{
+            "transform": "identity", "source-id": k_id,
+            "direction": "asc", "null-order": "nulls-first",
+        }]
+        # appends carry the order forward and re-apply it
+        write_iceberg_table(_df(spark, 50, 80), path, mode="append")
+        meta2 = _load_metadata(path, None)
+        assert meta2["default-sort-order-id"] == 1
+        assert meta2["sort-orders"] == meta["sort-orders"]
+
+    def test_sorted_writes_prune_by_bounds(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etl_processing_scd1_spark.sources.iceberg import (
+            iceberg_plan_files,
+        )
+
+        # shuffled input, many partitions: unsorted leaves every file
+        # spanning the whole k domain; sorted gives disjoint ranges
+        df = (
+            spark.range(0, 4000)
+            .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+            .orderBy(F.hash("id"))
+            .repartition(8)
+        )
+        unsorted, srt = str(tmp_path / "u"), str(tmp_path / "s")
+        write_iceberg_table(df, unsorted)
+        # test-scale data is below AQE's advisory partition size, so
+        # the range shuffle would coalesce to ONE file and there'd be
+        # nothing to prune; production keeps ~advisory-sized ranges
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        old = spark.conf.get(coalesce_key, "true")
+        spark.conf.set(coalesce_key, "false")
+        try:
+            write_iceberg_table(df, srt, sort_by=["k"])
+        finally:
+            spark.conf.set(coalesce_key, old)
+        probe = {"k": (100, 120)}
+        n_u = len(iceberg_plan_files(unsorted, predicates=probe))
+        n_s = len(iceberg_plan_files(srt, predicates=probe))
+        assert len(iceberg_plan_files(srt)) > 1
+        assert n_s < n_u  # the narrow range touches fewer files
+        assert n_s <= 2
+        # data unchanged
+        assert read_iceberg_table(spark, srt).count() == 4000
+
+    def test_guards(self, spark, tmp_path):
+        path = str(tmp_path / "s2")
+        write_iceberg_table(_df(spark, 0, 10), path)
+        with pytest.raises(ValueError, match="created"):
+            write_iceberg_table(
+                _df(spark, 10, 12), path, mode="append", sort_by=["k"]
+            )
+        with pytest.raises(ValueError, match="scalar"):
+            write_iceberg_table(
+                _df(spark, 0, 5).selectExpr("k", "array(v) AS a"),
+                str(tmp_path / "s3"),
+                sort_by=["a"],
+            )
+
+
+class TestMetadataTablesExtra:
+    def test_entries_all_manifests_metadata_log(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            delete_iceberg_rows,
+            iceberg_metadata_table,
+        )
+
+        path = str(tmp_path / "m2")
+        write_iceberg_table(_df(spark, 0, 20), path)
+        write_iceberg_table(_df(spark, 20, 30), path, mode="append")
+        delete_iceberg_rows(spark, path, "k = 0")
+
+        entries = iceberg_metadata_table(spark, path, "entries")
+        # current snapshot: data entries for both appends + the
+        # position-delete entry (content 1)
+        assert entries.filter("content = 1").count() == 1
+        assert entries.selectExpr(
+            "sum(CASE WHEN content = 0 THEN record_count END)"
+        ).collect()[0][0] == 30
+
+        mans = iceberg_metadata_table(spark, path, "all_manifests")
+        # every snapshot's manifests, deduped: v1 append's manifest is
+        # carried by later snapshots but listed once
+        cur = iceberg_metadata_table(spark, path, "manifests")
+        assert mans.count() >= cur.count()
+        assert mans.filter("content = 1").count() == 1
+
+        log = iceberg_metadata_table(spark, path, "metadata_log")
+        assert log.count() == 2  # v1 and v2 files (v3 is current)
