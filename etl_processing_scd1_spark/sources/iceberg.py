@@ -199,6 +199,36 @@ def _iceberg_to_spark(ice) -> T.DataType:
     return table[ice]
 
 
+def _spark_type_with_ids(ice) -> T.DataType:
+    """Spark type for an Iceberg schema node with the node's field
+    ids carried as ``parquet.field.id`` metadata on every STRUCT
+    member (recursively) — Spark's parquet writer stamps those into
+    the footers, so stock id-first readers resolve struct members
+    without name mapping. List elements / map entries have no
+    StructField to carry metadata; their ids stay name-mapped."""
+    if isinstance(ice, dict):
+        t = ice.get("type")
+        if t == "struct":
+            return T.StructType([
+                T.StructField(
+                    f["name"],
+                    _spark_type_with_ids(f["type"]),
+                    True,
+                    {"parquet.field.id": int(f["id"])},
+                )
+                for f in ice.get("fields", [])
+            ])
+        if t == "list":
+            return T.ArrayType(_spark_type_with_ids(ice["element"]), True)
+        if t == "map":
+            return T.MapType(
+                _spark_type_with_ids(ice["key"]),
+                _spark_type_with_ids(ice["value"]),
+                True,
+            )
+    return _iceberg_to_spark(ice)
+
+
 def _max_field_id(node) -> int:
     """Largest field id anywhere in a schema node tree — what
     ``last-column-id`` must cover (nested element/key/value ids
@@ -1886,7 +1916,8 @@ def write_iceberg_table(
             "exist yet — create the table (main) first"
         )
     new_files = _stage_data_files(
-        df, path, spec_entries, ice_types, field_ids, sort_cols=sort_cols
+        df, path, spec_entries, ice_types, field_ids, sort_cols=sort_cols,
+        schema_node=_schema_struct(schema, field_ids, prev),
     )
     return _commit_snapshot(
         path, schema, spec_entries, mode, new_files, extra_summary, base,
@@ -1918,7 +1949,8 @@ def _coerce_entries(spec_entries: list, ice_types: dict) -> list[dict]:
 
 def _stage_data_files(df: DataFrame, path: str, spec_entries: list,
                       ice_types: dict, field_ids: dict,
-                      sort_cols: list[str] | None = None) -> list:
+                      sort_cols: list[str] | None = None,
+                      schema_node: dict | None = None) -> list:
     """Write ``df``'s rows as parquet under ``data/`` (distributed
     write into a staged directory, rename-only move). Files keep ALL
     schema columns (transform sources are ordinary data columns per
@@ -1933,6 +1965,26 @@ def _stage_data_files(df: DataFrame, path: str, spec_entries: list,
     transform's RESULT type."""
     spec_entries = _coerce_entries(spec_entries, ice_types)
     stage_abs = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+    nested_nodes = {
+        f["name"]: f["type"]
+        for f in (schema_node or {}).get("fields", [])
+        if isinstance(f["type"], dict)
+    }
+    if nested_nodes:
+        # inject NESTED struct-member ids via the schema's field
+        # metadata (DataFrame.to applies it; the top-level alias
+        # below preserves the typed columns) — stock id-first readers
+        # then resolve struct members straight from the footer
+        target = T.StructType([
+            T.StructField(
+                c,
+                _spark_type_with_ids(nested_nodes[c])
+                if c in nested_nodes else df.schema[c].dataType,
+                True,
+            )
+            for c in df.columns
+        ])
+        df = df.to(target)
     # Stamp each column's REAL field id into the parquet footer
     # (Spark honors parquet.field.id column metadata;
     # spark.sql.parquet.fieldId.write.enabled defaults on). Readers
@@ -2505,8 +2557,10 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
     ice_types = _scalar_ice_types(schema)
     field_ids = _resolved_field_ids(prev, schema)
     part_fields = [(e["name"], e["ice"], e["fid"]) for e in spec_entries]
-    new_files = _stage_data_files(updated, path, spec_entries, ice_types,
-                                  field_ids)
+    new_files = _stage_data_files(
+        updated, path, spec_entries, ice_types, field_ids,
+        schema_node=_schema_struct(schema, field_ids, prev),
+    )
     data_manifest = _data_manifest_row(
         path, new_files, snapshot_id, seq, schema, spec_fields, part_fields,
         field_ids, spec_id=_default_spec_id(prev), prev=prev,
@@ -3333,7 +3387,10 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
     snapshot_id = now_ms * 1000 + new_version
 
     # ---- data files at the new sequence number
-    new_files = _stage_data_files(df, path, spec_entries, ice_types, field_ids)
+    new_files = _stage_data_files(
+        df, path, spec_entries, ice_types, field_ids,
+        schema_node=_schema_struct(schema, field_ids, prev),
+    )
 
     # ---- equality-delete file: distinct incoming keys (sorted —
     # deterministic bytes; spec only asks for the key columns)

@@ -372,3 +372,38 @@ class TestNestedDataSources:
         # DataSource write reused the nested ids too
         meta = _load_metadata(path, None)
         assert meta["last-column-id"] == _max_field_id(meta["schema"])
+
+
+class TestNestedFooterIds:
+    def test_struct_member_ids_stamped(self, spark, tmp_path):
+        """Stock id-first readers resolve struct members from the
+        parquet footer: the writer stamps every struct member's spec
+        field id via schema metadata (list/map inner ids stay
+        name-mapped — Spark has no StructField to carry them)."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "i")
+        write_iceberg_table(_nested_df(spark, 0, 10), path)
+        meta = _load_metadata(path, None)
+        node = next(
+            f for f in meta["schema"]["fields"] if f["name"] == "meta"
+        )
+        want = {
+            f["name"]: f["id"] for f in node["type"]["fields"]
+        }
+        f = glob.glob(os.path.join(path, "data", "*.parquet"))[0]
+        sch = pq.read_schema(f)
+        meta_field = sch.field("meta")
+        assert pa.types.is_struct(meta_field.type)
+        got = {}
+        for i in range(meta_field.type.num_fields):
+            c = meta_field.type.field(i)
+            fid = (c.metadata or {}).get(b"PARQUET:field_id")
+            got[c.name] = int(fid) if fid is not None else None
+        assert got == want
+        # top-level ids still stamped alongside
+        top = (meta_field.metadata or {}).get(b"PARQUET:field_id")
+        assert int(top) == node["id"]
