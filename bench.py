@@ -164,6 +164,7 @@ HEADLINE = [
     "iceberg_add_files_scan",        # snapshot/add_files migration
     "delta_uniform_iceberg_scan",    # UniForm: Iceberg metadata over Delta
     "iceberg_sorted_scan",           # sort orders: range files + pruning
+    "delta_ict_travel",              # in-commit timestamps travel
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -2941,3 +2941,60 @@ def iceberg_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("cents").alias("cents"),
     )
+
+
+_DELTA_ICT_ORACLE = """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 3 <> 2
+    GROUP BY o_orderstatus
+"""
+
+
+@register("delta_ict_travel", oracle=_DELTA_ICT_ORACLE)
+def delta_ict_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Commit Timestamps (``enable_in_commit_timestamps`` +
+    ``read_delta_table(timestamp_ms=...)``): the first third of
+    orders lands pre-ICT (v0), the feature is enabled (v1 — protocol
+    upgrade to writer features, provenance properties, first-action
+    commitInfo), then two more thirds commit WITH monotonic
+    ``inCommitTimestamp`` stamps (v2, v3). The query travels to v2's
+    OWN in-commit timestamp — resolution must come from the log
+    content (the stamped ICTs), picking exactly v2: v3's rows break
+    the hash, and so does falling back to file mtimes written
+    milliseconds apart. Commit-time-from-content is what makes
+    timestamp travel stable at scale, where logs get copied/restored
+    and mtimes lie."""
+    import json
+    import os
+    import shutil
+
+    from ..sources.delta import (
+        enable_in_commit_timestamps,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("ict_travel")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_delta_table(orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    enable_in_commit_timestamps(spark, path)
+    for r in (1, 2):
+        write_delta_table(
+            orders.filter(F.col("o_orderkey") % 3 == r), path,
+            mode="append",
+        )
+    with open(os.path.join(path, "_delta_log", f"{2:020d}.json")) as fh:
+        ict_v2 = json.loads(fh.readline())["commitInfo"]["inCommitTimestamp"]
+    got = read_delta_table(spark, path, timestamp_ms=int(ict_v2))
+    return got.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )

@@ -1502,9 +1502,73 @@ def delta_plan_files(
     )
 
 
+def _prev_commit_ict(path: str, version: int) -> int | None:
+    """``inCommitTimestamp`` of the immediately-previous commit, or
+    None. Reads only the first line — the spec requires the
+    commitInfo to be the FIRST action whenever ICT is enabled, so a
+    missing first-line ICT means the feature was off at version-1.
+    Log retention never deletes the newest commit, so the sniff is
+    total for live tables."""
+    if version <= 0:
+        return None
+    prev = _commit_file(path, version - 1)
+    if not os.path.exists(prev):
+        return None
+    try:
+        with open(prev) as fh:
+            first = json.loads(fh.readline() or "{}")
+    except (OSError, json.JSONDecodeError):
+        return None
+    ict = (first.get("commitInfo") or {}).get("inCommitTimestamp")
+    return int(ict) if ict is not None else None
+
+
+def _stamp_ict(path: str, version: int, actions: list[dict]) -> list[dict]:
+    """In-Commit Timestamps (PROTOCOL.md §In-Commit Timestamps,
+    writer feature ``inCommitTimestamp``): when the table enables
+    ``delta.enableInCommitTimestamps``, every commit's FIRST action
+    must be a commitInfo carrying a strictly-monotonic
+    ``inCommitTimestamp`` — commit time then comes from the log
+    content, not from file mtimes a copy/restore can rewrite.
+    Enablement is detected from this commit's metaData when present
+    (authoritative — also handles disable), else sniffed from the
+    previous commit's first action."""
+    cfg = None
+    for a in actions:
+        if "metaData" in a:
+            cfg = a["metaData"].get("configuration") or {}
+    prev_ict = _prev_commit_ict(path, version)
+    if cfg is not None:
+        enabled = str(cfg.get("delta.enableInCommitTimestamps", "false")).lower() == "true"
+    else:
+        enabled = prev_ict is not None
+    if not enabled:
+        return actions
+    floor = (prev_ict if prev_ict is not None else 0) + 1
+    info = None
+    rest: list[dict] = []
+    for a in actions:
+        if "commitInfo" in a and info is None:
+            info = a
+        else:
+            rest.append(a)
+    pre = (info or {}).get("commitInfo", {}).get("inCommitTimestamp")
+    if pre is not None and int(pre) >= floor:
+        # caller already stamped a valid ICT (the enablement commit
+        # records the same value in the provenance properties)
+        ict = int(pre)
+    else:
+        ict = max(int(time.time() * 1000), floor)
+    if info is None:
+        info = {"commitInfo": {"timestamp": ict}}
+    info["commitInfo"]["inCommitTimestamp"] = ict
+    return [info] + rest
+
+
 def _atomic_commit(path: str, version: int, actions: list[dict]) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     target = _commit_file(path, version)
+    actions = _stamp_ict(path, version, actions)
     payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -2598,7 +2662,12 @@ def delta_version_at_timestamp(path: str, ts_ms: int) -> int:
         with open(_commit_file(path, v)) as fh:
             for action in _read_actions(fh):
                 if "commitInfo" in action:
-                    t = action["commitInfo"].get("timestamp")
+                    # In-Commit Timestamps take precedence over the
+                    # wall-clock field: for ICT commits the spec makes
+                    # inCommitTimestamp THE commit time (monotonic,
+                    # content-addressed, survives file copies).
+                    ci = action["commitInfo"]
+                    t = ci.get("inCommitTimestamp", ci.get("timestamp"))
                     break
         if t is None:
             t = int(os.path.getmtime(_commit_file(path, v)) * 1000)
@@ -2671,6 +2740,79 @@ def add_delta_constraint(spark: SparkSession, path: str,
                 "engineInfo": "etl-processing-scd1-spark delta constraint",
             }
         },
+    ])
+    return new_version
+
+
+_LEGACY_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["appendOnly", "invariants", "checkConstraints"],
+    4: ["appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns"],
+    5: ["appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping"],
+    6: ["appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+        "identityColumns"],
+}
+
+
+def _protocol_with_writer_feature(protocol: dict, feature: str) -> dict:
+    """Upgrade to table features (minWriterVersion 7) carrying
+    ``feature``; when coming from a legacy writer version, the spec
+    requires every feature that version implied to be listed
+    explicitly (PROTOCOL.md §Table Features)."""
+    proto = dict(protocol or {})
+    proto.setdefault("minReaderVersion", 1)
+    wv = int(proto.get("minWriterVersion") or 2)
+    feats = set(proto.get("writerFeatures") or [])
+    if wv < 7:
+        feats.update(_LEGACY_WRITER_FEATURES.get(wv, _LEGACY_WRITER_FEATURES[6]))
+    feats.add(feature)
+    proto["minWriterVersion"] = 7
+    proto["writerFeatures"] = sorted(feats)
+    return proto
+
+
+def enable_in_commit_timestamps(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.enableInCommitTimestamps'='true'): the enablement commit
+    for the In-Commit Timestamps writer feature. Upgrades the
+    protocol to table features with ``inCommitTimestamp``, sets the
+    flag plus the spec's two provenance properties
+    (``delta.inCommitTimestampEnablementVersion`` /
+    ``...EnablementTimestamp`` — the boundary below which
+    timestamp-travel falls back to file times), and stamps this and
+    every later commit with a strictly-monotonic
+    ``inCommitTimestamp`` in a first-action commitInfo
+    (``_stamp_ict``)."""
+    snap = _replay(spark, path, None)
+    cfg = dict(snap.metadata.get("configuration") or {})
+    if str(cfg.get("delta.enableInCommitTimestamps", "false")).lower() == "true":
+        return snap.version
+    new_version = snap.version + 1
+    ict = max(int(time.time() * 1000),
+              (_prev_commit_ict(path, new_version) or 0) + 1)
+    cfg["delta.enableInCommitTimestamps"] = "true"
+    cfg["delta.inCommitTimestampEnablementVersion"] = str(new_version)
+    cfg["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+    meta = dict(snap.metadata)
+    meta["configuration"] = cfg
+    proto = _protocol_with_writer_feature(snap.protocol, "inCommitTimestamp")
+    _atomic_commit(path, new_version, [
+        {
+            "commitInfo": {
+                "timestamp": ict,
+                "inCommitTimestamp": ict,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "delta.enableInCommitTimestamps": "true"
+                },
+                "engineInfo": "etl-processing-scd1-spark delta ict",
+            }
+        },
+        {"protocol": proto},
+        {"metaData": meta},
     ])
     return new_version
 

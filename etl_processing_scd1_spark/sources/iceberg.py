@@ -1291,10 +1291,24 @@ def _merged_scan(spark: SparkSession, paths: list[str]):
     inferred = spark.read.option("mergeSchema", "true").parquet(
         *paths
     ).schema
-    cleaned = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in inferred.fields]
-    )
-    return spark.read.schema(cleaned).parquet(*paths)
+
+    def strip(dt: T.DataType) -> T.DataType:
+        # struct MEMBERS carry parquet.field.id metadata too (nested
+        # footer stamping) — a top-level-only strip leaves the read
+        # schema "expecting field Ids" whenever merge order starts
+        # from a stamped file, and the scan then refuses id-less
+        # files nondeterministically
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, strip(f.dataType), True) for f in dt.fields]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(strip(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(strip(dt.keyType), strip(dt.valueType), True)
+        return dt
+
+    return spark.read.schema(strip(inferred)).parquet(*paths)
 
 
 def iceberg_snapshot_at_timestamp(path: str, ts_ms: int) -> int:
