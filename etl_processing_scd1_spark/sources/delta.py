@@ -629,8 +629,10 @@ def delete_delta_rows(spark: SparkSession, path: str, condition: str) -> int:
     driver for bitmap serialization — bitmap-scale, the same contract
     as Delta's own DV writer."""
     snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
     if not snap.files:
         return snap.version
+    _gate_append_only(snap.metadata, "DELETE")
     df, abs_to_rel = _visible_scan(spark, path, snap)
     hits = (
         df.filter(condition)
@@ -790,10 +792,13 @@ def _commit_dml(spark: SparkSession, path: str, snap: DeltaSnapshot,
     same commit as its data — and is committed even when no row
     changed, matching stock autoMerge)."""
     now_ms = int(time.time() * 1000)
+    _gate_writer_features(snap.protocol)
     per_file_hits = {
         abs_to_rel[r["__fp"]]: [int(x) for x in r["positions"]]
         for r in kill_rows
     }
+    if per_file_hits:
+        _gate_append_only(snap.metadata, operation)
     actions = list(extra_actions or [])
     actions += (
         _dv_actions(path, snap, per_file_hits, now_ms) if per_file_hits else []
@@ -1777,6 +1782,9 @@ def write_delta_table(
             actions[-1] = {"metaData": gen_meta}
     else:
         snap = _replay(spark, path, versions[-1])
+        _gate_writer_features(snap.protocol)
+        if mode == "overwrite" and snap.files:
+            _gate_append_only(snap.metadata, "overwrite WRITE")
         prev_meta = snap.metadata
         gen = _generated_exprs(snap.metadata)
         if gen:
@@ -2525,6 +2533,7 @@ def optimize_delta_table(spark: SparkSession, path: str,
     for predicates on any of them. One range shuffle; the multi-
     dimensional analog of sorting by a single column."""
     snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
     if not snap.files:
         return snap.version
     now_ms = int(time.time() * 1000)
@@ -2605,6 +2614,7 @@ def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
     partition columns (the directory layout names them) and the last
     remaining column."""
     snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
     meta = dict(snap.metadata)
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
@@ -2681,23 +2691,49 @@ def delta_version_at_timestamp(path: str, ts_ms: int) -> int:
 
 
 def _enforce_constraints(df: DataFrame, metadata: dict) -> None:
-    """CHECK-constraint enforcement (PROTOCOL.md §CHECK Constraints:
-    ``delta.constraints.<name>`` configuration entries; WRITERS must
-    reject rows the expression evaluates FALSE for — NULL passes, the
-    SQL CHECK convention). One bounded limit(1) probe per constraint."""
+    """Write-time row validation — everything the spec makes WRITERS
+    enforce: CHECK constraints (§CHECK Constraints,
+    ``delta.constraints.<name>`` config entries — reject rows the
+    expression evaluates FALSE for; NULL passes, the SQL CHECK
+    convention), column invariants (§Column Invariants,
+    ``delta.invariants`` field metadata — legacy writer-version-2
+    twin of CHECK), and NOT NULL columns (§Column Metadata,
+    ``nullable: false`` fields). One bounded limit(1) probe per
+    rule."""
     cfg = metadata.get("configuration") or {}
+    rules: list[tuple[str, str]] = []
     for key in sorted(cfg):
-        if not key.startswith("delta.constraints."):
+        if key.startswith("delta.constraints."):
+            rules.append((f"CHECK {key[len('delta.constraints.'):]}", cfg[key]))
+    try:
+        fields = json.loads(metadata.get("schemaString") or "{}").get("fields", [])
+    except json.JSONDecodeError:
+        fields = []
+    present = set(df.columns)
+    for f in fields:
+        name, md = f.get("name"), f.get("metadata") or {}
+        if name not in present:
             continue
-        name = key[len("delta.constraints."):]
-        expr = cfg[key]
+        inv = md.get("delta.invariants")
+        if inv:
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (json.JSONDecodeError, KeyError, TypeError):
+                raise DeltaProtocolError(
+                    f"unparseable delta.invariants on column {name!r}: {inv!r}"
+                ) from None
+            rules.append((f"invariant on {name}", expr))
+        if f.get("nullable") is False and df.schema[name].nullable:
+            # incoming columns Spark already types non-nullable need
+            # no probe — each rule costs a limit(1) job
+            rules.append((f"NOT NULL {name}", f"`{name}` IS NOT NULL"))
+    for label, expr in rules:
         bad = df.filter(
             F.expr(expr).eqNullSafe(F.lit(False))
         ).limit(1).collect()
         if bad:
             raise DeltaProtocolError(
-                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
-                f"row {bad[0].asDict()}"
+                f"{label} ({expr}) violated, e.g. by row {bad[0].asDict()}"
             )
 
 
@@ -2709,6 +2745,7 @@ def add_delta_constraint(spark: SparkSession, path: str,
     the protocol's minWriterVersion 3 floor. Every subsequent append
     / merge / update insert leg enforces it."""
     snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
     key = f"delta.constraints.{name}"
     cfg = dict(snap.metadata.get("configuration") or {})
     if key in cfg:
@@ -2742,6 +2779,50 @@ def add_delta_constraint(spark: SparkSession, path: str,
         },
     ])
     return new_version
+
+
+#: writer features this engine actually implements — commits to a
+#: table advertising anything else must be REFUSED, not attempted
+#: (PROTOCOL.md §Table Features: a writer that does not understand a
+#: writerFeature could corrupt invariants it cannot see).
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns",
+    "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
+    "timestampNtz",
+}
+
+
+def _gate_writer_features(protocol: dict | None) -> None:
+    """Refuse to write tables whose protocol lists a writer feature
+    this engine does not implement. Read paths never call this —
+    writer features do not gate reads."""
+    feats = set((protocol or {}).get("writerFeatures") or [])
+    unknown = sorted(feats - _SUPPORTED_WRITER_FEATURES)
+    if unknown:
+        raise DeltaProtocolError(
+            f"table requires writer features {unknown}; this writer "
+            f"implements {sorted(_SUPPORTED_WRITER_FEATURES)} — "
+            "refusing to write (a feature-blind commit could break "
+            "invariants the feature maintains)"
+        )
+    wv = int((protocol or {}).get("minWriterVersion") or 1)
+    if wv > 7:
+        raise DeltaProtocolError(
+            f"table requires minWriterVersion={wv}; this writer "
+            "implements <=7"
+        )
+
+
+def _gate_append_only(metadata: dict, operation: str) -> None:
+    """§Append-only Tables (``delta.appendOnly`` / legacy feature
+    ``appendOnly``): writers must reject commits that remove data."""
+    cfg = metadata.get("configuration") or {}
+    if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
+        raise DeltaProtocolError(
+            f"{operation} on append-only table (delta.appendOnly=true) "
+            "— removes are not allowed"
+        )
 
 
 _LEGACY_WRITER_FEATURES = {
@@ -2787,6 +2868,7 @@ def enable_in_commit_timestamps(spark: SparkSession, path: str) -> int:
     ``inCommitTimestamp`` in a first-action commitInfo
     (``_stamp_ict``)."""
     snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
     cfg = dict(snap.metadata.get("configuration") or {})
     if str(cfg.get("delta.enableInCommitTimestamps", "false")).lower() == "true":
         return snap.version
@@ -2817,11 +2899,66 @@ def enable_in_commit_timestamps(spark: SparkSession, path: str) -> int:
     return new_version
 
 
+def alter_delta_properties(spark: SparkSession, path: str,
+                           set_props: dict[str, str] | None = None,
+                           unset: list[str] | None = None) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES: one metadata-only commit
+    updating the configuration map. Feature-activating keys route
+    through their dedicated commands (they need protocol upgrades and
+    co-committed state this generic path cannot produce):
+    ``delta.enableInCommitTimestamps`` →
+    :func:`enable_in_commit_timestamps`, ``delta.constraints.*`` →
+    :func:`add_delta_constraint`, ``delta.columnMapping.*`` is fixed
+    at creation. ``delta.appendOnly='true'`` is allowed here — it
+    needs no protocol change on writer version ≥2 tables and every
+    remove-producing path gates on it."""
+    snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
+    cfg = dict(snap.metadata.get("configuration") or {})
+    blocked = [
+        k for k in {**(set_props or {}), **{u: "" for u in (unset or [])}}
+        if k == "delta.enableInCommitTimestamps"
+        or k.startswith("delta.constraints.")
+        or k.startswith("delta.columnMapping.")
+    ]
+    if blocked:
+        raise ValueError(
+            f"properties {blocked} have dedicated commands "
+            "(enable_in_commit_timestamps / add_delta_constraint / "
+            "creation-time column_mapping); refusing the generic path"
+        )
+    for k, v in sorted((set_props or {}).items()):
+        cfg[k] = str(v)
+    for k in unset or []:
+        cfg.pop(k, None)
+    if cfg == (snap.metadata.get("configuration") or {}):
+        return snap.version
+    meta = dict(snap.metadata)
+    meta["configuration"] = cfg
+    new_version = snap.version + 1
+    _atomic_commit(path, new_version, [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "set": json.dumps(set_props or {}, sort_keys=True),
+                    "unset": json.dumps(sorted(unset or [])),
+                },
+                "engineInfo": "etl-processing-scd1-spark delta alter",
+            }
+        },
+    ])
+    return new_version
+
+
 def drop_delta_constraint(spark: SparkSession, path: str,
                           name: str) -> int:
     """DROP CONSTRAINT: removes the configuration entry
     (metadata-only commit)."""
     snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
     key = f"delta.constraints.{name}"
     cfg = dict(snap.metadata.get("configuration") or {})
     if key not in cfg:
@@ -2911,6 +3048,7 @@ def rename_delta_column(spark: SparkSession, path: str,
     layout and ``partitionValues`` keys use physical names in mapped
     tables. Returns the new table version."""
     snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
     meta = dict(snap.metadata)
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
@@ -3049,6 +3187,7 @@ def restore_delta_table(spark: SparkSession, path: str,
     if version is None:
         raise ValueError("one of version / timestamp_ms is required")
     snap_now = _replay(spark, path, None)
+    _gate_writer_features(snap_now.protocol)
     snap_tgt = _replay(None, path, version)
     missing = [
         p for p in snap_tgt.files
@@ -3062,6 +3201,7 @@ def restore_delta_table(spark: SparkSession, path: str,
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     for p in sorted(set(snap_now.files) - set(snap_tgt.files)):
+        _gate_append_only(snap_now.metadata, "RESTORE")
         actions.append(
             {"remove": _remove_action(p, snap_now.files[p], now_ms)}
         )

@@ -2138,12 +2138,29 @@ class TestCheckConstraints:
         )
         with pytest.raises(DeltaProtocolError, match="pos_k"):
             merge_delta_table(spark, bad_src, path, ["k"])
-        # NULL passes (SQL CHECK convention)
+        # NULL passes the CHECK (SQL convention) — but the schema here
+        # is non-nullable (range-derived), so the write is refused by
+        # NOT NULL enforcement, not by the constraint; a nullable
+        # table shows the CHECK letting NULL through below
+        with pytest.raises(DeltaProtocolError, match="NOT NULL k"):
+            write_delta_table(
+                spark.createDataFrame([(None, 7, "0")],
+                                      "k long, v long, part string"),
+                path, mode="append",
+            )
+        nullable = str(tmp_path / "ck_nullable")
+        write_delta_table(
+            spark.createDataFrame([(1, 1, "0")],
+                                  "k long, v long, part string"),
+            nullable,
+        )
+        add_delta_constraint(spark, nullable, "pos_k", "k > 0")
         write_delta_table(
             spark.createDataFrame([(None, 7, "0")],
                                   "k long, v long, part string"),
-            path, mode="append",
+            nullable, mode="append",
         )
+        assert read_delta_table(spark, nullable).count() == 2
         # adding a constraint existing data violates refuses
         with pytest.raises(DeltaProtocolError, match="existing rows"):
             add_delta_constraint(spark, path, "small", "v < 5")
@@ -2151,7 +2168,7 @@ class TestCheckConstraints:
             add_delta_constraint(spark, path, "pos_k", "k > 0")
         drop_delta_constraint(spark, path, "pos_k")
         write_delta_table(_df(spark, -2, 0), path, mode="append")
-        assert read_delta_table(spark, path).count() == 14
+        assert read_delta_table(spark, path).count() == 13
         with pytest.raises(ValueError, match="not found"):
             drop_delta_constraint(spark, path, "pos_k")
 

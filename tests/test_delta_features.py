@@ -101,3 +101,102 @@ class TestInCommitTimestamps:
         for ver in (0, 1):
             for a in _commit_actions(path, ver):
                 assert "inCommitTimestamp" not in (a.get("commitInfo") or {})
+
+
+class TestWriterGates:
+    def test_unknown_writer_feature_refused(self, spark, tmp_path):
+        import pytest
+
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+            delete_delta_rows,
+            optimize_delta_table,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta_table(_df(spark, 0, 5), path)
+        # a foreign writer upgrades the table to a feature we don't know
+        log = os.path.join(path, "_delta_log")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly", "invariants",
+                                   "futureFeature"],
+            }}) + "\n")
+        # reads still work (writer features never gate reads)
+        assert read_delta_table(spark, path).count() == 5
+        for op in (
+            lambda: write_delta_table(_df(spark, 5, 8), path, mode="append"),
+            lambda: delete_delta_rows(spark, path, "k = 1"),
+            lambda: optimize_delta_table(spark, path),
+        ):
+            with pytest.raises(DeltaProtocolError, match="futureFeature"):
+                op()
+
+    def test_append_only_blocks_removes(self, spark, tmp_path):
+        import pytest
+
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+            alter_delta_properties,
+            delete_delta_rows,
+            restore_delta_table,
+            update_delta_rows,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta_table(_df(spark, 0, 5), path)              # v0
+        v = alter_delta_properties(
+            spark, path, {"delta.appendOnly": "true"}
+        )                                                      # v1
+        assert v == 1
+        write_delta_table(_df(spark, 5, 8), path, mode="append")  # OK
+        with pytest.raises(DeltaProtocolError, match="append-only"):
+            delete_delta_rows(spark, path, "k = 1")
+        with pytest.raises(DeltaProtocolError, match="append-only"):
+            update_delta_rows(spark, path, "k = 1", {"v": "0"})
+        with pytest.raises(DeltaProtocolError, match="append-only"):
+            write_delta_table(_df(spark, 0, 2), path, mode="overwrite")
+        with pytest.raises(DeltaProtocolError, match="append-only"):
+            restore_delta_table(spark, path, version=0)
+        assert read_delta_table(spark, path).count() == 8
+        # unset re-allows removal
+        alter_delta_properties(spark, path, unset=["delta.appendOnly"])
+        delete_delta_rows(spark, path, "k = 1")
+        assert read_delta_table(spark, path).count() == 7
+
+    def test_invariants_and_not_null_enforced(self, spark, tmp_path):
+        import pytest
+
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta_table(_df(spark, 0, 5), path)
+        # foreign writer adds a legacy column invariant + NOT NULL col
+        log = os.path.join(path, "_delta_log")
+        with open(os.path.join(log, f"{0:020d}.json")) as fh:
+            acts = [json.loads(line) for line in fh]
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        schema = json.loads(meta["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] == "v":
+                f["metadata"] = {"delta.invariants": json.dumps(
+                    {"expression": {"expression": "v >= 0"}}
+                )}
+            if f["name"] == "k":
+                f["nullable"] = False
+        meta["schemaString"] = json.dumps(schema)
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+
+        bad_inv = spark.createDataFrame([(99, -1)], "k long, v long")
+        with pytest.raises(DeltaProtocolError, match="invariant on v"):
+            write_delta_table(bad_inv, path, mode="append")
+        bad_null = spark.createDataFrame([(None, 5)], "k long, v long")
+        with pytest.raises(DeltaProtocolError, match="NOT NULL k"):
+            write_delta_table(bad_null, path, mode="append")
+        ok = spark.createDataFrame([(99, 1)], "k long, v long")
+        write_delta_table(ok, path, mode="append")
+        assert read_delta_table(spark, path).count() == 6
