@@ -165,6 +165,7 @@ HEADLINE = [
     "delta_uniform_iceberg_scan",    # UniForm: Iceberg metadata over Delta
     "iceberg_sorted_scan",           # sort orders: range files + pruning
     "delta_ict_travel",              # in-commit timestamps travel
+    "delta_row_tracking_scan",       # row ids through DML + OPTIMIZE
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -2998,3 +2998,65 @@ def delta_ict_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+_DELTA_ROW_TRACKING_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_distinct_ids,
+           CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                     THEN count(*) ELSE 0 END AS BIGINT) AS n_updated
+    FROM customer
+    GROUP BY c_mktsegment
+"""
+
+
+@register("delta_row_tracking_scan", oracle=_DELTA_ROW_TRACKING_ORACLE)
+def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (``enable_row_tracking`` +
+    ``read_delta_table(with_row_ids=True)``): even-key customers land
+    pre-enablement (v0), the feature turns on (v1 — protocol upgrade
+    to rowTracking+domainMetadata, backfill baseRowId ranges,
+    watermark domain), odd keys append with fresh ranges (v2), an
+    UPDATE bumps BUILDING balances (v3 — DV-kill + rewrite with the
+    row id MATERIALIZED into the new file), and OPTIMIZE compacts
+    everything (v4 — ids and commit versions carried in the
+    materialized columns). The scan then proves the invariants that
+    make row ids usable as lineage keys at 100 TB: every visible row
+    keeps a UNIQUE id through DML + compaction (n_distinct_ids =
+    n_customers per segment), and exactly the updated segment's rows
+    carry the update commit's version (n_updated)."""
+    import shutil
+
+    from ..sources.delta import (
+        enable_row_tracking,
+        optimize_delta_table,
+        read_delta_table,
+        update_delta_rows,
+        write_delta_table,
+    )
+
+    path = _delta_dir("row_tracking")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    write_delta_table(cust.filter(F.col("c_custkey") % 2 == 0), path)
+    enable_row_tracking(spark, path)
+    write_delta_table(
+        cust.filter(F.col("c_custkey") % 2 == 1), path, mode="append"
+    )
+    v_upd = update_delta_rows(
+        spark, path, "segment = 'BUILDING'", {"bal": "bal + 1"}
+    )
+    optimize_delta_table(spark, path, target_files=2)
+    got = read_delta_table(spark, path, with_row_ids=True)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("_row_id").alias("n_distinct_ids"),
+        F.sum(
+            (F.col("_row_commit_version") == F.lit(v_upd)).cast("long")
+        ).alias("n_updated"),
+    )

@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    LongType,
     MapType,
     StringType,
     StructField,
@@ -211,12 +212,16 @@ class DeltaSnapshot:
     spec's idempotent-streaming primitive)."""
 
     def __init__(self, version: int, metadata: dict, protocol: dict,
-                 files: dict[str, dict], app_versions: dict[str, int]):
+                 files: dict[str, dict], app_versions: dict[str, int],
+                 domains: dict[str, dict] | None = None):
         self.version = version
         self.metadata = metadata
         self.protocol = protocol
         self.files = files  # path -> add action
         self.app_versions = app_versions  # appId -> last txn version
+        # §Domain Metadata: domain name -> latest live domainMetadata
+        # action (removed=True tombstones drop the entry at replay)
+        self.domains = domains or {}
 
     @property
     def schema(self) -> StructType:
@@ -286,6 +291,17 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
     metadata: dict | None = None
     protocol: dict | None = None
     app_versions: dict[str, int] = {}
+    domains: dict[str, dict] = {}
+
+    def _apply_domain(d: dict) -> None:
+        if d.get("removed"):
+            domains.pop(d["domain"], None)
+        else:
+            domains[d["domain"]] = {
+                "domain": d["domain"],
+                "configuration": d.get("configuration"),
+                "removed": False,
+            }
 
     start = 0
     ckpt = _latest_checkpoint_at_or_before(path, target)
@@ -319,6 +335,11 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
                 app_versions[t["appId"]] = max(
                     app_versions.get(t["appId"], -1), int(t["version"])
                 )
+            elif "domainMetadata" in action:
+                _apply_domain({
+                    k: v for k, v in action["domainMetadata"].items()
+                    if v is not None
+                })
         start = ckpt + 1
 
     for v in range(start, target + 1):
@@ -342,6 +363,8 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
                     app_versions[t["appId"]] = max(
                         app_versions.get(t["appId"], -1), int(t["version"])
                     )
+                elif "domainMetadata" in action:
+                    _apply_domain(action["domainMetadata"])
 
     if metadata is None or protocol is None:
         raise DeltaProtocolError(f"table {path} has no metaData/protocol action")
@@ -375,7 +398,8 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
             f"column mapping mode {cm_mode!r} not supported "
             "(modes: none, name, id)"
         )
-    return DeltaSnapshot(target, metadata, protocol, files, app_versions)
+    return DeltaSnapshot(target, metadata, protocol, files, app_versions,
+                         domains)
 
 
 # --------------------------------------------------------------------------
@@ -730,21 +754,37 @@ def _external_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
     ).drop("__pv_key")
 
 
-def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
+def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
+                  with_row_ids: bool = False):
     """Distributed scan of the snapshot's VISIBLE rows with ``__fp``/
     ``__pos`` helper columns (normalized ``_metadata`` keys) and
     LOGICAL column names: rows already dead in a deletion vector are
     anti-joined away, column-mapped physical names renamed back.
+    ``with_row_ids`` adds ``__row_id``/``__row_ver`` (row tracking:
+    materialized columns first, else baseRowId + position).
     → (DataFrame, {abs file path: rel path})."""
+    mat = _rt_mat_cols(snap.metadata) if with_row_ids else None
     abs_to_rel = {
         os.path.abspath(os.path.join(path, p)): p for p in snap.files
     }
     if any(os.path.isabs(p) for p in snap.files):
+        if with_row_ids:
+            raise DeltaProtocolError(
+                "row-id scans over absolute-path (cloned) file entries "
+                "are not supported"
+            )
         df = _external_scan(spark, path, snap, snap.files)  # has __fp/__pos
     else:
+        read_schema = _physical_read_schema(snap)
+        if mat:
+            read_schema = StructType(
+                read_schema.fields
+                + [StructField(mat[0], LongType()),
+                   StructField(mat[1], LongType())]
+            )
         df = (
             spark.read.option("basePath", path)
-            .schema(_physical_read_schema(snap))
+            .schema(read_schema)
             .parquet(*sorted(abs_to_rel))
             .withColumn(
                 "__fp",
@@ -777,6 +817,32 @@ def _visible_scan(spark: SparkSession, path: str, snap: DeltaSnapshot):
     for lg, ph in (snap.column_mapping or {}).items():
         if ph != lg:
             df = df.withColumnRenamed(ph, lg)
+    if mat:
+        missing_base = sorted(
+            p for p, a in snap.files.items() if a.get("baseRowId") is None
+        )
+        if missing_base:
+            raise DeltaProtocolError(
+                f"files without baseRowId (pre-enablement snapshot?): "
+                f"{missing_base[:3]}"
+            )
+        bdf = spark.createDataFrame(
+            [
+                (ap, int(snap.files[rel]["baseRowId"]),
+                 int(snap.files[rel]["defaultRowCommitVersion"]))
+                for ap, rel in abs_to_rel.items()
+            ],
+            "__base_fp string, __base_id long, __base_ver long",
+        )
+        df = df.join(
+            F.broadcast(bdf), F.col("__fp") == F.col("__base_fp"), "left"
+        ).withColumn(
+            "__row_id",
+            F.coalesce(F.col(mat[0]), F.col("__base_id") + F.col("__pos")),
+        ).withColumn(
+            "__row_ver",
+            F.coalesce(F.col(mat[1]), F.col("__base_ver")),
+        ).drop("__base_fp", "__base_id", "__base_ver", mat[0], mat[1])
     return df, abs_to_rel
 
 
@@ -813,11 +879,16 @@ def _commit_dml(spark: SparkSession, path: str, snap: DeltaSnapshot,
             snap.column_mapping or {}, now_ms,
             (snap.column_mapping_ids or {}) if id_mode else None,
         )
+        live_adds = []
         for a in adds:
             if json.loads(a["stats"])["numRecords"] == 0:
                 os.unlink(os.path.join(path, a["path"]))
                 continue
-            actions.append({"add": a})
+            live_adds.append(a)
+        actions.extend(
+            _assign_row_ids(snap, live_adds, snap.version + 1)
+        )
+        actions.extend({"add": a} for a in live_adds)
     if not actions:
         return snap.version
     actions.append(
@@ -858,7 +929,10 @@ def update_delta_rows(spark: SparkSession, path: str, condition: str,
             f"cannot UPDATE identity column(s) {ident} — they are "
             "GENERATED ALWAYS (PROTOCOL.md §Identity Columns)"
         )
-    scan, abs_to_rel = _visible_scan(spark, path, snap)
+    mat = _rt_mat_cols(snap.metadata)
+    scan, abs_to_rel = _visible_scan(
+        spark, path, snap, with_row_ids=bool(mat)
+    )
     hits = scan.filter(condition)
     kill_rows = (
         hits.groupBy("__fp")
@@ -867,12 +941,18 @@ def update_delta_rows(spark: SparkSession, path: str, condition: str,
     )
     if not kill_rows:
         return snap.version
+    # row tracking: an updated row keeps its row id — materialize it
+    # into the rewritten file (its commit version becomes the new
+    # commit's, which is exactly defaultRowCommitVersion, so only the
+    # id column is carried)
+    keep_id = [F.col("__row_id").alias(mat[0])] if mat else []
     updated = hits.select(
         *[
             (F.expr(set_exprs[f.name]) if f.name in set_exprs
              else F.col(f.name)).cast(f.dataType).alias(f.name)
             for f in snap.schema.fields
-        ]
+        ],
+        *keep_id,
     )
     gen = _generated_exprs(snap.metadata)
     if gen:
@@ -888,7 +968,8 @@ def update_delta_rows(spark: SparkSession, path: str, condition: str,
                     else F.col(f.name)
                 ).cast(f.dataType).alias(f.name)
                 for f in snap.schema.fields
-            ]
+            ],
+            *([F.col(mat[0])] if mat else []),
         )
         explicit = {c: gen[c] for c in set_exprs if c in gen}
         if explicit:
@@ -1292,6 +1373,7 @@ def read_delta_table(
     spark: SparkSession, path: str, version: int | None = None,
     predicates: dict | None = None,
     timestamp_ms: int | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot read of a Delta table at ``version`` (default:
     latest); ``timestamp_ms`` resolves TIMESTAMP AS OF time travel to
@@ -1326,20 +1408,78 @@ def read_delta_table(
     files = {
         p: a for p, a in snap.files.items() if not _stats_prune(a, predicates)
     }
+    mat = _rt_mat_cols(snap.metadata) if with_row_ids else None
+    if with_row_ids and mat is None:
+        raise DeltaProtocolError(
+            "with_row_ids requires delta.enableRowTracking "
+            "(enable_row_tracking)"
+        )
     if not files:
-        return spark.createDataFrame([], snap.schema)
+        schema = snap.schema
+        if with_row_ids:
+            schema = StructType(
+                schema.fields
+                + [StructField("_row_id", LongType()),
+                   StructField("_row_commit_version", LongType())]
+            )
+        return spark.createDataFrame([], schema)
     from pyspark.sql import functions as F
 
     if any(os.path.isabs(p) for p in files):
+        if with_row_ids:
+            raise DeltaProtocolError(
+                "row-id reads over absolute-path (cloned) file entries "
+                "are not supported"
+            )
         # shallow-clone / absolute add paths: partition values attach
         # from the log, not from directory inference
         df = _external_scan(spark, path, snap, files)
     else:
         paths = [os.path.join(path, p) for p in sorted(files)]
-        reader = spark.read.option("basePath", path).schema(
-            _physical_read_schema(snap)
-        )
+        read_schema = _physical_read_schema(snap)
+        if mat:
+            read_schema = StructType(
+                read_schema.fields
+                + [StructField(mat[0], LongType()),
+                   StructField(mat[1], LongType())]
+            )
+        reader = spark.read.option("basePath", path).schema(read_schema)
         df = reader.parquet(*paths)
+        if with_row_ids:
+            missing_base = sorted(
+                p for p, a in files.items() if a.get("baseRowId") is None
+            )
+            if missing_base:
+                raise DeltaProtocolError(
+                    f"files without baseRowId (pre-enablement snapshot?): "
+                    f"{missing_base[:3]}"
+                )
+            df = df.withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""
+                    ),
+                    "^/+", "/",
+                ),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+            base_rows = [
+                (os.path.abspath(os.path.join(path, p)),
+                 int(a["baseRowId"]), int(a["defaultRowCommitVersion"]))
+                for p, a in files.items()
+            ]
+            bdf = spark.createDataFrame(
+                base_rows, "__base_fp string, __base_id long, __base_ver long"
+            )
+            df = df.join(
+                F.broadcast(bdf), F.col("__fp") == F.col("__base_fp"), "left"
+            ).withColumn(
+                "_row_id",
+                F.coalesce(F.col(mat[0]), F.col("__base_id") + F.col("__pos")),
+            ).withColumn(
+                "_row_commit_version",
+                F.coalesce(F.col(mat[1]), F.col("__base_ver")),
+            ).drop("__base_fp", "__base_id", "__base_ver")
     dv_keys = [
         (os.path.abspath(os.path.join(path, p)), pos)
         for p, a in files.items()
@@ -1373,10 +1513,13 @@ def read_delta_table(
     # schemaString is authoritative (e.g. a string partition column);
     # column-mapped tables project physical → logical here
     cm = snap.column_mapping or {}
-    return df.select(
-        *[F.col(cm.get(f.name, f.name)).cast(f.dataType).alias(f.name)
-          for f in snap.schema.fields]
-    )
+    out_cols = [
+        F.col(cm.get(f.name, f.name)).cast(f.dataType).alias(f.name)
+        for f in snap.schema.fields
+    ]
+    if with_row_ids:
+        out_cols += [F.col("_row_id"), F.col("_row_commit_version")]
+    return df.select(*out_cols)
 
 
 def delta_last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
@@ -1817,10 +1960,10 @@ def write_delta_table(
             for p, add in sorted(snap.files.items()):
                 actions.append({"remove": _remove_action(p, add, now_ms)})
 
-    actions.extend(
-        {"add": a} for a in
-        _stage_delta_files(df, path, partition_by, cm, now_ms, cm_ids)
-    )
+    adds = _stage_delta_files(df, path, partition_by, cm, now_ms, cm_ids)
+    if versions:
+        actions.extend(_assign_row_ids(snap, adds, new_version))
+    actions.extend({"add": a} for a in adds)
     if txn is not None:
         actions.append(
             {
@@ -1932,6 +2075,126 @@ def _stage_delta_files(df: DataFrame, path: str,
     return adds
 
 
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking_on(metadata: dict) -> bool:
+    cfg = metadata.get("configuration") or {}
+    return str(cfg.get("delta.enableRowTracking", "false")).lower() == "true"
+
+
+def _rt_mat_cols(metadata: dict) -> tuple[str, str] | None:
+    """(materialized row-id column, materialized row-commit-version
+    column) physical parquet names, when row tracking is enabled.
+    Rows REWRITTEN by a path that can't keep base+position stable
+    (OPTIMIZE, UPDATE) carry their ids in these columns; fresh rows
+    leave them absent and derive ids as baseRowId + position."""
+    if not _row_tracking_on(metadata):
+        return None
+    cfg = metadata.get("configuration") or {}
+    rid = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    rver = cfg.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    if not rid or not rver:
+        raise DeltaProtocolError(
+            "row tracking enabled without materialized column names "
+            "in the configuration (spec requires both properties)"
+        )
+    return rid, rver
+
+
+def _row_id_watermark(domains: dict[str, dict]) -> int:
+    d = domains.get(_ROW_TRACKING_DOMAIN)
+    if not d or not d.get("configuration"):
+        return -1
+    return int(json.loads(d["configuration"]).get("rowIdHighWaterMark", -1))
+
+
+def _assign_row_ids(snap: DeltaSnapshot, adds: list[dict],
+                    new_version: int) -> list[dict]:
+    """§Row Tracking: give every fresh add action a ``baseRowId``
+    (disjoint ranges allocated from the table's high watermark — row
+    id of row *i* in the file = baseRowId + i unless materialized)
+    and ``defaultRowCommitVersion`` (= the committing version), and
+    return the domainMetadata action advancing the watermark. No-op
+    (empty list) when the table doesn't track rows."""
+    if not _row_tracking_on(snap.metadata):
+        return []
+    hwm = _row_id_watermark(snap.domains)
+    for a in adds:
+        stats = a.get("stats")
+        n = json.loads(stats).get("numRecords") if stats else None
+        if n is None:
+            raise DeltaProtocolError(
+                f"cannot assign row ids to {a.get('path')}: add action "
+                "has no numRecords stats"
+            )
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = new_version
+        hwm += int(n)
+    return [{
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }]
+
+
+def enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.enableRowTracking'='true'): upgrade to the
+    ``rowTracking`` + ``domainMetadata`` writer features and BACKFILL
+    — every live add action is re-committed with a fresh
+    ``baseRowId`` range and ``defaultRowCommitVersion`` (metadata
+    only, no file touched, dataChange=false semantics), the
+    watermark domain rides the same commit, and the materialized
+    column names are fixed in the configuration. From then on every
+    commit path allocates ids for new files, deletion-vector DML
+    keeps survivors' ids stable for free (base + position never
+    changes), and OPTIMIZE/UPDATE materialize ids before rewriting
+    rows. Stable row identity without rewriting data is the point at
+    100 TB: lineage joins, incremental ML feature refresh, CDC
+    auditing all key on ``_row_id``."""
+    snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
+    if _row_tracking_on(snap.metadata):
+        return snap.version
+    new_version = snap.version + 1
+    cfg = dict(snap.metadata.get("configuration") or {})
+    cfg["delta.enableRowTracking"] = "true"
+    cfg.setdefault(
+        "delta.rowTracking.materializedRowIdColumnName",
+        f"_row_id_mat_{uuid.uuid4().hex[:12]}",
+    )
+    cfg.setdefault(
+        "delta.rowTracking.materializedRowCommitVersionColumnName",
+        f"_row_ver_mat_{uuid.uuid4().hex[:12]}",
+    )
+    meta = dict(snap.metadata)
+    meta["configuration"] = cfg
+    proto = _protocol_with_writer_feature(snap.protocol, "domainMetadata")
+    proto = _protocol_with_writer_feature(proto, "rowTracking")
+    snap.metadata = meta  # so _assign_row_ids sees tracking on
+    backfill = [dict(a) for _, a in sorted(snap.files.items())]
+    domain = _assign_row_ids(snap, backfill, new_version)
+    actions: list[dict] = [
+        {"protocol": proto},
+        {"metaData": meta},
+        *({"add": a} for a in backfill),
+        *domain,
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {"delta.enableRowTracking": "true"},
+                "engineInfo": "etl-processing-scd1-spark delta row tracking",
+            }
+        },
+    ]
+    _atomic_commit(path, new_version, actions)
+    return new_version
+
+
 def _checkpoint_schema():
     """Spec-shaped checkpoint schema (PROTOCOL.md "Checkpoints"):
     struct columns named after the actions; partitionValues as
@@ -1995,6 +2258,10 @@ def _checkpoint_schema():
                                 ]
                             ),
                         ),
+                        # row tracking: losing these in a checkpoint
+                        # would re-number every row id at replay
+                        pa.field("baseRowId", pa.int64()),
+                        pa.field("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -2004,6 +2271,16 @@ def _checkpoint_schema():
                     [
                         pa.field("appId", pa.string()),
                         pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        pa.field("domain", pa.string()),
+                        pa.field("configuration", pa.string()),
+                        pa.field("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -2068,6 +2345,8 @@ def write_checkpoint(spark: SparkSession, path: str, version: int,
             }
             if dv
             else None,
+            "baseRowId": add.get("baseRowId"),
+            "defaultRowCommitVersion": add.get("defaultRowCommitVersion"),
         }
 
     rows = (
@@ -2092,6 +2371,20 @@ def write_checkpoint(spark: SparkSession, path: str, version: int,
                 "txn": {"appId": app, "version": v},
             }
             for app, v in sorted(snap.app_versions.items())
+        ]
+        + [
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": None,
+                "domainMetadata": {
+                    "domain": d["domain"],
+                    "configuration": d.get("configuration"),
+                    "removed": False,
+                },
+            }
+            for _, d in sorted(snap.domains.items())
         ]
     )
     if v2:
@@ -2119,6 +2412,8 @@ def write_checkpoint(spark: SparkSession, path: str, version: int,
             "metaData": [r["metaData"] for r in other]
             + [None] * (len(side_names) + 1),
             "txn": [r["txn"] for r in other]
+            + [None] * (len(side_names) + 1),
+            "domainMetadata": [r.get("domainMetadata") for r in other]
             + [None] * (len(side_names) + 1),
             "sidecar": [None] * len(other)
             + [
@@ -2540,7 +2835,18 @@ def optimize_delta_table(spark: SparkSession, path: str,
     id_mode = (snap.metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode"
     ) == "id"
-    df = read_delta_table(spark, path)
+    mat = _rt_mat_cols(snap.metadata)
+    if mat:
+        # row tracking: a rewrite changes base+position, so the ids
+        # and original commit versions ride along as MATERIALIZED
+        # columns in the compacted files (readers coalesce them
+        # before the base+position derivation)
+        df = read_delta_table(spark, path, with_row_ids=True)
+        df = df.withColumnRenamed("_row_id", mat[0]).withColumnRenamed(
+            "_row_commit_version", mat[1]
+        )
+    else:
+        df = read_delta_table(spark, path)
     if zorder_by:
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
@@ -2559,11 +2865,17 @@ def optimize_delta_table(spark: SparkSession, path: str,
         (snap.column_mapping_ids or {}) if id_mode else None,
     )
     actions: list[dict] = []
+    live_adds = []
     for a in adds:
         if json.loads(a["stats"])["numRecords"] == 0:
             os.unlink(os.path.join(path, a["path"]))
             continue
-        actions.append({"add": {**a, "dataChange": False}})
+        live_adds.append(a)
+    # compacted files still get fresh baseRowId ranges (spec: every
+    # add carries one); the materialized columns override them for
+    # the carried-over rows
+    actions.extend(_assign_row_ids(snap, live_adds, snap.version + 1))
+    actions.extend({"add": {**a, "dataChange": False}} for a in live_adds)
     for p in sorted(snap.files):
         rm = _remove_action(p, snap.files[p], now_ms)
         rm["dataChange"] = False
@@ -2789,7 +3101,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
-    "timestampNtz",
+    "timestampNtz", "domainMetadata", "rowTracking",
 }
 
 
@@ -3148,6 +3460,12 @@ def clone_delta_table(spark: SparkSession, src: str, dst: str) -> int:
             }
         add["dataChange"] = False
         actions.append({"add": add})
+    # §Domain Metadata: writers must carry live domains across clone
+    # (e.g. the row-tracking watermark stays consistent with the
+    # copied adds' baseRowId ranges)
+    actions.extend(
+        {"domainMetadata": d} for _, d in sorted(snap.domains.items())
+    )
     actions.append(
         {
             "commitInfo": {
@@ -3213,11 +3531,21 @@ def restore_delta_table(spark: SparkSession, path: str,
                 {"remove": _remove_action(p, snap_now.files[p], now_ms)}
             )
             re_add.append(p)
+    re_adds = []
     for p in sorted(re_add):
         add = dict(snap_tgt.files[p])
         add["modificationTime"] = now_ms
         add["dataChange"] = True
-        actions.append({"add": add})
+        re_adds.append(add)
+    # restoring past the row-tracking enablement: files from the
+    # target snapshot may predate id assignment — give them fresh
+    # ranges now so row-id reads stay total
+    needs_ids = [a for a in re_adds if a.get("baseRowId") is None]
+    if needs_ids:
+        actions.extend(
+            _assign_row_ids(snap_now, needs_ids, snap_now.version + 1)
+        )
+    actions.extend({"add": a} for a in re_adds)
     if not actions:
         return snap_now.version
     actions.append(

@@ -200,3 +200,125 @@ class TestWriterGates:
         ok = spark.createDataFrame([(99, 1)], "k long, v long")
         write_delta_table(ok, path, mode="append")
         assert read_delta_table(spark, path).count() == 6
+
+
+class TestRowTracking:
+    def _ids(self, spark, path, **kw):
+        from etl_processing_scd1_spark.sources.delta import read_delta_table
+        df = read_delta_table(spark, path, with_row_ids=True, **kw)
+        return {r.k: (r._row_id, r._row_commit_version)
+                for r in df.collect()}
+
+    def test_enable_backfills_and_allocates(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            enable_row_tracking,
+        )
+
+        path = str(tmp_path / "rt")
+        write_delta_table(_df(spark, 0, 10), path)            # v0
+        v = enable_row_tracking(spark, path)                  # v1
+        assert v == 1
+        acts = _commit_actions(path, 1)
+        proto = next(a["protocol"] for a in acts if "protocol" in a)
+        assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+        dom = next(a["domainMetadata"] for a in acts if "domainMetadata" in a)
+        assert dom["domain"] == "delta.rowTracking"
+        assert json.loads(dom["configuration"])["rowIdHighWaterMark"] == 9
+        ids = self._ids(spark, path)
+        # every row has a unique id in [0, 9], commit version 1 (backfill)
+        assert sorted(i for i, _ in ids.values()) == list(range(10))
+        assert {v for _, v in ids.values()} == {1}
+        # appends allocate fresh disjoint ranges at the new version
+        write_delta_table(_df(spark, 10, 14), path)           # v2
+        ids2 = self._ids(spark, path)
+        assert sorted(i for i, _ in ids2.values()) == list(range(14))
+        assert {ids2[k][1] for k in range(10, 14)} == {2}
+        # the first ten rows kept their ids
+        for k in range(10):
+            assert ids2[k] == ids[k]
+        # idempotent
+        from etl_processing_scd1_spark.sources.delta import (
+            enable_row_tracking as ert,
+        )
+        assert ert(spark, path) == 2
+
+    def test_delete_and_update_preserve_ids(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            enable_row_tracking,
+            update_delta_rows,
+        )
+
+        path = str(tmp_path / "rt2")
+        write_delta_table(_df(spark, 0, 8), path)
+        enable_row_tracking(spark, path)
+        before = self._ids(spark, path)
+        delete_delta_rows(spark, path, "k = 3")               # DV delete
+        after = self._ids(spark, path)
+        assert 3 not in after
+        for k in after:
+            assert after[k][0] == before[k][0]                # ids stable
+        v = update_delta_rows(spark, path, "k = 5", {"v": "999"})
+        upd = self._ids(spark, path)
+        assert upd[5][0] == before[5][0]                      # id preserved
+        assert upd[5][1] == v                                 # ver = update commit
+        for k in upd:
+            if k != 5:
+                assert upd[k] == after[k]
+
+    def test_optimize_materializes_ids(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            enable_row_tracking,
+            optimize_delta_table,
+        )
+
+        path = str(tmp_path / "rt3")
+        write_delta_table(_df(spark, 0, 6), path)
+        enable_row_tracking(spark, path)
+        write_delta_table(_df(spark, 6, 9), path)
+        delete_delta_rows(spark, path, "k = 1")
+        before = self._ids(spark, path)
+        optimize_delta_table(spark, path)                     # rewrite all
+        after = self._ids(spark, path)
+        assert after == before                                # ids + vers survive
+        # and survive a checkpointed replay too
+        from etl_processing_scd1_spark.sources.delta import (
+            delta_table_version,
+            write_checkpoint,
+        )
+        write_checkpoint(spark, path, delta_table_version(path))
+        assert self._ids(spark, path) == before
+
+    def test_domains_survive_checkpoint_and_clone(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            _replay,
+            clone_delta_table,
+            enable_row_tracking,
+            write_checkpoint,
+        )
+
+        path = str(tmp_path / "rt4")
+        write_delta_table(_df(spark, 0, 5), path)
+        enable_row_tracking(spark, path)
+        write_checkpoint(spark, path, 1)
+        write_delta_table(_df(spark, 5, 7), path)             # v2 after ckpt
+        snap = _replay(spark, path, None)
+        hwm = json.loads(
+            snap.domains["delta.rowTracking"]["configuration"]
+        )["rowIdHighWaterMark"]
+        assert hwm == 6
+        dst = str(tmp_path / "rt4_clone")
+        clone_delta_table(spark, path, dst)
+        snap2 = _replay(spark, dst, None)
+        assert "delta.rowTracking" in snap2.domains
+
+    def test_plain_table_refuses_row_id_read(self, spark, tmp_path):
+        import pytest
+
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+        )
+
+        path = str(tmp_path / "plain_rt")
+        write_delta_table(_df(spark, 0, 3), path)
+        with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
+            self._ids(spark, path)
