@@ -166,6 +166,7 @@ HEADLINE = [
     "iceberg_sorted_scan",           # sort orders: range files + pruning
     "delta_ict_travel",              # in-commit timestamps travel
     "delta_row_tracking_scan",       # row ids through DML + OPTIMIZE
+    "iceberg_dv_delete_scan",        # v3 puffin deletion vectors
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -3060,3 +3060,57 @@ def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_row_commit_version") == F.lit(v_upd)).cast("long")
         ).alias("n_updated"),
     )
+
+
+_ICEBERG_DV_ORACLE = """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 3
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+                         ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                    END) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 10 <> 7
+    GROUP BY o_orderstatus
+"""
+
+
+@register("iceberg_dv_delete_scan", oracle=_ICEBERG_DV_ORACLE)
+def iceberg_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-v3 DELETION VECTORS (``upgrade_iceberg_format_version``
+    + puffin DVs on the DELETE/UPDATE paths): orders land as v2,
+    the table upgrades to format-version 3, a DELETE drops every
+    key ≡ 7 (mod 10) and an UPDATE doubles the cents of keys ≡ 3 —
+    both commits write ONE puffin file of roaring-bitmap
+    ``deletion-vector-v1`` blobs (one per affected data file, merged
+    with and superseding any previous DV — never a new
+    position-delete parquet, the v3 rule), and the scan applies the
+    newest DV per file alongside the rewritten rows. At 100 TB a DV
+    is the cheapest possible delete: O(bitmap) bytes per file, zero
+    data rewritten, one broadcast anti-join at read."""
+    import shutil
+
+    from ..sources.iceberg import (
+        delete_iceberg_rows,
+        read_iceberg_table,
+        update_iceberg_rows,
+        upgrade_iceberg_format_version,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_dv_scan")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_iceberg_table(orders, path)
+    upgrade_iceberg_format_version(path, 3)
+    delete_iceberg_rows(spark, path, "o_orderkey % 10 = 7")
+    update_iceberg_rows(spark, path, "o_orderkey % 10 = 3",
+                        {"cents": "cents * 2"})
+    got = read_iceberg_table(spark, path)
+    return got.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )

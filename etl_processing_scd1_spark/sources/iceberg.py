@@ -513,9 +513,9 @@ def _load_metadata(path: str, version: int | None = None) -> dict:
     with open(f) as fh:
         meta = json.load(fh)
     fv = meta.get("format-version", 1)
-    if fv > 2:
+    if fv > 3:
         raise IcebergProtocolError(
-            f"table is format-version {fv}; this reader implements <=2"
+            f"table is format-version {fv}; this reader implements <=3"
         )
     return meta
 
@@ -1051,16 +1051,36 @@ def _snapshot_files(path: str, meta: dict, snapshot_id: int | None,
                 continue
             df_ = e["data_file"]
             fmt = str(df_.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
-                raise IcebergProtocolError(f"data file format {fmt} not supported")
             # spec: data_file.content 0=data, 1=position deletes,
             # 2=equality deletes (manifest-list content marks the
             # manifest; entry content is authoritative per file)
             content = df_.get("content", 1 if is_delete_manifest else 0)
+            if fmt != "PARQUET" and not (
+                fmt == "PUFFIN" and content == 1
+            ):
+                raise IcebergProtocolError(f"data file format {fmt} not supported")
             # entry sequence_number when explicit, else inherited from
             # the manifest-list row (spec §Sequence Number Inheritance)
             seq = e.get("sequence_number")
             seq = mf_seq if seq is None else int(seq)
+            if fmt == "PUFFIN":
+                # format v3 deletion vector: one roaring-bitmap blob
+                # in a puffin file, applying to exactly one data file
+                ref = df_.get("referenced_data_file")
+                if not ref:
+                    raise IcebergProtocolError(
+                        "puffin delete entry without referenced_data_file"
+                    )
+                deletes.append({
+                    "path": _norm_path(df_["file_path"], path),
+                    "content": 1, "seq": seq, "equality_ids": None,
+                    "dv": {
+                        "referenced": _norm_path(ref, path),
+                        "offset": df_.get("content_offset"),
+                        "size": df_.get("content_size_in_bytes"),
+                    },
+                })
+                continue
             if content == 2:
                 eq_ids = [int(i) for i in (df_.get("equality_ids") or [])]
                 if not eq_ids:
@@ -1212,14 +1232,42 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, files: list,
       residual condition — never a cross product."""
     if not deletes:
         return df
-    pos_paths = sorted(d["path"] for d in deletes if d["content"] == 1)
+    pos_paths = sorted(
+        d["path"] for d in deletes if d["content"] == 1 and not d.get("dv")
+    )
+    dvs = [d for d in deletes if d.get("dv")]
     eq_dels = [d for d in deletes if d["content"] == 2]
     df = df.withColumn("__mor_fp", _norm_fp(F.col("_metadata.file_path")))
-    if pos_paths:
-        keys = spark.read.parquet(*pos_paths).select(
-            _norm_fp(F.col("file_path").cast("string")).alias("__del_fp"),
-            F.col("pos").cast("long").alias("__del_pos"),
-        )
+    if pos_paths or dvs:
+        keys = None
+        if pos_paths:
+            keys = spark.read.parquet(*pos_paths).select(
+                _norm_fp(F.col("file_path").cast("string")).alias("__del_fp"),
+                F.col("pos").cast("long").alias("__del_pos"),
+            )
+        if dvs:
+            from .puffin import decode_dv_blob, read_blob
+
+            # v3: at most one LIVE deletion vector per data file —
+            # when history carries superseded ones (each rewrite
+            # replaces the previous), the newest sequence wins
+            best: dict[str, dict] = {}
+            for d in sorted(dvs, key=lambda d: (d["seq"], d["path"])):
+                best[_norm_fp_py(d["dv"]["referenced"])] = d
+            rows = [
+                (ref, int(pos))
+                for ref, d in sorted(best.items())
+                for pos in decode_dv_blob(
+                    read_blob(d["path"], d["dv"]["offset"], d["dv"]["size"])
+                )
+            ]
+            kdf = spark.createDataFrame(
+                rows, "__del_fp string, __del_pos long"
+            )
+            # bitmap-scale by contract; local relations have no size
+            # stats for the auto-broadcast threshold
+            kdf = F.broadcast(kdf)
+            keys = kdf if keys is None else keys.unionByName(kdf)
         df = (
             df.withColumn("__mor_pos", F.col("_metadata.row_index"))
             .join(
@@ -1481,9 +1529,16 @@ def read_iceberg_table(
 # --------------------------------------------------------------------------
 
 
+
+def _fv_str(prev: dict | None) -> str:
+    """Avro-file format-version stamp: the table's (>=2 once
+    merge-on-read machinery writes v2+ layouts)."""
+    return str(max(2, int((prev or {}).get("format-version", 2))))
+
+
 def _manifest_entry_schema_json(
     part_fields: list[tuple[str, str, int]], with_content: bool = False,
-    with_seq: bool = False,
+    with_seq: bool = False, with_v3: bool = False,
 ) -> str:
     """manifest_entry Avro schema; ``part_fields`` =
     (name, iceberg_type, field_id) for the partition tuple.
@@ -1561,7 +1616,23 @@ def _manifest_entry_schema_json(
                                 "default": None,
                                 "field-id": 135,
                             },
-                        ] if with_content else []),
+                        ] if with_content else []) + ([
+                            # format v3: row lineage + puffin
+                            # deletion vectors (spec field-ids
+                            # 142-145)
+                            {"name": "first_row_id",
+                             "type": ["null", "long"],
+                             "default": None, "field-id": 142},
+                            {"name": "referenced_data_file",
+                             "type": ["null", "string"],
+                             "default": None, "field-id": 143},
+                            {"name": "content_offset",
+                             "type": ["null", "long"],
+                             "default": None, "field-id": 144},
+                            {"name": "content_size_in_bytes",
+                             "type": ["null", "long"],
+                             "default": None, "field-id": 145},
+                        ] if with_v3 else []),
                     },
                 },
             ],
@@ -2137,7 +2208,7 @@ def _commit_snapshot(
     # the v2 manifest-list schema; fresh/v1 tables stay v1
     fv = int((prev or {}).get("format-version", 1))
     seq = (
-        int((prev or {}).get("last-sequence-number", 0)) + 1 if fv == 2 else None
+        int((prev or {}).get("last-sequence-number", 0)) + 1 if fv >= 2 else None
     )
     ice_types = _scalar_ice_types(schema)
     field_ids = _resolved_field_ids(prev, schema)
@@ -2199,7 +2270,7 @@ def _commit_snapshot(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
-    if fv == 2:
+    if fv >= 2:
         new_manifest.update(
             {"content": 0, "sequence_number": seq, "min_sequence_number": seq}
         )
@@ -2214,12 +2285,12 @@ def _commit_snapshot(
     list_path = os.path.join(
         _meta_dir(path), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     )
-    if fv == 2:
+    if fv >= 2:
         for c in carried:
             c.setdefault("content", 0)
     dump_avro(
         list_path,
-        _MANIFEST_LIST_SCHEMA_V2 if fv == 2 else _MANIFEST_LIST_SCHEMA,
+        _MANIFEST_LIST_SCHEMA_V2 if fv >= 2 else _MANIFEST_LIST_SCHEMA,
         carried + [new_manifest],
         extra_meta={"format-version": str(fv)},
     )
@@ -2236,7 +2307,7 @@ def _commit_snapshot(
         "manifest-list": list_path,
         "schema-id": 0,
     }
-    if fv == 2:
+    if fv >= 2:
         snapshot["sequence-number"] = seq
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id
@@ -2340,7 +2411,7 @@ def _commit_snapshot(
             )
         ),
     }
-    if fv == 2:
+    if fv >= 2:
         meta["last-sequence-number"] = seq
 
     _put_metadata(path, new_version, meta)
@@ -2409,6 +2480,20 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
     new_version = base + 1
     snapshot_id = now_ms * 1000 + new_version
     seq = int(prev.get("last-sequence-number", 0)) + 1
+    if int(prev.get("format-version", 1)) >= 3:
+        # format v3: deletes are puffin DELETION VECTORS (one roaring
+        # bitmap per data file), never new position-delete parquets
+        new_manifest, n_deleted, replaced = _dv_delete_manifest(
+            hits, path, prev, snapshot_id, seq, existing
+        )
+        if new_manifest is None:
+            return base
+        return _commit_v2_tail(
+            path, base, prev, parent_id, snapshot_id, seq, now_ms,
+            [new_manifest], "delete",
+            {"deleted-records": n_deleted, "added-delete-files": 1},
+            carried_transform=_drop_superseded_dvs(path, replaced),
+        )
     new_manifest, n_deleted = _pos_delete_manifest(
         hits, path, prev, snapshot_id, seq
     )
@@ -2419,6 +2504,210 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition: str) -> int:
         [new_manifest], "delete",
         {"deleted-records": n_deleted, "added-delete-files": 1},
     )
+
+
+def _dv_delete_manifest(hits: DataFrame, path: str, prev: dict,
+                        snapshot_id: int, seq: int,
+                        existing: list[dict]):
+    """Write ``hits`` (``file_path``, ``pos`` rows) as format-v3
+    DELETION VECTORS: one puffin file holding one
+    ``deletion-vector-v1`` roaring-bitmap blob per affected data
+    file, plus the ``content=1`` delete manifest whose entries carry
+    ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes`` (spec field-ids 143-145). A data file's
+    previous DV is MERGED into the new one (the spec allows at most
+    one live DV per file; the superseded entry is dropped from the
+    carried manifests by ``_drop_superseded_dvs``). Existing v2
+    position/equality delete FILES are left untouched — readers keep
+    applying them alongside. → (manifest-list row, n_new_deletes,
+    replaced_refs)."""
+    from .puffin import (
+        DV_BLOB_TYPE,
+        decode_dv_blob,
+        dv_blob_bytes,
+        read_blob,
+        write_puffin,
+    )
+
+    # bitmap-scale by the same contract as the Delta DV writer: only
+    # (file, positions) keys land on the driver
+    per_file: dict[str, set[int]] = {}
+    for r in hits.groupBy("file_path").agg(
+        F.collect_list("pos").alias("positions")
+    ).collect():
+        per_file[r["file_path"]] = {int(p) for p in r["positions"]}
+    if not per_file:
+        return None, 0, set()
+    n_new = sum(len(v) for v in per_file.values())
+
+    prev_dvs: dict[str, dict] = {}
+    for d in sorted(
+        (d for d in existing if d.get("dv")),
+        key=lambda d: (d["seq"], d["path"]),
+    ):
+        prev_dvs[_norm_fp_py(d["dv"]["referenced"])] = d
+    replaced: set[str] = set()
+    for ref in list(per_file):
+        old = prev_dvs.get(_norm_fp_py(ref))
+        if old:
+            per_file[ref] |= set(decode_dv_blob(read_blob(
+                old["path"], old["dv"]["offset"], old["dv"]["size"]
+            )))
+            replaced.add(_norm_fp_py(ref))
+
+    puffin_path = os.path.join(
+        path, _DATA, f"delete-{uuid.uuid4().hex}.puffin"
+    )
+    os.makedirs(os.path.dirname(puffin_path), exist_ok=True)
+    refs = sorted(per_file)
+    metas = write_puffin(
+        puffin_path,
+        [
+            {
+                "type": DV_BLOB_TYPE,
+                "data": dv_blob_bytes(sorted(per_file[ref])),
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(per_file[ref])),
+                },
+            }
+            for ref in refs
+        ],
+    )
+
+    schema = _spark_schema(prev)
+    spec_fields = _spec_fields(prev)
+    field_ids = _resolved_field_ids(prev, schema)
+    part_fields = [
+        (e["name"], e["ice"], e["fid"]) for e in _spec_entries_from_meta(prev)
+    ]
+    manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    dump_avro(
+        manifest_path,
+        _manifest_entry_schema_json(
+            part_fields, with_content=True, with_v3=True
+        ),
+        [
+            {
+                "status": _ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin_path,
+                    "file_format": "PUFFIN",
+                    "partition": {name: None for name, _i, _f in part_fields},
+                    "record_count": len(per_file[ref]),
+                    "file_size_in_bytes": os.path.getsize(puffin_path),
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "first_row_id": None,
+                    "referenced_data_file": ref,
+                    "content_offset": m["offset"],
+                    "content_size_in_bytes": m["length"],
+                },
+            }
+            for ref, m in zip(refs, metas)
+        ],
+        extra_meta={
+            "schema": json.dumps(_schema_struct(schema, field_ids, prev)),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(_default_spec_id(prev)),
+            "format-version": _fv_str(prev),
+            "content": "deletes",
+        },
+    )
+    total = sum(len(v) for v in per_file.values())
+    return {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": _default_spec_id(prev),
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(refs),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": total,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+    }, n_new, replaced
+
+
+def _drop_superseded_dvs(path: str, replaced: set[str]):
+    """carried_transform for :func:`_commit_v2_tail`: rewrite carried
+    DELETE manifests dropping deletion-vector entries whose
+    referenced data file just received a replacement DV (spec: at
+    most one live DV per data file). Entries keep their explicit
+    sequence numbers through the rewrite; a manifest left empty is
+    dropped from the list."""
+    if not replaced:
+        return None
+
+    def transform(carried: list[dict]) -> list[dict]:
+        out: list[dict] = []
+        for row in carried:
+            if int(row.get("content") or 0) != 1:
+                out.append(row)
+                continue
+            mpath = _norm_path(row["manifest_path"], path)
+            meta_kv, entries = load_avro(mpath)
+            mf_seq = int(row.get("sequence_number") or 0)
+            keep = []
+            dropped = False
+            for e in entries:
+                df_ = e["data_file"]
+                ref = df_.get("referenced_data_file")
+                if (
+                    str(df_.get("file_format", "")).upper() == "PUFFIN"
+                    and ref is not None
+                    and _norm_fp_py(_norm_path(ref, path)) in replaced
+                ):
+                    dropped = True
+                    continue
+                if e.get("sequence_number") is None:
+                    e = {**e, "sequence_number": mf_seq}
+                keep.append(e)
+            if not dropped:
+                out.append(row)
+                continue
+            if not keep:
+                continue
+            new_path = os.path.join(
+                _meta_dir(path), f"{uuid.uuid4().hex}-m0.avro"
+            )
+            schema_str = meta_kv["avro.schema"].decode()
+            carry_meta = {
+                k: v for k, v in meta_kv.items()
+                if k not in ("avro.schema", "avro.codec")
+            }
+            # dropped entries predate this snapshot: rewritten
+            # survivors need the explicit per-entry sequence_number
+            # the loop above stamped — make sure the schema can
+            # carry it (rewrites of inheritance-era manifests)
+            if '"sequence_number"' not in schema_str:
+                sj = json.loads(schema_str)
+                sj["fields"].insert(2, {
+                    "name": "sequence_number", "type": ["null", "long"],
+                    "default": None, "field-id": 3,
+                })
+                schema_str = json.dumps(sj)
+            dump_avro(new_path, schema_str, keep, extra_meta=carry_meta)
+            n_rows = sum(int(e["data_file"].get("record_count") or 0)
+                         for e in keep)
+            out.append({
+                **row,
+                "manifest_path": new_path,
+                "manifest_length": os.path.getsize(new_path),
+                "added_data_files_count": len(keep),
+                "added_rows_count": n_rows,
+            })
+        return out
+
+    return transform
 
 
 def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
@@ -2488,7 +2777,7 @@ def _pos_delete_manifest(hits: DataFrame, path: str, prev: dict,
             ),
             "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": str(_default_spec_id(prev)),
-            "format-version": "2",
+            "format-version": _fv_str(prev),
             "content": "deletes",
         },
     )
@@ -2551,11 +2840,21 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
     new_version = base + 1
     snapshot_id = now_ms * 1000 + new_version
     seq = int(prev.get("last-sequence-number", 0)) + 1
-    del_manifest, n_updated = _pos_delete_manifest(
-        hits.select(F.col("__fp").alias("file_path"),
-                    F.col("__pos").alias("pos")),
-        path, prev, snapshot_id, seq,
-    )
+    carried_transform = None
+    if int(prev.get("format-version", 1)) >= 3:
+        del_manifest, n_updated, replaced = _dv_delete_manifest(
+            hits.select(F.col("__fp").alias("file_path"),
+                        F.col("__pos").alias("pos")),
+            path, prev, snapshot_id, seq, existing,
+        )
+        carried_transform = _drop_superseded_dvs(path, replaced) \
+            if del_manifest is not None else None
+    else:
+        del_manifest, n_updated = _pos_delete_manifest(
+            hits.select(F.col("__fp").alias("file_path"),
+                        F.col("__pos").alias("pos")),
+            path, prev, snapshot_id, seq,
+        )
     if del_manifest is None:
         return base
 
@@ -2588,6 +2887,7 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
             "added-delete-files": 1,
             "update-predicate": condition,
         },
+        carried_transform=carried_transform,
     )
 
 
@@ -2624,7 +2924,7 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
             "schema": json.dumps(_schema_struct(schema, field_ids, prev)),
             "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": str(spec_id),
-            "format-version": "2",
+            "format-version": _fv_str(prev),
             "content": "data",
         },
     )
@@ -2648,17 +2948,21 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
 def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
                     snapshot_id: int, seq: int, now_ms: int,
                     new_manifests: list[dict], operation: str,
-                    summary: dict) -> int:
+                    summary: dict, carried_transform=None) -> int:
     """Shared v2 commit tail (delete / upsert): carry the parent
     snapshot's manifests forward, append ``new_manifests``, write the
     v2 manifest list, the snapshot entry, and the put-if-absent
-    metadata version (upgrading the table to format-version 2)."""
+    metadata version (upgrading the table to format-version 2).
+    ``carried_transform`` (v3 DV replacement) may rewrite/drop
+    carried manifest-list rows before the append."""
     carried: list[dict] = []
     if parent_id is not None:
         cur = {s["snapshot-id"]: s for s in prev.get("snapshots", [])}[parent_id]
         _, carried = load_avro(_norm_path(cur["manifest-list"], path))
     for c in carried:
         c.setdefault("content", 0)
+    if carried_transform is not None:
+        carried = carried_transform(carried)
     list_path = os.path.join(
         _meta_dir(path), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     )
@@ -2666,7 +2970,7 @@ def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
         list_path,
         _MANIFEST_LIST_SCHEMA_V2,
         carried + new_manifests,
-        extra_meta={"format-version": "2"},
+        extra_meta={"format-version": _fv_str(prev)},
     )
 
     snapshot = {
@@ -2687,7 +2991,7 @@ def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
     meta = dict(prev)
     meta.update(
         {
-            "format-version": 2,
+            "format-version": max(2, int(prev.get("format-version", 2))),
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
             "current-snapshot-id": snapshot_id,
@@ -2879,6 +3183,37 @@ def iceberg_metadata_table(spark: SparkSession, path: str,
         "manifests, files, partitions, entries, all_manifests, "
         "metadata_log)"
     )
+
+
+def upgrade_iceberg_format_version(path: str, target: int = 3) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3'): a
+    metadata-only commit raising the table's format version.
+    Upgrading to 3 initializes ``next-row-id`` (row-lineage
+    allocation cursor — existing data files keep NULL
+    ``first_row_id``, the spec's "row ids unavailable" state) and
+    unlocks puffin deletion vectors on the DELETE path. Downgrades
+    are refused (older readers would mis-read v3 constructs)."""
+    base, prev = _load_latest(path)
+    cur = int(prev.get("format-version", 1))
+    if target < cur:
+        raise IcebergProtocolError(
+            f"cannot downgrade format-version {cur} -> {target}"
+        )
+    if target == cur:
+        return base
+    if target not in (2, 3):
+        raise IcebergProtocolError(f"format-version {target} not supported")
+    meta = dict(prev)
+    meta["format-version"] = target
+    if target >= 2:
+        meta.setdefault(
+            "last-sequence-number", int(prev.get("last-sequence-number", 0))
+        )
+    if target >= 3:
+        meta.setdefault("next-row-id", 0)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _put_metadata(path, base + 1, meta)
+    return base + 1
 
 
 def set_iceberg_ref(path: str, name: str, snapshot_id: int | None = None,
@@ -3440,7 +3775,7 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
         "schema": json.dumps(_schema_struct(schema, field_ids, prev)),
         "partition-spec": json.dumps(spec_fields),
         "partition-spec-id": str(_default_spec_id(prev)),
-        "format-version": "2",
+        "format-version": _fv_str(prev),
     }
     new_manifests: list[dict] = [
         _data_manifest_row(
@@ -3559,8 +3894,20 @@ def _plan_ice_changes(path: str, from_version: int,
 
     def by_target(dels: list[dict]) -> dict[str, set[int]]:
         out: dict[str, set[int]] = {}
+        dv_best: dict[str, dict] = {}
+        for d in sorted(
+            (d for d in dels if d.get("dv")),
+            key=lambda d: (d["seq"], d["path"]),
+        ):
+            dv_best[_norm_fp_py(d["dv"]["referenced"])] = d
+        for ref, d in dv_best.items():
+            from .puffin import decode_dv_blob, read_blob
+
+            out.setdefault(ref, set()).update(decode_dv_blob(read_blob(
+                d["path"], d["dv"]["offset"], d["dv"]["size"]
+            )))
         for d in dels:
-            if d["content"] == 1:
+            if d["content"] == 1 and not d.get("dv"):
                 for fp, p in pos_rows(d["path"]):
                     out.setdefault(fp, set()).add(p)
         return out
@@ -3761,7 +4108,7 @@ def rewrite_iceberg_manifests(path: str) -> int:
             esnap = mf_snap if esnap is None else int(esnap)
             rec = {"status": _EXISTING, "snapshot_id": esnap,
                    "data_file": e["data_file"]}
-            if fv == 2:
+            if fv >= 2:
                 rec["sequence_number"] = eseq
             groups.setdefault(spec_id, []).append(rec)
             group_seqs.setdefault(spec_id, []).append(eseq)
@@ -3770,7 +4117,7 @@ def rewrite_iceberg_manifests(path: str) -> int:
     now_ms = int(time.time() * 1000)
     new_version = base + 1
     snapshot_id = now_ms * 1000 + new_version
-    seq = int(prev.get("last-sequence-number", 0)) + 1 if fv == 2 else None
+    seq = int(prev.get("last-sequence-number", 0)) + 1 if fv >= 2 else None
     new_rows: list[dict] = []
     for spec_id in sorted(groups):
         entries = groups[spec_id]
@@ -3779,7 +4126,7 @@ def rewrite_iceberg_manifests(path: str) -> int:
         mpath = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
         dump_avro(
             mpath,
-            _manifest_entry_schema_json(part_fields, with_seq=(fv == 2)),
+            _manifest_entry_schema_json(part_fields, with_seq=(fv >= 2)),
             entries,
             extra_meta={
                 "schema": json.dumps(prev["schema"]),
@@ -3812,7 +4159,7 @@ def rewrite_iceberg_manifests(path: str) -> int:
             ),
             "deleted_rows_count": 0,
         }
-        if fv == 2:
+        if fv >= 2:
             row.update({
                 "content": 0,
                 "sequence_number": seq,
@@ -3824,7 +4171,7 @@ def rewrite_iceberg_manifests(path: str) -> int:
     )
     dump_avro(
         list_path,
-        _MANIFEST_LIST_SCHEMA_V2 if fv == 2 else _MANIFEST_LIST_SCHEMA,
+        _MANIFEST_LIST_SCHEMA_V2 if fv >= 2 else _MANIFEST_LIST_SCHEMA,
         new_rows + keep_rows,
         extra_meta={"format-version": str(fv)},
     )
@@ -3840,7 +4187,7 @@ def rewrite_iceberg_manifests(path: str) -> int:
         "manifest-list": list_path,
         "schema-id": 0,
     }
-    if fv == 2:
+    if fv >= 2:
         snapshot["sequence-number"] = seq
     meta = dict(prev)
     meta.update({
@@ -3850,7 +4197,7 @@ def rewrite_iceberg_manifests(path: str) -> int:
         + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
         "last-updated-ms": now_ms,
     })
-    if fv == 2:
+    if fv >= 2:
         meta["last-sequence-number"] = seq
     _put_metadata(path, new_version, meta)
     return new_version

@@ -225,7 +225,25 @@ class _IceBatchReader(DataSourceReader):
             self.path, meta, self.snapshot_id, self.predicates
         )
         by_file: dict[str, list[int]] = {}
-        pos_paths = sorted(d["path"] for d in deletes if d["content"] == 1)
+        dvs = [d for d in deletes if d.get("dv")]
+        if dvs:
+            # format v3 deletion vectors: newest sequence per data
+            # file wins; blobs are bitmap-scale driver reads
+            from .puffin import decode_dv_blob, read_blob
+
+            best: dict[str, dict] = {}
+            for d in sorted(dvs, key=lambda d: (d["seq"], d["path"])):
+                best[_norm_path(str(d["dv"]["referenced"]), self.path)] = d
+            for ref, d in best.items():
+                by_file.setdefault(ref, []).extend(
+                    decode_dv_blob(read_blob(
+                        d["path"], d["dv"]["offset"], d["dv"]["size"]
+                    ))
+                )
+        pos_paths = sorted(
+            d["path"] for d in deletes
+            if d["content"] == 1 and not d.get("dv")
+        )
         if pos_paths:
             # Delete files are metadata-scale (one (path, pos) row per
             # deleted row, heavily compressed); the driver reads them

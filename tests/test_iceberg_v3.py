@@ -1,0 +1,152 @@
+"""Iceberg format-version 3: puffin deletion vectors (spec v3
+§Deletion Vectors + puffin-spec) — upgrade, DV DELETE/UPDATE commits,
+single-live-DV-per-file replacement, reads through both the library
+scan and the iceberglog DataSource, changelog windows, compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_processing_scd1_spark.sources.iceberg import (
+    IcebergProtocolError,
+    _load_metadata,
+    _snapshot_files,
+    compact_iceberg_table,
+    delete_iceberg_rows,
+    read_iceberg_table,
+    update_iceberg_rows,
+    upgrade_iceberg_format_version,
+    write_iceberg_table,
+)
+from etl_processing_scd1_spark.sources.puffin import (
+    decode_dv_blob,
+    read_blob,
+    read_puffin_footer,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _keys(spark, path):
+    return sorted(r.k for r in read_iceberg_table(spark, path).collect())
+
+
+def _live_dvs(path):
+    meta = _load_metadata(path, None)
+    _, _files, deletes = _snapshot_files(path, meta, None, None)
+    return [d for d in deletes if d.get("dv")]
+
+
+class TestFormatV3DeletionVectors:
+    def test_upgrade_and_dv_delete(self, spark, tmp_path):
+        path = str(tmp_path / "v3")
+        write_iceberg_table(_df(spark, 0, 20), path)
+        v = upgrade_iceberg_format_version(path, 3)
+        meta = _load_metadata(path, v)
+        assert meta["format-version"] == 3
+        assert meta["next-row-id"] == 0
+        # downgrade refused, idempotent upgrade
+        with pytest.raises(IcebergProtocolError, match="downgrade"):
+            upgrade_iceberg_format_version(path, 2)
+        assert upgrade_iceberg_format_version(path, 3) == v
+
+        delete_iceberg_rows(spark, path, "k in (3, 7, 11)")
+        assert _keys(spark, path) == [k for k in range(20)
+                                      if k not in (3, 7, 11)]
+        # the delete produced a puffin DV, not a parquet delete file
+        dvs = _live_dvs(path)
+        assert len(dvs) >= 1
+        for d in dvs:
+            assert d["path"].endswith(".puffin")
+        # puffin file is self-describing: footer blob metadata round-trips
+        pf = dvs[0]["path"]
+        footer = read_puffin_footer(pf)
+        assert footer["blobs"][0]["type"] == "deletion-vector-v1"
+        props = footer["blobs"][0]["properties"]
+        assert "referenced-data-file" in props
+        blob = read_blob(
+            pf, footer["blobs"][0]["offset"], footer["blobs"][0]["length"]
+        )
+        assert len(decode_dv_blob(blob)) >= 1
+
+    def test_second_delete_replaces_dv(self, spark, tmp_path):
+        path = str(tmp_path / "v3b")
+        write_iceberg_table(_df(spark, 0, 10).coalesce(1), path)
+        upgrade_iceberg_format_version(path, 3)
+        delete_iceberg_rows(spark, path, "k = 2")
+        delete_iceberg_rows(spark, path, "k = 5")
+        assert _keys(spark, path) == [0, 1, 3, 4, 6, 7, 8, 9]
+        # single data file -> after the second delete exactly ONE live
+        # DV referencing it, containing BOTH positions (merge +
+        # supersede, spec's at-most-one-DV-per-file rule)
+        dvs = _live_dvs(path)
+        by_ref = {}
+        for d in dvs:
+            by_ref.setdefault(d["dv"]["referenced"], []).append(d)
+        assert all(len(v) == 1 for v in by_ref.values()), by_ref
+        d = dvs[-1]
+        positions = decode_dv_blob(read_blob(
+            d["path"], d["dv"]["offset"], d["dv"]["size"]
+        ))
+        assert len(positions) == 2
+
+    def test_update_uses_dvs_and_appends(self, spark, tmp_path):
+        path = str(tmp_path / "v3c")
+        write_iceberg_table(_df(spark, 0, 10), path)
+        upgrade_iceberg_format_version(path, 3)
+        update_iceberg_rows(spark, path, "k = 4", {"v": "4444"})
+        got = {r.k: r.v for r in read_iceberg_table(spark, path).collect()}
+        assert got[4] == 4444 and len(got) == 10
+        assert all(d["path"].endswith(".puffin") for d in _live_dvs(path))
+        # appends keep working on the v3 table
+        write_iceberg_table(_df(spark, 10, 13), path, mode="append")
+        assert len(_keys(spark, path)) == 13
+        assert _load_metadata(path, None)["format-version"] == 3
+
+    def test_datasource_reads_dvs(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources import ensure_datasources
+
+        ensure_datasources(spark)
+        path = str(tmp_path / "v3d")
+        write_iceberg_table(_df(spark, 0, 12), path)
+        upgrade_iceberg_format_version(path, 3)
+        delete_iceberg_rows(spark, path, "k >= 9")
+        got = spark.read.format("iceberglog").load(path)
+        assert sorted(r.k for r in got.collect()) == list(range(9))
+
+    def test_changelog_over_dv_commit(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources import ensure_datasources
+
+        ensure_datasources(spark)
+        path = str(tmp_path / "v3e")
+        write_iceberg_table(_df(spark, 0, 8), path)       # v1
+        upgrade_iceberg_format_version(path, 3)           # v2
+        delete_iceberg_rows(spark, path, "k in (1, 6)")   # v3
+        ch = (
+            spark.read.format("iceberglog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 3)
+            .load(path)
+        )
+        rows = [(r.k, r._change_type) for r in ch.collect()]
+        assert sorted(rows) == [(1, "delete"), (6, "delete")]
+
+    def test_compaction_clears_dvs(self, spark, tmp_path):
+        path = str(tmp_path / "v3f")
+        write_iceberg_table(_df(spark, 0, 15), path)
+        upgrade_iceberg_format_version(path, 3)
+        delete_iceberg_rows(spark, path, "k % 3 = 0")
+        compact_iceberg_table(spark, path, 1)
+        assert _live_dvs(path) == []
+        assert _keys(spark, path) == [k for k in range(15) if k % 3 != 0]
+        # still v3 and still deletable after compaction
+        delete_iceberg_rows(spark, path, "k = 7")
+        assert 7 not in _keys(spark, path)
