@@ -167,6 +167,7 @@ HEADLINE = [
     "delta_ict_travel",              # in-commit timestamps travel
     "delta_row_tracking_scan",       # row ids through DML + OPTIMIZE
     "iceberg_dv_delete_scan",        # v3 puffin deletion vectors
+    "iceberg_row_lineage_scan",      # v3 first_row_id + position ids
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

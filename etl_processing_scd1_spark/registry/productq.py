@@ -3114,3 +3114,58 @@ def iceberg_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+_ICEBERG_ROW_LINEAGE_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_distinct_ids
+    FROM customer
+    WHERE c_mktsegment <> 'AUTOMOBILE'
+    GROUP BY c_mktsegment
+"""
+
+
+@register("iceberg_row_lineage_scan", oracle=_ICEBERG_ROW_LINEAGE_ORACLE)
+def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-v3 ROW LINEAGE (``read_iceberg_table(
+    with_row_ids=True)``): even-key customers land before the v3
+    upgrade (no lineage — their ``_row_id`` reads NULL), odd keys
+    append after it (explicit ``first_row_id`` ranges allocated from
+    the table's ``next-row-id`` cursor), a DV DELETE drops the
+    AUTOMOBILE segment (surviving rows keep their ids — position
+    never changes), and compaction rewrites everything (ids ride
+    along as materialized columns; pre-upgrade rows get theirs
+    assigned ON rewrite, the spec's rule). The proof obligation:
+    after all that churn every visible row carries a UNIQUE row id —
+    n_distinct_ids = n_customers per segment. Stable row identity
+    from metadata arithmetic (first_row_id + position), no id column
+    stored until a rewrite forces it — the v3 design's scale point."""
+    import shutil
+
+    from ..sources.iceberg import (
+        compact_iceberg_table,
+        delete_iceberg_rows,
+        read_iceberg_table,
+        upgrade_iceberg_format_version,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_row_lineage")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+    )
+    write_iceberg_table(cust.filter(F.col("c_custkey") % 2 == 0), path)
+    upgrade_iceberg_format_version(path, 3)
+    write_iceberg_table(
+        cust.filter(F.col("c_custkey") % 2 == 1), path, mode="append"
+    )
+    delete_iceberg_rows(spark, path, "segment = 'AUTOMOBILE'")
+    compact_iceberg_table(spark, path, 2)
+    got = read_iceberg_table(spark, path, with_row_ids=True)
+    return got.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("_row_id").alias("n_distinct_ids"),
+    )

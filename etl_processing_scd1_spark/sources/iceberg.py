@@ -64,6 +64,9 @@ _HINT = "version-hint.text"
 
 _ADDED, _EXISTING, _DELETED = 0, 1, 2
 
+#: spec-reserved metadata column names materialized by v3 rewrites
+_LINEAGE_COLS = ("_row_id", "_last_updated_sequence_number")
+
 
 class IcebergProtocolError(RuntimeError):
     """Table requires spec features this implementation does not have."""
@@ -1386,6 +1389,7 @@ def read_iceberg_table(
     predicates: dict | None = None,
     timestamp_ms: int | None = None,
     ref: str | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot read: ``version`` pins a metadata file (time travel
     across commits), ``timestamp_ms`` resolves FOR TIMESTAMP AS OF
@@ -1422,13 +1426,37 @@ def read_iceberg_table(
         snapshot_id = iceberg_ref_snapshot(path, ref)
     meta = _load_metadata(path, version)
     schema = _spark_schema(meta)
-    _, files, deletes = _snapshot_files(path, meta, snapshot_id, predicates)
+    if with_row_ids and int(meta.get("format-version", 1)) < 3:
+        raise IcebergProtocolError(
+            "with_row_ids requires format-version 3 row lineage "
+            "(upgrade_iceberg_format_version)"
+        )
+    sid_used, files, deletes = _snapshot_files(
+        path, meta, snapshot_id, predicates
+    )
     if not files:
-        return spark.createDataFrame([], schema)
+        out_schema = schema
+        if with_row_ids:
+            out_schema = T.StructType(
+                schema.fields
+                + [T.StructField("_row_id", T.LongType()),
+                   T.StructField("_last_updated_sequence_number",
+                                 T.LongType())]
+            )
+        return spark.createDataFrame([], out_schema)
 
     def _cast(df: DataFrame) -> DataFrame:
+        extra = []
+        if with_row_ids:
+            extra = [
+                F.col("_row_id").cast("long").alias("_row_id"),
+                F.col("_last_updated_sequence_number").cast("long")
+                .alias("_last_updated_sequence_number"),
+            ]
         return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in schema.fields],
+            *extra,
         )
 
     def _strip_deleted(df: DataFrame) -> DataFrame:
@@ -1521,7 +1549,73 @@ def read_iceberg_table(
                     F.col(c), F.col(f"__pv_{c}").cast(types[c])
                 ),
             ).drop(f"__pv_{c}")
+    if with_row_ids:
+        # v3 row lineage: _row_id = first_row_id + position for files
+        # carrying a lineage range (pre-upgrade files read NULL — the
+        # spec's "row ids unavailable"); rewritten (compacted) files
+        # carry MATERIALIZED _row_id/_last_updated_sequence_number
+        # columns which win via coalesce
+        rl_rows = _first_row_ids(path, meta, sid_used)
+        rl_df = spark.createDataFrame(
+            rl_rows,
+            "__rl_key string, __rl_first long, __rl_seq long",
+        )
+        mat_id = (
+            F.col("_row_id") if "_row_id" in df.columns
+            else F.lit(None).cast("long")
+        )
+        mat_seq = (
+            F.col("_last_updated_sequence_number")
+            if "_last_updated_sequence_number" in df.columns
+            else F.lit(None).cast("long")
+        )
+        df = df.withColumn(
+            "__rl_fp", _norm_fp(F.col("_metadata.file_path"))
+        ).withColumn(
+            "__rl_pos", F.col("_metadata.row_index")
+        ).join(
+            F.broadcast(rl_df), F.col("__rl_fp") == F.col("__rl_key"), "left"
+        ).withColumn(
+            "_row_id",
+            F.coalesce(mat_id, F.col("__rl_first") + F.col("__rl_pos")),
+        ).withColumn(
+            "_last_updated_sequence_number",
+            F.coalesce(mat_seq, F.col("__rl_seq")),
+        ).drop("__rl_key", "__rl_first", "__rl_seq", "__rl_fp", "__rl_pos")
     return _cast(df)
+
+
+def _first_row_ids(path: str, meta: dict,
+                   snapshot_id: int | None) -> list[tuple]:
+    """(normalized data file path, first_row_id|None, data sequence)
+    per data file of the snapshot — the v3 row-lineage planning walk
+    (metadata-scale, driver-side)."""
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = snaps[snapshot_id]
+    out: list[tuple] = []
+    _, manifests = load_avro(_norm_path(snap["manifest-list"], path))
+    for mf in manifests:
+        if int(mf.get("content") or 0) != 0:
+            continue
+        mf_seq = int(mf.get("sequence_number") or 0)
+        _, entries = load_avro(_norm_path(mf["manifest_path"], path))
+        for e in entries:
+            if e["status"] == _DELETED:
+                continue
+            df_ = e["data_file"]
+            if int(df_.get("content") or 0) != 0:
+                continue
+            seq = e.get("sequence_number")
+            seq = mf_seq if seq is None else int(seq)
+            fri = df_.get("first_row_id")
+            out.append((
+                _norm_fp_py(_norm_path(df_["file_path"], path)),
+                None if fri is None else int(fri),
+                seq,
+            ))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1900,6 +1994,7 @@ def write_iceberg_table(
         raise ValueError(mode)
     spark = df.sparkSession
     now_ms = int(time.time() * 1000)
+    lineage: list[str] = []  # v3 materialized row-lineage passthrough
 
     # Base the commit on the version the hint points at (falling back
     # to the newest listed) and attempt exactly base+1: if a racer got
@@ -1921,7 +2016,17 @@ def write_iceberg_table(
         schema = _spark_schema(prev)
         spec_entries = _spec_entries_from_meta(prev)
         known = {f.name for f in schema.fields}
-        extra = [c for c in df.columns if c not in known]
+        # v3 row-lineage MATERIALIZED columns (a rewrite carrying
+        # preserved row ids): hidden physical passthrough, never
+        # schema evolution — readers surface them only via
+        # with_row_ids. Reserved names are refused below v3.
+        lineage = [c for c in _LINEAGE_COLS if c in df.columns]
+        if lineage and int((prev or {}).get("format-version", 1)) < 3:
+            raise IcebergProtocolError(
+                f"columns {lineage} are reserved for format-v3 row "
+                "lineage; rename them or upgrade the table"
+            )
+        extra = [c for c in df.columns if c not in known and c not in lineage]
         if extra:
             # Reusing a DROPPED column's name would silently resurrect
             # the old files' values for rows matched by NAME (our
@@ -1941,11 +2046,23 @@ def write_iceberg_table(
         missing = [f for f in schema.fields if f.name not in df.columns]
         for f in missing:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        df = _align_to_schema(df, schema)
+        df = _align_to_schema(
+            df,
+            T.StructType(
+                list(schema.fields)
+                + [T.StructField(c, T.LongType(), True) for c in lineage]
+            ) if lineage else schema,
+        )
         new_version = base + 1
         table_uuid = prev["table-uuid"]
     else:
         prev = None
+        reserved = [c for c in df.columns if c in _LINEAGE_COLS]
+        if reserved:
+            raise IcebergProtocolError(
+                f"columns {reserved} are reserved metadata column names "
+                "(format v3 row lineage)"
+            )
         schema = df.schema
         ice0 = _scalar_ice_types(schema)
         parsed = _parse_partition_by(list(partition_by or []))
@@ -2238,6 +2355,18 @@ def _commit_snapshot(
         }
         for p, part, n, size, lo, hi in new_files
     ]
+    # format v3 row lineage: every added data file gets an explicit
+    # first_row_id range from the table's next-row-id cursor; row i
+    # of the file has _row_id = first_row_id + i
+    first_row_id = None
+    next_row_id = None
+    if fv >= 3:
+        first_row_id = int((prev or {}).get("next-row-id", 0))
+        cursor = first_row_id
+        for e in entries:
+            e["data_file"]["first_row_id"] = cursor
+            cursor += int(e["data_file"]["record_count"])
+        next_row_id = cursor
     spec_json = json.dumps(
         [
             {"name": e["name"], "transform": e["transform"],
@@ -2248,7 +2377,7 @@ def _commit_snapshot(
     cur_spec_id = _default_spec_id(prev) if prev else 0
     dump_avro(
         manifest_path,
-        _manifest_entry_schema_json(part_fields),
+        _manifest_entry_schema_json(part_fields, with_v3=(fv >= 3)),
         entries,
         extra_meta={
             "schema": json.dumps(_schema_struct(schema, field_ids, prev)),
@@ -2309,6 +2438,8 @@ def _commit_snapshot(
     }
     if fv >= 2:
         snapshot["sequence-number"] = seq
+    if first_row_id is not None:
+        snapshot["first-row-id"] = first_row_id
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id
 
@@ -2413,6 +2544,8 @@ def _commit_snapshot(
     }
     if fv >= 2:
         meta["last-sequence-number"] = seq
+    if next_row_id is not None:
+        meta["next-row-id"] = next_row_id
 
     _put_metadata(path, new_version, meta)
     return new_version
@@ -2874,9 +3007,14 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
         updated, path, spec_entries, ice_types, field_ids,
         schema_node=_schema_struct(schema, field_ids, prev),
     )
+    fri = (
+        int(prev.get("next-row-id", 0))
+        if int(prev.get("format-version", 1)) >= 3 else None
+    )
     data_manifest = _data_manifest_row(
         path, new_files, snapshot_id, seq, schema, spec_fields, part_fields,
         field_ids, spec_id=_default_spec_id(prev), prev=prev,
+        first_row_id_start=fri,
     )
     return _commit_v2_tail(
         path, base, prev, parent_id, snapshot_id, seq, now_ms,
@@ -2888,6 +3026,11 @@ def update_iceberg_rows(spark: SparkSession, path: str, condition: str,
             "update-predicate": condition,
         },
         carried_transform=carried_transform,
+        first_row_id=fri,
+        next_row_id=(
+            None if fri is None
+            else fri + sum(n for _, _, n, _, _, _ in new_files)
+        ),
     )
 
 
@@ -2895,31 +3038,43 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
                        seq: int, schema: T.StructType, spec_fields: list,
                        part_fields: list,
                        field_ids: dict[str, int] | None = None,
-                       spec_id: int = 0, prev: dict | None = None) -> dict:
+                       spec_id: int = 0, prev: dict | None = None,
+                       first_row_id_start: int | None = None) -> dict:
     """Write a v2 DATA manifest (entry content=0) for already-staged
-    files → its manifest-list row."""
+    files → its manifest-list row. ``first_row_id_start`` (format v3
+    row lineage): assign explicit ``first_row_id`` ranges from the
+    table's next-row-id cursor."""
+    entries = [
+        {
+            "status": _ADDED,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": part_vals,
+                "record_count": n,
+                "file_size_in_bytes": size,
+                "block_size_in_bytes": 64 * 1024 * 1024,
+                "lower_bounds": lo,
+                "upper_bounds": hi,
+            },
+        }
+        for p, part_vals, n, size, lo, hi in new_files
+    ]
+    if first_row_id_start is not None:
+        cursor = int(first_row_id_start)
+        for e in entries:
+            e["data_file"]["first_row_id"] = cursor
+            cursor += int(e["data_file"]["record_count"])
     manifest_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
     dump_avro(
         manifest_path,
-        _manifest_entry_schema_json(part_fields, with_content=True),
-        [
-            {
-                "status": _ADDED,
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": part_vals,
-                    "record_count": n,
-                    "file_size_in_bytes": size,
-                    "block_size_in_bytes": 64 * 1024 * 1024,
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                },
-            }
-            for p, part_vals, n, size, lo, hi in new_files
-        ],
+        _manifest_entry_schema_json(
+            part_fields, with_content=True,
+            with_v3=(first_row_id_start is not None),
+        ),
+        entries,
         extra_meta={
             "schema": json.dumps(_schema_struct(schema, field_ids, prev)),
             "partition-spec": json.dumps(spec_fields),
@@ -2948,7 +3103,9 @@ def _data_manifest_row(path: str, new_files: list, snapshot_id: int,
 def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
                     snapshot_id: int, seq: int, now_ms: int,
                     new_manifests: list[dict], operation: str,
-                    summary: dict, carried_transform=None) -> int:
+                    summary: dict, carried_transform=None,
+                    first_row_id: int | None = None,
+                    next_row_id: int | None = None) -> int:
     """Shared v2 commit tail (delete / upsert): carry the parent
     snapshot's manifests forward, append ``new_manifests``, write the
     v2 manifest list, the snapshot entry, and the put-if-absent
@@ -2984,11 +3141,15 @@ def _commit_v2_tail(path: str, base: int, prev: dict, parent_id,
         "manifest-list": list_path,
         "schema-id": 0,
     }
+    if first_row_id is not None:
+        snapshot["first-row-id"] = int(first_row_id)
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id
 
     new_version = base + 1
     meta = dict(prev)
+    if next_row_id is not None:
+        meta["next-row-id"] = int(next_row_id)
     meta.update(
         {
             "format-version": max(2, int(prev.get("format-version", 2))),
@@ -3777,10 +3938,15 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
         "partition-spec-id": str(_default_spec_id(prev)),
         "format-version": _fv_str(prev),
     }
+    fri = (
+        int(prev.get("next-row-id", 0))
+        if int(prev.get("format-version", 1)) >= 3 else None
+    )
     new_manifests: list[dict] = [
         _data_manifest_row(
             path, new_files, snapshot_id, seq, schema, spec_fields,
             part_fields, field_ids, spec_id=_default_spec_id(prev), prev=prev,
+            first_row_id_start=fri,
         )
     ]
 
@@ -3840,6 +4006,11 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
             "added-delete-files": 1 if n_keys else 0,
             "upsert-keys": ",".join(key_cols),
         },
+        first_row_id=fri,
+        next_row_id=(
+            None if fri is None
+            else fri + sum(n for _, _, n, _, _, _ in new_files)
+        ),
     )
 
 
@@ -4031,7 +4202,12 @@ def compact_iceberg_table(
     Java library's rewrite_data_files takes): every output file then
     carries tight manifest bounds on ALL named dimensions, so bounds
     pruning skips files for predicates on any of them."""
-    df = read_iceberg_table(spark, path)
+    fv3 = int(_load_metadata(path, None).get("format-version", 1)) >= 3
+    # v3 row lineage: a rewrite moves rows between files, so their
+    # ids ride along as MATERIALIZED _row_id /
+    # _last_updated_sequence_number columns (reads coalesce them
+    # before the first_row_id + position derivation)
+    df = read_iceberg_table(spark, path, with_row_ids=fv3)
     if zorder_by:
         from .delta import _with_zorder
 

@@ -150,3 +150,73 @@ class TestFormatV3DeletionVectors:
         # still v3 and still deletable after compaction
         delete_iceberg_rows(spark, path, "k = 7")
         assert 7 not in _keys(spark, path)
+
+
+class TestRowLineage:
+    def _ids(self, spark, path):
+        df = read_iceberg_table(spark, path, with_row_ids=True)
+        return {r.k: (r._row_id, r._last_updated_sequence_number)
+                for r in df.collect()}
+
+    def test_append_assigns_ranges(self, spark, tmp_path):
+        path = str(tmp_path / "rl")
+        write_iceberg_table(_df(spark, 0, 6), path)          # pre-upgrade
+        upgrade_iceberg_format_version(path, 3)
+        write_iceberg_table(_df(spark, 6, 10), path, mode="append")
+        meta = _load_metadata(path, None)
+        assert meta["next-row-id"] == 4
+        snap = meta["snapshots"][-1]
+        assert snap["first-row-id"] == 0
+        ids = self._ids(spark, path)
+        # pre-upgrade rows: ids unavailable (NULL); post-upgrade rows:
+        # unique ids covering [0, 4)
+        assert all(ids[k][0] is None for k in range(6))
+        assert sorted(ids[k][0] for k in range(6, 10)) == [0, 1, 2, 3]
+        # second append continues the cursor
+        write_iceberg_table(_df(spark, 10, 12), path, mode="append")
+        ids = self._ids(spark, path)
+        assert sorted(ids[k][0] for k in range(10, 12)) == [4, 5]
+        assert _load_metadata(path, None)["next-row-id"] == 6
+
+    def test_dv_delete_keeps_ids(self, spark, tmp_path):
+        path = str(tmp_path / "rl2")
+        write_iceberg_table(_df(spark, 0, 1), path)
+        upgrade_iceberg_format_version(path, 3)
+        write_iceberg_table(_df(spark, 1, 9), path, mode="append")
+        before = self._ids(spark, path)
+        delete_iceberg_rows(spark, path, "k = 4")
+        after = self._ids(spark, path)
+        assert 4 not in after
+        for k in after:
+            assert after[k] == before[k]
+
+    def test_compaction_materializes_ids(self, spark, tmp_path):
+        path = str(tmp_path / "rl3")
+        write_iceberg_table(_df(spark, 0, 3), path)          # no lineage
+        upgrade_iceberg_format_version(path, 3)
+        write_iceberg_table(_df(spark, 3, 9), path, mode="append")
+        delete_iceberg_rows(spark, path, "k = 5")
+        before = self._ids(spark, path)
+        compact_iceberg_table(spark, path, 1)
+        after = self._ids(spark, path)
+        # rows that had ids keep them through the rewrite; rows that
+        # had none (pre-upgrade files) get ids ON rewrite (spec)
+        for k in range(3, 9):
+            if k != 5:
+                assert after[k] == before[k]
+        newly = [after[k][0] for k in range(3)]
+        assert all(i is not None for i in newly)
+        # all ids unique
+        all_ids = [i for i, _ in after.values()]
+        assert len(set(all_ids)) == len(all_ids)
+
+    def test_reserved_names_refused(self, spark, tmp_path):
+        path = str(tmp_path / "rl4")
+        bad = _df(spark, 0, 3).withColumn("_row_id", F.lit(1))
+        with pytest.raises(IcebergProtocolError, match="reserved"):
+            write_iceberg_table(bad, path)
+        write_iceberg_table(_df(spark, 0, 3), path)
+        with pytest.raises(IcebergProtocolError, match="reserved"):
+            write_iceberg_table(bad, path, mode="append")
+        with pytest.raises(IcebergProtocolError, match="format-version 3"):
+            read_iceberg_table(spark, path, with_row_ids=True)
