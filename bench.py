@@ -168,6 +168,7 @@ HEADLINE = [
     "delta_row_tracking_scan",       # row ids through DML + OPTIMIZE
     "iceberg_dv_delete_scan",        # v3 puffin deletion vectors
     "iceberg_row_lineage_scan",      # v3 first_row_id + position ids
+    "delta_liquid_cluster_scan",     # CLUSTER BY + OPTIMIZE pruning
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -3169,3 +3169,54 @@ def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.countDistinct("_row_id").alias("n_distinct_ids"),
     )
+
+
+_DELTA_LIQUID_ORACLE = """
+    SELECT CAST(o_custkey % 100 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_custkey % 100 BETWEEN 10 AND 19
+    GROUP BY o_custkey % 100
+"""
+
+
+@register("delta_liquid_cluster_scan", oracle=_DELTA_LIQUID_ORACLE)
+def delta_liquid_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid clustering (``cluster_delta_table`` + OPTIMIZE): orders
+    land unclustered across many files, CLUSTER BY (bucket) records
+    the clustering spec in the ``delta.clustering`` domain (a
+    declaration — no rewrite), and OPTIMIZE clusters the compaction
+    on it, leaving every output file a tight disjoint bucket range in
+    its footer stats. The narrow bucket-range read then stats-prunes
+    to a strict file subset (disjointness pinned in
+    tests/test_delta_features.py::TestLiquidClustering) and the exact
+    per-bucket aggregates pin that clustering never changes results.
+    Liquid vs static partitioning at scale: re-clustering is rolling
+    OPTIMIZE maintenance, not a relayout of the directory tree."""
+    import shutil
+
+    from ..sources.delta import (
+        cluster_delta_table,
+        optimize_delta_table,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    path = _delta_dir("liquid_cluster")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).repartition(8)
+    write_delta_table(orders, path)
+    cluster_delta_table(spark, path, ["bucket"])
+    optimize_delta_table(spark, path, target_files=10)
+    got = read_delta_table(
+        spark, path, predicates={"bucket": (10, 19)}
+    ).filter(F.col("bucket").between(10, 19))
+    return got.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )

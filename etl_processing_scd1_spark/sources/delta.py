@@ -377,13 +377,16 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> DeltaSnapsho
                 "(spec-invalid); refusing to guess"
             )
         unsupported = sorted(
-            set(feats) - {"deletionVectors", "columnMapping", "v2Checkpoint"}
+            set(feats)
+            - {"deletionVectors", "columnMapping", "v2Checkpoint",
+               "typeWidening"}
         )
         if unsupported:
             raise DeltaProtocolError(
                 f"table requires reader features {unsupported} "
                 "(minReaderVersion=3); this reader implements "
-                "deletionVectors, columnMapping and v2Checkpoint only"
+                "deletionVectors, columnMapping, v2Checkpoint and "
+                "typeWidening only"
             )
     elif reader_v > 3:
         raise DeltaProtocolError(
@@ -1577,7 +1580,13 @@ def _footer_stats_dict(md) -> dict:
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow cannot cast statistics for every physical
+                # type (e.g. some decimal encodings) — skip the
+                # column, stats are an optimization not a contract
+                continue
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
@@ -2847,6 +2856,10 @@ def optimize_delta_table(spark: SparkSession, path: str,
         )
     else:
         df = read_delta_table(spark, path)
+    if not zorder_by:
+        # liquid clustering: OPTIMIZE on a CLUSTER BY table clusters
+        # on the declared columns (the incremental maintenance loop)
+        zorder_by = _clustering_columns(snap) or None
     if zorder_by:
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
@@ -3101,7 +3114,8 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
-    "timestampNtz", "domainMetadata", "rowTracking",
+    "timestampNtz", "domainMetadata", "rowTracking", "typeWidening",
+    "clustering",
 }
 
 
@@ -3165,6 +3179,160 @@ def _protocol_with_writer_feature(protocol: dict, feature: str) -> dict:
     proto["minWriterVersion"] = 7
     proto["writerFeatures"] = sorted(feats)
     return proto
+
+
+_WIDEN_OK = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("integer", "double"),
+}
+
+
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def cluster_delta_table(spark: SparkSession, path: str,
+                        cols: list[str]) -> int:
+    """ALTER TABLE ... CLUSTER BY (liquid clustering, writer feature
+    ``clustering`` + ``domainMetadata``): records the clustering
+    columns in the ``delta.clustering`` domain — a declaration, not a
+    rewrite. Every subsequent OPTIMIZE picks them up and clusters the
+    rewrite on their interleaved ranks (multi-column) or sorted
+    ranges (single column), so file-level stats stay tight on ALL
+    clustering dimensions as the table evolves — the point of liquid
+    over static partitioning at 100 TB: re-clustering is incremental
+    maintenance, never a table rewrite with a new directory layout.
+    ``cols=[]`` removes the clustering spec."""
+    snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
+    schema_cols = {f.name for f in snap.schema.fields}
+    missing = [c for c in cols if c not in schema_cols]
+    if missing:
+        raise ValueError(f"clustering columns {missing} not in table")
+    if set(cols) & set(snap.partition_columns):
+        raise DeltaProtocolError(
+            "clustering columns cannot overlap partition columns"
+        )
+    proto = _protocol_with_writer_feature(snap.protocol, "domainMetadata")
+    proto = _protocol_with_writer_feature(proto, "clustering")
+    new_version = snap.version + 1
+    domain = {
+        "domain": _CLUSTERING_DOMAIN,
+        "configuration": json.dumps(
+            {"clusteringColumns": [[c] for c in cols]}
+        ),
+        "removed": not cols,
+    }
+    _atomic_commit(path, new_version, [
+        {"protocol": proto},
+        {"domainMetadata": domain},
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CLUSTER BY",
+                "operationParameters": {"columns": json.dumps(cols)},
+                "engineInfo": "etl-processing-scd1-spark delta clustering",
+            }
+        },
+    ])
+    return new_version
+
+
+def _clustering_columns(snap: DeltaSnapshot) -> list[str]:
+    d = snap.domains.get(_CLUSTERING_DOMAIN)
+    if not d or not d.get("configuration"):
+        return []
+    return [
+        c[0] for c in
+        json.loads(d["configuration"]).get("clusteringColumns", [])
+        if c
+    ]
+
+
+def _widening_allowed(src: str, dst: str) -> bool:
+    """PROTOCOL.md §Type Widening: is ``src`` → ``dst`` (schemaString
+    type names) one of the spec's lossless widenings?"""
+    if (src, dst) in _WIDEN_OK:
+        return True
+    m1 = re.fullmatch(r"decimal\((\d+),(\d+)\)", src)
+    m2 = re.fullmatch(r"decimal\((\d+),(\d+)\)", dst)
+    if m1 and m2:
+        p1, s1, p2, s2 = map(int, m1.groups() + m2.groups())
+        return s2 >= s1 and (p2 - s2) >= (p1 - s1) and (p2, s2) != (p1, s1)
+    return False
+
+
+def widen_delta_column(spark: SparkSession, path: str,
+                       name: str, new_type: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE (PROTOCOL.md §Type
+    Widening, reader+writer feature ``typeWidening``): a
+    metadata-only commit widening a column's type. Existing parquet
+    files keep their narrow physical type — the scan's explicit read
+    schema upcasts them (Spark 4's parquet widening reads), new
+    appends write the wide type, and the field's
+    ``delta.typeChanges`` metadata records every hop with the
+    version it happened at (what stock readers use to decide file-
+    level conversions). Only the spec's lossless widenings are
+    allowed; anything else must be an explicit rewrite."""
+    snap = _replay(spark, path, None)
+    _gate_writer_features(snap.protocol)
+    sj = json.loads(snap.metadata["schemaString"])
+    field = next((f for f in sj["fields"] if f["name"] == name), None)
+    if field is None:
+        raise ValueError(f"column {name!r} not in table schema")
+    src = field["type"] if isinstance(field["type"], str) else None
+    if src is None:
+        raise DeltaProtocolError(
+            f"type widening applies to primitive columns; {name!r} is "
+            f"nested"
+        )
+    if not _widening_allowed(src, new_type):
+        raise DeltaProtocolError(
+            f"widening {src} -> {new_type} is not a spec-allowed "
+            "lossless promotion"
+        )
+    new_version = snap.version + 1
+    field["type"] = new_type
+    md = dict(field.get("metadata") or {})
+    changes = list(md.get("delta.typeChanges") or [])
+    changes.append({
+        "fromType": src, "toType": new_type, "tableVersion": new_version,
+    })
+    md["delta.typeChanges"] = changes
+    field["metadata"] = md
+    meta = dict(snap.metadata)
+    meta["schemaString"] = json.dumps(sj)
+    proto = _protocol_with_writer_feature(snap.protocol, "typeWidening")
+    # typeWidening is ALSO a reader feature: old readers would bind
+    # the wide logical type to narrow physical files without the
+    # upcast rule
+    proto["minReaderVersion"] = 3
+    rfeats = set(proto.get("readerFeatures") or [])
+    if int((snap.protocol or {}).get("minReaderVersion", 1)) >= 3:
+        rfeats |= set((snap.protocol or {}).get("readerFeatures") or [])
+    else:
+        # legacy reader versions imply features the upgrade must list
+        if int((snap.protocol or {}).get("minReaderVersion", 1)) >= 2:
+            rfeats.add("columnMapping")
+    rfeats.add("typeWidening")
+    proto["readerFeatures"] = sorted(rfeats)
+    _atomic_commit(path, new_version, [
+        {"protocol": proto},
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CHANGE COLUMN",
+                "operationParameters": {
+                    "column": name, "fromType": src, "toType": new_type,
+                },
+                "engineInfo": "etl-processing-scd1-spark delta widen",
+            }
+        },
+    ])
+    return new_version
 
 
 def enable_in_commit_timestamps(spark: SparkSession, path: str) -> int:

@@ -1029,10 +1029,12 @@ class TestDeletionVectors:
         for ln in open(f).read().splitlines():
             a = _json.loads(ln)
             if "protocol" in a:
-                a["protocol"]["readerFeatures"] = ["typeWidening"]
+                # typeWidening graduated to a SUPPORTED reader feature
+                # (round 11); gate on a genuinely unknown one
+                a["protocol"]["readerFeatures"] = ["futureReaderFeature"]
             out2.append(_json.dumps(a))
         open(f, "w").write("\n".join(out2) + "\n")
-        with pytest.raises(Exception, match="typeWidening"):
+        with pytest.raises(Exception, match="futureReaderFeature"):
             read_delta_table(spark, path)
 
     def test_cdf_row_level_and_streaming_skip(self, spark, tmp_path):

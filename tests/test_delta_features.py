@@ -322,3 +322,141 @@ class TestRowTracking:
         write_delta_table(_df(spark, 0, 3), path)
         with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
             self._ids(spark, path)
+
+
+class TestTypeWidening:
+    def test_widen_int_to_long_mixed_files(self, spark, tmp_path):
+        import pytest
+
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+            widen_delta_column,
+        )
+
+        path = str(tmp_path / "tw")
+        narrow = spark.range(0, 5).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        )
+        write_delta_table(narrow, path)                       # v0: int files
+        v = widen_delta_column(spark, path, "k", "long")      # v1
+        assert v == 1
+        widen_delta_column(spark, path, "x", "double")        # v2
+        wide = spark.range(5, 8).select(
+            (F.col("id") + 10_000_000_000).alias("k"),
+            F.col("id").cast("double").alias("x"),
+        )
+        write_delta_table(wide, path, mode="append")          # v3: long files
+        got = read_delta_table(spark, path)
+        assert dict(got.dtypes) == {"k": "bigint", "x": "double"}
+        ks = sorted(r.k for r in got.collect())
+        assert ks == [0, 1, 2, 3, 4, 10000000005, 10000000006, 10000000007]
+        # typeChanges provenance recorded; protocol carries the
+        # reader+writer feature
+        acts = _commit_actions(path, 1)
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        f = next(x for x in json.loads(meta["schemaString"])["fields"]
+                 if x["name"] == "k")
+        assert f["metadata"]["delta.typeChanges"] == [
+            {"fromType": "integer", "toType": "long", "tableVersion": 1}
+        ]
+        proto = next(a["protocol"] for a in acts if "protocol" in a)
+        assert "typeWidening" in proto["readerFeatures"]
+        assert "typeWidening" in proto["writerFeatures"]
+        # time travel to v0 keeps the narrow type
+        old = read_delta_table(spark, path, version=0)
+        assert dict(old.dtypes)["k"] == "int"
+        # lossy change refused
+        with pytest.raises(DeltaProtocolError, match="not a spec-allowed"):
+            widen_delta_column(spark, path, "x", "float")
+        with pytest.raises(DeltaProtocolError, match="not a spec-allowed"):
+            widen_delta_column(spark, path, "k", "integer")
+
+    def test_widen_decimal(self, spark, tmp_path):
+        import pytest
+        from decimal import Decimal
+
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+            widen_delta_column,
+        )
+
+        path = str(tmp_path / "twd")
+        df = spark.range(0, 4).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("decimal(6,2)").alias("d"),
+        )
+        write_delta_table(df, path)
+        widen_delta_column(spark, path, "d", "decimal(12,4)")
+        write_delta_table(
+            spark.createDataFrame(
+                [(9, Decimal("12345678.1234"))], "k long, d decimal(12,4)"
+            ),
+            path, mode="append",
+        )
+        got = read_delta_table(spark, path)
+        assert dict(got.dtypes)["d"] == "decimal(12,4)"
+        assert got.count() == 5
+        # shrinking the integer-part capacity is refused
+        with pytest.raises(DeltaProtocolError, match="not a spec-allowed"):
+            widen_delta_column(spark, path, "d", "decimal(12,8)")
+
+
+class TestLiquidClustering:
+    def test_cluster_by_drives_optimize(self, spark, tmp_path):
+        import pytest
+
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+            _replay,
+            cluster_delta_table,
+            optimize_delta_table,
+        )
+
+        path = str(tmp_path / "lc")
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("v"),
+        ).repartition(8)
+        write_delta_table(df, path)
+        v = cluster_delta_table(spark, path, ["v"])
+        snap = _replay(spark, path, None)
+        assert "delta.clustering" in snap.domains
+        assert "clustering" in snap.protocol["writerFeatures"]
+        optimize_delta_table(spark, path, target_files=4)
+        snap = _replay(spark, path, None)
+        # clustered rewrite: per-file [min,max] ranges on v are
+        # (near-)disjoint — each file covers ~1/4 of the domain
+        ranges = []
+        for a in snap.files.values():
+            st = json.loads(a["stats"])
+            ranges.append((st["minValues"]["v"], st["maxValues"]["v"]))
+        ranges.sort()
+        assert len(ranges) == 4
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, ranges
+        assert read_delta_table(spark, path).count() == 4000
+        # unknown / partition-overlap columns refused
+        with pytest.raises(ValueError, match="not in table"):
+            cluster_delta_table(spark, path, ["nope"])
+        # removal drops the domain
+        cluster_delta_table(spark, path, [])
+        snap = _replay(spark, path, None)
+        assert "delta.clustering" not in snap.domains
+
+    def test_cluster_refuses_partition_columns(self, spark, tmp_path):
+        import pytest
+
+        from etl_processing_scd1_spark.sources.delta import (
+            DeltaProtocolError,
+            cluster_delta_table,
+        )
+
+        path = str(tmp_path / "lc2")
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("part"),
+        )
+        write_delta_table(df, path, partition_by=["part"])
+        with pytest.raises(DeltaProtocolError, match="partition"):
+            cluster_delta_table(spark, path, ["part"])
