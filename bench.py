@@ -169,6 +169,7 @@ HEADLINE = [
     "iceberg_dv_delete_scan",        # v3 puffin deletion vectors
     "iceberg_row_lineage_scan",      # v3 first_row_id + position ids
     "delta_liquid_cluster_scan",     # CLUSTER BY + OPTIMIZE pruning
+    "iceberg_default_values_scan",   # v3 ADD COLUMN ... DEFAULT
 ]
 
 #: parquet tables the oracle side registers as DuckDB views (same list

@@ -3220,3 +3220,59 @@ def delta_liquid_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+_ICEBERG_DEFAULTS_ORACLE = """
+    SELECT CASE WHEN c_custkey % 2 = 0 THEN 'pre' ELSE 'post' END AS era,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 50
+                         ELSE c_custkey % 100 END) AS BIGINT) AS score_sum,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_defaulted
+    FROM customer
+    GROUP BY 1
+"""
+
+
+@register("iceberg_default_values_scan", oracle=_ICEBERG_DEFAULTS_ORACLE)
+def iceberg_default_values_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-v3 DEFAULT VALUES (``add_iceberg_column(default=...)``):
+    even-key customers land BEFORE the ``score`` column exists, the
+    v3 table adds it with default 50 (a metadata-only commit — no
+    file rewritten), and odd keys append WITH explicit scores. The
+    scan must give pre-existing rows the ``initial-default`` (decided
+    per FILE by footer column presence — never a table rewrite) and
+    keep the explicit values; the per-era sums catch either side
+    leaking into the other. At 100 TB this is ADD COLUMN ... DEFAULT
+    on a petabyte table as an O(1) metadata operation."""
+    import shutil
+
+    from ..sources.iceberg import (
+        add_iceberg_column,
+        read_iceberg_table,
+        upgrade_iceberg_format_version,
+        write_iceberg_table,
+    )
+
+    path = _delta_dir("ice_defaults")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    write_iceberg_table(cust.filter(F.col("c_custkey") % 2 == 0), path)
+    upgrade_iceberg_format_version(path, 3)
+    add_iceberg_column(path, "score", "long", default=50)
+    write_iceberg_table(
+        cust.filter(F.col("c_custkey") % 2 == 1)
+        .withColumn("score", F.col("c_custkey") % 100),
+        path, mode="append",
+    )
+    got = read_iceberg_table(spark, path).withColumn(
+        "era",
+        F.when(F.col("c_custkey") % 2 == 0, "pre").otherwise("post"),
+    )
+    return got.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("score").alias("score_sum"),
+        F.sum((F.col("score") == 50).cast("long")
+              * (F.col("c_custkey") % 2 == 0).cast("long")
+              ).alias("n_defaulted"),
+    )

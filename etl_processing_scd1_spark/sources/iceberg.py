@@ -387,6 +387,13 @@ def _schema_struct(schema: T.StructType,
 
     from .delta import _as_nullable
 
+    prev_attrs = {
+        f["name"]: {
+            k: v for k, v in f.items()
+            if k in ("initial-default", "write-default", "doc")
+        }
+        for f in (prev_node or {}).get("fields", [])
+    }
     fields = []
     for f in schema.fields:
         if _is_nested_spark(f.dataType):
@@ -403,6 +410,11 @@ def _schema_struct(schema: T.StructType,
             "name": f.name,
             "required": False,
             "type": node,
+            # v3 §Default Values (+ doc): field ATTRIBUTES survive
+            # the rebuild — dropping initial-default here would turn
+            # pre-existing rows' defaults back into NULLs on the
+            # very next append
+            **prev_attrs.get(f.name, {}),
         })
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
@@ -1549,6 +1561,45 @@ def read_iceberg_table(
                     F.col(c), F.col(f"__pv_{c}").cast(types[c])
                 ),
             ).drop(f"__pv_{c}")
+    defaults = _field_defaults(meta)
+    if defaults:
+        # v3 §Default Values: rows from files that PREDATE the column
+        # read initial-default, not NULL — decided per FILE by footer
+        # column presence (footer-only driver reads, metadata-scale),
+        # so new files storing explicit NULLs keep them
+        import pyarrow.parquet as pq
+
+        cands = _name_candidates(meta)
+        pres_rows = []
+        for p, _part, _s in files:
+            try:
+                names = set(pq.read_schema(p).names)
+            except Exception:
+                names = set()
+            row = [_norm_fp_py(p)]
+            for c in defaults:
+                hit = c in names or any(
+                    h in names for h in cands.get(c, [])
+                )
+                row.append(1 if hit else 0)
+            pres_rows.append(tuple(row))
+        pres_df = spark.createDataFrame(
+            pres_rows,
+            ", ".join(["__dflt_fp string"]
+                      + [f"__has_{i} int" for i in range(len(defaults))]),
+        )
+        df = df.withColumn(
+            "__dflt_key", _norm_fp(F.col("_metadata.file_path"))
+        ).join(
+            F.broadcast(pres_df),
+            F.col("__dflt_key") == F.col("__dflt_fp"), "left",
+        ).drop("__dflt_fp", "__dflt_key")
+        for i, (c, (dv, typ)) in enumerate(defaults.items()):
+            df = df.withColumn(
+                c,
+                F.when(F.col(f"__has_{i}") == 0, F.lit(dv).cast(typ))
+                .otherwise(F.col(c)),
+            ).drop(f"__has_{i}")
     if with_row_ids:
         # v3 row lineage: _row_id = first_row_id + position for files
         # carrying a lineage range (pre-upgrade files read NULL — the
@@ -2043,9 +2094,7 @@ def write_iceberg_table(
                 list(schema.fields)
                 + [T.StructField(c, df.schema[c].dataType, True) for c in extra]
             )
-        missing = [f for f in schema.fields if f.name not in df.columns]
-        for f in missing:
-            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        df = _fill_missing_with_defaults(df, schema, prev)
         df = _align_to_schema(
             df,
             T.StructType(
@@ -3346,6 +3395,108 @@ def iceberg_metadata_table(spark: SparkSession, path: str,
     )
 
 
+def _current_schema_node(meta: dict) -> dict:
+    schema = meta.get("schema")
+    if schema is None and meta.get("schemas"):
+        schemas = {s["schema-id"]: s for s in meta["schemas"]}
+        schema = schemas.get(meta.get("current-schema-id"))
+    return schema or {"type": "struct", "fields": []}
+
+
+def _default_json_value(ice: str, value):
+    """Spec §Default Values single-value JSON serialization for the
+    primitive types this engine's defaults support."""
+    import datetime as _dt
+
+    if ice in ("int", "long"):
+        return int(value)
+    if ice in ("float", "double"):
+        return float(value)
+    if ice == "boolean":
+        return bool(value)
+    if ice == "string":
+        return str(value)
+    if ice == "date":
+        if isinstance(value, _dt.date):
+            return value.isoformat()
+        return str(value)
+    if ice.startswith("decimal("):
+        return str(value)
+    raise IcebergProtocolError(
+        f"default values for type {ice!r} not supported"
+    )
+
+
+def _field_defaults(meta: dict) -> dict[str, tuple]:
+    """column name → (initial-default, spark type) for fields
+    declaring one (format v3 §Default Values)."""
+    out: dict[str, tuple] = {}
+    for f in _current_schema_node(meta).get("fields", []):
+        if "initial-default" in f and not isinstance(f["type"], dict):
+            out[f["name"]] = (f["initial-default"], _iceberg_to_spark(f["type"]))
+    return out
+
+
+def _fill_missing_with_defaults(df: DataFrame, schema: T.StructType,
+                                prev: dict | None) -> DataFrame:
+    """Fill schema columns the incoming batch omits: the field's
+    ``write-default`` when declared (v3 §Default Values), else NULL."""
+    wd = {}
+    for f in _current_schema_node(prev or {}).get("fields", []):
+        if "write-default" in f and not isinstance(f["type"], dict):
+            wd[f["name"]] = f["write-default"]
+    for f in schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(
+                f.name,
+                F.lit(wd.get(f.name)).cast(f.dataType),
+            )
+    return df
+
+
+def add_iceberg_column(path: str, name: str, ice_type: str,
+                       default=None) -> int:
+    """ALTER TABLE ... ADD COLUMN (spec §Schema Evolution; with
+    ``default`` the format-v3 §Default Values shape): a metadata-only
+    commit appending an optional field with a fresh id past
+    ``last-column-id``. Without a default, files that predate the
+    column read NULL; with one, the field records
+    ``initial-default`` (what rows in PRE-EXISTING files read — per
+    FILE, decided by footer column presence, never a table rewrite)
+    and ``write-default`` (what writers fill when the incoming batch
+    omits the column). Defaults require format-version 3."""
+    base, prev = _load_latest(path)
+    node = _current_schema_node(prev)
+    if any(f["name"] == name for f in node.get("fields", [])):
+        raise ValueError(f"column {name!r} already exists")
+    if default is not None and int(prev.get("format-version", 1)) < 3:
+        raise IcebergProtocolError(
+            "column default values are a format-version 3 feature "
+            "(upgrade_iceberg_format_version)"
+        )
+    _gate_retired_names(prev, [name])
+    new_id = int(prev.get("last-column-id") or _max_field_id(node)) + 1
+    field: dict = {
+        "id": new_id, "name": name, "required": False, "type": ice_type,
+    }
+    if default is not None:
+        v = _default_json_value(ice_type, default)
+        field["initial-default"] = v
+        field["write-default"] = v
+    new_node = {
+        **node, "fields": list(node.get("fields", [])) + [field],
+    }
+    meta = dict(prev)
+    meta.update({
+        "schema": new_node,
+        "schemas": [new_node],
+        "last-column-id": max(new_id, _max_field_id(new_node)),
+        "last-updated-ms": int(time.time() * 1000),
+    })
+    _put_metadata(path, base + 1, meta)
+    return base + 1
+
+
 def upgrade_iceberg_format_version(path: str, target: int = 3) -> int:
     """ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3'): a
     metadata-only commit raising the table's format version.
@@ -3867,9 +4018,7 @@ def upsert_iceberg_table(df: DataFrame, path: str, key_cols: list[str]) -> int:
             list(schema.fields)
             + [T.StructField(c, df.schema[c].dataType, True) for c in extra]
         )
-    for f in schema.fields:
-        if f.name not in df.columns:
-            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    df = _fill_missing_with_defaults(df, schema, prev)
     df = _align_to_schema(df, schema)
 
     seq = int(prev.get("last-sequence-number", 0)) + 1

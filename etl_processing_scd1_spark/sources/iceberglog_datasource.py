@@ -81,9 +81,14 @@ class _IcePartition(InputPartition):
     def __init__(self, file_path: str, partition_values: dict,
                  delete_positions: list | None = None,
                  eq_deletes: list | None = None,
-                 resolve: dict | None = None):
+                 resolve: dict | None = None,
+                 defaults: dict | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
+        # v3 §Default Values: column -> initial-default for columns
+        # this file may predate (filled ONLY when the footer lacks
+        # the column — newer files' explicit NULLs stay NULL)
+        self.defaults = defaults
         # v2 merge-on-read: row positions deleted from THIS file
         # (planned driver-side from the snapshot's position-delete
         # files, shipped per partition so each executor task filters
@@ -195,6 +200,8 @@ def _read_batches(schema: StructType, part: _IcePartition):
             arrays.append(col)
         else:
             raw = part.partition_values.get(field.name)
+            if raw is None and getattr(part, "defaults", None):
+                raw = part.defaults.get(field.name)
             if raw is None:
                 arrays.append(pa.nulls(n, field.type))
             else:
@@ -285,8 +292,13 @@ class _IceBatchReader(DataSourceReader):
             return out or None
 
         resolve = _resolve_map(meta)
+        from .iceberg import _field_defaults
+
+        defaults = {c: v for c, (v, _t) in _field_defaults(meta).items()} \
+            or None
         return [
-            _IcePartition(p, part or {}, by_file.get(p), eq_for(seq), resolve)
+            _IcePartition(p, part or {}, by_file.get(p), eq_for(seq), resolve,
+                          defaults)
             for p, part, seq in sorted(files)
         ]
 
@@ -439,6 +451,8 @@ def _read_ice_cdf_batches(schema: StructType, part: _IceCdfPartition):
             arrays.append(col)
         else:
             raw = part.partition_values.get(field.name)
+            if raw is None and getattr(part, "defaults", None):
+                raw = part.defaults.get(field.name)
             if raw is None:
                 arrays.append(pa.nulls(n, field.type))
             else:

@@ -220,3 +220,60 @@ class TestRowLineage:
             write_iceberg_table(bad, path, mode="append")
         with pytest.raises(IcebergProtocolError, match="format-version 3"):
             read_iceberg_table(spark, path, with_row_ids=True)
+
+
+class TestDefaultValues:
+    def test_add_column_with_default(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            add_iceberg_column,
+        )
+
+        path = str(tmp_path / "dflt")
+        write_iceberg_table(_df(spark, 0, 5), path)          # pre-column file
+        upgrade_iceberg_format_version(path, 3)
+        add_iceberg_column(path, "score", "long", default=100)
+        add_iceberg_column(path, "tag", "string", default="unknown")
+        # pre-existing rows read the initial-defaults
+        got = {r.k: (r.score, r.tag)
+               for r in read_iceberg_table(spark, path).collect()}
+        assert all(got[k] == (100, "unknown") for k in range(5))
+        # a write omitting the column fills write-default
+        write_iceberg_table(_df(spark, 5, 7), path, mode="append")
+        # a write with EXPLICIT values (incl. NULL) keeps them
+        explicit = spark.createDataFrame(
+            [(7, 70, None, "x"), (8, 80, 5, None)],
+            "k long, v long, score long, tag string",
+        )
+        write_iceberg_table(explicit, path, mode="append")
+        got = {r.k: (r.score, r.tag)
+               for r in read_iceberg_table(spark, path).collect()}
+        # pre-column rows STILL read initial-defaults after appends
+        # (regression: the append's schema rebuild must preserve the
+        # default attributes)
+        assert all(got[k] == (100, "unknown") for k in range(5))
+        assert got[5] == (100, "unknown")                     # write-default
+        assert got[7] == (None, "x")                          # explicit NULL kept
+        assert got[8] == (5, None)
+        # DataSource parity
+        from etl_processing_scd1_spark.sources import ensure_datasources
+
+        ensure_datasources(spark)
+        ds = {r.k: (r.score, r.tag)
+              for r in spark.read.format("iceberglog").load(path).collect()}
+        assert ds == got
+
+    def test_default_requires_v3(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            add_iceberg_column,
+        )
+
+        path = str(tmp_path / "dflt2")
+        write_iceberg_table(_df(spark, 0, 3), path)
+        with pytest.raises(IcebergProtocolError, match="format-version 3"):
+            add_iceberg_column(path, "score", "long", default=1)
+        # no default: plain evolution, old rows read NULL
+        add_iceberg_column(path, "note", "string")
+        got = read_iceberg_table(spark, path)
+        assert [r.note for r in got.collect()] == [None, None, None]
+        with pytest.raises(ValueError, match="already exists"):
+            add_iceberg_column(path, "note", "string")
