@@ -4606,7 +4606,10 @@ def vacuum_iceberg_table(path: str, retention_hours: float = 168.0) -> list[str]
         if _META in segs or any(s.startswith("_staged-") for s in segs):
             continue
         for fn in fns:
-            if not fn.endswith(".parquet"):
+            # v3 deletion vectors live in .puffin files referenced by
+            # delete manifests — orphaned ones (superseded DV commits
+            # whose snapshots expired) are reclaimable the same way
+            if not fn.endswith((".parquet", ".puffin")):
                 continue
             abs_f = os.path.normpath(os.path.join(root, fn))
             if abs_f not in keep and os.path.getmtime(abs_f) <= cutoff:

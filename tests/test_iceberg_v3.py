@@ -277,3 +277,24 @@ class TestDefaultValues:
         assert [r.note for r in got.collect()] == [None, None, None]
         with pytest.raises(ValueError, match="already exists"):
             add_iceberg_column(path, "note", "string")
+
+
+class TestVacuumPuffin:
+    def test_vacuum_keeps_live_dvs_reclaims_orphans(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            vacuum_iceberg_table,
+        )
+
+        path = str(tmp_path / "vac")
+        write_iceberg_table(_df(spark, 0, 10), path)
+        upgrade_iceberg_format_version(path, 3)
+        delete_iceberg_rows(spark, path, "k = 1")
+        # an orphan puffin (simulated crashed writer's leftover)
+        orphan = os.path.join(path, "data", "delete-orphan.puffin")
+        with open(orphan, "wb") as fh:
+            fh.write(b"PFA1orphan")
+        os.utime(orphan, (1, 1))  # ancient mtime, past any retention
+        gone = vacuum_iceberg_table(path, retention_hours=0.0)
+        assert any(g.endswith("delete-orphan.puffin") for g in gone)
+        # the LIVE DV survived and the table still reads correctly
+        assert _keys(spark, path) == [k for k in range(10) if k != 1]
