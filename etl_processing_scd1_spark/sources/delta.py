@@ -3509,8 +3509,52 @@ def delta_metadata_table(spark: SparkSession, path: str,
             F.sum("size_bytes").alias("total_size_bytes"),
             F.sum("dv_cardinality").alias("dv_dead_rows"),
         )
+    if kind == "detail":
+        # DESCRIBE DETAIL: one row of table-level facts
+        snap = _replay(spark, path, None)
+        stats_rows = sum(
+            int(json.loads(a.get("stats") or "{}").get("numRecords") or 0)
+            for a in snap.files.values()
+        )
+        row = (
+            "delta",
+            str(snap.metadata.get("id")),
+            os.path.abspath(path),
+            int(snap.metadata.get("createdTime") or 0),
+            len(snap.files),
+            int(sum(int(a.get("size") or 0) for a in snap.files.values())),
+            stats_rows,
+            json.dumps(snap.partition_columns),
+            json.dumps(snap.metadata.get("configuration") or {},
+                       sort_keys=True),
+            int(snap.protocol.get("minReaderVersion", 1)),
+            int(snap.protocol.get("minWriterVersion", 2)),
+            json.dumps(sorted(snap.protocol.get("readerFeatures") or [])),
+            json.dumps(sorted(snap.protocol.get("writerFeatures") or [])),
+        )
+        return spark.createDataFrame(
+            [row],
+            "format string, id string, location string, "
+            "created_time_ms long, num_files long, size_bytes long, "
+            "num_records long, partition_columns string, "
+            "configuration string, min_reader_version int, "
+            "min_writer_version int, reader_features string, "
+            "writer_features string",
+        )
+    if kind == "domains":
+        # §Domain Metadata inspection (row-tracking watermark,
+        # clustering spec, foreign writers' domains)
+        snap = _replay(spark, path, None)
+        rows = [
+            (name, str(d.get("configuration") or ""))
+            for name, d in sorted(snap.domains.items())
+        ]
+        return spark.createDataFrame(
+            rows, "domain string, configuration string"
+        )
     raise ValueError(
-        f"unknown metadata table {kind!r} (history, files, partitions)"
+        f"unknown metadata table {kind!r} (history, files, partitions, "
+        "detail, domains)"
     )
 
 

@@ -3388,10 +3388,75 @@ def iceberg_metadata_table(spark: SparkSession, path: str,
             "status int, snapshot_id long, sequence_number long, "
             "content int, file_path string, record_count long",
         )
+    if kind == "delete_files":
+        # row-level delete inventory: position-delete parquets,
+        # equality deletes, and v3 puffin deletion vectors
+        sid = meta.get("current-snapshot-id")
+        rows = []
+        if sid not in (None, -1):
+            snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == sid
+            )
+            for m in load_avro(_norm_path(snap["manifest-list"], path))[1]:
+                m_seq = int(m.get("sequence_number") or 0)
+                for e in load_avro(
+                    _norm_path(m["manifest_path"], path)
+                )[1]:
+                    if e["status"] == _DELETED:
+                        continue
+                    d = e["data_file"]
+                    if int(d.get("content") or 0) == 0:
+                        continue
+                    seq = e.get("sequence_number")
+                    rows.append((
+                        _norm_path(d["file_path"], path),
+                        int(d.get("content") or 0),
+                        str(d.get("file_format", "PARQUET")).upper(),
+                        m_seq if seq is None else int(seq),
+                        int(d.get("record_count") or 0),
+                        json.dumps(
+                            [int(i) for i in (d.get("equality_ids") or [])]
+                        ),
+                        (None if d.get("referenced_data_file") is None
+                         else _norm_path(d["referenced_data_file"], path)),
+                    ))
+        rows.sort()
+        return spark.createDataFrame(
+            rows,
+            "file_path string, content int, file_format string, "
+            "sequence_number long, record_count long, "
+            "equality_ids string, referenced_data_file string",
+        )
+    if kind == "all_files":
+        # every snapshot's data files, deduped by path — what vacuum
+        # must keep, what storage is really holding
+        seen: dict[str, tuple] = {}
+        for s in meta.get("snapshots", []):
+            ml = _norm_path(s["manifest-list"], path)
+            if not os.path.exists(ml):
+                continue
+            for m in load_avro(ml)[1]:
+                mp = _norm_path(m["manifest_path"], path)
+                if not os.path.exists(mp):
+                    continue
+                for e in load_avro(mp)[1]:
+                    d = e["data_file"]
+                    fp = _norm_path(d["file_path"], path)
+                    seen.setdefault(fp, (
+                        fp,
+                        int(d.get("content") or 0),
+                        int(d.get("record_count") or 0),
+                        int(d.get("file_size_in_bytes") or 0),
+                    ))
+        return spark.createDataFrame(
+            sorted(seen.values()),
+            "file_path string, content int, record_count long, "
+            "file_size_in_bytes long",
+        )
     raise ValueError(
         f"unknown metadata table {kind!r} (history, snapshots, refs, "
         "manifests, files, partitions, entries, all_manifests, "
-        "metadata_log)"
+        "metadata_log, delete_files, all_files)"
     )
 
 

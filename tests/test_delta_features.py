@@ -460,3 +460,23 @@ class TestLiquidClustering:
         write_delta_table(df, path, partition_by=["part"])
         with pytest.raises(DeltaProtocolError, match="partition"):
             cluster_delta_table(spark, path, ["part"])
+
+
+class TestMetadataTablesFeatures:
+    def test_detail_and_domains(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.delta import (
+            delta_metadata_table,
+            enable_row_tracking,
+        )
+
+        path = str(tmp_path / "mt")
+        write_delta_table(_df(spark, 0, 7), path)
+        enable_row_tracking(spark, path)
+        det = delta_metadata_table(spark, path, "detail").collect()[0]
+        assert det.format == "delta"
+        assert det.num_records == 7 and det.num_files >= 1
+        assert "rowTracking" in json.loads(det.writer_features)
+        doms = {r.domain: r.configuration
+                for r in delta_metadata_table(spark, path, "domains").collect()}
+        assert "delta.rowTracking" in doms
+        assert json.loads(doms["delta.rowTracking"])["rowIdHighWaterMark"] == 6

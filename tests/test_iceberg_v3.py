@@ -298,3 +298,26 @@ class TestVacuumPuffin:
         assert any(g.endswith("delete-orphan.puffin") for g in gone)
         # the LIVE DV survived and the table still reads correctly
         assert _keys(spark, path) == [k for k in range(10) if k != 1]
+
+
+class TestMetadataTablesV3:
+    def test_delete_files_and_all_files(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            iceberg_metadata_table,
+        )
+
+        path = str(tmp_path / "mt")
+        write_iceberg_table(_df(spark, 0, 10).coalesce(1), path)
+        upgrade_iceberg_format_version(path, 3)
+        delete_iceberg_rows(spark, path, "k in (2, 4)")
+        dels = iceberg_metadata_table(spark, path, "delete_files").collect()
+        assert len(dels) == 1
+        d = dels[0]
+        assert d.content == 1 and d.file_format == "PUFFIN"
+        assert d.record_count == 2
+        assert d.referenced_data_file and d.referenced_data_file.endswith(
+            ".parquet"
+        )
+        allf = iceberg_metadata_table(spark, path, "all_files").collect()
+        # 1 data file + 1 puffin DV, deduped across snapshots
+        assert sorted(r.content for r in allf) == [0, 1]
