@@ -6,6 +6,7 @@ scan and the iceberglog DataSource, changelog windows, compaction."""
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import pytest
@@ -321,3 +322,42 @@ class TestMetadataTablesV3:
         allf = iceberg_metadata_table(spark, path, "all_files").collect()
         # 1 data file + 1 puffin DV, deduped across snapshots
         assert sorted(r.content for r in allf) == [0, 1]
+
+
+class TestPartitionStats:
+    def test_compute_register_read(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            compute_iceberg_partition_stats,
+            iceberg_metadata_table,
+        )
+
+        path = str(tmp_path / "pstats")
+        df = _df(spark, 0, 30).withColumn(
+            "part", (F.col("k") % 3).cast("string")
+        )
+        write_iceberg_table(df, path, partition_by=["part"])
+        # stats not yet registered -> loud raise
+        with pytest.raises(ValueError, match="partition statistics"):
+            iceberg_metadata_table(spark, path, "partition_stats")
+        compute_iceberg_partition_stats(spark, path)
+        got = {json.loads(r.partition)["part"]: r
+               for r in iceberg_metadata_table(
+                   spark, path, "partition_stats").collect()}
+        assert set(got) == {"0", "1", "2"}
+        assert all(r.data_record_count == 10 for r in got.values())
+        assert all(r.position_delete_file_count == 0 for r in got.values())
+        # deletes show up after recompute; the old entry is replaced
+        upgrade_iceberg_format_version(path, 3)
+        delete_iceberg_rows(spark, path, "k = 3")  # part '0'
+        compute_iceberg_partition_stats(spark, path)
+        meta = _load_metadata(path, None)
+        sid = meta["current-snapshot-id"]
+        entries = [p for p in meta["partition-statistics"]
+                   if p["snapshot-id"] == sid]
+        assert len(entries) == 1
+        got = {json.loads(r.partition).get("part"): r
+               for r in iceberg_metadata_table(
+                   spark, path, "partition_stats").collect()}
+        # the DV spans partitions (null tuple row carries the delete)
+        assert sum(r.position_delete_record_count
+                   for r in got.values()) == 1
