@@ -361,3 +361,38 @@ class TestPartitionStats:
         # the DV spans partitions (null tuple row carries the delete)
         assert sum(r.position_delete_record_count
                    for r in got.values()) == 1
+
+
+class TestTableStats:
+    def test_ndv_blobs_registered(self, spark, tmp_path):
+        from etl_processing_scd1_spark.sources.iceberg import (
+            compute_iceberg_table_stats,
+            iceberg_metadata_table,
+        )
+        from etl_processing_scd1_spark.sources.puffin import (
+            read_blob,
+            read_puffin_footer,
+        )
+
+        path = str(tmp_path / "tstats")
+        df = _df(spark, 0, 500).withColumn("grp", F.col("k") % 7)
+        write_iceberg_table(df, path)
+        compute_iceberg_table_stats(spark, path, cols=["k", "grp"])
+        stats = {r.blob_type: r for r in iceberg_metadata_table(
+            spark, path, "statistics").collect()}
+        rows = iceberg_metadata_table(spark, path, "statistics").collect()
+        by_fields = {r.fields: r for r in rows}
+        ndvs = sorted(int(r.ndv) for r in rows)
+        assert ndvs == [7, 500]
+        meta = _load_metadata(path, None)
+        entry = meta["statistics"][0]
+        footer = read_puffin_footer(entry["statistics-path"])
+        assert len(footer["blobs"]) == 2
+        b = footer["blobs"][0]
+        assert b["type"] == "spark-graft-kmv-v1"
+        data = read_blob(entry["statistics-path"], b["offset"], b["length"])
+        assert len(data) % 8 == 0 and len(data) > 0
+        # recompute for the same snapshot replaces, never duplicates
+        compute_iceberg_table_stats(spark, path, cols=["k"])
+        meta = _load_metadata(path, None)
+        assert len(meta["statistics"]) == 1
