@@ -33,8 +33,20 @@ def label_propagation(
     ``edges`` holds each undirected edge ONCE as ``u < v``; both
     directions are materialized here. Each of the ``iters`` rounds is
     one labels⋈edges join + one (node, label) count + one per-node
-    argmax window — O(E) per round, shuffles keyed on node so the
-    rounds reuse the partitioning. Output: (node, community).
+    argmax aggregation — O(E) per round. Output: (node, community).
+
+    Round shape (r11 optimization, guide §2.4): the per-node argmax
+    is a two-level AGGREGATION — ``min(struct(-votes, community))``
+    over the (node, label) counts — not a row_number window: the
+    final agg is map-side combinable and skips the window's
+    partition sort. The per-round ``nodes LEFT JOIN winners`` +
+    coalesce the window form carried was dropped outright: ``adj``
+    is symmetric (both directions materialized), so the src set
+    equals the dst set, every label lookup matches, and winners
+    covers exactly the node set every round — the left join was a
+    provable no-op costing a distinct + join per round. Isolated
+    nodes (no edges at all) never enter ``adj`` under either
+    formulation.
     """
     fwd = edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
     rev = edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst"))
@@ -49,16 +61,20 @@ def label_propagation(
             .groupBy(F.col("src").alias("node"), "community")
             .agg(F.count(F.lit(1)).alias("__votes__"))
         )
-        w = Window.partitionBy("node").orderBy(
-            F.desc("__votes__"), F.asc("community")
-        )
-        winners = (
-            neighbor_labels.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
-            .select("node", "community")
-        )
-        labels = nodes.join(winners, "node", "left").select(
-            "node", F.coalesce(F.col("community"), F.col("node")).alias("community")
+        # struct ordering: lowest -votes = most votes, tie -> lowest
+        # community (identical to the desc(votes), asc(community)
+        # row_number this replaces)
+        labels = (
+            neighbor_labels.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__votes__")).alias("nv"),
+                        F.col("community").alias("c"),
+                    )
+                ).alias("__best__")
+            )
+            .select("node", F.col("__best__.c").alias("community"))
         )
     return labels
 

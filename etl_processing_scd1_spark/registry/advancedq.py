@@ -1466,10 +1466,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("c"),
         )
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    # ONE pass over the triangle join: explode each (a,b,c) row into
+    # its three corners. The union-of-three-projections form this
+    # replaces re-executed the two-join tri subtree once PER BRANCH
+    # (ReuseExchange dedupes only the exchanges, not the join probe) —
+    # same multiset of corner rows, identical counts, 3x less join
+    # work (r11 optimization, guide §2.4).
+    nodes = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return attach_cache(
         nodes.groupBy("node").agg(F.count("*").alias("n_triangles")), edges

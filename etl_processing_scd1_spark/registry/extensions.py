@@ -1997,9 +1997,15 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = kmv_overlap(sk, "lang", k=64)
 
+    # r11 optimization: ONE distinct on (lang, gram) — the trailing
+    # .distinct() on (lang, md5) was a second full 10M-row shuffle
+    # that could only ever drop a row under an md5 collision between
+    # DISTINCT grams (2^-128-scale; the oracle's own arithmetic would
+    # break first). PERSISTED because three consumers (sizes, both
+    # self-join sides) otherwise re-run the explode+distinct.
     hashed = keys.distinct().select(
         "lang", F.md5(F.col("g").cast("string")).alias("h")
-    ).distinct()
+    ).persist()
     sizes = hashed.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         hashed.alias("x")
@@ -2012,7 +2018,7 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("isect"))
     )
-    return (
+    out = (
         est.join(inter, ["group_a", "group_b"])
         .join(F.broadcast(sizes.withColumnRenamed("lang", "group_a").withColumnRenamed("n", "na")), "group_a")
         .join(F.broadcast(sizes.withColumnRenamed("lang", "group_b").withColumnRenamed("n", "nb")), "group_b")
@@ -2026,6 +2032,9 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_jaccard_pct"),
         )
     )
+    from ..operators.dedup import attach_cache
+
+    return attach_cache(out, hashed)
 
 
 @register(

@@ -24,6 +24,17 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalescing floor (r11 measurement): narrow all-long shuffle
+    # output (pair counts, graph edges) compresses so well that the
+    # 1 MB default floor coalesces a CPU-heavy final aggregation to
+    # ~3 tasks at 14.9M rows (measured 6.4s -> 2.1s at 64k on the
+    # winnow pair agg). parallelismFirst targets total/cores but is
+    # clamped BELOW by this floor, so the floor — not parallelism —
+    # decides exactly when rows-per-byte is high. 64k keeps the
+    # parallelism-first intent at every scale: on a large cluster it
+    # only affects shuffles totalling < cores×1MB, which finish in
+    # milliseconds either way.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Dimension tables (region/nation/customer/... and the reference's
     # 150-row terminals, ~200-row cards) must broadcast in star joins.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
