@@ -206,6 +206,9 @@ def run_bench(spark, sf_dir: str, runs: int) -> dict[str, dict[str, float]]:
 
     timings: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
+        # label jobs per query (guide §1.5) so UI/eventlog stage
+        # attribution is readable; thread-local, no timing effect
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         best_total, best_exec = float("inf"), float("inf")
         for _ in range(runs):
             # isolate queries from each other: no cross-query cache or

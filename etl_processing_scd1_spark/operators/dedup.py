@@ -551,17 +551,25 @@ def edit_distance_verify(
         joined = joined.filter(
             100 * F.least(la, lb) >= min_sim_pct * F.greatest(la, lb)
         )
-        # Banded Levenshtein: any pair the threshold filter keeps has
-        # lev ≤ max_len·(100−pct)/100 ≤ the GLOBAL bound T, so running
-        # the distance with threshold T (O(n·T) band instead of the
-        # full O(n·m) matrix) returns the exact value for every
-        # surviving pair; pairs driven past T come back −1 and are
-        # provably below the similarity threshold — dropped here.
-        # T costs one max(length) aggregation over the candidate-
-        # restricted text relation (tiny by construction).
-        gmax = texts.agg(F.max(F.length(text_col))).collect()[0][0] or 0
-        t_bound = max(1, (gmax * (100 - min_sim_pct)) // 100)
-        lev = F.levenshtein("__ta__", "__tb__", t_bound)
+        # Banded Levenshtein with a PER-PAIR threshold (r11
+        # optimization): the caller's similarity filter keeps a pair
+        # iff lev ≤ floor(max_len·(100−pct)/100) =: T_pair, so running
+        # the distance with threshold T_pair (an O(n·T_pair) band
+        # instead of the full O(n·m) matrix) returns the exact value
+        # for every pair the threshold can keep; pairs driven past it
+        # come back −1 and are provably below the similarity threshold
+        # — dropped here. This replaces the earlier GLOBAL bound
+        # T = max_len(corpus)·(100−pct)/100, which (a) cost a
+        # max(length) collect job at build time and (b) made every
+        # short pair pay the longest document's band width. The
+        # greatest(1, ·) floor keeps the threshold argument legal for
+        # empty/short texts; such pairs still fail the caller's exact
+        # integer filter.
+        lev = F.expr(
+            f"levenshtein(__ta__, __tb__, greatest(1, "
+            f"CAST(greatest(length(__ta__), length(__tb__)) "
+            f"* {100 - min_sim_pct} DIV 100 AS INT)))"
+        )
         out = joined.select(
             F.col("id_a"),
             F.col("id_b"),

@@ -646,6 +646,7 @@ def pq_encode(
     codebook_id_col: str = "vec_id",
     codebook_vec_col: str = "embedding",
     keep_cols: list[str] | None = None,
+    codewords: list[tuple] | None = None,
 ) -> DataFrame:
     """Product quantization: split each vector into ``m`` contiguous
     blocks and code every block as its nearest codeword (scaled-int
@@ -663,8 +664,12 @@ def pq_encode(
     ops are bit-identical everywhere and integer sums order-free, so
     codes hash-match any engine's oracle.
     """
-    rows = codebook.select(codebook_id_col, codebook_vec_col).collect()
-    codewords = sorted((r[0], list(r[1])) for r in rows)
+    if codewords is None:
+        # ``codewords`` lets a caller that needs the codebook for BOTH
+        # encode and ADC (IVF-PQ composition) pay the bounded collect
+        # once (r11: pq_collect_codewords) instead of per operator
+        rows = codebook.select(codebook_id_col, codebook_vec_col).collect()
+        codewords = sorted((r[0], list(r[1])) for r in rows)
     dim = len(codewords[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -742,6 +747,7 @@ def pq_adc_topk(
     codebook_vec_col: str = "embedding",
     group_col: str | None = None,
     max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
+    codewords: list[tuple] | None = None,
 ) -> DataFrame:
     """PQ search by Asymmetric Distance Computation (Jégou et al.
     2011): approximate squared-L2 from a query to a PQ-coded vector
@@ -773,8 +779,9 @@ def pq_adc_topk(
     cell, not the relation.
     """
     _probe_query_rows(queries, max_query_rows, "pq_adc_topk")
-    rows = codebook.select(codebook_id_col, codebook_vec_col).collect()
-    codewords = sorted((r[0], list(r[1])) for r in rows)
+    if codewords is None:
+        rows = codebook.select(codebook_id_col, codebook_vec_col).collect()
+        codewords = sorted((r[0], list(r[1])) for r in rows)
     dim = len(codewords[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -964,14 +964,21 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     codebook = emb.filter(F.col("vec_id") < 8)
+    # r11: one bounded codebook collect shared by encode + ADC
+    # (each operator otherwise runs its own collect job)
+    cw = sorted(
+        (r[0], list(r[1]))
+        for r in codebook.select("vec_id", "embedding").collect()
+    )
     codes = pq_encode(emb, codebook=codebook, id_col="vec_id",
-                      vec_col="embedding", m=4)
+                      vec_col="embedding", m=4, codewords=cw)
     return pq_adc_topk(
         codes,
         queries=emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)),
         codebook=codebook,
         k=5,
         m=4,
+        codewords=cw,
     )
 
 
@@ -1230,14 +1237,22 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = res.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
         "vec_id", "res"
     )
+    # r11: the residual codebook derives from the centroid-assignment
+    # subtree — collect its 8 rows ONCE and share between encode and
+    # ADC instead of re-running that subtree per operator collect
+    cw = sorted(
+        (r[0], list(r[1]))
+        for r in codebook.select("vec_id", "res").collect()
+    )
     codes = pq_encode(
         res, codebook, vec_col="res", codebook_vec_col="res", m=4,
-        keep_cols=["bucket"],
+        keep_cols=["bucket"], codewords=cw,
     )
     queries_res = res.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return pq_adc_topk(
         codes, queries_res, codebook, k=5, m=4,
         vec_col="res", codebook_vec_col="res", group_col="bucket",
+        codewords=cw,
     )
 
 

@@ -22,13 +22,18 @@ def main() -> int:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--conf", action="append", default=[],
+        help="extra k=v session conf overrides (A/B probes)",
+    )
     args = ap.parse_args()
 
     from etl_processing_scd1_spark.operators.dedup import release_cached
     from etl_processing_scd1_spark.registry import EXTRA_QUERIES, QUERIES
     from etl_processing_scd1_spark.session import get_spark
 
-    spark = get_spark("bench-subset")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark("bench-subset", extra_conf=extra or None)
     spark.sparkContext.setLogLevel("ERROR")
     allq = {**QUERIES, **EXTRA_QUERIES}
     spark.read.parquet(os.path.join(args.sf, "lineitem.parquet")).count()
