@@ -227,6 +227,9 @@ def run_bench(spark, sf_dir: str, runs: int) -> dict[str, dict[str, float]]:
             release_cached(df)
         timings[name] = {"total": round(best_total, 4), "exec": round(best_exec, 4)}
         print(f"  engine {name}: {best_total:.3f}s (exec {best_exec:.3f}s)", file=sys.stderr)
+    # clear the thread-local label so later jobs in this session don't
+    # inherit the last bench query's description (ADVICE r11)
+    spark.sparkContext.setJobDescription(None)
     return timings
 
 
@@ -408,12 +411,23 @@ def main() -> None:
     full_map = {n: t["total"] for n, t in timings.items()}
     print(json.dumps({"all_queries": full_map, "sf": sf}, separators=(",", ":")))
 
-    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1500"))
+    # r12 (verdict #2): carry as many per-query timings as physically
+    # fit. The driver tail keeps the LAST 2000 bytes of stdout (r10/r11
+    # BENCH_*.json tail len == 2000 exactly), so the final line must be
+    # < 2000 bytes WHOLE or its head is cut and nothing parses. All 135
+    # full-name entries need ~4.1 KB even at 2 decimals — impossible in
+    # that window — so: budget raised 1500 → 1900 and values encoded at
+    # 2 decimals (bench noise floor is ~±10%, so centiseconds lose
+    # nothing), which roughly doubles queries_shown. The COMPLETE
+    # 4-decimal map is deterministic in BENCH_full.json ("detail"),
+    # committed after the final run, and on the all_queries line below.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1900"))
 
     def compact_line(top_n: int) -> str:
-        top = dict(
-            sorted(full_map.items(), key=lambda kv: -kv[1])[:top_n]
-        )
+        top = {
+            k: round(v, 2)
+            for k, v in sorted(full_map.items(), key=lambda kv: -kv[1])[:top_n]
+        }
         return json.dumps(
             {
                 "metric": "headline_queries_total",

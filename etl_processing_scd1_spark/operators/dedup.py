@@ -565,9 +565,11 @@ def edit_distance_verify(
         # greatest(1, ·) floor keeps the threshold argument legal for
         # empty/short texts; such pairs still fail the caller's exact
         # integer filter.
+        # BIGINT multiply: length()*N would wrap 32-bit for texts past
+        # ~2^31/N chars — impossible locally, cheap insurance at scale.
         lev = F.expr(
             f"levenshtein(__ta__, __tb__, greatest(1, "
-            f"CAST(greatest(length(__ta__), length(__tb__)) "
+            f"CAST(CAST(greatest(length(__ta__), length(__tb__)) AS BIGINT) "
             f"* {100 - min_sim_pct} DIV 100 AS INT)))"
         )
         out = joined.select(

@@ -447,9 +447,11 @@ def winnow_fingerprints(
     def one(text: str) -> tuple[int, int]:
         # utf-32-le codepoints == ord() per char, without the per-char
         # Python loop (guide §4.2: vectorize inside the Arrow kernel;
-        # measured 2.5x on the whole kernel, results bit-identical)
+        # measured 2.5x on the whole kernel, results bit-identical).
+        # Explicit little-endian dtype: the bytes are UTF-32-LE, so a
+        # native-endian uint32 would mis-decode on big-endian hosts.
         codes = np.frombuffer(
-            text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            text.encode("utf-32-le", "surrogatepass"), dtype="<u4"
         ).astype(np.int64)
         if codes.size < k + window - 1:
             return 0, 0
@@ -503,8 +505,9 @@ def winnow_fingerprint_rows(
 
     def one(text: str) -> "np.ndarray":
         # same vectorized codepoint load as winnow_fingerprints
+        # (explicit little-endian dtype — the bytes are UTF-32-LE)
         codes = np.frombuffer(
-            text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            text.encode("utf-32-le", "surrogatepass"), dtype="<u4"
         ).astype(np.int64)
         if codes.size < k + window - 1:
             return np.empty(0, dtype=np.int64)
@@ -621,9 +624,25 @@ def winnow_pairs_from_rows(
     b = rows.select(F.col(id_col).alias("id_b"), "fp")
     ca = F.broadcast(counts.select(F.col(id_col).alias("id_a"), F.col("__nfp__").alias("__na__")))
     cb = F.broadcast(counts.select(F.col(id_col).alias("id_b"), F.col("__nfp__").alias("__nb__")))
+    # Pin the pair-aggregation parallelism with an explicit keyed
+    # repartition (guide §2.5): the (id_a, id_b) all-long shuffle
+    # compresses to ~3 MB at 14.9M rows, so AQE's byte-targeted
+    # coalescing (1 MB minPartitionSize floor) would run the CPU-heavy
+    # aggregation on ~3 tasks (measured 6.4 s vs 2.1 s parallel at
+    # sf0.1). An explicit-count repartition is exempt from AQE
+    # coalescing, and the count derives from the cluster
+    # (defaultParallelism), not a local constant. The groupBy reuses
+    # this exchange (same keys), so no extra shuffle is added — the
+    # map-side partial agg it forgoes only reduced ~4:1 here while
+    # serializing the reduce onto those ~3 tasks. Replaces the r11
+    # global 64k AQE floor, whose blast radius taxed iteration- and
+    # write-heavy queries suite-wide.
+    n_parts = rows.sparkSession.sparkContext.defaultParallelism
     out = (
         a.join(b, ["fp"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(n_parts, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .join(ca, "id_a")

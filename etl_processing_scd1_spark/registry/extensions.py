@@ -1997,7 +1997,13 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. The remaining linear term is the exact-Jaccard companion
     (distinct shingle domain + equi-join) which exists purely as
     accuracy evidence; a production overlap monitor would keep only
-    the sketch columns."""
+    the sketch columns.
+
+    The result carries a persisted intermediate (``hashed``) via the
+    ``attach_cache`` contract: callers MUST call
+    ``operators.dedup.release_cached(result)`` after their action (or
+    use ``dedup.consuming``) — otherwise each invocation leaks one
+    cached ~10M-row relation in a long-lived session."""
     from ..operators.sketches import kmv_overlap, kmv_sketches_from_sets
 
     docs = table(spark, sf_dir, "documents")

@@ -24,17 +24,19 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Coalescing floor (r11 measurement): narrow all-long shuffle
-    # output (pair counts, graph edges) compresses so well that the
-    # 1 MB default floor coalesces a CPU-heavy final aggregation to
-    # ~3 tasks at 14.9M rows (measured 6.4s -> 2.1s at 64k on the
-    # winnow pair agg). parallelismFirst targets total/cores but is
-    # clamped BELOW by this floor, so the floor — not parallelism —
-    # decides exactly when rows-per-byte is high. 64k keeps the
-    # parallelism-first intent at every scale: on a large cluster it
-    # only affects shuffles totalling < cores×1MB, which finish in
-    # milliseconds either way.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # r12: the r11 global 64k coalescing floor is REVERTED to the
+    # 1 MB default. Measured blast radius (r12 A/B, same code, floor
+    # 64k vs 1m): delta_merge_scd1 4.79 -> 2.12 s, delta_update_scan
+    # 4.73 -> 1.97 s, kcore 6.11 -> 3.17 s, bfs 5.88 -> 4.04 s,
+    # item_item_topk 3.36 -> 2.23 s — the lower floor multiplied
+    # tiny-task count on every shuffle-per-iteration and shuffle-
+    # before-write path (and partition count becomes FILE count on
+    # write paths, guide §6). The one shuffle that genuinely needs
+    # rows-per-byte parallelism (the winnow pair aggregation, whose
+    # all-long shuffle compresses below the floor) now pins its own
+    # parallelism with an explicit keyed repartition at the operator
+    # (operators/text.py::winnow_pairs_from_rows) — guide §1.2 order:
+    # fix the operator, not the global config.
     # Dimension tables (region/nation/customer/... and the reference's
     # 150-row terminals, ~200-row cards) must broadcast in star joins.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
